@@ -1,0 +1,62 @@
+"""Text-analysis column functions for the training-data pipeline layer.
+
+All pure Catalyst expressions (split/filter/transform higher-order
+functions) — no Python in the hot path, so these scan-side ops run at
+full codegen speed over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword list used by quality scoring + lang-id
+STOPWORDS = ("a", "the", "of", "and", "to")
+
+# marker vocabularies for the n-gram/keyword language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "value", "fast", "slow"),
+    "sql": ("query", "join", "table", "scan", "agg"),
+    "ops": ("batch", "stream", "merge", "window", "spark"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    stop = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.size(stop).cast("double") / F.size(toks)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Share of non-alphanumeric-non-space characters."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped).cast("double") / F.length(text)
+
+
+def mean_token_length(text: Column) -> Column:
+    no_space = F.regexp_replace(text, r"\s+", "")
+    return F.length(no_space).cast("double") / token_count(text)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of case/whitespace-normalized text.
+
+    The normalization (lower + collapse whitespace) is the
+    key-generation step of fingerprint dedup; md5 keeps it engine-
+    portable and deterministic.
+    """
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    """Count of tokens that belong to a marker vocabulary."""
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*markers)))

@@ -1,0 +1,68 @@
+"""Cumulative flow diagram (CFD) aggregate — SURVEY.md A1.
+
+Semantics from the reference's serving query
+(/root/reference/aurora/ddl/calculate_cfd.sql:18-70):
+
+- completed branch: count per (state, day), then a running cumulative
+  sum per state ordered by day;
+- in-progress branch: plain count per (state, day);
+- UNION of the two.
+
+Spark shape: two groupBy aggregations + one window cumulative sum +
+``unionByName``. At scale the groupBy pre-aggregates map-side
+(partial_count), so the shuffle carries one row per (state, day)
+rather than one per snapshot; the window then runs over a tiny
+aggregate (states x days), so its sort is cheap regardless of input
+size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cumulative_flow(
+    snapshots: DataFrame,
+    state_col: str = "state",
+    date_col: str = "snapshot_date",
+    category_col: str = "state_category",
+    completed_value: str = "completed",
+    inprogress_value: str = "inprogress",
+) -> DataFrame:
+    """CFD over a snapshots-like frame with (state, date, category) columns."""
+    base = snapshots.select(
+        F.col(state_col).alias("state"),
+        F.to_date(F.col(date_col)).alias("snapshot_date"),
+        F.col(category_col).alias("state_category"),
+    )
+
+    completed_daily = (
+        base.filter(F.col("state_category") == completed_value)
+        .groupBy("state", "snapshot_date")
+        .agg(F.count(F.lit(1)).alias("daily_count"))
+    )
+    cum_window = (
+        Window.partitionBy("state")
+        .orderBy("snapshot_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    completed = completed_daily.select(
+        "state",
+        "snapshot_date",
+        F.lit(completed_value).alias("state_category"),
+        F.sum("daily_count").over(cum_window).alias("item_count"),
+    )
+
+    inprogress = (
+        base.filter(F.col("state_category") == inprogress_value)
+        .groupBy("state", "snapshot_date")
+        .agg(F.count(F.lit(1)).alias("item_count"))
+        .select(
+            "state",
+            "snapshot_date",
+            F.lit(inprogress_value).alias("state_category"),
+            "item_count",
+        )
+    )
+    return completed.unionByName(inprogress)

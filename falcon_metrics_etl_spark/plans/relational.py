@@ -1,0 +1,327 @@
+"""Relational operator queries — joins (J1-J10), set ops (2.7), scalar
+functions (2.8), sorts/limits (2.6) — mapped onto the synthetic tables.
+
+- dims (part, supplier, customer, nation, region) play the role of the
+  reference's config dims -> broadcast-join side;
+- facts (orders, lineitem) play states/snapshots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.plans.registry import register
+from falcon_metrics_etl_spark.sources import load_table
+
+
+# --------------------------------------------------------------------------
+# J1-J3 — broadcast dim joins (item -> workflow/workItemType analogs)
+# --------------------------------------------------------------------------
+@register(
+    "revenue_by_brand",
+    doc="J1-J3 broadcast dim joins: fact lineitem joins part+supplier dims "
+    "(both broadcast), exact DECIMAL revenue aggregation cast to DOUBLE at "
+    "the edge; reference joins are in-memory config lookups "
+    "(src/jiracloud/process/revision_processor.ts:501-548)",
+    tags=("join", "broadcast", "aggregate"),
+    oracle="""
+SELECT p.p_brand AS brand,
+       s.s_name AS supplier_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE p.p_size <= 25
+GROUP BY 1, 2
+""",
+)
+def revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("s_name").alias("supplier_name"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J7 — deleted-item reconciliation (anti join)
+# --------------------------------------------------------------------------
+@register(
+    "deleted_items_reconciliation",
+    doc="J7 anti-join reconciliation: db ids not returned by the datasource "
+    "=> soft-delete set (src/services/check_deleted_items.ts:195-266); here: "
+    "customers with no orders",
+    tags=("join", "anti"),
+    oracle="""
+SELECT c.c_custkey AS work_item_id, c.c_mktsegment AS segment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def deleted_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select(
+        F.col("c_custkey").alias("work_item_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P6 — semi-join membership filter
+# --------------------------------------------------------------------------
+@register(
+    "configured_type_filter",
+    doc="P6 semi-join filter: keep only items with a type mapping "
+    "(src/kanbanize/transform_processor.ts:385-400); here: customers having "
+    "an urgent order",
+    tags=("join", "semi"),
+    oracle="""
+SELECT c.c_custkey AS work_item_id, c.c_name AS name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def configured_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select(F.col("c_custkey").alias("work_item_id"), F.col("c_name").alias("name"))
+
+
+# --------------------------------------------------------------------------
+# J8 — reingest key harvest: two multi-way joins + union + distinct
+# --------------------------------------------------------------------------
+@register(
+    "reingest_keys",
+    doc="J8 reingest harvest: union of two 3-way equi-join key sets, distinct "
+    "(src/handlers/extract_states_handler.ts:191-235)",
+    tags=("join", "union", "distinct"),
+    oracle="""
+SELECT DISTINCT key_nation AS nation_name, key_segment AS segment FROM (
+    SELECT n.n_name AS key_nation, c.c_mktsegment AS key_segment
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    UNION ALL
+    SELECT n.n_name, c.c_mktsegment
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderpriority = '1-URGENT'
+) t
+""",
+)
+def reingest_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def harvest(filtered_orders: DataFrame) -> DataFrame:
+        return (
+            filtered_orders.join(
+                customer, filtered_orders.o_custkey == customer.c_custkey
+            )
+            .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+            .select(
+                F.col("n_name").alias("nation_name"),
+                F.col("c_mktsegment").alias("segment"),
+            )
+        )
+
+    finished = harvest(orders.filter(F.col("o_orderstatus") == "F"))
+    urgent = harvest(orders.filter(F.col("o_orderpriority") == "1-URGENT"))
+    return finished.unionByName(urgent).dropDuplicates()
+
+
+# --------------------------------------------------------------------------
+# J6 — context bridge anti-delete set
+# --------------------------------------------------------------------------
+@register(
+    "bridge_stale_rows",
+    doc="J6 bridge anti-delete: rows of the existing bridge not present in "
+    "the freshly-extracted id list (src/workitem/"
+    "context_workitem_map_processor_aurora.ts:183-200); here: orders (the "
+    "'existing bridge') whose key is absent from lineitem (the 'fresh ids')",
+    tags=("join", "anti"),
+    oracle="""
+SELECT o.o_orderkey AS work_item_id
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+""",
+)
+def bridge_stale_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_anti"
+    ).select(F.col("o_orderkey").alias("work_item_id"))
+
+
+# --------------------------------------------------------------------------
+# W13 — top-k per group
+# --------------------------------------------------------------------------
+@register(
+    "top_orders_per_priority",
+    doc="W13 top-k per group: 3 highest-value orders per priority, "
+    "deterministic tie-break on orderkey",
+    tags=("window", "rank"),
+    oracle="""
+SELECT class_of_service, work_item_id, total_price, rn FROM (
+    SELECT o_orderpriority AS class_of_service,
+           o_orderkey AS work_item_id,
+           o_totalprice AS total_price,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) t WHERE rn <= 3
+""",
+)
+def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_orderpriority").alias("class_of_service"),
+            F.col("o_orderkey").alias("work_item_id"),
+            F.col("o_totalprice").alias("total_price"),
+            "rn",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A8/ST1 — incremental cursor max
+# --------------------------------------------------------------------------
+@register(
+    "incremental_cursor_max",
+    doc="A8 cursor advance: next cursor = max(updated) per datasource "
+    "(src/jiracloud/process/extract_state_processor.ts:492-497)",
+    tags=("aggregate",),
+    oracle="""
+SELECT o_orderstatus AS datasource, CAST(MAX(o_orderdate) AS TIMESTAMP) AS next_cursor,
+       COUNT(*) AS items_processed
+FROM orders GROUP BY 1
+""",
+)
+def incremental_cursor_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderstatus").alias("datasource")).agg(
+        F.max("o_orderdate").alias("next_cursor"),
+        F.count(F.lit(1)).alias("items_processed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F8 — multi-value split -> rows
+# --------------------------------------------------------------------------
+@register(
+    "multi_value_split",
+    doc="F8 multi-value split: 'a-b' style field exploded to trimmed tokens "
+    "(src/azureboards/process/revision_processor.ts:418-434)",
+    tags=("explode", "string"),
+    oracle="""
+SELECT token, COUNT(*) AS n
+FROM (SELECT trim(unnest(string_split(o_orderpriority, '-'))) AS token FROM orders) t
+GROUP BY 1
+""",
+)
+def multi_value_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.explode(F.split(F.col("o_orderpriority"), "-")).alias("raw_token")
+        )
+        .select(F.trim(F.col("raw_token")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# F1/F2 — slugify workflow keys + composite key synthesis
+# --------------------------------------------------------------------------
+@register(
+    "slugify_keys",
+    doc="F1 slugify(org.project.type) workflow keys + F2 '#'-composite key "
+    "synthesis (src/common/extract_utils.ts:39-45, "
+    "src/workitem/state_load_processor_aurora.ts:49-51)",
+    tags=("string",),
+    oracle="""
+SELECT lower(regexp_replace(r.r_name || '.' || n.n_name, '[^a-zA-Z0-9.]+', '-', 'g'))
+           AS workflow_id,
+       'state#' || n.n_name AS partition_key,
+       r.r_name || '#' || n.n_name AS sort_key
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+)
+def slugify_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.functions.scalar import slugify
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return joined.select(
+        slugify(F.concat_ws(".", F.col("r_name"), F.col("n_name"))).alias(
+            "workflow_id"
+        ),
+        F.concat(F.lit("state#"), F.col("n_name")).alias("partition_key"),
+        F.concat_ws("#", F.col("r_name"), F.col("n_name")).alias("sort_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F4/F5 — date surrogate keys and day math
+# --------------------------------------------------------------------------
+@register(
+    "date_surrogate_keys",
+    doc="F4 yyyyMMdd surrogate date keys (src/utils/date_utils.ts:27-33) + "
+    "F5 day-truncation/diff math",
+    tags=("date",),
+    oracle="""
+SELECT strftime(o_orderdate, '%Y%m%d') AS date_sk,
+       COUNT(*) AS n,
+       CAST(MIN(date_trunc('day', o_orderdate)) AS DATE) AS day_start
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+GROUP BY 1
+""",
+)
+def date_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    return orders.groupBy(
+        F.date_format("o_orderdate", "yyyyMMdd").alias("date_sk")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.date_trunc("day", F.col("o_orderdate"))).cast("date").alias("day_start"),
+    )

@@ -1,0 +1,271 @@
+"""Training-data pipeline queries: text analysis, dedup, similarity
+search over ``documents`` / ``embeddings`` (BASELINE.json extension
+operators — first-class alongside the reference's own surface).
+
+Scale notes: every query here is a scan + higher-order-function
+projection (JVM codegen, no Python), a hash aggregation, or a
+candidate-pair join designed to avoid the O(n^2) cross product at
+100 TB (LSH banding in plans registered by dedup_lsh.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.functions import text as TX
+from falcon_metrics_etl_spark.functions import vectors as VX
+from falcon_metrics_etl_spark.plans.registry import register
+from falcon_metrics_etl_spark.sources import load_table
+
+NEAR_DUP_COSINE = 0.4
+KNN_K = 5
+KNN_N_QUERIES = 5
+
+# shared DuckDB fragment: quantized int vectors (must mirror
+# functions.vectors.quantize exactly)
+_DUCK_QUANT = (
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+)
+
+
+# --------------------------------------------------------------------------
+# Text quality scoring
+# --------------------------------------------------------------------------
+@register(
+    "text_quality_scores",
+    doc="Quality scoring: token count, stopword ratio, punctuation ratio, "
+    "mean token length — scan-side codegen expressions only",
+    tags=("text", "expression"),
+    oracle="""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    t -> t IN ('a','the','of','and','to'))) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\\s+')), 4) AS stopword_ratio,
+       ROUND(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             / length(text), 4) AS punct_ratio,
+       ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\\s+')), 4) AS mean_token_len
+FROM documents
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        F.round(TX.stopword_ratio(t), 4).alias("stopword_ratio"),
+        F.round(TX.punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(TX.mean_token_length(t), 4).alias("mean_token_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic (marker-vocabulary argmax)
+# --------------------------------------------------------------------------
+@register(
+    "lang_id_heuristic",
+    doc="Language-ID heuristic: marker-vocabulary hit counts, argmax with "
+    "deterministic tie-break (first vocabulary wins ties)",
+    tags=("text", "expression"),
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+),
+hits AS (
+    SELECT doc_id,
+           len(list_filter(tk, t -> t IN ('the','a','value','fast','slow'))) AS h_en,
+           len(list_filter(tk, t -> t IN ('query','join','table','scan','agg'))) AS h_sql,
+           len(list_filter(tk, t -> t IN ('batch','stream','merge','window','spark'))) AS h_ops
+    FROM toks
+)
+SELECT doc_id,
+       CASE WHEN h_en >= h_sql AND h_en >= h_ops THEN 'en'
+            WHEN h_sql >= h_ops THEN 'sql'
+            ELSE 'ops' END AS predicted_lang,
+       h_en, h_sql, h_ops
+FROM hits
+""",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    hits = docs.select(
+        "doc_id",
+        TX.marker_hits(t, TX.LANG_MARKERS["en"]).alias("h_en"),
+        TX.marker_hits(t, TX.LANG_MARKERS["sql"]).alias("h_sql"),
+        TX.marker_hits(t, TX.LANG_MARKERS["ops"]).alias("h_ops"),
+    )
+    predicted = (
+        F.when(
+            (F.col("h_en") >= F.col("h_sql")) & (F.col("h_en") >= F.col("h_ops")),
+            F.lit("en"),
+        )
+        .when(F.col("h_sql") >= F.col("h_ops"), F.lit("sql"))
+        .otherwise(F.lit("ops"))
+    )
+    return hits.select(
+        "doc_id", predicted.alias("predicted_lang"), "h_en", "h_sql", "h_ops"
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup via normalized fingerprint
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact_fingerprint",
+    doc="Exact dedup: md5 fingerprint of case/whitespace-normalized text, "
+    "hash-groupBy -> canonical id (min) + duplicate count; the groupBy "
+    "partial-aggregates map-side so only one row per fingerprint shuffles",
+    tags=("text", "dedup", "aggregate"),
+    oracle="""
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(TX.fingerprint(F.col("text")).alias("fingerprint")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish subword regex)
+# --------------------------------------------------------------------------
+@register(
+    "token_counting",
+    doc="Token counting: whitespace tokens and a BPE-ish subword unit count "
+    "(non-overlapping 1-4 char alpha chunks) per doc + corpus totals shape",
+    tags=("text", "expression"),
+    oracle="""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_subword_units
+FROM documents
+""",
+)
+def token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]{1,4}")).alias("n_subword_units"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k (similarity-search baseline)
+# --------------------------------------------------------------------------
+@register(
+    "knn_brute_cosine",
+    doc=f"ANN baseline: brute-force cosine top-{KNN_K} for {KNN_N_QUERIES} "
+    "query vectors; fixed-point integer dot products (exact, order-"
+    "independent) so Spark and the oracle agree bit-for-bit",
+    tags=("vector", "join", "window"),
+    oracle=f"""
+WITH iv AS (
+    SELECT vec_id, {_DUCK_QUANT} AS q FROM embeddings
+),
+n AS (
+    SELECT vec_id, q, list_dot_product(q, q) AS nsq FROM iv
+),
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROUND(list_dot_product(a.q, b.q) / sqrt(a.nsq) / sqrt(b.nsq), 6) AS cosine
+    FROM n a JOIN n b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < {KNN_N_QUERIES}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {KNN_K}
+""",
+)
+def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.quantize(F.col("embedding")).alias("q")
+    )
+    emb = emb.withColumn("nsq", VX.int_norm_sq(F.col("q")))
+    queries = (
+        emb.filter(F.col("vec_id") < KNN_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qv"),
+            F.col("nsq").alias("qn"),
+        )
+    )
+    # broadcast the tiny query side; candidates stream through
+    scored = emb.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            VX.cosine_from_int(
+                VX.int_dot(F.col("qv"), F.col("q")), F.col("qn"), F.col("nsq")
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup pairs (cosine threshold)
+# --------------------------------------------------------------------------
+@register(
+    "embedding_near_dup_pairs",
+    doc=f"Embedding near-dup: unordered pairs with cosine >= {NEAR_DUP_COSINE} "
+    "(exact integer dot products). The brute pairwise form is the sf0.01 "
+    "oracle twin; the scale path is LSH-bucketed (see ann_lsh_bucketed)",
+    tags=("vector", "join", "dedup"),
+    oracle=f"""
+WITH iv AS (
+    SELECT vec_id, {_DUCK_QUANT} AS q FROM embeddings
+),
+n AS (
+    SELECT vec_id, q, list_dot_product(q, q) AS nsq FROM iv
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.q, b.q) / sqrt(a.nsq) / sqrt(b.nsq), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.q, b.q) / sqrt(a.nsq) / sqrt(b.nsq) >= {NEAR_DUP_COSINE}
+""",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.quantize(F.col("embedding")).alias("q")
+    )
+    emb = emb.withColumn("nsq", VX.int_norm_sq(F.col("q")))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("nsq").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("nsq").alias("nb")
+    )
+    cos = VX.cosine_from_int(
+        VX.int_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= NEAR_DUP_COSINE)
+        .select("id_a", "id_b", F.round(F.col("cos_raw"), 6).alias("cosine"))
+    )

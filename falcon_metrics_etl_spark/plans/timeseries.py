@@ -1,0 +1,260 @@
+"""Ordered-per-key / time-series queries (SURVEY.md 2.5, 2.9) over the
+``events`` table: user_id plays workItemId, ts the revision changedDate,
+event_type the status.
+
+These exercise the window-function heart of the engine: consecutive
+dedupe (A2/W10), flagged-interval propagation (W7), filler counts
+(W12), sessionization, tumbling windows (ST7) and the simplified
+event-date pass (W2-lite; the exact lookahead pass is the
+applyInPandas operator tested in tests/test_event_dates.py).
+
+Scale note: every window here partitions by user_id — one shuffle on
+the natural key, then per-partition sorted scans; no driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.plans.registry import register
+from falcon_metrics_etl_spark.sources import load_table
+
+_MICROS_PER_DAY = 86_400_000_000
+_MICROS_30_MIN = 1_800_000_000
+
+
+# --------------------------------------------------------------------------
+# A2/W10 — consecutive-duplicate dedupe (keep first of each run)
+# --------------------------------------------------------------------------
+@register(
+    "revision_dedupe",
+    doc="A2/W10 consecutive dedupe: keep only revisions whose status differs "
+    "from the previous one per item (src/azureboards/data/"
+    "revision_utils.ts:73-107, src/kanbanize/transform_processor.ts:293-312)",
+    tags=("window", "dedupe"),
+    oracle="""
+SELECT event_id, user_id, event_type
+FROM (
+    SELECT event_id, user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+) t
+WHERE prev_type IS NULL OR prev_type <> event_type
+""",
+)
+def revision_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# W7 — flagged-interval propagation
+# --------------------------------------------------------------------------
+@register(
+    "flag_intervals",
+    doc="W7 flagged-interval propagation: a flag ('error') keeps the item "
+    "flagged until the matching unflag ('purchase'); running flag balance "
+    "over the per-item ordered history (src/jiracloud/process/utils.ts:13-116)",
+    tags=("window",),
+    oracle="""
+SELECT event_id, user_id,
+       SUM(CASE WHEN event_type = 'error' THEN 1
+                WHEN event_type = 'purchase' THEN -1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+           AS flagged
+FROM events
+""",
+)
+def flag_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    balance = F.sum(
+        F.when(F.col("event_type") == "error", 1)
+        .when(F.col("event_type") == "purchase", -1)
+        .otherwise(0)
+    ).over(w)
+    return events.select("event_id", "user_id", (balance > 0).alias("flagged"))
+
+
+# --------------------------------------------------------------------------
+# W12 — daily filler counts (gap densification size)
+# --------------------------------------------------------------------------
+@register(
+    "daily_filler_counts",
+    doc="W12 filler count = floor(time-to-next-revision / 24h) per item "
+    "(src/jiracloud/process/utils.ts:131-157); integer microsecond math so "
+    "Spark and DuckDB agree exactly",
+    tags=("window", "date"),
+    oracle=f"""
+SELECT event_id, user_id,
+       (LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        - epoch_us(ts)) // {_MICROS_PER_DAY} AS fillers
+FROM events
+""",
+)
+def daily_filler_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    next_us = F.lead(us).over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        ((next_us - us) / F.lit(_MICROS_PER_DAY)).cast("long").alias("fillers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization — gap > 30 min starts a new session
+# --------------------------------------------------------------------------
+@register(
+    "sessionization",
+    doc="Sessionization: lag-gap > 30 min opens a session; sessions per user "
+    "(classic lag+cumsum; streaming twin is session_window in "
+    "streaming/windows.py)",
+    tags=("window", "aggregate"),
+    oracle=f"""
+WITH gaps AS (
+    SELECT user_id,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                    > {_MICROS_30_MIN}
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM gaps GROUP BY 1
+""",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    new_session = F.when(
+        prev_us.isNull() | ((us - prev_us) > _MICROS_30_MIN), 1
+    ).otherwise(0)
+    return (
+        events.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ST7 — tumbling daily window aggregate
+# --------------------------------------------------------------------------
+@register(
+    "tumbling_daily",
+    doc="ST7 tumbling evaluation windows: daily count + exact value sum per "
+    "event type (fl_insights.ts:72-113); DECIMAL-exact sum cast to DOUBLE",
+    tags=("aggregate", "date"),
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W2-lite — simplified event-date extraction (first zone entry)
+# --------------------------------------------------------------------------
+@register(
+    "event_dates_simple",
+    doc="W2-lite event dates: first entry into the arrival/commitment/"
+    "departure zones per item + W4 state category; the exact lookahead "
+    "semantics are the applyInPandas operator (operators/event_dates.py) "
+    "verified by the ported reference scenario tests",
+    tags=("aggregate", "workflow"),
+    oracle="""
+WITH ranked AS (
+    SELECT user_id,
+           CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1
+                WHEN 'click' THEN 2 WHEN 'error' THEN 2
+                WHEN 'purchase' THEN 3 END AS step_order,
+           ts
+    FROM events
+),
+dates AS (
+    SELECT user_id,
+           MIN(CASE WHEN step_order >= 1 THEN ts END) AS arrival_date,
+           MIN(CASE WHEN step_order >= 2 THEN ts END) AS commitment_date,
+           MIN(CASE WHEN step_order >= 3 THEN ts END) AS departure_date
+    FROM ranked GROUP BY 1
+)
+SELECT user_id, arrival_date, commitment_date, departure_date,
+       CASE WHEN departure_date IS NOT NULL THEN 'completed'
+            WHEN commitment_date IS NOT NULL THEN 'inprogress'
+            WHEN arrival_date IS NOT NULL THEN 'proposed'
+            ELSE 'preceding' END AS state_category
+FROM dates
+""",
+)
+def event_dates_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.event_dates import (
+        first_entry_event_dates,
+        state_category_from_dates,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    step_order = (
+        F.when(F.col("event_type") == "signup", 0)
+        .when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "purchase", 3)
+    )
+    revisions = events.select(
+        F.col("user_id").alias("work_item_id"),
+        step_order.alias("step_order"),
+        F.col("ts").alias("changed_date"),
+    )
+    dates = first_entry_event_dates(
+        revisions,
+        item_col="work_item_id",
+        order_col="step_order",
+        date_col="changed_date",
+        arrival_point=1,
+        commitment_point=2,
+        departure_point=3,
+    )
+    return dates.select(
+        F.col("work_item_id").alias("user_id"),
+        "arrival_date",
+        "commitment_date",
+        "departure_date",
+        state_category_from_dates().alias("state_category"),
+    )

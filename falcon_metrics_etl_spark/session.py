@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode for tests/bench; the same settings are the ones that matter
+on a 1000-executor cluster: AQE (runtime re-plan, skew-join splitting,
+partition coalescing), UTC session time zone (the reference normalizes
+every datetime to UTC — /root/reference/src/jiracloud/process/
+revision_processor.ts:368-370), Arrow for the pandas-UDF path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# The driver-generated testdata stores TIMESTAMP(NANOS) parquet, which
+# Spark only reads as long when this legacy flag is set. It is a SQL
+# conf, so it can also be applied at runtime to externally-built
+# sessions (see sources.tables.ensure_session_confs).
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+RUNTIME_CONFS: dict[str, str] = {
+    NANOS_CONF: "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "falcon-metrics-etl-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = cpus or default_parallelism()
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

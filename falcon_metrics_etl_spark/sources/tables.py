@@ -1,0 +1,72 @@
+"""Readers for the driver-generated lakehouse tables.
+
+The testdata parquet stores timestamps as INT64 TIMESTAMP(NANOS),
+which Spark refuses by default; with
+``spark.sql.legacy.parquet.nanosAsLong=true`` they arrive as long
+nanoseconds since epoch. We convert to TimestampType by integer
+division (truncation — matching DuckDB's TIMESTAMP_NS -> TIMESTAMP
+cast, so oracle comparisons line up exactly).
+
+At 100 TB these readers stay valid: ``spark.read.parquet`` gives
+Catalyst filter pushdown + column pruning + partition pruning for
+free; nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.session import RUNTIME_CONFS
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# columns stored as TIMESTAMP(NANOS) in the testdata parquet
+_NANO_TS_COLUMNS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Apply runtime-settable SQL confs to an externally-built session.
+
+    The driver calls ``entry(spark)`` with its own session; these confs
+    (nanos-as-long, UTC, AQE, Arrow) are all SQL confs, so setting them
+    here is safe and effective for subsequent reads.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # non-runtime conf on some builds: keep going
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing nano-timestamps to TimestampType."""
+    ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for col in _NANO_TS_COLUMNS.get(name, ()):
+        if dtypes.get(col) == "bigint":
+            # integer div truncates sub-microsecond nanos, same as DuckDB
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each table as a temp view for the SQL API."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,115 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every registered query on Spark AND its DuckDB oracle at a given
+sf dir, then compares row count, sorted column names, and an
+order-insensitive value multiset (strings normalized: floats via
+repr, timestamps/dates via isoformat, None as a sentinel).
+
+Usage: python scripts/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from falcon_metrics_etl_spark.plans.registry import all_queries
+from falcon_metrics_etl_spark.session import get_spark
+from falcon_metrics_etl_spark.sources.tables import TABLES
+
+
+def norm_value(v):
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        "|".join(norm_value(r[i]) for i in order) for r in rows
+    )
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    spark = get_spark("selfcheck")
+    failures = []
+    for name, q in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.spark(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if q.oracle is None:
+            print(f"SKIP {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            ores = con.execute(q.oracle)
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures.append(name)
+            continue
+
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} vs {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        if not problems:
+            sm, om = frame_multiset(scols, srows), frame_multiset(ocols, orows)
+            if sm != om:
+                diffs = [
+                    (a, b) for a, b in zip(sm, om) if a != b
+                ][:3]
+                problems.append(f"values differ, first diffs: {diffs}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            failures.append(name)
+        else:
+            print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
