@@ -34,6 +34,7 @@ HEADLINE = [
     "sessionization",
     "tumbling_daily",
     "event_dates_simple",
+    "event_dates_expr",
     "dedup_exact_fingerprint",
     "text_quality_scores",
     "token_counting",

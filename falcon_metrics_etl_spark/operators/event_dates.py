@@ -1,29 +1,35 @@
-"""Event-date extraction — SURVEY.md W2/W3/W4.
+"""Event-date extraction — SURVEY.md W2/W3/W4/W5.
 
 Given each work item's ordered revision history and the workflow's
 arrival/commitment/departure point orders, derive arrivalDate /
-commitmentDate / departureDate (+ isDelayed). Reference semantics:
-/root/reference/src/configuration/event_date_extractor.ts:117-368.
+commitmentDate / departureDate (+ isDelayed). Behavioral reference:
+/root/reference/src/configuration/event_date_extractor.ts:117-368 and
+src/common/process_revision_utils.ts:60-114 (re-expressed, not
+translated — the grouped pandas UDF replaces the per-item JS loop).
 
-Two implementations:
+Three layers:
 
+- ``zone_of``/``step_category``/... — pure Catalyst expressions.
 - ``first_entry_event_dates`` — the simplified first-zone-entry pass
-  (pure Catalyst expressions; one groupBy, map-side combinable).
+  (single conditional-min aggregation; map-side combinable).
 - ``extract_event_dates`` — the exact lookahead semantics (same-day
   commitment bounce, delayed detection, departure lookahead, invariant
   back-fill) as a grouped-map pandas UDF. Histories are small (1e2-1e3
-  revisions/item), so the per-group pandas frame is tiny; the input is
-  projected to 4 narrow columns before the shuffle to bound transfer.
+  revisions/item) so each pandas group is tiny; the input is projected
+  to 4 narrow columns before the shuffle to bound transfer, and the
+  only shuffle is the groupBy on the natural key (work_item_id).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# zone ordinals (event_date_extractor.ts:49-115 partitions steps into
-# before-arrival / arrival / commitment / departure zones)
+# zone ordinals (event_date_extractor.ts:49-115 partitions workflow
+# steps into before-arrival / arrival / commitment / departure zones
+# by configured point orders)
 ZONE_BEFORE_ARRIVAL = 0
 ZONE_ARRIVAL = 1
 ZONE_COMMITMENT = 2
@@ -31,8 +37,9 @@ ZONE_DEPARTURE = 3
 
 
 def zone_of(order_col: Column, arrival: Column, commitment: Column, departure: Column) -> Column:
-    """Classify a step order into its workflow zone."""
-    return (
+    """Classify a step order into its workflow zone (null order -> null:
+    steps unknown to the workflow belong to no zone)."""
+    return F.when(order_col.isNull(), F.lit(None).cast("int")).otherwise(
         F.when(order_col < arrival, F.lit(ZONE_BEFORE_ARRIVAL))
         .when(order_col < commitment, F.lit(ZONE_ARRIVAL))
         .when(order_col < departure, F.lit(ZONE_COMMITMENT))
@@ -41,13 +48,56 @@ def zone_of(order_col: Column, arrival: Column, commitment: Column, departure: C
 
 
 def step_category(order_col: Column, arrival: Column, commitment: Column, departure: Column) -> Column:
-    """W3 — step category from order vs the three points
-    (src/common/process_revision_utils.ts:82-114)."""
+    """W3 — step category from order vs the three *effective* point
+    orders (process_revision_utils.ts:82-114). Pass the recalculated
+    orders from ``effective_point_orders`` for reference parity."""
     return (
         F.when(order_col < arrival, F.lit("preceding"))
         .when(order_col < commitment, F.lit("proposed"))
         .when(order_col < departure, F.lit("inprogress"))
         .otherwise(F.lit("completed"))
+    )
+
+
+def effective_point_orders(
+    workflow_steps: DataFrame,
+    workflow_events: DataFrame,
+    key: str = "workflow_id",
+) -> DataFrame:
+    """Recalculated point orders per workflow: the min step order inside
+    each configured zone (process_revision_utils.ts:60-80). A zone with
+    no steps yields +Infinity (double), matching Math.min() semantics.
+
+    Both inputs are small config dims; the output is broadcast-joined.
+    """
+    steps = workflow_steps.join(workflow_events, key)
+    inf = F.lit(float("inf"))
+    order = F.col("step_order").cast("double")
+    return steps.groupBy(key).agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    (order >= F.col("arrival_point_order"))
+                    & (order < F.col("commitment_point_order")),
+                    order,
+                )
+            ),
+            inf,
+        ).alias("effective_arrival_order"),
+        F.coalesce(
+            F.min(
+                F.when(
+                    (order >= F.col("commitment_point_order"))
+                    & (order < F.col("departure_point_order")),
+                    order,
+                )
+            ),
+            inf,
+        ).alias("effective_commitment_order"),
+        F.coalesce(
+            F.min(F.when(order >= F.col("departure_point_order"), order)),
+            inf,
+        ).alias("effective_departure_order"),
     )
 
 
@@ -82,6 +132,14 @@ def point_in_time_state_category(
     )
 
 
+def is_delayed_snapshot(revision: Column, delayed_revision: Column) -> Column:
+    """W8 — a snapshot is delayed iff its revision >= the item's
+    delaying revision (process_revision_utils.ts:47-52)."""
+    return F.when(
+        delayed_revision.isNotNull() & (revision >= delayed_revision), F.lit(True)
+    ).otherwise(F.lit(False))
+
+
 def first_entry_event_dates(
     revisions: DataFrame,
     item_col: str,
@@ -114,144 +172,291 @@ EVENT_DATES_SCHEMA = (
     "departure_date timestamp, is_delayed boolean, delayed_revision int"
 )
 
+_LOW_ZONES = (ZONE_BEFORE_ARRIVAL, ZONE_ARRIVAL)
+
+
+def _same_utc_day(a: np.datetime64, b: np.datetime64) -> bool:
+    return a.astype("datetime64[D]") == b.astype("datetime64[D]")
+
 
 def _extract_one_item(pdf: pd.DataFrame) -> pd.DataFrame:
     """Exact event-date derivation for one item's full ordered history.
 
     Behavioral spec (event_date_extractor.ts:117-368):
-    - scan revisions ascending by (changed_date, revision);
-    - arrival   = first entry into the arrival zone; reset if a later
-      revision drops before arrival while no commitment/departure has
-      been found yet (ts:188-201);
-    - commitment = first entry into the commitment zone, UNLESS a
-      revision later the *same UTC day* returns to the arrival zone or
-      earlier (same-day bounce is ignored, ts:225-285); a *later-day*
-      return to before-commitment after a commitment marks the item
-      delayed and remembers the delaying revision (ts:241-253) — the
-      commitment date is kept;
-    - departure = first entry into the departure zone with NO later
-      revision in any earlier zone (ts:288-322);
-    - back-fill invariants arrival<=commitment<=departure: a missing
-      arrival inherits commitment (or departure), a missing commitment
-      of a departed item inherits the departure date (ts:331-365).
+    - scan revisions ascending by changed_date (stable on revision);
+    - arrival  = first arrival-zone revision (ts:203-211); reset when a
+      before-arrival revision appears while neither commitment nor
+      departure has been found (ts:188-201);
+    - commitment = first commitment-zone candidate, skipped entirely if
+      any later revision returns to the arrival/before zone on the
+      *same UTC day* (ts:220-285). The candidate also decides delay:
+      the item is delayed iff the LAST subsequent revision is an
+      arrival/before-zone move on a different day ("delayed at time of
+      extract", ts:241-277); the delaying revision is remembered;
+    - departure = first departure-zone candidate with NO later revision
+      in any earlier zone (ts:288-322);
+    - back-fill invariants (ts:331-365): missing arrival inherits
+      commitment (else departure); missing commitment of a departed
+      item inherits the *arrival*; then clamp commitment<=departure and
+      arrival<=commitment.
+    - revisions whose step is unknown to the workflow belong to no zone
+      (zone null): they trigger nothing directly, but in the delay scan
+      they reset the delayed flag like any non-arrival revision.
     """
     pdf = pdf.sort_values(["changed_date", "revision"], kind="stable")
-    zones = pdf["zone"].to_numpy()
+    zones = pdf["zone"].to_numpy(dtype="float64", na_value=np.nan)
     dates = pdf["changed_date"].to_numpy()
     revs = pdf["revision"].to_numpy()
     n = len(pdf)
 
-    arrival = None
-    commitment = None
-    departure = None
+    arrival = commitment = departure = None
     is_delayed = False
     delayed_revision = None
 
     for i in range(n):
         z = zones[i]
-        if arrival is None and commitment is None and departure is None:
-            if z == ZONE_ARRIVAL or z == ZONE_COMMITMENT or z == ZONE_DEPARTURE:
-                if z >= ZONE_ARRIVAL:
-                    pass
-        # arrival: first revision at/past the arrival zone
-        if arrival is None and z >= ZONE_ARRIVAL:
-            arrival = dates[i]
-        # reset arrival if we drop before arrival with nothing later found
+        if np.isnan(z):
+            continue
         if (
-            arrival is not None
+            z == ZONE_BEFORE_ARRIVAL
+            and arrival is not None
             and commitment is None
             and departure is None
-            and z == ZONE_BEFORE_ARRIVAL
         ):
             arrival = None
-        # commitment with same-day-bounce lookahead
-        if commitment is None and z >= ZONE_COMMITMENT:
-            same_day_bounce = False
-            day_i = dates[i].astype("datetime64[D]")
+        if arrival is None and z == ZONE_ARRIVAL:
+            arrival = dates[i]
+        if commitment is None and z == ZONE_COMMITMENT:
+            ignore_same_day = False
+            delayed = False
+            delayed_rev = None
             for j in range(i + 1, n):
-                if zones[j] >= ZONE_COMMITMENT:
-                    break
-                day_j = dates[j].astype("datetime64[D]")
-                if day_j == day_i:
-                    same_day_bounce = True
-                break
-            if not same_day_bounce:
+                zj = zones[j]
+                if not np.isnan(zj) and zj in _LOW_ZONES:
+                    if not _same_utc_day(dates[j], dates[i]):
+                        delayed = True
+                        delayed_rev = revs[j]
+                    else:
+                        delayed = False
+                        ignore_same_day = True
+                else:
+                    delayed = False
+            is_delayed = False
+            if not ignore_same_day:
                 commitment = dates[i]
-        # delayed: later-day return below commitment after a commitment
-        if (
-            commitment is not None
-            and not is_delayed
-            and z < ZONE_COMMITMENT
-            and dates[i].astype("datetime64[D]") > commitment.astype("datetime64[D]")
-        ):
-            is_delayed = True
-            delayed_revision = int(revs[i])
-        # departure: first departure-zone entry with no later earlier-zone revision
+                if delayed:
+                    is_delayed = True
+                    delayed_revision = delayed_rev
         if departure is None and z == ZONE_DEPARTURE:
-            if not (zones[i + 1 :] < ZONE_DEPARTURE).any():
+            later = zones[i + 1 :]
+            returns_to_earlier_zone = bool(
+                np.any(later[~np.isnan(later)] < ZONE_DEPARTURE)
+            )
+            if not returns_to_earlier_zone:
                 departure = dates[i]
 
-    # invariant back-fill (arrival <= commitment <= departure)
-    if departure is not None and commitment is None:
+    # invariant back-fill (ts:331-365)
+    if (departure is not None or commitment is not None) and arrival is None:
+        arrival = commitment if commitment is not None else departure
+    if arrival is not None and commitment is None and departure is not None:
+        commitment = arrival
+    if commitment is not None and departure is not None and commitment > departure:
         commitment = departure
-    if commitment is not None and arrival is None:
+    if commitment is not None and arrival is not None and arrival > commitment:
         arrival = commitment
-    if (
-        commitment is not None
-        and arrival is not None
-        and arrival > commitment
-    ):
-        arrival = commitment
-    if (
-        departure is not None
-        and commitment is not None
-        and commitment > departure
-    ):
-        commitment = departure
+
+    def ts(v):
+        return pd.Timestamp(v) if v is not None else pd.NaT
 
     return pd.DataFrame(
         {
-            "work_item_id": [pdf["work_item_id"].iloc[0]],
-            "arrival_date": [pd.Timestamp(arrival) if arrival is not None else pd.NaT],
-            "commitment_date": [
-                pd.Timestamp(commitment) if commitment is not None else pd.NaT
-            ],
-            "departure_date": [
-                pd.Timestamp(departure) if departure is not None else pd.NaT
-            ],
+            "work_item_id": [str(pdf["work_item_id"].iloc[0])],
+            "arrival_date": [ts(arrival)],
+            "commitment_date": [ts(commitment)],
+            "departure_date": [ts(departure)],
             "is_delayed": [is_delayed],
-            "delayed_revision": [delayed_revision],
+            "delayed_revision": [
+                int(delayed_revision) if delayed_revision is not None else None
+            ],
         }
     )
 
 
-def extract_event_dates(
+def tag_zones(
     revisions: DataFrame,
+    workflow_steps: DataFrame,
     workflow_events: DataFrame,
-    item_col: str = "work_item_id",
-    order_col: str = "step_order",
-    date_col: str = "changed_date",
-    revision_col: str = "revision",
+    key: str = "workflow_id",
 ) -> DataFrame:
-    """W2 exact: per-item event dates with the reference's lookahead rules.
-
-    ``workflow_events`` carries (work_item_id-joinable key ->
-    arrival/commitment/departure point orders); it is broadcast. The
-    revision input is projected to (item, zone, date, revision) before
-    the groupBy so the shuffle carries 4 narrow columns only.
-    """
-    joined = revisions.join(F.broadcast(workflow_events), "workflow_id")
-    narrow = joined.select(
-        F.col(item_col).alias("work_item_id"),
+    """J2 + zone classification: join each revision to its workflow step
+    on (workflow_id, step id, step name) — IsSameWorkflowStepKey matches
+    both id and name (src/data/work_item_type_aurora.ts:70-76) — then
+    classify the step order into a zone using the configured point
+    orders. Both config dims broadcast."""
+    step_cols = [
+        key,
+        F.col("step_id").alias("status_id"),
+        F.col("step_name").alias("status_name"),
+        F.col("step_order"),
+    ]
+    if "state_type" in workflow_steps.columns:
+        step_cols.append(F.col("state_type"))
+    steps = workflow_steps.select(*step_cols)
+    events = workflow_events.select(
+        key,
+        "arrival_point_order",
+        "commitment_point_order",
+        "departure_point_order",
+    )
+    joined = revisions.join(
+        F.broadcast(steps), [key, "status_id", "status_name"], "left"
+    ).join(F.broadcast(events), key, "left")
+    return joined.withColumn(
+        "zone",
         zone_of(
-            F.col(order_col),
+            F.col("step_order"),
             F.col("arrival_point_order"),
             F.col("commitment_point_order"),
             F.col("departure_point_order"),
-        ).alias("zone"),
-        F.col(date_col).alias("changed_date"),
-        F.col(revision_col).alias("revision"),
+        ),
+    )
+
+
+def extract_event_dates(tagged_revisions: DataFrame) -> DataFrame:
+    """W2 exact: per-item event dates with the reference's lookahead rules.
+
+    Input must carry (work_item_id, changed_date, revision, zone) —
+    produced by ``tag_zones``. Only those 4 columns shuffle.
+    """
+    narrow = tagged_revisions.select(
+        F.col("work_item_id").cast("string"),
+        F.col("changed_date"),
+        F.col("revision").cast("int"),
+        F.col("zone").cast("int"),
     )
     return narrow.groupBy("work_item_id").applyInPandas(
         _extract_one_item, schema=EVENT_DATES_SCHEMA
+    )
+
+
+def extract_event_dates_expr(tagged_revisions: DataFrame) -> DataFrame:
+    """W2 exact semantics as pure Catalyst window expressions — the
+    scale path (no Python in the plan; whole-stage codegen end to end).
+
+    Equivalence argument, rule by rule (same spec as _extract_one_item):
+
+    - commitment is *accepted* at row i iff zone=2 and no later
+      same-UTC-day revision in zones {0,1}; acceptance depends only on
+      the suffix, so "first accepted" is a conditional min.
+    - departure is accepted at row i iff zone=3 and the suffix has no
+      revision in zones {0,1,2}.
+    - the arrival-reset rule fires at a zone-0 row only while no
+      commitment/departure has been accepted at an earlier row; so the
+      effective arrival is the first zone-1 row AFTER the last such
+      zone-0 row.
+    - delayed iff a commitment was accepted and the item's LAST revision
+      is a zone-{0,1} move on a different UTC day than the commitment.
+
+    The only shuffle is the single hash partition on work_item_id; every
+    window below reuses it (one sort, multiple frames).
+    """
+    big = F.lit(1 << 31)
+    item = Window.partitionBy("work_item_id")
+    w = item.orderBy("changed_date", "revision")
+    w_suffix = w.rowsBetween(1, Window.unboundedFollowing)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    day = F.to_date("changed_date")
+    day_w = Window.partitionBy("work_item_id", day)
+    day_upto = day_w.orderBy("changed_date", "revision").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+
+    low = F.col("zone").isin(ZONE_BEFORE_ARRIVAL, ZONE_ARRIVAL)
+    df = (
+        tagged_revisions.select(
+            F.col("work_item_id").cast("string").alias("work_item_id"),
+            F.col("changed_date"),
+            F.col("revision").cast("int").alias("revision"),
+            F.col("zone").cast("int").alias("zone"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "later_low3",
+            F.coalesce(
+                F.sum(F.when(F.col("zone") < ZONE_DEPARTURE, 1).otherwise(0)).over(
+                    w_suffix
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "same_day_later_low",
+            F.sum(F.when(low, 1).otherwise(0)).over(day_w)
+            - F.sum(F.when(low, 1).otherwise(0)).over(day_upto),
+        )
+        .withColumn("last_zone", F.last("zone").over(w_all))
+        .withColumn("last_day", F.last(day).over(w_all))
+        .withColumn("last_revision", F.last("revision").over(w_all))
+    )
+
+    accepted_c = (F.col("zone") == ZONE_COMMITMENT) & (
+        F.col("same_day_later_low") == 0
+    )
+    accepted_d = (F.col("zone") == ZONE_DEPARTURE) & (F.col("later_low3") == 0)
+    df = (
+        df.withColumn(
+            "c_rn", F.min(F.when(accepted_c, F.col("rn"))).over(item)
+        )
+        .withColumn("d_rn", F.min(F.when(accepted_d, F.col("rn"))).over(item))
+        .withColumn(
+            "reset_rn",
+            F.max(
+                F.when(
+                    (F.col("zone") == ZONE_BEFORE_ARRIVAL)
+                    & (F.col("rn") < F.coalesce(F.col("c_rn"), big))
+                    & (F.col("rn") < F.coalesce(F.col("d_rn"), big)),
+                    F.col("rn"),
+                )
+            ).over(item),
+        )
+    )
+
+    agg = df.groupBy("work_item_id").agg(
+        F.min(
+            F.when(
+                (F.col("zone") == ZONE_ARRIVAL)
+                & (F.col("rn") > F.coalesce(F.col("reset_rn"), F.lit(-1))),
+                F.col("changed_date"),
+            )
+        ).alias("arrival_raw"),
+        F.min(F.when(accepted_c, F.col("changed_date"))).alias("commitment_raw"),
+        F.min(F.when(accepted_d, F.col("changed_date"))).alias("departure_raw"),
+        F.any_value(F.col("last_zone")).alias("last_zone"),
+        F.any_value(F.col("last_day")).alias("last_day"),
+        F.any_value(F.col("last_revision")).alias("last_revision"),
+    )
+
+    delayed = (
+        F.col("commitment_raw").isNotNull()
+        & F.col("last_zone").isin(ZONE_BEFORE_ARRIVAL, ZONE_ARRIVAL)
+        & (F.col("last_day") != F.to_date("commitment_raw"))
+    )
+    # invariant back-fill, same order as the procedural path
+    a1 = F.coalesce("arrival_raw", "commitment_raw", "departure_raw")
+    c1 = F.when(
+        F.col("commitment_raw").isNull() & F.col("departure_raw").isNotNull(), a1
+    ).otherwise(F.col("commitment_raw"))
+    c2 = F.when(
+        F.col("departure_raw").isNotNull() & (c1 > F.col("departure_raw")),
+        F.col("departure_raw"),
+    ).otherwise(c1)
+    a2 = F.when(c2.isNotNull() & (a1 > c2), c2).otherwise(a1)
+
+    return agg.select(
+        "work_item_id",
+        a2.alias("arrival_date"),
+        c2.alias("commitment_date"),
+        F.col("departure_raw").alias("departure_date"),
+        F.coalesce(delayed, F.lit(False)).alias("is_delayed"),
+        F.when(delayed, F.col("last_revision")).alias("delayed_revision"),
     )

@@ -1,0 +1,155 @@
+"""Revision-stream operators — SURVEY.md W1/W9/W10/W11/W12, P4, A2.
+
+All are window/filter expressions over the per-item ordered history:
+one shuffle on work_item_id, then per-partition sorted scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# revision types (src/jiracloud/process/revision_processor.ts:77-83)
+STATE_CHANGE = "state_change"
+ASSIGNEE_CHANGE = "assignee_change"
+BLOCKED_REASON = "blocked_reason"
+DISCARDED_REASON = "discarded_reason"
+FLAGGED = "flagged"
+
+REVISION_TYPES = (STATE_CHANGE, ASSIGNEE_CHANGE, BLOCKED_REASON, DISCARDED_REASON, FLAGGED)
+
+
+def item_window(
+    item_col: str = "work_item_id",
+    order_cols: tuple = ("changed_date", "revision"),
+) -> Window:
+    """W1 — canonical per-item ordering window."""
+    return Window.partitionBy(item_col).orderBy(*order_cols)
+
+
+def filter_revision_types(revisions: DataFrame, *types: str) -> DataFrame:
+    """P4 — keep only the configured revision types
+    (revision_processor.ts:381-417)."""
+    return revisions.filter(F.col("type").isin(*types))
+
+
+def synthesize_initial_revision(
+    revisions: DataFrame,
+    work_items: DataFrame,
+    item_col: str = "work_item_id",
+) -> DataFrame:
+    """W9 — prepend a revision 0 at creation, because Jira logs no event
+    at creation (revision_processor.ts:450-499). The synthetic row takes
+    the item's created date and the first revision's from-status; items
+    with no state_change revisions use the item's current status.
+    """
+    w = item_window(item_col)
+    first_state = (
+        revisions.filter(F.col("type") == STATE_CHANGE)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            item_col,
+            F.col("from_status_id").alias("first_from_id"),
+            F.col("from_status_name").alias("first_from_name"),
+        )
+    )
+    initial = (
+        work_items.join(first_state, item_col, "left")
+        .select(
+            F.col("org_id"),
+            F.col("datasource_id"),
+            F.col(item_col),
+            F.lit(0).alias("revision"),
+            F.col("created_date").alias("changed_date"),
+            F.lit(STATE_CHANGE).alias("type"),
+            F.coalesce(F.col("first_from_id"), F.col("status_id")).alias("status_id"),
+            F.coalesce(F.col("first_from_name"), F.col("status_name")).alias(
+                "status_name"
+            ),
+            F.lit(None).cast("string").alias("from_status_id"),
+            F.lit(None).cast("string").alias("from_status_name"),
+            F.lit(None).cast("string").alias("assignee"),
+            F.lit(None).cast("string").alias("blocked_reason"),
+            F.lit(None).cast("string").alias("discarded_reason"),
+            F.lit(None).cast("boolean").alias("flagged"),
+        )
+    )
+    return revisions.unionByName(initial, allowMissingColumns=True)
+
+
+def dedupe_consecutive(
+    revisions: DataFrame,
+    value_col: str,
+    item_col: str = "work_item_id",
+    order_cols: tuple = ("changed_date", "revision"),
+) -> DataFrame:
+    """A2/W10 — keep only the first of each run of equal values per item
+    (src/azureboards/data/revision_utils.ts:73-107; kanbanize transition
+    compression transform_processor.ts:293-312).
+
+    Null-safe: a change from/to null counts as a change (<=> operator).
+    """
+    w = item_window(item_col, order_cols)
+    prev = F.lag(F.col(value_col)).over(w)
+    rn = F.row_number().over(w)
+    return (
+        revisions.withColumn("_prev", prev)
+        .withColumn("_rn", rn)
+        .filter((F.col("_rn") == 1) | ~F.col(value_col).eqNullSafe(F.col("_prev")))
+        .drop("_prev", "_rn")
+    )
+
+
+def last_change_of_day(
+    revisions: DataFrame,
+    item_col: str = "work_item_id",
+    date_col: str = "changed_date",
+) -> DataFrame:
+    """W11 — collapse multiple same-day changes to the last
+    (process_revision_utils.ts:28-45)."""
+    w = Window.partitionBy(item_col, F.to_date(F.col(date_col))).orderBy(
+        F.col(date_col).desc(), F.col("revision").desc()
+    )
+    return (
+        revisions.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def densify_daily(
+    revisions: DataFrame,
+    item_col: str = "work_item_id",
+    date_col: str = "changed_date",
+) -> DataFrame:
+    """W12 — daily filler densification: one synthetic row per whole day
+    between a revision and the next (jiracloud/process/utils.ts:131-157).
+    Needed to reproduce day-grain CFD from sparse snapshots.
+
+    ``sequence`` + ``explode`` keeps this fully distributed; output rows
+    carry is_filler=true and the source revision's values.
+    """
+    w = item_window(item_col, (date_col, "revision"))
+    next_date = F.lead(F.col(date_col)).over(w)
+    with_next = revisions.withColumn("_next_date", next_date)
+    fillers = (
+        with_next.filter(
+            F.col("_next_date").isNotNull()
+            & (F.datediff(F.to_date("_next_date"), F.to_date(date_col)) > 1)
+        )
+        .withColumn(
+            "_fill_date",
+            F.explode(
+                F.sequence(
+                    F.date_add(F.to_date(date_col), 1),
+                    F.date_add(F.to_date("_next_date"), -1),
+                )
+            ),
+        )
+        .withColumn(date_col, F.col("_fill_date").cast("timestamp"))
+        .withColumn("is_filler", F.lit(True))
+        .drop("_fill_date")
+    )
+    originals = with_next.withColumn("is_filler", F.lit(False))
+    return originals.unionByName(fillers).drop("_next_date")

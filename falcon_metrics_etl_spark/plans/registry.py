@@ -59,6 +59,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         text_pipeline,
         timeseries,
+        workflow_pipeline,
     )
 
     return dict(_REGISTRY)

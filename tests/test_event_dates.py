@@ -1,0 +1,394 @@
+"""Ported scenario suite for exact event-date extraction (W2).
+
+Source scenarios: /root/reference/src/configuration/
+event_date_extractor.test.ts (zone-transition matrix lines 306-966,
+delayed rules 967-1066, regressions FLO-1430 line 1068 / BET-151 line
+1171), re-expressed as (revisions-in -> event-dates-out) fixtures over
+the pandas-UDF path and the full DataFrame path.
+
+Standard workflow: orders 0..3 with points (arrival=1, commitment=2,
+departure=3): step order 0 = preceding, 1 = arrival zone,
+2 = commitment zone, 3 = departure zone.
+"""
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+
+from falcon_metrics_etl_spark.operators.event_dates import (
+    _extract_one_item,
+    extract_event_dates,
+    tag_zones,
+)
+
+D0 = datetime(2021, 1, 10, 0, 0, 0)
+
+
+def rev_frame(rows):
+    """rows: list of (revision, zone, changed_date)."""
+    return pd.DataFrame(
+        {
+            "work_item_id": ["item-1"] * len(rows),
+            "revision": [r[0] for r in rows],
+            "zone": pd.array([r[1] for r in rows], dtype="Int64"),
+            "changed_date": [pd.Timestamp(r[2]) for r in rows],
+        }
+    )
+
+
+def extract(rows):
+    out = _extract_one_item(rev_frame(rows))
+    row = out.iloc[0]
+
+    def v(x):
+        return None if pd.isna(x) else (x.to_pydatetime() if isinstance(x, pd.Timestamp) else x)
+
+    return {
+        "arrival": v(row["arrival_date"]),
+        "commitment": v(row["commitment_date"]),
+        "departure": v(row["departure_date"]),
+        "is_delayed": bool(row["is_delayed"]),
+        "delayed_revision": v(row["delayed_revision"]),
+    }
+
+
+def days(n):
+    return D0 + timedelta(days=n)
+
+
+def hours(n):
+    return D0 + timedelta(hours=n)
+
+
+# ---------------------------------------------------------------- basic
+
+def test_simple_sequential_arrival_commitment_departure():
+    got = extract([(1, 1, days(0)), (2, 2, days(1)), (3, 3, days(2))])
+    assert got["arrival"] == days(0)
+    assert got["commitment"] == days(1)
+    assert got["departure"] == days(2)
+    assert got["is_delayed"] is False
+
+
+def test_same_day_arrival_commitment_departure_arrival_is_only_arrival():
+    # test.ts:140 — same-day a > c > d > a keeps only the arrival
+    got = extract(
+        [(1, 1, hours(0)), (2, 2, hours(1)), (3, 3, hours(2)), (4, 1, hours(3))]
+    )
+    assert got["arrival"] == hours(0)
+    assert got["commitment"] is None
+    assert got["departure"] is None
+    assert got["is_delayed"] is False
+
+
+# ------------------------------------------------- moving into preceding
+
+def test_only_preceding_no_dates():
+    got = extract([(1, 0, days(0))])
+    assert got == {
+        "arrival": None,
+        "commitment": None,
+        "departure": None,
+        "is_delayed": False,
+        "delayed_revision": None,
+    }
+
+
+def test_arrival_then_preceding_resets_arrival():
+    got = extract([(1, 1, days(0)), (2, 0, days(2))])
+    assert got["arrival"] is None
+    assert got["commitment"] is None
+
+
+def test_arrival_commitment_then_preceding_is_delayed():
+    got = extract([(1, 1, days(0)), (2, 2, days(1)), (3, 0, days(2))])
+    assert got["arrival"] == days(0)
+    assert got["commitment"] == days(1)
+    assert got["departure"] is None
+    assert got["is_delayed"] is True
+    assert got["delayed_revision"] == 3
+
+
+def test_arrival_commitment_departure_then_preceding_clears_departure():
+    got = extract(
+        [(1, 1, days(0)), (2, 2, days(1)), (3, 3, days(2)), (4, 0, days(4))]
+    )
+    assert got["arrival"] == days(0)
+    assert got["commitment"] == days(1)
+    assert got["departure"] is None
+    assert got["is_delayed"] is True
+    assert got["delayed_revision"] == 4
+
+
+# --------------------------------------------------- moving into arrival
+
+def test_first_arrival_only():
+    got = extract([(1, 1, days(0))])
+    assert got["arrival"] == days(0)
+    assert got["commitment"] is None
+
+
+def test_second_arrival_keeps_first_date():
+    got = extract([(1, 1, days(0)), (2, 1, days(1))])
+    assert got["arrival"] == days(0)
+
+
+def test_commitment_then_back_to_arrival_later_day_is_delayed():
+    got = extract([(1, 1, days(0)), (2, 2, days(2)), (3, 1, days(3))])
+    assert got["arrival"] == days(0)
+    assert got["commitment"] == days(2)
+    assert got["is_delayed"] is True
+    assert got["delayed_revision"] == 3
+
+
+def test_commitment_departure_then_arrival_clears_departure_delayed():
+    got = extract(
+        [(1, 1, days(0)), (2, 2, days(2)), (3, 3, days(3)), (4, 1, days(4))]
+    )
+    assert got["arrival"] == days(0)
+    assert got["commitment"] == days(2)
+    assert got["departure"] is None
+    assert got["is_delayed"] is True
+    assert got["delayed_revision"] == 4
+
+
+def test_delayed_then_back_to_commitment_not_delayed_anymore():
+    # test.ts:600 — later commitment move clears the delay
+    got = extract(
+        [(1, 1, days(0)), (2, 2, days(2)), (3, 1, days(3)), (4, 2, days(20))]
+    )
+    assert got["arrival"] == days(0)
+    assert got["commitment"] == days(2)
+    assert got["is_delayed"] is False
+
+
+def test_delayed_then_departure_not_delayed_anymore():
+    # test.ts:648 — later departure move clears the delay and departs
+    got = extract(
+        [(1, 1, days(0)), (2, 2, days(2)), (3, 1, days(3)), (4, 3, days(20))]
+    )
+    assert got["arrival"] == days(0)
+    assert got["commitment"] == days(2)
+    assert got["departure"] == days(20)
+    assert got["is_delayed"] is False
+
+
+# ------------------------------------------------ moving into commitment
+
+def test_commitment_only_backfills_arrival():
+    got = extract([(1, 2, days(1))])
+    assert got["arrival"] == days(1)
+    assert got["commitment"] == days(1)
+    assert got["departure"] is None
+
+
+def test_arrival_then_commitment():
+    got = extract([(1, 1, days(0)), (2, 2, days(1))])
+    assert got["arrival"] == days(0)
+    assert got["commitment"] == days(1)
+
+
+def test_departure_then_second_commitment_keeps_first_commitment():
+    # test.ts:762 — a+c+d then back to commitment: departure cleared,
+    # commitment stays the first one, NOT delayed
+    got = extract(
+        [(1, 1, days(0)), (2, 2, days(1)), (3, 3, days(2)), (4, 2, days(3))]
+    )
+    assert got["arrival"] == days(0)
+    assert got["commitment"] == days(1)
+    assert got["departure"] is None
+    assert got["is_delayed"] is False
+
+
+# ------------------------------------------------- moving into departure
+
+def test_departure_only_backfills_all():
+    got = extract([(1, 3, days(0))])
+    assert got["arrival"] == days(0)
+    assert got["commitment"] == days(0)
+    assert got["departure"] == days(0)
+
+
+def test_arrival_then_departure_commitment_inherits_arrival():
+    # test.ts:850 — commitment back-fills from ARRIVAL, not departure
+    got = extract([(1, 1, days(0)), (2, 3, days(1))])
+    assert got["arrival"] == days(0)
+    assert got["commitment"] == days(0)
+    assert got["departure"] == days(1)
+
+
+def test_full_path_then_second_departure_keeps_first():
+    got = extract(
+        [(1, 1, days(0)), (2, 2, days(1)), (3, 3, days(2)), (4, 3, days(3))]
+    )
+    assert got["departure"] == days(2)
+    assert got["is_delayed"] is False
+
+
+# ------------------------------------------------------------- delayed
+
+def test_delayed_if_back_to_arrival_on_later_date():
+    # test.ts:969 — same-day a>c>d then next-day arrival
+    got = extract(
+        [(1, 1, hours(0)), (2, 2, hours(1)), (3, 3, hours(2)), (4, 1, days(1) + timedelta(hours=2))]
+    )
+    assert got["arrival"] == hours(0)
+    assert got["commitment"] == hours(1)
+    assert got["departure"] is None
+    assert got["is_delayed"] is True
+    assert got["delayed_revision"] == 4
+
+
+# ---------------------------------------------------------- regressions
+
+def test_flo_1430_same_day_bounce_no_commitment():
+    # test.ts:1068 — steps: created/arrival both zone arrival; the
+    # "commitment step" has order 3 >= departure point => departure zone;
+    # a same-minute return to arrival ignores everything but arrival.
+    t0 = datetime(2021, 9, 24, 2, 41, 48, 699000)
+    t1 = datetime(2021, 9, 24, 2, 42, 41, 220000)
+    t2 = datetime(2021, 9, 24, 2, 43, 3, 407000)
+    t3 = datetime(2021, 9, 24, 2, 44, 0, 943000)
+    got = extract([(0, 1, t0), (1, 1, t1), (2, 3, t2), (3, 1, t3)])
+    assert got["arrival"] == t0
+    assert got["commitment"] is None
+    assert got["departure"] is None
+    assert got["is_delayed"] is False
+
+
+def test_bet_151_before_arrival_roundtrip():
+    # test.ts:1171 — backlog(before) -> commitment-zone -> backlog:
+    # arrival back-fills from commitment; delayed
+    t0 = datetime(2021, 9, 22, 1, 28, 19, 769000)
+    t1 = datetime(2021, 10, 8, 1, 28, 19, 769000)
+    t2 = datetime(2021, 10, 10, 1, 28, 19, 769000)
+    got = extract([(1, 0, t0), (2, 2, t1), (3, 0, t2)])
+    assert got["arrival"] == t1
+    assert got["commitment"] == t1
+    assert got["departure"] is None
+    assert got["is_delayed"] is True
+
+
+# ------------------------------------------------------- unknown steps
+
+def test_unknown_zone_revisions_are_inert_but_reset_delay():
+    # unknown step between commitment and end resets the delayed flag
+    got = extract(
+        [(1, 1, days(0)), (2, 2, days(1)), (3, 0, days(2)), (4, None, days(3))]
+    )
+    # last future revision is unknown-zone => delayed reset to False
+    assert got["commitment"] == days(1)
+    assert got["is_delayed"] is False
+
+
+# ---------------------------------------------------- DataFrame path
+
+def test_dataframe_path_with_zone_tagging(spark):
+    rows = [
+        # item A: clean a -> c -> d
+        ("A", 1, "s1", "arrival step", days(0)),
+        ("A", 2, "s2", "commitment step", days(1)),
+        ("A", 3, "s3", "departure step", days(2)),
+        # item B: commitment then back to arrival next day (delayed)
+        ("B", 1, "s1", "arrival step", days(0)),
+        ("B", 2, "s2", "commitment step", days(1)),
+        ("B", 3, "s1", "arrival step", days(2)),
+        # item C: unknown step only
+        ("C", 1, "sX", "mystery step", days(0)),
+    ]
+    revisions = spark.createDataFrame(
+        [(w, r, sid, sn, d, "wf1") for (w, r, sid, sn, d) in rows],
+        "work_item_id string, revision int, status_id string, "
+        "status_name string, changed_date timestamp, workflow_id string",
+    )
+    steps = spark.createDataFrame(
+        [
+            ("wf1", "s1", "arrival step", 1),
+            ("wf1", "s2", "commitment step", 2),
+            ("wf1", "s3", "departure step", 3),
+        ],
+        "workflow_id string, step_id string, step_name string, step_order int",
+    )
+    events = spark.createDataFrame(
+        [("wf1", 1, 2, 3)],
+        "workflow_id string, arrival_point_order int, "
+        "commitment_point_order int, departure_point_order int",
+    )
+    tagged = tag_zones(revisions, steps, events)
+    out = {
+        r["work_item_id"]: r.asDict()
+        for r in extract_event_dates(tagged).collect()
+    }
+    assert out["A"]["arrival_date"] == days(0)
+    assert out["A"]["commitment_date"] == days(1)
+    assert out["A"]["departure_date"] == days(2)
+    assert out["A"]["is_delayed"] is False
+    assert out["B"]["commitment_date"] == days(1)
+    assert out["B"]["is_delayed"] is True
+    assert out["B"]["delayed_revision"] == 3
+    assert out["C"]["arrival_date"] is None
+    assert out["C"]["commitment_date"] is None
+    assert out["C"]["departure_date"] is None
+
+
+def test_expr_path_matches_pandas_udf_on_fuzz(spark):
+    """The Catalyst-expression W2 must agree with the reference pandas
+    UDF on randomized histories (incl. zone-0 resets, same-day bounces,
+    unknown steps) — seeded, deterministic."""
+    import random
+
+    from falcon_metrics_etl_spark.operators.event_dates import (
+        extract_event_dates_expr,
+    )
+
+    rng = random.Random(20260813)
+    rows = []
+    for item in range(250):
+        n = rng.randint(1, 10)
+        t = D0
+        for rev in range(1, n + 1):
+            # frequent same-day steps: advance by 0..2 days, 1..5 hours
+            t = t + timedelta(days=rng.randint(0, 2), hours=rng.randint(1, 5))
+            zone = rng.choice([0, 0, 1, 1, 1, 2, 2, 2, 3, 3, None])
+            rows.append((f"it{item}", rev, zone, t))
+        t = D0  # reset base for next item
+
+    df = spark.createDataFrame(
+        rows,
+        "work_item_id string, revision int, zone int, changed_date timestamp",
+    ).repartition(4)
+
+    udf_out = {
+        r["work_item_id"]: r.asDict() for r in extract_event_dates(df).collect()
+    }
+    expr_out = {
+        r["work_item_id"]: r.asDict()
+        for r in extract_event_dates_expr(df).collect()
+    }
+    assert udf_out.keys() == expr_out.keys()
+    for k in udf_out:
+        assert udf_out[k] == expr_out[k], (k, udf_out[k], expr_out[k])
+
+
+def test_effective_point_orders_infinity_for_empty_zone(spark):
+    from falcon_metrics_etl_spark.operators.event_dates import (
+        effective_point_orders,
+    )
+
+    # FLO-1430 workflow shape: steps at orders 1,1,3,4 with configured
+    # points (1,2,3): commitment zone [2,3) is empty => Infinity
+    steps = spark.createDataFrame(
+        [("wf1", "created", "created", 1), ("wf1", "arr", "arr", 1),
+         ("wf1", "com", "com", 3), ("wf1", "dep", "dep", 4)],
+        "workflow_id string, step_id string, step_name string, step_order int",
+    )
+    events = spark.createDataFrame(
+        [("wf1", 1, 2, 3)],
+        "workflow_id string, arrival_point_order int, "
+        "commitment_point_order int, departure_point_order int",
+    )
+    row = effective_point_orders(steps, events).collect()[0]
+    assert row["effective_arrival_order"] == 1.0
+    assert row["effective_commitment_order"] == float("inf")
+    assert row["effective_departure_order"] == 3.0

@@ -1,0 +1,279 @@
+"""Tests for the silver transform layer: flag propagation (ported from
+src/jiracloud/process/utils.test.ts:286-375), custom-field extraction
+(translate_customfield.test.ts:5-416), linked items, revision ops, and
+the end-to-end transform_work_items pipeline."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.functions.custom_fields import (
+    extract_custom_field_values,
+    translate_custom_fields,
+)
+from falcon_metrics_etl_spark.functions.field_mapper import apply_field_maps
+from falcon_metrics_etl_spark.functions.linked_items import translate_linked_items
+from falcon_metrics_etl_spark.operators.revisions import (
+    dedupe_consecutive,
+    densify_daily,
+    synthesize_initial_revision,
+)
+from falcon_metrics_etl_spark.operators.snapshots import propagate_flag_intervals
+from falcon_metrics_etl_spark.operators.transform import transform_work_items
+
+
+def d(day, hour=0):
+    return datetime(2021, 3, day, hour)
+
+
+# ---------------------------------------------------------------- W7 flag
+
+SNAP_SCHEMA = (
+    "work_item_id string, revision int, type string, flagged boolean, "
+    "status_id string, status_name string, state_type string, step_category string"
+)
+
+
+def snap_rows(spark, rows):
+    return spark.createDataFrame(rows, SNAP_SCHEMA)
+
+
+def test_flag_interval_propagation(spark):
+    rows = [
+        ("A", 1, "state_change", None, "s1", "In Progress", "active", "inprogress"),
+        ("A", 2, "flagged", True, None, None, None, None),
+        ("A", 3, "assignee_change", None, None, None, None, None),
+        ("A", 4, "flagged", False, None, None, None, None),
+        ("A", 5, "state_change", None, "s2", "Done", "active", "completed"),
+    ]
+    out = {
+        r["revision"]: r.asDict()
+        for r in propagate_flag_intervals(snap_rows(spark, rows)).collect()
+    }
+    # rows 2..3 flagged, unflag row 4 false, others false
+    assert out[1]["flagged"] is False
+    assert out[2]["flagged"] is True
+    assert out[3]["flagged"] is True
+    assert out[4]["flagged"] is False
+    assert out[5]["flagged"] is False
+    # flag + unflag rows inherit the previous state_change fields
+    assert out[2]["status_name"] == "In Progress"
+    assert out[2]["state_type"] == "active"
+    assert out[4]["status_name"] == "In Progress"
+    # non-flag rows keep their own values
+    assert out[5]["status_name"] == "Done"
+
+
+def test_flag_without_unflag_runs_to_end(spark):
+    rows = [
+        ("A", 1, "state_change", None, "s1", "Doing", "active", "inprogress"),
+        ("A", 2, "flagged", True, None, None, None, None),
+        ("A", 3, "state_change", None, "s2", "Done", "active", "completed"),
+    ]
+    out = {
+        r["revision"]: r.asDict()
+        for r in propagate_flag_intervals(snap_rows(spark, rows)).collect()
+    }
+    assert out[2]["flagged"] is True
+    assert out[3]["flagged"] is True
+
+
+def test_first_revision_flagged_gets_queue_state_type(spark):
+    rows = [
+        ("A", 1, "flagged", True, None, None, None, None),
+        ("A", 2, "state_change", None, "s1", "Doing", "active", "inprogress"),
+    ]
+    out = {
+        r["revision"]: r.asDict()
+        for r in propagate_flag_intervals(snap_rows(spark, rows)).collect()
+    }
+    assert out[1]["state_type"] == "queue"
+    assert out[1]["flagged"] is True
+
+
+# ------------------------------------------------------------- F9 custom
+
+CF_CASES = [
+    ("null", ["null"]),  # null payload -> literal 'null'
+    ('"plain string"', ["plain string"]),
+    ("42", ["42"]),
+    ("true", ["true"]),
+    ('{"name": "by-name"}', ["by-name"]),
+    ('{"value": "by-value"}', ["by-value"]),
+    ('{"displayName": "by-display"}', ["by-display"]),
+    ('{"key": "by-key"}', ["by-key"]),
+    ('{"self": "x", "weird": 1}', ['{"self":"x","weird":1}']),  # stringify fallback
+    ('["a", "b"]', ["a", "b"]),
+    ('[{"name": "n1"}, {"value": "v2"}]', ["n1", "v2"]),
+    ('[{"other": true}]', ['{"other":true}']),
+]
+
+
+def test_custom_field_extraction_cases(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CF_CASES)], "id int, raw string"
+    )
+    got = {
+        r["id"]: r["vals"]
+        for r in df.select(
+            "id", extract_custom_field_values(F.col("raw")).alias("vals")
+        ).collect()
+    }
+    for i, (_, expected) in enumerate(CF_CASES):
+        assert got[i] == expected, CF_CASES[i]
+
+
+def test_translate_custom_fields_combines_configs(spark):
+    df = spark.createDataFrame(
+        [("A", {"cf_1": '{"name": "alpha"}', "cf_2": '["x","y"]'})],
+        "work_item_id string, custom_fields_raw map<string,string>",
+    )
+    cfgs = [
+        {"datasourceFieldName": "cf_1", "displayName": "Team", "type": "string"},
+        {"datasourceFieldName": "cf_2", "displayName": "Tags", "type": "multi"},
+        {"datasourceFieldName": "cf_missing", "displayName": "Gone", "type": "string"},
+    ]
+    out = translate_custom_fields(df, cfgs).collect()[0]["custom_fields"]
+    got = {(c["datasourceFieldName"], c["datasourceFieldValue"]) for c in out}
+    assert got == {("cf_1", "alpha"), ("cf_2", "x"), ("cf_2", "y")}
+
+
+# ------------------------------------------------------------ F10 linked
+
+def test_translate_linked_items(spark):
+    schema = (
+        "issuelinks array<struct<type:struct<outward:string,inward:string>,"
+        "outwardIssue:struct<key:string>,inwardIssue:struct<key:string>>>"
+    )
+    df = spark.createDataFrame(
+        [
+            (
+                [
+                    (("blocks", "is blocked by"), ("FLO-2",), None),
+                    (("blocks", "is blocked by"), None, ("FLO-3",)),
+                    (("relates", "relates"), None, None),
+                ],
+            )
+        ],
+        schema,
+    )
+    out = df.select(
+        translate_linked_items(F.col("issuelinks")).alias("links")
+    ).collect()[0]["links"]
+    assert [(l["type"], l["workItemId"]) for l in out] == [
+        ("blocks", "FLO-2"),
+        ("is blocked by", "FLO-3"),
+    ]
+
+
+# ------------------------------------------------------------ F17 mapper
+
+def test_field_mapper_chain_of_responsibility(spark):
+    df = spark.createDataFrame(
+        [("A", "bug", "urgent"), ("B", "task", "normal")],
+        "work_item_id string, kind string, prio string",
+    )
+    maps = [
+        {"srcField": "prio", "dstField": "cos", "conditions": {"kind": "bug"}},
+        {"srcField": "kind", "dstField": "cos", "conditions": {}},
+    ]
+    out = {r["work_item_id"]: r["cos"] for r in apply_field_maps(df, maps).collect()}
+    assert out == {"A": "urgent", "B": "task"}
+
+
+# --------------------------------------------------------- revision ops
+
+def test_dedupe_consecutive_null_safe(spark):
+    df = spark.createDataFrame(
+        [
+            ("A", 1, d(1), "x"),
+            ("A", 2, d(2), "x"),
+            ("A", 3, d(3), None),
+            ("A", 4, d(4), None),
+            ("A", 5, d(5), "x"),
+        ],
+        "work_item_id string, revision int, changed_date timestamp, assignee string",
+    )
+    kept = sorted(
+        r["revision"] for r in dedupe_consecutive(df, "assignee").collect()
+    )
+    assert kept == [1, 3, 5]
+
+
+def test_densify_daily_filler_rows(spark):
+    df = spark.createDataFrame(
+        [("A", 1, d(1), "s1"), ("A", 2, d(4), "s2")],
+        "work_item_id string, revision int, changed_date timestamp, status_id string",
+    )
+    out = densify_daily(df).collect()
+    fillers = [r for r in out if r["is_filler"]]
+    assert {r["changed_date"].day for r in fillers} == {2, 3}
+    assert all(r["status_id"] == "s1" for r in fillers)
+    assert len([r for r in out if not r["is_filler"]]) == 2
+
+
+# ------------------------------------------------------- full pipeline
+
+def test_transform_work_items_end_to_end(spark):
+    work_items = spark.createDataFrame(
+        [
+            ("org1", "ds1", "A", "wf1", "s3", "departure step", d(1), d(5)),
+            ("org1", "ds1", "B", "wf1", "s9", "mystery step", d(2), d(6)),
+        ],
+        "org_id string, datasource_id string, work_item_id string, "
+        "workflow_id string, status_id string, status_name string, "
+        "created_date timestamp, updated_date timestamp",
+    )
+    revisions = spark.createDataFrame(
+        [
+            ("org1", "ds1", "A", "wf1", 1, d(2), "state_change", "s1", "arrival step", "s0", "backlog step", None, None, None, None),
+            ("org1", "ds1", "A", "wf1", 2, d(3), "state_change", "s2", "commitment step", "s1", "arrival step", None, None, None, None),
+            ("org1", "ds1", "A", "wf1", 3, d(4), "state_change", "s3", "departure step", "s2", "commitment step", None, None, None, None),
+            # item B only visits an unknown step
+            ("org1", "ds1", "B", "wf1", 1, d(3), "state_change", "s9", "mystery step", None, None, None, None, None, None),
+        ],
+        "org_id string, datasource_id string, work_item_id string, "
+        "workflow_id string, revision int, changed_date timestamp, type string, "
+        "status_id string, status_name string, from_status_id string, "
+        "from_status_name string, assignee string, blocked_reason string, "
+        "discarded_reason string, flagged boolean",
+    )
+    steps = spark.createDataFrame(
+        [
+            ("wf1", "s0", "backlog step", 0, "queue", "proposed", True),
+            ("wf1", "s1", "arrival step", 1, "active", "proposed", True),
+            ("wf1", "s2", "commitment step", 2, "active", "inprogress", True),
+            ("wf1", "s3", "departure step", 3, "active", "completed", True),
+        ],
+        "workflow_id string, step_id string, step_name string, step_order int, "
+        "state_type string, state_category string, active boolean",
+    )
+    events = spark.createDataFrame(
+        [("wf1", 1, 2, 3)],
+        "workflow_id string, arrival_point_order int, "
+        "commitment_point_order int, departure_point_order int",
+    )
+
+    states, snapshots = transform_work_items(work_items, revisions, steps, events)
+    st = {r["work_item_id"]: r.asDict() for r in states.collect()}
+
+    # item A: synthetic revision 0 lands in the backlog (before-arrival)
+    # step at creation, so arrival comes from the first real move
+    assert st["A"]["arrival_date"] == d(2)
+    assert st["A"]["commitment_date"] == d(3)
+    assert st["A"]["departure_date"] == d(4)
+    assert st["A"]["state_category"] == "completed"
+    assert st["A"]["step_category"] == "completed"
+
+    # item B: unknown step auto-mapped to order 9999 => departure zone
+    assert st["B"]["state_category"] == "completed"
+    assert st["B"]["step_category"] == "completed"
+
+    sn = snapshots.filter(F.col("work_item_id") == "A").collect()
+    by_rev = {r["revision"]: r.asDict() for r in sn}
+    assert by_rev[0]["state_category"] == "preceding"  # before arrival
+    assert by_rev[1]["state_category"] == "proposed"  # at arrival
+    assert by_rev[2]["state_category"] == "inprogress"
+    assert by_rev[3]["state_category"] == "completed"
+    assert all(r["is_delayed"] is False for r in sn)
