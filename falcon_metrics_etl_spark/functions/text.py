@@ -60,3 +60,28 @@ def fingerprint(text: Column) -> Column:
 def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
     """Count of tokens that belong to a marker vocabulary."""
     return F.size(F.filter(tokens(text), lambda t: t.isin(*markers)))
+
+
+def portable_hash60(col: Column) -> Column:
+    """Deterministic engine-portable 60-bit hash of a string.
+
+    First 15 hex chars of md5, base-16 -> bigint. Identical in Spark
+    (``conv(substring(md5(x),1,15),16,10)``) and DuckDB
+    (``('0x' || substring(md5(x),1,15))::BIGINT``); always positive
+    (< 2^60) so min/xor/shift semantics match across engines. md5 is
+    JVM-side codegen — no Python in the path.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(toks: Column, n: int) -> Column:
+    """n-token shingles ('a b c') of a token array, preserving order."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
+# DuckDB fragments mirroring the above exactly (shared by oracle SQL)
+DUCK_HASH60 = "(('0x' || substring(md5({x}), 1, 15))::BIGINT)"
+DUCK_TOKENS = "string_split_regex(trim({x}), '\\s+')"

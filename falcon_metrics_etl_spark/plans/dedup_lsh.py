@@ -1,0 +1,591 @@
+"""Near-dup dedup + similarity-search scale paths: MinHash+LSH,
+SimHash, n-gram Jaccard, hyperplane-LSH ANN, winnowing fingerprints.
+
+These are the 100 TB answers to the brute-force baselines in
+text_pipeline.py: every query here generates *candidate pairs* through
+an LSH bucket join (shuffle keyed on small band/bucket keys) instead
+of an O(n^2) cross product, then verifies candidates exactly. All
+hashing uses the engine-portable md5-derived 60-bit hash
+(functions.text.portable_hash60) so the DuckDB oracle reproduces the
+algorithm bit-for-bit — approximation comes only from the algorithm's
+own banding, never from engine-dependent hashing.
+
+Scale notes:
+- Shingling/minhashing is a map-only projection (JVM codegen, no
+  Python); only (doc, band-key) pairs shuffle for the candidate join.
+- Band keys are md5 strings — high entropy, so the bucket join is
+  skew-free by construction (hot buckets can only come from true
+  mass duplication, which AQE skew-join handles).
+- Exact-verify joins are restricted to candidates, keeping the
+  pairwise stage proportional to the true near-dup rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.functions import text as TX
+from falcon_metrics_etl_spark.functions import vectors as VX
+from falcon_metrics_etl_spark.plans.registry import register
+from falcon_metrics_etl_spark.sources import load_table
+
+# ---- MinHash+LSH parameters ----
+SHINGLE_N = 3          # word shingles
+NUM_HASHES = 12        # minhash signature length
+LSH_ROWS = 2           # rows per band
+LSH_BANDS = NUM_HASHES // LSH_ROWS
+MINHASH_JACCARD_T = 0.30
+
+# ---- SimHash parameters ----
+SIM_BITS = 32
+SIM_HAMMING_T = 6      # byte-band candidates => guaranteed recall only
+                       # for hamming <= 3; documented approximation
+
+# ---- n-gram Jaccard parameters ----
+NGRAM_N = 2
+NGRAM_JACCARD_T = 0.20
+NGRAM_MAX_DF = 200     # prune shingles seen in > MAX_DF docs from
+                       # candidate generation (posting-list cap)
+
+# ---- hyperplane LSH ANN parameters ----
+ANN_PLANES = 4
+ANN_DIM = 64
+ANN_K = 5
+ANN_N_QUERIES = 8
+
+# ---- winnowing parameters ----
+WINNOW_K = 8           # char k-gram length
+WINNOW_W = 4           # winnowing window (k-grams per window)
+
+
+# --------------------------------------------------------------------------
+# shared SQL fragments (DuckDB side mirrors Spark exactly)
+# --------------------------------------------------------------------------
+def _duck_h60(x: str) -> str:
+    return TX.DUCK_HASH60.format(x=x)
+
+
+_DUCK_SHINGLES = f"""
+    SELECT doc_id,
+           list_distinct(
+               list_transform(range(0, len(tk) - {SHINGLE_N - 1}),
+                              i -> array_to_string(tk[i+1:i+{SHINGLE_N}], ' '))
+           ) AS shs
+    FROM (SELECT doc_id, {TX.DUCK_TOKENS.format(x='text')} AS tk FROM documents)
+    WHERE len(tk) >= {SHINGLE_N}
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding near-dup pairs
+# --------------------------------------------------------------------------
+def _minhash_columns() -> list[F.Column]:
+    """12 conditional-min aggregates — one minhash per seed, no pivot."""
+    return [
+        F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"m{i}")
+        for i in range(NUM_HASHES)
+    ]
+
+
+@register(
+    "dedup_minhash_lsh",
+    doc=f"MinHash({NUM_HASHES})+LSH({LSH_BANDS}x{LSH_ROWS}) near-dup pairs "
+    f"over {SHINGLE_N}-word shingles, exact-Jaccard verified at "
+    f">= {MINHASH_JACCARD_T}. Candidate generation is a band-key bucket "
+    "join (no cross product); verification joins only candidates. "
+    "Parity of the full banding algorithm, not just the output "
+    "threshold — the oracle reproduces band collisions bit-for-bit.",
+    tags=("text", "dedup", "lsh", "minhash"),
+    oracle=f"""
+WITH toks AS ({_DUCK_SHINGLES}),
+sh AS (SELECT doc_id, unnest(shs) AS sh FROM toks),
+hx AS (
+    SELECT doc_id, t.seed AS seed,
+           MIN({_duck_h60("CAST(t.seed AS VARCHAR) || ':' || sh")}) AS mh
+    FROM sh CROSS JOIN range({NUM_HASHES}) t(seed)
+    GROUP BY doc_id, t.seed
+),
+mins AS (
+    SELECT doc_id,
+           {', '.join(f"MIN(CASE WHEN seed = {i} THEN mh END) AS m{i}" for i in range(NUM_HASHES))}
+    FROM hx GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, t.b AS band,
+           md5(CASE t.b {' '.join(
+               f"WHEN {b} THEN CAST(m{b * LSH_ROWS} AS VARCHAR) || '|' || CAST(m{b * LSH_ROWS + 1} AS VARCHAR)"
+               for b in range(LSH_BANDS))} END) AS bkey
+    FROM mins CROSS JOIN range({LSH_BANDS}) t(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, len(shs) AS n FROM toks),
+shared AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_shared
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+    GROUP BY c.id_a, c.id_b
+)
+SELECT s.id_a, s.id_b,
+       ROUND(CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared), 6) AS jaccard
+FROM shared s
+JOIN sizes na ON na.doc_id = s.id_a
+JOIN sizes nb ON nb.doc_id = s.id_b
+WHERE CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared) >= {MINHASH_JACCARD_T}
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            TX.word_shingles(TX.tokens(F.col("text")), SHINGLE_N)
+        ).alias("shs"),
+    ).filter(F.size(TX.tokens(F.col("text"))) >= SHINGLE_N)
+    sh = toks.select("doc_id", F.explode("shs").alias("sh"))
+
+    # (doc, seed, hash) rows -> 12 conditional-min aggregates (one
+    # shuffle keyed on doc_id; partial aggregation map-side)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(NUM_HASHES - 1))).alias("seed"),
+        "sh",
+    ).withColumn(
+        "h",
+        TX.portable_hash60(
+            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))
+        ),
+    )
+    mins = seeded.groupBy("doc_id").agg(*_minhash_columns())
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col(f"m{b * LSH_ROWS}").cast("string"),
+                    F.col(f"m{b * LSH_ROWS + 1}").cast("string"),
+                )
+            ).alias("bkey"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    bands = mins.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+    sizes = toks.select("doc_id", F.size("shs").alias("n"))
+    shared = (
+        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("id_b"))
+            & (F.col("sb.sh") == F.col("sa.sh")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na.n") + F.col("nb.n") - F.col("n_shared")
+    )
+    return (
+        shared.join(sizes.alias("na"), F.col("na.doc_id") == F.col("id_a"))
+        .join(sizes.alias("nb"), F.col("nb.doc_id") == F.col("id_b"))
+        .filter(jac >= MINHASH_JACCARD_T)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (map-only signature)
+# --------------------------------------------------------------------------
+def _spark_simhash_expr() -> F.Column:
+    """32-bit simhash as a single codegen expression over token hashes.
+
+    Per bit j: net = sum over tokens of +-1 by bit j of the token's
+    portable hash; simhash bit j set iff net > 0. Pure projection —
+    zero shuffle, the ideal 100 TB shape.
+    """
+    terms = [
+        f"(CASE WHEN aggregate(hs, CAST(0 AS BIGINT), "
+        f"(acc, h) -> acc + (2 * (shiftright(h, {j}) & 1) - 1)) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIM_BITS)
+    ]
+    return F.expr(" + ".join(terms))
+
+
+def _duck_simhash_expr() -> str:
+    terms = [
+        f"(CASE WHEN list_sum(list_transform(hs, "
+        f"h -> 2 * ((h >> {j}) & 1) - 1)) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIM_BITS)
+    ]
+    return " + ".join(terms)
+
+
+_DUCK_SIMHASH_DOCS = f"""
+    SELECT doc_id, {_duck_simhash_expr()} AS simhash
+    FROM (
+        SELECT doc_id,
+               list_transform({TX.DUCK_TOKENS.format(x='text')},
+                              t -> {_duck_h60('t')}) AS hs
+        FROM documents
+    )
+"""
+
+
+def _spark_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.transform(TX.tokens(F.col("text")), TX.portable_hash60).alias("hs"),
+    ).select("doc_id", _spark_simhash_expr().alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    doc=f"{SIM_BITS}-bit SimHash signature per document — a pure map-side "
+    "projection (token hash -> per-bit +-1 vote -> sign), no shuffle at "
+    "all; the cheapest near-dup signal at 100 TB",
+    tags=("text", "dedup", "simhash", "expression"),
+    oracle=f"SELECT doc_id, simhash FROM ({_DUCK_SIMHASH_DOCS})",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spark_simhash_docs(spark, sf_dir)
+
+
+@register(
+    "simhash_hamming_pairs",
+    doc=f"SimHash near-dup pairs: byte-band LSH candidates (4 bands of 8 "
+    f"bits; guaranteed recall for hamming <= 3, approximate above) "
+    f"verified at hamming <= {SIM_HAMMING_T} via bit_count(xor)",
+    tags=("text", "dedup", "simhash", "lsh"),
+    oracle=f"""
+WITH s AS ({_DUCK_SIMHASH_DOCS}),
+bands AS (
+    SELECT doc_id, t.b AS band, (simhash >> (t.b * 8)) & 255 AS byte, simhash
+    FROM s CROSS JOIN range(4) t(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS sh_a, b.simhash AS sh_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {SIM_HAMMING_T}
+""",
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _spark_simhash_docs(spark, sf_dir)
+    bands = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        "byte", F.expr("(simhash >> (band * 8)) & 255")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sh_a ^ sh_b"))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIM_HAMMING_T)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted-index join
+# --------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_pairs",
+    doc=f"Exact {NGRAM_N}-gram Jaccard near-dup pairs >= {NGRAM_JACCARD_T} "
+    "via inverted-index (posting-list) self-join; shingles with document "
+    f"frequency > {NGRAM_MAX_DF} are pruned from candidate generation "
+    "(the standard hot-posting cap) but counted in exact verification",
+    tags=("text", "dedup", "jaccard", "join"),
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(range(0, len(tk) - {NGRAM_N - 1}),
+                              i -> array_to_string(tk[i+1:i+{NGRAM_N}], ' '))
+           ) AS shs
+    FROM (SELECT doc_id, {TX.DUCK_TOKENS.format(x='text')} AS tk FROM documents)
+    WHERE len(tk) >= {NGRAM_N}
+),
+sh AS (SELECT doc_id, unnest(shs) AS sh FROM toks),
+rare AS (
+    SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= {NGRAM_MAX_DF}
+),
+cand AS (
+    SELECT DISTINCT sa.doc_id AS id_a, sb.doc_id AS id_b
+    FROM sh sa
+    JOIN rare r ON r.sh = sa.sh
+    JOIN sh sb ON sb.sh = sa.sh AND sa.doc_id < sb.doc_id
+),
+sizes AS (SELECT doc_id, len(shs) AS n FROM toks),
+shared AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_shared
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+    GROUP BY c.id_a, c.id_b
+)
+SELECT s.id_a, s.id_b,
+       ROUND(CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared), 6) AS jaccard
+FROM shared s
+JOIN sizes na ON na.doc_id = s.id_a
+JOIN sizes nb ON nb.doc_id = s.id_b
+WHERE CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared) >= {NGRAM_JACCARD_T}
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            TX.word_shingles(TX.tokens(F.col("text")), NGRAM_N)
+        ).alias("shs"),
+    ).filter(F.size(TX.tokens(F.col("text"))) >= NGRAM_N)
+    sh = toks.select("doc_id", F.explode("shs").alias("sh"))
+
+    rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= NGRAM_MAX_DF
+    ).select("sh")
+
+    cand = (
+        sh.alias("sa")
+        .join(rare.alias("r"), F.col("r.sh") == F.col("sa.sh"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.sh") == F.col("sa.sh"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .select(
+            F.col("sa.doc_id").alias("id_a"), F.col("sb.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sizes = toks.select("doc_id", F.size("shs").alias("n"))
+    shared = (
+        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("id_b"))
+            & (F.col("sb.sh") == F.col("sa.sh")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na.n") + F.col("nb.n") - F.col("n_shared")
+    )
+    return (
+        shared.join(sizes.alias("na"), F.col("na.doc_id") == F.col("id_a"))
+        .join(sizes.alias("nb"), F.col("nb.doc_id") == F.col("id_b"))
+        .filter(jac >= NGRAM_JACCARD_T)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Hyperplane-LSH bucketed ANN (the scale path for knn_brute_cosine)
+# --------------------------------------------------------------------------
+def _plane_sign_sql(p: int, vec: str, idx_base: int) -> str:
+    """Deterministic pseudo-hyperplane: weight(p, j) = +1 iff
+    (1 + 31p + 37j) % 97 < 48 else -1 — engine-portable arithmetic,
+    no RNG. Returns the projection sum expression (exact int math on
+    quantized vectors)."""
+    return (
+        f"aggregate(sequence(0, {ANN_DIM - 1}), CAST(0 AS BIGINT), (acc, j) -> "
+        f"acc + (CASE WHEN ((1 + 31 * {p} + 37 * j) % 97) < 48 "
+        f"THEN element_at({vec}, j + {idx_base}) "
+        f"ELSE -element_at({vec}, j + {idx_base}) END))"
+    )
+
+
+def _duck_plane_sign(p: int, vec: str) -> str:
+    return (
+        f"list_sum(list_transform(range(0, {ANN_DIM}), j -> "
+        f"CASE WHEN ((1 + 31 * {p} + 37 * j) % 97) < 48 "
+        f"THEN {vec}[j + 1] ELSE -{vec}[j + 1] END))"
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    doc=f"ANN scale path: {ANN_PLANES} deterministic random-hyperplane "
+    f"signs bucket the space into {2 ** ANN_PLANES} cells; top-{ANN_K} "
+    "cosine is computed only within the query's bucket (candidate set "
+    "~N/16 instead of N). Exact integer projections/dots keep the "
+    "oracle bit-identical; approximation is the algorithm's own recall.",
+    tags=("vector", "lsh", "join", "window"),
+    oracle=f"""
+WITH iv AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+    FROM embeddings
+),
+b AS (
+    SELECT vec_id, q, list_dot_product(q, q) AS nsq,
+           {' + '.join(f"(CASE WHEN {_duck_plane_sign(p, 'q')} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(ANN_PLANES))} AS bucket
+    FROM iv
+),
+scored AS (
+    SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_dot_product(a.q, c.q) / sqrt(a.nsq) / sqrt(c.nsq), 6) AS cosine
+    FROM b a JOIN b c ON c.bucket = a.bucket AND c.vec_id <> a.vec_id
+    WHERE a.vec_id < {ANN_N_QUERIES}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {ANN_K}
+""",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.quantize(F.col("embedding")).alias("q")
+    )
+    bucket = F.expr(
+        " + ".join(
+            f"(CASE WHEN {_plane_sign_sql(p, 'q', 1)} >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(ANN_PLANES)
+        )
+    )
+    b = emb.select(
+        "vec_id", "q", VX.int_norm_sq(F.col("q")).alias("nsq"), bucket.alias("bucket")
+    )
+    queries = b.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("nsq").alias("qn"),
+        F.col("bucket").alias("qb"),
+    )
+    scored = b.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            VX.cosine_from_int(
+                VX.int_dot(F.col("qv"), F.col("q")), F.col("qn"), F.col("nsq")
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing document fingerprints (rolling-hash k-grams + window min)
+# --------------------------------------------------------------------------
+@register(
+    "doc_fingerprint_winnowing",
+    doc=f"Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every "
+    f"{WINNOW_K}-char k-gram, take the min hash of each sliding window "
+    f"of {WINNOW_W} k-grams, dedupe — guarantees a shared fingerprint "
+    "for any match of length >= k + w - 1. Explode + window-min + "
+    "distinct; partitioned per doc so it scales linearly.",
+    tags=("text", "fingerprint", "window"),
+    oracle=f"""
+WITH pos AS (
+    SELECT doc_id, text, unnest(range(1, length(text) - {WINNOW_K} + 2)) AS p
+    FROM documents WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+),
+kh AS (
+    SELECT doc_id, p,
+           {_duck_h60(f"substring(text, p, {WINNOW_K})")} AS h,
+           length(text) - {WINNOW_K} + 1 AS n_kgrams
+    FROM pos
+),
+wm AS (
+    SELECT doc_id, p, n_kgrams,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+    FROM kh
+)
+SELECT DISTINCT doc_id, fp
+FROM wm WHERE p <= n_kgrams - {WINNOW_W} + 1
+""",
+)
+def doc_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= WINNOW_K + WINNOW_W - 1
+    )
+    kh = docs.select(
+        "doc_id",
+        (F.length("text") - WINNOW_K + 1).alias("n_kgrams"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - WINNOW_K + 1)
+        ).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        "n_kgrams",
+        "p",
+        TX.portable_hash60(
+            F.col("text").substr(F.col("p"), F.lit(WINNOW_K))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    return (
+        kh.withColumn("fp", F.min("h").over(w))
+        .filter(F.col("p") <= F.col("n_kgrams") - WINNOW_W + 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )
