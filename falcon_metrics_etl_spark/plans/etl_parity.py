@@ -1,0 +1,474 @@
+"""Remaining reference-parity operators surfaced as oracle-checked
+queries: linked-items translation (F10), conditional field mapping
+(F17), transition compression (W10), flow efficiency (A7), nested
+VC commits (S6), the insights-snapshot gold rollup (3.3 lifecycle),
+and threshold forecasting (notifications F6).
+
+Data mapping follows FIXTURES.md section 4: orders are work items /
+merge requests, lineitem rows are their revisions / commits, events
+is the activity stream, o_orderpriority is the class-of-service
+"context" dimension.
+
+Scale notes: every query here is expressed with built-in column
+functions (higher-order array fns, windows, broadcastable aggregates);
+nothing leaves the JVM. The nested-commits query demonstrates the
+collect/explode round-trip that GitLab MR->commits ingestion needs
+(reference src/git_data_extractor/gitlab_extractor.ts:188-200) with a
+single shuffle keyed on the parent id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.functions.field_mapper import apply_field_maps
+from falcon_metrics_etl_spark.functions.linked_items import translate_linked_items
+from falcon_metrics_etl_spark.plans.registry import register
+from falcon_metrics_etl_spark.sources import load_table
+
+# threshold-forecast parameters (notifications math, F6)
+SLE_TARGET_DAYS = 60
+SLE_THRESHOLD_DAYS = 7
+
+
+# --------------------------------------------------------------------------
+# F10 — linked-items translation (higher-order fn over array<struct>)
+# --------------------------------------------------------------------------
+@register(
+    "linked_items_translation",
+    doc="F10 linked-items translation: per work item (order), its line "
+    "items form an issuelinks-style array<struct<type{outward,inward}, "
+    "outwardIssue{key}, inwardIssue{key}>> (odd line numbers outward, "
+    "even inward); translate_linked_items picks direction name + target "
+    "key via transform()/filter() HOFs, then the edge table is exploded "
+    "back out. Behavioral twin of translate_linked_items.ts:3-42.",
+    tags=("array", "hof", "explode"),
+    oracle="""
+SELECT CAST(l_orderkey AS VARCHAR) AS work_item_id,
+       CASE WHEN l_linenumber % 2 = 1 THEN 'blocks' ELSE 'is blocked by' END
+           AS link_type,
+       CAST(l_partkey AS VARCHAR) AS linked_work_item_id
+FROM lineitem
+WHERE l_linenumber % 2 = 1 OR l_suppkey % 10 <> 0
+""",
+)
+def linked_items_translation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    outward = F.col("l_linenumber") % 2 == 1
+    # even links with suppkey % 10 == 0 get NO target at all -> the
+    # translator must drop them (the reference's null-link case)
+    has_inward = F.col("l_suppkey") % 10 != 0
+    link = F.struct(
+        F.struct(
+            F.when(outward, F.lit("blocks")).alias("outward"),
+            F.when(~outward, F.lit("is blocked by")).alias("inward"),
+        ).alias("type"),
+        F.when(
+            outward, F.struct(F.col("l_partkey").cast("string").alias("key"))
+        ).alias("outwardIssue"),
+        F.when(
+            ~outward & has_inward,
+            F.struct(F.col("l_partkey").cast("string").alias("key")),
+        ).alias("inwardIssue"),
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(link).alias("issuelinks")
+    )
+    translated = nested.select(
+        F.col("l_orderkey").cast("string").alias("work_item_id"),
+        translate_linked_items(F.col("issuelinks")).alias("linkedItems"),
+    )
+    return translated.select(
+        "work_item_id", F.explode("linkedItems").alias("li")
+    ).select(
+        "work_item_id",
+        F.col("li.type").alias("link_type"),
+        F.col("li.workItemId").alias("linked_work_item_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F17 — config-driven conditional field mapping
+# --------------------------------------------------------------------------
+_FIELD_MAPS = [
+    # first matching map wins per destination (chain of responsibility)
+    {
+        "srcField": "o_orderpriority",
+        "dstField": "sla_class",
+        "conditions": {"o_orderstatus": "F", "o_orderpriority": "1-URGENT"},
+    },
+    {
+        "srcField": "o_orderstatus",
+        "dstField": "sla_class",
+        "conditions": {"o_orderstatus": "P"},
+    },
+]
+
+
+@register(
+    "field_mapper_conditional",
+    doc="F17 chain-of-responsibility field mapper: ordered config maps "
+    "copy src->dst iff all equality conditions hold, first match wins; "
+    "config compiles to one chained when()/otherwise() Catalyst "
+    "expression (field_mapper.ts:1-101, fieldMaps DDL 391-401)",
+    tags=("expression", "config"),
+    oracle="""
+SELECT CAST(o_orderkey AS VARCHAR) AS work_item_id,
+       CASE WHEN o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+                THEN o_orderpriority
+            WHEN o_orderstatus = 'P' THEN o_orderstatus
+       END AS sla_class
+FROM orders
+""",
+)
+def field_mapper_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    mapped = apply_field_maps(orders, _FIELD_MAPS)
+    return mapped.select(
+        F.col("o_orderkey").cast("string").alias("work_item_id"), "sla_class"
+    )
+
+
+# --------------------------------------------------------------------------
+# W10 — transition compression (keep only rows that change state)
+# --------------------------------------------------------------------------
+@register(
+    "transition_compression",
+    doc="W10 Kanbanize transition compression: per user ordered by "
+    "(ts, event_id), keep an event only when event_type differs from "
+    "the previous one — lag() window dedupe, single shuffle on user_id "
+    "(transform_processor.ts:293-312)",
+    tags=("window", "dedupe"),
+    oracle="""
+WITH w AS (
+    SELECT user_id, event_id, ts, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+)
+SELECT user_id, event_id, ts, event_type
+FROM w WHERE prev_type IS NULL OR prev_type <> event_type
+""",
+)
+def transition_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    return (
+        ev.withColumn("prev_type", prev)
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# A7 — flow efficiency (active time / total time)
+# --------------------------------------------------------------------------
+@register(
+    "flow_efficiency",
+    doc="A7 flow efficiency: revision durations via lead(changed_date) "
+    "per item; active time = days spent in the commitment zone ('A' "
+    "revisions), total = arrival->departure span; ratio averaged per "
+    "class of service. One window + one aggregate, both keyed on the "
+    "item -> single shuffle.",
+    tags=("window", "aggregate", "join"),
+    oracle="""
+WITH revs AS (
+    SELECT l_orderkey,
+           CAST(l_shipdate AS TIMESTAMP) AS changed_date,
+           l_linenumber * 4
+             + CASE l_returnflag WHEN 'N' THEN 1 WHEN 'A' THEN 2 ELSE 3 END
+             AS revision,
+           l_returnflag AS state
+    FROM lineitem
+),
+seq AS (
+    SELECT l_orderkey, state, changed_date,
+           LEAD(changed_date) OVER (PARTITION BY l_orderkey
+                                    ORDER BY changed_date, revision) AS next_date
+    FROM revs
+),
+per_item AS (
+    SELECT l_orderkey,
+           SUM(CASE WHEN state = 'A' AND next_date IS NOT NULL
+                    THEN datediff('day', CAST(changed_date AS DATE),
+                                  CAST(next_date AS DATE)) ELSE 0 END)
+               AS active_days,
+           datediff('day', MIN(CAST(changed_date AS DATE)),
+                    MAX(CAST(changed_date AS DATE))) AS total_days
+    FROM seq GROUP BY 1
+)
+SELECT o.o_orderpriority AS class_of_service,
+       COUNT(*) AS n_items,
+       ROUND(CAST(SUM(p.active_days) AS DOUBLE)
+             / NULLIF(CAST(SUM(p.total_days) AS DOUBLE), 0) * 100, 2)
+           AS flow_efficiency_pct
+FROM per_item p
+JOIN orders o ON o.o_orderkey = p.l_orderkey
+GROUP BY 1
+""",
+)
+def flow_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    revs = li.select(
+        "l_orderkey",
+        F.col("l_shipdate").alias("changed_date"),
+        (
+            F.col("l_linenumber") * 4
+            + F.when(F.col("l_returnflag") == "N", 1)
+            .when(F.col("l_returnflag") == "A", 2)
+            .otherwise(3)
+        ).alias("revision"),
+        F.col("l_returnflag").alias("state"),
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("changed_date", "revision")
+    seq = revs.withColumn("next_date", F.lead("changed_date").over(w))
+    active = F.when(
+        (F.col("state") == "A") & F.col("next_date").isNotNull(),
+        F.datediff(F.to_date("next_date"), F.to_date("changed_date")),
+    ).otherwise(F.lit(0))
+    per_item = seq.groupBy("l_orderkey").agg(
+        F.sum(active).alias("active_days"),
+        F.datediff(
+            F.max(F.to_date("changed_date")), F.min(F.to_date("changed_date"))
+        ).alias("total_days"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("class_of_service")
+    )
+    joined = per_item.join(orders, per_item.l_orderkey == orders.o_orderkey)
+    ratio = (
+        F.sum("active_days").cast("double")
+        / F.nullif(F.sum("total_days").cast("double"), F.lit(0.0))
+        * 100
+    )
+    return joined.groupBy("class_of_service").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(ratio, 2).alias("flow_efficiency_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S6 — GitLab nested MR->commits: collect/explode round-trip
+# --------------------------------------------------------------------------
+@register(
+    "vc_nested_commits",
+    doc="S6 GitLab MR->commits flatten: commits (lineitem) nest under "
+    "their merge request (order) as a sorted array<struct>, the shape "
+    "the GraphQL source delivers; the engine flattens with explode() "
+    "and keeps per-MR stats from the array (gitlab_extractor.ts:188-200). "
+    "One shuffle keyed on the parent id; array size audits the nesting.",
+    tags=("array", "explode", "aggregate"),
+    oracle="""
+SELECT CAST(l.l_orderkey AS VARCHAR) AS mr_id,
+       COUNT(*) OVER (PARTITION BY l.l_orderkey) AS n_commits,
+       CAST(l.l_partkey AS VARCHAR) AS commit_sha,
+       l.l_shipdate AS committed_at,
+       o.o_orderstatus AS mr_state
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+""",
+)
+def vc_nested_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    commit = F.struct(
+        F.col("l_partkey").cast("string").alias("sha"),
+        F.col("l_shipdate").alias("committed_at"),
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(commit)).alias("commits")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderstatus").alias("mr_state")
+    )
+    mrs = nested.join(orders, nested.l_orderkey == orders.o_orderkey)
+    return mrs.select(
+        F.col("l_orderkey").cast("string").alias("mr_id"),
+        F.size("commits").cast("long").alias("n_commits"),
+        F.explode("commits").alias("c"),
+        "mr_state",
+    ).select(
+        "mr_id",
+        "n_commits",
+        F.col("c.sha").alias("commit_sha"),
+        F.col("c.committed_at").alias("committed_at"),
+        "mr_state",
+    )
+
+
+# --------------------------------------------------------------------------
+# 3.3 — insights snapshot rollup (gold table: one row per context)
+# --------------------------------------------------------------------------
+@register(
+    "insights_snapshot",
+    doc="Insights-snapshot gold rollup (lifecycle 3.3): per class-of-"
+    "service context, lead time p85/avg + throughput + expedite share "
+    "+ arrival-rate quartiles combined into one row — the engine-side "
+    "replacement for the reference's 9 parallel metric-API calls "
+    "(extract_flomatika_insights_processor.ts:328-473). Four small "
+    "aggregates broadcast-joined on the 5-row context dim.",
+    tags=("aggregate", "join", "percentile", "gold"),
+    oracle="""
+WITH items AS (
+    SELECT o.o_orderpriority AS class_of_service,
+           datediff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l.l_shipdate AS DATE)) AS lead_days,
+           CAST(l.l_shipdate AS DATE) AS departure_date
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+lead AS (
+    SELECT class_of_service,
+           percentile_disc(0.85) WITHIN GROUP (ORDER BY lead_days) AS lead_time_p85,
+           ROUND(CAST(SUM(lead_days) AS DOUBLE) / COUNT(*), 2) AS lead_time_avg,
+           COUNT(*) AS throughput_total
+    FROM items GROUP BY 1
+),
+weekly AS (
+    SELECT class_of_service, date_trunc('week', departure_date) AS wk,
+           COUNT(*) AS n
+    FROM items GROUP BY 1, 2
+),
+arrivals AS (
+    SELECT class_of_service,
+           MIN(n) AS weekly_min,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY n) AS weekly_q1,
+           percentile_disc(0.50) WITHIN GROUP (ORDER BY n) AS weekly_q2,
+           percentile_disc(0.75) WITHIN GROUP (ORDER BY n) AS weekly_q3
+    FROM weekly GROUP BY 1
+),
+expedite AS (
+    SELECT o_orderpriority AS class_of_service,
+           ROUND(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 100, 2) AS expedite_pct
+    FROM orders GROUP BY 1
+)
+SELECT l.class_of_service, l.lead_time_p85, l.lead_time_avg,
+       l.throughput_total, a.weekly_min, a.weekly_q1, a.weekly_q2,
+       a.weekly_q3, e.expedite_pct
+FROM lead l
+JOIN arrivals a ON a.class_of_service = l.class_of_service
+JOIN expedite e ON e.class_of_service = l.class_of_service
+""",
+)
+def insights_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.metrics import percentile_disc
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("departure_date")
+    )
+    items = li.join(
+        orders.select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("class_of_service"),
+            F.to_date("o_orderdate").alias("commitment_date"),
+        ),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "class_of_service",
+        F.datediff("departure_date", "commitment_date").alias("lead_days"),
+        "departure_date",
+    )
+    lead = items.groupBy("class_of_service").agg(
+        percentile_disc("lead_days", 0.85).alias("lead_time_p85"),
+        F.round(F.sum("lead_days").cast("double") / F.count(F.lit(1)), 2).alias(
+            "lead_time_avg"
+        ),
+        F.count(F.lit(1)).alias("throughput_total"),
+    )
+    weekly = items.groupBy(
+        "class_of_service",
+        F.date_trunc("week", "departure_date").alias("wk"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    arrivals = weekly.groupBy("class_of_service").agg(
+        F.min("n").alias("weekly_min"),
+        percentile_disc("n", 0.25).alias("weekly_q1"),
+        percentile_disc("n", 0.50).alias("weekly_q2"),
+        percentile_disc("n", 0.75).alias("weekly_q3"),
+    )
+    expedite = orders.groupBy(
+        F.col("o_orderpriority").alias("class_of_service")
+    ).agg(
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+            * 100,
+            2,
+        ).alias("expedite_pct")
+    )
+    return (
+        lead.join(F.broadcast(arrivals), "class_of_service")
+        .join(F.broadcast(expedite), "class_of_service")
+        .select(
+            "class_of_service",
+            "lead_time_p85",
+            "lead_time_avg",
+            "throughput_total",
+            "weekly_min",
+            "weekly_q1",
+            "weekly_q2",
+            "weekly_q3",
+            "expedite_pct",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# F6 / notifications — threshold forecast evaluation
+# --------------------------------------------------------------------------
+@register(
+    "threshold_forecast",
+    doc=f"Threshold-subscription evaluation (notifications math, "
+    f"evaluate_threshold_subscription.ts:35-109): per context, the p85 "
+    f"lead-time forecast vs a {SLE_TARGET_DAYS}-day target; breach when "
+    f"forecast > target + {SLE_THRESHOLD_DAYS}-day threshold; reports "
+    "the overrun in days and whole weeks (utils.ts:23-47 diffs)",
+    tags=("aggregate", "percentile", "expression"),
+    oracle=f"""
+WITH lead AS (
+    SELECT o.o_orderpriority AS class_of_service,
+           percentile_disc(0.85) WITHIN GROUP (ORDER BY
+               datediff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE))) AS forecast_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+)
+SELECT class_of_service, forecast_days,
+       forecast_days - {SLE_TARGET_DAYS} AS overrun_days,
+       CAST(floor((forecast_days - {SLE_TARGET_DAYS}) / 7.0) AS BIGINT)
+           AS overrun_weeks,
+       forecast_days > {SLE_TARGET_DAYS + SLE_THRESHOLD_DAYS} AS breached
+FROM lead
+""",
+)
+def threshold_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.metrics import percentile_disc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("class_of_service"),
+        F.to_date("o_orderdate").alias("commitment_date"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("departure_date")
+    )
+    lead = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn(
+            "lead_days", F.datediff("departure_date", "commitment_date")
+        )
+        .groupBy("class_of_service")
+        .agg(percentile_disc("lead_days", 0.85).alias("forecast_days"))
+    )
+    overrun = F.col("forecast_days") - SLE_TARGET_DAYS
+    return lead.select(
+        "class_of_service",
+        "forecast_days",
+        overrun.alias("overrun_days"),
+        F.floor(overrun / 7.0).cast("long").alias("overrun_weeks"),
+        (F.col("forecast_days") > SLE_TARGET_DAYS + SLE_THRESHOLD_DAYS).alias(
+            "breached"
+        ),
+    )
