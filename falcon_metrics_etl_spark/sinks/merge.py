@@ -1,0 +1,154 @@
+"""Idempotent keyed MERGE writers over plain parquet — SURVEY.md S9-S13.
+
+The reference loads everything through keyed upserts (states:
+src/workitem/state_load_processor_aurora.ts:25-129; snapshots keyed on
+the 5-column unique index sql/full_ddl.sql:1197:
+src/workitem/snapshot_load_processor_aurora.ts:25-70). Upsert-by-key is
+the idempotency contract that makes its at-least-once SQS delivery
+safe; the Spark translation is MERGE.
+
+Without a table format that supports row-level MERGE (Delta/Iceberg —
+not available in this container), the engine implements the same thing
+Delta does underneath: **partition-scoped copy-on-write**.
+
+    merged(partition) = target(partition) ANTI-JOIN updates(keys)
+                        UNION BY NAME updates(partition)
+
+and only partitions present in ``updates`` are rewritten
+(``spark.sql.sources.partitionOverwriteMode=dynamic``). At 100 TB this
+is the crucial property: a batch touching one (org, month) rewrites one
+partition, not the table. Unpartitioned targets fall back to a
+full-table staged rewrite (correct, but documented as the small-table
+path — dims, bridges, cursors).
+
+Writes stage to ``<path>/__stage__``-free tmp dirs? No — Spark's
+dynamic overwrite is already job-atomic per partition via the Hadoop
+commit protocol; a failed job leaves committed partitions from the
+previous run intact. Re-running the same batch converges (idempotent),
+which is exactly the reference's redelivery story (ST2).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# the reference's unique keys (sql/full_ddl.sql:1358, :1197)
+STATE_KEYS = ("partition_key", "sort_key")
+SNAPSHOT_KEYS = (
+    "partition_key",
+    "work_item_id",
+    "type",
+    "revision",
+    "snapshot_date",
+)
+
+
+def _target_exists(spark: SparkSession, path: str) -> bool:
+    if path.startswith(("s3://", "s3a://", "hdfs://", "abfss://")):
+        try:
+            spark.read.parquet(path)
+            return True
+        except Exception:
+            return False
+    return os.path.isdir(path) and any(
+        not n.startswith(("_", ".")) for n in os.listdir(path)
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partition_cols: Optional[Sequence[str]] = None,
+) -> None:
+    """MERGE ``updates`` into the parquet table at ``path`` on ``keys``.
+
+    Matched rows are replaced by the update row (last-write-wins, like
+    the reference's upsert); unmatched update rows are inserted.
+    ``updates`` must be unique per key (enforced here with a
+    dropDuplicates on the keys, mirroring the reference's pre-load
+    dedup, state_load_processor_aurora.ts:92-101).
+    """
+    updates = updates.dropDuplicates(list(keys))
+    if not _target_exists(spark, path):
+        writer = updates.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(path)
+        return
+
+    target = spark.read.parquet(path)
+    if partition_cols:
+        # restrict the rewrite to partitions the batch touches: the
+        # anti-join reads only those partitions (partition pruning via
+        # the IN-list of touched partition tuples), and dynamic
+        # overwrite rewrites only them.
+        touched = [
+            tuple(r) for r in updates.select(*partition_cols).distinct().collect()
+        ]
+        pred = F.struct(*[F.col(c) for c in partition_cols]).isin(
+            [F.struct(*[F.lit(v) for v in t]) for t in touched]
+        )
+        target = target.filter(pred)
+
+    survivors = target.join(
+        updates.select(*keys).dropDuplicates(list(keys)), on=list(keys), how="left_anti"
+    )
+    merged = survivors.unionByName(updates, allowMissingColumns=False)
+
+    # We overwrite the same path we read from, so the merged rows are
+    # staged to a sibling dir first (breaking the read-write cycle),
+    # then swapped in. Only the touched partitions flow through the
+    # stage, so staging cost is proportional to the batch, not the
+    # table. (Delta's MERGE does the same copy-on-write with a
+    # transaction log instead of a stage dir.)
+    stage = path.rstrip("/") + "__stage__"
+    merged.write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    writer = staged.write.mode("overwrite")
+    if partition_cols:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+    _rm(stage)
+
+
+def _rm(path: str) -> None:
+    import shutil
+
+    if not path.startswith(("s3://", "s3a://", "hdfs://", "abfss://")):
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def upsert_states(
+    spark: SparkSession,
+    path: str,
+    states: DataFrame,
+    partition_cols: Sequence[str] = ("org_id",),
+) -> None:
+    """S9: states upsert on (partition_key, sort_key) =
+    (state#org, datasource#workItemId) — the composite synthesized at
+    state_load_processor_aurora.ts:49-51."""
+    merge_upsert(spark, path, states, STATE_KEYS, partition_cols)
+
+
+def upsert_snapshots(
+    spark: SparkSession,
+    path: str,
+    snapshots: DataFrame,
+    partition_cols: Sequence[str] = ("org_id", "snapshot_month"),
+) -> None:
+    """S10: snapshots upsert on the 5-column unique index
+    (sql/full_ddl.sql:1197). Partitioned (org, month) so a re-processed
+    item rewrites only the months its history spans."""
+    upd = snapshots
+    if "snapshot_month" in (partition_cols or ()) and "snapshot_month" not in upd.columns:
+        upd = upd.withColumn(
+            "snapshot_month", F.date_format("snapshot_date", "yyyy-MM")
+        )
+    merge_upsert(spark, path, upd, SNAPSHOT_KEYS, partition_cols)

@@ -1,0 +1,65 @@
+"""Incremental batch runner: recompute-changed-items-only — ST3.
+
+The reference's key simplification (SURVEY.md ST3): whenever an item
+changes, its **whole history** is re-fetched and every derived value is
+recomputed from scratch (revision_processor.ts:224-334 always rebuilds
+from the complete changelog). Late or out-of-order revisions therefore
+need no incremental window state at all — the engine mirrors this:
+
+1. P1 incremental predicate: items with ``updated > cursor``
+   (jc_issue.ts:734-776) — a partition-prunable scan, never a full read.
+2. Semi-join the *full* revision history of just those items
+   (per-item history is small, ~10^2-10^3 rows, so this is the cheap
+   side of the trade).
+3. Run the supplied transform on those complete histories.
+4. MERGE the outputs (idempotent, ST2) and advance the cursor (ST1).
+
+At 100 TB the semi-join is the only shuffle, keyed on work_item_id;
+with the revisions table bucketed on work_item_id it degrades to a
+co-located join with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.sinks.merge import merge_upsert
+from falcon_metrics_etl_spark.streaming.cursors import advance_cursor, load_cursor
+
+
+def run_incremental_batch(
+    spark: SparkSession,
+    revisions: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    sink_path: str,
+    sink_keys: Sequence[str],
+    cursor_path: str,
+    org_id: str = "default",
+    datasource_id: str = "default",
+    item_col: str = "work_item_id",
+    updated_col: str = "updated",
+    partition_cols: Optional[Sequence[str]] = None,
+) -> int:
+    """One incremental tick. Returns the number of changed items."""
+    cursor = load_cursor(spark, cursor_path, org_id, datasource_id)
+    delta = revisions
+    if cursor is not None:
+        delta = revisions.filter(F.col(updated_col) > F.lit(cursor))
+
+    changed_ids = delta.select(item_col).distinct()
+    if changed_ids.limit(1).count() == 0:
+        return 0
+
+    # full history of changed items only (ST3 recompute-on-arrival)
+    histories = revisions.join(
+        changed_ids, on=item_col, how="left_semi"
+    )
+    out = transform(histories)
+    merge_upsert(spark, sink_path, out, sink_keys, partition_cols)
+    advance_cursor(
+        spark, cursor_path, org_id, datasource_id, delta, updated_col
+    )
+    return changed_ids.count()

@@ -1,0 +1,178 @@
+"""MERGE sink tests — idempotency, last-write-wins, partition-scoped
+rewrite (S9/S10), bridge anti-delete (J6), soft delete (J7)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.sinks import (
+    merge_upsert,
+    refresh_bridge,
+    soft_delete_missing,
+    upsert_snapshots,
+)
+
+
+def _states(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                partition_key=f"state#{org}",
+                sort_key=f"jira#{wid}",
+                org_id=org,
+                title=title,
+                deleted_at=None,
+            )
+            for org, wid, title in rows
+        ],
+        "partition_key string, sort_key string, org_id string, "
+        "title string, deleted_at timestamp",
+    )
+
+
+def test_merge_upsert_insert_then_update(spark, tmp_path):
+    path = str(tmp_path / "states")
+    merge_upsert(
+        spark,
+        path,
+        _states(spark, [("o1", "W-1", "a"), ("o1", "W-2", "b")]),
+        keys=("partition_key", "sort_key"),
+        partition_cols=("org_id",),
+    )
+    # update W-2, insert W-3 — W-1 must survive untouched
+    merge_upsert(
+        spark,
+        path,
+        _states(spark, [("o1", "W-2", "b2"), ("o1", "W-3", "c")]),
+        keys=("partition_key", "sort_key"),
+        partition_cols=("org_id",),
+    )
+    got = {
+        r["sort_key"]: r["title"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {"jira#W-1": "a", "jira#W-2": "b2", "jira#W-3": "c"}
+
+
+def test_merge_upsert_idempotent_redelivery(spark, tmp_path):
+    """ST2: replaying the same batch converges to identical state."""
+    path = str(tmp_path / "states")
+    batch = _states(spark, [("o1", "W-1", "a"), ("o2", "W-9", "z")])
+    for _ in range(3):
+        merge_upsert(
+            spark, path, batch, keys=("partition_key", "sort_key"),
+            partition_cols=("org_id",),
+        )
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_merge_upsert_rewrites_only_touched_partition(spark, tmp_path):
+    path = str(tmp_path / "states")
+    merge_upsert(
+        spark,
+        path,
+        _states(spark, [("o1", "W-1", "a"), ("o2", "W-9", "z")]),
+        keys=("partition_key", "sort_key"),
+        partition_cols=("org_id",),
+    )
+    o2_files = set(os.listdir(str(tmp_path / "states" / "org_id=o2")))
+    merge_upsert(
+        spark,
+        path,
+        _states(spark, [("o1", "W-1", "a2")]),
+        keys=("partition_key", "sort_key"),
+        partition_cols=("org_id",),
+    )
+    # untouched partition's files are physically unchanged
+    assert set(os.listdir(str(tmp_path / "states" / "org_id=o2"))) == o2_files
+    got = {r["sort_key"]: r["title"] for r in spark.read.parquet(path).collect()}
+    assert got == {"jira#W-1": "a2", "jira#W-9": "z"}
+
+
+def test_upsert_snapshots_five_column_key(spark, tmp_path):
+    path = str(tmp_path / "snapshots")
+    schema = (
+        "partition_key string, work_item_id string, type string, "
+        "revision int, snapshot_date string, org_id string, state string"
+    )
+    base = spark.createDataFrame(
+        [
+            ("snapshot#o1", "W-1", "state_change", 0, "2024-01-05", "o1", "todo"),
+            ("snapshot#o1", "W-1", "state_change", 1, "2024-02-07", "o1", "doing"),
+        ],
+        schema,
+    ).withColumn("snapshot_date", F.to_timestamp("snapshot_date"))
+    upsert_snapshots(spark, path, base)
+    # re-process the item: revision 1 changes state, revision 2 appears
+    upd = spark.createDataFrame(
+        [
+            ("snapshot#o1", "W-1", "state_change", 1, "2024-02-07", "o1", "review"),
+            ("snapshot#o1", "W-1", "state_change", 2, "2024-02-09", "o1", "done"),
+        ],
+        schema,
+    ).withColumn("snapshot_date", F.to_timestamp("snapshot_date"))
+    upsert_snapshots(spark, path, upd)
+    got = spark.read.parquet(path)
+    assert got.count() == 3
+    assert {
+        (r["revision"], r["state"]) for r in got.collect()
+    } == {(0, "todo"), (1, "review"), (2, "done")}
+    # month partitions derived from snapshot_date
+    assert sorted(
+        n for n in os.listdir(str(tmp_path / "snapshots" / "org_id=o1"))
+        if n.startswith("snapshot_month=")
+    ) == ["snapshot_month=2024-01", "snapshot_month=2024-02"]
+
+
+def test_refresh_bridge_anti_delete(spark, tmp_path):
+    path = str(tmp_path / "bridge")
+    ids = lambda *xs: spark.createDataFrame(  # noqa: E731
+        [(x,) for x in xs], "work_item_id string"
+    )
+    refresh_bridge(spark, path, "ctx-1", ids("W-1", "W-2", "W-2"))
+    refresh_bridge(spark, path, "ctx-2", ids("W-7"))
+    # ctx-1 re-extracted: W-2 gone, W-3 new; ctx-2 must be untouched
+    refresh_bridge(spark, path, "ctx-1", ids("W-1", "W-3"))
+    got = {
+        (r["context_id"], r["work_item_id"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {("ctx-1", "W-1"), ("ctx-1", "W-3"), ("ctx-2", "W-7")}
+
+
+def test_soft_delete_missing(spark, tmp_path):
+    path = str(tmp_path / "states")
+    merge_upsert(
+        spark,
+        path,
+        _states(spark, [("o1", "W-1", "a"), ("o1", "W-2", "b"), ("o2", "W-9", "z")]),
+        keys=("partition_key", "sort_key"),
+        partition_cols=("org_id",),
+    )
+    live = spark.createDataFrame([("jira#W-1",)], "sort_key string")
+    n = soft_delete_missing(
+        spark,
+        path,
+        live,
+        keys=("sort_key",),
+        deleted_at="2024-03-01T00:00:00",
+        scope=F.col("org_id") == "o1",
+    )
+    assert n == 1
+    got = {
+        r["sort_key"]: r["deleted_at"] is not None
+        for r in spark.read.parquet(path).collect()
+    }
+    # W-2 flagged; W-1 live; o2 out of scope
+    assert got == {"jira#W-1": False, "jira#W-2": True, "jira#W-9": False}
+    # idempotent: second run flags nothing new (already-deleted skipped)
+    assert (
+        soft_delete_missing(
+            spark, path, live, keys=("sort_key",),
+            deleted_at="2024-03-02T00:00:00", scope=F.col("org_id") == "o1",
+        )
+        == 0
+    )

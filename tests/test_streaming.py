@@ -1,0 +1,152 @@
+"""Streaming/incremental tests: cursor guard (ST1/A8), recompute-
+changed-items (ST3), foreachBatch MERGE idempotency across restart
+(ST2), watermarked tumbling windows (ST7)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.streaming import (
+    advance_cursor,
+    foreach_batch_merge,
+    load_cursor,
+    run_incremental_batch,
+    stream_windowed_counts,
+)
+
+REV_SCHEMA = "work_item_id string, revision int, state string, updated string"
+
+
+def _revs(spark, rows):
+    return spark.createDataFrame(rows, REV_SCHEMA).withColumn(
+        "updated", F.to_timestamp("updated")
+    )
+
+
+def test_cursor_roundtrip_and_guard(spark, tmp_path):
+    path = str(tmp_path / "cursors")
+    assert load_cursor(spark, path, "o1", "ds1") is None
+    batch = _revs(spark, [("W-1", 1, "todo", "2024-01-10 12:00:00")])
+    c1 = advance_cursor(spark, path, "o1", "ds1", batch)
+    assert str(c1).startswith("2024-01-10")
+    # an older batch must NOT move the cursor backwards
+    older = _revs(spark, [("W-2", 1, "todo", "2023-12-01 00:00:00")])
+    c2 = advance_cursor(spark, path, "o1", "ds1", older)
+    assert c2 == c1
+    # empty batch leaves it unchanged
+    empty = _revs(spark, []) if False else batch.filter(F.lit(False))
+    assert advance_cursor(spark, path, "o1", "ds1", empty) == c1
+    # per-datasource isolation
+    assert load_cursor(spark, path, "o1", "ds2") is None
+
+
+def test_incremental_recomputes_full_history_of_changed_items(spark, tmp_path):
+    sink = str(tmp_path / "states")
+    cursors = str(tmp_path / "cursors")
+
+    def latest_state(histories):
+        # derived value that NEEDS the full history: last state by revision
+        return (
+            histories.groupBy("work_item_id")
+            .agg(
+                F.max_by("state", "revision").alias("state"),
+                F.count(F.lit(1)).alias("n_revisions"),
+                F.max("updated").alias("updated"),
+            )
+        )
+
+    t0 = _revs(
+        spark,
+        [
+            ("W-1", 1, "todo", "2024-01-01 00:00:00"),
+            ("W-1", 2, "doing", "2024-01-02 00:00:00"),
+            ("W-2", 1, "todo", "2024-01-03 00:00:00"),
+        ],
+    )
+    n = run_incremental_batch(
+        spark, t0, latest_state, sink, ("work_item_id",), cursors
+    )
+    assert n == 2
+    # W-1 gets a new revision; W-2 untouched
+    t1 = t0.unionByName(
+        _revs(spark, [("W-1", 3, "done", "2024-01-05 00:00:00")])
+    )
+    n = run_incremental_batch(
+        spark, t1, latest_state, sink, ("work_item_id",), cursors
+    )
+    assert n == 1  # only W-1 recomputed
+    got = {
+        r["work_item_id"]: (r["state"], r["n_revisions"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    # W-1 recomputed from its FULL 3-revision history, not just the delta
+    assert got == {"W-1": ("done", 3), "W-2": ("todo", 1)}
+    # no changes -> no-op tick
+    assert (
+        run_incremental_batch(
+            spark, t1, latest_state, sink, ("work_item_id",), cursors
+        )
+        == 0
+    )
+
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, event_type string"
+
+
+def _write_events(spark, path, rows, mode="append"):
+    spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+        mode
+    ).parquet(path)
+
+
+def _drain(q):
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_stream_foreach_batch_merge_idempotent_restart(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    sink = str(tmp_path / "counts")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 10:00:00", "click"),
+            (2, "2024-01-01 11:00:00", "click"),
+            (3, "2024-01-01 12:00:00", "view"),
+        ],
+    )
+    agg = stream_windowed_counts(spark, src, EVENTS_SCHEMA)
+    q = foreach_batch_merge(
+        agg, sink, keys=("window_start", "event_type"), checkpoint_dir=ckpt
+    )
+    _drain(q)
+    got = {
+        (str(r["window_start"])[:10], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {("2024-01-01", "click"): 2, ("2024-01-01", "view"): 1}
+
+    # restart with the same checkpoint and new data: counts UPDATE
+    # in place (merge on window+type), prior state not duplicated
+    _write_events(spark, src, [(4, "2024-01-01 13:00:00", "click"),
+                               (5, "2024-01-02 09:00:00", "view")])
+    agg2 = stream_windowed_counts(spark, src, EVENTS_SCHEMA)
+    q2 = foreach_batch_merge(
+        agg2, sink, keys=("window_start", "event_type"), checkpoint_dir=ckpt
+    )
+    _drain(q2)
+    got = {
+        (str(r["window_start"])[:10], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {
+        ("2024-01-01", "click"): 3,
+        ("2024-01-01", "view"): 1,
+        ("2024-01-02", "view"): 1,
+    }
