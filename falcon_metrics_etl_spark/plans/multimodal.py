@@ -1,0 +1,86 @@
+"""Multimodal queries: binary-payload metadata decode (mapInPandas)
+and video frame sampling — the training-data-pipeline operations over
+opaque media columns.
+
+The decode itself happens in Arrow-batched Python (the only Python in
+this engine's hot paths besides the W2 event-date extractor); the
+deterministic synthetic codec lets the DuckDB oracle replay the decode
+arithmetic exactly, so the correctness gate covers the full
+binary->Arrow->pandas->schema round trip, not a mock.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.functions import multimodal as MM
+from falcon_metrics_etl_spark.plans.registry import register
+from falcon_metrics_etl_spark.sources import load_table
+
+FRAME_EVERY_K = 50
+
+# DuckDB replay of _decode_one's md5 header arithmetic (payload bytes
+# == utf-8 text, so md5(payload) == md5(text))
+_DUCK_META = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       'synthetic' AS codec,
+       strlen(text)::BIGINT AS n_bytes,
+       CASE WHEN doc_id % 3 IN (0, 2)
+            THEN (('0x' || substring(md5(text), 1, 4))::INT % 1024) + 1
+            ELSE 0 END AS width,
+       CASE WHEN doc_id % 3 IN (0, 2)
+            THEN (('0x' || substring(md5(text), 5, 4))::INT % 1024) + 1
+            ELSE 0 END AS height,
+       CASE WHEN doc_id % 3 IN (1, 2)
+            THEN (('0x' || substring(md5(text), 9, 4))::INT % 60000) + 1
+            ELSE 0 END AS duration_ms,
+       CASE doc_id % 3
+            WHEN 2 THEN ((('0x' || substring(md5(text), 9, 4))::INT % 60000) + 1) // 40
+            WHEN 0 THEN 1 ELSE 0 END AS n_frames
+FROM documents
+"""
+
+
+@register(
+    "multimodal_decode_meta",
+    doc="Multimodal metadata decode: opaque binary payload + declared "
+    "codec -> typed (width, height, duration, frames) via Arrow-batched "
+    "mapInPandas; deterministic synthetic codec, real decoders stubbed "
+    "(functions/multimodal.py). Map-only — no shuffle; metadata-only "
+    "readers never touch the bytes column (parquet column pruning).",
+    tags=("multimodal", "pandas-udf", "binary"),
+    oracle=_DUCK_META,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload(docs)
+    return MM.decode_media_meta(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    doc=f"Video frame sampling: every {FRAME_EVERY_K}th frame index per "
+    "video document, exploded to one row per sampled frame — the fan-out "
+    "shape a frame-extraction stage feeds; the index list is a JVM-side "
+    "sequence() so only the downstream decode would run in Python.",
+    tags=("multimodal", "explode", "array"),
+    oracle=f"""
+WITH meta AS ({_DUCK_META})
+SELECT doc_id, unnest(range(0, n_frames, {FRAME_EVERY_K}))::INT AS frame_idx
+FROM meta WHERE media_type = 'video' AND n_frames > 0
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = multimodal_decode_meta(spark, sf_dir)
+    vids = meta.filter(
+        (F.col("media_type") == "video") & (F.col("n_frames") > 0)
+    )
+    return vids.select(
+        "doc_id",
+        F.explode(
+            MM.sample_frame_indices(F.col("n_frames"), FRAME_EVERY_K)
+        ).alias("frame_idx"),
+    )

@@ -58,6 +58,7 @@ def all_queries() -> dict[str, Query]:
         dedup_lsh,
         etl_parity,
         flow_metrics,
+        multimodal,
         relational,
         text_pipeline,
         timeseries,
