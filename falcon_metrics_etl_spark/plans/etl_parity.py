@@ -472,3 +472,75 @@ def threshold_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "breached"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# P1 — incremental predicate (cursor + OR-of-ANDs project disjunction)
+# --------------------------------------------------------------------------
+INCR_CURSOR_TS = "2024-03-01 00:00:00"
+
+
+@register(
+    "incremental_scan",
+    doc="P1 incremental predicate: updated > cursor AND an OR-of-ANDs "
+    "per-project disjunction AND a resolved-is-null-or-recent guard "
+    "(jc_issue.ts:734-776) — all plain Catalyst predicates, fully "
+    "pushed to the parquet scan (PushedFilters), zero rows read from "
+    "pruned row groups at scale",
+    tags=("filter", "pushdown"),
+    oracle=f"""
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts > TIMESTAMP '{INCR_CURSOR_TS}'
+  AND ((event_type = 'click' AND value > 50)
+       OR (event_type = 'view' AND value > 90)
+       OR event_type = 'error')
+  AND (json_extract(props, '$.k') IS NULL
+       OR CAST(json_extract(props, '$.k') AS INT) >= 10)
+""",
+)
+def incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    disjunction = (
+        ((F.col("event_type") == "click") & (F.col("value") > 50))
+        | ((F.col("event_type") == "view") & (F.col("value") > 90))
+        | (F.col("event_type") == "error")
+    )
+    return ev.filter(
+        (F.col("ts") > F.lit(INCR_CURSOR_TS).cast("timestamp"))
+        & disjunction
+        & (k.isNull() | (k >= 10))
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+# --------------------------------------------------------------------------
+# W11 — last change of day
+# --------------------------------------------------------------------------
+@register(
+    "last_change_of_day",
+    doc="W11 last-change-of-day collapse: keep each user's final event "
+    "per UTC day (row_number desc over (user, day)) — "
+    "process_revision_utils.ts:28-45",
+    tags=("window", "dedupe"),
+    oracle="""
+WITH w AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, event_id, ts, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id, day, event_id, ts, event_type FROM w WHERE rn = 1
+""",
+)
+def last_change_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "event_id", "ts", "event_type")
+    )

@@ -221,3 +221,76 @@ def custom_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id", F.element_at(values, 1).alias("field_value")
     )
+
+
+@register(
+    "snapshot_derivation",
+    doc="W5/W6/W8 snapshot derivation end-to-end: tagged revisions + "
+    "expression event dates -> per-revision as-of state category, step "
+    "category, and is-delayed — the silver `snapshots` shape "
+    "(derive_snapshots; reference revision_processor.ts:671-830, "
+    "date_utils.ts:67-95). One shuffle on work_item_id, reused by the "
+    "event-date window and the join.",
+    tags=("workflow", "window", "join"),
+    oracle=f"""
+WITH ed AS ({_EVENT_DATES_FULL_ORACLE}),
+revs AS (
+    SELECT CAST(l_orderkey AS VARCHAR) AS work_item_id,
+           l_linenumber * 4
+             + CASE l_returnflag WHEN 'N' THEN 1 WHEN 'A' THEN 2 ELSE 3 END
+             AS revision,
+           CAST(l_shipdate AS TIMESTAMP) AS changed_date,
+           CASE l_returnflag WHEN 'N' THEN 1 WHEN 'A' THEN 2 ELSE 3 END AS zone
+    FROM lineitem
+)
+SELECT r.work_item_id, r.revision,
+       CAST(r.changed_date AS DATE) AS snapshot_date,
+       CASE r.zone WHEN 0 THEN 'preceding' WHEN 1 THEN 'proposed'
+            WHEN 2 THEN 'inprogress' ELSE 'completed' END AS step_category,
+       CASE WHEN ed.departure_date IS NOT NULL
+                 AND r.changed_date >= ed.departure_date THEN 'completed'
+            WHEN ed.commitment_date IS NOT NULL
+                 AND r.changed_date >= ed.commitment_date THEN 'inprogress'
+            WHEN ed.arrival_date IS NOT NULL
+                 AND r.changed_date >= ed.arrival_date THEN 'proposed'
+            ELSE 'preceding' END AS state_category,
+       (ed.delayed_revision IS NOT NULL
+        AND r.revision >= ed.delayed_revision) AS is_delayed,
+       FALSE AS flagged
+FROM revs r JOIN ed ON ed.work_item_id = r.work_item_id
+""",
+)
+def snapshot_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.event_dates import (
+        extract_event_dates_expr,
+    )
+    from falcon_metrics_etl_spark.operators.snapshots import derive_snapshots
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    tagged = lineitem.select(
+        F.col("l_orderkey").cast("string").alias("work_item_id"),
+        (
+            F.col("l_linenumber") * 4
+            + F.when(F.col("l_returnflag") == "N", 1)
+            .when(F.col("l_returnflag") == "A", 2)
+            .otherwise(3)
+        ).alias("revision"),
+        F.col("l_shipdate").alias("changed_date"),
+        F.when(F.col("l_returnflag") == "N", 1)
+        .when(F.col("l_returnflag") == "A", 2)
+        .otherwise(3)
+        .alias("zone"),
+        F.lit("state_change").alias("type"),
+        F.lit(False).alias("flagged"),
+    )
+    event_dates = extract_event_dates_expr(tagged)
+    snaps = derive_snapshots(tagged, event_dates)
+    return snaps.select(
+        "work_item_id",
+        "revision",
+        "snapshot_date",
+        "step_category",
+        "state_category",
+        "is_delayed",
+        "flagged",
+    )
