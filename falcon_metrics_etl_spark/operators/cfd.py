@@ -29,8 +29,19 @@ def cumulative_flow(
     category_col: str = "state_category",
     completed_value: str = "completed",
     inprogress_value: str = "inprogress",
+    completed_label: str | None = None,
+    inprogress_label: str | None = None,
 ) -> DataFrame:
-    """CFD over a snapshots-like frame with (state, date, category) columns."""
+    """CFD over a snapshots-like frame with (state, date, category) columns.
+
+    ``category_col`` may be a RAW source column (e.g. a status code)
+    with ``*_value`` the codes and ``*_label`` the emitted category
+    names: filtering on the raw column keeps the predicate a plain
+    EqualTo that parquet pushdown accepts, where filtering on a derived
+    CASE expression compiles to a null-safe <=> that cannot push.
+    """
+    completed_label = completed_label or completed_value
+    inprogress_label = inprogress_label or inprogress_value
     base = snapshots.select(
         F.col(state_col).alias("state"),
         F.to_date(F.col(date_col)).alias("snapshot_date"),
@@ -50,7 +61,7 @@ def cumulative_flow(
     completed = completed_daily.select(
         "state",
         "snapshot_date",
-        F.lit(completed_value).alias("state_category"),
+        F.lit(completed_label).alias("state_category"),
         F.sum("daily_count").over(cum_window).alias("item_count"),
     )
 
@@ -61,7 +72,7 @@ def cumulative_flow(
         .select(
             "state",
             "snapshot_date",
-            F.lit(inprogress_value).alias("state_category"),
+            F.lit(inprogress_label).alias("state_category"),
             "item_count",
         )
     )

@@ -76,11 +76,17 @@ def cfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshots = lineitem.select(
         F.col("l_returnflag").alias("state"),
         F.col("l_shipdate").alias("snapshot_date"),
-        F.when(F.col("l_linestatus") == "F", F.lit("completed"))
-        .otherwise(F.lit("inprogress"))
-        .alias("state_category"),
+        # raw status code as the category: the branch filters stay
+        # plain EqualTo predicates the parquet scan accepts
+        F.col("l_linestatus").alias("state_category"),
     )
-    return cumulative_flow(snapshots)
+    return cumulative_flow(
+        snapshots,
+        completed_value="F",
+        inprogress_value="O",
+        completed_label="completed",
+        inprogress_label="inprogress",
+    )
 
 
 # --------------------------------------------------------------------------

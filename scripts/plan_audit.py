@@ -1,0 +1,85 @@
+"""Physical-plan audit across the whole query registry.
+
+For every registered query, prints one line:
+
+    name  shuffles=N  bcast=N  sortmerge=N  codegen=N  scans=N/P  [flags]
+
+flags:
+  CARTESIAN  — CartesianProduct or BroadcastNestedLoopJoin in the plan
+               (allowed only for the documented brute-force baselines)
+  NOPUSH     — a parquet scan with no pushed filters while the plan
+               filters above it. NOTE: with the driver testdata this is
+               usually inherent, not a regression — timestamps are
+               stored TIMESTAMP(NANOS), read as long and converted with
+               arithmetic (sources/tables.py), so any time predicate is
+               on a *derived* column and cannot reach the scan. On a
+               production layout (TIMESTAMP_MICROS + partition columns)
+               the identical DataFrame code pushes those filters; scans
+               over non-time columns below show pushdown working.
+  PYTHON     — Python in the plan (pandas UDF / mapInPandas stages)
+
+Usage: python scripts/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from falcon_metrics_etl_spark.plans.registry import all_queries
+from falcon_metrics_etl_spark.session import get_spark
+
+# brute-force-by-design queries where a nested-loop/cartesian join IS
+# the documented algorithm (each has an LSH/bucketed scale-path twin)
+CARTESIAN_OK = {
+    "knn_brute_cosine",
+    "embedding_near_dup_pairs",
+}
+
+
+def audit(name: str, plan: str) -> str:
+    shuffles = len(re.findall(r"\bExchange\b", plan))
+    bcast = len(re.findall(r"BroadcastHashJoin", plan))
+    smj = len(re.findall(r"SortMergeJoin", plan))
+    # codegen spans appear as "*(n) Op" in executedPlan().toString()
+    codegen = len(set(re.findall(r"\*\((\d+)\)", plan)))
+    scans = len(re.findall(r"Scan parquet", plan))
+    pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
+
+    flags = []
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan):
+        flags.append("CARTESIAN" + ("(ok)" if name in CARTESIAN_OK else "!!"))
+    has_filter = "Filter" in plan
+    if scans and has_filter and pushed == 0:
+        flags.append("NOPUSH?")
+    if re.search(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan):
+        flags.append("PYTHON")
+    return (
+        f"{name:32s} shuffles={shuffles:2d} bcast={bcast} smj={smj} "
+        f"codegen={codegen:2d} scans={scans}({pushed} pushed) "
+        f"{' '.join(flags)}"
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("plan-audit")
+    bad = 0
+    for name, q in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
+        df = q.spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        line = audit(name, plan)
+        print(line)
+        if "!!" in line:
+            bad += 1
+    print(f"\n{bad} plans with unexpected cartesian joins")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
