@@ -55,6 +55,7 @@ def all_queries() -> dict[str, Query]:
     """Import all plan modules (side-effect registration) and return the registry."""
     # local imports to avoid import cycles; each module registers on import
     from falcon_metrics_etl_spark.plans import (  # noqa: F401
+        ann_ivf,
         dedup_lsh,
         etl_parity,
         flow_metrics,
