@@ -544,3 +544,46 @@ def last_change_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "day", "event_id", "ts", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Metric-layer extension — multi-grain rollup via GROUPING SETS
+# --------------------------------------------------------------------------
+@register(
+    "throughput_rollup_grains",
+    doc="Metric-layer extension (SURVEY 2.4 note): departures counted at "
+    "three grains at once — (class, month), (class), (month) — via "
+    "GROUPING SETS, one scan + one shuffle instead of three jobs; the "
+    "gold multi-grain serving table shape",
+    tags=("aggregate", "grouping-sets", "gold"),
+    oracle="""
+SELECT COALESCE(o.o_orderpriority, 'ALL') AS class_of_service,
+       COALESCE(strftime(CAST(l.l_shipdate AS DATE), '%Y-%m'), 'ALL')
+           AS departure_month,
+       COUNT(*) AS n_departures
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY GROUPING SETS ((o.o_orderpriority,
+                         strftime(CAST(l.l_shipdate AS DATE), '%Y-%m')),
+                        (o.o_orderpriority),
+                        (strftime(CAST(l.l_shipdate AS DATE), '%Y-%m')))
+""",
+)
+def throughput_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.date_format("l_shipdate", "yyyy-MM").alias("mon")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("cls")
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    j.createOrReplaceTempView("_rollup_src")
+    out = j.sparkSession.sql(
+        """
+        SELECT COALESCE(cls, 'ALL') AS class_of_service,
+               COALESCE(mon, 'ALL') AS departure_month,
+               COUNT(*) AS n_departures
+        FROM _rollup_src
+        GROUP BY GROUPING SETS ((cls, mon), (cls), (mon))
+        """
+    )
+    return out
