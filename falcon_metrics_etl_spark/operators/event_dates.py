@@ -357,45 +357,47 @@ def extract_event_dates_expr(tagged_revisions: DataFrame) -> DataFrame:
     - delayed iff a commitment was accepted and the item's LAST revision
       is a zone-{0,1} move on a different UTC day than the commitment.
 
-    The only shuffle is the single hash partition on work_item_id; every
-    window below reuses it (one sort, multiple frames).
+    Plan shape: ONE shuffle (hash on work_item_id) and ONE sort. The
+    per-item windows order by (day, changed_date, revision) — the same
+    total order as (changed_date, revision), because day is a monotone
+    coarsening of changed_date — so the (work_item_id, day)-partitioned
+    windows' required ordering is a prefix of the same sort and Spark
+    inserts no further Sort. Suffix counts are computed as
+    whole-partition total minus running prefix (two O(n) frames) rather
+    than a shrinking [i+1, end] frame, which Spark re-evaluates per row.
     """
     big = F.lit(1 << 31)
     item = Window.partitionBy("work_item_id")
-    w = item.orderBy("changed_date", "revision")
-    w_suffix = w.rowsBetween(1, Window.unboundedFollowing)
+    w = item.orderBy("day", "changed_date", "revision")
+    w_upto = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    day = F.to_date("changed_date")
-    day_w = Window.partitionBy("work_item_id", day)
+    day_w = Window.partitionBy("work_item_id", "day")
     day_upto = day_w.orderBy("changed_date", "revision").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
 
     low = F.col("zone").isin(ZONE_BEFORE_ARRIVAL, ZONE_ARRIVAL)
+    low_1 = F.when(low, 1).otherwise(0)
+    low3_1 = F.when(F.col("zone") < ZONE_DEPARTURE, 1).otherwise(0)
     df = (
         tagged_revisions.select(
             F.col("work_item_id").cast("string").alias("work_item_id"),
             F.col("changed_date"),
             F.col("revision").cast("int").alias("revision"),
             F.col("zone").cast("int").alias("zone"),
+            F.to_date("changed_date").alias("day"),
         )
         .withColumn("rn", F.row_number().over(w))
         .withColumn(
             "later_low3",
-            F.coalesce(
-                F.sum(F.when(F.col("zone") < ZONE_DEPARTURE, 1).otherwise(0)).over(
-                    w_suffix
-                ),
-                F.lit(0),
-            ),
+            F.sum(low3_1).over(item) - F.sum(low3_1).over(w_upto),
         )
         .withColumn(
             "same_day_later_low",
-            F.sum(F.when(low, 1).otherwise(0)).over(day_w)
-            - F.sum(F.when(low, 1).otherwise(0)).over(day_upto),
+            F.sum(low_1).over(day_w) - F.sum(low_1).over(day_upto),
         )
         .withColumn("last_zone", F.last("zone").over(w_all))
-        .withColumn("last_day", F.last(day).over(w_all))
+        .withColumn("last_day", F.last("day").over(w_all))
         .withColumn("last_revision", F.last("revision").over(w_all))
     )
 
