@@ -371,6 +371,32 @@ def test_expr_path_matches_pandas_udf_on_fuzz(spark):
         assert udf_out[k] == expr_out[k], (k, udf_out[k], expr_out[k])
 
 
+def test_input_row_order_does_not_matter(spark):
+    """Reference 'ascending sorting works' (event_date_extractor.test.ts:8):
+    the extractor sorts history internally, so a shuffled input frame must
+    yield identical results on both the pandas-UDF and expression paths."""
+    import random
+
+    from falcon_metrics_etl_spark.operators.event_dates import (
+        extract_event_dates_expr,
+    )
+
+    rows = [
+        ("A", 1, 1, days(0)), ("A", 2, 2, days(1)), ("A", 3, 3, days(2)),
+        ("B", 1, 1, days(0)), ("B", 2, 2, days(1)), ("B", 3, 1, days(2)),
+        ("C", 1, 2, days(0)), ("C", 2, 0, hours(3)), ("C", 3, 3, days(4)),
+    ]
+    shuffled = rows[:]
+    random.Random(7).shuffle(shuffled)
+    schema = "work_item_id string, revision int, zone int, changed_date timestamp"
+    base = spark.createDataFrame(rows, schema)
+    shuf = spark.createDataFrame(shuffled, schema).repartition(3)
+    for fn in (extract_event_dates, extract_event_dates_expr):
+        a = {r["work_item_id"]: r.asDict() for r in fn(base).collect()}
+        b = {r["work_item_id"]: r.asDict() for r in fn(shuf).collect()}
+        assert a == b
+
+
 def test_effective_point_orders_infinity_for_empty_zone(spark):
     from falcon_metrics_etl_spark.operators.event_dates import (
         effective_point_orders,
