@@ -1,0 +1,150 @@
+"""Small-file compaction for the parquet MERGE sinks.
+
+Every ``merge_upsert`` batch appends a task's worth of files to each
+touched partition; at a 5-minute cadence (the reference's extract
+schedule, serverless.yml:148-151) a hot partition accretes hundreds of
+small files and scan cost becomes file-count-bound, not byte-bound.
+Delta/Iceberg ship OPTIMIZE / rewrite_data_files for this; over plain
+parquet the engine does the same thing explicitly:
+
+1. measure files per partition with the ``_metadata`` hidden columns
+   (file_path / file_size — a distributed, FS-agnostic listing that
+   reads no data columns);
+2. pick partitions whose file count exceeds what their byte size
+   justifies (> ceil(bytes / target_file_bytes), and >= min_files so
+   freshly-merged two-file partitions aren't churned);
+3. rewrite ONLY those partitions, bucketing rows so each lands in
+   ~target_file_bytes files, via the same stage-dir +
+   dynamic-partition-overwrite protocol as ``merge_upsert`` (job-level
+   atomic per partition; a crash leaves the old files in place).
+
+Compaction is a pure rewrite: the row multiset is unchanged, and a
+second run over a compacted table is a no-op (idempotent maintenance,
+safe to schedule like the reference's daily jobs).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .merge import _rm, _target_exists
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def partition_file_stats(
+    spark: SparkSession, path: str, partition_cols: Sequence[str]
+) -> DataFrame:
+    """Per-partition (n_files, total_bytes) from the _metadata columns.
+
+    Projects only partition values + file metadata, so the parquet
+    reader materializes no data columns; the distinct collapses to one
+    row per physical file before the per-partition rollup.
+    """
+    df = spark.read.parquet(path)
+    files = df.select(
+        *[F.col(c) for c in partition_cols],
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.file_size").alias("file_size"),
+    ).distinct()
+    return files.groupBy(*partition_cols).agg(
+        F.count("*").alias("n_files"),
+        F.sum("file_size").alias("total_bytes"),
+    )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Optional[Sequence[str]] = None,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    min_files: int = 4,
+) -> dict:
+    """Rewrite over-fragmented partitions into ~target-size files.
+
+    Returns a report: {"partitions_compacted", "files_before",
+    "files_after_target"} (0/0/0 when nothing qualifies).
+    """
+    if not _target_exists(spark, path):
+        return {"partitions_compacted": 0, "files_before": 0, "files_after_target": 0}
+
+    if not partition_cols:
+        return _compact_unpartitioned(spark, path, target_file_bytes, min_files)
+
+    pcols = list(partition_cols)
+    stats = partition_file_stats(spark, path, pcols)
+    ideal = F.greatest(
+        F.lit(1), F.ceil(F.col("total_bytes") / F.lit(target_file_bytes))
+    ).cast("int")
+    need = (
+        stats.withColumn("ideal_n", ideal)
+        .filter((F.col("n_files") >= min_files) & (F.col("n_files") > F.col("ideal_n")))
+        .collect()
+    )
+    if not need:
+        return {"partitions_compacted": 0, "files_before": 0, "files_after_target": 0}
+
+    touched = [tuple(r[c] for c in pcols) for r in need]
+    pred = F.struct(*[F.col(c) for c in pcols]).isin(
+        [F.struct(*[F.lit(v) for v in t]) for t in touched]
+    )
+    plan = spark.createDataFrame(
+        [(*t, int(r["ideal_n"])) for t, r in zip(touched, need)],
+        schema=spark.read.parquet(path).select(*pcols).schema.add("ideal_n", "integer"),
+    )
+
+    df = spark.read.parquet(path).filter(pred)
+    data_cols = [c for c in df.columns if c not in pcols]
+    bucketed = (
+        df.join(F.broadcast(plan), pcols)
+        .withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.col("ideal_n")),
+        )
+        .repartition(*[F.col(c) for c in pcols], F.col("__bucket"))
+        .drop("ideal_n", "__bucket")
+    )
+
+    stage = path.rstrip("/") + "__compact_stage__"
+    bucketed.write.mode("overwrite").partitionBy(*pcols).parquet(stage)
+    staged = spark.read.parquet(stage)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    staged.write.mode("overwrite").partitionBy(*pcols).parquet(path)
+    _rm(stage)
+
+    return {
+        "partitions_compacted": len(need),
+        "files_before": int(sum(r["n_files"] for r in need)),
+        "files_after_target": int(sum(r["ideal_n"] for r in need)),
+    }
+
+
+def _compact_unpartitioned(
+    spark: SparkSession, path: str, target_file_bytes: int, min_files: int
+) -> dict:
+    df = spark.read.parquet(path)
+    files = (
+        df.select(
+            F.col("_metadata.file_path").alias("p"),
+            F.col("_metadata.file_size").alias("s"),
+        )
+        .distinct()
+        .collect()
+    )
+    total = sum(r["s"] for r in files)
+    ideal_n = max(1, math.ceil(total / target_file_bytes))
+    if len(files) < min_files or len(files) <= ideal_n:
+        return {"partitions_compacted": 0, "files_before": 0, "files_after_target": 0}
+    stage = path.rstrip("/") + "__compact_stage__"
+    df.repartition(ideal_n).write.mode("overwrite").parquet(stage)
+    spark.read.parquet(stage).write.mode("overwrite").parquet(path)
+    _rm(stage)
+    return {
+        "partitions_compacted": 1,
+        "files_before": len(files),
+        "files_after_target": ideal_n,
+    }

@@ -1,0 +1,94 @@
+"""Compaction: fragmented partitions get rewritten to few files, data
+is byte-for-byte the same multiset, and a second run is a no-op."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.sinks.compaction import compact, partition_file_stats
+
+
+def parquet_files(path):
+    return [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if "__compact_stage__" not in f
+    ]
+
+
+def rows_of(spark, path):
+    return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+
+@pytest.fixture()
+def fragmented(spark, tmp_path):
+    """8 appended micro-batches into one hot partition -> many small
+    files (the bronze-landing shape; merge_upsert itself copy-on-writes
+    whole partitions, so its fragmentation is bounded per batch)."""
+    path = str(tmp_path / "states")
+    for batch in range(8):
+        (
+            spark.createDataFrame(
+                [("org1", f"k{batch}-{i}", batch) for i in range(50)],
+                "org_id string, sort_key string, v int",
+            )
+            .withColumn("partition_key", F.lit("state#org1"))
+            .repartition(3)
+            .write.mode("append")
+            .partitionBy("org_id")
+            .parquet(path)
+        )
+    return path
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, fragmented):
+    before_rows = rows_of(spark, fragmented)
+    n_before = len(parquet_files(fragmented))
+    assert n_before >= 4  # genuinely fragmented
+
+    report = compact(spark, fragmented, partition_cols=("org_id",))
+    assert report["partitions_compacted"] == 1
+    assert report["files_before"] == n_before
+
+    assert rows_of(spark, fragmented) == before_rows
+    n_after = len(parquet_files(fragmented))
+    assert n_after < n_before
+    assert n_after <= report["files_after_target"] + 2  # shuffle-collision slack
+
+
+def test_compact_is_idempotent(spark, fragmented):
+    compact(spark, fragmented, partition_cols=("org_id",))
+    rows1 = rows_of(spark, fragmented)
+    report2 = compact(spark, fragmented, partition_cols=("org_id",))
+    assert report2["partitions_compacted"] == 0
+    assert rows_of(spark, fragmented) == rows1
+
+
+def test_compact_leaves_healthy_partitions_alone(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("a", i) for i in range(10)], "org_id string, v int"
+    ).coalesce(1).write.partitionBy("org_id").parquet(path)
+    report = compact(spark, path, partition_cols=("org_id",))
+    assert report["partitions_compacted"] == 0
+
+
+def test_partition_file_stats(spark, fragmented):
+    stats = partition_file_stats(spark, fragmented, ["org_id"]).collect()
+    assert len(stats) == 1
+    assert stats[0]["n_files"] == len(parquet_files(fragmented))
+    assert stats[0]["total_bytes"] > 0
+
+
+def test_compact_unpartitioned(spark, tmp_path):
+    path = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "id int, s string"
+    ).repartition(10).write.parquet(path)
+    before = rows_of(spark, path)
+    report = compact(spark, path)
+    assert report["partitions_compacted"] == 1
+    assert rows_of(spark, path) == before
+    assert len(parquet_files(path)) <= report["files_after_target"]
