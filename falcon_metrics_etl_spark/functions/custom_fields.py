@@ -36,16 +36,20 @@ CUSTOM_FIELD_SCHEMA = T.ArrayType(
 )
 
 
-def _translate_value(parsed) -> list:
+def _translate_value(parsed, field_name: str = "customfield") -> list:
     """One field payload -> list of extracted string values.
 
     Mirrors translate_customfield.ts:
     - null -> literal 'null' (a valid response, kept as a marker row);
     - array -> one value per element (string kept; object by 'name'
-      then 'value'; else JSON stringified);
+      then 'value'; else JSON stringified — unconditionally,
+      translate_customfield.ts:26-47);
     - object -> 'name' | 'value' | 'displayName' | 'key' precedence;
     - scalar string/number/bool -> stringified scalar;
-    - any other object -> JSON stringified.
+    - any other TOP-LEVEL object -> JSON stringified only when the
+      field name starts with 'customfield'
+      (translate_customfield.ts:105-113); otherwise the field is
+      dropped ([] — system fields of unknown shape produce no rows).
     """
     if parsed is None:
         return ["null"]
@@ -65,12 +69,16 @@ def _translate_value(parsed) -> list:
         for key in ("name", "value", "displayName", "key"):
             if key in parsed:
                 return [_scalar(parsed[key])]
-        return [json.dumps(parsed, separators=(",", ":"))]
+        if field_name is not None and field_name.startswith("customfield"):
+            return [json.dumps(parsed, separators=(",", ":"))]
+        return []
     if isinstance(parsed, bool):
         return ["true" if parsed else "false"]
     if isinstance(parsed, (str, int, float)):
         return [_scalar(parsed)]
-    return [json.dumps(parsed, separators=(",", ":"))]
+    if field_name is not None and field_name.startswith("customfield"):
+        return [json.dumps(parsed, separators=(",", ":"))]
+    return []
 
 
 def _scalar(v) -> str:
@@ -84,23 +92,37 @@ def _scalar(v) -> str:
 
 
 @F.pandas_udf(CUSTOM_FIELD_VALUES_TYPE)
-def extract_custom_field_values(raw_json: pd.Series) -> pd.Series:
-    """Vectorized: raw JSON payload string -> array of extracted values.
-
-    A missing field (null input) yields null (the reference returns []
-    when the field is absent); a JSON 'null' yields ['null'].
-    """
-
-    def one(s):
+def _extract_values_udf(raw_json: pd.Series, field_name: pd.Series) -> pd.Series:
+    def one(s, name):
         if s is None:
             return None
         try:
             parsed = json.loads(s)
         except (ValueError, TypeError):
             parsed = s  # raw unparseable string treated as scalar
-        return _translate_value(parsed)
+        return _translate_value(parsed, name)
 
-    return raw_json.map(one)
+    return pd.Series(
+        [one(s, n) for s, n in zip(raw_json, field_name)], dtype="object"
+    )
+
+
+def extract_custom_field_values(raw_json: Column, field_name=None) -> Column:
+    """Vectorized: raw JSON payload string -> array of extracted values.
+
+    A missing field (null input) yields null (the reference returns []
+    when the field is absent); a JSON 'null' yields ['null'].
+    ``field_name`` (Column or str literal) gates the unknown-object
+    stringify fallback on the 'customfield' name prefix; when omitted
+    the fallback is taken (the permissive default for ad-hoc use).
+    """
+    if field_name is None:
+        name_col = F.lit("customfield")
+    elif isinstance(field_name, str):
+        name_col = F.lit(field_name)
+    else:
+        name_col = field_name
+    return _extract_values_udf(raw_json, name_col)
 
 
 def translate_custom_fields(
@@ -121,7 +143,7 @@ def translate_custom_fields(
     for cfg in field_configs:
         name = cfg["datasourceFieldName"]
         values = extract_custom_field_values(
-            F.col(raw_col).getItem(name)
+            F.col(raw_col).getItem(name), field_name=name
         )
         parts.append(
             F.transform(

@@ -124,6 +124,24 @@ def test_custom_field_extraction_cases(spark):
         assert got[i] == expected, CF_CASES[i]
 
 
+def test_unknown_object_requires_customfield_prefix(spark):
+    """translate_customfield.test.ts:368-416: an unknown-shaped object
+    is stringified only for 'customfield*'-named fields; system fields
+    of unknown shape produce no rows."""
+    df = spark.createDataFrame(
+        [("A", {"label": '{"t1": 100}', "customfield_label": '{"t1": 100}'})],
+        "work_item_id string, custom_fields_raw map<string,string>",
+    )
+    cfgs = [
+        {"datasourceFieldName": "label", "displayName": "L", "type": "system"},
+        {"datasourceFieldName": "customfield_label", "displayName": "CL",
+         "type": "system"},
+    ]
+    out = translate_custom_fields(df, cfgs).collect()[0]["custom_fields"]
+    got = {(c["datasourceFieldName"], c["datasourceFieldValue"]) for c in out}
+    assert got == {("customfield_label", '{"t1":100}')}
+
+
 def test_translate_custom_fields_combines_configs(spark):
     df = spark.createDataFrame(
         [("A", {"cf_1": '{"name": "alpha"}', "cf_2": '["x","y"]'})],
