@@ -101,6 +101,64 @@ def dedupe_consecutive(
     )
 
 
+def blocked_revisions(
+    revisions: DataFrame,
+    blocked_col: str,
+    item_col: str = "work_item_id",
+    order_cols: tuple = ("revision",),
+) -> DataFrame:
+    """A2 (ADO blocked stream) — src/azureboards/data/revision_utils.ts:3-39.
+
+    The reference reduces each item's history against the LAST KEPT
+    revision with an entry gate: nothing is kept until the first
+    "blocked" value (non-null and != 'No'); from there every value
+    change is kept (including changes to null/'No', flagged=false).
+    Window form: drop rows before the first blocked value, keep the
+    boundary row, then dedupe consecutive values — equivalent because
+    after the first kept row the reducer's last-kept value always
+    equals the previous row's value.
+
+    Adds ``flagged`` (value is non-null and != 'No') to kept rows.
+    """
+    w = item_window(item_col, order_cols)
+    item = Window.partitionBy(item_col)
+    val = F.col(blocked_col)
+    is_blocked = val.isNotNull() & (val != "No")
+    df = (
+        revisions.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_first_rn", F.min(F.when(is_blocked, F.col("_rn"))).over(item))
+        .withColumn("_prev", F.lag(val).over(w))
+    )
+    kept = df.filter(
+        F.col("_first_rn").isNotNull()
+        & (F.col("_rn") >= F.col("_first_rn"))
+        & (
+            (F.col("_rn") == F.col("_first_rn"))
+            | ~val.eqNullSafe(F.col("_prev"))
+        )
+    )
+    return kept.withColumn("flagged", is_blocked).drop("_rn", "_first_rn", "_prev")
+
+
+def custom_field_revisions(
+    revisions: DataFrame,
+    field_col: str,
+    item_col: str = "work_item_id",
+    order_cols: tuple = ("revision",),
+) -> DataFrame:
+    """A2 (ADO blocked/discarded-reason stream) —
+    src/azureboards/data/revision_utils.ts:112-145: null values are
+    never emitted and never become the comparison baseline, so this is
+    filter(non-null) THEN dedupe-consecutive (order matters: a null
+    between two equal values must not resurrect the second).
+
+    Adds ``field_value`` (the kept value) like the reference.
+    """
+    filtered = revisions.filter(F.col(field_col).isNotNull())
+    deduped = dedupe_consecutive(filtered, field_col, item_col, order_cols)
+    return deduped.withColumn("field_value", F.col(field_col))
+
+
 def last_change_of_day(
     revisions: DataFrame,
     item_col: str = "work_item_id",

@@ -587,3 +587,93 @@ def throughput_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# A2 — ADO gated revision streams (blocked + custom-field reasons)
+# --------------------------------------------------------------------------
+_BLOCKED_CASE = """CASE event_type WHEN 'purchase' THEN 'Yes'
+                       WHEN 'view' THEN 'No'
+                       WHEN 'click' THEN NULL
+                       WHEN 'error' THEN 'Blocked: system'
+                       ELSE 'No' END"""
+
+
+@register(
+    "ado_blocked_stream",
+    doc="A2 ADO blocked-revision stream (revision_utils.ts:3-39): per "
+    "user ordered by (ts, event_id), nothing kept before the first "
+    "blocking value (non-null, != 'No'); then every value change kept, "
+    "flagged = value blocks. operators/revisions.py::blocked_revisions",
+    tags=("window", "dedupe", "gate"),
+    oracle=f"""
+WITH src AS (
+    SELECT user_id, event_id, ts, {_BLOCKED_CASE} AS blocked
+    FROM events
+),
+w AS (
+    SELECT *, ROW_NUMBER() OVER win AS rn, LAG(blocked) OVER win AS prev
+    FROM src
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+f AS (
+    SELECT *, MIN(CASE WHEN blocked IS NOT NULL AND blocked <> 'No'
+                       THEN rn END) OVER (PARTITION BY user_id) AS first_rn
+    FROM w
+)
+SELECT user_id, event_id, ts, blocked,
+       (blocked IS NOT NULL AND blocked <> 'No') AS flagged
+FROM f
+WHERE first_rn IS NOT NULL AND rn >= first_rn
+  AND (rn = first_rn OR blocked IS DISTINCT FROM prev)
+""",
+)
+def ado_blocked_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.revisions import blocked_revisions
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.expr(_BLOCKED_CASE).alias("blocked")
+    )
+    return blocked_revisions(
+        ev, "blocked", item_col="user_id", order_cols=("ts", "event_id")
+    ).select("user_id", "event_id", "ts", "blocked", "flagged")
+
+
+@register(
+    "ado_reason_stream",
+    doc="A2 ADO blocked/discarded-reason stream (revision_utils.ts:"
+    "112-145): null values neither emit nor reset the comparison "
+    "baseline — filter(non-null) THEN dedupe-consecutive. "
+    "operators/revisions.py::custom_field_revisions",
+    tags=("window", "dedupe"),
+    oracle="""
+WITH src AS (
+    SELECT user_id, event_id, ts,
+           CASE event_type WHEN 'error' THEN 'Internal Dependency'
+                WHEN 'purchase' THEN 'External Dependency' END AS reason
+    FROM events
+),
+f AS (SELECT * FROM src WHERE reason IS NOT NULL),
+w AS (
+    SELECT *, LAG(reason) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+    FROM f
+)
+SELECT user_id, event_id, ts, reason AS field_value
+FROM w WHERE prev IS NULL OR prev <> reason
+""",
+)
+def ado_reason_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.revisions import custom_field_revisions
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit("Internal Dependency"))
+        .when(F.col("event_type") == "purchase", F.lit("External Dependency"))
+        .alias("reason"),
+    )
+    return custom_field_revisions(
+        ev, "reason", item_col="user_id", order_cols=("ts", "event_id")
+    ).select("user_id", "event_id", "ts", "field_value")
