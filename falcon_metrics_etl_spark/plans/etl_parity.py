@@ -677,3 +677,88 @@ def ado_reason_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return custom_field_revisions(
         ev, "reason", item_col="user_id", order_cols=("ts", "event_id")
     ).select("user_id", "event_id", "ts", "field_value")
+
+
+# --------------------------------------------------------------------------
+# F15 — demo-data date refresh (update_mock_data_date job)
+# --------------------------------------------------------------------------
+@register(
+    "demo_shift_date_range",
+    doc="F15 demo date-range shift (date_update_utils.ts:67-85): each "
+    "payload row's (from, until) range moves forward by "
+    "(anchor - until) days when positive; rows at/past the anchor are "
+    "untouched. operators/demo_refresh.py::shift_date_range",
+    tags=("scalar", "demo"),
+    oracle="""
+WITH p AS (
+    SELECT o_custkey,
+           MIN(CAST(o_orderdate AS DATE)) AS from_date,
+           MAX(CAST(o_orderdate AS DATE)) AS until_date
+    FROM orders GROUP BY o_custkey
+),
+d AS (
+    SELECT *, date_diff('day', until_date, DATE '1999-06-07') AS dd FROM p
+)
+SELECT o_custkey,
+       CASE WHEN dd > 0 THEN from_date + CAST(dd AS INTEGER) ELSE from_date END AS from_date,
+       CASE WHEN dd > 0 THEN until_date + CAST(dd AS INTEGER) ELSE until_date END AS until_date
+FROM d
+""",
+)
+def demo_shift_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.demo_refresh import shift_date_range
+
+    payload = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", F.to_date("o_orderdate").alias("d"))
+        .groupBy("o_custkey")
+        .agg(F.min("d").alias("from_date"), F.max("d").alias("until_date"))
+    )
+    return shift_date_range(
+        payload,
+        ["from_date", "until_date"],
+        "until_date",
+        F.to_date(F.lit("1999-06-07")),
+    )
+
+
+@register(
+    "demo_rebase_stale_weeks",
+    doc="F15 weekly-series rebase (date_update_utils.ts:42-64): per "
+    "customer, when the latest week differs from the anchor's week the "
+    "whole series snaps to the anchor's Monday; current series are "
+    "untouched. operators/demo_refresh.py::rebase_stale_weeks",
+    tags=("window", "demo"),
+    oracle="""
+WITH w AS (
+    SELECT o_custkey, CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1, 2
+),
+m AS (
+    SELECT *, MAX(wk) OVER (PARTITION BY o_custkey) AS latest FROM w
+)
+SELECT o_custkey,
+       CASE WHEN date_trunc('week', latest)
+                 <> date_trunc('week', DATE '2001-07-30')
+            THEN CAST(date_trunc('week', DATE '2001-07-30') AS DATE)
+            ELSE wk END AS wk,
+       n
+FROM m
+""",
+)
+def demo_rebase_stale_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.demo_refresh import rebase_stale_weeks
+
+    weekly = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.date_trunc("week", "o_orderdate").cast("date").alias("wk"),
+        )
+        .groupBy("o_custkey", "wk")
+        .agg(F.count("*").alias("n"))
+    )
+    return rebase_stale_weeks(
+        weekly, ["o_custkey"], "wk", F.to_date(F.lit("2001-07-30"))
+    )
