@@ -53,3 +53,52 @@ def pct_round2(numerator: Column, denominator: Column) -> Column:
     """F13 — percentage rounded to 2dp
     (extract_flomatika_insights_processor.ts:144-146)."""
     return F.round(numerator * 100.0 / denominator, 2)
+
+
+def difference_over_threshold(
+    target: Column, predicted: Column, unit: str, threshold: float
+) -> Column:
+    """F6 notifications — |predicted - target| in ``unit`` exceeds the
+    threshold (flomatika_notifications/process/utils.ts:23-47).
+
+    Units: 'day' (whole-day diff), 'week' (days/7, Luxon's exact
+    day-based week diff), 'month' (calendar-aware fractional months,
+    ``months_between``). Unknown units raise (the reference's switch
+    silently returns true; being loud is safer for configs).
+    """
+    if unit == "day":
+        diff = F.abs(F.datediff(predicted, target))
+    elif unit == "week":
+        diff = F.abs(F.datediff(predicted, target) / F.lit(7.0))
+    elif unit == "month":
+        diff = F.abs(F.months_between(predicted, target))
+    else:
+        raise ValueError(f"unknown threshold unit {unit!r}")
+    return diff > F.lit(threshold)
+
+
+def direction_correct(target: Column, predicted: Column, direction: str) -> Column:
+    """F6 notifications — notify only when the forecast moved in the
+    subscribed direction (utils.ts:9-22): 'down' = slipped later,
+    'up' = pulled earlier, 'both' = always."""
+    if direction == "down":
+        return predicted > target
+    if direction == "up":
+        return predicted < target
+    return F.lit(True)
+
+
+def evaluate_threshold(
+    target: Column,
+    predicted: Column,
+    unit: str,
+    threshold: float,
+    direction: str = "both",
+) -> Column:
+    """F6 — full subscription evaluation (utils.ts:55-80): direction
+    gate AND threshold breach; a null target never notifies."""
+    return (
+        target.isNotNull()
+        & direction_correct(target, predicted, direction)
+        & difference_over_threshold(target, predicted, unit, threshold)
+    )

@@ -295,3 +295,51 @@ def test_transform_work_items_end_to_end(spark):
     assert by_rev[2]["state_category"] == "inprogress"
     assert by_rev[3]["state_category"] == "completed"
     assert all(r["is_delayed"] is False for r in sn)
+
+
+# ----------------------------------------------------- F6 notifications
+
+def test_threshold_evaluation_reference_scenarios(spark):
+    """flomatika_notifications utils.test.ts:10-86: month/day/week unit
+    switches and the evaluate path for the example subscription."""
+    from falcon_metrics_etl_spark.functions.scalar import (
+        difference_over_threshold,
+        evaluate_threshold,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # (id, target, predicted, unit, threshold, expected)
+            (1, "2022-02-01", "2022-02-05", "month", 1.0, False),
+            (2, "2022-02-01", "2022-03-05", "month", 1.0, True),
+            (3, "2022-02-01", "2022-02-01", "day", 1.0, False),
+            (4, "2022-02-01", "2022-02-05", "day", 1.0, True),
+            (5, "2022-02-01", "2022-02-03", "week", 1.0, False),
+            (6, "2022-02-01", "2022-02-15", "week", 1.0, True),
+        ],
+        "id int, target string, predicted string, unit string, "
+        "threshold double, expected boolean",
+    )
+    for unit in ("day", "week", "month"):
+        part = df.filter(F.col("unit") == unit)
+        got = part.select(
+            "id",
+            difference_over_threshold(
+                F.to_date("target"), F.to_date("predicted"), unit, 1.0
+            ).alias("over"),
+            "expected",
+        ).collect()
+        for r in got:
+            assert r["over"] == r["expected"], (unit, r["id"])
+
+    # evaluate: 7-day threshold, direction both, target 2022-04-25,
+    # p85 2022-04-03 -> notify (utils.test.ts:56-86)
+    one = spark.createDataFrame(
+        [("2022-04-25", "2022-04-03")], "target string, p85 string"
+    )
+    row = one.select(
+        evaluate_threshold(
+            F.to_date("target"), F.to_date("p85"), "day", 7.0, "both"
+        ).alias("notify")
+    ).collect()[0]
+    assert row["notify"] is True
