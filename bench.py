@@ -42,6 +42,40 @@ HEADLINE = [
 ]
 
 
+def time_streaming(spark, sf_dir: str) -> float:
+    """ST7 end-to-end: availableNow drain of the events table through a
+    watermarked tumbling-window aggregation into the noop sink — the
+    scheduled-micro-batch shape of the reference's 5-minute tick.
+    Fresh checkpoint per run (the cost being measured includes state
+    store + commit-log overhead)."""
+    import shutil
+    import tempfile
+
+    from falcon_metrics_etl_spark.streaming.jobs import (
+        stream_events,
+        stream_windowed_counts,
+    )
+
+    best = float("inf")
+    for _ in range(2):
+        ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+        agg = stream_windowed_counts(
+            spark, "", "", source=stream_events(spark, sf_dir)
+        )
+        t0 = time.time()
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        best = min(best, time.time() - t0)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -57,6 +91,8 @@ def main() -> None:
             q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+
+    timings["stream_windowed_daily"] = round(time_streaming(spark, sf_dir), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -24,6 +24,29 @@ from pyspark.sql.streaming import StreamingQuery
 from falcon_metrics_etl_spark.sinks.merge import merge_upsert
 
 
+# the driver-generated events table, as a stream source: ts arrives as
+# long nanos (TIMESTAMP(NANOS) parquet + nanosAsLong), normalized here
+# exactly like the batch reader (sources/tables.py)
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    # events.parquet is a single file; the file stream source wants a
+    # directory, so stream the sf dir filtered down to that one file
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
 def stream_windowed_counts(
     spark: SparkSession,
     source_dir: str,
@@ -32,14 +55,21 @@ def stream_windowed_counts(
     key_col: str = "event_type",
     window_len: str = "1 day",
     watermark: str = "1 day",
+    source: Optional[DataFrame] = None,
 ) -> DataFrame:
     """ST7: tumbling-window counts per key over a file-stream source.
 
     Late rows older than the watermark are dropped (bounded state);
     everything stays in built-in streaming aggregation — no
-    applyInPandasWithState needed for this shape.
+    applyInPandasWithState needed for this shape. Pass ``source`` to
+    aggregate an already-built streaming DataFrame (e.g.
+    ``stream_events``) instead of a raw schema+dir read.
     """
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    stream = (
+        source
+        if source is not None
+        else spark.readStream.schema(schema).parquet(source_dir)
+    )
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(
