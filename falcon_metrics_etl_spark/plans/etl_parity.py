@@ -762,3 +762,64 @@ def demo_rebase_stale_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebase_stale_weeks(
         weekly, ["o_custkey"], "wk", F.to_date(F.lit("2001-07-30"))
     )
+
+
+# --------------------------------------------------------------------------
+# Scale infrastructure as queries — skew salting (result == unsalted)
+# --------------------------------------------------------------------------
+@register(
+    "salted_join_orders",
+    doc="Skew-salted equi-join (operators/skew.py::salted_join): "
+    "lineitem (big, salted over 8 sub-keys via deterministic row hash) "
+    "joined to per-order dims replicated per salt; result is exactly "
+    "the plain join — the oracle IS the unsalted join — while the "
+    "shuffle key widens to (o_orderkey, __salt) so one whale order "
+    "spreads over 8 reducers",
+    tags=("join", "skew", "scale"),
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+       o.o_orderpriority, o.o_orderstatus
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+""",
+)
+def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.skew import salted_join
+
+    big = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"), "l_linenumber", "l_quantity"
+    )
+    small = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    return salted_join(big, small, ["l_orderkey"], "inner", salt=8)
+
+
+@register(
+    "salted_distinct_users",
+    doc="Two-phase salted aggregation (operators/skew.py::salted_agg) "
+    "for a holistic agg: distinct users per event_type — phase 1 "
+    "collects per (type, salt), phase 2 merges; equals the plain "
+    "COUNT(DISTINCT) while a whale key's rows meet 8 reducers, not 1",
+    tags=("aggregate", "skew", "scale"),
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {"us": F.collect_set("user_id")},
+        {
+            "n_users": F.size(
+                F.array_distinct(F.flatten(F.collect_list("us")))
+            ).cast("long")
+        },
+        salt=8,
+    )
