@@ -1,0 +1,68 @@
+"""S7 JSON staging readers: per-item files with path-derived keys and
+corrupt-record quarantine; array id-list files with filename keys."""
+
+import json
+import os
+
+import pytest
+
+from falcon_metrics_etl_spark.sources.json_staging import (
+    CORRUPT_COL,
+    read_id_list_staging,
+    read_json_staging,
+)
+
+ITEM_SCHEMA = "title string, status string, points int"
+
+
+@pytest.fixture()
+def staging(tmp_path):
+    def put(org, kind, ds, item, payload, raw=None):
+        d = tmp_path / org / f"{kind}-{ds}"
+        d.mkdir(parents=True, exist_ok=True)
+        body = raw if raw is not None else json.dumps(payload, indent=2)
+        (d / f"{item}.json").write_text(body)
+
+    put("org1", "state", "jira-abc", "FLO-1",
+        {"title": "fix login", "status": "Done", "points": 3})
+    put("org1", "state", "jira-abc", "FLO-2",
+        {"title": "add sso", "status": "Doing", "points": 5})
+    put("org2", "snapshot", "ado-xyz", "77",
+        {"title": "migrate db", "status": "New", "points": 8})
+    put("org2", "snapshot", "ado-xyz", "78", None, raw="{not valid json!")
+    return str(tmp_path)
+
+
+def test_read_json_staging_payload_and_keys(spark, staging):
+    df = read_json_staging(spark, staging, ITEM_SCHEMA)
+    rows = {r["work_item_id"]: r.asDict() for r in df.collect()}
+    assert set(rows) == {"FLO-1", "FLO-2", "77", "78"}
+    assert rows["FLO-1"]["org_id"] == "org1"
+    assert rows["FLO-1"]["item_kind"] == "state"
+    assert rows["FLO-1"]["datasource_id"] == "jira-abc"
+    assert rows["FLO-1"]["status"] == "Done"
+    assert rows["77"]["org_id"] == "org2"
+    assert rows["77"]["item_kind"] == "snapshot"
+    assert rows["77"]["datasource_id"] == "ado-xyz"
+
+
+def test_corrupt_record_quarantined_not_fatal(spark, staging):
+    df = read_json_staging(spark, staging, ITEM_SCHEMA)
+    bad = df.filter(df[CORRUPT_COL].isNotNull()).collect()
+    assert [r["work_item_id"] for r in bad] == ["78"]
+    assert bad[0]["title"] is None
+    assert "not valid json" in bad[0][CORRUPT_COL]
+
+
+def test_read_id_list_staging(spark, tmp_path):
+    lists = tmp_path / "lists"
+    lists.mkdir()
+    (lists / "org1--ds9--ctxA.json").write_text(json.dumps(["FLO-1", "FLO-2"]))
+    (lists / "org2--ds3--ctxB.json").write_text(json.dumps(["77"]))
+    df = read_id_list_staging(spark, str(lists))
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [
+        ("77", "org2", "ds3", "ctxB"),
+        ("FLO-1", "org1", "ds9", "ctxA"),
+        ("FLO-2", "org1", "ds9", "ctxA"),
+    ]
