@@ -102,3 +102,15 @@ def evaluate_threshold(
         & direction_correct(target, predicted, direction)
         & difference_over_threshold(target, predicted, unit, threshold)
     )
+
+
+def past_due(base: Column, period_minutes: Column, now: Column) -> Column:
+    """Scheduler due-date rule (src/utils/date_utils.ts:5-28): true when
+    ``base + period`` has elapsed at ``now``; a missing base or period
+    is always due (first run / unconfigured = run now). ``now`` is
+    injected, never Date.now(), so plans stay deterministic/testable.
+    """
+    due = base.cast("timestamp") + F.make_interval(
+        mins=period_minutes.cast("int")
+    )
+    return base.isNull() | period_minutes.isNull() | (due <= now)
