@@ -2,7 +2,10 @@
 
 The reference's chain-of-responsibility field mapper copies a source
 field to a destination field iff every equality condition on the row
-holds, first matching map wins
+holds. EVERY mapper in the chain executes in order (map() runs its own
+executeMap then delegates, field_mapper.ts:10-19), so when several
+maps match the same destination the LAST one wins; a mapper with no
+conditions maps nothing (ts:61 early-return — the DoNothing shape).
 (/root/reference/src/configuration/field_map/field_mapper.ts:1-101;
 fieldMaps config table sql/full_ddl.sql:391-401).
 
@@ -24,9 +27,11 @@ from pyspark.sql import functions as F
 def apply_field_maps(items: DataFrame, field_maps: list[dict]) -> DataFrame:
     """field_maps: ordered [{srcField, dstField, conditions: {col: value}}].
 
-    For each destination column, maps are tried in order; the first one
-    whose conditions all hold supplies the value; otherwise the existing
-    destination value (if the column exists) or null is kept.
+    For each destination column, every map runs in order and the LAST
+    one whose conditions all hold supplies the value (reference chain
+    semantics); a map with no conditions never fires; when nothing
+    fires the existing destination value (if the column exists) or
+    null is kept.
     """
     by_dst: dict[str, list[dict]] = defaultdict(list)
     for m in field_maps:
@@ -36,12 +41,14 @@ def apply_field_maps(items: DataFrame, field_maps: list[dict]) -> DataFrame:
     for dst, maps in by_dst.items():
         fallback = F.col(dst) if dst in out.columns else F.lit(None)
         expr = fallback
-        for m in reversed(maps):  # build chain so earlier maps win
+        for m in maps:  # forward wrap: the last map lands outermost = wins
             conds = [
                 F.col(col).eqNullSafe(F.lit(val))
                 for col, val in m.get("conditions", {}).items()
             ]
-            all_conds = reduce(lambda a, b: a & b, conds, F.lit(True))
+            if not conds:  # conditionless mapper maps nothing (ts:61)
+                continue
+            all_conds = reduce(lambda a, b: a & b, conds)
             expr = F.when(all_conds, F.col(m["srcField"])).otherwise(expr)
         out = out.withColumn(dst, expr)
     return out

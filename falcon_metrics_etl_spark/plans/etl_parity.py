@@ -92,32 +92,35 @@ def linked_items_translation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F17 — config-driven conditional field mapping
 # --------------------------------------------------------------------------
 _FIELD_MAPS = [
-    # first matching map wins per destination (chain of responsibility)
+    # every map executes in order; the LAST match wins per destination
+    # (reference chain semantics), and a conditionless map never fires
     {
         "srcField": "o_orderpriority",
         "dstField": "sla_class",
-        "conditions": {"o_orderstatus": "F", "o_orderpriority": "1-URGENT"},
+        "conditions": {"o_orderstatus": "F"},
     },
     {
         "srcField": "o_orderstatus",
         "dstField": "sla_class",
-        "conditions": {"o_orderstatus": "P"},
+        "conditions": {"o_orderstatus": "F", "o_orderpriority": "1-URGENT"},
     },
+    {"srcField": "o_clerk", "dstField": "sla_class", "conditions": {}},
 ]
 
 
 @register(
     "field_mapper_conditional",
-    doc="F17 chain-of-responsibility field mapper: ordered config maps "
-    "copy src->dst iff all equality conditions hold, first match wins; "
-    "config compiles to one chained when()/otherwise() Catalyst "
-    "expression (field_mapper.ts:1-101, fieldMaps DDL 391-401)",
+    doc="F17 chain-of-responsibility field mapper: every config map "
+    "executes in order, src->dst iff all equality conditions hold, "
+    "LAST match wins, conditionless maps fire nothing; config compiles "
+    "to one chained when()/otherwise() Catalyst expression "
+    "(field_mapper.ts:1-101, fieldMaps DDL 391-401)",
     tags=("expression", "config"),
     oracle="""
 SELECT CAST(o_orderkey AS VARCHAR) AS work_item_id,
        CASE WHEN o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
-                THEN o_orderpriority
-            WHEN o_orderstatus = 'P' THEN o_orderstatus
+                THEN o_orderstatus
+            WHEN o_orderstatus = 'F' THEN o_orderpriority
        END AS sla_class
 FROM orders
 """,

@@ -188,16 +188,24 @@ def test_translate_linked_items(spark):
 # ------------------------------------------------------------ F17 mapper
 
 def test_field_mapper_chain_of_responsibility(spark):
+    """field_mapper.test.ts:87-242: all-conditions-true maps the value
+    (116), dest created when absent (148), a false condition maps
+    nothing (179), NO conditions maps nothing (211); chained mappers
+    all execute so the last match wins (ts:10-19)."""
     df = spark.createDataFrame(
-        [("A", "bug", "urgent"), ("B", "task", "normal")],
+        [("A", "bug", "urgent"), ("B", "task", "normal"), ("C", "epic", "low")],
         "work_item_id string, kind string, prio string",
     )
     maps = [
         {"srcField": "prio", "dstField": "cos", "conditions": {"kind": "bug"}},
-        {"srcField": "kind", "dstField": "cos", "conditions": {}},
+        {"srcField": "kind", "dstField": "cos",
+         "conditions": {"kind": "bug", "prio": "urgent"}},  # overlap: wins
+        {"srcField": "kind", "dstField": "cos", "conditions": {}},  # inert
+        {"srcField": "prio", "dstField": "cos",
+         "conditions": {"kind": "task", "prio": "wrong"}},  # false cond
     ]
     out = {r["work_item_id"]: r["cos"] for r in apply_field_maps(df, maps).collect()}
-    assert out == {"A": "urgent", "B": "task"}
+    assert out == {"A": "bug", "B": None, "C": None}
 
 
 # --------------------------------------------------------- revision ops
