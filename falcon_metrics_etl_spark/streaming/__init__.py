@@ -4,6 +4,10 @@ from falcon_metrics_etl_spark.streaming.cursors import (
     load_cursor,
 )
 from falcon_metrics_etl_spark.streaming.incremental import run_incremental_batch
+from falcon_metrics_etl_spark.streaming.windows import (
+    stream_session_counts,
+    stream_sessionize_stateful,
+)
 from falcon_metrics_etl_spark.streaming.jobs import (
     foreach_batch_merge,
     stream_windowed_counts,
@@ -15,5 +19,7 @@ __all__ = [
     "advance_cursor",
     "run_incremental_batch",
     "stream_windowed_counts",
+    "stream_session_counts",
+    "stream_sessionize_stateful",
     "foreach_batch_merge",
 ]

@@ -92,12 +92,15 @@ def foreach_batch_merge(
     checkpoint_dir: str,
     partition_cols: Optional[Sequence[str]] = None,
     available_now: bool = True,
+    output_mode: str = "update",
 ) -> StreamingQuery:
     """ST2: write a stream through idempotent MERGE micro-batches.
 
     ``availableNow`` drains everything currently available then stops —
     the scheduled-batch mode the reference's 5-minute EventBridge tick
-    corresponds to; pass False for a continuous query.
+    corresponds to; pass False for a continuous query. ``output_mode``
+    defaults to update (keyed aggregations re-merge in place); session
+    windows require append (rows emit once the watermark closes them).
     """
     spark = streaming_df.sparkSession
 
@@ -108,7 +111,7 @@ def foreach_batch_merge(
 
     writer = (
         streaming_df.writeStream.foreachBatch(_merge)
-        .outputMode("update")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

@@ -1,0 +1,148 @@
+"""Streaming session windows — ST7's gap-session shape, two ways.
+
+The batch twin is the lag+cumsum ``sessionization`` query
+(plans/timeseries.py). In streaming:
+
+- ``stream_session_counts`` — the built-in ``session_window``
+  aggregation: right whenever "a session" is just (start, end,
+  count). State, merging and watermark eviction are all JVM-side.
+- ``stream_sessionize_stateful`` — ``applyInPandasWithState``: the
+  custom-state escape hatch for semantics session_window can't
+  express (emit-on-close rows, per-user running session ordinals).
+  Sessions are emitted when CLOSED, either by a later event more than
+  ``gap`` after the session end, or by the event-time timeout firing
+  once the watermark passes end+gap. State per user is three longs —
+  bounded regardless of stream length; the watermark bounds how long
+  an idle user's state survives.
+
+Both run under availableNow for scheduled-batch drains (the
+reference's 5-minute tick) and keep exactly-once output through the
+checkpoint + idempotent-merge sink (jobs.foreach_batch_merge).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user_id string, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+_STATE_SCHEMA = "start_us long, end_us long, n long"
+
+
+def stream_session_counts(
+    source: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Built-in gap sessions: one row per (key, session) with bounds
+    and event count."""
+    return (
+        source.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_sessionize_stateful(
+    source: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_seconds: int = 1800,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Custom stateful sessionizer: emits one row per CLOSED session.
+
+    A session closes when a later event for the key arrives more than
+    ``gap_seconds`` after its end, or when the watermark passes
+    end+gap (event-time timeout) — so trailing sessions emit without
+    waiting for the user to return.
+    """
+    gap_us = gap_seconds * 1_000_000
+    gap_ms = gap_seconds * 1_000
+
+    def fn(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+
+        def emit(rows):
+            return pd.DataFrame(
+                rows,
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            ).astype(
+                {
+                    "session_start": "datetime64[us]",
+                    "session_end": "datetime64[us]",
+                    "n_events": "int64",
+                }
+            )
+
+        def to_ts(us):
+            return pd.Timestamp(us, unit="us")
+
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield emit([(user_id, to_ts(start_us), to_ts(end_us), n)])
+            return
+
+        ts_us = (
+            pd.concat([p[ts_col] for p in pdfs])
+            .sort_values()
+            .astype("datetime64[us]")
+            .astype("int64")
+        )
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us = end_us = -1
+            n = 0
+
+        closed = []
+        for t in ts_us:
+            if n == 0:
+                start_us, end_us, n = t, t, 1
+            elif t - end_us > gap_us:
+                closed.append((user_id, to_ts(start_us), to_ts(end_us), n))
+                start_us, end_us, n = t, t, 1
+            else:
+                end_us = max(end_us, int(t))
+                n += 1
+        state.update((int(start_us), int(end_us), int(n)))
+        # close the open session once event time moves past end+gap;
+        # timeout must sit beyond the current watermark to register
+        timeout_ms = max(
+            end_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1
+        )
+        state.setTimeoutTimestamp(timeout_ms)
+        if closed:
+            yield emit(closed)
+
+    return (
+        source.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

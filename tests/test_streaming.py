@@ -150,3 +150,109 @@ def test_stream_foreach_batch_merge_idempotent_restart(spark, tmp_path):
         ("2024-01-01", "view"): 1,
         ("2024-01-02", "view"): 1,
     }
+
+
+# ---------------------------------------------------- ST7 session windows
+
+USERS_SCHEMA = "event_id long, ts string, user_id string"
+
+
+def _write_user_events(spark, path, rows, mode="append"):
+    spark.createDataFrame(rows, USERS_SCHEMA).withColumn(
+        "ts", F.to_timestamp("ts")
+    ).coalesce(1).write.mode(mode).parquet(path)
+
+
+def test_stream_session_counts_builtin(spark, tmp_path):
+    """session_window aggregations are append-mode: closed sessions
+    emit once the watermark passes them, so a second drain with late
+    data flushes the first run's sessions."""
+    from falcon_metrics_etl_spark.streaming import stream_session_counts
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        agg = stream_session_counts(
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id string"
+            ).parquet(src)
+        )
+        q = foreach_batch_merge(
+            agg, sink, keys=("user_id", "session_start"),
+            checkpoint_dir=ckpt, output_mode="append",
+        )
+        _drain(q)
+
+    _write_user_events(spark, src, [
+        (1, "2024-01-01 10:00:00", "A"),
+        (2, "2024-01-01 10:10:00", "A"),   # same session (gap 30m)
+        (3, "2024-01-01 12:00:00", "A"),   # new session
+        (4, "2024-01-01 10:05:00", "B"),
+    ])
+    run()
+    # day-3 event -> watermark (1 day lag) passes every day-1 session
+    _write_user_events(spark, src, [(5, "2024-01-03 09:00:00", "A")])
+    run()
+    got = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {
+        ("A", "2024-01-01 10:00:00"): 2,
+        ("A", "2024-01-01 12:00:00"): 1,
+        ("B", "2024-01-01 10:05:00"): 1,
+    }
+
+
+def test_stream_sessionize_stateful_closes_on_gap_and_timeout(spark, tmp_path):
+    """Custom state survives a checkpointed restart: run 1 leaves open
+    sessions in state; run 2's later events close A's first session via
+    the gap rule, and the advancing watermark times out B's session
+    with no new B events at all."""
+    from falcon_metrics_etl_spark.streaming import stream_sessionize_stateful
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = stream_sessionize_stateful(
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id string"
+            ).parquet(src),
+            gap_seconds=1800,
+            watermark="10 minutes",
+        )
+        q = foreach_batch_merge(
+            stream, sink, keys=("user_id", "session_start"),
+            checkpoint_dir=ckpt, output_mode="append",
+        )
+        _drain(q)
+
+    _write_user_events(spark, src, [
+        (1, "2024-01-01 10:00:00", "A"),
+        (2, "2024-01-01 10:10:00", "A"),
+        (3, "2024-01-01 10:05:00", "B"),
+    ])
+    run()
+    # both sessions still open -> nothing emitted, sink never created
+    import os
+
+    assert not os.path.exists(sink)
+
+    _write_user_events(spark, src, [
+        (4, "2024-01-01 13:00:00", "A"),   # > gap: closes A's 10:00 session
+        (5, "2024-01-01 23:00:00", "A"),   # drives watermark far forward
+    ])
+    run()
+    got = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"]
+        )
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got[("A", "2024-01-01 10:00:00")] == ("2024-01-01 10:10:00", 2)
+    # B emitted by event-time timeout despite no new B events
+    assert got[("B", "2024-01-01 10:05:00")] == ("2024-01-01 10:05:00", 1)
