@@ -826,3 +826,91 @@ def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt=8,
     )
+
+
+# --------------------------------------------------------------------------
+# W9 — initial-revision synthesis
+# --------------------------------------------------------------------------
+@register(
+    "initial_revision_synthesis",
+    doc="W9 initial-revision synthesis (revision_processor.ts:450-499): "
+    "prepend a revision 0 at the item's creation date taking the first "
+    "state-change revision's from-status, or the item's own status when "
+    "no revisions exist. operators/revisions.py::synthesize_initial_revision",
+    tags=("window", "union", "workflow"),
+    oracle="""
+WITH items AS (
+    SELECT 'org1' AS org_id, 'ds1' AS datasource_id,
+           CAST(o_orderkey AS VARCHAR) AS work_item_id,
+           CAST(o_orderdate AS TIMESTAMP) AS created_date,
+           o_orderstatus AS status_id, o_orderstatus AS status_name
+    FROM orders
+),
+revs AS (
+    SELECT CAST(l_orderkey AS VARCHAR) AS work_item_id,
+           l_linenumber AS revision,
+           CAST(l_shipdate AS TIMESTAMP) AS changed_date,
+           'state_change' AS type,
+           l_returnflag AS status_id, l_returnflag AS status_name,
+           'Q' || CAST(CAST(l_quantity AS INT) AS VARCHAR) AS from_status_id,
+           'Q' || CAST(CAST(l_quantity AS INT) AS VARCHAR) AS from_status_name
+    FROM lineitem WHERE l_quantity > 10
+),
+first_state AS (
+    SELECT work_item_id, from_status_id AS first_from_id,
+           from_status_name AS first_from_name
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY work_item_id
+                                     ORDER BY changed_date, revision) AS rn
+        FROM revs
+    ) WHERE rn = 1
+),
+initial AS (
+    SELECT i.work_item_id, 0 AS revision, i.created_date AS changed_date,
+           'state_change' AS type,
+           COALESCE(f.first_from_id, i.status_id) AS status_id,
+           COALESCE(f.first_from_name, i.status_name) AS status_name
+    FROM items i LEFT JOIN first_state f USING (work_item_id)
+)
+SELECT work_item_id, revision, changed_date, type, status_id, status_name
+FROM revs
+UNION ALL
+SELECT work_item_id, revision, changed_date, type, status_id, status_name
+FROM initial
+""",
+)
+def initial_revision_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.revisions import (
+        synthesize_initial_revision,
+    )
+
+    items = load_table(spark, sf_dir, "orders").select(
+        F.lit("org1").alias("org_id"),
+        F.lit("ds1").alias("datasource_id"),
+        F.col("o_orderkey").cast("string").alias("work_item_id"),
+        F.col("o_orderdate").alias("created_date"),
+        F.col("o_orderstatus").alias("status_id"),
+        F.col("o_orderstatus").alias("status_name"),
+    )
+    qual = F.concat(
+        F.lit("Q"), F.col("l_quantity").cast("int").cast("string")
+    )
+    revs = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 10)
+        .select(
+            F.col("l_orderkey").cast("string").alias("work_item_id"),
+            F.col("l_linenumber").alias("revision"),
+            F.col("l_shipdate").alias("changed_date"),
+            F.lit("state_change").alias("type"),
+            F.col("l_returnflag").alias("status_id"),
+            F.col("l_returnflag").alias("status_name"),
+            qual.alias("from_status_id"),
+            qual.alias("from_status_name"),
+        )
+    )
+    out = synthesize_initial_revision(revs, items)
+    return out.select(
+        "work_item_id", "revision", "changed_date", "type",
+        "status_id", "status_name",
+    )
