@@ -152,3 +152,46 @@ def test_range_join_matches_naive_inequality_join(spark):
     )
     cols = ["user_id", "event_id", "win_id"]
     assert _rows(fast, *cols) == _rows(naive, *cols)
+
+
+def test_asof_matches_naive_on_random_data(spark):
+    import random
+
+    rng = random.Random(20260813)
+    left = spark.createDataFrame(
+        [
+            (f"k{rng.randint(0, 8)}", i, ts(rng.randint(1, 25), rng.randint(0, 23)))
+            for i in range(400)
+        ],
+        "k string, lid int, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (f"k{rng.randint(0, 8)}", 1000 + i,
+             ts(rng.randint(1, 25), rng.randint(0, 23)))
+            for i in range(150)
+        ],
+        "k string, rid int, rts timestamp",
+    ).dropDuplicates(["k", "rts"])  # unique right ts per key (asof contract)
+
+    fast = asof_join(left, right, ["k"], "lts", "rts")
+
+    from pyspark.sql import Window
+
+    cand = left.join(right, "k", "left").filter(
+        F.col("rts").isNull() | (F.col("rts") <= F.col("lts"))
+    )
+    w = Window.partitionBy("k", "lid").orderBy(F.col("rts").desc_nulls_last())
+    naive = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "lid", "rid")
+    )
+    # left rows whose every right candidate was filtered out vanish from
+    # cand -> re-add via anti join with null rid
+    missing = left.join(naive.select("k", "lid"), ["k", "lid"], "left_anti").select(
+        "k", "lid", F.lit(None).cast("int").alias("rid")
+    )
+    naive_full = naive.unionByName(missing)
+
+    assert _rows(fast, "k", "lid", "rid") == _rows(naive_full, "k", "lid", "rid")
