@@ -847,14 +847,18 @@ WITH items AS (
     FROM orders
 ),
 revs AS (
+    -- the synthetic lineitem repeats (orderkey, linenumber, shipdate)
+    -- with different payloads: collapse to one row per key so the
+    -- first-revision ordering has no ties (determinism for the gate)
     SELECT CAST(l_orderkey AS VARCHAR) AS work_item_id,
            l_linenumber AS revision,
            CAST(l_shipdate AS TIMESTAMP) AS changed_date,
            'state_change' AS type,
-           l_returnflag AS status_id, l_returnflag AS status_name,
-           'Q' || CAST(CAST(l_quantity AS INT) AS VARCHAR) AS from_status_id,
-           'Q' || CAST(CAST(l_quantity AS INT) AS VARCHAR) AS from_status_name
+           MAX(l_returnflag) AS status_id, MAX(l_returnflag) AS status_name,
+           MAX('Q' || CAST(CAST(l_quantity AS INT) AS VARCHAR)) AS from_status_id,
+           MAX('Q' || CAST(CAST(l_quantity AS INT) AS VARCHAR)) AS from_status_name
     FROM lineitem WHERE l_quantity > 10
+    GROUP BY 1, 2, 3
 ),
 first_state AS (
     SELECT work_item_id, from_status_id AS first_from_id,
@@ -902,11 +906,23 @@ def initial_revision_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").cast("string").alias("work_item_id"),
             F.col("l_linenumber").alias("revision"),
             F.col("l_shipdate").alias("changed_date"),
+            F.col("l_returnflag").alias("rf"),
+            qual.alias("qual"),
+        )
+        # collapse duplicate (item, revision, changed_date) rows: the
+        # synthetic data repeats them with different payloads, which
+        # would make the first-revision ordering tie nondeterministic
+        .groupBy("work_item_id", "revision", "changed_date")
+        .agg(F.max("rf").alias("status_id"), F.max("qual").alias("from_status_id"))
+        .select(
+            "work_item_id",
+            "revision",
+            "changed_date",
             F.lit("state_change").alias("type"),
-            F.col("l_returnflag").alias("status_id"),
-            F.col("l_returnflag").alias("status_name"),
-            qual.alias("from_status_id"),
-            qual.alias("from_status_name"),
+            "status_id",
+            F.col("status_id").alias("status_name"),
+            "from_status_id",
+            F.col("from_status_id").alias("from_status_name"),
         )
     )
     out = synthesize_initial_revision(revs, items)
