@@ -8,7 +8,7 @@ collapse into DataFrame lineage:
 
     revisions --(synthesize rev 0)--> tag zones --(applyInPandas)-->
     event dates --> states MERGE
-                \-> snapshots (as-of category, flag propagation) MERGE
+                +-> snapshots (as-of category, flag propagation) MERGE
 
 Scale design: config dims broadcast; the only wide shuffles are the
 groupBy(work_item_id) for event dates and the window for flag
