@@ -5,7 +5,7 @@ arrival/commitment/departure point orders, derive arrivalDate /
 commitmentDate / departureDate (+ isDelayed). Behavioral reference:
 /root/reference/src/configuration/event_date_extractor.ts:117-368 and
 src/common/process_revision_utils.ts:60-114 (re-expressed, not
-translated — the grouped pandas UDF replaces the per-item JS loop).
+translated — a batched pandas path replaces the per-item JS loop).
 
 Three layers:
 
@@ -14,10 +14,11 @@ Three layers:
   (single conditional-min aggregation; map-side combinable).
 - ``extract_event_dates`` — the exact lookahead semantics (same-day
   commitment bounce, delayed detection, departure lookahead, invariant
-  back-fill) as a grouped-map pandas UDF. Histories are small (1e2-1e3
-  revisions/item) so each pandas group is tiny; the input is projected
-  to 4 narrow columns before the shuffle to bound transfer, and the
-  only shuffle is the groupBy on the natural key (work_item_id).
+  back-fill) in Python: hash-repartition + sortWithinPartitions +
+  ``mapInPandas`` with a cross-batch group carry, so whole Arrow
+  batches (not 1e2-row per-item groups) cross the Python boundary; the
+  input is projected to 4 narrow columns before the shuffle and the
+  only shuffle keys on the natural key (work_item_id).
 """
 
 from __future__ import annotations
@@ -164,7 +165,7 @@ def first_entry_event_dates(
 
 
 # --------------------------------------------------------------------------
-# Exact semantics (lookahead rules) — grouped-map pandas UDF
+# Exact semantics (lookahead rules) — batched pandas path
 # --------------------------------------------------------------------------
 
 EVENT_DATES_SCHEMA = (
