@@ -61,6 +61,7 @@ def all_queries() -> dict[str, Query]:
         flow_metrics,
         multimodal,
         relational,
+        sampling_queries,
         temporal_joins,
         text_pipeline,
         timeseries,

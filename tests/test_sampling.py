@@ -1,0 +1,65 @@
+"""Sampling/packing operators: append stability, exactness, packing
+bounds (the oracle queries check cross-engine value parity)."""
+
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.operators.sampling import (
+    deterministic_split,
+    pack_sequences,
+    sample_stratified_exact,
+)
+
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def test_split_assignment_stable_under_append(spark):
+    """Growing the corpus must never move an existing row to another
+    split — membership depends only on the key."""
+    old = spark.createDataFrame(
+        [(f"doc{i}",) for i in range(500)], "k string"
+    )
+    new = spark.createDataFrame(
+        [(f"doc{i}",) for i in range(800)], "k string"
+    )
+    a = {r["k"]: r["split"] for r in deterministic_split(old, "k", SPLITS).collect()}
+    b = {r["k"]: r["split"] for r in deterministic_split(new, "k", SPLITS).collect()}
+    assert all(b[k] == v for k, v in a.items())
+    # and fractions are roughly honored on the larger set
+    n = len(b)
+    train = sum(1 for v in b.values() if v == "train")
+    assert 0.7 < train / n < 0.9
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(f"d{i}", ["en", "fr", "de"][i % 3]) for i in range(90)]
+        + [("only1", "xx")],
+        "k string, lang string",
+    )
+    out1 = sample_stratified_exact(df, ["lang"], "k", 7)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out1.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"en": 7, "fr": 7, "de": 7, "xx": 1}
+    out2 = sample_stratified_exact(df.repartition(7), ["lang"], "k", 7)
+    assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_pack_sequences_budget_overflow_bounded(spark):
+    df = spark.createDataFrame(
+        [(f"d{i}", "en", (i * 37) % 900 + 50) for i in range(200)],
+        "k string, lang string, toks int",
+    )
+    packed = pack_sequences(df, "k", "toks", 1000, pack_key_cols=["lang"])
+    per_bin = (
+        packed.groupBy("lang", "pack_id")
+        .agg(F.sum("toks").alias("total"), F.max("toks").alias("biggest"))
+        .collect()
+    )
+    assert len(per_bin) > 1
+    for r in per_bin:
+        # a bin exceeds the budget only by (part of) its last document
+        assert r["total"] - r["biggest"] < 1000
+    # every doc assigned exactly once
+    assert packed.count() == 200
