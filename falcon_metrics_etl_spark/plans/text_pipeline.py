@@ -269,3 +269,64 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= NEAR_DUP_COSINE)
         .select("id_a", "id_b", F.round(F.col("cos_raw"), 6).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# Composed corpus-cleaning pass (lang gate -> quality gate -> dedup)
+# --------------------------------------------------------------------------
+@register(
+    "corpus_cleaning_audit",
+    doc="Corpus cleaning as ONE declarative pass: language gate "
+    "(marker argmax = 'en'), quality gate (minimum token count), "
+    "prefix-fingerprint dedup gate (md5 of the first 3 tokens — the "
+    "cheap near-dup canonicalizer; non-canonical rows dropped) — every "
+    "doc labeled kept/dropped with its FIRST failing gate; one scan + "
+    "one window over the fingerprint. The audit-trail shape a 100 TB "
+    "cleaning job persists.",
+    tags=("text", "pipeline", "training-data"),
+    oracle="""
+WITH scored AS (
+    SELECT doc_id, text,
+           string_split_regex(trim(text), '\\s+') AS tk,
+           md5(array_to_string(string_split_regex(trim(text), '\\s+')[1:3], ' ')) AS fp
+    FROM documents
+),
+gates AS (
+    SELECT doc_id, fp,
+           len(list_filter(tk, t -> t IN ('the','a','value','fast','slow'))) AS h_en,
+           len(list_filter(tk, t -> t IN ('query','join','table','scan','agg'))) AS h_sql,
+           len(list_filter(tk, t -> t IN ('batch','stream','merge','window','spark'))) AS h_ops,
+           len(tk) AS n_tokens
+    FROM scored
+),
+canon AS (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM gates
+)
+SELECT doc_id,
+       CASE WHEN NOT (h_en >= h_sql AND h_en >= h_ops) THEN 'dropped:lang'
+            WHEN n_tokens < 30 THEN 'dropped:quality'
+            WHEN doc_id <> canonical_id THEN 'dropped:duplicate'
+            ELSE 'kept' END AS status
+FROM canon
+""",
+)
+def corpus_cleaning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    gates = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(TX.tokens(t), 1, 3))).alias("fp"),
+        TX.marker_hits(t, TX.LANG_MARKERS["en"]).alias("h_en"),
+        TX.marker_hits(t, TX.LANG_MARKERS["sql"]).alias("h_sql"),
+        TX.marker_hits(t, TX.LANG_MARKERS["ops"]).alias("h_ops"),
+        TX.token_count(t).alias("n_tokens"),
+    )
+    canonical = F.min("doc_id").over(Window.partitionBy("fp"))
+    is_en = (F.col("h_en") >= F.col("h_sql")) & (F.col("h_en") >= F.col("h_ops"))
+    status = (
+        F.when(~is_en, F.lit("dropped:lang"))
+        .when(F.col("n_tokens") < 30, F.lit("dropped:quality"))
+        .when(F.col("doc_id") != canonical, F.lit("dropped:duplicate"))
+        .otherwise(F.lit("kept"))
+    )
+    return gates.select("doc_id", status.alias("status"))
