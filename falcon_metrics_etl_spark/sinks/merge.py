@@ -82,7 +82,11 @@ def merge_upsert(
         writer.parquet(path)
         return
 
-    target = spark.read.parquet(path)
+    # mergeSchema: a target written before a column existed still reads
+    # with the union schema, so additive evolution (new nullable
+    # columns on updates) merges cleanly; removed columns stay, nulled
+    # on new rows — the Delta-style additive-evolution contract
+    target = spark.read.option("mergeSchema", "true").parquet(path)
     if partition_cols:
         # restrict the rewrite to partitions the batch touches: the
         # anti-join reads only those partitions (partition pruning via
@@ -99,7 +103,7 @@ def merge_upsert(
     survivors = target.join(
         updates.select(*keys).dropDuplicates(list(keys)), on=list(keys), how="left_anti"
     )
-    merged = survivors.unionByName(updates, allowMissingColumns=False)
+    merged = survivors.unionByName(updates, allowMissingColumns=True)
 
     # We overwrite the same path we read from, so the merged rows are
     # staged to a sibling dir first (breaking the read-write cycle),

@@ -176,3 +176,28 @@ def test_soft_delete_missing(spark, tmp_path):
         )
         == 0
     )
+
+
+def test_merge_upsert_additive_schema_evolution(spark, tmp_path):
+    """A later batch may carry NEW columns: old rows read back with
+    nulls there, old columns missing from the update stay on survivors
+    (additive evolution, Delta-style)."""
+    from falcon_metrics_etl_spark.sinks.merge import merge_upsert
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame(
+        [("k1", "a"), ("k2", "b")], "id string, payload string"
+    )
+    merge_upsert(spark, path, v1, keys=("id",))
+
+    v2 = spark.createDataFrame(
+        [("k2", "b2", 7), ("k3", "c", 9)],
+        "id string, payload string, score int",
+    )
+    merge_upsert(spark, path, v2, keys=("id",))
+
+    got = {
+        r["id"]: (r["payload"], r["score"])
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert got == {"k1": ("a", None), "k2": ("b2", 7), "k3": ("c", 9)}
