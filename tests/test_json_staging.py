@@ -66,3 +66,41 @@ def test_read_id_list_staging(spark, tmp_path):
         ("FLO-1", "org1", "ds9", "ctxA"),
         ("FLO-2", "org1", "ds9", "ctxA"),
     ]
+
+
+def test_context_pipeline_staging_to_bridge(spark, tmp_path):
+    """SURVEY §3.2 end-to-end: staged id-list arrays -> bridge refresh
+    with per-context anti-delete (stale pairs vanish, other contexts
+    untouched)."""
+    from falcon_metrics_etl_spark.sinks.maintenance import refresh_bridge
+
+    lists = tmp_path / "lists"
+    lists.mkdir()
+    (lists / "org1--ds1--ctxA.json").write_text(json.dumps(["W1", "W2", "W2"]))
+    (lists / "org1--ds1--ctxB.json").write_text(json.dumps(["W2", "W3"]))
+    bridge = str(tmp_path / "bridge")
+
+    ids = read_id_list_staging(spark, str(lists))
+    for ctx in ("ctxA", "ctxB"):
+        refresh_bridge(
+            spark, bridge, ctx,
+            ids.filter(ids.context_id == ctx).select("work_item_id"),
+        )
+    got = sorted(
+        (r["context_id"], r["work_item_id"])
+        for r in spark.read.parquet(bridge).collect()
+    )
+    assert got == [("ctxA", "W1"), ("ctxA", "W2"), ("ctxB", "W2"), ("ctxB", "W3")]
+
+    # re-extract ctxA with W1 dropped: stale pair deleted, ctxB intact
+    (lists / "org1--ds1--ctxA.json").write_text(json.dumps(["W2", "W9"]))
+    ids2 = read_id_list_staging(spark, str(lists))
+    refresh_bridge(
+        spark, bridge, "ctxA",
+        ids2.filter(ids2.context_id == "ctxA").select("work_item_id"),
+    )
+    got = sorted(
+        (r["context_id"], r["work_item_id"])
+        for r in spark.read.parquet(bridge).collect()
+    )
+    assert got == [("ctxA", "W2"), ("ctxA", "W9"), ("ctxB", "W2"), ("ctxB", "W3")]
