@@ -1,0 +1,89 @@
+"""Hypertable-style continuous rollups and a portable distinct sketch.
+
+``hypertable_rollup`` — TimescaleDB-continuous-aggregate shape: the
+same metrics at several time resolutions in one stacked table
+(resolution, bucket_start, keys..., aggs...). Each resolution is an
+independent groupBy sharing one scan; the stacked output MERGEs into a
+serving table keyed (resolution, bucket_start, keys...) so incremental
+runs refresh only touched buckets (pair with sinks/merge.py).
+
+``kmv_distinct`` — K-Minimum-Values distinct-count sketch over
+``portable_hash60``: keep the K smallest key hashes per group; with
+h_K the K-th smallest on a [0, 2^60) hash space, the estimator is
+(K-1) * 2^60 / h_K. Unlike HLL it is exactly reproducible across
+engines (pure min-K of a portable hash — the DuckDB oracle computes
+the identical number), mergeable (union the hash sets, re-take K
+smallest), and the error is ~1/sqrt(K-2). Groups with fewer than K
+distinct keys report the exact count.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.functions.text import portable_hash60
+
+HASH_SPACE = float(1 << 60)
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    aggs: dict[str, Column],
+    resolutions: Sequence[str] = ("hour", "day", "week"),
+) -> DataFrame:
+    """Stacked multi-resolution rollup: one row per (resolution,
+    bucket_start, keys...). ``aggs``: alias -> aggregate expression;
+    ``resolutions``: date_trunc units."""
+    parts = []
+    for res in resolutions:
+        parts.append(
+            df.groupBy(
+                F.lit(res).alias("resolution"),
+                F.date_trunc(res, F.col(ts_col)).alias("bucket_start"),
+                *[F.col(c) for c in key_cols],
+            ).agg(*[c.alias(a) for a, c in aggs.items()])
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+    estimate_col: str = "distinct_est",
+) -> DataFrame:
+    """KMV distinct estimate of ``value_col`` per key group.
+
+    One shuffle; the rank window prunes to K rows per group before the
+    final aggregate. Exact below K distinct values."""
+    hashed = df.select(
+        *key_cols, portable_hash60(F.col(value_col).cast("string")).alias("__h")
+    ).dropDuplicates([*key_cols, "__h"])
+    w = Window.partitionBy(*key_cols).orderBy("__h")
+    topk = hashed.withColumn("__rank", F.row_number().over(w)).filter(
+        F.col("__rank") <= k
+    )
+    return topk.groupBy(*key_cols).agg(
+        F.count("*").alias("__n"),
+        F.max("__h").alias("__hk"),
+    ).select(
+        *key_cols,
+        # floor, not round: floor of an identically-computed double is
+        # engine-stable; round's half-way tiebreak is not
+        F.when(F.col("__n") < k, F.col("__n"))
+        .otherwise(
+            F.floor(
+                (F.lit(float(k - 1)) * F.lit(HASH_SPACE)) / F.col("__hk")
+            ).cast("long")
+        )
+        .alias(estimate_col),
+    )

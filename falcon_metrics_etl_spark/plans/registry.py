@@ -61,6 +61,7 @@ def all_queries() -> dict[str, Query]:
         flow_metrics,
         multimodal,
         relational,
+        rollup_queries,
         sampling_queries,
         temporal_joins,
         text_pipeline,

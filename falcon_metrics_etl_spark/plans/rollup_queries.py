@@ -1,0 +1,87 @@
+"""Hypertable rollup + KMV sketch queries (operators/rollup.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.operators.rollup import (
+    hypertable_rollup,
+    kmv_distinct,
+)
+from falcon_metrics_etl_spark.plans.registry import register
+from falcon_metrics_etl_spark.sources import load_table
+
+_DUCK_HASH_USER = (
+    "(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)"
+)
+KMV_K = 64
+
+
+@register(
+    "hypertable_rollup_events",
+    doc="Hypertable-style continuous aggregate (operators/rollup.py::"
+    "hypertable_rollup): event counts + value sums per event_type at "
+    "hour/day/week resolutions, stacked as (resolution, bucket_start, "
+    "key) — the serving shape incremental runs MERGE into per bucket",
+    tags=("rollup", "timeseries", "aggregate"),
+    oracle="""
+SELECT 'hour' AS resolution, date_trunc('hour', ts) AS bucket_start,
+       event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', date_trunc('day', ts), event_type, COUNT(*),
+       ROUND(SUM(value), 4)
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'week', date_trunc('week', ts), event_type, COUNT(*),
+       ROUND(SUM(value), 4)
+FROM events GROUP BY 2, 3
+""",
+)
+def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return hypertable_rollup(
+        ev,
+        "ts",
+        ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.round(F.sum("value"), 4),
+        },
+        resolutions=("hour", "day", "week"),
+    )
+
+
+@register(
+    "kmv_distinct_users",
+    doc="KMV distinct-count sketch (operators/rollup.py::kmv_distinct): "
+    f"{KMV_K} minimum portable-hash values per event_type estimate "
+    "distinct users as (K-1)*2^60/h_K — reproducible across engines "
+    "(the oracle computes the identical number), mergeable, ~12% error "
+    "at K=64; exact below K distinct",
+    tags=("sketch", "approx", "aggregate"),
+    oracle=f"""
+WITH hashed AS (
+    SELECT DISTINCT event_type, {_DUCK_HASH_USER} AS h FROM events
+),
+ranked AS (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashed
+),
+topk AS (
+    SELECT event_type, COUNT(*) AS n, MAX(h) AS hk
+    FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+)
+SELECT event_type,
+       CASE WHEN n < {KMV_K} THEN n
+            ELSE CAST(FLOOR(({KMV_K - 1}.0 * 1152921504606846976.0) / hk)
+                      AS BIGINT) END AS distinct_est
+FROM topk
+""",
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return kmv_distinct(ev, ["event_type"], "user_id", k=KMV_K)
