@@ -35,6 +35,12 @@ HEADLINE = [
     "tumbling_daily",
     "event_dates_simple",
     "event_dates_expr",
+    "event_dates_full",
+    "asof_last_view_before_purchase",
+    "range_join_error_windows",
+    "hypertable_rollup_events",
+    "corpus_cleaning_audit",
+    "sequence_packing",
     "dedup_exact_fingerprint",
     "text_quality_scores",
     "token_counting",
