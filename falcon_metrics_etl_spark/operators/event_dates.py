@@ -453,48 +453,47 @@ def extract_event_dates_expr(tagged_revisions: DataFrame) -> DataFrame:
     low = F.col("zone").isin(ZONE_BEFORE_ARRIVAL, ZONE_ARRIVAL)
     low_1 = F.when(low, 1).otherwise(0)
     low3_1 = F.when(F.col("zone") < ZONE_DEPARTURE, 1).otherwise(0)
-    df = (
-        tagged_revisions.select(
-            F.col("work_item_id").cast("string").alias("work_item_id"),
-            F.col("changed_date"),
-            F.col("revision").cast("int").alias("revision"),
-            F.col("zone").cast("int").alias("zone"),
-            F.to_date("changed_date").alias("day"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "later_low3",
-            F.sum(low3_1).over(item) - F.sum(low3_1).over(w_upto),
-        )
-        .withColumn(
-            "same_day_later_low",
-            F.sum(low_1).over(day_w) - F.sum(low_1).over(day_upto),
-        )
-        .withColumn("last_zone", F.last("zone").over(w_all))
-        .withColumn("last_day", F.last("day").over(w_all))
-        .withColumn("last_revision", F.last("revision").over(w_all))
+    # single select per dependency layer: window expressions sharing a
+    # (partition, order) spec collapse into one WindowExec pass each —
+    # 4 passes here instead of one per withColumn
+    df = tagged_revisions.select(
+        F.col("work_item_id").cast("string").alias("work_item_id"),
+        F.col("changed_date"),
+        F.col("revision").cast("int").alias("revision"),
+        F.col("zone").cast("int").alias("zone"),
+        F.to_date("changed_date").alias("day"),
+    ).select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        (F.sum(low3_1).over(item) - F.sum(low3_1).over(w_upto)).alias(
+            "later_low3"
+        ),
+        (F.sum(low_1).over(day_w) - F.sum(low_1).over(day_upto)).alias(
+            "same_day_later_low"
+        ),
+        F.last("zone").over(w_all).alias("last_zone"),
+        F.last("day").over(w_all).alias("last_day"),
+        F.last("revision").over(w_all).alias("last_revision"),
     )
 
     accepted_c = (F.col("zone") == ZONE_COMMITMENT) & (
         F.col("same_day_later_low") == 0
     )
     accepted_d = (F.col("zone") == ZONE_DEPARTURE) & (F.col("later_low3") == 0)
-    df = (
-        df.withColumn(
-            "c_rn", F.min(F.when(accepted_c, F.col("rn"))).over(item)
-        )
-        .withColumn("d_rn", F.min(F.when(accepted_d, F.col("rn"))).over(item))
-        .withColumn(
-            "reset_rn",
-            F.max(
-                F.when(
-                    (F.col("zone") == ZONE_BEFORE_ARRIVAL)
-                    & (F.col("rn") < F.coalesce(F.col("c_rn"), big))
-                    & (F.col("rn") < F.coalesce(F.col("d_rn"), big)),
-                    F.col("rn"),
-                )
-            ).over(item),
-        )
+    df = df.select(
+        "*",
+        F.min(F.when(accepted_c, F.col("rn"))).over(item).alias("c_rn"),
+        F.min(F.when(accepted_d, F.col("rn"))).over(item).alias("d_rn"),
+    ).withColumn(
+        "reset_rn",
+        F.max(
+            F.when(
+                (F.col("zone") == ZONE_BEFORE_ARRIVAL)
+                & (F.col("rn") < F.coalesce(F.col("c_rn"), big))
+                & (F.col("rn") < F.coalesce(F.col("d_rn"), big)),
+                F.col("rn"),
+            )
+        ).over(item),
     )
 
     agg = df.groupBy("work_item_id").agg(
