@@ -28,15 +28,15 @@ KMV_K = 64
     oracle="""
 SELECT 'hour' AS resolution, date_trunc('hour', ts) AS bucket_start,
        event_type, COUNT(*) AS n_events,
-       ROUND(SUM(value), 4) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 2, 3
 UNION ALL
 SELECT 'day', date_trunc('day', ts), event_type, COUNT(*),
-       ROUND(SUM(value), 4)
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
 FROM events GROUP BY 2, 3
 UNION ALL
 SELECT 'week', date_trunc('week', ts), event_type, COUNT(*),
-       ROUND(SUM(value), 4)
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
 FROM events GROUP BY 2, 3
 """,
 )
@@ -48,7 +48,7 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         {
             "n_events": F.count(F.lit(1)),
-            "total_value": F.round(F.sum("value"), 4),
+            "total_value": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
         },
         resolutions=("hour", "day", "week"),
     )
