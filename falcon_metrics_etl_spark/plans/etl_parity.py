@@ -930,3 +930,35 @@ def initial_revision_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "work_item_id", "revision", "changed_date", "type",
         "status_id", "status_name",
     )
+
+
+# --------------------------------------------------------------------------
+# F9-EAV — exploded custom-field serving view (GIN-index analog)
+# --------------------------------------------------------------------------
+@register(
+    "custom_fields_eav",
+    doc="EAV materialized view of polymorphic JSON payloads (the "
+    "Postgres-GIN-on-JSONB analog, SURVEY §4): parse props to a map, "
+    "explode to one (event_id, field, value) row per attribute — the "
+    "customFields serving table predicates hit directly instead of "
+    "re-parsing JSON per query. from_json + explode, all JVM-side.",
+    tags=("json", "explode", "eav"),
+    oracle="""
+WITH kv AS (
+    SELECT event_id, props, UNNEST(json_keys(props)) AS field_name
+    FROM events
+)
+SELECT event_id, field_name,
+       json_extract_string(props, '$.' || field_name) AS field_value
+FROM kv
+""",
+)
+def custom_fields_eav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.explode(
+            F.from_json(F.col("props"), "map<string,string>")
+        ).alias("field_name", "field_value"),
+    )
+    return parsed
