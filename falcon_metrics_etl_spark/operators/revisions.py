@@ -101,6 +101,25 @@ def dedupe_consecutive(
     )
 
 
+def exclude_before_date(
+    items: DataFrame,
+    departure_col: str = "departure_date",
+    exclude_col: str = "exclude_before_date",
+) -> DataFrame:
+    """P7 — drop items whose departure day is strictly before the
+    item's configured exclude-before day
+    (process_revision_utils.ts:8-22; endOf('day') comparison = date
+    comparison). DORMANT in the reference — the call site is commented
+    out (revision_processor.ts:290-296) — provided with the same
+    default-off posture: callers opt in explicitly."""
+    drop = (
+        F.col(departure_col).isNotNull()
+        & F.col(exclude_col).isNotNull()
+        & (F.to_date(departure_col) < F.to_date(exclude_col))
+    )
+    return items.filter(~drop)
+
+
 def blocked_revisions(
     revisions: DataFrame,
     blocked_col: str,

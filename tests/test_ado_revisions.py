@@ -105,3 +105,28 @@ def test_blocked_multiple_items_independent(spark):
     # item1: rev2 only; item2: nothing; item3: rev1 only (any non-'No'
     # string blocks, rev2 dedupes)
     assert got == [(1, 2, True), (3, 1, True)]
+
+
+def test_exclude_before_date(spark):
+    """P7 (process_revision_utils.ts:8-22): drop only items departed
+    strictly before their exclude-before day; same-day, later, null
+    departure, and null config all survive."""
+    from datetime import datetime
+
+    from falcon_metrics_etl_spark.operators.revisions import (
+        exclude_before_date,
+    )
+
+    d = lambda day: datetime(2022, 1, day, 15, 30)
+    rows = [
+        (1, d(5), d(10)),   # departed before cutoff -> dropped
+        (2, d(10), d(10)),  # same day -> kept (strict <)
+        (3, d(15), d(10)),  # after -> kept
+        (4, None, d(10)),   # never departed -> kept
+        (5, d(5), None),    # no cutoff configured -> kept
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, departure_date timestamp, exclude_before_date timestamp"
+    )
+    kept = sorted(r["id"] for r in exclude_before_date(df).collect())
+    assert kept == [2, 3, 4, 5]
