@@ -5,6 +5,7 @@ from falcon_metrics_etl_spark.streaming.cursors import (
 )
 from falcon_metrics_etl_spark.streaming.incremental import run_incremental_batch
 from falcon_metrics_etl_spark.streaming.windows import (
+    stream_dedupe,
     stream_session_counts,
     stream_sessionize_stateful,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "advance_cursor",
     "run_incremental_batch",
     "stream_windowed_counts",
+    "stream_dedupe",
     "stream_session_counts",
     "stream_sessionize_stateful",
     "foreach_batch_merge",

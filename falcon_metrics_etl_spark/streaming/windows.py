@@ -22,7 +22,7 @@ checkpoint + idempotent-merge sink (jobs.foreach_batch_merge).
 
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+from typing import Iterator, Sequence, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -145,4 +145,21 @@ def stream_sessionize_stateful(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def stream_dedupe(
+    source: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Drop redelivered rows by key across micro-batches, keeping state
+    only within the watermark horizon (dropDuplicatesWithinWatermark —
+    bounded state, unlike a plain dropDuplicates stream whose state
+    grows forever). The streaming face of the reference's
+    at-least-once + idempotent-upsert contract: dedupe near the source,
+    MERGE at the sink."""
+    return source.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
     )

@@ -256,3 +256,39 @@ def test_stream_sessionize_stateful_closes_on_gap_and_timeout(spark, tmp_path):
     assert got[("A", "2024-01-01 10:00:00")] == ("2024-01-01 10:10:00", 2)
     # B emitted by event-time timeout despite no new B events
     assert got[("B", "2024-01-01 10:05:00")] == ("2024-01-01 10:05:00", 1)
+
+
+def test_stream_dedupe_within_watermark(spark, tmp_path):
+    from falcon_metrics_etl_spark.streaming import stream_dedupe
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "deduped")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = stream_dedupe(
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id string"
+            ).parquet(src),
+            keys=["event_id"],
+        )
+        q = foreach_batch_merge(
+            stream, sink, keys=("event_id",), checkpoint_dir=ckpt,
+            output_mode="append",
+        )
+        _drain(q)
+
+    _write_user_events(spark, src, [
+        (1, "2024-01-01 10:00:00", "A"),
+        (1, "2024-01-01 10:00:00", "A"),   # same-batch duplicate
+        (2, "2024-01-01 11:00:00", "B"),
+    ])
+    run()
+    # redelivery in a later batch, still within the watermark horizon
+    _write_user_events(spark, src, [
+        (1, "2024-01-01 10:00:00", "A"),
+        (3, "2024-01-01 12:00:00", "A"),
+    ])
+    run()
+    rows = spark.read.parquet(sink).collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
