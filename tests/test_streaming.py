@@ -292,3 +292,22 @@ def test_stream_dedupe_within_watermark(spark, tmp_path):
     run()
     rows = spark.read.parquet(sink).collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+
+
+def test_ingest_control_math():
+    """ST5/ST6 control math (extract_utils.ts:17-38, 67-85)."""
+    from falcon_metrics_etl_spark.streaming.controls import (
+        is_time_to_quit,
+        next_batch_size,
+    )
+
+    assert next_batch_size(100, +1) == 110
+    assert next_batch_size(100, -1) == 90
+    assert next_batch_size(2000, +1) == 2000   # clamp keeps current
+    assert next_batch_size(10, -1) == 10
+    assert next_batch_size(1995, +1) == 1995   # out-of-range step: no-op
+
+    start = 1_000_000
+    five_min = 5 * 60_000
+    assert is_time_to_quit(start, 5, start + five_min - 30_000) is True
+    assert is_time_to_quit(start, 5, start + five_min - 30_001) is False
