@@ -126,3 +126,30 @@ def pack_sequences(
         pack_col,
         F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("long"),
     )
+
+
+def sampled_percentile_disc(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    sample_key: str,
+    q: float,
+    keep_mod: int = 4,
+) -> DataFrame:
+    """Quantile sketch by deterministic sampling: keep rows whose
+    portable hash of ``sample_key`` lands in 1/keep_mod of the space,
+    then take the discrete percentile per group over the sample.
+
+    Exact percentile_disc sorts every group's full data; the hash
+    sample cuts that by keep_mod while staying exactly reproducible
+    (same rows survive on any engine/run — the DuckDB twin computes
+    the identical result, unlike t-digest/KLL whose internals don't
+    transfer). Error follows order-statistics bounds on n/keep_mod
+    samples.
+    """
+    frac_keep = portable_hash60(F.col(sample_key)) % keep_mod == 0
+    sampled = df.filter(frac_keep)
+    expr = F.expr(
+        f"percentile_disc({q}) WITHIN GROUP (ORDER BY {value_col})"
+    )
+    return sampled.groupBy(*key_cols).agg(expr.alias(f"p{int(q * 100)}"))

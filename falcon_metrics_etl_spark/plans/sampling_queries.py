@@ -116,3 +116,54 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "k", "n_tokens", PACK_BUDGET, pack_key_cols=["lang"]
     )
     return packed.select("doc_id", "lang", "n_tokens", "pack_id")
+
+
+@register(
+    "sampled_lead_time_p85",
+    doc="Quantile-by-sampling sketch (operators/sampling.py::"
+    "sampled_percentile_disc): p85 lead time per class of service from "
+    "a deterministic 1/4 hash sample of orders — the scale path when "
+    "exact per-group percentiles would sort the world; exactly "
+    "reproducible cross-engine, unlike t-digest/KLL",
+    tags=("sketch", "percentile", "sampling"),
+    oracle="""
+WITH sampled AS (
+    SELECT o_orderpriority AS class_of_service,
+           datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l.l_shipdate AS DATE)) AS lead_days,
+           CAST(o.o_orderkey AS VARCHAR) AS k
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT class_of_service,
+       CAST(percentile_disc(0.85) WITHIN GROUP (ORDER BY lead_days)
+            AS BIGINT) AS p85
+FROM sampled
+WHERE (('0x' || substring(md5(k), 1, 15))::BIGINT) % 4 = 0
+GROUP BY class_of_service
+""",
+)
+def sampled_lead_time_p85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.sampling import (
+        sampled_percentile_disc,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("class_of_service"),
+        F.to_date("o_orderdate").alias("commit_day"),
+        F.col("o_orderkey").cast("string").alias("k"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_day")
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "class_of_service",
+        F.datediff("ship_day", "commit_day").alias("lead_days"),
+        "k",
+    )
+    out = sampled_percentile_disc(
+        joined, ["class_of_service"], "lead_days", "k", 0.85, keep_mod=4
+    )
+    return out.select(
+        "class_of_service", F.col("p85").cast("long").alias("p85")
+    )
