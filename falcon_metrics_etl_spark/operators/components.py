@@ -1,0 +1,115 @@
+"""Connected components over an edge list — the clustering step a
+dedup pipeline needs between "candidate pairs" and "keep one doc per
+duplicate group" (BASELINE north-star op; no reference twin — the
+closest reference shape is the linked-items edge table,
+src/jiracloud/process/translate_linked_items.ts:3-42, which this
+operator turns into item clusters).
+
+Algorithm: iterative min-label propagation (a Pregel-style fixpoint,
+the same scheme GraphX's ``connectedComponents`` uses):
+
+    label(v) <- min(label(v), min over neighbours u of label(u))
+
+repeated until no label changes. Each iteration is one shuffle
+(edge-join + groupBy min); the loop converges in O(diameter)
+iterations. Duplicate clusters in a corpus are overwhelmingly small
+and star-shaped (diameter 2-4), so in practice this runs 3-5 rounds
+regardless of corpus size — the per-round cost scales with |E|, not
+|V|^2. For adversarial long-chain graphs the known upgrade is the
+alternating large-star/small-star algorithm (Kiveris et al., "CC in
+MapReduce and Spark"), which converges in O(log n) rounds with the
+same per-round join shape; min-propagation is kept here because its
+per-round cost is lower and dedup graphs are shallow.
+
+Scale notes:
+- ``localCheckpoint`` after every round truncates the lineage — an
+  unbounded iterative plan otherwise re-executes all prior rounds on
+  every action and overwhelms the driver with plan growth.
+- The convergence probe is ``isEmpty`` on changed labels (a LIMIT-1
+  scan, cheap under AQE), not a full count.
+- Labels are (node, label) pairs only — state is O(|V|), never
+  materialised per-edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster an undirected edge list into connected components.
+
+    Returns one row per distinct node: (node, component) where
+    ``component`` is the minimum node id reachable from ``node`` —
+    a deterministic canonical label.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .dropDuplicates(["node"])
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbour_min = (
+            e.join(labels, e["a"] == labels["node"])
+            .select(F.col("b").alias("node"), F.col("component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("neighbour_component"))
+        )
+        merged = (
+            labels.join(neighbour_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neighbour_component"), F.col("component")),
+                ).alias("new_component"),
+                F.col("component").alias("old_component"),
+            )
+            .localCheckpoint()
+        )
+        converged = merged.filter(
+            F.col("new_component") < F.col("old_component")
+        ).isEmpty()
+        labels = merged.select(
+            "node", F.col("new_component").alias("component")
+        )
+        if converged:
+            break
+    return labels
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup pairs -> per-node cluster assignment + canonical pick.
+
+    Output: (node, cluster_id, cluster_size, is_canonical) — one row
+    per node that appears in a pair. ``cluster_id`` is the min node id
+    of the component; the canonical (kept) document is the one whose
+    id equals the cluster id, so "drop duplicates" is
+    ``filter(is_canonical == 0)`` against the corpus.
+    """
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node"),
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).cast("int").alias("cluster_size"),
+        (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
+    )

@@ -330,3 +330,52 @@ def corpus_cleaning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("kept"))
     )
     return gates.select("doc_id", status.alias("status"))
+
+
+# --------------------------------------------------------------------------
+# Duplicate clusters: pairs -> connected components -> canonical pick
+# --------------------------------------------------------------------------
+@register(
+    "dedup_duplicate_clusters",
+    doc="The clustering step between 'near-dup pairs' and 'keep one doc "
+    "per group': connected components (iterative min-label propagation, "
+    "operators/components.py) over the embedding near-dup pairs, then a "
+    "deterministic canonical pick (min id per component). Oracle computes "
+    "the same components via DuckDB's recursive transitive closure.",
+    tags=("vector", "dedup", "iterative", "training-data"),
+    oracle=f"""
+WITH RECURSIVE iv AS (
+    SELECT vec_id, {_DUCK_QUANT} AS q FROM embeddings
+),
+n AS (
+    SELECT vec_id, q, list_dot_product(q, q) AS nsq FROM iv
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.q, b.q) / sqrt(a.nsq) / sqrt(b.nsq)
+          >= {NEAR_DUP_COSINE}
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT node, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INT) AS cluster_size,
+       CAST(node = cluster_id AS INT) AS is_canonical
+FROM comp
+""",
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.components import duplicate_clusters
+
+    pairs = embedding_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    return duplicate_clusters(pairs)

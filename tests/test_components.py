@@ -1,0 +1,96 @@
+"""Connected components: known graphs + union-find equivalence fuzz."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.operators.components import (
+    connected_components,
+    duplicate_clusters,
+)
+
+
+def _uf_components(edges):
+    """Reference union-find; returns {node: min-id-of-component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for a, b in edges:
+        union(a, b)
+    roots = {}
+    for node in list(parent):
+        roots.setdefault(find(node), []).append(node)
+    out = {}
+    for members in roots.values():
+        lo = min(members)
+        for m in members:
+            out[m] = lo
+    return out
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = connected_components(df).collect()
+    return {r["node"]: r["component"] for r in got}
+
+
+def test_two_chains_and_isolated_pair(spark):
+    # chain 1-2-3-4, chain 10-11, pair 20-21 (via reversed edge)
+    edges = [(1, 2), (3, 2), (3, 4), (10, 11), (21, 20)]
+    assert _run(spark, edges) == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20,
+    }
+
+
+def test_self_loops_and_duplicate_edges_ignored(spark):
+    edges = [(5, 5), (1, 2), (2, 1), (1, 2), (6, 6), (6, 7)]
+    got = _run(spark, edges)
+    # pure self-loop node 5 contributes no real edge -> dropped entirely
+    assert got == {1: 1, 2: 1, 6: 6, 7: 6}
+
+
+def test_long_chain_converges(spark):
+    # diameter 12 > the 3-5 typical rounds; exercises the fixpoint loop
+    edges = [(i, i + 1) for i in range(12, 0, -1)]
+    got = _run(spark, edges)
+    assert set(got.values()) == {1}
+    assert len(got) == 13
+
+
+def test_fuzz_matches_union_find(spark):
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(45)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _run(spark, edges) == _uf_components(edges)
+
+
+def test_duplicate_clusters_canonical_pick(spark):
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (9, 8)], ["id_a", "id_b"]
+    )
+    rows = {
+        r["node"]: r
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert rows[1]["cluster_id"] == 1 and rows[1]["is_canonical"] == 1
+    assert rows[3]["cluster_id"] == 1 and rows[3]["is_canonical"] == 0
+    assert rows[3]["cluster_size"] == 3
+    assert rows[8]["cluster_id"] == 8 and rows[9]["is_canonical"] == 0
+    assert rows[9]["cluster_size"] == 2
+    # dropping non-canonical rows keeps exactly one doc per cluster
+    kept = [n for n, r in rows.items() if r["is_canonical"] == 1]
+    assert sorted(kept) == [1, 8]
