@@ -1,11 +1,12 @@
 """Readers for the driver-generated lakehouse tables.
 
-The testdata parquet stores timestamps as INT64 TIMESTAMP(NANOS),
-which Spark refuses by default; with
-``spark.sql.legacy.parquet.nanosAsLong=true`` they arrive as long
-nanoseconds since epoch. We convert to TimestampType by integer
-division (truncation — matching DuckDB's TIMESTAMP_NS -> TIMESTAMP
-cast, so oracle comparisons line up exactly).
+The testdata parquet has carried timestamps two ways across driver
+versions: INT64 TIMESTAMP(NANOS) (readable as long nanos with
+``spark.sql.legacy.parquet.nanosAsLong=true``) and plain
+``timestamp[us]`` without timezone (read as TIMESTAMP_NTZ). We
+normalize both to session-UTC TimestampType so downstream
+``unix_micros``/window math type-checks, and so values line up
+exactly with DuckDB's TIMESTAMP in the oracle comparison.
 
 At 100 TB these readers stay valid: ``spark.read.parquet`` gives
 Catalyst filter pushdown + column pruning + partition pruning for
@@ -32,7 +33,7 @@ TABLES = (
     "embeddings",
 )
 
-# columns stored as TIMESTAMP(NANOS) in the testdata parquet
+# timestamp columns in the testdata parquet (nanos-as-long or NTZ)
 _NANO_TS_COLUMNS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -63,6 +64,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dtypes.get(col) == "bigint":
             # integer div truncates sub-microsecond nanos, same as DuckDB
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    for col, dtype in dtypes.items():
+        if dtype == "timestamp_ntz":
+            # wall-clock micros; session tz is UTC so the instant is unchanged
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
