@@ -33,7 +33,9 @@ TABLES = (
     "embeddings",
 )
 
-# timestamp columns in the testdata parquet (nanos-as-long or NTZ)
+# columns that may arrive as INT64 nanos (bigint under nanosAsLong);
+# this dict drives ONLY the bigint-nanos path — NTZ normalization is
+# schema-driven over all columns in load_table
 _NANO_TS_COLUMNS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -53,6 +55,14 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(key, value)
         except Exception:
             pass  # non-runtime conf on some builds: keep going
+    # NTZ->timestamp normalization in load_table is only instant-preserving
+    # under a UTC session zone; fail loudly rather than silently shift
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"spark.sql.session.timeZone={tz!r}; this engine requires UTC "
+            "(NTZ timestamp normalization would shift instants otherwise)"
+        )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -24,11 +24,17 @@ from pyspark.sql.streaming import StreamingQuery
 from falcon_metrics_etl_spark.sinks.merge import merge_upsert
 
 
-# the driver-generated events table, as a stream source: ts arrives as
-# long nanos (TIMESTAMP(NANOS) parquet + nanosAsLong), normalized here
-# exactly like the batch reader (sources/tables.py)
-EVENTS_STREAM_SCHEMA = (
+# the driver-generated events table, as a stream source. Testdata has
+# carried ts two ways (long nanos under nanosAsLong, or timestamp_ntz);
+# mirror the batch reader's dual-format handling by probing the actual
+# file schema with a batch read, then declaring the matching stream
+# schema and normalizing to session-UTC TimestampType.
+_EVENTS_STREAM_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+_EVENTS_STREAM_SCHEMA_NTZ = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -37,14 +43,20 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from falcon_metrics_etl_spark.sources.tables import ensure_session_confs
 
     ensure_session_confs(spark)
+    # a streaming source can't introspect the files, so probe the parquet
+    # schema via a zero-cost batch read of the same path
+    ts_dtype = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    )["ts"]
     # events.parquet is a single file; the file stream source wants a
     # directory, so stream the sf dir filtered down to that one file
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    read = spark.readStream.option("pathGlobFilter", "events.parquet")
+    if ts_dtype == "bigint":
+        raw = read.schema(_EVENTS_STREAM_SCHEMA_NANOS).parquet(sf_dir)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    raw = read.schema(_EVENTS_STREAM_SCHEMA_NTZ).parquet(sf_dir)
+    # wall-clock micros; session tz is UTC so the instant is unchanged
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_windowed_counts(
