@@ -45,6 +45,9 @@ HEADLINE = [
     "text_quality_scores",
     "token_counting",
     "knn_brute_cosine",
+    "tpch_pricing_summary",
+    "contamination_ngram_overlap",
+    "repetition_quality_flags",
 ]
 
 

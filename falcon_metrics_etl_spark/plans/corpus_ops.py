@@ -1,0 +1,367 @@
+"""Corpus-governance queries for the training-data pipeline layer:
+benchmark-contamination detection, PII redaction, Gopher-style
+repetition quality flags — plus two canonical TPC-H-shape relational
+queries proving general OLAP breadth over the same lake.
+
+Scale notes: contamination detection is an equi-join on shingle
+hashes (inverted index — never a cross product); PII scrubbing and
+repetition scoring are scan-side codegen expressions plus one
+two-level hash aggregation; the TPC-H shapes are textbook
+filter-pushdown + broadcast-dim + partial-agg plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.functions import text as TX
+from falcon_metrics_etl_spark.operators.sampling import deterministic_split
+from falcon_metrics_etl_spark.plans.registry import register
+from falcon_metrics_etl_spark.sources import load_table
+
+# same split universe as train_val_test_split (operators/sampling.py):
+# accumulated-float boundaries, embedded verbatim in the oracle
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_B1 = repr(0.8)
+_B2 = repr(0.8 + 0.1)  # 0.9000000000000001
+_DUCK_HASH = "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+_SHINGLE_N = 3
+
+# repetition thresholds (documents are 10-99 tokens; distinct-token
+# ratio spans 0.28-1.0 with mean 0.50, top-bigram share 0.01-0.17)
+_MIN_DISTINCT_RATIO = 0.4
+_MAX_TOP_BIGRAM_FRAC = 0.08
+
+# PII patterns restricted to syntax Java regex and RE2 parse identically
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+# --------------------------------------------------------------------------
+# Benchmark contamination: test-split shingles seen in the train split
+# --------------------------------------------------------------------------
+@register(
+    "contamination_ngram_overlap",
+    doc=f"Benchmark-contamination detection: {_SHINGLE_N}-token shingle "
+    "hashes of each test-split doc probed against the distinct train-split "
+    "shingle set (hash equi-join on the inverted index, never a cross "
+    "product); split membership reuses the deterministic hash split",
+    tags=("text", "dedup", "join", "training-data"),
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id,
+           string_split_regex(trim(text), '\\s+') AS tk,
+           ({_DUCK_HASH} % 1000000) / 1000000.0 AS frac
+    FROM documents
+    WHERE len(string_split_regex(trim(text), '\\s+')) >= {_SHINGLE_N}
+),
+sh AS (
+    SELECT DISTINCT doc_id, frac,
+           (('0x' || substring(md5(array_to_string(tk[p:p+{_SHINGLE_N - 1}], ' ')), 1, 15))::BIGINT) AS h
+    FROM (
+        SELECT doc_id, frac, tk,
+               unnest(range(1, len(tk) - {_SHINGLE_N - 2})) AS p
+        FROM d
+    )
+),
+train AS (SELECT DISTINCT h FROM sh WHERE frac < {_B1}),
+test AS (SELECT doc_id, h FROM sh WHERE frac >= {_B2})
+SELECT t.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+       ROUND(CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS contamination_ratio
+FROM test t LEFT JOIN train tr ON t.h = tr.h
+GROUP BY 1
+""",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.col("doc_id").cast("string").alias("k")
+    )
+    docs = deterministic_split(docs, "k", _SPLITS)
+    # materialize the token array before shingling: HOF lambdas are
+    # interpreted, so an inline split() would re-evaluate per element
+    tokenized = docs.select(
+        "doc_id", "split", TX.tokens(F.col("text")).alias("tk")
+    ).filter(F.size("tk") >= _SHINGLE_N)
+    shingle_hashes = F.array_distinct(
+        F.transform(
+            TX.word_shingles(F.col("tk"), _SHINGLE_N),
+            lambda s: TX.portable_hash60(s),
+        )
+    )
+    base = tokenized.select(
+        "doc_id", "split", F.explode(shingle_hashes).alias("h")
+    )
+    train = base.filter(F.col("split") == "train").select("h").distinct()
+    test = base.filter(F.col("split") == "test").select("doc_id", "h")
+    joined = test.join(
+        train.withColumn("in_train", F.lit(1)), "h", "left"
+    )
+    contaminated = F.sum(
+        F.when(F.col("in_train").isNotNull(), 1).otherwise(0)
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        contaminated.alias("n_contaminated"),
+        F.round(contaminated.cast("double") / F.count(F.lit(1)), 4).alias(
+            "contamination_ratio"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction audit (regex scrub, counts + redacted-text digest)
+# --------------------------------------------------------------------------
+@register(
+    "pii_redaction_audit",
+    doc="PII scrubbing: regex redaction of emails/phone numbers with "
+    "per-doc match counts and a digest of the redacted text — all "
+    "scan-side codegen (regexp_extract_all/regexp_replace); the PII is "
+    "synthesized deterministically from doc_id so both engines scrub "
+    "identical inputs (no real PII exists in the synthetic corpus)",
+    tags=("text", "expression", "training-data"),
+    oracle=f"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +1-555-'
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || CASE WHEN doc_id % 3 = 0
+                        THEN ' cc admin@example.org' ELSE '' END AS t
+    FROM documents
+),
+red AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM aug
+)
+SELECT doc_id, n_emails, n_phones,
+       md5(redacted) AS redacted_md5,
+       CAST(length(redacted) AS BIGINT) AS redacted_len
+FROM red
+""",
+)
+def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cc admin@example.org")).otherwise(
+            F.lit("")
+        ),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0)).cast("long").alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), 0)).cast("long").alias(
+            "n_phones"
+        ),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition quality flags
+# --------------------------------------------------------------------------
+@register(
+    "repetition_quality_flags",
+    doc="Repetition quality signals (Gopher-rule shape): distinct-token "
+    "ratio via array HOFs (zero-shuffle) + top-bigram share via a "
+    "two-level hash aggregation; flags docs below "
+    f"{_MIN_DISTINCT_RATIO} distinct ratio or above "
+    f"{_MAX_TOP_BIGRAM_FRAC} top-bigram share",
+    tags=("text", "aggregate", "training-data"),
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+    FROM documents
+    WHERE len(string_split_regex(trim(text), '\\s+')) >= 2
+),
+bg AS (
+    SELECT doc_id, array_to_string(tk[p:p+1], ' ') AS b
+    FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS p FROM d)
+),
+top AS (
+    SELECT doc_id, MAX(c) AS max_bigram, CAST(SUM(c) AS BIGINT) AS n_bigrams
+    FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+    GROUP BY 1
+),
+ratios AS (
+    SELECT d.doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4)
+               AS distinct_token_ratio,
+           ROUND(CAST(t.max_bigram AS DOUBLE) / t.n_bigrams, 4)
+               AS top_bigram_frac
+    FROM d JOIN top t ON d.doc_id = t.doc_id
+)
+SELECT doc_id, n_tokens, distinct_token_ratio, top_bigram_frac,
+       (distinct_token_ratio < {_MIN_DISTINCT_RATIO}
+        OR top_bigram_frac > {_MAX_TOP_BIGRAM_FRAC}) AS is_repetitive
+FROM ratios
+""",
+)
+def repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # materialized token column (HOF lambdas are interpreted — an inline
+    # split() would re-evaluate per shingle element)
+    tokenized = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("tk")
+    ).filter(F.size("tk") >= 2)
+    base = tokenized.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct("tk")).cast("double") / F.size("tk"), 4
+        ).alias("distinct_token_ratio"),
+        F.explode(TX.word_shingles(F.col("tk"), 2)).alias("b"),
+    )
+    top = (
+        base.groupBy("doc_id", "n_tokens", "distinct_token_ratio", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_tokens", "distinct_token_ratio")
+        .agg(
+            F.max("c").alias("max_bigram"),
+            F.sum("c").alias("n_bigrams"),
+        )
+    )
+    ratios = top.withColumn(
+        "top_bigram_frac",
+        F.round(F.col("max_bigram").cast("double") / F.col("n_bigrams"), 4),
+    )
+    return ratios.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_token_ratio",
+        "top_bigram_frac",
+        (
+            (F.col("distinct_token_ratio") < _MIN_DISTINCT_RATIO)
+            | (F.col("top_bigram_frac") > _MAX_TOP_BIGRAM_FRAC)
+        ).alias("is_repetitive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1 shape: pricing summary (partial-agg friendly wide aggregate)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_pricing_summary",
+    doc="TPC-H Q1 shape over lineitem: date-filtered wide aggregate with "
+    "exact DECIMAL money sums cast to DOUBLE at the edge; fully "
+    "map-side-combinable (algebraic aggregates only) with the ship-date "
+    "predicate pushed to the parquet scan",
+    tags=("aggregate", "relational", "pushdown"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+GROUP BY 1, 2
+""",
+)
+def tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") <= F.lit("2000-09-02").cast("date")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    n = F.count(F.lit(1))
+    return lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+        .cast("double")
+        .alias("sum_charge"),
+        F.round(F.sum(qty).cast("double") / n, 4).alias("avg_qty"),
+        F.round(F.sum(disc).cast("double") / n, 4).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 shape: shipping priority (3-way join + deterministic top-k)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_shipping_priority",
+    doc="TPC-H Q3 shape: customer (broadcast dim) joins orders joins "
+    "lineitem, revenue per order, deterministic top-10 (revenue DESC, "
+    "orderkey ASC tiebreak) — selective predicates push to all three "
+    "scans; top-k is a TakeOrderedAndProject, not a global sort",
+    tags=("join", "aggregate", "relational", "topk"),
+    oracle="""
+SELECT l.l_orderkey AS orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(o.o_orderdate AS DATE) AS orderdate,
+       o.o_orderpriority AS orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-06-01'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1998-06-01'
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+""",
+)
+def tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-06-01").cast("date")
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < cutoff
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > cutoff
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )

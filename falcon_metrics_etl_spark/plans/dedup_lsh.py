@@ -141,12 +141,18 @@ WHERE CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared) >= {MINHASH_JACCAR
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.array_distinct(
-            TX.word_shingles(TX.tokens(F.col("text")), SHINGLE_N)
-        ).alias("shs"),
-    ).filter(F.size(TX.tokens(F.col("text"))) >= SHINGLE_N)
+    # materialize the token array before shingling: HOF lambdas are
+    # interpreted, so an inline split() would re-evaluate per element
+    toks = (
+        docs.select("doc_id", TX.tokens(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= SHINGLE_N)
+        .select(
+            "doc_id",
+            F.array_distinct(TX.word_shingles(F.col("tk"), SHINGLE_N)).alias(
+                "shs"
+            ),
+        )
+    )
     sh = toks.select("doc_id", F.explode("shs").alias("sh"))
 
     # (doc, seed, hash) rows -> 12 conditional-min aggregates (one
@@ -379,12 +385,17 @@ WHERE CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared) >= {NGRAM_JACCARD_
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.array_distinct(
-            TX.word_shingles(TX.tokens(F.col("text")), NGRAM_N)
-        ).alias("shs"),
-    ).filter(F.size(TX.tokens(F.col("text"))) >= NGRAM_N)
+    # materialized token column (see dedup_minhash_lsh note)
+    toks = (
+        docs.select("doc_id", TX.tokens(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= NGRAM_N)
+        .select(
+            "doc_id",
+            F.array_distinct(TX.word_shingles(F.col("tk"), NGRAM_N)).alias(
+                "shs"
+            ),
+        )
+    )
     sh = toks.select("doc_id", F.explode("shs").alias("sh"))
 
     rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
