@@ -185,8 +185,10 @@ def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "repetition_quality_flags",
     doc="Repetition quality signals (Gopher-rule shape): distinct-token "
-    "ratio via array HOFs (zero-shuffle) + top-bigram share via a "
-    "two-level hash aggregation; flags docs below "
+    "ratio and top-bigram share both computed scan-side with array HOFs "
+    "(top bigram = longest run in the sorted bigram array) — a "
+    "ZERO-shuffle map-only plan, the shape that matters at corpus "
+    "scale; flags docs below "
     f"{_MIN_DISTINCT_RATIO} distinct ratio or above "
     f"{_MAX_TOP_BIGRAM_FRAC} top-bigram share",
     tags=("text", "aggregate", "training-data"),
@@ -227,28 +229,38 @@ def repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenized = docs.select(
         "doc_id", TX.tokens(F.col("text")).alias("tk")
     ).filter(F.size("tk") >= 2)
-    base = tokenized.select(
+    # top-bigram count without any shuffle: the most frequent bigram is
+    # the longest run of equal adjacent elements in the SORTED bigram
+    # array — a per-row run-length aggregate (lambdas reference only
+    # lambda variables, so nothing re-evaluates per element)
+    nb = F.size("tk") - 1  # bigram count; >= 1 after the filter
+    sorted_b = F.array_sort(TX.word_shingles(F.col("tk"), 2))
+    adj = F.greatest(nb - 1, F.lit(0))
+    eq = F.zip_with(
+        F.slice(sorted_b, 1, adj),
+        F.slice(sorted_b, 2, adj),
+        lambda a, b: (a == b).cast("int"),
+    )
+    max_run = F.aggregate(
+        eq,
+        F.struct(F.lit(1).alias("cur"), F.lit(1).alias("mx")),
+        lambda acc, x: F.struct(
+            F.when(x == 1, acc.cur + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc.mx, F.when(x == 1, acc.cur + 1).otherwise(F.lit(1))
+            ).alias("mx"),
+        ),
+        lambda acc: acc.mx,
+    )
+    scored = tokenized.select(
         "doc_id",
         F.size("tk").cast("long").alias("n_tokens"),
         F.round(
             F.size(F.array_distinct("tk")).cast("double") / F.size("tk"), 4
         ).alias("distinct_token_ratio"),
-        F.explode(TX.word_shingles(F.col("tk"), 2)).alias("b"),
+        F.round(max_run.cast("double") / nb, 4).alias("top_bigram_frac"),
     )
-    top = (
-        base.groupBy("doc_id", "n_tokens", "distinct_token_ratio", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id", "n_tokens", "distinct_token_ratio")
-        .agg(
-            F.max("c").alias("max_bigram"),
-            F.sum("c").alias("n_bigrams"),
-        )
-    )
-    ratios = top.withColumn(
-        "top_bigram_frac",
-        F.round(F.col("max_bigram").cast("double") / F.col("n_bigrams"), 4),
-    )
-    return ratios.select(
+    return scored.select(
         "doc_id",
         "n_tokens",
         "distinct_token_ratio",
