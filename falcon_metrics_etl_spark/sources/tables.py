@@ -43,6 +43,16 @@ _NANO_TS_COLUMNS = {
 }
 
 
+# (applicationId, sf_dir, name) -> reader DataFrame. A DataFrame is an
+# immutable logical plan, so reusing it skips the per-call file listing
+# + parquet footer probe (~140 ms each) without changing semantics;
+# keying on applicationId drops entries when the session is rebuilt.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+# applicationIds whose session confs were already applied + verified
+_CONFED_APPS: set[str] = set()
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Apply runtime-settable SQL confs to an externally-built session.
 
@@ -50,6 +60,9 @@ def ensure_session_confs(spark: SparkSession) -> None:
     (nanos-as-long, UTC, AQE, Arrow) are all SQL confs, so setting them
     here is safe and effective for subsequent reads.
     """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _CONFED_APPS:
+        return
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
@@ -63,11 +76,16 @@ def ensure_session_confs(spark: SparkSession) -> None:
             f"spark.sql.session.timeZone={tz!r}; this engine requires UTC "
             "(NTZ timestamp normalization would shift instants otherwise)"
         )
+    _CONFED_APPS.add(app_id)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing nano-timestamps to TimestampType."""
     ensure_session_confs(spark)
+    cache_key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for col in _NANO_TS_COLUMNS.get(name, ()):
@@ -78,6 +96,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dtype == "timestamp_ntz":
             # wall-clock micros; session tz is UTC so the instant is unchanged
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    _TABLE_CACHE[cache_key] = df
     return df
 
 
