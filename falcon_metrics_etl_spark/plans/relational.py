@@ -325,3 +325,125 @@ def date_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min(F.date_trunc("day", F.col("o_orderdate"))).cast("date").alias("day_start"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pivot / unpivot — wide<->long reshaping (serving-layer shapes)
+# --------------------------------------------------------------------------
+@register(
+    "order_status_pivot",
+    doc="Pivot (long->wide): order counts per priority pivoted by status "
+    "with an explicit value list — with values declared, Spark plans ONE "
+    "aggregation pass (no extra distinct scan) of conditional counts, "
+    "the same plan the reference's A4 class-of-service breakdown wants",
+    tags=("aggregate", "pivot"),
+    oracle="""
+SELECT o_orderpriority AS class_of_service,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS status_f,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS status_o,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS status_p
+FROM orders
+GROUP BY 1
+""",
+)
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy(F.col("o_orderpriority").alias("class_of_service"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return pivoted.select(
+        "class_of_service",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@register(
+    "lineitem_measures_unpivot",
+    doc="Unpivot/melt (wide->long): lineitem measure columns become "
+    "(measure, value) rows via the native unpivot operator (an Expand "
+    "node — one scan, rows*measures output, no shuffle), the EAV "
+    "serving shape of the customFields JSONB analog",
+    tags=("unpivot", "expression"),
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, value FROM (
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+)
+WHERE l_orderkey <= 1000
+""",
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") <= 1000
+    )
+    return lineitem.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_quantity", "quantity")
+        .when(F.col("measure") == "l_extendedprice", "extendedprice")
+        .otherwise("discount"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deep join tree — TPC-H Q5 shape (join reordering / broadcast at depth)
+# --------------------------------------------------------------------------
+@register(
+    "regional_revenue",
+    doc="TPC-H Q5 shape: region -> nation -> customer -> orders -> "
+    "lineitem five-way join with a selective region predicate; the three "
+    "dim hops broadcast and Catalyst/AQE order the join tree so the "
+    "selective region filter prunes before the fact join",
+    tags=("join", "broadcast", "aggregate", "relational"),
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'ASIA' AND o.o_orderstatus = 'F'
+GROUP BY 1
+""",
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    dims = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
