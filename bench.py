@@ -48,6 +48,7 @@ HEADLINE = [
     "tpch_pricing_summary",
     "contamination_ngram_overlap",
     "repetition_quality_flags",
+    "insights_metrics_single_pass",
 ]
 
 

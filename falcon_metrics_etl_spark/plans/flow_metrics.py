@@ -378,3 +378,108 @@ def flow_debt_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None),
         ).otherwise(F.round(F.col("wip_age_p85") * 100.0 / F.col("lead_time_p85"), 2)),
     )
+
+
+# --------------------------------------------------------------------------
+# A3-A7 fused — the 9-parallel-metric-calls view in ONE pass
+# --------------------------------------------------------------------------
+@register(
+    "insights_metrics_single_pass",
+    doc="A3-A7 fused: the reference's insights view fires 9 parallel "
+    "metric API calls per (context, window) (extract_flomatika_insights_"
+    "processor.ts:339-348); here lead-time p85/avg, WIP count + age p85, "
+    "throughput and flow debt all come from ONE join + ONE grouped "
+    "aggregation with conditional (null-skipping) aggregates — one scan "
+    "of the fact table instead of nine",
+    tags=("join", "aggregate", "percentile", "fused"),
+    oracle=f"""
+WITH departures AS (
+    SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS departure_date
+    FROM lineitem GROUP BY 1
+),
+items AS (
+    SELECT o.o_orderpriority AS class_of_service,
+           CAST(o.o_orderdate AS DATE) AS commitment_date,
+           d.departure_date
+    FROM orders o LEFT JOIN departures d ON o.o_orderkey = d.l_orderkey
+),
+m AS (
+    SELECT class_of_service,
+           percentile_disc(0.85) WITHIN GROUP (
+               ORDER BY CASE WHEN departure_date IS NOT NULL
+                   THEN datediff('day', commitment_date, departure_date) END
+           ) AS lead_time_p85,
+           ROUND(AVG(CASE WHEN departure_date IS NOT NULL
+               THEN datediff('day', commitment_date, departure_date) END), 2)
+               AS lead_time_avg,
+           CAST(COALESCE(SUM(CASE WHEN commitment_date <= DATE '{WIP_AS_OF_DATE}'
+                AND (departure_date IS NULL OR departure_date > DATE '{WIP_AS_OF_DATE}')
+                THEN 1 END), 0) AS BIGINT) AS wip_count,
+           percentile_disc(0.85) WITHIN GROUP (
+               ORDER BY CASE WHEN commitment_date <= DATE '{WIP_AS_OF_DATE}'
+                   AND (departure_date IS NULL OR departure_date > DATE '{WIP_AS_OF_DATE}')
+                   THEN datediff('day', commitment_date, DATE '{WIP_AS_OF_DATE}') END
+           ) AS wip_age_p85,
+           CAST(COALESCE(SUM(CASE WHEN departure_date IS NOT NULL THEN 1 END), 0)
+               AS BIGINT) AS throughput_total
+    FROM items
+    GROUP BY 1
+)
+SELECT class_of_service, lead_time_p85, lead_time_avg, wip_count,
+       wip_age_p85, throughput_total,
+       CASE WHEN lead_time_p85 IS NULL OR lead_time_p85 = 0 THEN NULL
+            ELSE ROUND(wip_age_p85 * 100.0 / lead_time_p85, 2) END AS flow_debt
+FROM m
+""",
+)
+def insights_metrics_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.metrics import percentile_disc
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    departures = lineitem.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("departure_date")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("class_of_service"),
+        F.to_date("o_orderdate").alias("commitment_date"),
+    )
+    items = orders.join(
+        departures, orders.o_orderkey == departures.l_orderkey, "left"
+    ).select("class_of_service", "commitment_date", "departure_date")
+
+    as_of = F.lit(WIP_AS_OF_DATE).cast("date")
+    departed = F.col("departure_date").isNotNull()
+    in_wip = (F.col("commitment_date") <= as_of) & (
+        F.col("departure_date").isNull() | (F.col("departure_date") > as_of)
+    )
+    lead_days = F.when(
+        departed, F.datediff("departure_date", "commitment_date")
+    )
+    wip_age = F.when(in_wip, F.datediff(as_of, "commitment_date"))
+
+    scored = items.select(
+        "class_of_service",
+        lead_days.alias("lead_days"),
+        wip_age.alias("wip_age"),
+        departed.cast("int").alias("departed"),
+        in_wip.cast("int").alias("in_wip"),
+    )
+    m = scored.groupBy("class_of_service").agg(
+        percentile_disc("lead_days", 0.85).alias("lead_time_p85"),
+        F.round(F.avg("lead_days"), 2).alias("lead_time_avg"),
+        F.coalesce(F.sum("in_wip"), F.lit(0)).cast("long").alias("wip_count"),
+        percentile_disc("wip_age", 0.85).alias("wip_age_p85"),
+        F.coalesce(F.sum("departed"), F.lit(0))
+        .cast("long")
+        .alias("throughput_total"),
+    )
+    return m.withColumn(
+        "flow_debt",
+        F.when(
+            F.col("lead_time_p85").isNull() | (F.col("lead_time_p85") == 0),
+            F.lit(None),
+        ).otherwise(
+            F.round(F.col("wip_age_p85") * 100.0 / F.col("lead_time_p85"), 2)
+        ),
+    )
