@@ -1,0 +1,91 @@
+"""Unit tests for the corpus-governance layer: shingle construction
+edge cases, PII redaction determinism, repetition scoring semantics.
+(The DuckDB oracle gate covers end-to-end correctness; these pin the
+building blocks against regressions.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.functions import text as TX
+
+
+def _shingles(spark, text: str, n: int):
+    df = spark.createDataFrame([(text,)], ["text"])
+    # materialized token column, as every call site does
+    out = df.select(TX.tokens(F.col("text")).alias("tk")).select(
+        TX.word_shingles(F.col("tk"), n).alias("s")
+    )
+    return out.collect()[0].s
+
+
+def test_word_shingles_basic_trigrams(spark):
+    assert _shingles(spark, "a b c d", 3) == ["a b c", "b c d"]
+
+
+def test_word_shingles_exact_length(spark):
+    assert _shingles(spark, "a b c", 3) == ["a b c"]
+
+
+def test_word_shingles_shorter_than_n_is_empty(spark):
+    assert _shingles(spark, "a b", 3) == []
+    assert _shingles(spark, "a", 2) == []
+
+
+def test_word_shingles_bigrams_preserve_order_and_duplicates(spark):
+    assert _shingles(spark, "x y x y", 2) == ["x y", "y x", "x y"]
+
+
+def test_repetition_run_length_equals_top_bigram_count(spark):
+    # doc with a dominant repeated bigram: 'x y' appears 3 times among
+    # 6 bigrams -> top_bigram_frac = 0.5
+    from falcon_metrics_etl_spark.plans.registry import all_queries  # noqa: F401
+    from falcon_metrics_etl_spark.plans.corpus_ops import (
+        repetition_quality_flags,
+    )
+    import falcon_metrics_etl_spark.sources.tables as tables
+
+    df = spark.createDataFrame(
+        [(1, "x y x y x y z")], "doc_id long, text string"
+    )
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda s, d, n: df
+        # plans module imported load_table by value — patch there too
+        import falcon_metrics_etl_spark.plans.corpus_ops as co
+
+        co_orig = co.load_table
+        co.load_table = lambda s, d, n: df
+        try:
+            row = repetition_quality_flags(spark, "ignored").collect()[0]
+        finally:
+            co.load_table = co_orig
+    finally:
+        tables.load_table = orig
+    assert row.n_tokens == 7
+    assert abs(row.top_bigram_frac - 0.5) < 1e-9
+    # distinct ratio 3/7
+    assert abs(row.distinct_token_ratio - round(3 / 7, 4)) < 1e-9
+    assert bool(row.is_repetitive) is True
+
+
+def test_pii_redaction_is_deterministic_and_complete(spark):
+    from falcon_metrics_etl_spark.plans.corpus_ops import pii_redaction_audit
+    import falcon_metrics_etl_spark.plans.corpus_ops as co
+
+    df = spark.createDataFrame(
+        [(3, "hello world"), (4, "no pii here")], "doc_id long, text string"
+    )
+    co_orig = co.load_table
+    co.load_table = lambda s, d, n: df
+    try:
+        rows = {r.doc_id: r for r in pii_redaction_audit(spark, "x").collect()}
+    finally:
+        co.load_table = co_orig
+    # doc 3 gets the synthesized email + cc (doc_id % 3 == 0) + phone
+    assert rows[3].n_emails == 2 and rows[3].n_phones == 1
+    assert rows[4].n_emails == 1 and rows[4].n_phones == 1
+    # exact post-redaction text for doc 4: the email regex consumes the
+    # whole "user4@example.com" token, the phone regex "+1-555-004-0004"
+    assert rows[4].redacted_len == len("no pii here contact <EMAIL> or <PHONE>")
