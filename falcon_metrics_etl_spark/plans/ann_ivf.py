@@ -156,3 +156,83 @@ def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= IVF_TOPK)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+KMEANS_K = 8
+
+
+@register(
+    "kmeans_lloyd_step",
+    doc=f"One Lloyd iteration of spherical k-means over the embeddings: "
+    f"{KMEANS_K} deterministic seed centroids (first vec_ids), every "
+    "vector assigned to its nearest centroid by exact-integer cosine "
+    "(broadcast centroids, HOF dot product), then the new centroids "
+    "recomputed as element-wise means in LONG form (cell, pos, mean) — "
+    "the iterative-algorithm shape (assign + reduce per iteration) "
+    "with nothing but one broadcast join + one shuffle per step",
+    tags=("vector", "iterative", "join", "aggregate"),
+    oracle=f"""
+WITH iv AS (
+    SELECT vec_id, {_DUCK_QUANT} AS q FROM embeddings
+),
+n AS (
+    SELECT vec_id, q, list_dot_product(q, q) AS nsq FROM iv
+),
+cents AS (
+    SELECT vec_id AS cent_id, q AS cq, nsq AS cnsq FROM n
+    WHERE vec_id < {KMEANS_K}
+),
+aff AS (
+    SELECT v.vec_id, v.q, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.q, c.cq) / sqrt(c.cnsq) DESC,
+                                       c.cent_id) AS crank
+    FROM n v CROSS JOIN cents c
+),
+assign AS (
+    SELECT vec_id, q, cent_id AS cell FROM aff WHERE crank = 1
+),
+longf AS (
+    SELECT cell, unnest(range(1, len(q) + 1)) AS pos, q AS qq
+    FROM assign
+)
+SELECT cell,
+       CAST(pos AS INT) AS pos,
+       ROUND(CAST(SUM(qq[pos]) AS DOUBLE) / COUNT(*), 4) AS mean_q,
+       COUNT(*) AS n_members
+FROM longf
+GROUP BY 1, 2
+""",
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.quantize(F.col("embedding")).alias("q")
+    )
+    n = emb.withColumn("nsq", VX.int_norm_sq(F.col("q")))
+    cents = n.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("q").alias("cq"),
+        F.col("nsq").alias("cnsq"),
+    )
+    aff = n.join(F.broadcast(cents)).withColumn(
+        "score",
+        VX.int_dot(F.col("q"), F.col("cq")).cast("double")
+        / F.sqrt(F.col("cnsq").cast("double")),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cent_id")
+    )
+    assign = (
+        aff.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") == 1)
+        .select(F.col("cent_id").alias("cell"), "q")
+    )
+    longf = assign.select(
+        "cell", F.posexplode("q").alias("pos0", "val")
+    ).select("cell", (F.col("pos0") + 1).cast("int").alias("pos"), "val")
+    return longf.groupBy("cell", "pos").agg(
+        F.round(F.sum("val").cast("double") / F.count(F.lit(1)), 4).alias(
+            "mean_q"
+        ),
+        F.count(F.lit(1)).alias("n_members"),
+    )
