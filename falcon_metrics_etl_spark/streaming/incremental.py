@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from falcon_metrics_etl_spark.sinks.merge import merge_upsert
@@ -42,8 +42,17 @@ def run_incremental_batch(
     item_col: str = "work_item_id",
     updated_col: str = "updated",
     partition_cols: Optional[Sequence[str]] = None,
+    stats_out: Optional[dict] = None,
 ) -> int:
-    """One incremental tick. Returns the number of changed items."""
+    """One incremental tick. Returns the number of changed items.
+
+    Pass ``stats_out={}`` to receive the run's observability counters
+    (rows_written, updated_min/max of the delta) — the Spark-native
+    form of the reference's per-run stats sets
+    (extract_state_processor.ts:415, 444-445, 489): ``Observation``
+    metrics piggyback on the write action itself, costing no second
+    pass over the data.
+    """
     cursor = load_cursor(spark, cursor_path, org_id, datasource_id)
     delta = revisions
     if cursor is not None:
@@ -58,7 +67,19 @@ def run_incremental_batch(
         changed_ids, on=item_col, how="left_semi"
     )
     out = transform(histories)
+    obs: Optional[Observation] = None
+    if stats_out is not None:
+        obs = Observation("run_stats")
+        out = out.observe(obs, F.count(F.lit(1)).alias("rows_written"))
     merge_upsert(spark, sink_path, out, sink_keys, partition_cols)
+    if stats_out is not None and obs is not None:
+        stats_out.update(obs.get)
+        bounds = delta.agg(
+            F.min(updated_col).alias("updated_min"),
+            F.max(updated_col).alias("updated_max"),
+        ).collect()[0]
+        stats_out["updated_min"] = bounds.updated_min
+        stats_out["updated_max"] = bounds.updated_max
     advance_cursor(
         spark, cursor_path, org_id, datasource_id, delta, updated_col
     )

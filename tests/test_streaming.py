@@ -92,6 +92,35 @@ def test_incremental_recomputes_full_history_of_changed_items(spark, tmp_path):
     )
 
 
+def test_incremental_observe_run_stats(spark, tmp_path):
+    """A9 run stats via Observation: counters ride the write action."""
+    sink = str(tmp_path / "states")
+    cursors = str(tmp_path / "cursors")
+
+    def latest_state(histories):
+        return histories.groupBy("work_item_id").agg(
+            F.max_by("state", "revision").alias("state"),
+            F.max("updated").alias("updated"),
+        )
+
+    t0 = _revs(
+        spark,
+        [
+            ("W-1", 1, "todo", "2024-01-01 00:00:00"),
+            ("W-2", 1, "todo", "2024-01-03 00:00:00"),
+        ],
+    )
+    stats: dict = {}
+    n = run_incremental_batch(
+        spark, t0, latest_state, sink, ("work_item_id",), cursors,
+        stats_out=stats,
+    )
+    assert n == 2
+    assert stats["rows_written"] == 2
+    assert str(stats["updated_min"]).startswith("2024-01-01")
+    assert str(stats["updated_max"]).startswith("2024-01-03")
+
+
 EVENTS_SCHEMA = "event_id long, ts timestamp, event_type string"
 
 
