@@ -447,3 +447,127 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy matching — bucketed Levenshtein candidate pairs
+# --------------------------------------------------------------------------
+@register(
+    "fuzzy_name_pairs",
+    doc="Fuzzy entity matching: part-name pairs within the same "
+    "(brand, size) bucket at Levenshtein distance <= 3 — the "
+    "candidate space is the equi-join on the bucket key (never a global "
+    "cross product), the edit distance a JVM built-in on the survivors; "
+    "the blocking-key pattern every record-linkage pipeline uses",
+    tags=("join", "fuzzy", "expression"),
+    oracle="""
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM part a
+JOIN part b ON a.p_brand = b.p_brand
+           AND a.p_size = b.p_size
+           AND a.p_partkey < b.p_partkey
+WHERE a.p_name <> b.p_name
+  AND levenshtein(a.p_name, b.p_name) <= 3
+""",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+    )
+    pairs = a.join(b, ["brand", "size"]).filter(
+        (F.col("id_a") < F.col("id_b")) & (F.col("name_a") != F.col("name_b"))
+    )
+    return (
+        pairs.withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .filter(F.col("edit_dist") <= 3)
+        .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality profile — one pass, long-form output
+# --------------------------------------------------------------------------
+@register(
+    "dq_profile_orders",
+    doc="Data-quality profiling: per-column null count / distinct count "
+    "/ min / max of orders in ONE scan — a single wide aggregation "
+    "projected to long form afterwards (no per-column scans, no "
+    "unpivot-before-aggregate shuffle blowup)",
+    tags=("aggregate", "quality"),
+    oracle="""
+WITH w AS (
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_custkey,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_custkey,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_custkey,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_custkey,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_status,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+           CAST(MIN(o_orderstatus) AS VARCHAR) AS min_status,
+           CAST(MAX(o_orderstatus) AS VARCHAR) AS max_status,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_price,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_price,
+           CAST(MIN(o_totalprice) AS VARCHAR) AS min_price,
+           CAST(MAX(o_totalprice) AS VARCHAR) AS max_price
+    FROM orders
+)
+SELECT 'o_custkey' AS col, n_rows, nulls_custkey AS n_nulls,
+       nd_custkey AS n_distinct, min_custkey AS min_val, max_custkey AS max_val FROM w
+UNION ALL
+SELECT 'o_orderstatus', n_rows, nulls_status, nd_status, min_status, max_status FROM w
+UNION ALL
+SELECT 'o_totalprice', n_rows, nulls_price, nd_price, min_price, max_price FROM w
+""",
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def stats(col: str):
+        c = F.col(col)
+        return [
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("long"),
+            F.countDistinct(c).cast("long"),
+            F.min(c).cast("string"),
+            F.max(c).cast("string"),
+        ]
+
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col in cols:
+        s = stats(col)
+        aggs += [
+            s[0].alias(f"nulls_{col}"),
+            s[1].alias(f"nd_{col}"),
+            s[2].alias(f"min_{col}"),
+            s[3].alias(f"max_{col}"),
+        ]
+    wide = orders.agg(*aggs)
+    longs = [
+        wide.select(
+            F.lit(col).alias("col"),
+            F.col("n_rows"),
+            F.col(f"nulls_{col}").alias("n_nulls"),
+            F.col(f"nd_{col}").alias("n_distinct"),
+            F.col(f"min_{col}").alias("min_val"),
+            F.col(f"max_{col}").alias("max_val"),
+        )
+        for col in cols
+    ]
+    out = longs[0]
+    for df in longs[1:]:
+        out = out.unionByName(df)
+    return out
