@@ -163,3 +163,49 @@ def stream_dedupe(
     return source.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    lower: str = "0 seconds",
+    upper: str = "15 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` with an event-time interval
+    condition: right.ts in [left.ts + lower, left.ts + upper].
+
+    Both sides carry watermarks, and the interval bound on BOTH join
+    columns lets Spark expire buffered state once the watermark passes
+    the window — bounded state, the same discipline as the reference's
+    "whole item recomputed on arrival" guarantee but for genuinely
+    cross-stream correlation (e.g. match each error event to the
+    deploys that preceded it). Columns are prefixed l_/r_ to keep the
+    joined schema unambiguous."""
+    lw = left.withWatermark(left_ts, watermark).select(
+        F.col(key).alias("l_key"),
+        F.col(left_ts).alias("l_ts"),
+        *[
+            F.col(c).alias(f"l_{c}")
+            for c in left.columns
+            if c not in (key, left_ts)
+        ],
+    )
+    rw = right.withWatermark(right_ts, watermark).select(
+        F.col(key).alias("r_key"),
+        F.col(right_ts).alias("r_ts"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c not in (key, right_ts)
+        ],
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") + F.expr(f"INTERVAL {lower}"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, "inner")

@@ -340,3 +340,44 @@ def test_ingest_control_math():
     five_min = 5 * 60_000
     assert is_time_to_quit(start, 5, start + five_min - 30_000) is True
     assert is_time_to_quit(start, 5, start + five_min - 30_001) is False
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """ST8 depth: two file streams joined on key within an event-time
+    interval; watermarks on both sides bound the buffered state."""
+    from falcon_metrics_etl_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "deploy-a"),
+         (2, "2024-01-01 11:00:00", "deploy-b")],
+        "user_id long, ts string, name string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(ldir)
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00", "error-1"),   # within 15 min of deploy-a
+         (1, "2024-01-01 10:20:00", "error-2"),   # outside the window
+         (2, "2024-01-01 11:10:00", "error-3"),   # within window of deploy-b
+         (3, "2024-01-01 10:05:00", "error-4")],  # no matching deploy
+        "user_id long, ts string, name string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(rdir)
+
+    schema = "user_id long, ts timestamp, name string"
+    left = spark.readStream.schema(schema).parquet(ldir)
+    right = spark.readStream.schema(schema).parquet(rdir)
+    joined = stream_stream_interval_join(left, right, "user_id")
+
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.l_name, r.r_name) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("deploy-a", "error-1"), ("deploy-b", "error-3")}
