@@ -36,9 +36,11 @@ from falcon_metrics_etl_spark.session import get_spark
 CARTESIAN_OK = {
     "knn_brute_cosine",
     "embedding_near_dup_pairs",
-    # N x K broadcast centroid assignment (K=16 rows broadcast; the
-    # deliberate IVF coarse-quantization map, ann_ivf.py:21-24)
+    # N x K broadcast centroid assignment (K<=16 rows broadcast; the
+    # deliberate IVF coarse-quantization / Lloyd-assignment map,
+    # ann_ivf.py:21-24)
     "ann_ivf_probed",
+    "kmeans_lloyd_step",
 }
 
 
