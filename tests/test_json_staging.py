@@ -104,3 +104,25 @@ def test_context_pipeline_staging_to_bridge(spark, tmp_path):
         for r in spark.read.parquet(bridge).collect()
     )
     assert got == [("ctxA", "W2"), ("ctxA", "W9"), ("ctxB", "W2"), ("ctxB", "W3")]
+
+
+def test_bronze_schema_evolution_merge(spark, tmp_path):
+    """Bronze schema drift: newer micro-batches add columns; a
+    mergeSchema read unions the schemas and back-fills nulls — old
+    files stay valid, no rewrite (the lakehouse answer to the
+    reference's open-world `fields: {[prop]: any}` raw payloads)."""
+    bronze = str(tmp_path / "bronze")
+    spark.createDataFrame(
+        [(1, "todo")], "work_item_id long, state string"
+    ).write.parquet(bronze + "/batch=1")
+    # later extract adds a column the old files don't have
+    spark.createDataFrame(
+        [(2, "doing", "alice")],
+        "work_item_id long, state string, assignee string",
+    ).write.parquet(bronze + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(bronze)
+    assert set(merged.columns) >= {"work_item_id", "state", "assignee"}
+    rows = {r.work_item_id: r for r in merged.collect()}
+    assert rows[1].assignee is None  # back-filled, not failed
+    assert rows[2].assignee == "alice"
