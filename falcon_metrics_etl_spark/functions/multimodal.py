@@ -109,3 +109,46 @@ def sample_frame_indices(n_frames: Column, every_k: int) -> Column:
         n_frames > 0,
         F.sequence(F.lit(0), n_frames - 1, F.lit(every_k)),
     ).otherwise(F.array().cast("array<int>"))
+
+
+def resize_dims(width: Column, height: Column, box: int) -> Column:
+    """Fit-within-box resize arithmetic (aspect preserved, integer
+    floor division — exact in any engine): returns struct(target_w,
+    target_h). The PIXEL resample would run next to ``_decode_one``
+    (and is stubbed with it); the planning arithmetic is JVM-side so a
+    resize STAGE can size batches/partitions without touching Python.
+    """
+    m = F.greatest(width, height)
+    # floor division keeps the arithmetic integer-exact across engines
+    tw = F.greatest(F.lit(1), F.floor(width * box / m)).cast("int")
+    th = F.greatest(F.lit(1), F.floor(height * box / m)).cast("int")
+    return F.struct(tw.alias("target_w"), th.alias("target_h"))
+
+
+FEATURE_DIM = 8
+FEATURE_SCHEMA = "doc_id long, dim_idx int, feature double"
+
+
+def extract_feature_stub(media: DataFrame) -> DataFrame:
+    """Feature extraction over opaque payloads, Arrow-batched — the
+    binary -> embedding bridge into the vector/ANN layer. The REAL
+    model forward pass is stubbed like ``_decode_one``; the synthetic
+    features are md5-nibble fractions (k-th 16-bit word / 2^16 —
+    exact in double, so the DuckDB oracle replays them bit-for-bit).
+    Output is LONG form (doc_id, dim_idx, feature): embedding-as-rows
+    shuffles and oracles cleanly at any dimensionality."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, dims, feats = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                h = hashlib.md5(bytes(p)).hexdigest()
+                for k in range(FEATURE_DIM):
+                    ids.append(doc_id)
+                    dims.append(k)
+                    feats.append(int(h[4 * k : 4 * k + 4], 16) / 65536.0)
+            yield pd.DataFrame(
+                {"doc_id": ids, "dim_idx": dims, "feature": feats}
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

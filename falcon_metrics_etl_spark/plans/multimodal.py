@@ -84,3 +84,55 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             MM.sample_frame_indices(F.col("n_frames"), FRAME_EVERY_K)
         ).alias("frame_idx"),
     )
+
+
+RESIZE_BOX = 256
+
+
+@register(
+    "multimodal_resize_dims",
+    doc=f"Resize planning: fit every image/video inside a "
+    f"{RESIZE_BOX}px box preserving aspect ratio — decode metadata in "
+    "Arrow-batched Python, then pure JVM integer arithmetic for the "
+    "target dims (the pixel resample is stubbed with the codecs; the "
+    "stage sizing math is engine-side and exact)",
+    tags=("multimodal", "expression"),
+    oracle=f"""
+WITH meta AS ({_DUCK_META})
+SELECT doc_id, width, height,
+       GREATEST(1, (width * {RESIZE_BOX}) // GREATEST(width, height))::INT AS target_w,
+       GREATEST(1, (height * {RESIZE_BOX}) // GREATEST(width, height))::INT AS target_h
+FROM meta
+WHERE media_type IN ('image', 'video') AND width > 0
+""",
+)
+def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = multimodal_decode_meta(spark, sf_dir).filter(
+        F.col("media_type").isin("image", "video") & (F.col("width") > 0)
+    )
+    t = MM.resize_dims(F.col("width"), F.col("height"), RESIZE_BOX)
+    return meta.select(
+        "doc_id", "width", "height",
+        t.target_w.alias("target_w"), t.target_h.alias("target_h"),
+    )
+
+
+@register(
+    "multimodal_feature_stub",
+    doc="Feature extraction stub: opaque payload -> 8-dim synthetic "
+    "embedding (md5-nibble fractions, exact in double) via Arrow-batched "
+    "mapInPandas, emitted in long (doc_id, dim_idx, feature) form — the "
+    "binary->embedding bridge that feeds the vector/ANN layer; the real "
+    "model forward pass swaps in where the codec stub sits",
+    tags=("multimodal", "pandas-udf", "vector"),
+    oracle="""
+SELECT doc_id,
+       CAST(k AS INT) AS dim_idx,
+       (('0x' || substring(md5(text), 4 * k + 1, 4))::INT / 65536.0) AS feature
+FROM documents, unnest(range(0, 8)) AS t(k)
+""",
+)
+def multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload(docs)
+    return MM.extract_feature_stub(media)
