@@ -26,6 +26,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # fewer, fatter Arrow batches across the Python boundary: the
+    # narrow event-date rows cost ~20% less wall clock at 50k than the
+    # 10k default (measured on event_dates_full at sf0.1); fat-payload
+    # multimodal rows stay safe at this size (~15 MB/batch worst case),
+    # deployments with wider binary rows tune this down
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "50000",
 }
 
 
