@@ -43,6 +43,7 @@ def run_incremental_batch(
     updated_col: str = "updated",
     partition_cols: Optional[Sequence[str]] = None,
     stats_out: Optional[dict] = None,
+    versioned: bool = False,
 ) -> int:
     """One incremental tick. Returns the number of changed items.
 
@@ -52,6 +53,10 @@ def run_incremental_batch(
     (extract_state_processor.ts:415, 444-445, 489): ``Observation``
     metrics piggyback on the write action itself, costing no second
     pass over the data.
+
+    ``versioned=True`` routes the MERGE through the versioned snapshot
+    sink (sinks/versioned.py): every tick commits an immutable,
+    time-travelable version — rollback undoes a bad batch in O(1).
     """
     cursor = load_cursor(spark, cursor_path, org_id, datasource_id)
     delta = revisions
@@ -71,7 +76,12 @@ def run_incremental_batch(
     if stats_out is not None:
         obs = Observation("run_stats")
         out = out.observe(obs, F.count(F.lit(1)).alias("rows_written"))
-    merge_upsert(spark, sink_path, out, sink_keys, partition_cols)
+    if versioned:
+        from falcon_metrics_etl_spark.sinks.versioned import versioned_merge
+
+        versioned_merge(spark, sink_path, out, sink_keys, partition_cols)
+    else:
+        merge_upsert(spark, sink_path, out, sink_keys, partition_cols)
     if stats_out is not None and obs is not None:
         stats_out.update(obs.get)
         bounds = delta.agg(
