@@ -571,3 +571,48 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in longs[1:]:
         out = out.unionByName(df)
     return out
+
+
+# --------------------------------------------------------------------------
+# Ranking-window breadth — ntile / percent_rank / cume_dist / lag
+# --------------------------------------------------------------------------
+@register(
+    "order_value_rankings",
+    doc="Ranking-window suite over order values per priority: quartile "
+    "(ntile), percent_rank, cume_dist, and gap-to-previous (lag) in one "
+    "window pass — all four share a single (partition, order) spec so "
+    "Spark plans ONE sort and ONE WindowExec; deterministic total order "
+    "via the (price, orderkey) tiebreak",
+    tags=("window", "ranking"),
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority AS class_of_service,
+       o_totalprice,
+       CAST(ntile(4) OVER w AS INT) AS price_quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       ROUND(o_totalprice - lag(o_totalprice) OVER w, 2) AS gap_to_prev
+FROM orders
+WHERE o_orderkey <= 5000
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def order_value_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 5000
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("class_of_service"),
+        "o_totalprice",
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+        ).alias("gap_to_prev"),
+    )
