@@ -168,3 +168,43 @@ def test_incremental_tick_with_versioned_sink(spark, tmp_path):
     assert {
         r.state for r in read_versioned(spark, sink).collect()
     } == {"todo"}
+
+
+def test_versioned_merge_matches_dict_model_over_random_batches(spark, tmp_path):
+    """Model-based check: a sequence of random keyed batches, replayed
+    against a plain dict upsert model; every historical version must
+    read back exactly as the model stood after that batch."""
+    import random
+
+    rng = random.Random(7)
+    root = str(tmp_path / "t")
+    model: dict = {}
+    snapshots = []
+    for batch_no in range(5):
+        # org is a pure function of the key: partition-scoped MERGE
+        # (like the reference's partition_key) does not support a key
+        # migrating partitions, so the generator must not produce it
+        keys = [rng.randint(1, 8) for _ in range(rng.randint(1, 4))]
+        rows = [
+            (f"W-{k}", "a" if k % 2 == 0 else "b", f"s{batch_no}-{i}")
+            for i, k in enumerate(keys)
+        ]
+        # last-write-wins within the batch, like the sink's key dedupe:
+        # keep the LAST occurrence per key
+        dedup = {}
+        for wid, org, state in rows:
+            dedup[wid] = (wid, org, state)
+        versioned_merge(
+            spark, root, _df(spark, list(dedup.values())),
+            ("work_item_id",), ("org_id",),
+        )
+        for wid, org, state in dedup.values():
+            model[wid] = (wid, org, state)
+        snapshots.append(dict(model))
+
+    for version, snap in enumerate(snapshots):
+        got = {
+            r.work_item_id: (r.work_item_id, r.org_id, r.state)
+            for r in read_versioned(spark, root, version).collect()
+        }
+        assert got == snap, f"version {version} diverged from model"
