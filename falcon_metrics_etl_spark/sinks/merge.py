@@ -73,6 +73,12 @@ def merge_upsert(
     ``updates`` must be unique per key (enforced here with a
     dropDuplicates on the keys, mirroring the reference's pre-load
     dedup, state_load_processor_aurora.ts:92-101).
+
+    Contract: a key must not migrate partitions — partition-scoped
+    copy-on-write only rewrites partitions present in ``updates``, so
+    a row whose partition value changed would leave its old row
+    behind. The reference has the same invariant (org_id is part of
+    partition_key); derive partition columns from the merge key.
     """
     updates = updates.dropDuplicates(list(keys))
     if not _target_exists(spark, path):

@@ -118,7 +118,8 @@ def versioned_merge(
     ``updates`` are re-materialized under the new version's dir; every
     other partition entry is carried over unchanged from the previous
     manifest. The merge semantics (key dedupe, anti-join survivors,
-    additive schema evolution) mirror ``sinks/merge.py::merge_upsert``.
+    additive schema evolution) and the no-partition-migration contract
+    mirror ``sinks/merge.py::merge_upsert``.
     """
     updates = updates.dropDuplicates(list(keys))
     prev = current_version(root)
