@@ -26,6 +26,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # answer bare MIN/MAX/COUNT from parquet footer statistics without
+    # scanning rows (cursor-max scans, DQ profiling); no effect on
+    # filtered/grouped aggregates
+    "spark.sql.parquet.aggregatePushdown": "true",
     # fewer, fatter Arrow batches across the Python boundary: the
     # narrow event-date rows cost ~20% less wall clock at 50k than the
     # 10k default (measured on event_dates_full at sf0.1); fat-payload
