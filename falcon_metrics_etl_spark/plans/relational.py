@@ -616,3 +616,47 @@ def order_value_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
         ).alias("gap_to_prev"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape — large-volume customer (HAVING over fact aggregate)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_large_orders",
+    doc="TPC-H Q18 shape: orders whose summed lineitem quantity exceeds "
+    "a threshold, joined back to customer — aggregate-then-semi-join; "
+    "Catalyst plans the HAVING as a post-aggregation filter and AQE "
+    "broadcasts the (small) surviving order set for the join-back",
+    tags=("join", "aggregate", "subquery", "relational"),
+    oracle="""
+SELECT c.c_name AS customer_name,
+       o.o_orderkey AS orderkey,
+       CAST(o.o_orderdate AS DATE) AS orderdate,
+       CAST(big.total_qty AS DOUBLE) AS total_qty
+FROM (
+    SELECT l_orderkey, SUM(l_quantity) AS total_qty
+    FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 150
+) big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("c_name").alias("customer_name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
