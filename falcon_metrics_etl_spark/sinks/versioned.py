@@ -218,3 +218,54 @@ def vacuum(root: str, retain_last: int = 1) -> list[str]:
             if v not in retained_versions:
                 os.remove(os.path.join(_vdir(root), name))
     return deleted
+
+
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: int,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Change data feed between two committed versions (Delta CDF
+    analog): full-outer join of the snapshots on ``keys``, each row
+    tagged ``_change_type`` in {insert, update, delete, unchanged}.
+    Downstream consumers filter out 'unchanged' — it is included so
+    callers can also use this as a full diffing read. Column values
+    come from the NEW version for inserts/updates and the OLD version
+    for deletes."""
+    old = read_versioned(spark, root, v_from)
+    new = read_versioned(spark, root, v_to)
+    val_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *keys, *[F.col(c).alias(f"__old_{c}") for c in val_cols]
+    )
+    n = new.select(
+        *keys, *[F.col(c).alias(f"__new_{c}") for c in val_cols]
+    )
+    # presence markers (not value nullness: a legitimately-null value
+    # column must not read as "row absent")
+    j = o.withColumn("__in_old", F.lit(True)).join(
+        n.withColumn("__in_new", F.lit(True)),
+        on=list(keys),
+        how="full_outer",
+    )
+    changed = (
+        F.struct(*[F.col(f"__old_{c}") for c in val_cols])
+        != F.struct(*[F.col(f"__new_{c}") for c in val_cols])
+        if val_cols
+        else F.lit(False)
+    )
+    change_type = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out_vals = [
+        F.when(
+            F.col("__in_new").isNull(), F.col(f"__old_{c}")
+        ).otherwise(F.col(f"__new_{c}")).alias(c)
+        for c in val_cols
+    ]
+    return j.select(*keys, *out_vals, change_type.alias("_change_type"))
