@@ -236,3 +236,91 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+@register(
+    "label_centroid_similarity",
+    doc="Label-separation diagnostic over the embeddings: per-label "
+    "centroids from exact integer sums (floor of the single-division "
+    "mean keeps every value engine-exact), then pairwise centroid "
+    "cosine — low inter-label cosine = well-separated classes, the "
+    "embedding-quality check a training pipeline runs before trusting "
+    "labels; long-form sums keep the plan one explode + two small "
+    "shuffles at any dimensionality",
+    tags=("vector", "aggregate", "training-data"),
+    oracle=f"""
+WITH iv AS (
+    SELECT vec_id, label, {_DUCK_QUANT} AS q FROM embeddings
+),
+longf AS (
+    SELECT label, unnest(range(1, len(q) + 1)) AS pos, q AS qq FROM iv
+),
+cent AS (
+    SELECT label, pos,
+           CAST(FLOOR(CAST(SUM(qq[pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mq,
+           COUNT(*) AS n
+    FROM longf GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           SUM(a.mq * b.mq) AS dot,
+           SUM(a.mq * a.mq) AS na2,
+           SUM(b.mq * b.mq) AS nb2,
+           ANY_VALUE(a.n) AS n_a, ANY_VALUE(b.n) AS n_b
+    FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       ROUND(CAST(dot AS DOUBLE) / sqrt(CAST(na2 AS DOUBLE))
+             / sqrt(CAST(nb2 AS DOUBLE)), 6) AS cosine,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+FROM pairs
+""",
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", VX.quantize(F.col("embedding")).alias("q")
+    )
+    longf = emb.select(
+        "label", F.posexplode("q").alias("pos0", "val")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "val")
+    cent = longf.groupBy("label", "pos").agg(
+        # floor of ONE double division: sums < 2^33 are double-exact,
+        # so the floored mean is identical in any engine (int division
+        # differs between engines on negatives — truncate vs floor)
+        F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.sum(F.col("a.mq") * F.col("b.mq")).alias("dot"),
+            F.sum(F.col("a.mq") * F.col("a.mq")).alias("na2"),
+            F.sum(F.col("b.mq") * F.col("b.mq")).alias("nb2"),
+            F.any_value(F.col("a.n")).alias("n_a"),
+            F.any_value(F.col("b.n")).alias("n_b"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na2").cast("double"))
+            / F.sqrt(F.col("nb2").cast("double")),
+            6,
+        ).alias("cosine"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )
