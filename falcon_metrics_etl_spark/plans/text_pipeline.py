@@ -370,3 +370,85 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = embedding_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
     return duplicate_clusters(pairs)
+
+
+KNN_BASE_SPLIT = 400  # vec_id < SPLIT = base corpus; >= SPLIT = delta batch
+
+
+@register(
+    "knn_incremental_update",
+    doc=f"Incremental top-{KNN_K} maintenance under insert-only growth "
+    "(the interactive-session top-k pattern): the base corpus's top-k "
+    "is reused as-is and only the delta batch is scored "
+    f"(vec_id >= {KNN_BASE_SPLIT}), then the union re-ranks — work per "
+    "refresh is O(queries x delta), never a rescan of the base. The "
+    "oracle recomputes top-k over the FULL corpus directly, proving "
+    "the incremental path exactly equals the from-scratch answer.",
+    tags=("vector", "window", "incremental"),
+    oracle=f"""
+WITH iv AS (
+    SELECT vec_id, {_DUCK_QUANT} AS q FROM embeddings
+),
+n AS (
+    SELECT vec_id, q, list_dot_product(q, q) AS nsq FROM iv
+),
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROUND(list_dot_product(a.q, b.q) / sqrt(a.nsq) / sqrt(b.nsq), 6) AS cosine
+    FROM n a JOIN n b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < {KNN_N_QUERIES}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {KNN_K}
+""",
+)
+def knn_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.quantize(F.col("embedding")).alias("q")
+    )
+    emb = emb.withColumn("nsq", VX.int_norm_sq(F.col("q")))
+    queries = emb.filter(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("nsq").alias("qn"),
+    )
+
+    def scores(cands: DataFrame) -> DataFrame:
+        return cands.join(
+            F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                VX.cosine_from_int(
+                    VX.int_dot(F.col("qv"), F.col("q")),
+                    F.col("qn"),
+                    F.col("nsq"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    # maintained state: top-k over the base corpus only
+    base_topk = (
+        scores(emb.filter(F.col("vec_id") < KNN_BASE_SPLIT))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .drop("rank")
+    )
+    # refresh: score ONLY the delta, merge with retained state, re-rank
+    delta_scores = scores(emb.filter(F.col("vec_id") >= KNN_BASE_SPLIT))
+    return (
+        base_topk.unionByName(delta_scores)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
