@@ -258,3 +258,81 @@ def event_dates_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
         "departure_date",
         state_category_from_dates().alias("state_category"),
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis — ordered multi-stage conversion per user
+# --------------------------------------------------------------------------
+_FUNNEL = ("signup", "view", "purchase")
+
+
+@register(
+    "funnel_conversion",
+    doc="Ordered funnel (signup -> view -> purchase): each stage's entry "
+    "time is the first qualifying event AT OR AFTER the previous stage's "
+    "entry — three chained conditional-min aggregations (each a semi-"
+    "join back on user_id, all map-side-combinable), then one global "
+    "rollup of stage counts and conversion rates",
+    tags=("aggregate", "join", "funnel", "timeseries"),
+    oracle=f"""
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = '{_FUNNEL[0]}' GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts >= s1.t1
+    GROUP BY 1
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts >= s2.t2
+    GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM s1) AS n_{_FUNNEL[0]},
+       (SELECT COUNT(*) FROM s2) AS n_{_FUNNEL[1]},
+       (SELECT COUNT(*) FROM s3) AS n_{_FUNNEL[2]},
+       ROUND((SELECT COUNT(*) FROM s2) * 1.0 / (SELECT COUNT(*) FROM s1), 4)
+           AS rate_{_FUNNEL[1]},
+       ROUND((SELECT COUNT(*) FROM s3) * 1.0 / (SELECT COUNT(*) FROM s2), 4)
+           AS rate_{_FUNNEL[2]}
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+
+    def stage(prev: DataFrame, prev_t: str, etype: str, out_t: str) -> DataFrame:
+        e = events.filter(F.col("event_type") == etype)
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") >= F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    s1 = (
+        events.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = stage(s1, "t1", _FUNNEL[1], "t2")
+    s3 = stage(s2, "t2", _FUNNEL[2], "t3")
+
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias(f"n_{_FUNNEL[0]}"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias(f"n_{_FUNNEL[1]}")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias(f"n_{_FUNNEL[2]}")))
+    )
+    return counts.select(
+        "*",
+        F.round(
+            F.col(f"n_{_FUNNEL[1]}") * 1.0 / F.col(f"n_{_FUNNEL[0]}"), 4
+        ).alias(f"rate_{_FUNNEL[1]}"),
+        F.round(
+            F.col(f"n_{_FUNNEL[2]}") * 1.0 / F.col(f"n_{_FUNNEL[1]}"), 4
+        ).alias(f"rate_{_FUNNEL[2]}"),
+    )
