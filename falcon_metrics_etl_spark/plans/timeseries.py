@@ -336,3 +336,82 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"n_{_FUNNEL[2]}") * 1.0 / F.col(f"n_{_FUNNEL[1]}"), 4
         ).alias(f"rate_{_FUNNEL[2]}"),
     )
+
+
+RETENTION_MAX_WEEKS = 3
+
+
+@register(
+    "cohort_retention_weekly",
+    doc="Weekly cohort retention triangle: users cohorted by the week "
+    "of their first signup, marked active in each later week they have "
+    "any event; one distinct-activity aggregation + one broadcast-"
+    "joinable cohort dim -> (cohort_week, week_offset) retention grid",
+    tags=("aggregate", "join", "cohort", "timeseries"),
+    oracle=f"""
+WITH first_seen AS (
+    SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+    FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+cohort_sizes AS (
+    SELECT cohort_week, COUNT(*) AS cohort_size FROM first_seen GROUP BY 1
+),
+activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+    FROM events
+),
+marked AS (
+    SELECT f.cohort_week,
+           datediff('day', f.cohort_week, a.active_week) // 7 AS week_offset,
+           a.user_id
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    WHERE datediff('day', f.cohort_week, a.active_week) // 7
+          BETWEEN 0 AND {RETENTION_MAX_WEEKS}
+),
+grid AS (
+    SELECT cohort_week, week_offset,
+           COUNT(DISTINCT user_id) AS n_active
+    FROM marked GROUP BY 1, 2
+)
+SELECT g.cohort_week, CAST(g.week_offset AS INT) AS week_offset,
+       g.n_active, s.cohort_size,
+       ROUND(g.n_active * 1.0 / s.cohort_size, 4) AS retention_rate
+FROM grid g JOIN cohort_sizes s ON g.cohort_week = s.cohort_week
+""",
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first_seen = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    )
+    cohort_sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    offset = F.floor(
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    )
+    marked = (
+        activity.join(first_seen, "user_id")
+        .withColumn("week_offset", offset)
+        .filter(
+            (F.col("week_offset") >= 0)
+            & (F.col("week_offset") <= RETENTION_MAX_WEEKS)
+        )
+    )
+    grid = marked.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    return grid.join(F.broadcast(cohort_sizes), "cohort_week").select(
+        "cohort_week",
+        F.col("week_offset").cast("int").alias("week_offset"),
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 4).alias(
+            "retention_rate"
+        ),
+    )
