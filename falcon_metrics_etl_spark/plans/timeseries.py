@@ -415,3 +415,63 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_rate"
         ),
     )
+
+
+ANOMALY_Z = 2.0
+
+
+@register(
+    "daily_count_anomalies",
+    doc="Ops anomaly detection: daily event counts per type flagged "
+    "where |count - mean| > 2 sigma. Mean/variance come from exact "
+    "integer SUM and SUM-of-squares (population variance as a single "
+    "double expression over exact ints — order-independent, unlike a "
+    "naive double stddev aggregate), so the flags hash-match across "
+    "engines",
+    tags=("aggregate", "window", "timeseries", "quality"),
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           SUM(n) AS s1,
+           SUM(n * n) AS s2
+    FROM daily GROUP BY 1
+)
+SELECT d.event_type, d.day, d.n,
+       ROUND(CAST(s.s1 AS DOUBLE) / s.n_days, 4) AS mean_n,
+       ROUND(sqrt(CAST(s.s2 AS DOUBLE) / s.n_days
+                  - (CAST(s.s1 AS DOUBLE) / s.n_days)
+                    * (CAST(s.s1 AS DOUBLE) / s.n_days)), 4) AS sigma,
+       (ABS(d.n - CAST(s.s1 AS DOUBLE) / s.n_days)
+        > {ANOMALY_Z} * sqrt(CAST(s.s2 AS DOUBLE) / s.n_days
+                  - (CAST(s.s1 AS DOUBLE) / s.n_days)
+                    * (CAST(s.s1 AS DOUBLE) / s.n_days))) AS is_anomaly
+FROM daily d JOIN stats s ON d.event_type = s.event_type
+""",
+)
+def daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_days")
+    var = F.col("s2").cast("double") / F.col("n_days") - mean * mean
+    sigma = F.sqrt(var)
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        F.round(mean, 4).alias("mean_n"),
+        F.round(sigma, 4).alias("sigma"),
+        (F.abs(F.col("n") - mean) > ANOMALY_Z * sigma).alias("is_anomaly"),
+    )
