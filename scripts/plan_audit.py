@@ -36,6 +36,11 @@ from falcon_metrics_etl_spark.session import get_spark
 CARTESIAN_OK = {
     "knn_brute_cosine",
     "embedding_near_dup_pairs",
+    # same broadcast non-equi (vec_id != query_id) scoring join as
+    # knn_brute_cosine, applied to the base + delta branches
+    "knn_incremental_update",
+    # 1x1x1 scalar crossJoins combining three single-row stage counts
+    "funnel_conversion",
     # N x K broadcast centroid assignment (K<=16 rows broadcast; the
     # deliberate IVF coarse-quantization / Lloyd-assignment map,
     # ann_ivf.py:21-24)
