@@ -475,3 +475,51 @@ def daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sigma, 4).alias("sigma"),
         (F.abs(F.col("n") - mean) > ANOMALY_Z * sigma).alias("is_anomaly"),
     )
+
+
+@register(
+    "rolling_7day_event_counts",
+    doc="Rolling 7-day event volume per type: RANGE frame over days "
+    "(interval-bounded window — counts stay exact integers so the "
+    "rolling sum and its day-over-day delta hash-match; days missing "
+    "from the data contribute zero by construction of the RANGE frame, "
+    "no densification needed)",
+    tags=("window", "timeseries", "range-frame"),
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       CAST(SUM(n) OVER (
+           PARTITION BY event_type ORDER BY day
+           RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rolling_7d,
+       CAST(n - lag(n) OVER (
+           PARTITION BY event_type ORDER BY day
+       ) AS BIGINT) AS day_over_day
+FROM daily
+""",
+)
+def rolling_7day_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # RANGE frame needs an orderable numeric/date expression; Spark
+    # accepts date ordering with interval bounds via SQL expression
+    daily.createOrReplaceTempView("_daily_counts")
+    return daily.sparkSession.sql(
+        """
+        SELECT event_type, day, n,
+               CAST(SUM(n) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS rolling_7d,
+               CAST(n - lag(n) OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS BIGINT) AS day_over_day
+        FROM _daily_counts
+        """
+    )
