@@ -523,3 +523,50 @@ def rolling_7day_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _daily_counts
         """
     )
+
+
+@register(
+    "user_active_streaks",
+    doc="Gaps-and-islands: longest run of consecutive active days per "
+    "user — island id = day minus row_number (constant within a "
+    "consecutive run), then max island length; one sort per user "
+    "serves both window passes",
+    tags=("window", "timeseries", "gaps-islands"),
+    oracle="""
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events
+),
+islands AS (
+    SELECT user_id, day,
+           day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day
+           ) AS INT) AS island
+    FROM days
+),
+runs AS (
+    SELECT user_id, island, COUNT(*) AS streak_len
+    FROM islands GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+       CAST(SUM(streak_len) AS BIGINT) AS n_active_days
+FROM runs GROUP BY 1
+""",
+)
+def user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island", F.date_sub("day", F.row_number().over(w))
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.sum("streak_len").alias("n_active_days"),
+    )
