@@ -483,3 +483,83 @@ def insights_metrics_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("wip_age_p85") * 100.0 / F.col("lead_time_p85"), 2)
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Robust outliers — median absolute deviation per class of service
+# --------------------------------------------------------------------------
+@register(
+    "order_value_mad_outliers",
+    doc="Robust outlier stats: per-class median order value and median "
+    "absolute deviation (both discrete percentiles — actual data "
+    "points, engine-exact) plus the count of orders beyond 3 MAD; the "
+    "heavy-tail-safe alternative to the z-score flags in "
+    "daily_count_anomalies",
+    tags=("aggregate", "percentile", "quality"),
+    oracle="""
+WITH med AS (
+    SELECT o_orderpriority AS class_of_service,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_value
+    FROM orders GROUP BY 1
+),
+dev AS (
+    SELECT m.class_of_service, m.median_value,
+           percentile_disc(0.5) WITHIN GROUP (
+               ORDER BY ABS(o.o_totalprice - m.median_value)
+           ) AS mad
+    FROM orders o JOIN med m ON o.o_orderpriority = m.class_of_service
+    GROUP BY 1, 2
+)
+SELECT d.class_of_service,
+       ROUND(d.median_value, 2) AS median_value,
+       ROUND(d.mad, 2) AS mad,
+       CAST(COALESCE(SUM(CASE WHEN ABS(o.o_totalprice - d.median_value)
+                                   > 3 * d.mad THEN 1 END), 0) AS BIGINT)
+           AS n_outliers,
+       COUNT(*) AS n_orders
+FROM orders o JOIN dev d ON o.o_orderpriority = d.class_of_service
+GROUP BY 1, 2, 3
+""",
+)
+def order_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.metrics import percentile_disc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("class_of_service"), "o_totalprice"
+    )
+    med = orders.groupBy("class_of_service").agg(
+        percentile_disc("o_totalprice", 0.5, cast_to="double").alias(
+            "median_value"
+        )
+    )
+    with_med = orders.join(F.broadcast(med), "class_of_service")
+    dev = (
+        with_med.withColumn(
+            "abs_dev", F.abs(F.col("o_totalprice") - F.col("median_value"))
+        )
+        .groupBy("class_of_service", "median_value")
+        .agg(percentile_disc("abs_dev", 0.5, cast_to="double").alias("mad"))
+    )
+    flagged = orders.join(F.broadcast(dev), "class_of_service")
+    return (
+        flagged.groupBy(
+            "class_of_service",
+            F.round("median_value", 2).alias("median_value"),
+            F.round("mad", 2).alias("mad"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("o_totalprice") - F.col("median_value"))
+                        > 3 * F.col("mad"),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
