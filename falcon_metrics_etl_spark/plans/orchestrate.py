@@ -72,9 +72,10 @@ def run_dag(
     With ``state_path``, completed jobs are recorded after each success
     and skipped on re-run — combined with idempotent MERGE sinks this
     makes the whole DAG safely re-runnable after a partial failure.
-    A failing job stops the run (its dependents never start) and is
-    reported with status 'failed'; previously completed work stays
-    recorded.
+    A failing job is reported with status 'failed'; its dependents
+    (transitively) are reported 'skipped_failed_dep' and never start,
+    but independent branches keep running — the report always contains
+    one entry per job. Previously completed work stays recorded.
     """
     done: set[str] = set()
     if state_path and os.path.exists(state_path):
@@ -90,20 +91,31 @@ def run_dag(
             os.replace(tmp, state_path)
 
     report: dict[str, dict] = {}
+    failed: set[str] = set()  # failed jobs + their transitive dependents
     for job in _toposort(jobs):
         if job.name in done:
             report[job.name] = {"status": "skipped", "seconds": 0.0}
+            continue
+        blocked = sorted(d for d in job.deps if d in failed)
+        if blocked:
+            failed.add(job.name)
+            report[job.name] = {
+                "status": "skipped_failed_dep",
+                "seconds": 0.0,
+                "blocked_by": blocked,
+            }
             continue
         t0 = time.time()
         try:
             job.fn(spark)
         except Exception as e:
+            failed.add(job.name)
             report[job.name] = {
                 "status": "failed",
                 "seconds": round(time.time() - t0, 3),
                 "error": f"{type(e).__name__}: {e}",
             }
-            return report
+            continue
         record(job.name)
         report[job.name] = {
             "status": "ok",

@@ -62,6 +62,23 @@ def _load_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
+def _max_committed_version(root: str) -> Optional[int]:
+    """Highest version number ever committed (scans _versions/), which
+    after a rollback can exceed ``current_version``. New merges allocate
+    above THIS, never above current — reusing a committed number would
+    overwrite a data dir that later (orphaned) manifests still
+    reference, corrupting time travel to them."""
+    vdir = _vdir(root)
+    if not os.path.isdir(vdir):
+        return None
+    versions = [
+        int(name[1:-5])
+        for name in os.listdir(vdir)
+        if name.startswith("v") and name.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
 def _commit(root: str, version: int, partitions: dict) -> None:
     os.makedirs(_vdir(root), exist_ok=True)
     with open(_manifest_path(root, version), "w") as f:
@@ -73,8 +90,29 @@ def _commit(root: str, version: int, partitions: dict) -> None:
     os.replace(tmp, os.path.join(_vdir(root), "_current"))
 
 
+# characters Spark/Hive escape in partition dir names
+# (ExternalCatalogUtils.escapePathName: control chars plus this set)
+_PATH_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\\x7f{[]^')
+_HIVE_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _escape_path_name(s: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ch < " " or ch in _PATH_ESCAPE_CHARS else ch
+        for ch in s
+    )
+
+
 def _partition_subdir(cols: Sequence[str], values) -> str:
-    return "/".join(f"{c}={v}" for c, v in zip(cols, values))
+    """Build the manifest key / read path for one partition tuple with
+    the same hive-style escaping Spark applies when writing the dir, so
+    manifest paths always match what's on disk (null -> the hive
+    default-partition sentinel)."""
+    return "/".join(
+        f"{_escape_path_name(c)}="
+        + (_HIVE_NULL_PARTITION if v is None else _escape_path_name(str(v)))
+        for c, v in zip(cols, values)
+    )
 
 
 def read_versioned(
@@ -123,7 +161,10 @@ def versioned_merge(
     """
     updates = updates.dropDuplicates(list(keys))
     prev = current_version(root)
-    new_v = 0 if prev is None else prev + 1
+    max_v = _max_committed_version(root)
+    # merge base = current; allocated number = above every committed
+    # manifest, so a merge after rollback(k) never reuses k+1
+    new_v = 0 if max_v is None else max_v + 1
     out_dir = os.path.join(root, "data", str(new_v))
 
     if prev is None:
@@ -151,9 +192,14 @@ def versioned_merge(
         touched = [
             tuple(r) for r in updates.select(*partition_cols).distinct().collect()
         ]
-        pred = F.struct(*[F.col(c) for c in partition_cols]).isin(
-            [F.struct(*[F.lit(v) for v in t]) for t in touched]
-        )
+        # null-safe match: a null partition value must still select its
+        # old rows as survivors (plain = would drop them silently)
+        pred = F.lit(False)
+        for t in touched:
+            m = F.lit(True)
+            for c, v in zip(partition_cols, t):
+                m = m & F.col(c).eqNullSafe(F.lit(v))
+            pred = pred | m
         target = target.filter(pred)
 
     survivors = target.join(
@@ -233,16 +279,34 @@ def table_changes(
     Downstream consumers filter out 'unchanged' — it is included so
     callers can also use this as a full diffing read. Column values
     come from the NEW version for inserts/updates and the OLD version
-    for deletes."""
+    for deletes. Columns are the UNION of both snapshots' columns
+    (null-filled where a side predates an additive schema evolution),
+    so the diff works across evolution boundaries."""
     old = read_versioned(spark, root, v_from)
     new = read_versioned(spark, root, v_to)
-    val_cols = [c for c in new.columns if c not in keys]
-    o = old.select(
-        *keys, *[F.col(c).alias(f"__old_{c}") for c in val_cols]
-    )
-    n = new.select(
-        *keys, *[F.col(c).alias(f"__new_{c}") for c in val_cols]
-    )
+    val_cols = [c for c in new.columns if c not in keys] + [
+        c for c in old.columns if c not in keys and c not in new.columns
+    ]
+    # dtype for null-fill: the absent side must carry the SAME type as
+    # the present side or the struct comparison below fails to resolve
+    dtypes = {**dict(old.dtypes), **dict(new.dtypes)}
+
+    def _side(df: DataFrame, prefix: str) -> DataFrame:
+        present = set(df.columns)
+        return df.select(
+            *keys,
+            *[
+                (
+                    F.col(c)
+                    if c in present
+                    else F.lit(None).cast(dtypes[c])
+                ).alias(f"{prefix}{c}")
+                for c in val_cols
+            ],
+        )
+
+    o = _side(old, "__old_")
+    n = _side(new, "__new_")
     # presence markers (not value nullness: a legitimately-null value
     # column must not read as "row absent")
     j = o.withColumn("__in_old", F.lit(True)).join(

@@ -15,6 +15,8 @@ free; nothing here collects to the driver.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,21 +38,33 @@ TABLES = (
 # columns that may arrive as INT64 nanos (bigint under nanosAsLong);
 # this dict drives ONLY the bigint-nanos path — NTZ normalization is
 # schema-driven over all columns in load_table
-_NANO_TS_COLUMNS = {
+_BIGINT_NANO_COLUMNS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
     "events": ("ts",),
 }
 
 
-# (applicationId, sf_dir, name) -> reader DataFrame. A DataFrame is an
-# immutable logical plan, so reusing it skips the per-call file listing
-# + parquet footer probe (~140 ms each) without changing semantics;
-# keying on applicationId drops entries when the session is rebuilt.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# Per-SparkSession state, weakly keyed so a dropped session releases
+# its entries. SQL confs (and therefore the UTC verification) are
+# per-SESSION, not per-context: two sessions from newSession() share an
+# applicationId but each carries its own timeZone conf, so memoizing on
+# applicationId alone would let an unverified session skip the UTC
+# assert and receive DataFrames bound to a sibling session.
+# Value shape: {"confed": bool, "tables": {(sf_dir, name): DataFrame}}.
+# Caching the reader DataFrame (an immutable logical plan) skips the
+# per-call file listing + parquet footer probe (~140 ms each).
+_SESSION_STATE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
-# applicationIds whose session confs were already applied + verified
-_CONFED_APPS: set[str] = set()
+
+def _session_state(spark: SparkSession) -> dict:
+    state = _SESSION_STATE.get(spark)
+    if state is None:
+        state = {"confed": False, "tables": {}}
+        _SESSION_STATE[spark] = state
+    return state
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
@@ -58,10 +72,11 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
     The driver calls ``entry(spark)`` with its own session; these confs
     (nanos-as-long, UTC, AQE, Arrow) are all SQL confs, so setting them
-    here is safe and effective for subsequent reads.
+    here is safe and effective for subsequent reads. Verified once per
+    SparkSession object (not per applicationId — see _SESSION_STATE).
     """
-    app_id = spark.sparkContext.applicationId
-    if app_id in _CONFED_APPS:
+    state = _session_state(spark)
+    if state["confed"]:
         return
     for key, value in RUNTIME_CONFS.items():
         try:
@@ -76,19 +91,19 @@ def ensure_session_confs(spark: SparkSession) -> None:
             f"spark.sql.session.timeZone={tz!r}; this engine requires UTC "
             "(NTZ timestamp normalization would shift instants otherwise)"
         )
-    _CONFED_APPS.add(app_id)
+    state["confed"] = True
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing nano-timestamps to TimestampType."""
     ensure_session_confs(spark)
-    cache_key = (spark.sparkContext.applicationId, sf_dir, name)
-    cached = _TABLE_CACHE.get(cache_key)
+    tables = _session_state(spark)["tables"]
+    cached = tables.get((sf_dir, name))
     if cached is not None:
         return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
-    for col in _NANO_TS_COLUMNS.get(name, ()):
+    for col in _BIGINT_NANO_COLUMNS.get(name, ()):
         if dtypes.get(col) == "bigint":
             # integer div truncates sub-microsecond nanos, same as DuckDB
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
@@ -96,7 +111,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dtype == "timestamp_ntz":
             # wall-clock micros; session tz is UTC so the instant is unchanged
             df = df.withColumn(col, F.col(col).cast("timestamp"))
-    _TABLE_CACHE[cache_key] = df
+    tables[(sf_dir, name)] = df
     return df
 
 

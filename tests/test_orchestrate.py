@@ -1,5 +1,5 @@
 """Resumable DAG runner (plans/orchestrate.py): topo order, cycle
-detection, failure stop, resume-skips-completed."""
+detection, failure isolation per branch, resume-skips-completed."""
 
 from __future__ import annotations
 
@@ -47,7 +47,9 @@ def test_failure_stops_dependents_then_resume_skips_done(spark, tmp_path):
     report = run_dag(spark, jobs, state)
     assert report["extract"]["status"] == "ok"
     assert report["transform"]["status"] == "failed"
-    assert "load" not in report  # dependent never started
+    # dependent never started, but IS reported
+    assert report["load"]["status"] == "skipped_failed_dep"
+    assert report["load"]["blocked_by"] == ["transform"]
     assert ran == ["extract"]
 
     fail["on"] = False
@@ -56,6 +58,30 @@ def test_failure_stops_dependents_then_resume_skips_done(spark, tmp_path):
     assert report2["transform"]["status"] == "ok"
     assert report2["load"]["status"] == "ok"
     assert ran == ["extract", "transform", "load"]
+
+
+def test_independent_branch_survives_failure(spark, tmp_path):
+    """A failure must not starve branches that don't depend on it,
+    even when they come later in topological order."""
+    ran = []
+    jobs = [
+        Job("bad", lambda s: (_ for _ in ()).throw(RuntimeError("boom"))),
+        Job("bad_child", lambda s: ran.append("bad_child"), deps=("bad",)),
+        Job("bad_grandchild", lambda s: ran.append("bad_grandchild"),
+            deps=("bad_child",)),
+        Job("other", lambda s: ran.append("other")),
+        Job("other_child", lambda s: ran.append("other_child"),
+            deps=("other",)),
+    ]
+    report = run_dag(spark, jobs)
+    assert report["bad"]["status"] == "failed"
+    assert report["bad_child"]["status"] == "skipped_failed_dep"
+    # transitive: grandchild blocked through the skipped child
+    assert report["bad_grandchild"]["status"] == "skipped_failed_dep"
+    assert report["other"]["status"] == "ok"
+    assert report["other_child"]["status"] == "ok"
+    assert ran == ["other", "other_child"]
+    assert set(report) == {j.name for j in jobs}  # one entry per job
 
 
 def test_cycle_and_unknown_dep_detection(spark):

@@ -210,6 +210,99 @@ def test_versioned_merge_matches_dict_model_over_random_batches(spark, tmp_path)
         assert got == snap, f"version {version} diverged from model"
 
 
+def test_merge_after_rollback_never_reuses_version_numbers(spark, tmp_path):
+    """A merge following rollback(k) must allocate above every committed
+    version, not current+1 — otherwise it overwrites data/<k+1> while
+    the orphaned v<k+1> manifest still references it."""
+    root = str(tmp_path / "t")
+    for i in range(3):  # versions 0, 1, 2
+        versioned_merge(
+            spark, root, _df(spark, [("W-1", "a", f"v{i}")]),
+            ("work_item_id",), ("org_id",),
+        )
+    rollback(root, 0)
+    v = versioned_merge(
+        spark, root, _df(spark, [("W-1", "a", "after-rb")]),
+        ("work_item_id",), ("org_id",),
+    )
+    assert v == 3  # NOT 1
+    # the merge was based on the rolled-back state...
+    assert _table(spark, root) == {("W-1", "a"): "after-rb"}
+    # ...and the abandoned lineage is intact: time travel still works
+    assert _table(spark, root, version=1) == {("W-1", "a"): "v1"}
+    assert _table(spark, root, version=2) == {("W-1", "a"): "v2"}
+
+
+def test_partition_values_with_special_chars_and_null(spark, tmp_path):
+    """Hive-escaped partition dir names (':' '/' '=' space) and null
+    partition values must round-trip through manifest paths."""
+    root = str(tmp_path / "t")
+    rows = [
+        ("W-1", "org:a/x=1 b", "todo"),
+        ("W-2", None, "todo"),
+    ]
+    versioned_merge(spark, root, _df(spark, rows), ("work_item_id",), ("org_id",))
+    assert _table(spark, root) == {
+        ("W-1", "org:a/x=1 b"): "todo",
+        ("W-2", None): "todo",
+    }
+    # second merge touching only the weird partition: null partition
+    # survives untouched, escaped partition rewrites
+    versioned_merge(
+        spark, root, _df(spark, [("W-1", "org:a/x=1 b", "doing")]),
+        ("work_item_id",), ("org_id",),
+    )
+    assert _table(spark, root) == {
+        ("W-1", "org:a/x=1 b"): "doing",
+        ("W-2", None): "todo",
+    }
+    # and a merge into the NULL partition keeps the escaped one
+    versioned_merge(
+        spark, root, _df(spark, [("W-3", None, "new")]),
+        ("work_item_id",), ("org_id",),
+    )
+    assert _table(spark, root) == {
+        ("W-1", "org:a/x=1 b"): "doing",
+        ("W-2", None): "todo",
+        ("W-3", None): "new",
+    }
+
+
+def test_table_changes_across_schema_evolution(spark, tmp_path):
+    """CDF must survive an additive column: old snapshot lacks it, the
+    diff null-fills instead of raising."""
+    from falcon_metrics_etl_spark.sinks.versioned import table_changes
+
+    root = str(tmp_path / "t")
+    versioned_merge(
+        spark, root, _df(spark, [("W-1", "a", "todo")]),
+        ("work_item_id",), ("org_id",),
+    )
+    evolved = spark.createDataFrame(
+        [("W-1", "a", "todo", 5), ("W-2", "a", "new", 1)],
+        SCHEMA + ", points int",
+    )
+    versioned_merge(spark, root, evolved, ("work_item_id",), ("org_id",))
+    rows = {
+        r.work_item_id: r
+        for r in table_changes(
+            spark, root, 0, 1, ("work_item_id",)
+        ).collect()
+    }
+    # W-1: same visible values but points went null->5 => update
+    assert rows["W-1"]._change_type == "update" and rows["W-1"].points == 5
+    assert rows["W-2"]._change_type == "insert"
+    # reversed direction: the delete row carries old values, null points
+    rev = {
+        r.work_item_id: r
+        for r in table_changes(
+            spark, root, 1, 0, ("work_item_id",)
+        ).collect()
+    }
+    assert rev["W-2"]._change_type == "delete"
+    assert rev["W-1"].points is None  # old side predates the column
+
+
 def test_table_changes_between_versions(spark, tmp_path):
     """CDF analog: diff two versions into insert/update/delete rows."""
     from falcon_metrics_etl_spark.sinks.versioned import table_changes
