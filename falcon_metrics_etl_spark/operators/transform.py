@@ -37,6 +37,60 @@ from falcon_metrics_etl_spark.operators.snapshots import derive_snapshots
 
 UNMAPPED_STEP_ORDER = 9999  # src/common/unmapped_workflow_step.ts:87-105
 
+# the Jira-server "Parent Link" roadmaps field id is fixed server-side
+# (reference src/jiracloud/process/revision_processor.ts:144)
+PARENT_LINK_JIRA_SERVER = "customfield_15503"
+
+
+def epic_link_field_from_config(custom_field_configs: DataFrame) -> str | None:
+    """First epic-type custom-field config's datasource field name —
+    the engine side of ``customFieldConfig.getByType('epic')[0]``
+    (revision_processor.ts:889-896). Config dims are tiny; this is a
+    control-plane read of at most one row, not a data collect."""
+    rows = (
+        custom_field_configs.filter(F.col("type") == "epic")
+        .orderBy("datasource_field_name")
+        .select("datasource_field_name")
+        .limit(1)
+        .collect()
+    )
+    return rows[0][0] if rows else None
+
+
+def resolve_parent_id(
+    items: DataFrame,
+    epic_link_field: str | None = None,
+    parent_link_field: str = PARENT_LINK_JIRA_SERVER,
+) -> DataFrame:
+    """Jira parent/epic resolution (revision_processor.ts:874-898):
+
+    1. ``fields.parent.key`` — Jira cloud parent / sub-task. Presence
+       of the parent object decides the branch, exactly like the
+       reference's ``if (item.fields.parent)``;
+    2. else the Jira-server Parent Link field (roadmaps);
+    3. else the org's epic-link custom field (from config).
+
+    Expects an optional ``parent`` struct<key:string> column and an
+    optional open-world ``fields`` map<string,string> column (SURVEY
+    section 1.2 bronze model). Adds ``parent_id`` (nullable). Empty
+    strings in raw fields are treated as absent, mirroring the
+    reference's JS truthiness checks. Pure column expressions — stays
+    in whole-stage codegen, no shuffle."""
+    cols = set(items.columns)
+    fallbacks = []
+    if "fields" in cols:
+        fallbacks.append(F.nullif(F.col("fields")[parent_link_field], F.lit("")))
+        if epic_link_field:
+            fallbacks.append(F.nullif(F.col("fields")[epic_link_field], F.lit("")))
+    fallback = F.coalesce(*fallbacks) if fallbacks else F.lit(None).cast("string")
+    if "parent" in cols:
+        parent_id = F.when(F.col("parent").isNotNull(), F.col("parent.key")).otherwise(
+            fallback
+        )
+    else:
+        parent_id = fallback
+    return items.withColumn("parent_id", parent_id)
+
 
 def auto_map_unmapped_steps(
     revisions: DataFrame, workflow_steps: DataFrame
@@ -72,6 +126,7 @@ def transform_work_items(
     workflow_events: DataFrame,
     auto_map: bool = True,
     use_expr_event_dates: bool = True,
+    epic_link_field: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full pipeline. Inputs carry work_item_id + workflow_id; dims are
     small and broadcast. Returns (states, snapshots).
@@ -79,9 +134,18 @@ def transform_work_items(
     use_expr_event_dates: the Catalyst-expression W2 (default — stays in
     whole-stage codegen; fuzz-verified equivalent to the pandas UDF
     reference implementation in tests/test_event_dates.py).
+
+    epic_link_field: the org's epic-link custom field (see
+    epic_link_field_from_config). When the work items carry a
+    ``parent`` struct or raw ``fields`` map, states get a ``parent_id``
+    column via the three-way Jira fallback (resolve_parent_id) —
+    ``states.parentId`` feeds portfolio-level lead time in the
+    reference (revision_processor.ts:874-898).
     """
     if auto_map:
         workflow_steps = auto_map_unmapped_steps(revisions, workflow_steps)
+    if "parent" in work_items.columns or "fields" in work_items.columns:
+        work_items = resolve_parent_id(work_items, epic_link_field)
 
     full_revisions = synthesize_initial_revision(revisions, work_items)
     tagged = tag_zones(full_revisions, workflow_steps, workflow_events)

@@ -962,3 +962,113 @@ def custom_fields_eav(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("field_name", "field_value"),
     )
     return parsed
+
+
+# --------------------------------------------------------------------------
+# Jira parent/epic resolution + portfolio rollup
+# --------------------------------------------------------------------------
+@register(
+    "parent_resolution",
+    doc="Three-way Jira parent fallback (revision_processor.ts:874-898): "
+    "fields.parent.key (cloud parent/sub-task) -> Jira-server Parent "
+    "Link field -> epic-link custom field from config, then a "
+    "portfolio rollup of child lead time grouped by the resolved "
+    "parent (states.parentId feeds portfolio-level lead time). Orders "
+    "are work items; the parent candidates are synthesized so the "
+    "precedence chain is genuinely exercised (epic link present on "
+    "most rows but only wins when the first two are absent). "
+    "operators/transform.py::resolve_parent_id — pure column "
+    "expressions, one shuffle for the departure agg, one for the "
+    "rollup.",
+    tags=("parent", "portfolio", "coalesce"),
+    oracle="""
+WITH it AS (
+    SELECT o_orderkey, o_orderdate,
+           CASE
+               WHEN o_orderkey % 3 = 0
+                   THEN 'P-' || CAST(o_custkey % 100 AS VARCHAR)
+               WHEN o_orderkey % 3 = 1
+                   THEN 'PL-' || CAST(o_custkey % 50 AS VARCHAR)
+               WHEN o_orderkey % 5 <> 0
+                   THEN 'E-' || CAST(o_custkey % 25 AS VARCHAR)
+           END AS parent_id
+    FROM orders
+),
+dep AS (
+    SELECT l_orderkey, MAX(l_shipdate) AS departure
+    FROM lineitem GROUP BY l_orderkey
+),
+lt AS (
+    SELECT it.parent_id,
+           date_diff('day', CAST(it.o_orderdate AS DATE),
+                     CAST(dep.departure AS DATE)) AS lead_time_days
+    FROM it JOIN dep ON it.o_orderkey = dep.l_orderkey
+    WHERE it.parent_id IS NOT NULL
+)
+SELECT parent_id,
+       CAST(COUNT(*) AS BIGINT) AS child_count,
+       ROUND(AVG(lead_time_days), 2) AS avg_child_lead_time_days,
+       CAST(MAX(lead_time_days) AS INTEGER) AS max_child_lead_time_days
+FROM lt
+GROUP BY parent_id
+""",
+)
+def parent_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.transform import (
+        PARENT_LINK_JIRA_SERVER,
+        resolve_parent_id,
+    )
+
+    EPIC_LINK_FIELD = "customfield_10008"
+    orders = load_table(spark, sf_dir, "orders")
+    key, cust = F.col("o_orderkey"), F.col("o_custkey")
+    # synthesize the bronze shape: a `parent` struct for cloud items, a
+    # raw `fields` map carrying parent-link / epic-link entries. The
+    # epic link exists on MOST rows (key % 5 != 0) so precedence — not
+    # mere presence — decides the winner for residues 0 and 1.
+    items = orders.select(
+        key.alias("o_orderkey"),
+        F.col("o_orderdate"),
+        F.when(
+            key % 3 == 0,
+            F.struct(
+                F.concat(F.lit("P-"), (cust % 100).cast("string")).alias("key")
+            ),
+        ).alias("parent"),
+        F.map_filter(
+            F.create_map(
+                F.lit(PARENT_LINK_JIRA_SERVER),
+                F.when(
+                    key % 3 == 1,
+                    F.concat(F.lit("PL-"), (cust % 50).cast("string")),
+                ),
+                F.lit(EPIC_LINK_FIELD),
+                F.when(
+                    key % 5 != 0,
+                    F.concat(F.lit("E-"), (cust % 25).cast("string")),
+                ),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("fields"),
+    )
+    resolved = resolve_parent_id(items, epic_link_field=EPIC_LINK_FIELD)
+    departures = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("departure"))
+    )
+    lead_times = (
+        resolved.filter(F.col("parent_id").isNotNull())
+        .join(departures, resolved["o_orderkey"] == departures["l_orderkey"])
+        .select(
+            "parent_id",
+            F.datediff(F.col("departure"), F.col("o_orderdate")).alias(
+                "lead_time_days"
+            ),
+        )
+    )
+    return lead_times.groupBy("parent_id").agg(
+        F.count(F.lit(1)).alias("child_count"),
+        F.round(F.avg("lead_time_days"), 2).alias("avg_child_lead_time_days"),
+        F.max("lead_time_days").alias("max_child_lead_time_days"),
+    )

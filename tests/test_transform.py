@@ -351,3 +351,105 @@ def test_threshold_evaluation_reference_scenarios(spark):
         ).alias("notify")
     ).collect()[0]
     assert row["notify"] is True
+
+
+def test_parent_resolution_three_way_fallback(spark):
+    """revision_processor.ts:874-898: fields.parent.key wins; else the
+    Jira-server Parent Link field; else the epic-link custom field from
+    config. Presence of the parent OBJECT decides branch 1 (a parent
+    struct with null key yields null, no fallback), and empty strings
+    in raw fields are absent (JS truthiness)."""
+    from falcon_metrics_etl_spark.operators.transform import (
+        PARENT_LINK_JIRA_SERVER,
+        resolve_parent_id,
+    )
+
+    rows = [
+        # parent struct wins over both raw fields
+        ("A", ("P-1",), {PARENT_LINK_JIRA_SERVER: "PL-1", "cf_epic": "E-1"}),
+        # parent struct present with null key: branch taken, result null
+        ("B", (None,), {PARENT_LINK_JIRA_SERVER: "PL-2", "cf_epic": "E-2"}),
+        # no parent struct: parent link beats epic link
+        ("C", None, {PARENT_LINK_JIRA_SERVER: "PL-3", "cf_epic": "E-3"}),
+        # empty parent link string is falsy -> epic link
+        ("D", None, {PARENT_LINK_JIRA_SERVER: "", "cf_epic": "E-4"}),
+        # only epic link
+        ("E", None, {"cf_epic": "E-5"}),
+        # nothing
+        ("F", None, {}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "work_item_id string, parent struct<key:string>, "
+        "fields map<string,string>",
+    )
+    got = {
+        r.work_item_id: r.parent_id
+        for r in resolve_parent_id(df, epic_link_field="cf_epic").collect()
+    }
+    assert got == {
+        "A": "P-1", "B": None, "C": "PL-3", "D": "E-4", "E": "E-5",
+        "F": None,
+    }
+
+
+def test_epic_link_field_from_config(spark):
+    from falcon_metrics_etl_spark.operators.transform import (
+        epic_link_field_from_config,
+    )
+
+    cfg = spark.createDataFrame(
+        [("epic", "customfield_10008"), ("number", "customfield_2")],
+        "type string, datasource_field_name string",
+    )
+    assert epic_link_field_from_config(cfg) == "customfield_10008"
+    assert epic_link_field_from_config(cfg.filter("type = 'number'")) is None
+
+
+def test_transform_work_items_carries_parent_id(spark):
+    """States out of the full pipeline get parent_id when the bronze
+    items carry parent/fields columns (states.parentId feeds portfolio
+    lead time in the reference)."""
+    from falcon_metrics_etl_spark.operators.transform import (
+        PARENT_LINK_JIRA_SERVER,
+    )
+
+    items = spark.createDataFrame(
+        [
+            ("org", "ds", "W-1", "wf", "s2", "Done", datetime(2024, 1, 1),
+             ("EPIC-9",), {}),
+            ("org", "ds", "W-2", "wf", "s2", "Done", datetime(2024, 1, 1),
+             None, {PARENT_LINK_JIRA_SERVER: "EPIC-7"}),
+        ],
+        "org_id string, datasource_id string, work_item_id string, "
+        "workflow_id string, status_id string, "
+        "status_name string, created_date timestamp, "
+        "parent struct<key:string>, fields map<string,string>",
+    )
+    revisions = spark.createDataFrame(
+        [
+            ("W-1", "wf", 1, datetime(2024, 1, 2), "state_change",
+             "s2", "Done", "s1", "To Do"),
+            ("W-2", "wf", 1, datetime(2024, 1, 2), "state_change",
+             "s2", "Done", "s1", "To Do"),
+        ],
+        "work_item_id string, workflow_id string, revision int, "
+        "changed_date timestamp, type string, status_id string, "
+        "status_name string, from_status_id string, "
+        "from_status_name string",
+    )
+    steps = spark.createDataFrame(
+        [("wf", "s1", "To Do", 1, "queue", None, True),
+         ("wf", "s2", "Done", 3, "active", None, True)],
+        "workflow_id string, step_id string, step_name string, "
+        "step_order int, state_type string, state_category string, "
+        "active boolean",
+    )
+    events = spark.createDataFrame(
+        [("wf", 1, 2, 3)],
+        "workflow_id string, arrival_point_order int, "
+        "commitment_point_order int, departure_point_order int",
+    )
+    states, _ = transform_work_items(items, revisions, steps, events)
+    got = {r.work_item_id: r.parent_id for r in states.collect()}
+    assert got == {"W-1": "EPIC-9", "W-2": "EPIC-7"}
