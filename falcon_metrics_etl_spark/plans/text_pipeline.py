@@ -233,11 +233,15 @@ def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_near_dup_pairs",
     doc=f"Embedding near-dup: unordered pairs with cosine >= {NEAR_DUP_COSINE}. "
-    "Brute baseline scored by blockwise EXACT int64 matmul (vectorized "
-    "Pandas UDF, functions/vectors.py::matmul_near_dup_pairs — "
-    "bit-identical to the HOF dot-product form at ~20x the throughput); "
-    "the scale path past broadcastable N is LSH-bucketed "
-    "(ann_lsh_bucketed)",
+    "Brute baseline scored by BLOCK-PARTITIONED exact int64 matmul "
+    "(functions/vectors.py::matmul_near_dup_pairs): blocks packed via "
+    "collect_list, unordered block pairs formed by equi-joins against "
+    "a metadata pair-key frame, numpy matmul per pair inside "
+    "mapInPandas — fully distributed, no driver collect, memory/task "
+    "= 2 blocks (tunable via num_blocks). Bit-identical to the HOF "
+    "dot-product form at ~20x the throughput; the O(N^2) compute of "
+    "the brute baseline is inherent — the LSH-bucketed scale path is "
+    "ann_lsh_bucketed",
     tags=("vector", "join", "dedup"),
     oracle=f"""
 WITH iv AS (

@@ -35,7 +35,6 @@ from falcon_metrics_etl_spark.session import get_spark
 # the documented algorithm (each has an LSH/bucketed scale-path twin)
 CARTESIAN_OK = {
     "knn_brute_cosine",
-    "embedding_near_dup_pairs",
     # same broadcast non-equi (vec_id != query_id) scoring join as
     # knn_brute_cosine, applied to the base + delta branches
     "knn_incremental_update",
