@@ -159,6 +159,45 @@ def blocked_revisions(
     return kept.withColumn("flagged", is_blocked).drop("_rn", "_first_rn", "_prev")
 
 
+# flag marker values the reference recognizes (jc_issue.ts:75-78)
+FLAG_MARKERS = ("Impediment", "Impedimento")
+
+
+def is_flag_value(field: Column) -> Column:
+    """F11 known-field flag detection: the field is array-typed and its
+    first element's ``value`` is a flag marker
+    (revision_processor.ts:162-166, 1038-1053)."""
+    return (F.size(field) > 0) & F.element_at(field, 1)["value"].isin(
+        *FLAG_MARKERS
+    )
+
+
+def discover_flag_fields(
+    items: DataFrame,
+    fields_col: str = "fields",
+    id_col: str = "work_item_id",
+) -> DataFrame:
+    """F11 generic flagged-field discovery — scan the raw fields map
+    (``map<string, array<struct<value:string>>>``) for keys whose first
+    element's ``value`` is a flag marker, the fallback the reference
+    runs when no flag field is configured (jc_issue.ts:820-859: iterate
+    every custom field of every issue, remember which one carried
+    Impediment/Impedimento).
+
+    Returns one row per (item, field_key) hit. Pure higher-order-
+    function scan (map_filter + explode) — map-only, no shuffle, no
+    Python; callers aggregate to elect the winning field id. At 100 TB
+    this is a single pass over the raw column with everything else
+    pruned.
+    """
+    flagged_keys = F.map_keys(
+        F.map_filter(F.col(fields_col), lambda k, v: is_flag_value(v))
+    )
+    return items.select(
+        F.col(id_col), F.explode(flagged_keys).alias("field_key")
+    )
+
+
 def custom_field_revisions(
     revisions: DataFrame,
     field_col: str,

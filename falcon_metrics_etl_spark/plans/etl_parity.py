@@ -1072,3 +1072,75 @@ def parent_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("lead_time_days"), 2).alias("avg_child_lead_time_days"),
         F.max("lead_time_days").alias("max_child_lead_time_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# F11 — generic flagged-field discovery (map HOF scan)
+# --------------------------------------------------------------------------
+_FLAG_STRUCT = "array<struct<value:string>>"
+
+
+@register(
+    "flag_field_discovery",
+    doc="F11 generic flagged-field discovery: scan every item's raw "
+    "fields map for array-typed custom fields whose first element's "
+    "value is Impediment/Impedimento, electing the field id that "
+    "carries the flag (reference jc_issue.ts:820-859 — the fallback "
+    "when no flag field is configured). map_filter + explode HOFs: "
+    "map-only scan, one tiny per-key aggregate at the end.",
+    tags=("parity", "hof", "map"),
+    oracle="""
+SELECT field_key, flagged_count, first_item_id FROM (
+    SELECT 'customfield_10010' AS field_key,
+           COUNT(*) AS flagged_count,
+           MIN(event_id) AS first_item_id
+    FROM events WHERE event_id % 7 IN (0, 1)
+    UNION ALL
+    SELECT 'customfield_10020' AS field_key,
+           COUNT(*) AS flagged_count,
+           MIN(event_id) AS first_item_id
+    FROM events WHERE event_id % 5 = 0
+) hits WHERE flagged_count > 0
+""",
+)
+def flag_field_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.revisions import (
+        discover_flag_fields,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+
+    def arr(val):
+        return F.array(F.struct(val.alias("value")))
+
+    # deterministic raw-fields map synthesized from the activity stream:
+    # one field that flips between both flag markers, one that is often
+    # an EMPTY array (exercises the size() guard), and one non-flag
+    # noise field — the polymorphic shape Jira hands back.
+    fields = F.map_from_arrays(
+        F.array(
+            F.lit("customfield_10010"),
+            F.lit("customfield_10020"),
+            F.lit("labels"),
+        ),
+        F.array(
+            arr(
+                F.when(eid % 7 == 0, F.lit("Impediment"))
+                .when(eid % 7 == 1, F.lit("Impedimento"))
+                .otherwise(F.lit("Normal"))
+            ),
+            F.when(eid % 5 == 0, arr(F.lit("Impediment"))).otherwise(
+                F.array().cast(_FLAG_STRUCT)
+            ),
+            arr(F.lit("frontend")),
+        ),
+    )
+    items = events.select(
+        eid.alias("work_item_id"), fields.alias("fields")
+    )
+    hits = discover_flag_fields(items, "fields", "work_item_id")
+    return hits.groupBy("field_key").agg(
+        F.count(F.lit(1)).alias("flagged_count"),
+        F.min("work_item_id").alias("first_item_id"),
+    )

@@ -130,3 +130,34 @@ def test_exclude_before_date(spark):
     )
     kept = sorted(r["id"] for r in exclude_before_date(df).collect())
     assert kept == [2, 3, 4, 5]
+
+
+# --------------------------------------------------------------------------
+# F11 generic flagged-field discovery (jc_issue.ts:820-859 fallback)
+# --------------------------------------------------------------------------
+def test_discover_flag_fields_scans_map_for_markers(spark):
+    from falcon_metrics_etl_spark.operators.revisions import (
+        discover_flag_fields,
+    )
+
+    rows = [
+        # item 1: flag lives in customfield_10010 (Impediment)
+        (1, {"customfield_10010": [{"value": "Impediment"}],
+             "labels": [{"value": "frontend"}]}),
+        # item 2: Spanish marker in a different field
+        (2, {"customfield_10021": [{"value": "Impedimento"}]}),
+        # item 3: empty array must not match (size guard)
+        (3, {"customfield_10010": [], "labels": [{"value": "Normal"}]}),
+        # item 4: marker NOT in first element -> reference ignores it
+        (4, {"customfield_10010": [{"value": "Normal"},
+                                   {"value": "Impediment"}]}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "work_item_id int, fields map<string, array<struct<value:string>>>",
+    )
+    hits = {
+        (r.work_item_id, r.field_key)
+        for r in discover_flag_fields(df).collect()
+    }
+    assert hits == {(1, "customfield_10010"), (2, "customfield_10021")}
