@@ -136,3 +136,32 @@ def multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_payload(docs)
     return MM.extract_feature_stub(media)
+
+
+@register(
+    "multimodal_decode_png",
+    doc="REAL codec path: spec-valid grayscale PNGs (signature + IHDR + "
+    "CRC-checked, level-0 IDAT) built per document, then decoded by the "
+    "genuine header parser in decode_media_meta (codec='png' branch, "
+    "functions/multimodal.py) — the non-stub proof that the binary->"
+    "Arrow->decode plumbing runs an actual format end-to-end. The "
+    "level-0 IDAT makes the byte size the closed form h*(w+1)+68, so "
+    "the oracle replays every output column including n_bytes.",
+    tags=("multimodal", "pandas-udf", "binary", "codec"),
+    oracle="""
+SELECT doc_id, 'image' AS media_type, 'png' AS codec,
+       CAST(h * (w + 1) + 68 AS BIGINT) AS n_bytes,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       0 AS duration_ms, 1 AS n_frames
+FROM (
+    SELECT doc_id,
+           ('0x' || substring(md5(text), 1, 4))::INT % 16 + 1 AS w,
+           ('0x' || substring(md5(text), 5, 4))::INT % 16 + 1 AS h
+    FROM documents
+) dims
+""",
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_png(docs)
+    return MM.decode_media_meta(media)

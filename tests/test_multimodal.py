@@ -52,3 +52,35 @@ def test_frame_sampling_counts(spark):
     for r in sampled.collect():
         expect = (r["n_frames"] + 49) // 50
         assert r["n_sampled"] == expect
+
+
+# --------------------------------------------------------------------------
+# Real PNG codec path (encode_png / parse_png_header / codec='png')
+# --------------------------------------------------------------------------
+def test_png_roundtrip_and_size_formula():
+    p = MM.encode_png(13, 7, fill=0x5A)
+    hdr = MM.parse_png_header(p)
+    assert hdr == {"width": 13, "height": 7, "bit_depth": 8, "color_type": 0}
+    assert len(p) == 7 * (13 + 1) + 68  # level-0 IDAT closed form
+
+
+def test_png_parser_rejects_corrupt_bytes():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MM.parse_png_header(b"GIF89a not a png at all....................")
+    good = bytearray(MM.encode_png(4, 4))
+    good[20] ^= 0xFF  # flip a width byte -> IHDR CRC must fail
+    with _pytest.raises(ValueError):
+        MM.parse_png_header(bytes(good))
+
+
+def test_png_decode_through_spark_plumbing(spark):
+    media = MM.attach_payload_png(_docs(spark))
+    meta = MM.decode_media_meta(media).collect()
+    assert len(meta) == _docs(spark).count()
+    for r in meta:
+        assert r["codec"] == "png" and r["media_type"] == "image"
+        assert 1 <= r["width"] <= MM.PNG_DIM_MOD
+        assert r["n_bytes"] == r["height"] * (r["width"] + 1) + 68
+        assert r["n_frames"] == 1 and r["duration_ms"] == 0
