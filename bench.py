@@ -86,6 +86,100 @@ def time_streaming(spark, sf_dir: str) -> float:
     return best
 
 
+def time_pipeline_e2e(spark, sf_dir: str) -> float:
+    """The composition users actually run, timed as ONE job: bronze
+    revision stream -> per-item dedupe -> event-date extraction (expr
+    scale path) -> snapshot derivation -> keyed MERGE into states +
+    snapshots sinks -> gold insights aggregate off the merged table.
+    The per-query bench times each stage's plan in isolation; this
+    regress-tests the end-to-end composition including the sink
+    copy-on-write."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from falcon_metrics_etl_spark.operators.event_dates import (
+        extract_event_dates_expr,
+    )
+    from falcon_metrics_etl_spark.operators.revisions import dedupe_consecutive
+    from falcon_metrics_etl_spark.operators.snapshots import derive_snapshots
+    from falcon_metrics_etl_spark.sinks.merge import (
+        upsert_snapshots,
+        upsert_states,
+    )
+    from falcon_metrics_etl_spark.sources import load_table
+
+    base = tempfile.mkdtemp(prefix="bench_e2e_")
+    t0 = time.time()
+    try:
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        tagged = lineitem.select(
+            F.col("l_orderkey").cast("string").alias("work_item_id"),
+            (
+                F.col("l_linenumber") * 4
+                + F.when(F.col("l_returnflag") == "N", 1)
+                .when(F.col("l_returnflag") == "A", 2)
+                .otherwise(3)
+            ).alias("revision"),
+            F.col("l_shipdate").alias("changed_date"),
+            F.when(F.col("l_returnflag") == "N", 1)
+            .when(F.col("l_returnflag") == "A", 2)
+            .otherwise(3)
+            .alias("zone"),
+            F.lit("state_change").alias("type"),
+            F.lit(False).alias("flagged"),
+            (F.col("l_orderkey") % 8).cast("string").alias("org_id"),
+        )
+        # the silver stage feeds BOTH sinks — persist it once, the way a
+        # real pipeline lands silver before fanning out to gold
+        deduped = dedupe_consecutive(
+            tagged, "zone", order_cols=("changed_date", "revision")
+        ).persist()
+        event_dates = extract_event_dates_expr(deduped).persist()
+
+        org = deduped.groupBy("work_item_id").agg(
+            F.first("org_id").alias("org_id")
+        )
+        states = (
+            event_dates.join(org, "work_item_id")
+            .withColumn(
+                "partition_key", F.concat_ws("#", F.lit("state"), F.col("org_id"))
+            )
+            .withColumn(
+                "sort_key", F.concat_ws("#", F.lit("ds1"), F.col("work_item_id"))
+            )
+        )
+        snaps = (
+            derive_snapshots(deduped, event_dates)
+            .withColumn(
+                "partition_key",
+                F.concat_ws("#", F.lit("snapshot"), F.col("org_id")),
+            )
+        )
+        upsert_states(spark, base + "/states", states)
+        upsert_snapshots(spark, base + "/snapshots", snaps)
+
+        gold = (
+            spark.read.parquet(base + "/states")
+            .groupBy("org_id")
+            .agg(
+                F.count(F.lit(1)).alias("items"),
+                F.round(
+                    F.avg(F.datediff("departure_date", "commitment_date")), 2
+                ).alias("lead_time_avg"),
+                F.sum(F.col("is_delayed").cast("int")).alias("delayed"),
+            )
+        )
+        gold.write.format("noop").mode("overwrite").save()
+        elapsed = time.time() - t0
+        deduped.unpersist()
+        event_dates.unpersist()
+        return elapsed
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -103,6 +197,9 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     timings["stream_windowed_daily"] = round(time_streaming(spark, sf_dir), 3)
+    timings["pipeline_e2e"] = round(
+        min(time_pipeline_e2e(spark, sf_dir) for _ in range(2)), 3
+    )
 
     total = round(sum(timings.values()), 3)
     print(

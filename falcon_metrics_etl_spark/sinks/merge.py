@@ -82,7 +82,9 @@ def merge_upsert(
     """
     updates = updates.dropDuplicates(list(keys))
     if not _target_exists(spark, path):
-        writer = updates.write.mode("overwrite")
+        writer = _align_to_partitions(updates, partition_cols).write.mode(
+            "overwrite"
+        )
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(path)
@@ -119,13 +121,29 @@ def merge_upsert(
     # transaction log instead of a stage dir.)
     stage = path.rstrip("/") + "__stage__"
     merged.write.mode("overwrite").parquet(stage)
-    staged = spark.read.parquet(stage)
+    staged = _align_to_partitions(spark.read.parquet(stage), partition_cols)
     writer = staged.write.mode("overwrite")
     if partition_cols:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
     _rm(stage)
+
+
+def _align_to_partitions(df: DataFrame, partition_cols) -> DataFrame:
+    """Align the write shuffle to the hive-partition columns so each
+    output partition is written by as few tasks as possible — without
+    this, every task holding rows of a partition emits its own file
+    (tasks × partitions tiny files, the classic small-files bomb).
+    AQE REBALANCE rather than a plain repartition: skewed partition
+    values are still split across tasks at runtime, so one hot
+    (org, month) doesn't serialize the whole write."""
+    if not partition_cols:
+        return df
+    try:
+        return df.hint("rebalance", *partition_cols)
+    except Exception:  # pragma: no cover — older Spark without the hint
+        return df.repartition(*partition_cols)
 
 
 def _rm(path: str) -> None:
