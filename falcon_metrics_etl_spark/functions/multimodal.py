@@ -151,7 +151,102 @@ def parse_png_header(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# WAV — second real codec (RIFF container, pure stdlib).
+# ---------------------------------------------------------------------------
+WAV_SAMPLE_RATE = 8000  # 8 kHz mono 8-bit: byte_rate == sample rate
+WAV_DUR_MOD = 2000  # synthetic clips <= 2 s keeps payloads <= 16 KB
+
+
+def attach_payload_wav(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, media_type, codec, payload) where payload
+    is a REAL PCM WAV whose duration derives from md5(text) — the
+    audio twin of attach_payload_png. Map-only Arrow-batched build."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                dur = int(h[8:12], 16) % WAV_DUR_MOD + 1
+                payloads.append(encode_wav(dur, fill=int(h[10:12], 16)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": "audio",
+                    "codec": "wav",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, media_type string, codec string, payload binary"
+    )
+
+
+def encode_wav(duration_ms: int, fill: int = 0) -> bytes:
+    """Minimal valid PCM WAV: RIFF/WAVE header + 16-byte fmt chunk
+    (mono, 8-bit, 8 kHz) + data chunk of silence. Byte size is the
+    closed form ``44 + 8 * duration_ms`` — oracle-reproducible."""
+    n_samples = WAV_SAMPLE_RATE * duration_ms // 1000
+    data = bytes([fill & 0xFF]) * n_samples
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, WAV_SAMPLE_RATE, WAV_SAMPLE_RATE, 1, 8
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n_samples)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", n_samples)
+        + data
+    )
+
+
+def parse_wav_header(payload: bytes) -> dict:
+    """Real RIFF/WAVE header parse: container tags, fmt chunk
+    (channels, sample rate, byte rate, bit depth), then a chunk walk to
+    the data chunk — handles extra chunks (LIST, fact) the way real
+    files carry them. Raises ValueError on non-WAV bytes."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    if payload[12:16] != b"fmt ":
+        raise ValueError("not a WAV: fmt chunk missing")
+    (fmt_len,) = struct.unpack("<I", payload[16:20])
+    _, channels, sample_rate, byte_rate, _, bits = struct.unpack(
+        "<HHIIHH", payload[20:36]
+    )
+    if byte_rate == 0:
+        raise ValueError("WAV: zero byte rate")
+    pos = 20 + fmt_len
+    while pos + 8 <= len(payload):  # chunk walk to 'data'
+        tag, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        if tag == b"data":
+            return {
+                "channels": channels,
+                "sample_rate": sample_rate,
+                "bits": bits,
+                "duration_ms": size * 1000 // byte_rate,
+            }
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    raise ValueError("WAV: no data chunk")
+
+
 def _decode_one(media_type: str, codec: str, payload: bytes) -> dict:
+    if codec == "wav":
+        hdr = parse_wav_header(payload)
+        return {
+            "n_bytes": len(payload),
+            "width": 0,
+            "height": 0,
+            "duration_ms": hdr["duration_ms"],
+            "n_frames": 0,
+        }
     if codec == "png":
         hdr = parse_png_header(payload)
         return {

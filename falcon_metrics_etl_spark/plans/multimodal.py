@@ -165,3 +165,30 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_payload_png(docs)
     return MM.decode_media_meta(media)
+
+
+@register(
+    "multimodal_decode_wav",
+    doc="Second REAL codec path (audio): PCM WAVs (RIFF/WAVE/fmt/data, "
+    "chunk-walk parser that tolerates interleaved LIST/fact chunks) "
+    "built per document and decoded by the codec='wav' branch of "
+    "decode_media_meta. 8 kHz mono 8-bit => n_bytes = 44 + 8*duration_ms "
+    "and the decoded duration round-trips exactly, so every column "
+    "oracles in closed form.",
+    tags=("multimodal", "pandas-udf", "binary", "codec"),
+    oracle="""
+SELECT doc_id, 'audio' AS media_type, 'wav' AS codec,
+       CAST(44 + 8 * dur AS BIGINT) AS n_bytes,
+       0 AS width, 0 AS height,
+       CAST(dur AS INT) AS duration_ms, 0 AS n_frames
+FROM (
+    SELECT doc_id,
+           ('0x' || substring(md5(text), 9, 4))::INT % 2000 + 1 AS dur
+    FROM documents
+) durs
+""",
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_wav(docs)
+    return MM.decode_media_meta(media)

@@ -84,3 +84,41 @@ def test_png_decode_through_spark_plumbing(spark):
         assert 1 <= r["width"] <= MM.PNG_DIM_MOD
         assert r["n_bytes"] == r["height"] * (r["width"] + 1) + 68
         assert r["n_frames"] == 1 and r["duration_ms"] == 0
+
+
+# --------------------------------------------------------------------------
+# Real WAV codec path (encode_wav / parse_wav_header / codec='wav')
+# --------------------------------------------------------------------------
+def test_wav_roundtrip_and_size_formula():
+    p = MM.encode_wav(1500, fill=0x42)
+    hdr = MM.parse_wav_header(p)
+    assert hdr == {
+        "channels": 1, "sample_rate": 8000, "bits": 8, "duration_ms": 1500,
+    }
+    assert len(p) == 44 + 8 * 1500
+
+
+def test_wav_parser_walks_extra_chunks_and_rejects_corrupt():
+    import pytest as _pytest
+    import struct as _struct
+
+    # splice a LIST chunk between fmt and data — real files do this
+    p = MM.encode_wav(10)
+    head, data_chunk = p[:36], p[36:]
+    listed = head + b"LIST" + _struct.pack("<I", 4) + b"INFO" + data_chunk
+    assert MM.parse_wav_header(listed)["duration_ms"] == 10
+
+    with _pytest.raises(ValueError):
+        MM.parse_wav_header(b"OggS" + bytes(60))
+    with _pytest.raises(ValueError):
+        MM.parse_wav_header(p[:36])  # truncated before data chunk
+
+
+def test_wav_decode_through_spark_plumbing(spark):
+    media = MM.attach_payload_wav(_docs(spark))
+    meta = MM.decode_media_meta(media).collect()
+    for r in meta:
+        assert r["codec"] == "wav" and r["media_type"] == "audio"
+        assert 1 <= r["duration_ms"] <= MM.WAV_DUR_MOD
+        assert r["n_bytes"] == 44 + 8 * r["duration_ms"]
+        assert r["width"] == 0 and r["n_frames"] == 0
