@@ -269,3 +269,80 @@ def densify_daily(
     )
     originals = with_next.withColumn("is_filler", F.lit(False))
     return originals.unionByName(fillers).drop("_next_date")
+
+
+_MICROS_PER_DAY = 24 * 3600 * 1_000_000
+# revision types that both emit and terminate filler runs
+# (jiracloud/process/utils.ts:132: allowedTypes)
+FILLER_TYPES = (STATE_CHANGE, FLAGGED)
+
+
+def filler_counts(
+    revisions: DataFrame,
+    item_col: str = "work_item_id",
+    date_col: str = "changed_date",
+    type_col: str = "type",
+    order_cols: tuple = ("changed_date", "revision"),
+) -> DataFrame:
+    """W12 exact — per-revision filler count with the reference's full
+    semantics (jiracloud/process/utils.ts:131-157, getFillersCount):
+
+    - only state_change / flagged revisions get fillers at all;
+    - the gap runs to the NEXT revision of those same types — blocked/
+      discarded-reason rows in between are skipped, not boundaries;
+    - count = floor(hours-to-next / 24) on the absolute instants (an
+      IST-midnight history counts the same as a UTC one).
+
+    One window pass: next-allowed instant via first(ignorenulls) over
+    the [current+1, end) frame. Adds ``fillers`` (long).
+    """
+    allowed = F.col(type_col).isin(*FILLER_TYPES)
+    w_after = item_window(item_col, order_cols).rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    next_allowed_us = F.first(
+        F.when(allowed, F.unix_micros(F.col(date_col))), ignorenulls=True
+    ).over(w_after)
+    count = F.when(
+        allowed & next_allowed_us.isNotNull(),
+        F.floor(
+            (next_allowed_us - F.unix_micros(F.col(date_col)))
+            / F.lit(_MICROS_PER_DAY)
+        ),
+    ).otherwise(F.lit(0))
+    return revisions.withColumn("fillers", count.cast("long"))
+
+
+def densify_fillers_exact(
+    revisions: DataFrame,
+    item_col: str = "work_item_id",
+    date_col: str = "changed_date",
+    type_col: str = "type",
+    order_cols: tuple = ("changed_date", "revision"),
+) -> DataFrame:
+    """W12 exact row generation: one synthetic row per 24 h step after
+    each filler-eligible revision (timestamps at +k*24h preserve the
+    source row's time of day, the reference consumer's convention).
+    ``sequence``+``explode`` — distributed, no Python."""
+    counted = filler_counts(revisions, item_col, date_col, type_col, order_cols)
+    fillers = (
+        counted.filter(F.col("fillers") > 0)
+        .withColumn(
+            "_k",
+            F.explode(F.sequence(F.lit(1), F.col("fillers").cast("int"))),
+        )
+        .withColumn(
+            date_col,
+            F.timestamp_micros(
+                F.unix_micros(F.col(date_col))
+                + F.col("_k") * F.lit(_MICROS_PER_DAY)
+            ),
+        )
+        .withColumn("is_filler", F.lit(True))
+        .drop("_k")
+    )
+    return (
+        counted.withColumn("is_filler", F.lit(False))
+        .unionByName(fillers)
+        .drop("fillers")
+    )

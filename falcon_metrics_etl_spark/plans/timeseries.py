@@ -118,6 +118,68 @@ def daily_filler_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "filler_counts_typed",
+    doc="W12 exact filler counts with the reference's type gating "
+    "(getFillersCount, jiracloud/process/utils.ts:131-157): only "
+    "state_change/flagged revisions fill, the gap runs to the NEXT "
+    "revision of those types (blocked/discarded rows are skipped, not "
+    "boundaries), count = floor(hours/24). Revision types synthesized "
+    "deterministically from the activity stream.",
+    tags=("window", "date", "parity"),
+    oracle=f"""
+WITH revs AS (
+    SELECT event_id, user_id, ts,
+           CASE event_id % 5 WHEN 1 THEN 'blocked_reason'
+                WHEN 2 THEN 'flagged' WHEN 3 THEN 'discarded_reason'
+                ELSE 'state_change' END AS type
+    FROM events
+),
+nexts AS (
+    SELECT *,
+           MIN(CASE WHEN type IN ('state_change', 'flagged')
+                    THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+           ) AS next_allowed_us
+    FROM revs
+)
+SELECT event_id, user_id, type,
+       CASE WHEN type IN ('state_change', 'flagged')
+                 AND next_allowed_us IS NOT NULL
+            THEN (next_allowed_us - epoch_us(ts)) // {_MICROS_PER_DAY}
+            ELSE 0 END AS fillers
+FROM nexts
+""",
+)
+def filler_counts_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.revisions import filler_counts
+
+    events = load_table(spark, sf_dir, "events")
+    typed = events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("changed_date"),
+        F.element_at(
+            F.array(
+                F.lit("state_change"),
+                F.lit("blocked_reason"),
+                F.lit("flagged"),
+                F.lit("discarded_reason"),
+                F.lit("state_change"),
+            ),
+            (F.col("event_id") % 5 + 1).cast("int"),
+        ).alias("type"),
+    )
+    counted = filler_counts(
+        typed,
+        item_col="user_id",
+        date_col="changed_date",
+        order_cols=("changed_date", "event_id"),
+    )
+    return counted.select("event_id", "user_id", "type", "fillers")
+
+
 # --------------------------------------------------------------------------
 # Sessionization — gap > 30 min starts a new session
 # --------------------------------------------------------------------------

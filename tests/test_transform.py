@@ -453,3 +453,77 @@ def test_transform_work_items_carries_parent_id(spark):
     states, _ = transform_work_items(items, revisions, steps, events)
     got = {r.work_item_id: r.parent_id for r in states.collect()}
     assert got == {"W-1": "EPIC-9", "W-2": "EPIC-7"}
+
+
+def test_get_fillers_count_reference_scenario(spark):
+    """Ported verbatim from jiracloud/process/utils.test.ts:377-425
+    (getFillersCount): IST-midnight history; only state_change/flagged
+    revisions emit fillers, the gap runs to the next revision of those
+    types (blocked/discarded rows are skipped, not boundaries), count
+    is floor(hours/24)."""
+    from datetime import datetime, timedelta, timezone
+
+    from falcon_metrics_etl_spark.operators.revisions import filler_counts
+
+    IST = timezone(timedelta(hours=5, minutes=30))
+
+    def ist(day):
+        return datetime(2022, 1, day, 0, 0, tzinfo=IST)
+
+    rows = [
+        ("A", 1, "state_change", ist(1)),
+        ("A", 2, "blocked_reason", ist(3)),
+        ("A", 3, "state_change", ist(4)),
+        ("A", 4, "flagged", ist(8)),
+        ("A", 5, "blocked_reason", ist(10)),
+        ("A", 6, "state_change", ist(12)),
+        ("A", 7, "discarded_reason", ist(20)),
+        ("A", 8, "state_change", ist(25)),
+    ]
+    df = spark.createDataFrame(
+        rows, "work_item_id string, revision int, type string, changed_date timestamp"
+    )
+    got = {
+        r["revision"]: r["fillers"]
+        for r in filler_counts(df).collect()
+    }
+    assert got == {
+        1: 3,   # Jan1 -> next allowed Jan4 (skips Jan3 blocked)
+        2: 0,   # blocked_reason: never fills
+        3: 4,   # Jan4 -> Jan8 flagged
+        4: 4,   # flagged fills too: Jan8 -> Jan12
+        5: 0,
+        6: 13,  # Jan12 -> Jan25 (skips Jan20 discarded)
+        7: 0,   # discarded_reason: never fills
+        8: 0,   # no next allowed revision
+    }
+
+
+def test_densify_fillers_exact_rows(spark):
+    from datetime import datetime
+
+    from falcon_metrics_etl_spark.operators.revisions import (
+        densify_fillers_exact,
+    )
+
+    rows = [
+        ("A", 1, "state_change", datetime(2022, 1, 1, 9, 30)),
+        ("A", 2, "blocked_reason", datetime(2022, 1, 2, 12, 0)),
+        ("A", 3, "state_change", datetime(2022, 1, 4, 9, 30)),
+    ]
+    df = spark.createDataFrame(
+        rows, "work_item_id string, revision int, type string, changed_date timestamp"
+    )
+    out = densify_fillers_exact(df).collect()
+    fillers = sorted(
+        (r["changed_date"] for r in out if r["is_filler"]),
+    )
+    # rev 1: 72 h gap -> 3 fillers at +24h steps preserving time-of-day
+    # (the last coincides with the next revision's instant — the
+    # reference's floor(hours/24) convention, utils.test.ts:415-416)
+    assert fillers == [
+        datetime(2022, 1, 2, 9, 30),
+        datetime(2022, 1, 3, 9, 30),
+        datetime(2022, 1, 4, 9, 30),
+    ]
+    assert len([r for r in out if not r["is_filler"]]) == 3
