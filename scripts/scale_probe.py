@@ -48,6 +48,10 @@ DEFAULT_QUERIES = [
     "doc_fingerprint_winnowing",
     "sequence_packing",
     "tpch_pricing_summary",
+    "flag_field_discovery",
+    "filler_counts_typed",
+    "multimodal_decode_png",
+    "multimodal_decode_wav",
 ]
 
 # key columns to offset per replica, per table (disjoint key spaces)
