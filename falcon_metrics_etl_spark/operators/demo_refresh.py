@@ -66,3 +66,81 @@ def rebase_stale_weeks(
     return df.withColumn(
         week_col, F.when(stale, current_week).otherwise(F.col(week_col))
     )
+
+
+def shift_series_weeks(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    week_col: str,
+    anchor: Column,
+) -> DataFrame:
+    """Summary-widget weekly rebase (date_update_utils.ts:189-225,
+    updateSummaryWidgetWeeks): shift the WHOLE per-key series so its
+    latest week lands on the anchor's week, preserving the spacing
+    between entries (contrast rebase_stale_weeks, which collapses the
+    series). Adds ``week``/``year`` of the shifted week start (ISO week
+    number + calendar year, matching Luxon weekNumber/.year)."""
+    grp = Window.partitionBy(*key_cols)
+    latest_start = F.date_trunc("week", F.max(F.col(week_col)).over(grp))
+    diff_days = F.datediff(F.date_trunc("week", anchor), latest_start)
+    shifted = F.date_trunc(
+        "week", F.date_add(F.col(week_col).cast("date"), diff_days)
+    ).cast("date")
+    return (
+        df.withColumn(week_col, shifted)
+        .withColumn("week", F.weekofyear(F.col(week_col)))
+        .withColumn("year", F.year(F.col(week_col)))
+    )
+
+
+def reindex_months(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    anchor: Column,
+) -> DataFrame:
+    """Summary-widget month re-index (date_update_utils.ts:226-241,
+    updateSummaryWidgetMonths): POSITION-based — the last entry becomes
+    the anchor's month, each preceding entry walks one month back;
+    original month values are ignored. The reference also pins
+    year = anchor year on every entry (even when the walk-back crosses
+    January) — replicated verbatim for parity."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    n = F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+    idx = F.row_number().over(w)
+    month_start = F.add_months(
+        F.date_trunc("month", anchor).cast("date"), idx - n
+    )
+    return df.withColumn("month", F.month(month_start)).withColumn(
+        "year", F.year(anchor)
+    )
+
+
+def shift_quarters(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    year_col: str,
+    quarter_col: str,
+    anchor: Column,
+) -> DataFrame:
+    """Summary-widget quarter shift (date_update_utils.ts:242-277,
+    updateSummaryWidgetQuarters): linear quarter arithmetic anchored on
+    the per-key LATEST entry — every entry moves by the same
+    (anchor - latest) quarter delta, with year carry. Uses exact
+    modular math (quarter always 1..4); the reference's
+    ``newQuarter - 4*floor(newQuarter/4)`` yields quarter 0 when the
+    shifted quarter is a multiple of 4 — an evident off-by-one kept
+    OUT of this engine (documented divergence)."""
+    grp = Window.partitionBy(*key_cols)
+    lin = F.col(year_col) * 4 + (F.col(quarter_col) - 1)
+    anchor_lin = F.year(anchor) * 4 + (F.quarter(anchor) - 1)
+    # stage the shifted linear quarter BEFORE overwriting either source
+    # column (withColumn re-reads current columns)
+    staged = df.withColumn("__new_lin", lin + (anchor_lin - F.max(lin).over(grp)))
+    return (
+        staged.withColumn(
+            quarter_col, (F.pmod(F.col("__new_lin"), F.lit(4)) + 1).cast("int")
+        )
+        .withColumn(year_col, F.floor(F.col("__new_lin") / 4).cast("int"))
+        .drop("__new_lin")
+    )

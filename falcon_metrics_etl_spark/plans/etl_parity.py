@@ -1144,3 +1144,104 @@ def flag_field_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("flagged_count"),
         F.min("work_item_id").alias("first_item_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# F15 — summary-widget rebase (weeks series shift, quarter shift)
+# --------------------------------------------------------------------------
+_DEMO_ANCHOR = "2024-01-10"  # Wednesday; week start Monday 2024-01-08
+
+
+@register(
+    "demo_summary_weeks_shift",
+    doc="F15 summary-widget weekly rebase (updateSummaryWidgetWeeks, "
+    "date_update_utils.ts:189-225): shift each key's whole weekly "
+    "series so its latest week lands on the anchor week, preserving "
+    "spacing; ISO week number + calendar year recomputed from the "
+    "shifted week start. One window max per key — no extra shuffle "
+    "beyond the grouping.",
+    tags=("parity", "date", "window"),
+    oracle=f"""
+WITH weekly AS (
+    SELECT event_type,
+           CAST(date_trunc('week', ts) AS DATE) AS week_starting,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+sh AS (
+    SELECT *,
+           date_diff('day',
+               MAX(week_starting) OVER (PARTITION BY event_type),
+               date_trunc('week', DATE '{_DEMO_ANCHOR}')) AS dd
+    FROM weekly
+)
+SELECT event_type,
+       CAST(week_starting + to_days(dd::INT) AS DATE) AS week_starting,
+       CAST(weekofyear(week_starting + to_days(dd::INT)) AS INT) AS week,
+       CAST(year(week_starting + to_days(dd::INT)) AS INT) AS year,
+       n
+FROM sh
+""",
+)
+def demo_summary_weeks_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.demo_refresh import (
+        shift_series_weeks,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    weekly = events.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_starting"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = shift_series_weeks(
+        weekly,
+        ["event_type"],
+        "week_starting",
+        F.lit(_DEMO_ANCHOR).cast("date"),
+    )
+    return out.select("event_type", "week_starting", "week", "year", "n")
+
+
+@register(
+    "demo_summary_quarters_shift",
+    doc="F15 summary-widget quarter shift (updateSummaryWidgetQuarters, "
+    "date_update_utils.ts:242-277): linear quarter delta anchored on "
+    "each key's latest entry, exact modular year carry (the reference's "
+    "quarter-0 modulo quirk corrected; divergence documented in "
+    "operators/demo_refresh.py).",
+    tags=("parity", "date", "window"),
+    oracle=f"""
+WITH q AS (
+    SELECT event_type,
+           CAST(year(ts) AS INT) AS year,
+           CAST(quarter(ts) AS INT) AS quarter,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2, 3
+),
+sh AS (
+    SELECT *,
+           (year(DATE '{_DEMO_ANCHOR}') * 4 + quarter(DATE '{_DEMO_ANCHOR}') - 1)
+           - MAX(year * 4 + quarter - 1) OVER (PARTITION BY event_type)
+               AS qdiff
+    FROM q
+)
+SELECT event_type,
+       CAST((year * 4 + quarter - 1 + qdiff) // 4 AS INT) AS year,
+       CAST((year * 4 + quarter - 1 + qdiff) % 4 + 1 AS INT) AS quarter,
+       n
+FROM sh
+""",
+)
+def demo_summary_quarters_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.demo_refresh import shift_quarters
+
+    events = load_table(spark, sf_dir, "events")
+    q = events.groupBy(
+        "event_type",
+        F.year("ts").cast("int").alias("year"),
+        F.quarter("ts").cast("int").alias("quarter"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = shift_quarters(
+        q, ["event_type"], "year", "quarter", F.lit(_DEMO_ANCHOR).cast("date")
+    )
+    return out.select("event_type", "year", "quarter", "n")
