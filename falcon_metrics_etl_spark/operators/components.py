@@ -49,9 +49,12 @@ def connected_components(
     ``component`` is the minimum node id reachable from ``node`` —
     a deterministic canonical label.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # checkpoint the base edge list BEFORE the self-union: the union
+    # re-executes its child twice, and the child is typically an
+    # expensive candidate-pair plan (LSH join / blocked matmul)
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
     e = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
         .localCheckpoint()

@@ -87,3 +87,94 @@ def kmv_distinct(
         )
         .alias(estimate_col),
     )
+
+
+def kmv_pairwise_set_ops(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise |A|, |B|, |A∪B|, |A∩B| estimates between every pair of
+    key groups, from MERGED KMV sketches.
+
+    This is the property that makes KMV the 100 TB distinct sketch:
+    sketches merge by unioning the hash sets and re-taking the K
+    smallest — so per-partition sketches combine without re-touching
+    the raw data, and the union estimator needs only the two K-row
+    sketches. The intersection comes from inclusion-exclusion, clamped
+    at 0. Everything downstream of the first dedup operates on at most
+    K rows per group.
+    """
+    hashed = df.select(
+        F.col(key_col).alias("g"),
+        portable_hash60(F.col(value_col).cast("string")).alias("h"),
+    ).dropDuplicates(["g", "h"])
+    w = Window.partitionBy("g").orderBy("h")
+    sketch = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("g", "h")
+    )
+
+    def estimate(n: Column, hk: Column) -> Column:
+        return (
+            F.when(n < k, n)
+            .otherwise(
+                F.floor(
+                    (F.lit(float(k - 1)) * F.lit(HASH_SPACE)) / hk
+                ).cast("long")
+            )
+            .cast("long")
+        )
+
+    per_group = sketch.groupBy("g").agg(
+        F.count("*").alias("n"), F.max("h").alias("hk")
+    ).select("g", estimate(F.col("n"), F.col("hk")).alias("est"))
+
+    pairs = (
+        per_group.alias("pa")
+        .join(per_group.alias("pb"), F.col("pa.g") < F.col("pb.g"))
+        .select(
+            F.col("pa.g").alias("ga"),
+            F.col("pb.g").alias("gb"),
+            F.col("pa.est").alias("est_a"),
+            F.col("pb.est").alias("est_b"),
+        )
+    )
+    # merged sketch per pair: union the two K-min hash sets (tagging
+    # each sketch row with every pair it belongs to via two broadcast
+    # equi-joins — no OR-join), dedup, re-take the K smallest
+    tags = pairs.select("ga", "gb")
+    m1 = sketch.join(F.broadcast(tags), sketch["g"] == tags["ga"]).select(
+        "ga", "gb", "h"
+    )
+    m2 = sketch.join(F.broadcast(tags), sketch["g"] == tags["gb"]).select(
+        "ga", "gb", "h"
+    )
+    wm = Window.partitionBy("ga", "gb").orderBy("h")
+    merged = (
+        m1.unionByName(m2)
+        .dropDuplicates(["ga", "gb", "h"])
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= k)
+        .groupBy("ga", "gb")
+        .agg(F.count("*").alias("n"), F.max("h").alias("hk"))
+        .select(
+            "ga", "gb", estimate(F.col("n"), F.col("hk")).alias("est_union")
+        )
+    )
+    return (
+        pairs.join(merged, ["ga", "gb"])
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                F.lit(0).cast("long"),
+            ).alias("est_intersect"),
+        )
+    )

@@ -158,6 +158,115 @@ def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_K = 16      # coarse cells for the cluster-scoped dedup
+SEMDEDUP_TAU = 0.4   # within-cell cosine threshold
+
+
+@register(
+    "semdedup_prune",
+    doc=f"SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — "
+    f"assign every embedding to its nearest of {SEMDEDUP_K} coarse "
+    "centroids (broadcast map), compute pairwise cosine ONLY within a "
+    f"cell, prune any doc with a >= {SEMDEDUP_TAU}-cosine neighbour of "
+    "smaller id (keep-first). The scale answer to all-pairs embedding "
+    "dedup: the candidate join keys on cell id, so cost is "
+    "sum(|cell|^2) not N^2, and cells are bounded by the clustering. "
+    "Output is one row per vector with its cell and kept/pruned status.",
+    tags=("vector", "dedup", "semdedup", "training-data"),
+    oracle=f"""
+WITH iv AS (
+    SELECT vec_id, {_DUCK_QUANT} AS q FROM embeddings
+),
+n AS (
+    SELECT vec_id, q, list_dot_product(q, q) AS nsq FROM iv
+),
+cents AS (
+    SELECT vec_id AS cent_id, q AS cq, nsq AS cnsq FROM n
+    WHERE vec_id < {SEMDEDUP_K}
+),
+aff AS (
+    SELECT v.vec_id, v.q, v.nsq, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.q, c.cq) / sqrt(c.cnsq) DESC,
+                                       c.cent_id) AS crank
+    FROM n v CROSS JOIN cents c
+),
+assign AS (
+    SELECT vec_id, q, nsq, cent_id AS cell FROM aff WHERE crank = 1
+),
+dup AS (
+    SELECT b.vec_id, COUNT(*) AS n_smaller_dups
+    FROM assign a JOIN assign b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.q, b.q) / sqrt(a.nsq) / sqrt(b.nsq)
+          >= {SEMDEDUP_TAU}
+    GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cell,
+       CASE WHEN d.vec_id IS NULL THEN 'kept' ELSE 'pruned' END AS status,
+       COALESCE(d.n_smaller_dups, 0) AS n_smaller_dups
+FROM assign s LEFT JOIN dup d ON s.vec_id = d.vec_id
+""",
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.quantize(F.col("embedding")).alias("q")
+    )
+    n = emb.withColumn("nsq", VX.int_norm_sq(F.col("q")))
+    cents = n.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("q").alias("cq"),
+        F.col("nsq").alias("cnsq"),
+    )
+    aff = n.join(F.broadcast(cents)).withColumn(
+        "score",
+        VX.int_dot(F.col("q"), F.col("cq")).cast("double")
+        / F.sqrt(F.col("cnsq").cast("double")),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cent_id")
+    )
+    assign = (
+        aff.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "q", "nsq", F.col("cent_id").alias("cell"))
+    )
+    a = assign.alias("a")
+    b = assign.alias("b")
+    # within-cell pairs only: the join keys on cell, so the pair count
+    # is sum over cells of |cell|^2 — never the corpus cross product
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            VX.cosine_from_int(
+                VX.int_dot(F.col("a.q"), F.col("b.q")),
+                F.col("a.nsq"),
+                F.col("b.nsq"),
+            )
+            >= F.lit(SEMDEDUP_TAU)
+        )
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_smaller_dups"))
+    )
+    return (
+        assign.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("n_smaller_dups").isNull(), F.lit("kept"))
+            .otherwise(F.lit("pruned"))
+            .alias("status"),
+            F.coalesce(F.col("n_smaller_dups"), F.lit(0)).alias(
+                "n_smaller_dups"
+            ),
+        )
+    )
+
+
 KMEANS_K = 8
 
 

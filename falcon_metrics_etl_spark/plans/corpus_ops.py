@@ -12,7 +12,7 @@ filter-pushdown + broadcast-dim + partial-agg plans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from falcon_metrics_etl_spark.functions import text as TX
@@ -376,4 +376,82 @@ def tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("orderkey", "revenue", "orderdate", "orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
         .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# C4-style chunk-level dedup with document rebuild
+# --------------------------------------------------------------------------
+_CHUNK_TOKENS = 16
+# one regex eats up to 16 whitespace-separated tokens per match: the
+# whole chunking is a single scan-side codegen call (no HOF lambda
+# capture, no explode-then-regroup shuffle for the chunk construction)
+_CHUNK_RE = r"(\S+( \S+){0,15})"
+
+
+@register(
+    "chunk_dedup_rebuild",
+    doc=f"C4/CCNet-style sub-document dedup: split every doc into "
+    f"{_CHUNK_TOKENS}-token chunks (one greedy regexp_extract_all per "
+    "row), hash each chunk, keep only the corpus-wide FIRST occurrence "
+    "of every chunk (window over the chunk hash), then rebuild each "
+    "document from its surviving chunks in order. Output per doc: chunk "
+    "counts and the md5 of the rebuilt text. The shuffle keys on chunk "
+    "hash (uniform), then on doc_id — both well-distributed at corpus "
+    "scale; no cross product anywhere.",
+    tags=("text", "dedup", "chunk", "training-data"),
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id,
+           regexp_extract_all(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+                              '{_CHUNK_RE}', 1) AS chunks
+    FROM documents
+),
+e AS (
+    SELECT doc_id,
+           unnest(range(1, len(chunks) + 1)) AS idx,
+           unnest(chunks) AS chunk
+    FROM d
+),
+k AS (
+    SELECT doc_id, idx, chunk,
+           ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                              ORDER BY doc_id, idx) AS rn
+    FROM e
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                               ORDER BY idx), '')) AS rebuilt_fp
+FROM k
+GROUP BY doc_id
+""",
+)
+def chunk_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    chunked = docs.select(
+        "doc_id", F.regexp_extract_all(norm, F.lit(_CHUNK_RE), 1).alias("chunks")
+    )
+    exploded = chunked.select(
+        "doc_id", F.posexplode("chunks").alias("idx0", "chunk")
+    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "chunk")
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("doc_id", "idx")
+    flagged = exploded.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("idx"), F.col("chunk"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("rn") == 1).cast("int")).cast("int").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            )
+        ).alias("rebuilt_fp"),
     )

@@ -62,6 +62,7 @@ def all_queries() -> dict[str, Query]:
         flow_metrics,
         multimodal,
         relational,
+        retrieval,
         rollup_queries,
         sampling_queries,
         temporal_joins,

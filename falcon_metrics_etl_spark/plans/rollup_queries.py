@@ -85,3 +85,71 @@ FROM topk
 def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     return kmv_distinct(ev, ["event_type"], "user_id", k=KMV_K)
+
+
+@register(
+    "kmv_set_ops_pairs",
+    doc="Mergeable-sketch set algebra (operators/rollup.py::"
+    f"kmv_pairwise_set_ops): per-event-type K={KMV_K} KMV sketches, "
+    "then for every type pair the UNION estimate from the merged "
+    "sketch (union hash sets, re-take K smallest) and the INTERSECTION "
+    "via inclusion-exclusion clamped at 0 — the audience-overlap / "
+    "cross-source-dedup shape where sketches combine without "
+    "re-touching raw data; everything past the first dedup handles "
+    "at most K rows per group",
+    tags=("sketch", "approx", "merge", "aggregate"),
+    oracle=f"""
+WITH hashed AS (
+    SELECT DISTINCT event_type AS g, {_DUCK_HASH_USER} AS h FROM events
+),
+ranked AS (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM hashed
+),
+sketch AS (SELECT g, h FROM ranked WHERE rn <= {KMV_K}),
+per_group AS (
+    SELECT g, COUNT(*) AS n, MAX(h) AS hk FROM sketch GROUP BY g
+),
+est AS (
+    SELECT g,
+           CASE WHEN n < {KMV_K} THEN n
+                ELSE CAST(FLOOR(({KMV_K - 1}.0 * 1152921504606846976.0) / hk)
+                          AS BIGINT) END AS est
+    FROM per_group
+),
+pairs AS (
+    SELECT a.g AS ga, b.g AS gb, a.est AS est_a, b.est AS est_b
+    FROM est a JOIN est b ON a.g < b.g
+),
+tagged AS (
+    SELECT p.ga, p.gb, s.h FROM pairs p JOIN sketch s ON s.g = p.ga
+    UNION
+    SELECT p.ga, p.gb, s.h FROM pairs p JOIN sketch s ON s.g = p.gb
+),
+mranked AS (
+    SELECT ga, gb, h,
+           ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+    FROM tagged
+),
+magg AS (
+    SELECT ga, gb, COUNT(*) AS n, MAX(h) AS hk
+    FROM mranked WHERE rn <= {KMV_K} GROUP BY ga, gb
+),
+mest AS (
+    SELECT ga, gb,
+           CASE WHEN n < {KMV_K} THEN n
+                ELSE CAST(FLOOR(({KMV_K - 1}.0 * 1152921504606846976.0) / hk)
+                          AS BIGINT) END AS est_union
+    FROM magg
+)
+SELECT p.ga AS group_a, p.gb AS group_b,
+       p.est_a, p.est_b, m.est_union,
+       GREATEST(p.est_a + p.est_b - m.est_union, 0) AS est_intersect
+FROM pairs p JOIN mest m ON p.ga = m.ga AND p.gb = m.gb
+""",
+)
+def kmv_set_ops_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.rollup import kmv_pairwise_set_ops
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return kmv_pairwise_set_ops(ev, "event_type", "user_id", k=KMV_K)

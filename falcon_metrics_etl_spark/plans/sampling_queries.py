@@ -167,3 +167,100 @@ def sampled_lead_time_p85(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "class_of_service", F.col("p85").cast("long").alias("p85")
     )
+
+
+MIX_TOKEN_BUDGET = 40000
+
+
+@register(
+    "domain_mix_token_budget",
+    doc=f"Data-mixing sampler: every source (domain) gets a token "
+    f"budget proportional to its mix weight out of a global "
+    f"{MIX_TOKEN_BUDGET}-token target, then a deterministic greedy "
+    "prefix (docs ordered by portable hash, running-token cumsum "
+    "window) fills each budget — the corpus-reweighting shape used to "
+    "hit a target domain mixture for a training run. One shuffle on "
+    "source for the cumsum; the weight table is a broadcast scalar; "
+    "membership is a pure function of the keys (stable under reruns "
+    "and appends of other sources).",
+    tags=("sampling", "mixing", "window", "training-data"),
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, source,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           {_DUCK_HASH} AS h,
+           (CAST(substring(source, 4, 8) AS INT) % 3) + 1 AS w
+    FROM documents
+),
+sw AS (
+    SELECT SUM(w) AS sum_w
+    FROM (SELECT DISTINCT source, w FROM d)
+),
+c AS (
+    SELECT doc_id, source, n_tokens, w,
+           CAST(FLOOR({MIX_TOKEN_BUDGET}.0 * w / sum_w) AS BIGINT) AS budget,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum
+    FROM d CROSS JOIN sw
+)
+SELECT source,
+       ANY_VALUE(budget) AS token_budget,
+       CAST(SUM(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_selected,
+       CAST(SUM(CASE WHEN cum <= budget THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_selected,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_available
+FROM c
+GROUP BY source
+""",
+)
+def domain_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from falcon_metrics_etl_spark.functions.text import (
+        portable_hash60,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        portable_hash60(F.col("doc_id").cast("string")).alias("h"),
+        (
+            (F.substring(F.col("source"), 4, 8).cast("int") % 3) + 1
+        ).alias("w"),
+    )
+    sum_w = (
+        d.select("source", "w")
+        .dropDuplicates(["source"])
+        .agg(F.sum("w").alias("sum_w"))
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        d.join(F.broadcast(sum_w))
+        .withColumn(
+            "budget",
+            F.floor(
+                F.lit(float(MIX_TOKEN_BUDGET)) * F.col("w") / F.col("sum_w")
+            ).cast("long"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(wcum))
+    )
+    sel = F.col("cum") <= F.col("budget")
+    return c.groupBy("source").agg(
+        F.any_value(F.col("budget")).alias("token_budget"),
+        F.sum(sel.cast("int")).cast("long").alias("n_selected"),
+        F.sum(F.when(sel, F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tokens_selected"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_available"),
+    )
