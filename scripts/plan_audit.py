@@ -45,6 +45,16 @@ CARTESIAN_OK = {
     # ann_ivf.py:21-24)
     "ann_ivf_probed",
     "kmeans_lloyd_step",
+    # N x K broadcast centroid assignment (K=16 rows) + the same
+    # pattern as ann_ivf_probed, for the cluster-scoped dedup
+    "semdedup_prune",
+    # 1 x N broadcast of the single-row corpus stats (N, avgdl, df)
+    "bm25_topk",
+    # 1 x N broadcast of the single-row weight-sum scalar
+    "domain_mix_token_budget",
+    # non-equi (g < g) pairing of the per-group estimates — at most
+    # |groups| rows on either side (5 event types), broadcast NLJ
+    "kmv_set_ops_pairs",
 }
 
 

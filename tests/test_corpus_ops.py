@@ -89,3 +89,37 @@ def test_pii_redaction_is_deterministic_and_complete(spark):
     # exact post-redaction text for doc 4: the email regex consumes the
     # whole "user4@example.com" token, the phone regex "+1-555-004-0004"
     assert rows[4].redacted_len == len("no pii here contact <EMAIL> or <PHONE>")
+
+
+def test_chunk_dedup_rebuild_semantics(spark):
+    """First corpus-wide occurrence of a chunk survives; later copies
+    drop; docs rebuild from surviving chunks in original order."""
+    import hashlib
+
+    import falcon_metrics_etl_spark.plans.corpus_ops as co
+
+    a_tokens = " ".join(f"w{i}" for i in range(16))       # chunk A
+    b_tokens = " ".join(f"v{i}" for i in range(16))       # chunk B
+    # doc 1 = A + B; doc 2 = A + tail (A is a dup of doc 1's chunk)
+    df = spark.createDataFrame(
+        [
+            (1, a_tokens + " " + b_tokens),
+            (2, a_tokens + " unique tail here"),
+        ],
+        "doc_id long, text string",
+    )
+    orig = co.load_table
+    co.load_table = lambda s, d, n: df
+    try:
+        rows = {
+            r["doc_id"]: r
+            for r in co.chunk_dedup_rebuild(spark, "ignored").collect()
+        }
+    finally:
+        co.load_table = orig
+    assert rows[1]["n_chunks"] == 2 and rows[1]["n_kept"] == 2
+    # doc 2: chunk A deduped away, only the 3-token tail chunk kept
+    assert rows[2]["n_chunks"] == 2 and rows[2]["n_kept"] == 1
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert rows[1]["rebuilt_fp"] == md5(a_tokens + " " + b_tokens)
+    assert rows[2]["rebuilt_fp"] == md5("unique tail here")

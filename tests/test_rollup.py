@@ -82,3 +82,45 @@ def test_kmv_exact_below_k(spark):
     )
     row = kmv_distinct(df, ["g"], "u", k=64).collect()[0]
     assert row["distinct_est"] == 7  # exact under K
+
+
+def test_kmv_pairwise_set_ops_exact_below_k(spark):
+    """With fewer than K distinct values per group the sketch is the
+    full hash set, so every estimate is EXACT — union, intersection
+    and the per-group counts."""
+    from falcon_metrics_etl_spark.operators.rollup import kmv_pairwise_set_ops
+
+    rows = (
+        [("a", f"u{i}") for i in range(10)]          # a = u0..u9
+        + [("b", f"u{i}") for i in range(5, 20)]     # b = u5..u19
+        + [("c", f"x{i}") for i in range(4)]         # c disjoint
+        + [("a", "u3"), ("b", "u7")]                 # dup rows collapse
+    )
+    df = spark.createDataFrame(rows, "g string, u string")
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in kmv_pairwise_set_ops(df, "g", "u", k=64).collect()
+    }
+    ab = out[("a", "b")]
+    assert (ab["est_a"], ab["est_b"]) == (10, 15)
+    assert ab["est_union"] == 20          # u0..u19
+    assert ab["est_intersect"] == 5       # u5..u9
+    ac = out[("a", "c")]
+    assert ac["est_union"] == 14 and ac["est_intersect"] == 0
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_kmv_pairwise_set_ops_bounds_above_k(spark):
+    """Above K the estimates are approximate but must respect set
+    algebra: max(|A|,|B|) <= |A∪B| and intersect >= 0."""
+    from falcon_metrics_etl_spark.operators.rollup import kmv_pairwise_set_ops
+
+    rows = [("a", f"u{i}") for i in range(500)] + [
+        ("b", f"u{i}") for i in range(250, 900)
+    ]
+    df = spark.createDataFrame(rows, "g string, u string")
+    r = kmv_pairwise_set_ops(df, "g", "u", k=32).collect()[0]
+    assert r["est_union"] >= max(r["est_a"], r["est_b"])
+    assert r["est_intersect"] >= 0
+    # K=32 => ~18% stderr; union of 900 should land well inside 3 sigma
+    assert 400 <= r["est_union"] <= 1600
