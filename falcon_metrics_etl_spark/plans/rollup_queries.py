@@ -28,15 +28,15 @@ KMV_K = 64
     oracle="""
 SELECT 'hour' AS resolution, date_trunc('hour', ts) AS bucket_start,
        event_type, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
 FROM events GROUP BY 2, 3
 UNION ALL
 SELECT 'day', date_trunc('day', ts), event_type, COUNT(*),
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0
 FROM events GROUP BY 2, 3
 UNION ALL
 SELECT 'week', date_trunc('week', ts), event_type, COUNT(*),
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0
 FROM events GROUP BY 2, 3
 """,
 )
@@ -48,7 +48,7 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         {
             "n_events": F.count(F.lit(1)),
-            "total_value": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+            "total_value": F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0),
         },
         resolutions=("hour", "day", "week"),
     )
@@ -153,3 +153,91 @@ def kmv_set_ops_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     return kmv_pairwise_set_ops(ev, "event_type", "user_id", k=KMV_K)
+
+
+HIST_BUCKET_WIDTH = 1000  # l_extendedprice spans ~900..105k
+HIST_QS = (50, 90, 99)
+
+
+@register(
+    "histogram_quantiles_price",
+    doc=f"Mergeable fixed-width histogram quantiles: bucket every "
+    f"lineitem price into {HIST_BUCKET_WIDTH}-wide integer buckets, "
+    "aggregate per-bucket counts per return flag, then read "
+    f"p{HIST_QS[0]}/p{HIST_QS[1]}/p{HIST_QS[2]} as the lower bound of "
+    "the first bucket whose cumulative count reaches ceil(q*N) — the "
+    "Prometheus-histogram shape for percentiles at scale: per-partition "
+    "histograms merge by adding counts (no raw-value shuffle), error "
+    "bounded by bucket width; all arithmetic is integer-exact",
+    tags=("sketch", "histogram", "percentile", "merge"),
+    oracle=f"""
+WITH b AS (
+    SELECT l_returnflag,
+           CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / {HIST_BUCKET_WIDTH})
+                AS BIGINT) AS bucket
+    FROM lineitem
+),
+h AS (
+    SELECT l_returnflag, bucket, COUNT(*) AS n
+    FROM b GROUP BY l_returnflag, bucket
+),
+c AS (
+    SELECT l_returnflag, bucket, n,
+           SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+           SUM(n) OVER (PARTITION BY l_returnflag) AS total
+    FROM h
+),
+q AS (
+    SELECT l_returnflag, qq.q,
+           MIN(bucket * {HIST_BUCKET_WIDTH}) AS est
+    FROM c CROSS JOIN (
+        SELECT unnest([{", ".join(str(q) for q in HIST_QS)}]) AS q
+    ) qq
+    WHERE cum >= CAST(CEIL(qq.q * total / 100.0) AS BIGINT)
+    GROUP BY l_returnflag, qq.q
+)
+SELECT l_returnflag, CAST(q AS INT) AS q, CAST(est AS BIGINT) AS est
+FROM q
+""",
+)
+def histogram_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    from pyspark.sql import Window
+
+    b = li.select(
+        "l_returnflag",
+        F.floor(
+            F.col("l_extendedprice").cast("double") / F.lit(HIST_BUCKET_WIDTH)
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    h = b.groupBy("l_returnflag", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    c = h.withColumn("cum", F.sum("n").over(wcum)).withColumn(
+        "total", F.sum("n").over(wtot)
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in HIST_QS])).alias("q")
+    )
+    return (
+        c.join(F.broadcast(qs))
+        .filter(
+            F.col("cum")
+            >= F.ceil(F.col("q") * F.col("total") / F.lit(100.0)).cast("long")
+        )
+        .groupBy("l_returnflag", "q")
+        .agg(F.min(F.col("bucket") * F.lit(HIST_BUCKET_WIDTH)).alias("est"))
+        .select(
+            "l_returnflag",
+            F.col("q").cast("int").alias("q"),
+            F.col("est").cast("long").alias("est"),
+        )
+    )

@@ -229,13 +229,14 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tumbling_daily",
     doc="ST7 tumbling evaluation windows: daily count + exact value sum per "
-    "event type (fl_insights.ts:72-113); DECIMAL-exact sum cast to DOUBLE",
+    "event type (fl_insights.ts:72-113); value summed in exact integer "
+    "cents with one final division to double",
     tags=("aggregate", "date"),
     oracle="""
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        event_type,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -247,7 +248,9 @@ def tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+            "total_value"
+        ),
     )
 
 
