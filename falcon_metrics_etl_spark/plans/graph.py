@@ -41,7 +41,16 @@ def pagerank_int(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
 
     Returns (node, rank_scaled) for every node that appears as an
     endpoint; rank_scaled is the 10^12-scaled integer rank.
+
+    Lineage discipline: the edge list feeds nodes, outdeg and every
+    iteration's message join — without truncation Catalyst re-plans
+    (and re-scans) the whole upstream per reference, and each
+    iteration doubles the rank subtree (audited: 44 scans for 3
+    iterations). LAZY local checkpoints (eager=False — no job at
+    definition time, so the registry's no-action contract holds) pin
+    edges and each iteration's ranks to be computed once.
     """
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -62,7 +71,9 @@ def pagerank_int(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             "n_nodes",
         )
     )
+    outdeg = outdeg.localCheckpoint(eager=False)
     for _ in range(iters):
+        ranks = ranks.localCheckpoint(eager=False)
         contrib = (
             ranks.join(outdeg, "node")
             .withColumn(

@@ -661,3 +661,121 @@ def tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_qty").cast("double").alias("total_qty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-table referential-integrity / constraint audit (dbt-test shape)
+# --------------------------------------------------------------------------
+@register(
+    "referential_integrity_audit",
+    doc="Constraint audit across the lake: foreign-key orphan checks "
+    "(left-anti join against the referenced key set — dims broadcast), "
+    "primary-key uniqueness (count vs distinct), and not-null checks, "
+    "stacked as one (check_type, check_name, n_rows, n_violations) "
+    "report — the dbt-test / Deequ shape a lakehouse runs before "
+    "promoting bronze to silver. Each check is a single aggregate; "
+    "anti joins against broadcast key sets keep every check one scan "
+    "of the fact side.",
+    tags=("quality", "join", "anti", "audit"),
+    oracle="""
+SELECT 'fk' AS check_type, 'lineitem.orderkey->orders' AS check_name,
+       (SELECT COUNT(*) FROM lineitem) AS n_rows,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+UNION ALL
+SELECT 'fk', 'lineitem.partkey->part',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'fk', 'orders.custkey->customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'fk', 'customer.nationkey->nation',
+       (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))
+UNION ALL
+SELECT 'unique', 'orders.o_orderkey',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+UNION ALL
+SELECT 'unique', 'customer.c_custkey',
+       (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+UNION ALL
+SELECT 'not_null', 'orders.o_orderdate',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+UNION ALL
+SELECT 'not_null', 'lineitem.l_shipdate',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL)
+""",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def fk(name, fact, fk_col, dim, pk_col):
+        orphans = fact.select(fk_col).join(
+            F.broadcast(dim.select(pk_col).dropDuplicates([pk_col])),
+            fact[fk_col] == dim[pk_col],
+            "left_anti",
+        )
+        return fact.agg(F.count(F.lit(1)).alias("n_rows")).join(
+            orphans.agg(F.count(F.lit(1)).alias("n_violations"))
+        ).select(
+            F.lit("fk").alias("check_type"),
+            F.lit(name).alias("check_name"),
+            "n_rows",
+            "n_violations",
+        )
+
+    def unique(name, df, col):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count_distinct(F.col(col))).alias(
+                "n_violations"
+            ),
+        ).select(
+            F.lit("unique").alias("check_type"),
+            F.lit(name).alias("check_name"),
+            "n_rows",
+            "n_violations",
+        )
+
+    def not_null(name, df, col):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(col).isNull().cast("long")).alias("n_violations"),
+        ).select(
+            F.lit("not_null").alias("check_type"),
+            F.lit(name).alias("check_name"),
+            "n_rows",
+            "n_violations",
+        )
+
+    checks = [
+        fk("lineitem.orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        fk("lineitem.partkey->part", lineitem, "l_partkey", part, "p_partkey"),
+        fk("orders.custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+        fk("customer.nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
+        unique("orders.o_orderkey", orders, "o_orderkey"),
+        unique("customer.c_custkey", customer, "c_custkey"),
+        not_null("orders.o_orderdate", orders, "o_orderdate"),
+        not_null("lineitem.l_shipdate", lineitem, "l_shipdate"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -55,6 +55,12 @@ CARTESIAN_OK = {
     # non-equi (g < g) pairing of the per-group estimates — at most
     # |groups| rows on either side (5 event types), broadcast NLJ
     "kmv_set_ops_pairs",
+    # 3-row quantile spec broadcast against the per-group histogram
+    "histogram_quantiles_price",
+    # 1-row node-count scalar broadcast into the rank initialization
+    "pagerank_purchase_graph",
+    # 1x1 joins pairing each check's two single-row aggregates
+    "referential_integrity_audit",
 }
 
 
