@@ -241,3 +241,40 @@ def histogram_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est").cast("long").alias("est"),
         )
     )
+
+
+@register(
+    "cube_orders_priority_status",
+    doc="Full CUBE over (priority, status): every grouping combination "
+    "incl. grand total in ONE scan + one shuffle (Expand feeds the "
+    "aggregate 4 grouping projections; grouping_id disambiguates the "
+    "NULL-as-total rows from genuine NULLs) — the §2.4 OLAP-cube "
+    "complement to the GROUPING SETS rollup",
+    tags=("aggregate", "cube", "grouping-sets"),
+    oracle="""
+SELECT o_orderpriority AS priority, o_orderstatus AS status,
+       GROUPING(o_orderpriority, o_orderstatus) AS gid,
+       COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+)
+def cube_orders_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100.0)
+            ).alias("total_price"),
+        )
+        .select("priority", "status", F.col("gid").cast("long").alias("gid"),
+                "n_orders", "total_price")
+    )
