@@ -42,6 +42,7 @@ from typing import Callable, Iterable, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 from pyspark.sql.types import StructType
@@ -119,27 +120,12 @@ class RestPagedReader(DataSourceReader):
             yield tuple(row)
 
 
-class RestPagedDataSource(DataSource):
-    @classmethod
-    def name(cls) -> str:
-        return "falcon_rest"
-
-    def schema(self) -> str:
-        return self.options.get("schema", DEFAULT_SCHEMA)
-
-    def reader(self, schema: StructType) -> RestPagedReader:
-        return RestPagedReader(schema, dict(self.options))
-
-
 # ---------------------------------------------------------------------------
 # Streaming variant: the incremental cursor (ST1) as a NATIVE streaming
 # source — the checkpoint carries the page offset, so restart-resume is
 # exactly the reference's nextRunStartFrom cursor (config.ts:250-262)
 # with Spark's offset log as the cursor table.
 # ---------------------------------------------------------------------------
-from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
-
-
 class RestPagedStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self._inner = RestPagedReader(schema, options)
@@ -169,8 +155,16 @@ class RestPagedStreamReader(DataSourceStreamReader):
         pass
 
 
-def _stream_reader(self, schema: StructType) -> RestPagedStreamReader:
-    return RestPagedStreamReader(schema, dict(self.options))
+class RestPagedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "falcon_rest"
 
+    def schema(self) -> str:
+        return self.options.get("schema", DEFAULT_SCHEMA)
 
-RestPagedDataSource.streamReader = _stream_reader
+    def reader(self, schema: StructType) -> RestPagedReader:
+        return RestPagedReader(schema, dict(self.options))
+
+    def streamReader(self, schema: StructType) -> RestPagedStreamReader:
+        return RestPagedStreamReader(schema, dict(self.options))
