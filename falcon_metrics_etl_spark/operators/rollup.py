@@ -54,6 +54,40 @@ def hypertable_rollup(
     return out
 
 
+def _kmv_sketch(
+    df: DataFrame, key_cols: Sequence[str], value_col: str, k: int
+) -> DataFrame:
+    """The K smallest distinct portable hashes of ``value_col`` per key
+    group — the sketch both the single-group estimator and the merged
+    set-ops build on. One shuffle; the rank window prunes to K rows per
+    group."""
+    hashed = df.select(
+        *key_cols, portable_hash60(F.col(value_col).cast("string")).alias("__h")
+    ).dropDuplicates([*key_cols, "__h"])
+    w = Window.partitionBy(*key_cols).orderBy("__h")
+    return (
+        hashed.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select(*key_cols, "__h")
+    )
+
+
+def _kmv_estimate(n: Column, hk: Column, k: int) -> Column:
+    """(K-1) * 2^60 / h_K, exact count below K.
+
+    floor, not round: floor of an identically-computed double is
+    engine-stable; round's half-way tiebreak is not."""
+    return (
+        F.when(n < k, n)
+        .otherwise(
+            F.floor((F.lit(float(k - 1)) * F.lit(HASH_SPACE)) / hk).cast(
+                "long"
+            )
+        )
+        .cast("long")
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -63,29 +97,14 @@ def kmv_distinct(
 ) -> DataFrame:
     """KMV distinct estimate of ``value_col`` per key group.
 
-    One shuffle; the rank window prunes to K rows per group before the
-    final aggregate. Exact below K distinct values."""
-    hashed = df.select(
-        *key_cols, portable_hash60(F.col(value_col).cast("string")).alias("__h")
-    ).dropDuplicates([*key_cols, "__h"])
-    w = Window.partitionBy(*key_cols).orderBy("__h")
-    topk = hashed.withColumn("__rank", F.row_number().over(w)).filter(
-        F.col("__rank") <= k
-    )
+    Exact below K distinct values."""
+    topk = _kmv_sketch(df, key_cols, value_col, k)
     return topk.groupBy(*key_cols).agg(
         F.count("*").alias("__n"),
         F.max("__h").alias("__hk"),
     ).select(
         *key_cols,
-        # floor, not round: floor of an identically-computed double is
-        # engine-stable; round's half-way tiebreak is not
-        F.when(F.col("__n") < k, F.col("__n"))
-        .otherwise(
-            F.floor(
-                (F.lit(float(k - 1)) * F.lit(HASH_SPACE)) / F.col("__hk")
-            ).cast("long")
-        )
-        .alias(estimate_col),
+        _kmv_estimate(F.col("__n"), F.col("__hk"), k).alias(estimate_col),
     )
 
 
@@ -106,31 +125,14 @@ def kmv_pairwise_set_ops(
     at 0. Everything downstream of the first dedup operates on at most
     K rows per group.
     """
-    hashed = df.select(
-        F.col(key_col).alias("g"),
-        portable_hash60(F.col(value_col).cast("string")).alias("h"),
-    ).dropDuplicates(["g", "h"])
-    w = Window.partitionBy("g").orderBy("h")
-    sketch = (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("g", "h")
-    )
-
-    def estimate(n: Column, hk: Column) -> Column:
-        return (
-            F.when(n < k, n)
-            .otherwise(
-                F.floor(
-                    (F.lit(float(k - 1)) * F.lit(HASH_SPACE)) / hk
-                ).cast("long")
-            )
-            .cast("long")
-        )
+    sketch = _kmv_sketch(
+        df.select(F.col(key_col).alias("g"), F.col(value_col)), ["g"],
+        value_col, k,
+    ).withColumnRenamed("__h", "h")
 
     per_group = sketch.groupBy("g").agg(
         F.count("*").alias("n"), F.max("h").alias("hk")
-    ).select("g", estimate(F.col("n"), F.col("hk")).alias("est"))
+    ).select("g", _kmv_estimate(F.col("n"), F.col("hk"), k).alias("est"))
 
     pairs = (
         per_group.alias("pa")
@@ -161,7 +163,9 @@ def kmv_pairwise_set_ops(
         .groupBy("ga", "gb")
         .agg(F.count("*").alias("n"), F.max("h").alias("hk"))
         .select(
-            "ga", "gb", estimate(F.col("n"), F.col("hk")).alias("est_union")
+            "ga",
+            "gb",
+            _kmv_estimate(F.col("n"), F.col("hk"), k).alias("est_union"),
         )
     )
     return (

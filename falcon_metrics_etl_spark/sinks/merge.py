@@ -140,10 +140,13 @@ def _align_to_partitions(df: DataFrame, partition_cols) -> DataFrame:
     (org, month) doesn't serialize the whole write."""
     if not partition_cols:
         return df
-    try:
+    # hint() never raises on unknown hint names (the analyzer drops
+    # them with a warning), so feature-detect by version instead of
+    # try/except: REBALANCE landed in Spark 3.2
+    major, minor = (int(x) for x in df.sparkSession.version.split(".")[:2])
+    if (major, minor) >= (3, 2):
         return df.hint("rebalance", *partition_cols)
-    except Exception:  # pragma: no cover — older Spark without the hint
-        return df.repartition(*partition_cols)
+    return df.repartition(*partition_cols)
 
 
 def _rm(path: str) -> None:

@@ -38,6 +38,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from falcon_metrics_etl_spark.sinks.merge import _align_to_partitions
+
 _UNPARTITIONED = ""
 
 
@@ -103,6 +105,16 @@ def _escape_path_name(s: str) -> str:
     )
 
 
+def _partition_value_str(v) -> str:
+    """Render a partition value the way Spark renders it in the dir
+    name — notably booleans are lowercase ('flag=true'), where Python's
+    str() would produce 'flag=True' and the manifest path would miss
+    the on-disk dir."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _partition_subdir(cols: Sequence[str], values) -> str:
     """Build the manifest key / read path for one partition tuple with
     the same hive-style escaping Spark applies when writing the dir, so
@@ -110,7 +122,11 @@ def _partition_subdir(cols: Sequence[str], values) -> str:
     default-partition sentinel)."""
     return "/".join(
         f"{_escape_path_name(c)}="
-        + (_HIVE_NULL_PARTITION if v is None else _escape_path_name(str(v)))
+        + (
+            _HIVE_NULL_PARTITION
+            if v is None
+            else _escape_path_name(_partition_value_str(v))
+        )
         for c, v in zip(cols, values)
     )
 
@@ -168,7 +184,9 @@ def versioned_merge(
     out_dir = os.path.join(root, "data", str(new_v))
 
     if prev is None:
-        writer = updates.write.mode("overwrite")
+        writer = _align_to_partitions(updates, partition_cols).write.mode(
+            "overwrite"
+        )
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(out_dir)
@@ -208,7 +226,7 @@ def versioned_merge(
         how="left_anti",
     )
     merged = survivors.unionByName(updates, allowMissingColumns=True)
-    writer = merged.write.mode("overwrite")
+    writer = _align_to_partitions(merged, partition_cols).write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(out_dir)

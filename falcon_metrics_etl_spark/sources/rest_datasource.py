@@ -96,15 +96,23 @@ class RestPagedReader(DataSourceReader):
         self._page_size = max(1, int(options.get("page_size", 50)))
 
     def partitions(self):
+        if self._total <= 0:
+            # PySpark substitutes [None] for an empty partition list and
+            # read(None) would crash — emit one explicit empty page
+            return [PagePartition(0, 0)]
         return [
             PagePartition(start, min(self._page_size, self._total - start))
             for start in range(0, self._total, self._page_size)
         ]
 
     def read(self, partition: PagePartition) -> Iterator[tuple]:
+        if partition.size <= 0:
+            return
         fetch = FETCHERS[self._fetcher_name]
-        fields = [f.name for f in self._schema.fields if f.name != "_corrupt_record"]
-        has_corrupt = any(f.name == "_corrupt_record" for f in self._schema.fields)
+        # rows are built per schema field POSITION, so _corrupt_record
+        # may sit anywhere in a user-supplied schema
+        names = [f.name for f in self._schema.fields]
+        has_corrupt = "_corrupt_record" in names
         for payload in fetch(partition.start, partition.size):
             try:
                 obj = json.loads(payload)
@@ -112,12 +120,14 @@ class RestPagedReader(DataSourceReader):
                     raise ValueError("not an object")
             except (ValueError, json.JSONDecodeError):
                 if has_corrupt:
-                    yield tuple([None] * len(fields) + [payload])
+                    yield tuple(
+                        payload if n == "_corrupt_record" else None
+                        for n in names
+                    )
                 continue
-            row = [obj.get(f) for f in fields]
-            if has_corrupt:
-                row.append(None)
-            yield tuple(row)
+            yield tuple(
+                None if n == "_corrupt_record" else obj.get(n) for n in names
+            )
 
 
 # ---------------------------------------------------------------------------

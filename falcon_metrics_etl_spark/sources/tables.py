@@ -15,7 +15,6 @@ free; nothing here collects to the driver.
 
 from __future__ import annotations
 
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,25 +44,26 @@ _BIGINT_NANO_COLUMNS = {
 }
 
 
-# Per-SparkSession state, weakly keyed so a dropped session releases
-# its entries. SQL confs (and therefore the UTC verification) are
-# per-SESSION, not per-context: two sessions from newSession() share an
-# applicationId but each carries its own timeZone conf, so memoizing on
-# applicationId alone would let an unverified session skip the UTC
-# assert and receive DataFrames bound to a sibling session.
+# Per-SparkSession state, stored ON the session object itself so its
+# lifetime is exactly the session's. SQL confs (and therefore the UTC
+# verification) are per-SESSION, not per-context: two sessions from
+# newSession() share an applicationId but each carries its own timeZone
+# conf, so memoizing on applicationId alone would let an unverified
+# session skip the UTC assert and receive DataFrames bound to a sibling
+# session. (A module-global WeakKeyDictionary would NOT work here: the
+# cached DataFrames reference their session, so the value dict keeps
+# the weak key alive forever and dropped sessions leak.)
 # Value shape: {"confed": bool, "tables": {(sf_dir, name): DataFrame}}.
 # Caching the reader DataFrame (an immutable logical plan) skips the
 # per-call file listing + parquet footer probe (~140 ms each).
-_SESSION_STATE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    weakref.WeakKeyDictionary()
-)
+_STATE_ATTR = "_falcon_metrics_session_state"
 
 
 def _session_state(spark: SparkSession) -> dict:
-    state = _SESSION_STATE.get(spark)
+    state = getattr(spark, _STATE_ATTR, None)
     if state is None:
         state = {"confed": False, "tables": {}}
-        _SESSION_STATE[spark] = state
+        setattr(spark, _STATE_ATTR, state)
     return state
 
 

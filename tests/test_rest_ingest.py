@@ -188,3 +188,38 @@ def test_rest_datasource_stream_cursor_resume(spark, tmp_path):
     # second drain appends nothing (ST1 resume)
     second = drain()
     assert len(second) == len(first)
+
+
+def test_rest_datasource_zero_total_returns_empty(spark):
+    from falcon_metrics_etl_spark.sources.rest_datasource import (
+        RestPagedDataSource,
+    )
+
+    spark.dataSource.register(RestPagedDataSource)
+    df = spark.read.format("falcon_rest").option("fetcher", "synthetic").load()
+    assert df.collect() == []
+
+
+def test_rest_datasource_corrupt_column_position_independent(spark):
+    from falcon_metrics_etl_spark.sources.rest_datasource import (
+        RestPagedDataSource,
+    )
+
+    spark.dataSource.register(RestPagedDataSource)
+    df = (
+        spark.read.format("falcon_rest")
+        .option("fetcher", "synthetic")
+        .option("total", 5)
+        .option("page_size", 5)
+        .schema("work_item_id string, _corrupt_record string, state string")
+        .load()
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    assert len(good) == 5
+    # columns land by NAME even with _corrupt_record mid-schema
+    assert {r["work_item_id"] for r in good} == {f"WI-{i}" for i in range(5)}
+    assert all(r["state"] in ("todo", "doing", "done") for r in good)
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert [r["_corrupt_record"] for r in bad] == ["not-json-0"]
+    assert bad[0]["work_item_id"] is None and bad[0]["state"] is None

@@ -343,3 +343,30 @@ def test_table_changes_between_versions(spark, tmp_path):
         ).collect()
     }
     assert rev["W-3"] == "delete" and rev["W-1"] == "update"
+
+
+def test_versioned_boolean_partition_roundtrip(spark, tmp_path):
+    """Spark writes boolean partition dirs lowercase (flag=true); the
+    manifest key must match or reads of the committed version fail."""
+    from falcon_metrics_etl_spark.sinks.versioned import (
+        read_versioned,
+        versioned_merge,
+    )
+
+    root = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(1, True, "a"), (2, False, "b")], "id int, flag boolean, v string"
+    )
+    versioned_merge(spark, root, df, keys=["id"], partition_cols=["flag"])
+    # partition values come back as strings — standard Spark hive-layout
+    # inference (no boolean inference), same as a plain
+    # spark.read.parquet over flag=true dirs; the point here is that the
+    # manifest path matches the lowercase dir Spark wrote (a Python
+    # str(True) key would raise path-not-found)
+    got = {r["id"]: (r["flag"], r["v"]) for r in read_versioned(spark, root).collect()}
+    assert got == {1: ("true", "a"), 2: ("false", "b")}
+    # merge into one partition only — the other carries over by manifest
+    upd = spark.createDataFrame([(1, True, "a2")], "id int, flag boolean, v string")
+    versioned_merge(spark, root, upd, keys=["id"], partition_cols=["flag"])
+    got2 = {r["id"]: r["v"] for r in read_versioned(spark, root).collect()}
+    assert got2 == {1: "a2", 2: "b"}
