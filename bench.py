@@ -49,6 +49,15 @@ HEADLINE = [
     "contamination_ngram_overlap",
     "repetition_quality_flags",
     "insights_metrics_single_pass",
+    # round-3 additions: semantic dedup, sub-doc dedup, retrieval,
+    # sketch algebra, mixing, graph, histogram percentiles
+    "semdedup_prune",
+    "chunk_dedup_rebuild",
+    "bm25_topk",
+    "kmv_set_ops_pairs",
+    "domain_mix_token_budget",
+    "pagerank_purchase_graph",
+    "histogram_quantiles_price",
 ]
 
 

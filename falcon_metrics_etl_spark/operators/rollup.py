@@ -125,10 +125,17 @@ def kmv_pairwise_set_ops(
     at 0. Everything downstream of the first dedup operates on at most
     K rows per group.
     """
-    sketch = _kmv_sketch(
-        df.select(F.col(key_col).alias("g"), F.col(value_col)), ["g"],
-        value_col, k,
-    ).withColumnRenamed("__h", "h")
+    # the K-row-per-group sketch feeds three consumers (per-group
+    # estimates + both pair taggings); a lazy checkpoint computes it
+    # once instead of re-running the raw-data dedup per reference
+    sketch = (
+        _kmv_sketch(
+            df.select(F.col(key_col).alias("g"), F.col(value_col)), ["g"],
+            value_col, k,
+        )
+        .withColumnRenamed("__h", "h")
+        .localCheckpoint(eager=False)
+    )
 
     per_group = sketch.groupBy("g").agg(
         F.count("*").alias("n"), F.max("h").alias("hk")

@@ -226,10 +226,13 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = Window.partitionBy("vec_id").orderBy(
         F.col("score").desc(), F.col("cent_id")
     )
+    # the assignment feeds both pair sides AND the final status join —
+    # lazy checkpoint computes the window once instead of three times
     assign = (
         aff.withColumn("crank", F.row_number().over(wc))
         .filter(F.col("crank") == 1)
         .select("vec_id", "q", "nsq", F.col("cent_id").alias("cell"))
+        .localCheckpoint(eager=False)
     )
     a = assign.alias("a")
     b = assign.alias("b")

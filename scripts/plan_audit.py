@@ -59,8 +59,6 @@ CARTESIAN_OK = {
     "histogram_quantiles_price",
     # 1-row node-count scalar broadcast into the rank initialization
     "pagerank_purchase_graph",
-    # 1x1 joins pairing each check's two single-row aggregates
-    "referential_integrity_audit",
 }
 
 

@@ -52,6 +52,12 @@ DEFAULT_QUERIES = [
     "filler_counts_typed",
     "multimodal_decode_png",
     "multimodal_decode_wav",
+    "bm25_topk",
+    "histogram_quantiles_price",
+    "domain_mix_token_budget",
+    "pagerank_purchase_graph",
+    "referential_integrity_audit",
+    "kmv_set_ops_pairs",
 ]
 
 # key columns to offset per replica, per table (disjoint key spaces)
