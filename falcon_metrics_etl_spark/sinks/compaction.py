@@ -31,7 +31,12 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .merge import _rm, _target_exists
+from .merge import (
+    _rm,
+    _target_exists,
+    _verbatim_partition_reads,
+    touched_partition_predicate,
+)
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
@@ -76,44 +81,68 @@ def compact(
         return _compact_unpartitioned(spark, path, target_file_bytes, min_files)
 
     pcols = list(partition_cols)
-    stats = partition_file_stats(spark, path, pcols)
-    ideal = F.greatest(
-        F.lit(1), F.ceil(F.col("total_bytes") / F.lit(target_file_bytes))
-    ).cast("int")
-    need = (
-        stats.withColumn("ideal_n", ideal)
-        .filter((F.col("n_files") >= min_files) & (F.col("n_files") > F.col("ideal_n")))
-        .collect()
-    )
-    if not need:
-        return {"partitions_compacted": 0, "files_before": 0, "files_after_target": 0}
+    # every read in here is VERBATIM (partition-type inference off):
+    # compaction has no authoritative schema for partition values, so
+    # the only safe contract is to reproduce the dir names exactly —
+    # '0042' read as int 42 would rewrite under a new org=42 dir and
+    # duplicate the partition
+    with _verbatim_partition_reads(spark):
+        stats = partition_file_stats(spark, path, pcols)
+        ideal = F.greatest(
+            F.lit(1), F.ceil(F.col("total_bytes") / F.lit(target_file_bytes))
+        ).cast("int")
+        need = (
+            stats.withColumn("ideal_n", ideal)
+            .filter((F.col("n_files") >= min_files) & (F.col("n_files") > F.col("ideal_n")))
+            .collect()
+        )
+        if not need:
+            return {"partitions_compacted": 0, "files_before": 0, "files_after_target": 0}
 
-    touched = [tuple(r[c] for c in pcols) for r in need]
-    pred = F.struct(*[F.col(c) for c in pcols]).isin(
-        [F.struct(*[F.lit(v) for v in t]) for t in touched]
-    )
-    plan = spark.createDataFrame(
-        [(*t, int(r["ideal_n"])) for t, r in zip(touched, need)],
-        schema=spark.read.parquet(path).select(*pcols).schema.add("ideal_n", "integer"),
-    )
+        touched = [tuple(r[c] for c in pcols) for r in need]
+        # null-safe: shared with merge_upsert (struct-isin fails
+        # analysis on null partition values)
+        pred = touched_partition_predicate(pcols, touched)
+        plan = spark.createDataFrame(
+            [(*t, int(r["ideal_n"])) for t, r in zip(touched, need)],
+            schema=spark.read.parquet(path)
+            .select(*pcols)
+            .schema.add("ideal_n", "integer"),
+        )
 
-    df = spark.read.parquet(path).filter(pred)
+        df = spark.read.parquet(path).filter(pred)
     data_cols = [c for c in df.columns if c not in pcols]
+    # join null-safely on the partition cols (a plain `on=pcols` would
+    # drop the null partition's rows)
+    join_cond = F.lit(True)
+    for c in pcols:
+        join_cond = join_cond & df[c].eqNullSafe(plan[c])
     bucketed = (
-        df.join(F.broadcast(plan), pcols)
+        df.join(F.broadcast(plan), join_cond)
+        .drop(*[plan[c] for c in pcols])
         .withColumn(
             "__bucket",
             F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.col("ideal_n")),
         )
-        .repartition(*[F.col(c) for c in pcols], F.col("__bucket"))
-        .drop("ideal_n", "__bucket")
     )
 
+    # stage UNPARTITIONED (keeping the bucket column): a partitioned
+    # stage would round-trip partition values through dir-name strings
+    # and Spark's partition-type inference ('0042' -> int 42), then
+    # dynamic-overwrite under the wrong value — same trap merge_upsert
+    # avoids by staging flat
     stage = path.rstrip("/") + "__compact_stage__"
-    bucketed.write.mode("overwrite").partitionBy(*pcols).parquet(stage)
+    bucketed.write.mode("overwrite").parquet(stage)
     staged = spark.read.parquet(stage)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    staged.write.mode("overwrite").partitionBy(*pcols).parquet(path)
+    (
+        staged.repartition(*[F.col(c) for c in pcols], F.col("__bucket"))
+        .drop("ideal_n", "__bucket")
+        .write.mode("overwrite")
+        # per-write option, not a session-wide conf.set
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*pcols)
+        .parquet(path)
+    )
     _rm(stage)
 
     return {
@@ -141,8 +170,25 @@ def _compact_unpartitioned(
         return {"partitions_compacted": 0, "files_before": 0, "files_after_target": 0}
     stage = path.rstrip("/") + "__compact_stage__"
     df.repartition(ideal_n).write.mode("overwrite").parquet(stage)
-    spark.read.parquet(stage).write.mode("overwrite").parquet(path)
-    _rm(stage)
+    if not path.startswith(("s3://", "s3a://", "hdfs://", "abfss://")):
+        # crash-safe swap on a local filesystem: the old table survives
+        # as __compact_backup__ until the new one is in place (a static
+        # overwrite would delete the live files at job start — a crash
+        # mid-write loses the table)
+        import os
+        import shutil
+
+        backup = path.rstrip("/") + "__compact_backup__"
+        shutil.rmtree(backup, ignore_errors=True)
+        os.rename(path.rstrip("/"), backup)
+        os.rename(stage, path.rstrip("/"))
+        shutil.rmtree(backup, ignore_errors=True)
+    else:
+        # object stores: no cheap rename — fall back to overwrite from
+        # the stage (window bounded by the final job; stage retained on
+        # failure for manual recovery)
+        spark.read.parquet(stage).write.mode("overwrite").parquet(path)
+        _rm(stage)
     return {
         "partitions_compacted": 1,
         "files_before": len(files),

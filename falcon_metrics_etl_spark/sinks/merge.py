@@ -31,6 +31,7 @@ which is exactly the reference's redelivery story (ST2).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -93,8 +94,20 @@ def merge_upsert(
     # mergeSchema: a target written before a column existed still reads
     # with the union schema, so additive evolution (new nullable
     # columns on updates) merges cleanly; removed columns stay, nulled
-    # on new rows — the Delta-style additive-evolution contract
-    target = spark.read.option("mergeSchema", "true").parquet(path)
+    # on new rows — the Delta-style additive-evolution contract.
+    # Partition values are read VERBATIM (inference off): '0042' must
+    # not come back as int 42, or the rewrite lands under a brand-new
+    # org=42 dir and duplicates the partition. The updates schema is
+    # the type authority — genuine numeric partitions cast back
+    # losslessly ('7' -> 7).
+    with _verbatim_partition_reads(spark):
+        target = spark.read.option("mergeSchema", "true").parquet(path)
+    if partition_cols:
+        upd_types = dict(updates.dtypes)
+        tgt_types = dict(target.dtypes)
+        for c in partition_cols:
+            if c in upd_types and tgt_types.get(c) != upd_types[c]:
+                target = target.withColumn(c, F.col(c).cast(upd_types[c]))
     if partition_cols:
         # restrict the rewrite to partitions the batch touches: the
         # anti-join reads only those partitions (partition pruning via
@@ -103,10 +116,9 @@ def merge_upsert(
         touched = [
             tuple(r) for r in updates.select(*partition_cols).distinct().collect()
         ]
-        pred = F.struct(*[F.col(c) for c in partition_cols]).isin(
-            [F.struct(*[F.lit(v) for v in t]) for t in touched]
+        target = target.filter(
+            touched_partition_predicate(partition_cols, touched)
         )
-        target = target.filter(pred)
 
     survivors = target.join(
         updates.select(*keys).dropDuplicates(list(keys)), on=list(keys), how="left_anti"
@@ -124,10 +136,47 @@ def merge_upsert(
     staged = _align_to_partitions(spark.read.parquet(stage), partition_cols)
     writer = staged.write.mode("overwrite")
     if partition_cols:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        writer = writer.partitionBy(*partition_cols)
+        # per-write option, NOT spark.conf.set: a session-wide dynamic
+        # mode would silently change every later static partitioned
+        # overwrite in the session into a partial one
+        writer = writer.option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(*partition_cols)
     writer.parquet(path)
     _rm(stage)
+
+
+_PTI_CONF = "spark.sql.sources.partitionColumnTypeInference.enabled"
+
+
+@contextmanager
+def _verbatim_partition_reads(spark: SparkSession):
+    """Scope partition-column-type inference OFF around a read: hive
+    dir values come back as their verbatim strings ('0042' stays
+    '0042', never int 42). Save-restore, not a bare set — the conf is
+    session-wide and other code may rely on the default."""
+    old = spark.conf.get(_PTI_CONF, "true")
+    spark.conf.set(_PTI_CONF, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(_PTI_CONF, old)
+
+
+def touched_partition_predicate(partition_cols, touched) -> F.Column:
+    """Null-safe OR-of-ANDs selecting the given partition tuples.
+
+    struct(...).isin(struct-literals) is NOT usable here: a null
+    partition value makes the struct literal VOID-typed and the whole
+    predicate fails analysis (DATATYPE_MISMATCH); eqNullSafe matches
+    null partitions like any other value."""
+    pred = F.lit(False)
+    for t in touched:
+        m = F.lit(True)
+        for c, v in zip(partition_cols, t):
+            m = m & F.col(c).eqNullSafe(F.lit(v))
+        pred = pred | m
+    return pred
 
 
 def _align_to_partitions(df: DataFrame, partition_cols) -> DataFrame:

@@ -38,7 +38,10 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from falcon_metrics_etl_spark.sinks.merge import _align_to_partitions
+from falcon_metrics_etl_spark.sinks.merge import (
+    _align_to_partitions,
+    touched_partition_predicate,
+)
 
 _UNPARTITIONED = ""
 
@@ -210,15 +213,11 @@ def versioned_merge(
         touched = [
             tuple(r) for r in updates.select(*partition_cols).distinct().collect()
         ]
-        # null-safe match: a null partition value must still select its
-        # old rows as survivors (plain = would drop them silently)
-        pred = F.lit(False)
-        for t in touched:
-            m = F.lit(True)
-            for c, v in zip(partition_cols, t):
-                m = m & F.col(c).eqNullSafe(F.lit(v))
-            pred = pred | m
-        target = target.filter(pred)
+        # null-safe match (shared with merge_upsert): a null partition
+        # value must still select its old rows as survivors
+        target = target.filter(
+            touched_partition_predicate(partition_cols, touched)
+        )
 
     survivors = target.join(
         updates.select(*keys).dropDuplicates(list(keys)),

@@ -54,12 +54,20 @@ def read_json_staging(
     )
     df = reader.json(f"{path.rstrip('/')}/*/*/*.json")
     if with_keys:
+        # input_file_name() returns a percent-encoded URI — decode each
+        # extracted part so ids with spaces/#/% match their true values
+        # (reference workItemIds are arbitrary strings). url_decode is
+        # FORM decoding ('+' -> space), but URI encoding leaves '+'
+        # literal — protect it as %2B first so both round-trip.
+        def uri_decode(col):
+            return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+
         f = F.input_file_name()
         df = (
-            df.withColumn("org_id", F.regexp_extract(f, _ORG_RE, 1))
-            .withColumn("item_kind", F.regexp_extract(f, _KIND_RE, 1))
-            .withColumn("datasource_id", F.regexp_extract(f, _DS_RE, 1))
-            .withColumn("work_item_id", F.regexp_extract(f, _ITEM_RE, 1))
+            df.withColumn("org_id", uri_decode(F.regexp_extract(f, _ORG_RE, 1)))
+            .withColumn("item_kind", uri_decode(F.regexp_extract(f, _KIND_RE, 1)))
+            .withColumn("datasource_id", uri_decode(F.regexp_extract(f, _DS_RE, 1)))
+            .withColumn("work_item_id", uri_decode(F.regexp_extract(f, _ITEM_RE, 1)))
         )
     return df
 

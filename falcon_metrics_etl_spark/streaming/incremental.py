@@ -63,34 +63,48 @@ def run_incremental_batch(
     if cursor is not None:
         delta = revisions.filter(F.col(updated_col) > F.lit(cursor))
 
-    changed_ids = delta.select(item_col).distinct()
-    if changed_ids.limit(1).count() == 0:
-        return 0
+    # persist the delta and id set: the tick takes several actions
+    # (merge's touched-partition collect + stage write, the stats
+    # bounds, the cursor max, the changed count) and an UNCACHED
+    # lineage would re-scan the source per action — and worse, a
+    # non-snapshot-stable source (view/JDBC/re-listed path) could
+    # yield rows in the cursor max that the merge pass never saw,
+    # silently skipping them forever once the cursor passes them.
+    # The cache pins one consistent snapshot for the whole tick.
+    delta = delta.persist()
+    changed_ids = delta.select(item_col).distinct().persist()
+    try:
+        n_changed = changed_ids.count()
+        if n_changed == 0:
+            return 0
 
-    # full history of changed items only (ST3 recompute-on-arrival)
-    histories = revisions.join(
-        changed_ids, on=item_col, how="left_semi"
-    )
-    out = transform(histories)
-    obs: Optional[Observation] = None
-    if stats_out is not None:
-        obs = Observation("run_stats")
-        out = out.observe(obs, F.count(F.lit(1)).alias("rows_written"))
-    if versioned:
-        from falcon_metrics_etl_spark.sinks.versioned import versioned_merge
+        # full history of changed items only (ST3 recompute-on-arrival)
+        histories = revisions.join(
+            changed_ids, on=item_col, how="left_semi"
+        )
+        out = transform(histories)
+        obs: Optional[Observation] = None
+        if stats_out is not None:
+            obs = Observation("run_stats")
+            out = out.observe(obs, F.count(F.lit(1)).alias("rows_written"))
+        if versioned:
+            from falcon_metrics_etl_spark.sinks.versioned import versioned_merge
 
-        versioned_merge(spark, sink_path, out, sink_keys, partition_cols)
-    else:
-        merge_upsert(spark, sink_path, out, sink_keys, partition_cols)
-    if stats_out is not None and obs is not None:
-        stats_out.update(obs.get)
-        bounds = delta.agg(
-            F.min(updated_col).alias("updated_min"),
-            F.max(updated_col).alias("updated_max"),
-        ).collect()[0]
-        stats_out["updated_min"] = bounds.updated_min
-        stats_out["updated_max"] = bounds.updated_max
-    advance_cursor(
-        spark, cursor_path, org_id, datasource_id, delta, updated_col
-    )
-    return changed_ids.count()
+            versioned_merge(spark, sink_path, out, sink_keys, partition_cols)
+        else:
+            merge_upsert(spark, sink_path, out, sink_keys, partition_cols)
+        if stats_out is not None and obs is not None:
+            stats_out.update(obs.get)
+            bounds = delta.agg(
+                F.min(updated_col).alias("updated_min"),
+                F.max(updated_col).alias("updated_max"),
+            ).collect()[0]
+            stats_out["updated_min"] = bounds.updated_min
+            stats_out["updated_max"] = bounds.updated_max
+        advance_cursor(
+            spark, cursor_path, org_id, datasource_id, delta, updated_col
+        )
+        return n_changed
+    finally:
+        changed_ids.unpersist()
+        delta.unpersist()

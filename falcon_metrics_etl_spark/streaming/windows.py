@@ -71,6 +71,16 @@ def stream_sessionize_stateful(
     ``gap_seconds`` after its end, or when the watermark passes
     end+gap (event-time timeout) — so trailing sessions emit without
     waiting for the user to return.
+
+    Late-data semantics (state is ONE open session, three longs):
+    events within ``gap`` of either session bound extend it (backward
+    extension included); an event more than gap BEFORE the open
+    session's start emits immediately as its own closed singleton
+    session. Known deviation from the built-in ``session_window``:
+    several such pre-session late events that would chain into one
+    multi-event session emit as singletons instead — merging them
+    needs unbounded interval-buffer state; use
+    ``stream_session_counts`` when that matters.
     """
     gap_us = gap_seconds * 1_000_000
     gap_ms = gap_seconds * 1_000
@@ -122,7 +132,17 @@ def stream_sessionize_stateful(
             elif t - end_us > gap_us:
                 closed.append((user_id, to_ts(start_us), to_ts(end_us), n))
                 start_us, end_us, n = t, t, 1
+            elif start_us - t > gap_us:
+                # late event more than gap BEFORE the open session: it
+                # is its own already-over session (matches what the
+                # built-in session_window would produce) — emit it
+                # closed without disturbing the open session
+                closed.append((user_id, to_ts(t), to_ts(t), 1))
             else:
+                # within gap on either side: extend the session toward
+                # the event (backward extension covers late events that
+                # precede session_start by <= gap)
+                start_us = min(start_us, int(t))
                 end_us = max(end_us, int(t))
                 n += 1
         state.update((int(start_us), int(end_us), int(n)))

@@ -92,3 +92,45 @@ def test_compact_unpartitioned(spark, tmp_path):
     assert report["partitions_compacted"] == 1
     assert rows_of(spark, path) == before
     assert len(parquet_files(path)) <= report["files_after_target"]
+
+
+def test_compact_preserves_stringy_numeric_partition_values(spark, tmp_path):
+    """Partition dir org=0042 must survive compaction VERBATIM: with
+    partition-type inference on, compaction would read it as int 42 and
+    dynamic-overwrite a brand-new org=42 dir alongside the original —
+    duplicating every row. Compaction reads verbatim instead."""
+    import os
+
+    from falcon_metrics_etl_spark.sinks.compaction import compact
+
+    path = str(tmp_path / "t")
+    for i in range(5):  # 5 separate appends -> 5+ files in the partition
+        spark.createDataFrame(
+            [(i, "0042", f"v{i}")], "id int, org string, v string"
+        ).write.mode("append").partitionBy("org").parquet(path)
+    report = compact(
+        spark, path, partition_cols=["org"],
+        target_file_bytes=10 * 1024 * 1024, min_files=2,
+    )
+    assert report["partitions_compacted"] == 1
+    dirs = {d for d in os.listdir(path) if d.startswith("org=")}
+    assert dirs == {"org=0042"}  # no phantom org=42 partition
+    rows = spark.read.parquet(path).collect()
+    assert sorted(r["v"] for r in rows) == [f"v{i}" for i in range(5)]
+
+
+def test_compact_unpartitioned_swap_preserves_rows(spark, tmp_path):
+    from falcon_metrics_etl_spark.sinks.compaction import compact
+
+    path = str(tmp_path / "u")
+    for i in range(6):
+        spark.createDataFrame(
+            [(i, f"v{i}")], "id int, v string"
+        ).coalesce(1).write.mode("append").parquet(path)
+    report = compact(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert report["partitions_compacted"] == 1
+    rows = spark.read.parquet(path).collect()
+    assert {r["v"] for r in rows} == {f"v{i}" for i in range(6)}
+    import os
+    assert not os.path.exists(path + "__compact_stage__")
+    assert not os.path.exists(path + "__compact_backup__")

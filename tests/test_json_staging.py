@@ -126,3 +126,22 @@ def test_bronze_schema_evolution_merge(spark, tmp_path):
     rows = {r.work_item_id: r for r in merged.collect()}
     assert rows[1].assignee is None  # back-filled, not failed
     assert rows[2].assignee == "alice"
+
+
+def test_staging_keys_with_uri_reserved_chars(spark, tmp_path):
+    """File/dir names with spaces, '%', and '+' must round-trip to the
+    true ids — input_file_name() returns a percent-encoded URI, so the
+    extraction decodes it (with '+' kept literal, URI-style)."""
+    import os
+
+    root = tmp_path / "stage" / "org 1" / "type-ds%2"
+    os.makedirs(root)
+    (root / "ITEM 42+A.json").write_text('{"state": "done"}')
+    from falcon_metrics_etl_spark.sources.json_staging import read_json_staging
+
+    df = read_json_staging(spark, str(tmp_path / "stage"), "state string")
+    row = df.collect()[0]
+    assert row["org_id"] == "org 1"
+    assert row["datasource_id"] == "ds%2"
+    assert row["work_item_id"] == "ITEM 42+A"
+    assert row["state"] == "done"

@@ -201,3 +201,21 @@ def test_merge_upsert_additive_schema_evolution(spark, tmp_path):
         for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
     }
     assert got == {"k1": ("a", None), "k2": ("b2", 7), "k3": ("c", 9)}
+
+
+def test_merge_upsert_null_partition_value(spark, tmp_path):
+    """A null partition value must merge (struct-isin literals fail
+    analysis on NULL; the predicate is eqNullSafe-based)."""
+    from falcon_metrics_etl_spark.sinks.merge import merge_upsert
+
+    path = str(tmp_path / "nullpart")
+    df1 = spark.createDataFrame(
+        [(1, "a", "x"), (2, None, "y")], "id int, org string, v string"
+    )
+    merge_upsert(spark, path, df1, keys=["id"], partition_cols=["org"])
+    df2 = spark.createDataFrame(
+        [(2, None, "y2"), (3, None, "z")], "id int, org string, v string"
+    )
+    merge_upsert(spark, path, df2, keys=["id"], partition_cols=["org"])
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "x", 2: "y2", 3: "z"}

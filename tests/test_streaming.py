@@ -381,3 +381,50 @@ def test_stream_stream_interval_join(spark, tmp_path):
         (r.l_name, r.r_name) for r in spark.read.parquet(out).collect()
     }
     assert got == {("deploy-a", "error-1"), ("deploy-b", "error-3")}
+
+
+def test_stream_sessionize_stateful_late_events(spark, tmp_path):
+    """Late cross-batch events: within gap BEFORE the open session's
+    start they extend it backward; more than gap before they emit as
+    their own closed singleton session immediately."""
+    from falcon_metrics_etl_spark.streaming import stream_sessionize_stateful
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = stream_sessionize_stateful(
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id string"
+            ).parquet(src),
+            gap_seconds=1800,
+            watermark="1 day",
+        )
+        q = foreach_batch_merge(
+            stream, sink, keys=("user_id", "session_start"),
+            checkpoint_dir=ckpt, output_mode="append",
+        )
+        _drain(q)
+
+    _write_user_events(spark, src, [
+        (1, "2024-01-01 10:00:00", "A"),
+        (2, "2024-01-01 10:05:00", "A"),
+    ])
+    run()
+    _write_user_events(spark, src, [
+        (3, "2024-01-01 09:45:00", "A"),   # within gap before start: extends
+        (4, "2024-01-01 07:00:00", "A"),   # > gap before start: own session
+        (5, "2024-01-02 23:50:00", "A"),   # closes the open session by gap
+    ])
+    run()
+    got = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"]
+        )
+        for r in spark.read.parquet(sink).collect()
+    }
+    # the far-late event emitted as its own singleton session
+    assert got[("A", "2024-01-01 07:00:00")] == ("2024-01-01 07:00:00", 1)
+    # the open session was extended backward to 09:45 before closing
+    assert got[("A", "2024-01-01 09:45:00")] == ("2024-01-01 10:05:00", 3)
