@@ -10,14 +10,16 @@ conditions maps nothing (ts:61 early-return — the DoNothing shape).
 fieldMaps config table sql/full_ddl.sql:391-401).
 
 Spark shape: the tiny fieldMaps dim is collected once at plan-build
-time and compiled into a single chained when()/otherwise() column
-expression per destination — config becomes Catalyst expressions, so
-the mapping costs nothing at scale.
+time and each mapper becomes one stacked when()/otherwise()
+projection — config becomes Catalyst expressions (the optimizer
+collapses the projection stack), so the mapping costs nothing at
+scale while keeping the chain's SEQUENTIAL visibility: each mapper's
+conditions read the row as mutated by the mappers before it, exactly
+like the reference's delegating map() calls.
 """
 
 from __future__ import annotations
 
-from collections import defaultdict
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -27,28 +29,24 @@ from pyspark.sql import functions as F
 def apply_field_maps(items: DataFrame, field_maps: list[dict]) -> DataFrame:
     """field_maps: ordered [{srcField, dstField, conditions: {col: value}}].
 
-    For each destination column, every map runs in order and the LAST
-    one whose conditions all hold supplies the value (reference chain
-    semantics); a map with no conditions never fires; when nothing
-    fires the existing destination value (if the column exists) or
-    null is kept.
+    Every map runs in order; a map whose conditions all hold (against
+    the CURRENT row state, i.e. including earlier maps' writes) copies
+    src to dst, so the last matching map wins. A map with no
+    conditions never fires (ts:61 DoNothing); when nothing fires the
+    existing destination value (if the column exists) or null is kept.
     """
-    by_dst: dict[str, list[dict]] = defaultdict(list)
-    for m in field_maps:
-        by_dst[m["dstField"]].append(m)
-
     out = items
-    for dst, maps in by_dst.items():
+    for m in field_maps:
+        conds = [
+            F.col(col).eqNullSafe(F.lit(val))
+            for col, val in m.get("conditions", {}).items()
+        ]
+        if not conds:  # conditionless mapper maps nothing (ts:61)
+            continue
+        dst = m["dstField"]
         fallback = F.col(dst) if dst in out.columns else F.lit(None)
-        expr = fallback
-        for m in maps:  # forward wrap: the last map lands outermost = wins
-            conds = [
-                F.col(col).eqNullSafe(F.lit(val))
-                for col, val in m.get("conditions", {}).items()
-            ]
-            if not conds:  # conditionless mapper maps nothing (ts:61)
-                continue
-            all_conds = reduce(lambda a, b: a & b, conds)
-            expr = F.when(all_conds, F.col(m["srcField"])).otherwise(expr)
-        out = out.withColumn(dst, expr)
+        all_conds = reduce(lambda a, b: a & b, conds)
+        out = out.withColumn(
+            dst, F.when(all_conds, F.col(m["srcField"])).otherwise(fallback)
+        )
     return out

@@ -237,7 +237,12 @@ def parse_wav_header(payload: bytes) -> dict:
     raise ValueError("WAV: no data chunk")
 
 
-def _decode_one(media_type: str, codec: str, payload: bytes) -> dict:
+def _decode_one(media_type: str, codec: str, payload) -> dict:
+    if payload is None:
+        # failed upstream fetch: raise the same error family as the
+        # codec parsers (ValueError), not a TypeError from bytes(None)
+        raise ValueError("null media payload")
+    payload = bytes(payload)
     if codec == "wav":
         hdr = parse_wav_header(payload)
         return {
@@ -286,7 +291,7 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = [
-                _decode_one(mt, c, bytes(p))
+                _decode_one(mt, c, p)
                 for mt, c, p in zip(pdf["media_type"], pdf["codec"], pdf["payload"])
             ]
             out = pd.DataFrame(metas)

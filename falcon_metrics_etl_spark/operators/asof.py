@@ -72,8 +72,13 @@ def asof_join(
     )
     for c in payload:
         l_tagged = l_tagged.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    # a null right timestamp sorts nulls-first to the HEAD of every key
+    # partition and its payload would be carried onto left rows that
+    # have no real match — an as-of match needs a timestamp, so drop
+    # such rows outright
     r_tagged = (
-        right.select(*keys, F.col(right_ts).alias("__ts"), *payload)
+        right.filter(F.col(right_ts).isNotNull())
+        .select(*keys, F.col(right_ts).alias("__ts"), *payload)
         .withColumn(_SIDE, F.lit(1))
     )
     for c in left.columns:

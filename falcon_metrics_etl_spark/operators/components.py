@@ -48,6 +48,12 @@ def connected_components(
     Returns one row per distinct node: (node, component) where
     ``component`` is the minimum node id reachable from ``node`` —
     a deterministic canonical label.
+
+    Raises RuntimeError if ``max_iter`` rounds pass without
+    convergence (graph diameter > max_iter): silently returning
+    SPLIT components would let duplicates survive a dedup prune with
+    no signal. Raise max_iter, or switch to the large-star/small-star
+    scheme (module docstring) for adversarially deep graphs.
     """
     # checkpoint the base edge list BEFORE the self-union: the union
     # re-executes its child twice, and the child is typically an
@@ -65,6 +71,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbour_min = (
             e.join(labels, e["a"] == labels["node"])
@@ -92,6 +99,11 @@ def connected_components(
         )
         if converged:
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); labels would be split"
+        )
     return labels
 
 

@@ -36,13 +36,19 @@ def shift_date_range(
     # materialize the diff first: until_col may itself be in date_cols,
     # and every column must shift by the ORIGINAL difference
     out = df.withColumn("__shift_days", F.datediff(anchor, F.col(until_col)))
+    dtypes = dict(df.dtypes)
     for c in date_cols:
+        if dtypes.get(c) == "date":
+            shifted = F.date_add(F.col(c), F.col("__shift_days"))
+        else:
+            # timestamps shift by an interval: date_add would return a
+            # DATE and the when/otherwise coercion back to timestamp
+            # truncates the shifted rows to midnight while untouched
+            # rows keep their time-of-day
+            shifted = F.col(c) + F.make_interval(days=F.col("__shift_days"))
         out = out.withColumn(
             c,
-            F.when(
-                F.col("__shift_days") > 0,
-                F.date_add(F.col(c), F.col("__shift_days")),
-            ).otherwise(F.col(c)),
+            F.when(F.col("__shift_days") > 0, shifted).otherwise(F.col(c)),
         )
     return out.drop("__shift_days")
 

@@ -39,8 +39,17 @@ ZONE_DEPARTURE = 3
 
 def zone_of(order_col: Column, arrival: Column, commitment: Column, departure: Column) -> Column:
     """Classify a step order into its workflow zone (null order -> null:
-    steps unknown to the workflow belong to no zone)."""
-    return F.when(order_col.isNull(), F.lit(None).cast("int")).otherwise(
+    steps unknown to the workflow belong to no zone; null point orders
+    — a workflow missing from workflow_events — likewise classify
+    nothing, rather than letting the null comparisons fall through
+    ``otherwise`` into the departure zone)."""
+    any_null = (
+        order_col.isNull()
+        | arrival.isNull()
+        | commitment.isNull()
+        | departure.isNull()
+    )
+    return F.when(any_null, F.lit(None).cast("int")).otherwise(
         F.when(order_col < arrival, F.lit(ZONE_BEFORE_ARRIVAL))
         .when(order_col < commitment, F.lit(ZONE_ARRIVAL))
         .when(order_col < departure, F.lit(ZONE_COMMITMENT))
@@ -51,8 +60,19 @@ def zone_of(order_col: Column, arrival: Column, commitment: Column, departure: C
 def step_category(order_col: Column, arrival: Column, commitment: Column, departure: Column) -> Column:
     """W3 — step category from order vs the three *effective* point
     orders (process_revision_utils.ts:82-114). Pass the recalculated
-    orders from ``effective_point_orders`` for reference parity."""
-    return (
+    orders from ``effective_point_orders`` for reference parity.
+
+    Null inputs (status not a workflow step / workflow without point
+    orders) return null — the same guard as ``zone_of``; without it the
+    null comparisons skip every branch and ``otherwise`` mislabels a
+    never-started item 'completed'."""
+    any_null = (
+        order_col.isNull()
+        | arrival.isNull()
+        | commitment.isNull()
+        | departure.isNull()
+    )
+    return F.when(any_null, F.lit(None).cast("string")).otherwise(
         F.when(order_col < arrival, F.lit("preceding"))
         .when(order_col < commitment, F.lit("proposed"))
         .when(order_col < departure, F.lit("inprogress"))

@@ -91,9 +91,11 @@ def arrival_rate_quantiles(
 def class_of_service_share(
     items: DataFrame,
     class_col: str,
-    expedite_value: str,
 ) -> DataFrame:
-    """Expedite share of all classes (A4): distribution -> percentage."""
+    """Class-of-service distribution as percentages (A4): one row per
+    class with count and share; the expedite share is the row whose
+    class equals the org's expedite value (the caller filters — the
+    full distribution is what the reference's widget renders)."""
     counts = items.groupBy(F.col(class_col).alias("class_of_service")).agg(
         F.count(F.lit(1)).alias("n")
     )

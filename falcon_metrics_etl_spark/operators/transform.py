@@ -142,12 +142,17 @@ def transform_work_items(
     ``states.parentId`` feeds portfolio-level lead time in the
     reference (revision_processor.ts:874-898).
     """
-    if auto_map:
-        workflow_steps = auto_map_unmapped_steps(revisions, workflow_steps)
     if "parent" in work_items.columns or "fields" in work_items.columns:
         work_items = resolve_parent_id(work_items, epic_link_field)
 
     full_revisions = synthesize_initial_revision(revisions, work_items)
+    # auto-map AFTER synthesis: the synthetic revision 0 carries the
+    # item's initial status (first revision's from-status / current
+    # status), which never appears in the raw revisions' to-status
+    # columns — mapping from the raw stream would leave revision 0
+    # unmapped and invisible to event-date extraction
+    if auto_map:
+        workflow_steps = auto_map_unmapped_steps(full_revisions, workflow_steps)
     tagged = tag_zones(full_revisions, workflow_steps, workflow_events)
 
     extractor = (

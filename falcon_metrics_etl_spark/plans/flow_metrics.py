@@ -202,7 +202,7 @@ FROM counts
 )
 def cos_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return class_of_service_share(orders, "o_orderpriority", "1-URGENT")
+    return class_of_service_share(orders, "o_orderpriority")
 
 
 # --------------------------------------------------------------------------

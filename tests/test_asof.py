@@ -195,3 +195,30 @@ def test_asof_matches_naive_on_random_data(spark):
     naive_full = naive.unionByName(missing)
 
     assert _rows(fast, "k", "lid", "rid") == _rows(naive_full, "k", "lid", "rid")
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    """A right row with a null timestamp must never be carried as a
+    match (nulls-first ordering would put it at the head of every key
+    partition)."""
+    from falcon_metrics_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 5, "L1")], "key string, ts int, lv string"
+    )
+    right = spark.createDataFrame(
+        [("k", None, "bogus"), ("k", 3, "real")],
+        "key string, ts int, rv string",
+    )
+    out = asof_join(
+        left, right, on=["key"], left_ts="ts", right_ts="ts", how="left"
+    ).collect()
+    assert len(out) == 1 and out[0]["rv"] == "real"
+    # with ONLY the null-ts right row, a left join yields no payload
+    right2 = spark.createDataFrame(
+        [("k", None, "bogus")], "key string, ts int, rv string"
+    )
+    out2 = asof_join(
+        left, right2, on=["key"], left_ts="ts", right_ts="ts", how="left"
+    ).collect()
+    assert len(out2) == 1 and out2[0]["rv"] is None

@@ -94,3 +94,21 @@ def test_duplicate_clusters_canonical_pick(spark):
     # dropping non-canonical rows keeps exactly one doc per cluster
     kept = [n for n, r in rows.items() if r["is_canonical"] == 1]
     assert sorted(kept) == [1, 8]
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A chain deeper than max_iter must raise, not silently return
+    split components."""
+    import pytest
+
+    from falcon_metrics_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(6)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+    # ...and converges fine with enough rounds
+    out = connected_components(edges, max_iter=10)
+    assert {r["component"] for r in out.collect()} == {"n00"}

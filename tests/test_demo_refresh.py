@@ -131,3 +131,30 @@ def test_update_flow_efficiency_rebases_stale_weeks(spark):
         for r in rebase_stale_weeks(df, ["key"], "week", ANCHOR()).collect()
     }
     assert out == {date(2023, 8, 14)}
+
+
+def test_update_wip_dates_preserves_time_of_day(spark):
+    """Shifting a TIMESTAMP column moves it by whole days without
+    truncating the time-of-day (date_add would return a DATE and zero
+    the clock on shifted rows only)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from falcon_metrics_etl_spark.operators.demo_refresh import (
+        shift_date_range,
+    )
+
+    df = spark.createDataFrame(
+        [(1, datetime(2021, 5, 1, 14, 30), datetime(2021, 5, 3, 9, 15))],
+        "id int, start_date timestamp, until_date timestamp",
+    )
+    out = shift_date_range(
+        df,
+        ["start_date", "until_date"],
+        "until_date",
+        F.to_timestamp(F.lit("2021-05-10 00:00:00")),
+    ).collect()[0]
+    # shifted by datediff(anchor, until) = 7 days, clock preserved
+    assert out["start_date"] == datetime(2021, 5, 8, 14, 30)
+    assert out["until_date"] == datetime(2021, 5, 10, 9, 15)

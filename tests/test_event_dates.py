@@ -418,3 +418,27 @@ def test_effective_point_orders_infinity_for_empty_zone(spark):
     assert row["effective_arrival_order"] == 1.0
     assert row["effective_commitment_order"] == float("inf")
     assert row["effective_departure_order"] == 3.0
+
+
+def test_zone_and_step_category_null_point_orders(spark):
+    """A workflow absent from workflow_events (null point orders) must
+    classify to NO zone/category — not fall through null comparisons
+    into departure/'completed'."""
+    from pyspark.sql import functions as F
+
+    from falcon_metrics_etl_spark.operators.event_dates import (
+        step_category,
+        zone_of,
+    )
+
+    df = spark.createDataFrame(
+        [(2.0, None, None, None), (None, 1.0, 2.0, 3.0), (2.0, 1.0, 2.0, 3.0)],
+        "o double, a double, c double, d double",
+    )
+    out = df.select(
+        zone_of(F.col("o"), F.col("a"), F.col("c"), F.col("d")).alias("z"),
+        step_category(F.col("o"), F.col("a"), F.col("c"), F.col("d")).alias("s"),
+    ).collect()
+    assert (out[0]["z"], out[0]["s"]) == (None, None)
+    assert (out[1]["z"], out[1]["s"]) == (None, None)
+    assert out[2]["z"] == 2 and out[2]["s"] == "inprogress"

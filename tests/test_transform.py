@@ -527,3 +527,23 @@ def test_densify_fillers_exact_rows(spark):
         datetime(2022, 1, 4, 9, 30),
     ]
     assert len([r for r in out if not r["is_filler"]]) == 3
+
+
+def test_field_maps_sequential_visibility(spark):
+    """Each mapper's conditions read the row AS MUTATED by earlier
+    mappers (reference chain semantics, field_mapper.ts:10-19): map 2's
+    condition matches the value map 1 just wrote."""
+    from falcon_metrics_etl_spark.functions.field_mapper import (
+        apply_field_maps,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "y", "bval")], "s string, a string, b string"
+    )
+    maps = [
+        {"srcField": "a", "dstField": "s", "conditions": {"s": "x"}},
+        {"srcField": "b", "dstField": "s", "conditions": {"s": "y"}},
+    ]
+    row = apply_field_maps(df, maps).collect()[0]
+    # map 1: s 'x' -> 'y'; map 2 sees s == 'y' and fires -> 'bval'
+    assert row["s"] == "bval"
