@@ -824,3 +824,142 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order layout: Morton clustering vs single-key sort, measured
+# --------------------------------------------------------------------------
+_Z_N_FILES = 32
+_Z_MAX = (1 << 16) - 1
+# sum of ((x & 2^b) << b) + ((y & 2^b) << (b+1)) for b in 0..15 —
+# generated identically for Spark and the SQL oracle
+_Z_SQL_MORTON = " + ".join(
+    f"(bx & {1 << b}) * {1 << b} + (by & {1 << b}) * {1 << (b + 1)}"
+    for b in range(16)
+)
+
+
+@register(
+    "zorder_locality_stats",
+    doc="Z-order (Morton-curve) clustering effect, measured: bucket "
+    "(custkey, order-day) to 16 bits each, split the table into "
+    f"{_Z_N_FILES} 'files' two ways — by Morton value vs by custkey "
+    "alone — and compare the average per-file key-span on BOTH "
+    "dimensions. Morton files cover tight hyper-rectangles (both "
+    "spans small), the single-key sort leaves the date span at full "
+    "width — the reason a Z-ordered 100 TB table prunes row-groups "
+    "for predicates on either column (sinks/zorder.py::zorder_by is "
+    "the write-path operator). All bit arithmetic is exact integer "
+    "shifts/masks, replayed verbatim by the oracle.",
+    tags=("layout", "zorder", "window", "scale"),
+    oracle=f"""
+WITH base AS (
+    SELECT o_orderkey, o_custkey,
+           date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dayk
+    FROM orders
+),
+bounds AS (
+    SELECT MIN(o_custkey) AS lo_c, MAX(o_custkey) AS hi_c,
+           MIN(dayk) AS lo_d, MAX(dayk) AS hi_d
+    FROM base
+),
+b AS (
+    SELECT o_orderkey,
+           LEAST({_Z_MAX}, CAST(FLOOR((CAST(o_custkey AS DOUBLE) - lo_c)
+                 / (CAST(hi_c AS DOUBLE) - lo_c) * {_Z_MAX}) AS BIGINT)) AS bx,
+           LEAST({_Z_MAX}, CAST(FLOOR((CAST(dayk AS DOUBLE) - lo_d)
+                 / (CAST(hi_d AS DOUBLE) - lo_d) * {_Z_MAX}) AS BIGINT)) AS by
+    FROM base CROSS JOIN bounds
+),
+z AS (
+    SELECT o_orderkey, bx, by, {_Z_SQL_MORTON} AS zval FROM b
+),
+assigned AS (
+    SELECT bx, by,
+           NTILE({_Z_N_FILES}) OVER (ORDER BY zval, o_orderkey) AS zfile,
+           NTILE({_Z_N_FILES}) OVER (ORDER BY bx, o_orderkey) AS lfile
+    FROM z
+),
+zspans AS (
+    SELECT 'zorder' AS scheme,
+           AVG(CAST(sx AS DOUBLE)) AS avg_span_cust,
+           AVG(CAST(sy AS DOUBLE)) AS avg_span_day
+    FROM (SELECT zfile, MAX(bx) - MIN(bx) AS sx, MAX(by) - MIN(by) AS sy
+          FROM assigned GROUP BY zfile)
+),
+lspans AS (
+    SELECT 'linear' AS scheme,
+           AVG(CAST(sx AS DOUBLE)) AS avg_span_cust,
+           AVG(CAST(sy AS DOUBLE)) AS avg_span_day
+    FROM (SELECT lfile, MAX(bx) - MIN(bx) AS sx, MAX(by) - MIN(by) AS sy
+          FROM assigned GROUP BY lfile)
+)
+SELECT scheme, ROUND(avg_span_cust, 2) AS avg_span_cust,
+       ROUND(avg_span_day, 2) AS avg_span_day
+FROM (SELECT * FROM zspans UNION ALL SELECT * FROM lspans)
+""",
+)
+def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.sinks.zorder import morton_interleave
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).alias("dayk"),
+    )
+    bounds = base.agg(
+        F.min("o_custkey").alias("lo_c"),
+        F.max("o_custkey").alias("hi_c"),
+        F.min("dayk").alias("lo_d"),
+        F.max("dayk").alias("hi_d"),
+    )
+
+    def bucket(v, lo, hi):
+        return F.least(
+            F.lit(_Z_MAX),
+            F.floor(
+                (v.cast("double") - F.col(lo))
+                / (F.col(hi).cast("double") - F.col(lo))
+                * F.lit(_Z_MAX)
+            ).cast("long"),
+        )
+
+    b = base.join(F.broadcast(bounds)).select(
+        "o_orderkey",
+        bucket(F.col("o_custkey"), "lo_c", "hi_c").alias("bx"),
+        bucket(F.col("dayk"), "lo_d", "hi_d").alias("by"),
+    )
+    z = b.withColumn("zval", morton_interleave(F.col("bx"), F.col("by")))
+    assigned = z.select(
+        "bx",
+        "by",
+        F.ntile(_Z_N_FILES)
+        .over(Window.orderBy("zval", "o_orderkey"))
+        .alias("zfile"),
+        F.ntile(_Z_N_FILES)
+        .over(Window.orderBy("bx", "o_orderkey"))
+        .alias("lfile"),
+    )
+
+    def spans(file_col, scheme):
+        return (
+            assigned.groupBy(file_col)
+            .agg(
+                (F.max("bx") - F.min("bx")).alias("sx"),
+                (F.max("by") - F.min("by")).alias("sy"),
+            )
+            .agg(
+                F.avg(F.col("sx").cast("double")).alias("avg_span_cust"),
+                F.avg(F.col("sy").cast("double")).alias("avg_span_day"),
+            )
+            .select(
+                F.lit(scheme).alias("scheme"),
+                F.round("avg_span_cust", 2).alias("avg_span_cust"),
+                F.round("avg_span_day", 2).alias("avg_span_day"),
+            )
+        )
+
+    return spans("zfile", "zorder").unionByName(spans("lfile", "linear"))

@@ -59,6 +59,8 @@ CARTESIAN_OK = {
     "histogram_quantiles_price",
     # 1-row node-count scalar broadcast into the rank initialization
     "pagerank_purchase_graph",
+    # 1-row min/max bounds scalar broadcast into the bucketing
+    "zorder_locality_stats",
 }
 
 
