@@ -119,7 +119,12 @@ def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = Window.partitionBy("vec_id").orderBy(
         F.col("score").desc(), F.col("cent_id")
     )
-    aff = aff.withColumn("crank", F.row_number().over(wc))
+    # the ranked affinity feeds BOTH assign and probes — lazy
+    # checkpoint computes the broadcast join + per-vector window once
+    # (same discipline as semdedup_prune / pagerank_int)
+    aff = aff.withColumn("crank", F.row_number().over(wc)).localCheckpoint(
+        eager=False
+    )
     assign = aff.filter(F.col("crank") == 1).select(
         "vec_id", "q", "nsq", F.col("cent_id").alias("cell")
     )

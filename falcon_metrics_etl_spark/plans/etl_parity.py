@@ -341,13 +341,13 @@ arrivals AS (
 ),
 expedite AS (
     SELECT o_orderpriority AS class_of_service,
-           ROUND(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*) * 100, 2) AS expedite_pct
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM orders) * 100, 2) AS class_share_pct
     FROM orders GROUP BY 1
 )
 SELECT l.class_of_service, l.lead_time_p85, l.lead_time_avg,
        l.throughput_total, a.weekly_min, a.weekly_q1, a.weekly_q2,
-       a.weekly_q3, e.expedite_pct
+       a.weekly_q3, e.class_share_pct
 FROM lead l
 JOIN arrivals a ON a.class_of_service = l.class_of_service
 JOIN expedite e ON e.class_of_service = l.class_of_service
@@ -389,17 +389,22 @@ def insights_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         percentile_disc("n", 0.50).alias("weekly_q2"),
         percentile_disc("n", 0.75).alias("weekly_q3"),
     )
-    expedite = orders.groupBy(
-        F.col("o_orderpriority").alias("class_of_service")
-    ).agg(
-        F.round(
-            F.sum(
-                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
-            ).cast("double")
-            / F.count(F.lit(1))
-            * 100,
-            2,
-        ).alias("expedite_pct")
+    # each class's share of ALL orders — the '1-URGENT' row IS the A4
+    # expedite share (a share computed within a group keyed by the
+    # class itself would be a constant 100/0, information-free)
+    wtot = Window.partitionBy()
+    expedite = (
+        orders.groupBy(F.col("o_orderpriority").alias("class_of_service"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "class_of_service",
+            F.round(
+                F.col("n").cast("double")
+                / F.sum("n").over(wtot).cast("double")
+                * 100,
+                2,
+            ).alias("class_share_pct"),
+        )
     )
     return (
         lead.join(F.broadcast(arrivals), "class_of_service")
@@ -413,7 +418,7 @@ def insights_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weekly_q1",
             "weekly_q2",
             "weekly_q3",
-            "expedite_pct",
+            "class_share_pct",
         )
     )
 
@@ -579,17 +584,20 @@ def throughput_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.col("o_orderpriority").alias("cls")
     )
     j = li.join(orders, li.l_orderkey == orders.o_orderkey)
-    j.createOrReplaceTempView("_rollup_src")
-    out = j.sparkSession.sql(
-        """
-        SELECT COALESCE(cls, 'ALL') AS class_of_service,
-               COALESCE(mon, 'ALL') AS departure_month,
-               COUNT(*) AS n_departures
-        FROM _rollup_src
-        GROUP BY GROUPING SETS ((cls, mon), (cls), (mon))
-        """
+    # DataFrame.groupingSets (Spark 4) instead of a named temp view:
+    # a fixed view name is shared session state — two concurrent
+    # definitions of this query would race and silently read each
+    # other's source
+    out = j.groupingSets(
+        [[F.col("cls"), F.col("mon")], [F.col("cls")], [F.col("mon")]],
+        F.col("cls"),
+        F.col("mon"),
+    ).agg(F.count(F.lit(1)).alias("n_departures"))
+    return out.select(
+        F.coalesce(F.col("cls"), F.lit("ALL")).alias("class_of_service"),
+        F.coalesce(F.col("mon"), F.lit("ALL")).alias("departure_month"),
+        "n_departures",
     )
-    return out
 
 
 # --------------------------------------------------------------------------

@@ -21,10 +21,8 @@ from falcon_metrics_etl_spark.operators.cfd import cumulative_flow
 from falcon_metrics_etl_spark.operators.metrics import (
     arrival_rate_quantiles,
     class_of_service_share,
-    lead_time_metrics,
     profile_of_work,
     throughput,
-    wip_as_of,
 )
 from falcon_metrics_etl_spark.plans.registry import register
 from falcon_metrics_etl_spark.sources import load_table
@@ -142,6 +140,7 @@ SELECT l_returnflag AS state,
        CAST(date_trunc('week', l_shipdate) AS DATE) AS bucket,
        COUNT(*) AS throughput
 FROM lineitem
+WHERE l_shipdate IS NOT NULL
 GROUP BY 1, 2
 """,
 )

@@ -37,6 +37,12 @@ class Job:
 
 
 def _toposort(jobs: Sequence[Job]) -> list[Job]:
+    names = [j.name for j in jobs]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        # a dict build would silently drop all but the last job of a
+        # name — its body would never run and the report would lie
+        raise ValueError(f"duplicate job names: {sorted(dupes)}")
     by_name = {j.name: j for j in jobs}
     for j in jobs:
         for d in j.deps:

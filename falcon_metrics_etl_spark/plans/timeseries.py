@@ -572,21 +572,22 @@ def rolling_7day_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
-    # RANGE frame needs an orderable numeric/date expression; Spark
-    # accepts date ordering with interval bounds via SQL expression
-    daily.createOrReplaceTempView("_daily_counts")
-    return daily.sparkSession.sql(
-        """
-        SELECT event_type, day, n,
-               CAST(SUM(n) OVER (
-                   PARTITION BY event_type ORDER BY day
-                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
-               ) AS BIGINT) AS rolling_7d,
-               CAST(n - lag(n) OVER (
-                   PARTITION BY event_type ORDER BY day
-               ) AS BIGINT) AS day_over_day
-        FROM _daily_counts
-        """
+    # RANGE frame over days: order by the day-number (unix_date) so
+    # rangeBetween(-6, 0) is the calendar week — pure DataFrame API
+    # (a fixed-name temp view here would be shared session state and
+    # race under concurrent definition)
+    wrange = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    wlag = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(wrange).cast("long").alias("rolling_7d"),
+        (F.col("n") - F.lag("n").over(wlag)).cast("long").alias("day_over_day"),
     )
 
 

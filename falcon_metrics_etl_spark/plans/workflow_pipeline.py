@@ -205,7 +205,7 @@ def event_dates_expr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pandas-udf", "json"),
     oracle="""
 SELECT event_id,
-       CAST(json_extract(props, '$.k') AS VARCHAR) AS field_value
+       json_extract_string(props, '$.k') AS field_value
 FROM events
 """,
 )
