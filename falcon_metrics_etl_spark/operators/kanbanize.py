@@ -1,0 +1,263 @@
+"""Kanbanize card -> state/snapshot transform — SURVEY.md S5/P6/W10.
+
+Behavioral reference (re-expressed Spark-first, not translated):
+/root/reference/src/kanbanize/transform_processor.ts
+
+- identifyWorkflow (ts:93-116): workflow key =
+  ``slugify(`${org}.${board_id}.${workflow_name}`).toLowerCase()``;
+- identifyWorkflowStep (ts:120-149): the step match requires BOTH the
+  column id and the column name (stringified id compare);
+- getStateTransitions (ts:293-312): run-length compression — keep a
+  transition only when its column_id differs from the previously KEPT
+  one, and stamp it with its ORIGINAL array index as ``revision``.
+  (First-of-run vs last-kept is equivalent to comparing against the
+  immediately preceding raw row, because the previous raw row always
+  belongs to the last kept run.)
+- transform (ts:402-493): auto-map unmapped steps (order 9999 /
+  stateType 'queue'), event dates from the COMPRESSED history,
+  type-map skip (isConfiguredCardType ts:385-400: a card whose
+  (type_id ?? '0', board_id) has no workItemTypeMap is dropped),
+  card -> StandardStateItem (transformCard ts:151-207),
+  transitions -> StandardSnapshotItems (transformTransitions
+  ts:209-288).
+- transformCustomFields (ts:495-511): keep only fields with a display
+  value; empty result -> null.
+
+Scale notes: every config dim (steps, events, type maps, types) is
+broadcast; the only wide shuffle is the per-card window/aggregation
+for compression + event dates — all keyed on card_id, so at 100 TB
+the whole transform is one hash-partition of the transition stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.functions.scalar import slugify
+from falcon_metrics_etl_spark.operators.event_dates import (
+    effective_point_orders,
+    extract_event_dates_expr,
+    state_category_from_dates,
+    step_category,
+    tag_zones,
+)
+from falcon_metrics_etl_spark.operators.snapshots import derive_snapshots
+from falcon_metrics_etl_spark.operators.transform import auto_map_unmapped_steps
+
+
+def card_workflow_id(org: Column, board_id: Column, workflow_name: Column) -> Column:
+    """Workflow key for a card (transform_processor.ts:95-97)."""
+    return slugify(F.concat_ws(".", org, board_id.cast("string"), workflow_name))
+
+
+def compress_transitions(
+    transitions: DataFrame,
+    card_col: str = "card_id",
+    idx_col: str = "idx",
+    column_col: str = "column_id",
+) -> DataFrame:
+    """W10 — keep only column-changing transitions; ``revision`` is the
+    original array index (transform_processor.ts:293-312). One window
+    over (card, idx): a single shuffle keyed on the card."""
+    w = Window.partitionBy(card_col).orderBy(idx_col)
+    prev = F.lag(column_col).over(w)
+    return (
+        transitions.withColumn("_prev_col", prev)
+        .filter(F.col("_prev_col").isNull() | (F.col("_prev_col") != F.col(column_col)))
+        .drop("_prev_col")
+        .withColumn("revision", F.col(idx_col).cast("int"))
+    )
+
+
+def configured_cards(cards: DataFrame, work_item_type_maps: DataFrame) -> DataFrame:
+    """P6 — type-map skip: keep only cards whose (type_id ?? '0',
+    board_id) has a configured workItemTypeMap
+    (findWorkItemTypeMap ts:375-383, isConfiguredCardType ts:385-400).
+    Broadcast left-semi join — the map dim is tiny."""
+    maps = work_item_type_maps.select(
+        F.col("datasource_work_item_id").cast("string").alias("_map_type"),
+        F.col("project_id").cast("string").alias("_map_board"),
+    ).dropDuplicates()
+    type_key = F.coalesce(F.col("type_id").cast("string"), F.lit("0"))
+    return cards.join(
+        F.broadcast(maps),
+        (type_key == F.col("_map_type"))
+        & (F.col("board_id").cast("string") == F.col("_map_board")),
+        "left_semi",
+    )
+
+
+def transform_card_custom_fields(custom_fields: Column) -> Column:
+    """transformCustomFields (ts:495-511): drop entries without a
+    display value, rename to the CustomField shape, empty -> null.
+    Pure higher-order array functions — no Python in the plan."""
+    transformed = F.transform(
+        F.filter(custom_fields, lambda cf: cf["display_value"].isNotNull()),
+        lambda cf: F.struct(
+            cf["field_id"].cast("string").alias("datasource_field_name"),
+            cf["display_value"].alias("datasource_field_value"),
+            cf["field_name"].alias("display_name"),
+            F.lit("string").alias("type"),
+        ),
+    )
+    return F.when(F.size(transformed) > 0, transformed)
+
+
+def transform_cards(
+    cards: DataFrame,
+    transitions: DataFrame,
+    workflow_steps: DataFrame,
+    workflow_events: DataFrame,
+    work_item_type_maps: DataFrame,
+    work_item_types: DataFrame,
+    org_id: str,
+    auto_map: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Full Kanbanize transform (transform_processor.ts:402-493).
+
+    cards: card_id, board_id, workflow_name, column_id, column_name,
+      type_id, type_name, title, owner_user_name, last_modified
+      (+ optional custom_fields array<struct<field_id,field_name,
+      display_value>>).
+    transitions: card_id, idx (array position), column_id,
+      column_name, start.
+
+    Returns (states, snapshots) — the StandardStateItem /
+    StandardSnapshotItem shapes of ts:174-201 and ts:265-285.
+    """
+    cards = cards.withColumn(
+        "workflow_id",
+        card_workflow_id(F.lit(org_id), F.col("board_id"), F.col("workflow_name")),
+    )
+    cfg = configured_cards(cards, work_item_type_maps)
+
+    # transitions of configured cards only (the skip happens before
+    # transformCard/transformTransitions, ts:461-464)
+    live = transitions.join(
+        cfg.select("card_id", "workflow_id"), "card_id", "inner"
+    )
+    comp = compress_transitions(live)
+    history = comp.select(
+        F.col("card_id").cast("string").alias("work_item_id"),
+        "workflow_id",
+        F.col("column_id").cast("string").alias("status_id"),
+        F.col("column_name").alias("status_name"),
+        F.col("start").alias("changed_date"),
+        "revision",
+        F.lit("state_change").alias("type"),
+        F.lit(False).alias("flagged"),
+    )
+
+    if auto_map:
+        workflow_steps = auto_map_unmapped_steps(history, workflow_steps)
+    tagged = tag_zones(history, workflow_steps, workflow_events)
+    event_dates = extract_event_dates_expr(tagged)
+    points = effective_point_orders(workflow_steps, workflow_events)
+
+    # ---- states (transformCard ts:151-207) --------------------------------
+    current_step = workflow_steps.select(
+        F.col("workflow_id").alias("_cur_wf"),
+        F.col("step_id").cast("string").alias("_cur_step_id"),
+        F.col("step_name").alias("_cur_step_name"),
+        F.col("step_order").alias("_cur_order"),
+        F.col("state_type").alias("_cur_state_type"),
+    )
+    type_dims = work_item_type_maps.select(
+        F.col("datasource_work_item_id").cast("string").alias("_map_type"),
+        F.col("project_id").cast("string").alias("_map_board"),
+        F.col("work_item_type_id").alias("flomatika_work_item_type_id"),
+        F.col("service_level_expectation_in_days").alias(
+            "flomatika_type_sle_days"
+        ),
+    ).join(
+        work_item_types.select(
+            F.col("id").alias("flomatika_work_item_type_id"),
+            F.col("display_name").alias("flomatika_work_item_type_name"),
+            F.col("level").alias("flomatika_work_item_type_level"),
+        ),
+        "flomatika_work_item_type_id",
+        "left",
+    )
+
+    states = (
+        cfg.withColumn("work_item_id", F.col("card_id").cast("string"))
+        .join(event_dates, "work_item_id", "left")
+        .join(
+            F.broadcast(current_step),
+            (F.col("workflow_id") == F.col("_cur_wf"))
+            & (F.col("column_id").cast("string") == F.col("_cur_step_id"))
+            & (F.col("column_name") == F.col("_cur_step_name")),
+            "left",
+        )
+        .drop("_cur_wf")
+        .join(F.broadcast(points), "workflow_id", "left")
+        .join(
+            F.broadcast(type_dims),
+            (
+                F.coalesce(F.col("type_id").cast("string"), F.lit("0"))
+                == F.col("_map_type")
+            )
+            & (F.col("board_id").cast("string") == F.col("_map_board")),
+            "left",
+        )
+        .withColumn("state_category", state_category_from_dates())
+        .withColumn(
+            "step_category",
+            step_category(
+                F.col("_cur_order").cast("double"),
+                F.col("effective_arrival_order"),
+                F.col("effective_commitment_order"),
+                F.col("effective_departure_order"),
+            ),
+        )
+        .select(
+            "work_item_id",
+            F.col("board_id").cast("string").alias("project_id"),
+            "workflow_id",
+            F.col("column_name").alias("state"),
+            F.col("_cur_order").cast("string").alias("state_order"),
+            F.col("_cur_state_type").alias("state_type"),
+            "state_category",
+            "step_category",
+            "arrival_date",
+            "commitment_date",
+            "departure_date",
+            F.coalesce("is_delayed", F.lit(False)).alias("is_delayed"),
+            F.coalesce(F.col("type_name"), F.lit("Card")).alias("work_item_type"),
+            "flomatika_work_item_type_id",
+            "flomatika_work_item_type_name",
+            "flomatika_work_item_type_level",
+            "flomatika_type_sle_days",
+            F.col("title"),
+            F.col("owner_user_name").alias("assigned_to"),
+            F.col("last_modified").alias("changed_date"),
+            *(
+                [
+                    transform_card_custom_fields(F.col("custom_fields")).alias(
+                        "custom_fields"
+                    )
+                ]
+                if "custom_fields" in cards.columns
+                else []
+            ),
+        )
+    )
+
+    # ---- snapshots (transformTransitions ts:209-288) ----------------------
+    snaps = derive_snapshots(tagged, event_dates)
+    snapshots = snaps.select(
+        "work_item_id",
+        "revision",
+        F.col("type"),
+        F.col("changed_date"),
+        "snapshot_date",
+        F.col("status_name").alias("state"),
+        F.col("step_order").cast("string").alias("state_order"),
+        F.col("state_type"),
+        "step_category",
+        "state_category",
+        "is_delayed",
+        F.lit(False).alias("is_filler"),
+    )
+    return states, snapshots

@@ -61,6 +61,7 @@ def all_queries() -> dict[str, Query]:
         etl_parity,
         flow_metrics,
         graph,
+        kanbanize_queries,
         multimodal,
         relational,
         retrieval,

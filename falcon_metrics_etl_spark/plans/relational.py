@@ -850,7 +850,9 @@ _Z_SQL_MORTON = " + ".join(
     "width — the reason a Z-ordered 100 TB table prunes row-groups "
     "for predicates on either column (sinks/zorder.py::zorder_by is "
     "the write-path operator). All bit arithmetic is exact integer "
-    "shifts/masks, replayed verbatim by the oracle.",
+    "shifts/masks, replayed verbatim by the oracle. The file split is "
+    "a two-phase deterministic NTILE (bucket-prefix partition rank + "
+    "broadcast prefix offsets) — no single-partition data window.",
     tags=("layout", "zorder", "window", "scale"),
     oracle=f"""
 WITH base AS (
@@ -933,15 +935,66 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket(F.col("dayk"), "lo_d", "hi_d").alias("by"),
     )
     z = b.withColumn("zval", morton_interleave(F.col("bx"), F.col("by")))
-    assigned = z.select(
+
+    # Two-phase deterministic NTILE — never a single-partition data
+    # window: (1) bucket rows by a monotone prefix of the sort key,
+    # (2) prefix-sum the per-bucket count table (a window over <=1024
+    # aggregated rows, not the data), (3) broadcast the offsets back
+    # and convert global 0-based rank -> NTILE bucket with the exact
+    # first-(N%n)-buckets-get-ceil(N/n) formula. At 100x scale the only
+    # single-task structure is the bucket-count table.
+    def two_phase_rank(df, bucket_col, order_cols, out):
+        with_b = df.withColumn("_bkt", bucket_col)
+        counts = with_b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+        # prefix offsets via a broadcast non-equi self-join of the
+        # bucket-count table with ITSELF — both sides are capped at
+        # 1024 rows by the 10-bit bucket prefix regardless of data
+        # size, so the nested-loop pairing is O(1024^2) scalars, not a
+        # data cartesian (no unpartitioned WindowExec anywhere)
+        earlier = counts.select(
+            F.col("_bkt").alias("_bkt_lt"), F.col("_cnt").alias("_cnt_lt")
+        )
+        offsets = (
+            counts.join(
+                F.broadcast(earlier), F.col("_bkt_lt") < F.col("_bkt"), "left"
+            )
+            .groupBy("_bkt")
+            .agg(F.coalesce(F.sum("_cnt_lt"), F.lit(0)).alias("_off"))
+        )
+        lw = Window.partitionBy("_bkt").orderBy(*order_cols)
+        return (
+            with_b.withColumn("_lrn", F.row_number().over(lw))
+            .join(F.broadcast(offsets), "_bkt")
+            .withColumn(out, F.col("_off") + F.col("_lrn") - 1)
+            .drop("_bkt", "_lrn", "_off")
+        )
+
+    def ntile_of(rank):
+        n = F.lit(_Z_N_FILES)
+        q = F.floor(F.col("_n") / n)
+        rem = F.col("_n") % n
+        head = rem * (q + 1)
+        return (
+            F.when(F.col(rank) < head, F.floor(F.col(rank) / (q + 1)))
+            .otherwise(rem + F.floor((F.col(rank) - head) / F.greatest(q, F.lit(1))))
+            + 1
+        ).cast("int")
+
+    total = z.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = two_phase_rank(
+        z.join(F.broadcast(total)),
+        F.shiftright(F.col("zval"), 22),
+        ["zval", "o_orderkey"],
+        "_zr",
+    )
+    ranked = two_phase_rank(
+        ranked, F.shiftright(F.col("bx"), 6), ["bx", "o_orderkey"], "_lr"
+    )
+    assigned = ranked.select(
         "bx",
         "by",
-        F.ntile(_Z_N_FILES)
-        .over(Window.orderBy("zval", "o_orderkey"))
-        .alias("zfile"),
-        F.ntile(_Z_N_FILES)
-        .over(Window.orderBy("bx", "o_orderkey"))
-        .alias("lfile"),
+        ntile_of("_zr").alias("zfile"),
+        ntile_of("_lr").alias("lfile"),
     )
 
     def spans(file_col, scheme):

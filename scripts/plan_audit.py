@@ -59,7 +59,9 @@ CARTESIAN_OK = {
     "histogram_quantiles_price",
     # 1-row node-count scalar broadcast into the rank initialization
     "pagerank_purchase_graph",
-    # 1-row min/max bounds scalar broadcast into the bucketing
+    # 1-row min/max bounds scalar broadcast into the bucketing, plus
+    # the <=1024-row bucket-count prefix-sum self-join of the
+    # two-phase NTILE (bounded by bucket cardinality, not data)
     "zorder_locality_stats",
 }
 
