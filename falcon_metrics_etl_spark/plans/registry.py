@@ -67,6 +67,7 @@ def all_queries() -> dict[str, Query]:
         retrieval,
         rollup_queries,
         sampling_queries,
+        sprint_queries,
         temporal_joins,
         text_pipeline,
         timeseries,
