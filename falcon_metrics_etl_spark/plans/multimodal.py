@@ -192,3 +192,118 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_payload_wav(docs)
     return MM.decode_media_meta(media)
+
+
+# DuckDB twin of the gradient-PNG dims/base derivation
+_DUCK_GRAD_DIMS = """
+SELECT doc_id,
+       ('0x' || substring(md5(text), 1, 4))::INT % 16 + 1 AS w,
+       ('0x' || substring(md5(text), 5, 4))::INT % 16 + 1 AS h,
+       ('0x' || substring(md5(text), 9, 2))::INT % 200 AS b
+FROM documents
+"""
+
+
+@register(
+    "multimodal_png_pixel_stats",
+    doc="REAL pixel decode: gradient grayscale PNGs (pixel = base+x+y, "
+    "row filters mixed None/Up, real deflate IDAT) decoded by "
+    "decode_png_pixels (stdlib zlib inflate + scanline unfiltering, "
+    "all five PNG filters) and aggregated per image. The oracle "
+    "replays the closed-form raster stats — matching them is only "
+    "possible by actually unfiltering the bytes. Map-only, no shuffle.",
+    tags=("multimodal", "pandas-udf", "binary", "codec", "pixels"),
+    oracle=f"""
+WITH dims AS ({_DUCK_GRAD_DIMS})
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(b AS INT) AS min_pixel,
+       CAST(b + w + h - 2 AS INT) AS max_pixel,
+       CAST(w*h*b + h*(w*(w-1))//2 + w*(h*(h-1))//2 AS BIGINT) AS sum_pixel,
+       CAST(w*h*b + h*(w*(w-1))//2 + w*(h*(h-1))//2 AS DOUBLE)
+           / (w * h) AS mean_pixel
+FROM dims
+""",
+)
+def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_png_gradient(docs)
+    return MM.png_pixel_stats(media)
+
+
+RESAMPLE_BOX = 8
+
+
+@register(
+    "multimodal_png_resample",
+    doc=f"REAL pixel resample: decode the gradient PNGs, "
+    f"nearest-neighbour fit into a {RESAMPLE_BOX}px box with the "
+    "integer floor mapping src = dst*size//target (resample_nearest), "
+    "aggregate the RESAMPLED raster. The oracle recomputes the sampled "
+    "index sums with the same integer arithmetic (per-row range "
+    "unnest) — header math alone cannot produce these values.",
+    tags=("multimodal", "pandas-udf", "binary", "codec", "pixels"),
+    oracle=f"""
+WITH dims AS ({_DUCK_GRAD_DIMS}),
+t AS (
+    SELECT doc_id, w, h, b,
+           GREATEST(1, (w * {RESAMPLE_BOX}) // GREATEST(w, h)) AS tw,
+           GREATEST(1, (h * {RESAMPLE_BOX}) // GREATEST(w, h)) AS th
+    FROM dims
+),
+sx AS (
+    SELECT doc_id, SUM((i * w) // tw) AS s_x
+    FROM (SELECT doc_id, w, tw, unnest(range(0, tw)) AS i FROM t)
+    GROUP BY doc_id
+),
+sy AS (
+    SELECT doc_id, SUM((j * h) // th) AS s_y
+    FROM (SELECT doc_id, h, th, unnest(range(0, th)) AS j FROM t)
+    GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(tw AS INT) AS width, CAST(th AS INT) AS height,
+       CAST(tw * th AS BIGINT) AS n_pixels,
+       CAST(b AS INT) AS min_pixel,
+       CAST(b + ((tw-1)*w)//tw + ((th-1)*h)//th AS INT) AS max_pixel,
+       CAST(tw*th*b + th*s_x + tw*s_y AS BIGINT) AS sum_pixel,
+       CAST(tw*th*b + th*s_x + tw*s_y AS DOUBLE) / (tw * th) AS mean_pixel
+FROM t JOIN sx ON sx.doc_id = t.doc_id JOIN sy ON sy.doc_id = t.doc_id
+""",
+)
+def multimodal_png_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_png_gradient(docs)
+    return MM.png_pixel_stats(media, box=RESAMPLE_BOX)
+
+
+@register(
+    "multimodal_wav_sample_stats",
+    doc="REAL PCM sample decode: square-wave WAVs (samples alternate "
+    "base, base+1) decoded by decode_wav_samples (chunk walk + sample "
+    "unpack; PCM 8/16-bit mono) and aggregated; duration re-derived "
+    "from the decoded sample count, not the header. Oracle replays the "
+    "closed-form sample stats. Remaining codec stubs: non-PCM audio, "
+    "color PNG, video frames.",
+    tags=("multimodal", "pandas-udf", "binary", "codec", "audio"),
+    oracle="""
+WITH durs AS (
+    SELECT doc_id,
+           ('0x' || substring(md5(text), 9, 4))::INT % 2000 + 1 AS dur,
+           ('0x' || substring(md5(text), 13, 2))::INT % 200 AS b
+    FROM documents
+)
+SELECT doc_id, 8000 AS sample_rate,
+       CAST(8 * dur AS BIGINT) AS n_samples,
+       CAST(dur AS INT) AS duration_ms,
+       CAST(b AS INT) AS min_sample,
+       CAST(b + 1 AS INT) AS max_sample,
+       CAST(8 * dur * b + (8 * dur) // 2 AS BIGINT) AS sum_samples,
+       CAST(8 * dur * b + (8 * dur) // 2 AS DOUBLE) / (8 * dur)
+           AS mean_sample
+FROM durs
+""",
+)
+def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_wav_square(docs)
+    return MM.wav_sample_stats(media)

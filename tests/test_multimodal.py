@@ -122,3 +122,116 @@ def test_wav_decode_through_spark_plumbing(spark):
         assert 1 <= r["duration_ms"] <= MM.WAV_DUR_MOD
         assert r["n_bytes"] == 44 + 8 * r["duration_ms"]
         assert r["width"] == 0 and r["n_frames"] == 0
+
+
+# --------------------------------------------------------------------------
+# Real pixel decode (decode_png_pixels: inflate + all five filters)
+# --------------------------------------------------------------------------
+def test_png_gradient_pixel_roundtrip():
+    p = MM.encode_png_gradient(5, 4, base=100)
+    w, h, px = MM.decode_png_pixels(p)
+    assert (w, h) == (5, 4)
+    # pixel(x, y) = base + x + y — only recoverable by unfiltering the
+    # Up-filtered rows
+    for y in range(h):
+        for x in range(w):
+            assert px[y * w + x] == 100 + x + y
+
+
+def test_png_unfilter_sub_average_paeth():
+    import struct as _struct
+    import zlib as _zlib
+
+    # hand-build a 3x4 grayscale PNG exercising filters 1/3/4 against
+    # a reference raster
+    raster = [[10, 20, 30], [15, 25, 35], [40, 41, 42], [200, 100, 50]]
+    lines = []
+    # row0: Sub — stored byte = raw - left
+    r = raster[0]
+    lines.append(bytes([1, r[0] & 0xFF, (r[1] - r[0]) & 0xFF, (r[2] - r[1]) & 0xFF]))
+    # row1: Up
+    lines.append(bytes([2] + [(raster[1][x] - raster[0][x]) & 0xFF for x in range(3)]))
+    # row2: Average
+    row2 = []
+    for x in range(3):
+        left = raster[2][x - 1] if x else 0
+        row2.append((raster[2][x] - ((left + raster[1][x]) >> 1)) & 0xFF)
+    lines.append(bytes([3] + row2))
+    # row3: Paeth
+    row3 = []
+    for x in range(3):
+        a = raster[3][x - 1] if x else 0
+        b = raster[2][x]
+        c = raster[2][x - 1] if x else 0
+        row3.append((raster[3][x] - MM._paeth(a, b, c)) & 0xFF)
+    lines.append(bytes([4] + row3))
+    ihdr = _struct.pack(">IIBBBBB", 3, 4, 8, 0, 0, 0, 0)
+    payload = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", _zlib.compress(b"".join(lines), 6))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    w, h, px = MM.decode_png_pixels(payload)
+    assert [list(px[y * 3 : (y + 1) * 3]) for y in range(4)] == raster
+
+
+def test_png_pixel_decode_rejects_color():
+    import pytest as _pytest
+    import struct as _struct
+
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # color_type 2 = RGB
+    payload = (
+        MM._PNG_SIG + MM._png_chunk(b"IHDR", ihdr) + MM._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        MM.decode_png_pixels(payload)
+
+
+def test_resample_nearest_floor_mapping():
+    # 4x2 gradient, downsample to 2x1: src_x = i*4//2 -> {0, 2}
+    px = bytearray([0, 1, 2, 3, 10, 11, 12, 13])
+    out = MM.resample_nearest(px, 4, 2, 2, 1)
+    assert list(out) == [0, 2]
+    # upsample 2x1 -> 4x1 repeats pixels: src_x = i*2//4 -> {0,0,1,1}
+    out2 = MM.resample_nearest(bytearray([7, 9]), 2, 1, 4, 1)
+    assert list(out2) == [7, 7, 9, 9]
+
+
+# --------------------------------------------------------------------------
+# Real PCM sample decode
+# --------------------------------------------------------------------------
+def test_wav_square_sample_decode():
+    p = MM.encode_wav_square(2, base=50)  # 16 samples
+    d = MM.decode_wav_samples(p)
+    assert d["sample_rate"] == 8000 and d["bits"] == 8
+    assert d["samples"] == [50, 51] * 8
+
+
+def test_wav_decode_16bit_pcm():
+    import struct as _struct
+
+    samples = [-32768, -1, 0, 1, 32767]
+    body = _struct.pack("<5h", *samples)
+    fmt = _struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    p = (
+        b"RIFF" + _struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 16) + fmt
+        + b"data" + _struct.pack("<I", len(body)) + body
+    )
+    d = MM.decode_wav_samples(p)
+    assert d["bits"] == 16 and d["samples"] == samples
+
+
+def test_wav_decode_rejects_non_pcm():
+    import pytest as _pytest
+    import struct as _struct
+
+    fmt = _struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 8)  # ADPCM tag
+    p = (
+        b"RIFF" + _struct.pack("<I", 40) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 16) + fmt
+        + b"data" + _struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with _pytest.raises(NotImplementedError):
+        MM.decode_wav_samples(p)
