@@ -174,7 +174,13 @@ def _compact_unpartitioned(
         # crash-safe swap on a local filesystem: the old table survives
         # as __compact_backup__ until the new one is in place (a static
         # overwrite would delete the live files at job start — a crash
-        # mid-write loses the table)
+        # mid-write loses the table).
+        # NOT concurrent-reader-safe: between the two renames the table
+        # path briefly does not exist, so a reader racing the swap gets
+        # path-not-found rather than either snapshot — the accepted
+        # trade for crash safety on local FS (object stores take the
+        # overwrite branch below; a transaction log a la Delta is the
+        # real fix). Run local compaction in a maintenance window.
         import os
         import shutil
 

@@ -107,7 +107,27 @@ def merge_upsert(
         tgt_types = dict(target.dtypes)
         for c in partition_cols:
             if c in upd_types and tgt_types.get(c) != upd_types[c]:
-                target = target.withColumn(c, F.col(c).cast(upd_types[c]))
+                casted = F.col(c).try_cast(upd_types[c])
+                # guard: a verbatim partition value that does not parse
+                # as the updates dtype (e.g. dir org=abc with int
+                # updates) would silently null and relocate survivor
+                # rows under __HIVE_DEFAULT_PARTITION__ — raise on the
+                # lossy mismatch instead. One partition-column-only
+                # aggregate; runs only when the dtypes actually differ.
+                n_lossy = (
+                    target.select(c)
+                    .filter(F.col(c).isNotNull() & casted.isNull())
+                    .limit(1)
+                    .count()
+                )
+                if n_lossy:
+                    raise ValueError(
+                        f"merge_upsert: partition column {c!r} has values "
+                        f"that do not parse as the updates dtype "
+                        f"{upd_types[c]!r} — refusing a lossy partition "
+                        "cast (rows would relocate to the null partition)"
+                    )
+                target = target.withColumn(c, casted)
     if partition_cols:
         # restrict the rewrite to partitions the batch touches: the
         # anti-join reads only those partitions (partition pruning via

@@ -27,16 +27,16 @@ from pyspark.sql import functions as F
 ZBITS = 16  # bits per column: 2 columns -> 32-bit Morton value
 
 
-def _to_bucket(col: Column, lo: Column, hi: Column) -> Column:
-    """Map a numeric column into [0, 2^ZBITS) by linear scaling between
+def _to_bucket(col: Column, lo: Column, hi: Column, bits: int = ZBITS) -> Column:
+    """Map a numeric column into [0, 2^bits) by linear scaling between
     the column's min and max (computed once, broadcast as scalars)."""
     span = (hi - lo).cast("double")
     frac = F.when(span > 0, (col.cast("double") - lo.cast("double")) / span).otherwise(
         F.lit(0.0)
     )
     return F.least(
-        F.lit((1 << ZBITS) - 1),
-        F.floor(frac * ((1 << ZBITS) - 1)).cast("long"),
+        F.lit((1 << bits) - 1),
+        F.floor(frac * ((1 << bits) - 1)).cast("long"),
     )
 
 
@@ -67,10 +67,10 @@ def zorder_value(
     )
     out = df.join(F.broadcast(bounds))
     bx = _to_bucket(
-        F.col(cols[0]), F.col(f"__lo_{cols[0]}"), F.col(f"__hi_{cols[0]}")
+        F.col(cols[0]), F.col(f"__lo_{cols[0]}"), F.col(f"__hi_{cols[0]}"), bits
     )
     by = _to_bucket(
-        F.col(cols[1]), F.col(f"__lo_{cols[1]}"), F.col(f"__hi_{cols[1]}")
+        F.col(cols[1]), F.col(f"__lo_{cols[1]}"), F.col(f"__hi_{cols[1]}"), bits
     )
     return out.withColumn("__z", morton_interleave(bx, by, bits)).drop(
         *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]

@@ -151,6 +151,12 @@ class RestPagedStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["offset"]), int(end["offset"])
         size = self._inner._page_size
+        if hi <= lo:
+            # same guard as the batch reader: PySpark substitutes
+            # [None] for an empty list and read(None) crashes —
+            # reachable when a microbatch is planned with equal
+            # offsets (restart / availableNow edges)
+            return [PagePartition(lo, 0)]
         return [
             PagePartition(s, min(size, hi - s)) for s in range(lo, hi, size)
         ]

@@ -223,3 +223,22 @@ def test_rest_datasource_corrupt_column_position_independent(spark):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert [r["_corrupt_record"] for r in bad] == ["not-json-0"]
     assert bad[0]["work_item_id"] is None and bad[0]["state"] is None
+
+
+def test_rest_stream_reader_equal_offsets_yields_empty_page():
+    """A microbatch planned with equal start/end offsets must return an
+    explicit empty partition (PySpark substitutes [None] for an empty
+    list and read(None) crashes) — same guard as the batch reader."""
+    from pyspark.sql.types import StructType
+
+    from falcon_metrics_etl_spark.sources.rest_datasource import (
+        RestPagedStreamReader,
+    )
+
+    r = RestPagedStreamReader(
+        StructType.fromDDL("work_item_id string"),
+        {"total": "0", "page_size": "10", "fetcher": "synthetic"},
+    )
+    parts = r.partitions({"offset": 5}, {"offset": 5})
+    assert len(parts) == 1 and parts[0].size == 0
+    assert list(r.read(parts[0])) == []

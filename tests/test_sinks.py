@@ -219,3 +219,37 @@ def test_merge_upsert_null_partition_value(spark, tmp_path):
     merge_upsert(spark, path, df2, keys=["id"], partition_cols=["org"])
     got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got == {1: "x", 2: "y2", 3: "z"}
+
+
+def test_merge_upsert_rejects_lossy_partition_cast(spark, tmp_path):
+    """A verbatim partition value that does not parse as the updates
+    dtype must raise, not silently relocate survivors to the null
+    partition."""
+    import pytest
+
+    from falcon_metrics_etl_spark.sinks.merge import merge_upsert
+
+    path = str(tmp_path / "lossy")
+    df1 = spark.createDataFrame(
+        [(1, "abc", "x"), (2, "7", "y")], "id int, org string, v string"
+    )
+    merge_upsert(spark, path, df1, keys=["id"], partition_cols=["org"])
+    df2 = spark.createDataFrame([(3, 7, "z")], "id int, org int, v string")
+    with pytest.raises(ValueError, match="lossy partition cast"):
+        merge_upsert(spark, path, df2, keys=["id"], partition_cols=["org"])
+
+
+def test_merge_upsert_numeric_partition_cast_roundtrips(spark, tmp_path):
+    """Genuinely numeric verbatim partition values cast back without
+    loss and merge normally."""
+    from falcon_metrics_etl_spark.sinks.merge import merge_upsert
+
+    path = str(tmp_path / "numpart")
+    df1 = spark.createDataFrame(
+        [(1, "7", "x"), (2, "8", "y")], "id int, org string, v string"
+    )
+    merge_upsert(spark, path, df1, keys=["id"], partition_cols=["org"])
+    df2 = spark.createDataFrame([(2, 8, "y2")], "id int, org int, v string")
+    merge_upsert(spark, path, df2, keys=["id"], partition_cols=["org"])
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "x", 2: "y2"}

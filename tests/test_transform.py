@@ -529,10 +529,12 @@ def test_densify_fillers_exact_rows(spark):
     assert len([r for r in out if not r["is_filler"]]) == 3
 
 
-def test_field_maps_sequential_visibility(spark):
-    """Each mapper's conditions read the row AS MUTATED by earlier
-    mappers (reference chain semantics, field_mapper.ts:10-19): map 2's
-    condition matches the value map 1 just wrote."""
+def test_field_maps_snapshot_visibility(spark):
+    """Conditions and source reads evaluate against the ORIGINAL input
+    row, never earlier mappers' writes: executeMap(source, destination,
+    conditionsSource) keeps the three objects separate
+    (field_mapper.ts:56-72; the unit suite maps source -> dest as
+    distinct objects)."""
     from falcon_metrics_etl_spark.functions.field_mapper import (
         apply_field_maps,
     )
@@ -542,8 +544,35 @@ def test_field_maps_sequential_visibility(spark):
     )
     maps = [
         {"srcField": "a", "dstField": "s", "conditions": {"s": "x"}},
+        # would only fire if map 1's write were visible — it must not be
         {"srcField": "b", "dstField": "s", "conditions": {"s": "y"}},
     ]
     row = apply_field_maps(df, maps).collect()[0]
-    # map 1: s 'x' -> 'y'; map 2 sees s == 'y' and fires -> 'bval'
-    assert row["s"] == "bval"
+    # map 1 fires on the original s == 'x' -> 'y'; map 2 evaluates the
+    # ORIGINAL s ('x'), not 'y', so it does not fire
+    assert row["s"] == "y"
+
+
+def test_field_maps_last_match_wins_and_source_is_original(spark):
+    from falcon_metrics_etl_spark.functions.field_mapper import (
+        apply_field_maps,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "first", "second")], "k string, a string, b string"
+    )
+    maps = [
+        {"srcField": "a", "dstField": "out", "conditions": {"k": "x"}},
+        {"srcField": "b", "dstField": "out", "conditions": {"k": "x"}},
+    ]
+    row = apply_field_maps(df, maps).collect()[0]
+    assert row["out"] == "second"  # last matching map wins
+    # a dst that is also a later map's src still reads the original
+    df2 = spark.createDataFrame([("x", "v1")], "k string, a string")
+    maps2 = [
+        {"srcField": "k", "dstField": "a", "conditions": {"k": "x"}},
+        {"srcField": "a", "dstField": "out", "conditions": {"k": "x"}},
+    ]
+    row2 = apply_field_maps(df2, maps2).collect()[0]
+    assert row2["a"] == "x"
+    assert row2["out"] == "v1"  # original a, not map 1's write
