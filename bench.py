@@ -7,6 +7,12 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Queries are materialized with the noop writer (full execution, no
 collect-to-driver, no disk write) — the honest way to time a plan.
+
+Each query is timed over REPEATS in-session runs and reported as the
+MEDIAN, with the max-min spread in a parallel "spread" map — this VM
+shows +/-20-50%% per-query noise across sessions, so single-shot
+comparisons between rounds are meaningless; medians + spread make the
+round-over-round signal readable.
 """
 
 from __future__ import annotations
@@ -20,6 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from falcon_metrics_etl_spark.plans.registry import all_queries
 from falcon_metrics_etl_spark.session import get_spark
+
+# in-session repeats per query; reported value is the MEDIAN
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 HEADLINE = [
     "cfd",
@@ -75,24 +84,22 @@ def time_streaming(spark, sf_dir: str) -> float:
         stream_windowed_counts,
     )
 
-    best = float("inf")
-    for _ in range(2):
-        ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
-        agg = stream_windowed_counts(
-            spark, "", "", source=stream_events(spark, sf_dir)
-        )
-        t0 = time.time()
-        q = (
-            agg.writeStream.format("noop")
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        best = min(best, time.time() - t0)
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return best
+    ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+    agg = stream_windowed_counts(
+        spark, "", "", source=stream_events(spark, sf_dir)
+    )
+    t0 = time.time()
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    elapsed = time.time() - t0
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return elapsed
 
 
 def time_pipeline_e2e(spark, sf_dir: str) -> float:
@@ -205,20 +212,29 @@ def main() -> None:
 
     registry = all_queries()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+
+    def record(name: str, runs: list[float]) -> None:
+        runs = sorted(runs)
+        timings[name] = round(runs[len(runs) // 2], 3)  # median
+        spreads[name] = round(runs[-1] - runs[0], 3)
+
     for name in HEADLINE:
         q = registry[name]
-        best = float("inf")
-        for _ in range(2):  # best-of-2: steady-state, not codegen warmup
+        runs = []
+        for _ in range(REPEATS):
             t0 = time.time()
             q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        record(name, runs)
 
-    timings["stream_windowed_daily"] = round(time_streaming(spark, sf_dir), 3)
-    # best-of-3: the composition's first run pays disk-cache + committer
-    # warmup that the per-query entries don't, and varies much more
-    timings["pipeline_e2e"] = round(
-        min(time_pipeline_e2e(spark, sf_dir) for _ in range(3)), 3
+    record(
+        "stream_windowed_daily",
+        [time_streaming(spark, sf_dir) for _ in range(REPEATS)],
+    )
+    record(
+        "pipeline_e2e",
+        [time_pipeline_e2e(spark, sf_dir) for _ in range(REPEATS)],
     )
 
     total = round(sum(timings.values()), 3)
@@ -229,6 +245,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "repeats": REPEATS,
                 "sf": sf,
             }
         )
