@@ -67,6 +67,11 @@ HEADLINE = [
     "domain_mix_token_budget",
     "pagerank_purchase_graph",
     "histogram_quantiles_price",
+    # round-4 additions: kanbanize scenario pipeline, sprint bridge,
+    # real pixel decode
+    "kanbanize_card_states",
+    "sprint_bridge",
+    "multimodal_png_pixel_stats",
 ]
 
 

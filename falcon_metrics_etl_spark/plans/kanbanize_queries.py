@@ -98,38 +98,30 @@ def _build_inputs(spark: SparkSession, sf_dir: str):
         (F.row_number().over(idx_w) - 1).alias("idx"),
     ).withColumn("column_name", col_name)
 
-    boards = spark.createDataFrame([(str(b),) for b in range(3)], "board_id string")
-    from falcon_metrics_etl_spark.operators.kanbanize import card_workflow_id
-
-    wf = boards.select(
-        card_workflow_id(
-            F.lit(_ORG), F.col("board_id"), F.lit("Delivery Flow")
-        ).alias("workflow_id")
+    # config dims as literal frames (in production these come from the
+    # wizard config tables with STORED workflow keys; the engine-side
+    # slugify runs on the CARDS in transform_cards — the parity point).
+    # Built in Python so the plan carries no dim-construction crossJoin.
+    slugs = [f"{_ORG}.{b}.delivery-flow" for b in range(3)]
+    steps_literal = [
+        ("1", "Backlog", 1, "queue"),
+        ("2", "In Progress", 2, "active"),
+        ("3", "Done", 3, "queue"),
+    ]
+    workflow_steps = spark.createDataFrame(
+        [(s, *step) for s in slugs for step in steps_literal],
+        "workflow_id string, step_id string, step_name string, "
+        "step_order int, state_type string",
     )
-    steps_literal = spark.createDataFrame(
-        [
-            ("1", "Backlog", 1, "queue"),
-            ("2", "In Progress", 2, "active"),
-            ("3", "Done", 3, "queue"),
-        ],
-        "step_id string, step_name string, step_order int, state_type string",
+    workflow_events = spark.createDataFrame(
+        [(s, 1, 2, 3) for s in slugs],
+        "workflow_id string, arrival_point_order int, "
+        "commitment_point_order int, departure_point_order int",
     )
-    workflow_steps = wf.crossJoin(steps_literal)
-    workflow_events = wf.select(
-        "workflow_id",
-        F.lit(1).alias("arrival_point_order"),
-        F.lit(2).alias("commitment_point_order"),
-        F.lit(3).alias("departure_point_order"),
-    )
-    type_maps = (
-        boards.crossJoin(
-            spark.createDataFrame([(t,) for t in range(4)], "t int")
-        ).select(
-            F.col("t").cast("string").alias("datasource_work_item_id"),
-            F.col("board_id").alias("project_id"),
-            F.concat(F.lit("wit-"), F.col("t")).alias("work_item_type_id"),
-            (5 + F.col("t")).alias("service_level_expectation_in_days"),
-        )
+    type_maps = spark.createDataFrame(
+        [(str(t), str(b), f"wit-{t}", 5 + t) for b in range(3) for t in range(4)],
+        "datasource_work_item_id string, project_id string, "
+        "work_item_type_id string, service_level_expectation_in_days int",
     )
     work_item_types = spark.createDataFrame(
         [(f"wit-{t}", f"Type {t}", "Team") for t in range(4)],

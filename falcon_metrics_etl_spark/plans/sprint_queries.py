@@ -125,6 +125,11 @@ def sprint_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         boards,
         boards.region_key == F.col("context_id").cast("int"),
     )
+    # portfolio context contains EVERY scrum board; its inclusion is
+    # gated on surviving the address-validity filter. The 0-or-1-row
+    # gate against the <=25-row scrum-board dim is a deliberate
+    # broadcast nested-loop (any constant-key equi-join constant-folds
+    # to the same plan) — whitelisted in plan_audit with this reason.
     portfolio = valid.filter(F.col("context_id") == "9").crossJoin(boards)
     ctx_boards = regional.unionByName(portfolio).select(
         "context_id", "ctx_order", "board_id"

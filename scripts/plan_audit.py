@@ -59,6 +59,9 @@ CARTESIAN_OK = {
     "histogram_quantiles_price",
     # 1-row node-count scalar broadcast into the rank initialization
     "pagerank_purchase_graph",
+    # 0-or-1-row portfolio-context gate broadcast against the <=25-row
+    # scrum-board dim (contexts x boards config synthesis)
+    "sprint_bridge",
     # 1-row min/max bounds scalar broadcast into the bucketing, plus
     # the <=1024-row bucket-count prefix-sum self-join of the
     # two-phase NTILE (bounded by bucket cardinality, not data)
