@@ -261,3 +261,83 @@ def transform_cards(
         F.lit(False).alias("is_filler"),
     )
     return states, snapshots
+
+
+def enrich_raw_cards(
+    raw_cards: DataFrame,
+    boards: DataFrame,
+    workflows: DataFrame,
+    columns: DataFrame,
+    types: DataFrame,
+    users: DataFrame,
+    custom_field_names: dict[int, str] | None = None,
+) -> DataFrame:
+    """Entity-name enrichment of raw cards — the extract-side
+    mapRawCardsToCards (extract_state_processor.ts:336-395): raw cards
+    carry only ids; board/workflow/column names resolve via the entity
+    dims, type_name stays null for untyped cards (ts:388), owner name
+    resolves per user id (ts:372-375), and custom-field entries whose
+    field_id has no configured name are DROPPED (ts:353-371 logs and
+    skips them).
+
+    Dims are (id, name) pairs — tiny config tables, all broadcast.
+    custom_field_names is the config map collected at plan-build time
+    (same pattern as the field mapper): the array column rewrites with
+    a map literal + filter HOF, no explode.
+    """
+
+    def named(dim: DataFrame, id_col: str, out: str) -> DataFrame:
+        return dim.select(
+            F.col(dim.columns[0]).alias(id_col),
+            F.col(dim.columns[1]).alias(out),
+        )
+
+    out = (
+        raw_cards.join(
+            F.broadcast(named(boards, "board_id", "board_name")),
+            "board_id",
+            "left",
+        )
+        .join(
+            F.broadcast(named(workflows, "workflow_id", "workflow_name")),
+            "workflow_id",
+            "left",
+        )
+        .join(
+            F.broadcast(named(columns, "column_id", "column_name")),
+            "column_id",
+            "left",
+        )
+        .join(
+            F.broadcast(named(types, "type_id", "type_name")), "type_id", "left"
+        )
+        .join(
+            F.broadcast(named(users, "owner_user_id", "owner_user_name")),
+            "owner_user_id",
+            "left",
+        )
+    )
+    if custom_field_names is not None and "custom_fields" in raw_cards.columns:
+        if custom_field_names:
+            name_map = F.create_map(
+                *[
+                    F.lit(x)
+                    for kv in custom_field_names.items()
+                    for x in kv
+                ]
+            )
+        else:
+            name_map = F.create_map().cast("map<int,string>")
+        enriched_cf = F.transform(
+            F.filter(
+                F.col("custom_fields"),
+                lambda cf: name_map[cf["field_id"]].isNotNull(),
+            ),
+            lambda cf: F.struct(
+                cf["field_id"].alias("field_id"),
+                name_map[cf["field_id"]].alias("field_name"),
+                cf["display_value"].alias("display_value"),
+            ),
+        )
+        out = out.withColumn("custom_fields", enriched_cf)
+    return out

@@ -461,3 +461,96 @@ def chunk_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rebuilt_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style LM perplexity scoring (unigram add-one LM trained on the
+# corpus itself) — the quality-bucketing stage of CCNet/RedPajama-v2
+# pipelines. Scores are average token surprisal under the corpus LM,
+# quantized to integer micro-nats per TOKEN TYPE before the per-doc
+# sum, so the aggregation is exact integer arithmetic and the only
+# floats are one ln() per vocabulary entry and one final division —
+# engine-portable (no float-sum ordering sensitivity).
+# --------------------------------------------------------------------------
+_PPL_HEAD = 3.3995   # bucket thresholds in nats (fixed literals so the
+_PPL_MIDDLE = 3.405  # plan needs no global quantile pass)
+
+
+@register(
+    "unigram_surprisal_scores",
+    doc="CCNet-style perplexity bucketing: train a unigram add-one LM "
+    "on the corpus (token counts + one scalar (N, V) aggregate), score "
+    "every document by average surprisal ln((N+V)/(c(w)+1)) in "
+    "micro-nat fixed point (integer sums — exact in any engine), and "
+    "bucket head/middle/tail on fixed thresholds. Plan: one explode, "
+    "one count shuffle, a 1-row stats broadcast, the token->surprisal "
+    "join (AQE broadcasts the vocab when small; shuffles when not), "
+    "one per-doc aggregate. The LM-scoring join is where a real KenLM "
+    "swap-in would sit.",
+    tags=("text", "quality", "lm", "join"),
+    oracle=f"""
+WITH tokens AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS c FROM tokens GROUP BY tok),
+stats AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM counts),
+surprisal AS (
+    SELECT tok,
+           CAST(ROUND(LN(CAST(n + v AS DOUBLE) / (c + 1)) * 1e6) AS BIGINT)
+               AS q
+    FROM counts CROSS JOIN stats
+),
+docscore AS (
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(s.q) AS BIGINT) AS qsum
+    FROM tokens t JOIN surprisal s ON s.tok = t.tok
+    GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(qsum AS DOUBLE) / n_tokens / 1e6 AS avg_surprisal_nats,
+       CASE WHEN CAST(qsum AS DOUBLE) / n_tokens / 1e6 < {_PPL_HEAD}
+                 THEN 'head'
+            WHEN CAST(qsum AS DOUBLE) / n_tokens / 1e6 < {_PPL_MIDDLE}
+                 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM docscore
+""",
+)
+def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    counts = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    surprisal = counts.join(F.broadcast(stats)).select(
+        "tok",
+        F.round(
+            F.log(
+                (F.col("n") + F.col("v")).cast("double") / (F.col("c") + 1)
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    scored = (
+        tokens.join(surprisal, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("q").alias("qsum"),
+        )
+    )
+    avg = F.col("qsum").cast("double") / F.col("n_tokens") / F.lit(1e6)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        avg.alias("avg_surprisal_nats"),
+        F.when(avg < _PPL_HEAD, "head")
+        .when(avg < _PPL_MIDDLE, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

@@ -289,3 +289,59 @@ def test_custom_fields_all_missing_yields_null(spark):
     states, _ = transform_cards(cards, trans, steps, events, maps, wits, ORG)
     # empty result -> undefined/null (ts:509)
     assert states.collect()[0]["custom_fields"] is None
+
+
+def test_enrich_raw_cards_entity_names(spark):
+    """Extract-side entity-name enrichment (mapRawCardsToCards,
+    extract_state_processor.ts:336-395): names resolve from the dims,
+    untyped cards keep a null type_name, and custom-field entries with
+    an unknown field_id are dropped."""
+    from falcon_metrics_etl_spark.operators.kanbanize import enrich_raw_cards
+
+    raw = spark.createDataFrame(
+        [
+            (1, 7, 40, 30, 5, 9),
+            (2, 7, 40, 30, None, None),  # untyped card, no owner
+        ],
+        "card_id int, board_id int, workflow_id int, column_id int, "
+        "type_id int, owner_user_id int",
+    ).withColumn(
+        "custom_fields",
+        F.array(
+            F.struct(
+                F.lit(101).alias("field_id"),
+                F.lit("High").alias("display_value"),
+            ),
+            F.struct(
+                F.lit(999).alias("field_id"),  # unknown -> dropped
+                F.lit("x").alias("display_value"),
+            ),
+        ),
+    )
+    dims = {
+        "boards": [(7, "Board 7")],
+        "workflows": [(40, "Main Flow")],
+        "columns": [(30, "Done")],
+        "types": [(5, "Story")],
+        "users": [(9, "alice")],
+    }
+    mk = lambda rows: spark.createDataFrame(rows, "id int, name string")
+    out = enrich_raw_cards(
+        raw,
+        mk(dims["boards"]),
+        mk(dims["workflows"]),
+        mk(dims["columns"]),
+        mk(dims["types"]),
+        mk(dims["users"]),
+        custom_field_names={101: "Severity"},
+    )
+    rows = {r["card_id"]: r for r in out.collect()}
+    assert rows[1]["board_name"] == "Board 7"
+    assert rows[1]["workflow_name"] == "Main Flow"
+    assert rows[1]["column_name"] == "Done"
+    assert rows[1]["type_name"] == "Story"
+    assert rows[1]["owner_user_name"] == "alice"
+    cf = rows[1]["custom_fields"]
+    assert len(cf) == 1 and cf[0]["field_name"] == "Severity"
+    assert rows[2]["type_name"] is None
+    assert rows[2]["owner_user_name"] is None
