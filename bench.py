@@ -72,6 +72,7 @@ HEADLINE = [
     "kanbanize_card_states",
     "sprint_bridge",
     "multimodal_png_pixel_stats",
+    "unigram_surprisal_scores",
 ]
 
 

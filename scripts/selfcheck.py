@@ -39,6 +39,8 @@ def norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if v == 0.0:
+            return "0.0"  # collapse -0.0 vs 0.0 (engines disagree)
         return repr(v)
     if isinstance(v, Decimal):
         return repr(float(v))
