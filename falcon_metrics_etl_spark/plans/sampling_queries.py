@@ -264,3 +264,106 @@ def domain_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("tokens_available"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled domain mixing (T5/PaLM alpha=0.5 rebalancing)
+# --------------------------------------------------------------------------
+TEMP_MIX_BUDGET = 40000
+
+
+@register(
+    "domain_temperature_mix",
+    doc="Temperature-scaled data mixing (the T5/multilingual alpha=0.5 "
+    "rule): each source's budget share is proportional to "
+    "sqrt(tokens_s) instead of tokens_s, up-weighting small domains "
+    "the way pretraining mixtures rebalance low-resource slices. "
+    "sqrt is IEEE-correctly-rounded in every engine and the share is "
+    "quantized to integer micro-units BEFORE the sum, so budgets are "
+    "exact integer arithmetic end to end; selection reuses the "
+    "deterministic hash-ordered greedy cumsum. One shuffle on source; "
+    "per-source stats are a broadcast scalar table.",
+    tags=("sampling", "mixing", "window", "training-data"),
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, source,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           {_DUCK_HASH} AS h
+    FROM documents
+),
+per_src AS (
+    SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tok_s
+    FROM d GROUP BY source
+),
+q AS (
+    SELECT source, tok_s,
+           CAST(ROUND(SQRT(CAST(tok_s AS DOUBLE)) * 1e6) AS BIGINT) AS qs
+    FROM per_src
+),
+sw AS (SELECT CAST(SUM(qs) AS BIGINT) AS sum_q FROM q),
+c AS (
+    SELECT d.doc_id, d.source, d.n_tokens,
+           ({TEMP_MIX_BUDGET} * q.qs) // sw.sum_q AS budget,
+           SUM(d.n_tokens) OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum
+    FROM d JOIN q ON q.source = d.source CROSS JOIN sw
+)
+SELECT source,
+       ANY_VALUE(budget) AS token_budget,
+       CAST(SUM(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_selected,
+       CAST(SUM(CASE WHEN cum <= budget THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_selected,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_available
+FROM c
+GROUP BY source
+""",
+)
+def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from falcon_metrics_etl_spark.functions.text import (
+        portable_hash60,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        portable_hash60(F.col("doc_id").cast("string")).alias("h"),
+    )
+    per_src = d.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("tok_s")
+    )
+    q = per_src.withColumn(
+        "qs",
+        F.round(F.sqrt(F.col("tok_s").cast("double")) * 1e6).cast("long"),
+    )
+    sum_q = q.agg(F.sum("qs").cast("long").alias("sum_q"))
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        d.join(F.broadcast(q.select("source", "qs")), "source")
+        .join(F.broadcast(sum_q))
+        .withColumn(
+            # integral `div` — exact long division matching DuckDB's //
+            "budget",
+            F.expr(f"({TEMP_MIX_BUDGET}L * qs) div sum_q"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(wcum))
+    )
+    sel = F.col("cum") <= F.col("budget")
+    return c.groupBy("source").agg(
+        F.any_value(F.col("budget")).alias("token_budget"),
+        F.sum(sel.cast("int")).cast("long").alias("n_selected"),
+        F.sum(F.when(sel, F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tokens_selected"),
+        F.sum("n_tokens").cast("long").alias("tokens_available"),
+    )
