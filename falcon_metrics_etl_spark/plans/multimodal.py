@@ -307,3 +307,50 @@ def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_payload_wav_square(docs)
     return MM.wav_sample_stats(media)
+
+
+@register(
+    "payload_inflate_roundtrip",
+    doc="F14 zlib payload inflation (inflateResponse, "
+    "extract_flomatika_insights_processor.ts:88-103): documents are "
+    "deflated + base64-encoded (the reference API's wire format), then "
+    "base64-decoded JVM-side (unbase64) and inflated by the "
+    "Arrow-batched zlib UDF; a corrupt payload (every 10th doc gets a "
+    "truncated stream) nulls out instead of failing the task. The "
+    "oracle knows the expected round-trip without inflating: ok iff "
+    "not corrupted, recovered length = original length.",
+    tags=("multimodal", "pandas-udf", "binary", "codec"),
+    oracle="""
+SELECT doc_id,
+       (doc_id % 10 <> 0) AS roundtrip_ok,
+       CASE WHEN doc_id % 10 <> 0 THEN strlen(text)::BIGINT END
+           AS inflated_chars
+FROM documents
+""",
+)
+def payload_inflate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.functions.compression import (
+        zlib_deflate,
+        zlib_inflate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wire = docs.select(
+        "doc_id",
+        F.base64(zlib_deflate(F.encode("text", "UTF-8"))).alias("b64"),
+    )
+    # corrupt every 10th payload: truncate the stream so inflate fails
+    corrupted = wire.withColumn(
+        "b64",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.substring("b64", 1, 8)
+        ).otherwise(F.col("b64")),
+    )
+    inflated = corrupted.select(
+        "doc_id", zlib_inflate(F.unbase64(F.col("b64"))).alias("raw")
+    )
+    return inflated.select(
+        "doc_id",
+        F.col("raw").isNotNull().alias("roundtrip_ok"),
+        F.length(F.decode("raw", "UTF-8")).cast("long").alias("inflated_chars"),
+    )

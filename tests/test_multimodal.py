@@ -235,3 +235,30 @@ def test_wav_decode_rejects_non_pcm():
     )
     with _pytest.raises(NotImplementedError):
         MM.decode_wav_samples(p)
+
+
+def test_zlib_inflate_roundtrip_and_corrupt_null(spark):
+    """F14: deflate -> base64 -> unbase64 -> inflate round-trips; a
+    truncated stream yields null, not a task failure (inflateResponse
+    swallows errors, extract_flomatika_insights_processor.ts:88-103)."""
+    from falcon_metrics_etl_spark.functions.compression import (
+        zlib_deflate,
+        zlib_inflate,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 1000)], "id int, text string"
+    )
+    wire = df.select(
+        "id", F.base64(zlib_deflate(F.encode("text", "UTF-8"))).alias("b64")
+    )
+    ok = wire.select(
+        "id", F.decode(zlib_inflate(F.unbase64("b64")), "UTF-8").alias("t")
+    ).collect()
+    assert {r["id"]: r["t"] for r in ok} == {1: "hello world", 2: "x" * 1000}
+    bad = wire.select(
+        "id",
+        zlib_inflate(F.unbase64(F.substring("b64", 1, 4))).alias("raw"),
+    ).collect()
+    assert all(r["raw"] is None for r in bad)
