@@ -114,3 +114,15 @@ def past_due(base: Column, period_minutes: Column, now: Column) -> Column:
         mins=period_minutes.cast("int")
     )
     return base.isNull() | period_minutes.isNull() | (due <= now)
+
+
+def sanitize_queue_name(*parts: Column, limit: int = 75) -> Column:
+    """F16 — queue-name sanitize (contexts_queuer.ts:66-78): join the
+    parts with '_', strip every character outside [a-zA-Z0-9_], and
+    truncate to the AWS-safe length (75 < the 80 limit). Case is
+    preserved (the reference's slugify call runs without the lower
+    option on an already-alphanumeric string)."""
+    joined = F.concat_ws("_", *parts)
+    return F.substring(
+        F.regexp_replace(joined, r"[^a-zA-Z0-9_]", ""), 1, limit
+    )

@@ -1253,3 +1253,36 @@ def demo_summary_quarters_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, ["event_type"], "year", "quarter", F.lit(_DEMO_ANCHOR).cast("date")
     )
     return out.select("event_type", "year", "quarter", "n")
+
+
+# --------------------------------------------------------------------------
+# F16 — queue-name sanitize
+# --------------------------------------------------------------------------
+@register(
+    "queue_name_sanitize",
+    doc="F16 queue-name sanitize (contexts_queuer.ts:66-78): "
+    "'prefix_org_datasource' stripped to [a-zA-Z0-9_] and truncated "
+    "to 75 chars — the per-(org,datasource) queue identity the "
+    "scheduler derives; pure scalar expression, zero shuffle beyond "
+    "the dedupe.",
+    tags=("expression", "scalar"),
+    oracle="""
+SELECT DISTINCT
+       substring(regexp_replace(
+           'falcon-contexts-extract' || '_' || n_name || '_ds-'
+               || CAST(n_nationkey AS VARCHAR),
+           '[^a-zA-Z0-9_]', '', 'g'), 1, 75) AS queue_name
+FROM nation
+""",
+)
+def queue_name_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.functions.scalar import sanitize_queue_name
+
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.select(
+        sanitize_queue_name(
+            F.lit("falcon-contexts-extract"),
+            F.col("n_name"),
+            F.concat(F.lit("ds-"), F.col("n_nationkey").cast("string")),
+        ).alias("queue_name")
+    ).dropDuplicates()
