@@ -52,6 +52,10 @@ CARTESIAN_OK = {
     "bm25_topk",
     # 1 x N broadcast of the single-row weight-sum scalar
     "domain_mix_token_budget",
+    # 1 x N broadcast of the single-row quantized-weight-sum scalar
+    "domain_temperature_mix",
+    # 1 x N broadcast of the single-row (N, V) corpus-stats scalar
+    "unigram_surprisal_scores",
     # non-equi (g < g) pairing of the per-group estimates — at most
     # |groups| rows on either side (5 event types), broadcast NLJ
     "kmv_set_ops_pairs",

@@ -58,6 +58,15 @@ DEFAULT_QUERIES = [
     "pagerank_purchase_graph",
     "referential_integrity_audit",
     "kmv_set_ops_pairs",
+    # round-4 operators
+    "kanbanize_card_states",
+    "sprint_bridge",
+    "unigram_surprisal_scores",
+    "domain_temperature_mix",
+    "multimodal_png_pixel_stats",
+    "multimodal_wav_sample_stats",
+    "payload_inflate_roundtrip",
+    "zorder_locality_stats",
 ]
 
 # key columns to offset per replica, per table (disjoint key spaces)
