@@ -345,3 +345,11 @@ def test_enrich_raw_cards_entity_names(spark):
     assert len(cf) == 1 and cf[0]["field_name"] == "Severity"
     assert rows[2]["type_name"] is None
     assert rows[2]["owner_user_name"] is None
+
+
+def test_compression_single_and_empty_histories(spark):
+    t = _transitions(spark, [(1, 0, 10, "Backlog", datetime(2024, 1, 1))])
+    out = compress_transitions(t).collect()
+    assert len(out) == 1 and out[0]["revision"] == 0
+    empty = compress_transitions(t.filter("card_id = 999"))
+    assert empty.count() == 0

@@ -262,3 +262,41 @@ def test_zlib_inflate_roundtrip_and_corrupt_null(spark):
         zlib_inflate(F.unbase64(F.substring("b64", 1, 4))).alias("raw"),
     ).collect()
     assert all(r["raw"] is None for r in bad)
+
+
+def test_png_pixel_decode_rejects_truncated_raster():
+    import pytest as _pytest
+    import struct as _struct
+    import zlib as _zlib
+
+    # valid header but IDAT holds one row too few
+    ihdr = _struct.pack(">IIBBBBB", 3, 4, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + b"\x01" * 3) * 3  # 3 rows for a 4-row image
+    payload = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", _zlib.compress(raw, 6))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="raster size"):
+        MM.decode_png_pixels(payload)
+
+
+def test_png_multiple_idat_chunks_concatenate():
+    import struct as _struct
+    import zlib as _zlib
+
+    # the spec allows IDAT split across chunks: decoders must concat
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = b"\x00\x05\x06" + b"\x00\x07\x08"
+    stream = _zlib.compress(raw, 6)
+    half = len(stream) // 2
+    payload = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", stream[:half])
+        + MM._png_chunk(b"IDAT", stream[half:])
+        + MM._png_chunk(b"IEND", b"")
+    )
+    w, h, px = MM.decode_png_pixels(payload)
+    assert (w, h, list(px)) == (2, 2, [5, 6, 7, 8])
