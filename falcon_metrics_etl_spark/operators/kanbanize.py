@@ -150,6 +150,10 @@ def transform_cards(
     )
 
     if auto_map:
+        # the augmented dim is deliberately NOT checkpointed/cached:
+        # its three consumers replicate a cheap dedupe subtree in the
+        # plan, which measures FASTER than re-materializing a lazy
+        # localCheckpoint on every fresh plan (3.3s vs 6.2s at sf0.1)
         workflow_steps = auto_map_unmapped_steps(history, workflow_steps)
     tagged = tag_zones(history, workflow_steps, workflow_events)
     event_dates = extract_event_dates_expr(tagged)
