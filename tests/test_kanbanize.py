@@ -353,3 +353,72 @@ def test_compression_single_and_empty_histories(spark):
     assert len(out) == 1 and out[0]["revision"] == 0
     empty = compress_transitions(t.filter("card_id = 999"))
     assert empty.count() == 0
+
+
+def test_kanbanize_incremental_recompute(spark, tmp_path):
+    """ST3 over the Kanbanize path: when a card changes, its WHOLE
+    compressed history re-derives event dates (the reference refetches
+    the full changelog every time); the second tick's late Done
+    transition flips the same card to departed via the keyed MERGE."""
+    from falcon_metrics_etl_spark.operators.kanbanize import (
+        compress_transitions,
+    )
+    from falcon_metrics_etl_spark.operators.event_dates import (
+        extract_event_dates_expr,
+        tag_zones,
+    )
+    from falcon_metrics_etl_spark.streaming.incremental import (
+        run_incremental_batch,
+    )
+
+    steps, events, _, _ = _dims(spark)
+    sink = str(tmp_path / "kb_states")
+    cursor = str(tmp_path / "kb_cursor")
+
+    def transform(histories):
+        comp = compress_transitions(histories, card_col="work_item_id")
+        hist = comp.select(
+            "work_item_id",
+            F.lit(WF_SLUG).alias("workflow_id"),
+            F.col("column_id").cast("string").alias("status_id"),
+            F.col("column_name").alias("status_name"),
+            F.col("start").alias("changed_date"),
+            "revision",
+        )
+        return extract_event_dates_expr(tag_zones(hist, steps, events))
+
+    def revs(rows):
+        return spark.createDataFrame(
+            rows,
+            "work_item_id string, idx int, column_id int, "
+            "column_name string, start timestamp, updated timestamp",
+        )
+
+    t1 = revs(
+        [
+            ("C1", 0, 10, "Backlog", datetime(2024, 1, 1), datetime(2024, 1, 1)),
+            ("C1", 1, 20, "Doing", datetime(2024, 1, 5), datetime(2024, 1, 5)),
+        ]
+    )
+    n = run_incremental_batch(
+        spark, t1, transform, sink, ["work_item_id"], cursor,
+        updated_col="updated",
+    )
+    assert n == 1
+    row = spark.read.parquet(sink).collect()[0]
+    assert row["commitment_date"] == datetime(2024, 1, 5)
+    assert row["departure_date"] is None
+
+    # tick 2: only the new transition is past the cursor, but the FULL
+    # history is recomputed (semi-join), so departure appears
+    t2 = t1.unionByName(
+        revs([("C1", 2, 30, "Done", datetime(2024, 2, 1), datetime(2024, 2, 1))])
+    )
+    n2 = run_incremental_batch(
+        spark, t2, transform, sink, ["work_item_id"], cursor,
+        updated_col="updated",
+    )
+    assert n2 == 1
+    row2 = spark.read.parquet(sink).collect()[0]
+    assert row2["departure_date"] == datetime(2024, 2, 1)
+    assert row2["commitment_date"] == datetime(2024, 1, 5)
