@@ -30,16 +30,28 @@ def zlib_deflate(data: pd.Series) -> pd.Series:
     return data.map(lambda b: zlib.compress(bytes(b), 6) if b is not None else None)
 
 
+# cap on inflated size per payload: a hostile/corrupt stream ("zip
+# bomb") must not take down an executor — oversized output is treated
+# exactly like a corrupt payload (null), never an OOM
+MAX_INFLATED_BYTES = 64 * 1024 * 1024
+
+
 @pandas_udf("binary")
 def zlib_inflate(data: pd.Series) -> pd.Series:
-    """F14 — inflate zlib payloads; undecodable bytes -> null
-    (inflateResponse swallows errors, ts:93-101)."""
+    """F14 — inflate zlib payloads; undecodable OR oversized bytes ->
+    null (inflateResponse swallows errors, ts:93-101; the size cap is
+    an engine-side hardening the single-payload reference never
+    needed)."""
 
     def one(b):
         if b is None:
             return None
         try:
-            return zlib.decompress(bytes(b))
+            d = zlib.decompressobj()
+            out = d.decompress(bytes(b), MAX_INFLATED_BYTES)
+            if d.unconsumed_tail or not d.eof:
+                return None  # truncated input or output over the cap
+            return out
         except zlib.error:
             return None
 

@@ -300,3 +300,29 @@ def test_png_multiple_idat_chunks_concatenate():
     )
     w, h, px = MM.decode_png_pixels(payload)
     assert (w, h, list(px)) == (2, 2, [5, 6, 7, 8])
+
+
+def test_zlib_inflate_caps_zip_bombs(spark):
+    """An input inflating past MAX_INFLATED_BYTES (64 MiB) nulls out
+    like any corrupt payload instead of OOMing the executor. The bomb
+    is ~65 KB compressed but would inflate to 65 MiB."""
+    import zlib as _zlib
+
+    from pyspark.sql import functions as F
+
+    from falcon_metrics_etl_spark.functions import compression as C
+
+    bomb = _zlib.compress(b"\x00" * (65 * 1024 * 1024), 9)
+    small = _zlib.compress(b"ok", 9)
+    df = spark.createDataFrame(
+        [(1, bytearray(bomb)), (2, bytearray(small))],
+        "id int, raw binary",
+    )
+    got = {
+        r["id"]: r["out"]
+        for r in df.select(
+            "id", C.zlib_inflate(F.col("raw")).alias("out")
+        ).collect()
+    }
+    assert got[1] is None
+    assert bytes(got[2]) == b"ok"
