@@ -150,11 +150,28 @@ def transform_cards(
     )
 
     if auto_map:
-        # the augmented dim is deliberately NOT checkpointed/cached:
-        # its three consumers replicate a cheap dedupe subtree in the
-        # plan, which measures FASTER than re-materializing a lazy
-        # localCheckpoint on every fresh plan (3.3s vs 6.2s at sf0.1)
-        workflow_steps = auto_map_unmapped_steps(history, workflow_steps)
+        # unmapped-step detection matches the reference's
+        # getUnmappedWorkflowSteps input (ts:416-427): the card's
+        # CURRENT column plus its transitions. The transition side is
+        # taken BEFORE compression — compression only drops consecutive
+        # duplicates, so the distinct (workflow, column) set is
+        # identical and the dedupe subtree skips the window. The
+        # augmented dim is deliberately not checkpointed: its three
+        # consumers replicate a cheap partial-aggregated dedupe, which
+        # measures faster than re-materializing a lazy localCheckpoint
+        # on every fresh plan.
+        seen_src = live.select(
+            "workflow_id",
+            F.col("column_id").cast("string").alias("status_id"),
+            F.col("column_name").alias("status_name"),
+        ).unionByName(
+            cfg.select(
+                "workflow_id",
+                F.col("column_id").cast("string").alias("status_id"),
+                F.col("column_name").alias("status_name"),
+            )
+        )
+        workflow_steps = auto_map_unmapped_steps(seen_src, workflow_steps)
     tagged = tag_zones(history, workflow_steps, workflow_events)
     event_dates = extract_event_dates_expr(tagged)
     points = effective_point_orders(workflow_steps, workflow_events)

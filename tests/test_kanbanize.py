@@ -184,17 +184,27 @@ def test_full_card_transform_states(spark):
 
 def test_current_step_match_requires_id_and_name(spark):
     steps, events, maps, wits = _dims(spark)
-    # current column id 30 exists but the name doesn't match the step
+    # current column id 30 exists but the name doesn't match the step:
+    # NOT a step match (IsSameWorkflowStepKey needs BOTH id and name,
+    # ts:120-149) — but getUnmappedWorkflowSteps includes the card's
+    # CURRENT column (ts:416-427), so it auto-maps to order 9999 /
+    # queue and identifyWorkflowStep then finds the auto-mapped step
     cards = _card(spark, column_id=30, column_name="Finished")
     trans = _transitions(
         spark, [(1, 0, 10, "Backlog", datetime(2024, 1, 1))]
     )
     states, _ = transform_cards(cards, trans, steps, events, maps, wits, ORG)
     row = states.collect()[0]
-    # IsSameWorkflowStepKey needs BOTH id and name (ts:120-149); the
-    # engine surfaces a null step instead of the reference's throw
-    assert row["state_order"] is None
-    assert row["state_type"] is None
+    assert row["state_order"] == "9999"
+    assert row["state_type"] == "queue"
+    # with auto-mapping off the engine surfaces a null step instead of
+    # the reference's throw
+    states2, _ = transform_cards(
+        cards, trans, steps, events, maps, wits, ORG, auto_map=False
+    )
+    row2 = states2.collect()[0]
+    assert row2["state_order"] is None
+    assert row2["state_type"] is None
 
 
 def test_unmapped_transition_step_automaps_to_queue(spark):
