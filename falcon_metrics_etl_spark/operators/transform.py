@@ -152,7 +152,18 @@ def transform_work_items(
     # columns — mapping from the raw stream would leave revision 0
     # unmapped and invisible to event-date extraction
     if auto_map:
-        workflow_steps = auto_map_unmapped_steps(full_revisions, workflow_steps)
+        # unmapped detection covers the item's CURRENT status as well
+        # as its revisions (getUnmappedWorkflowSteps is called with
+        # jcItem.fields.status + revisions, revision_processor.ts:
+        # 250-257, unmapped_workflow_step.ts:141-170) — in consistent
+        # data the last revision's to-status equals the current status,
+        # but stale config or missing changelog entries must still map
+        seen_src = full_revisions.select(
+            "workflow_id", "status_id", "status_name"
+        ).unionByName(
+            work_items.select("workflow_id", "status_id", "status_name")
+        )
+        workflow_steps = auto_map_unmapped_steps(seen_src, workflow_steps)
     tagged = tag_zones(full_revisions, workflow_steps, workflow_events)
 
     extractor = (

@@ -576,3 +576,45 @@ def test_field_maps_last_match_wins_and_source_is_original(spark):
     row2 = apply_field_maps(df2, maps2).collect()[0]
     assert row2["a"] == "x"
     assert row2["out"] == "v1"  # original a, not map 1's write
+
+
+def test_automap_covers_current_status_absent_from_revisions(spark):
+    """getUnmappedWorkflowSteps receives the item's CURRENT status in
+    addition to its revisions (revision_processor.ts:250-257): an item
+    whose current status never appears in the changelog still resolves
+    a current step via the order-9999 auto-mapping."""
+    work_items = spark.createDataFrame(
+        [("org1", "ds1", "C", "wf1", "s9", "ghost step", d(1), d(5))],
+        "org_id string, datasource_id string, work_item_id string, "
+        "workflow_id string, status_id string, status_name string, "
+        "created_date timestamp, updated_date timestamp",
+    )
+    revisions = spark.createDataFrame(
+        [
+            ("org1", "ds1", "C", "wf1", 1, d(2), "state_change",
+             "s1", "arrival step", "s0", "backlog step",
+             None, None, None, None),
+        ],
+        "org_id string, datasource_id string, work_item_id string, "
+        "workflow_id string, revision int, changed_date timestamp, type string, "
+        "status_id string, status_name string, from_status_id string, "
+        "from_status_name string, assignee string, blocked_reason string, "
+        "discarded_reason string, flagged boolean",
+    )
+    steps = spark.createDataFrame(
+        [
+            ("wf1", "s0", "backlog step", 0, "queue", "proposed", True),
+            ("wf1", "s1", "arrival step", 1, "active", "proposed", True),
+        ],
+        "workflow_id string, step_id string, step_name string, step_order int, "
+        "state_type string, state_category string, active boolean",
+    )
+    events = spark.createDataFrame(
+        [("wf1", 1, 2, 2)],
+        "workflow_id string, arrival_point_order int, "
+        "commitment_point_order int, departure_point_order int",
+    )
+    states, _ = transform_work_items(work_items, revisions, steps, events)
+    row = states.collect()[0]
+    assert row["step_order"] == 9999
+    assert row["current_state_type"] == "queue"
