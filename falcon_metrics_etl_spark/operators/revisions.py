@@ -346,3 +346,106 @@ def densify_fillers_exact(
         .unionByName(fillers)
         .drop("fillers")
     )
+
+
+def parse_changelog(
+    items: DataFrame,
+    blocked_reason_field_id: str | None = None,
+    discarded_reason_field_id: str | None = None,
+    item_col: str = "work_item_id",
+) -> DataFrame:
+    """Raw Jira changelog -> typed revision rows (getRevisions,
+    revision_processor.ts:335-448) — the bronze->silver entrance.
+
+    ``items`` carries ``item_col`` plus a ``changelog`` column:
+    array<struct<id, created, items: array<struct<field, fieldId,
+    from, fromString, to, toString>>>> — the open-world bronze shape
+    (SURVEY section 1.2). Two emission rules, re-expressed as explode +
+    when()/otherwise() tagging (pure Catalyst, no Python):
+
+    - an 'unflag' (field='Flagged' with EMPTY to/toString) emits a
+      FLAGGED row with flagged=false and statusId/Name 'flagged'
+      (ts:357-379);
+    - an entry with non-empty to/toString emits its typed row when the
+      field is status / assignee / Flagged or the fieldId matches the
+      org's configured blocked/discarded reason fields (ts:380-438);
+      the status branch wins when several match (the reference's
+      if/else chain order).
+
+    revision = the history id (Jira's monotone numeric changelog id,
+    kept numeric for the per-item ordering windows); changedDate =
+    history.created in UTC (session zone).
+    """
+    h = (
+        items.select(item_col, F.explode("changelog").alias("h"))
+        .select(
+            item_col,
+            F.col("h.id").cast("long").alias("revision"),
+            F.to_timestamp(F.col("h.created")).alias("changed_date"),
+            F.explode("h.items").alias("it"),
+        )
+    )
+    it = F.col("it")
+    empty = lambda c: c.isNull() | (c == "")  # noqa: E731 — JS falsy
+    nonempty = lambda c: c.isNotNull() & (c != "")  # noqa: E731
+
+    unflag = h.filter(
+        (it.getField("field") == "Flagged")
+        & empty(it.getField("to"))
+        & empty(it.getField("toString"))
+    ).select(
+        item_col,
+        "revision",
+        "changed_date",
+        F.lit(FLAGGED).alias("type"),
+        F.lit("flagged").alias("status_id"),
+        F.lit("flagged").alias("status_name"),
+        it.getField("from").alias("from_status_id"),
+        it.getField("fromString").alias("from_status_name"),
+        F.lit(None).cast("string").alias("assignee"),
+        F.lit(None).cast("string").alias("blocked_reason"),
+        F.lit(None).cast("string").alias("discarded_reason"),
+        F.lit(False).alias("flagged"),
+    )
+
+    field = it.getField("field")
+    field_id = it.getField("fieldId")
+    to_s = it.getField("toString")
+    rev_type = (
+        F.when(field == "status", F.lit(STATE_CHANGE))
+        .when(field == "Flagged", F.lit(FLAGGED))
+        .when(field == "assignee", F.lit(ASSIGNEE_CHANGE))
+    )
+    if blocked_reason_field_id:
+        rev_type = rev_type.when(
+            field_id == blocked_reason_field_id, F.lit(BLOCKED_REASON)
+        )
+    if discarded_reason_field_id:
+        rev_type = rev_type.when(
+            field_id == discarded_reason_field_id, F.lit(DISCARDED_REASON)
+        )
+
+    typed = (
+        h.filter(nonempty(it.getField("to")) & nonempty(to_s))
+        .withColumn("type", rev_type)
+        .filter(F.col("type").isNotNull())
+        .select(
+            item_col,
+            "revision",
+            "changed_date",
+            "type",
+            it.getField("to").alias("status_id"),
+            to_s.alias("status_name"),
+            it.getField("from").alias("from_status_id"),
+            it.getField("fromString").alias("from_status_name"),
+            F.when(F.col("type") == ASSIGNEE_CHANGE, to_s).alias("assignee"),
+            F.when(F.col("type") == BLOCKED_REASON, to_s).alias(
+                "blocked_reason"
+            ),
+            F.when(F.col("type") == DISCARDED_REASON, to_s).alias(
+                "discarded_reason"
+            ),
+            (F.col("type") == FLAGGED).alias("flagged"),
+        )
+    )
+    return unflag.unionByName(typed)

@@ -1286,3 +1286,111 @@ def queue_name_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("ds-"), F.col("n_nationkey").cast("string")),
         ).alias("queue_name")
     ).dropDuplicates()
+
+
+# --------------------------------------------------------------------------
+# getRevisions — raw changelog -> typed revisions
+# --------------------------------------------------------------------------
+@register(
+    "changelog_parse",
+    doc="getRevisions (revision_processor.ts:335-448) end to end: a "
+    "nested Jira changelog (histories[].items[]) is assembled per "
+    "work item in-plan, then parsed back by "
+    "operators/revisions.py::parse_changelog — explode + "
+    "when()/otherwise() type tagging, unflag rows (empty to/toString) "
+    "emitting flagged=false with statusId 'flagged'. N/A/R line items "
+    "play status/assignee/flag entries; every 5th supplier's R rows "
+    "are unflags. Pure Catalyst; one explode chain, no shuffle.",
+    tags=("workflow", "explode", "json"),
+    oracle="""
+SELECT CAST(l_orderkey AS VARCHAR) AS work_item_id,
+       CAST(l_linenumber * 4
+            + CASE l_returnflag WHEN 'N' THEN 1 WHEN 'A' THEN 2 ELSE 3 END
+            AS BIGINT) AS revision,
+       CAST(l_shipdate AS TIMESTAMP) AS changed_date,
+       CASE l_returnflag
+            WHEN 'N' THEN 'state_change'
+            WHEN 'A' THEN 'assignee_change'
+            ELSE 'flagged' END AS type,
+       CASE l_returnflag
+            WHEN 'N' THEN CAST(l_partkey AS VARCHAR)
+            WHEN 'A' THEN 'u' || CAST(l_suppkey AS VARCHAR)
+            ELSE CASE WHEN l_suppkey % 5 = 0 THEN 'flagged'
+                      ELSE '10019' END END AS status_id,
+       CASE l_returnflag
+            WHEN 'N' THEN 'S' || CAST(l_partkey AS VARCHAR)
+            WHEN 'A' THEN 'User ' || CAST(l_suppkey AS VARCHAR)
+            ELSE CASE WHEN l_suppkey % 5 = 0 THEN 'flagged'
+                      ELSE 'Impediment' END END AS status_name,
+       CASE WHEN l_returnflag = 'A'
+            THEN 'User ' || CAST(l_suppkey AS VARCHAR) END AS assignee,
+       CASE WHEN l_returnflag = 'R' AND l_suppkey % 5 <> 0 THEN TRUE
+            ELSE FALSE END AS flagged
+FROM lineitem
+""",
+)
+def changelog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.revisions import parse_changelog
+
+    li = load_table(spark, sf_dir, "lineitem")
+    zone = (
+        F.when(F.col("l_returnflag") == "N", 1)
+        .when(F.col("l_returnflag") == "A", 2)
+        .otherwise(3)
+    )
+    unflag = (F.col("l_returnflag") == "R") & (F.col("l_suppkey") % 5 == 0)
+    entry = F.struct(
+        F.when(F.col("l_returnflag") == "N", F.lit("status"))
+        .when(F.col("l_returnflag") == "A", F.lit("assignee"))
+        .otherwise(F.lit("Flagged"))
+        .alias("field"),
+        F.lit("f").alias("fieldId"),
+        F.lit(None).cast("string").alias("from"),
+        F.lit(None).cast("string").alias("fromString"),
+        F.when(unflag, F.lit(""))
+        .when(F.col("l_returnflag") == "N", F.col("l_partkey").cast("string"))
+        .when(
+            F.col("l_returnflag") == "A",
+            F.concat(F.lit("u"), F.col("l_suppkey").cast("string")),
+        )
+        .otherwise(F.lit("10019"))
+        .alias("to"),
+        F.when(unflag, F.lit(""))
+        .when(
+            F.col("l_returnflag") == "N",
+            F.concat(F.lit("S"), F.col("l_partkey").cast("string")),
+        )
+        .when(
+            F.col("l_returnflag") == "A",
+            F.concat(F.lit("User "), F.col("l_suppkey").cast("string")),
+        )
+        .otherwise(F.lit("Impediment"))
+        .alias("toString"),
+    )
+    history = F.struct(
+        (F.col("l_linenumber") * 4 + zone).cast("string").alias("id"),
+        F.date_format(
+            F.col("l_shipdate").cast("timestamp"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("created"),
+        F.array(entry).alias("items"),
+    )
+    bronze = (
+        li.withColumn("h", history)
+        .groupBy("l_orderkey")
+        .agg(F.collect_list("h").alias("changelog"))
+        .select(
+            F.col("l_orderkey").cast("string").alias("work_item_id"),
+            "changelog",
+        )
+    )
+    parsed = parse_changelog(bronze)
+    return parsed.select(
+        "work_item_id",
+        "revision",
+        "changed_date",
+        "type",
+        "status_id",
+        "status_name",
+        "assignee",
+        "flagged",
+    )

@@ -618,3 +618,80 @@ def test_automap_covers_current_status_absent_from_revisions(spark):
     row = states.collect()[0]
     assert row["step_order"] == 9999
     assert row["current_state_type"] == "queue"
+
+
+# ------------------------------------------------- getRevisions (changelog)
+
+CHANGELOG_SCHEMA = (
+    "work_item_id string, changelog array<struct<id:string, created:string, "
+    "items:array<struct<field:string, fieldId:string, from:string, "
+    "fromString:string, to:string, toString:string>>>>"
+)
+
+
+def test_parse_changelog_tags_revision_types(spark):
+    """getRevisions (revision_processor.ts:335-448): status/assignee/
+    Flagged/configured blocked+discarded entries emit typed rows;
+    empty to/toString entries are dropped except the Flagged unflag,
+    which emits flagged=false with statusId/Name 'flagged'."""
+    from falcon_metrics_etl_spark.operators.revisions import parse_changelog
+
+    hist = [
+        ("101", "2024-01-01T10:00:00.000+0000", [
+            ("status", "status", "1", "To Do", "2", "Doing"),
+        ]),
+        ("102", "2024-01-02T10:00:00.000+0000", [
+            ("assignee", "assignee", None, None, "u1", "Alice"),
+            ("Flagged", "customfield_10021", "", "", "10019", "Impediment"),
+        ]),
+        ("103", "2024-01-03T10:00:00.000+0000", [
+            ("Flagged", "customfield_10021", "10019", "Impediment", "", ""),
+            ("Rank", "customfield_10019", None, None, "0|i0077r:", ""),
+            ("Blocked Why", "customfield_77", None, None, "b1", "waiting"),
+            ("Discard", "customfield_88", None, None, "d1", "dupe"),
+        ]),
+    ]
+    df = spark.createDataFrame([("A", hist)], CHANGELOG_SCHEMA)
+    out = parse_changelog(
+        df,
+        blocked_reason_field_id="customfield_77",
+        discarded_reason_field_id="customfield_88",
+    ).collect()
+    by = sorted(
+        ((r["revision"], r["type"]) for r in out), key=lambda x: (x[0], x[1])
+    )
+    assert by == [
+        (101, "state_change"),
+        (102, "assignee_change"),
+        (102, "flagged"),
+        (103, "blocked_reason"),
+        (103, "discarded_reason"),
+        (103, "flagged"),
+    ]
+    rows = {(r["revision"], r["type"]): r for r in out}
+    st = rows[(101, "state_change")]
+    assert (st["status_id"], st["status_name"]) == ("2", "Doing")
+    assert (st["from_status_id"], st["from_status_name"]) == ("1", "To Do")
+    assert rows[(102, "assignee_change")]["assignee"] == "Alice"
+    assert rows[(102, "flagged")]["flagged"] is True
+    unflag = rows[(103, "flagged")]
+    assert unflag["flagged"] is False
+    assert unflag["status_id"] == "flagged"  # ts:366-368
+    assert rows[(103, "blocked_reason")]["blocked_reason"] == "waiting"
+    assert rows[(103, "discarded_reason")]["discarded_reason"] == "dupe"
+    # the Rank item (empty toString) emitted nothing
+    assert not any(r["status_name"] == "" for r in out)
+
+
+def test_parse_changelog_unconfigured_reason_fields_ignored(spark):
+    from falcon_metrics_etl_spark.operators.revisions import parse_changelog
+
+    hist = [
+        ("7", "2024-01-01T00:00:00.000+0000", [
+            ("Blocked Why", "customfield_77", None, None, "b1", "waiting"),
+        ]),
+    ]
+    df = spark.createDataFrame([("A", hist)], CHANGELOG_SCHEMA)
+    # without the org's configured field ids the entry is not a
+    # revision at all (ts:386-389 gates on the configured ids)
+    assert parse_changelog(df).count() == 0
