@@ -20,7 +20,7 @@ expressions:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from falcon_metrics_etl_spark.operators.event_dates import (
