@@ -33,12 +33,7 @@ WIP_AS_OF_DATE = "1998-06-01"  # mid-range of o_orderdate (1995..2001)
 # --------------------------------------------------------------------------
 # A1 — cumulative flow diagram (flagship)
 # --------------------------------------------------------------------------
-@register(
-    "cfd",
-    doc="A1 CFD: completed branch cumulative count per (state, day) union "
-    "in-progress plain count; reference aurora/ddl/calculate_cfd.sql:18-70",
-    tags=("aggregate", "window", "union"),
-    oracle="""
+_CFD_ORACLE = """
 WITH completed_daily AS (
     SELECT l_returnflag AS state,
            CAST(l_shipdate AS DATE) AS snapshot_date,
@@ -67,7 +62,15 @@ inprogress AS (
 SELECT * FROM completed
 UNION ALL
 SELECT * FROM inprogress
-""",
+"""
+
+
+@register(
+    "cfd",
+    doc="A1 CFD: completed branch cumulative count per (state, day) union "
+    "in-progress plain count; reference aurora/ddl/calculate_cfd.sql:18-70",
+    tags=("aggregate", "window", "union"),
+    oracle=_CFD_ORACLE,
 )
 def cfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -561,4 +564,52 @@ def order_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
             F.count(F.lit(1)).alias("n_orders"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# A1 incremental — gold CFD maintenance (IVM)
+# --------------------------------------------------------------------------
+CFD_CUTOFF = "1998-01-01"
+
+
+@register(
+    "cfd_incremental_update",
+    doc="Incremental CFD maintenance (operators/cfd.py::maintain_cfd): "
+    f"the gold CFD exists up to {CFD_CUTOFF}; the later period arrives "
+    "as a delta and folds in WITHOUT touching raw history — per-state "
+    "cumulative offsets come from the gold table itself (max of a "
+    "nondecreasing cum) and the only window runs over the delta's "
+    "(state, day) aggregate. Output equals the full recompute, so the "
+    "oracle IS the plain CFD. Out-of-window late data takes the ST3 "
+    "recompute path instead.",
+    tags=("aggregate", "window", "incremental", "scale"),
+    oracle=_CFD_ORACLE,
+)
+def cfd_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.cfd import maintain_cfd
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    snaps = lineitem.select(
+        F.col("l_returnflag").alias("state"),
+        F.col("l_shipdate").alias("snapshot_date"),
+        F.col("l_linestatus").alias("state_category"),
+    )
+    cutoff = F.lit(CFD_CUTOFF).cast("date")
+    base = snaps.filter(F.to_date("snapshot_date") < cutoff)
+    delta = snaps.filter(F.to_date("snapshot_date") >= cutoff)
+    gold = cumulative_flow(
+        base,
+        completed_value="F",
+        inprogress_value="O",
+        completed_label="completed",
+        inprogress_label="inprogress",
+    )
+    return maintain_cfd(
+        gold,
+        delta,
+        completed_value="F",
+        inprogress_value="O",
+        completed_label="completed",
+        inprogress_label="inprogress",
     )

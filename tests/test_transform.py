@@ -695,3 +695,37 @@ def test_parse_changelog_unconfigured_reason_fields_ignored(spark):
     # without the org's configured field ids the entry is not a
     # revision at all (ts:386-389 gates on the configured ids)
     assert parse_changelog(df).count() == 0
+
+
+def test_maintain_cfd_matches_full_recompute(spark):
+    """IVM: folding a new-period delta into the gold CFD equals the
+    full recompute — including a state that first appears in the
+    delta (null offset -> 0)."""
+    from falcon_metrics_etl_spark.operators.cfd import (
+        cumulative_flow,
+        maintain_cfd,
+    )
+
+    schema = "state string, snapshot_date date, state_category string"
+    base_rows = [
+        ("A", datetime(2024, 1, 1).date(), "completed"),
+        ("A", datetime(2024, 1, 1).date(), "completed"),
+        ("A", datetime(2024, 1, 3).date(), "completed"),
+        ("A", datetime(2024, 1, 2).date(), "inprogress"),
+    ]
+    delta_rows = [
+        ("A", datetime(2024, 2, 1).date(), "completed"),
+        ("A", datetime(2024, 2, 2).date(), "completed"),
+        ("B", datetime(2024, 2, 1).date(), "completed"),  # new state
+        ("B", datetime(2024, 2, 1).date(), "inprogress"),
+    ]
+    base = spark.createDataFrame(base_rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+    full = cumulative_flow(base.unionByName(delta))
+    incr = maintain_cfd(cumulative_flow(base), delta)
+    key = lambda r: (r["state"], r["snapshot_date"], r["state_category"])
+    got = {key(r): r["item_count"] for r in incr.collect()}
+    want = {key(r): r["item_count"] for r in full.collect()}
+    assert got == want
+    assert got[("A", datetime(2024, 2, 2).date(), "completed")] == 5
+    assert got[("B", datetime(2024, 2, 1).date(), "completed")] == 1
