@@ -73,6 +73,7 @@ HEADLINE = [
     "sprint_bridge",
     "multimodal_png_pixel_stats",
     "unigram_surprisal_scores",
+    "cfd_incremental_update",
 ]
 
 
