@@ -456,3 +456,83 @@ def knn_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= KNN_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+@register(
+    "dedup_keep_best",
+    doc="The final dedup decision: per near-dup cluster keep the BEST "
+    "document (longest text, ties to the lowest id — the keep-longest "
+    "rule real pipelines apply) and report what pruning drops. "
+    "Composition: embedding near-dup pairs -> connected components "
+    "(min-label propagation) -> broadcast-join document stats -> one "
+    "row_number window per cluster. The components' O(diameter) "
+    "rounds and the cluster-keyed window are the only iteration/"
+    "shuffle; everything else is a dim join.",
+    tags=("dedup", "iterative", "window", "training-data"),
+    oracle=f"""
+WITH RECURSIVE iv AS (
+    SELECT vec_id, {_DUCK_QUANT} AS q FROM embeddings
+),
+n AS (
+    SELECT vec_id, q, list_dot_product(q, q) AS nsq FROM iv
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.q, b.q) / sqrt(a.nsq) / sqrt(b.nsq)
+          >= {NEAR_DUP_COSINE}
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+ranked AS (
+    SELECT c.cluster_id, c.node, d.n_chars,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY d.n_chars DESC, c.node) AS rk
+    FROM comp c JOIN documents d ON d.doc_id = c.node
+)
+SELECT cluster_id,
+       MAX(CASE WHEN rk = 1 THEN node END) AS kept_doc,
+       MAX(CASE WHEN rk = 1 THEN n_chars END) AS kept_chars,
+       CAST(COUNT(*) AS INT) AS n_members,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS pruned_chars
+FROM ranked
+GROUP BY cluster_id
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.components import duplicate_clusters
+
+    pairs = embedding_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = duplicate_clusters(pairs).select("node", "cluster_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), "n_chars"
+    )
+    ranked = comp.join(F.broadcast(docs), "node").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("n_chars").desc(), "node"
+            )
+        ),
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("node"))).alias("kept_doc"),
+        F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias("kept_chars"),
+        F.count(F.lit(1)).cast("int").alias("n_members"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.when(F.col("rk") > 1, F.col("n_chars")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("pruned_chars"),
+    )
