@@ -934,7 +934,18 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket(F.col("o_custkey"), "lo_c", "hi_c").alias("bx"),
         bucket(F.col("dayk"), "lo_d", "hi_d").alias("by"),
     )
-    z = b.withColumn("zval", morton_interleave(F.col("bx"), F.col("by")))
+    # Lineage discipline (same pattern as plans/graph.py:53): the
+    # (scan -> bounds join -> Morton) subtree feeds the row-count agg,
+    # both two-phase rank passes (each of which reads it twice: bucket
+    # counts + final join) and, transitively, both span branches —
+    # without truncation Catalyst recomputes it per reference (audited
+    # r4: 44 scans / 48 shuffles for this one diagnostic). LAZY local
+    # checkpoints (eager=False — no job at definition time, so the
+    # registry's no-action contract holds) pin each shared frame to be
+    # computed once.
+    z = b.withColumn(
+        "zval", morton_interleave(F.col("bx"), F.col("by"))
+    ).localCheckpoint(eager=False)
 
     # Two-phase deterministic NTILE — never a single-partition data
     # window: (1) bucket rows by a monotone prefix of the sort key,
@@ -986,7 +997,7 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("zval"), 22),
         ["zval", "o_orderkey"],
         "_zr",
-    )
+    ).localCheckpoint(eager=False)
     ranked = two_phase_rank(
         ranked, F.shiftright(F.col("bx"), 6), ["bx", "o_orderkey"], "_lr"
     )
@@ -995,7 +1006,7 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "by",
         ntile_of("_zr").alias("zfile"),
         ntile_of("_lr").alias("lfile"),
-    )
+    ).localCheckpoint(eager=False)
 
     def spans(file_col, scheme):
         return (
