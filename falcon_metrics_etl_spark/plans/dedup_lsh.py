@@ -94,17 +94,10 @@ _CW_PARAMS = [
 ]
 
 
-@register(
-    "dedup_minhash_lsh",
-    doc=f"MinHash({NUM_HASHES})+LSH({LSH_BANDS}x{LSH_ROWS}) near-dup pairs "
-    f"over {SHINGLE_N}-word shingles, exact-Jaccard verified at "
-    f">= {MINHASH_JACCARD_T}. Candidate generation is a band-key bucket "
-    "join (no cross product); verification joins only candidates. "
-    "Parity of the full banding algorithm, not just the output "
-    "threshold — the oracle reproduces band collisions bit-for-bit.",
-    tags=("text", "dedup", "lsh", "minhash"),
-    oracle=f"""
-WITH toks AS ({_DUCK_SHINGLES}),
+# The complete DuckDB pair-generation chain, factored so downstream
+# consumers (dedup_keep_best_lsh) can reuse the exact same candidate
+# semantics: ends with an ``lsh_pairs`` CTE of (id_a, id_b, jaccard).
+DUCK_LSH_PAIR_CTES = f"""toks AS ({_DUCK_SHINGLES}),
 sh AS (SELECT doc_id, unnest(shs) AS sh FROM toks),
 hx AS (
     SELECT doc_id, ({_duck_h60("sh")} % {_CW_MOD}) AS h30 FROM sh
@@ -133,13 +126,29 @@ shared AS (
     JOIN sh sa ON sa.doc_id = c.id_a
     JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
     GROUP BY c.id_a, c.id_b
-)
-SELECT s.id_a, s.id_b,
-       ROUND(CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared), 6) AS jaccard
-FROM shared s
-JOIN sizes na ON na.doc_id = s.id_a
-JOIN sizes nb ON nb.doc_id = s.id_b
-WHERE CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared) >= {MINHASH_JACCARD_T}
+),
+lsh_pairs AS (
+    SELECT s.id_a, s.id_b,
+           ROUND(CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared), 6) AS jaccard
+    FROM shared s
+    JOIN sizes na ON na.doc_id = s.id_a
+    JOIN sizes nb ON nb.doc_id = s.id_b
+    WHERE CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared) >= {MINHASH_JACCARD_T}
+)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    doc=f"MinHash({NUM_HASHES})+LSH({LSH_BANDS}x{LSH_ROWS}) near-dup pairs "
+    f"over {SHINGLE_N}-word shingles, exact-Jaccard verified at "
+    f">= {MINHASH_JACCARD_T}. Candidate generation is a band-key bucket "
+    "join (no cross product); verification joins only candidates. "
+    "Parity of the full banding algorithm, not just the output "
+    "threshold — the oracle reproduces band collisions bit-for-bit.",
+    tags=("text", "dedup", "lsh", "minhash"),
+    oracle=f"""
+WITH {DUCK_LSH_PAIR_CTES}
+SELECT id_a, id_b, jaccard FROM lsh_pairs
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from falcon_metrics_etl_spark.functions import text as TX
 from falcon_metrics_etl_spark.functions import vectors as VX
+from falcon_metrics_etl_spark.plans.dedup_lsh import DUCK_LSH_PAIR_CTES
 from falcon_metrics_etl_spark.plans.registry import register
 from falcon_metrics_etl_spark.sources import load_table
 
@@ -458,30 +459,10 @@ def knn_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_keep_best",
-    doc="The final dedup decision: per near-dup cluster keep the BEST "
-    "document (longest text, ties to the lowest id — the keep-longest "
-    "rule real pipelines apply) and report what pruning drops. "
-    "Composition: embedding near-dup pairs -> connected components "
-    "(min-label propagation) -> broadcast-join document stats -> one "
-    "row_number window per cluster. The components' O(diameter) "
-    "rounds and the cluster-keyed window are the only iteration/"
-    "shuffle; everything else is a dim join.",
-    tags=("dedup", "iterative", "window", "training-data"),
-    oracle=f"""
-WITH RECURSIVE iv AS (
-    SELECT vec_id, {_DUCK_QUANT} AS q FROM embeddings
-),
-n AS (
-    SELECT vec_id, q, list_dot_product(q, q) AS nsq FROM iv
-),
-pairs AS (
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.q, b.q) / sqrt(a.nsq) / sqrt(b.nsq)
-          >= {NEAR_DUP_COSINE}
-),
+# Shared DuckDB tail of the keep-best selection: expects a ``pairs``
+# CTE of (id_a, id_b) — the pair SOURCE is the parameter, the
+# cluster/keep logic is identical across sources.
+_DUCK_KEEP_BEST_TAIL = """
 edges AS (
     SELECT id_a AS a, id_b AS b FROM pairs
     UNION
@@ -509,17 +490,28 @@ SELECT cluster_id,
            AS pruned_chars
 FROM ranked
 GROUP BY cluster_id
-""",
-)
-def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _keep_best_from_pairs(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """Per-cluster canonical selection over any (id_a, id_b) pair source.
+
+    pairs -> connected components (min-label propagation) -> join doc
+    stats -> one row_number window per cluster. comp is bounded by the
+    CLUSTERED node count (a small fraction of the corpus), so the join
+    against fact-sized ``documents`` carries no hint: AQE broadcasts
+    the comp side when it is small and falls back to a doc_id-keyed
+    shuffle join otherwise — never a forced fact-table broadcast.
+    """
     from falcon_metrics_etl_spark.operators.components import duplicate_clusters
 
-    pairs = embedding_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
     comp = duplicate_clusters(pairs).select("node", "cluster_id")
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node"), "n_chars"
     )
-    ranked = comp.join(F.broadcast(docs), "node").withColumn(
+    ranked = comp.join(docs, "node").withColumn(
         "rk",
         F.row_number().over(
             Window.partitionBy("cluster_id").orderBy(
@@ -536,3 +528,50 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pruned_chars"),
     )
+
+
+@register(
+    "dedup_keep_best",
+    doc="The final dedup decision: per near-dup cluster keep the BEST "
+    "document (longest text, ties to the lowest id — the keep-longest "
+    "rule real pipelines apply) and report what pruning drops. "
+    "This registration feeds on the EXACT embedding pair baseline "
+    "(O(N^2) upstream by definition — oracle-twin role only); "
+    "dedup_keep_best_lsh is the scale path on the same selector.",
+    tags=("dedup", "iterative", "window", "training-data"),
+    oracle=f"""
+WITH RECURSIVE iv AS (
+    SELECT vec_id, {_DUCK_QUANT} AS q FROM embeddings
+),
+n AS (
+    SELECT vec_id, q, list_dot_product(q, q) AS nsq FROM iv
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.q, b.q) / sqrt(a.nsq) / sqrt(b.nsq)
+          >= {NEAR_DUP_COSINE}
+),{_DUCK_KEEP_BEST_TAIL}""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = embedding_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    return _keep_best_from_pairs(spark, sf_dir, pairs)
+
+
+@register(
+    "dedup_keep_best_lsh",
+    doc="keep-best canonical selection fed by MinHash+LSH banded "
+    "candidate pairs — the 100 TB composition: banded bucket-join pair "
+    "generation (no cross product), O(diameter) min-label components, "
+    "doc_id-keyed stats join (no forced broadcast), one window per "
+    "cluster. Same selector as dedup_keep_best, scale-safe upstream.",
+    tags=("dedup", "lsh", "iterative", "window", "training-data"),
+    oracle=f"""
+WITH RECURSIVE {DUCK_LSH_PAIR_CTES},
+pairs AS (SELECT id_a, id_b FROM lsh_pairs),{_DUCK_KEEP_BEST_TAIL}""",
+)
+def dedup_keep_best_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.plans.dedup_lsh import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    return _keep_best_from_pairs(spark, sf_dir, pairs)
