@@ -155,11 +155,15 @@ def transform_cards(
         # CURRENT column plus its transitions. The transition side is
         # taken BEFORE compression — compression only drops consecutive
         # duplicates, so the distinct (workflow, column) set is
-        # identical and the dedupe subtree skips the window. The
-        # augmented dim is deliberately not checkpointed: its three
-        # consumers replicate a cheap partial-aggregated dedupe, which
-        # measures faster than re-materializing a lazy localCheckpoint
-        # on every fresh plan.
+        # identical and the dedupe subtree skips the window.
+        # Divergence from the reference, deliberate: ts:416-464 runs
+        # getUnmappedWorkflowSteps BEFORE the isConfiguredCardType
+        # skip, so steps seen only on unconfigured cards are written
+        # into config as a side effect. This engine has no config
+        # write-back and those steps can never be referenced by an
+        # emitted state/snapshot (their cards are dropped), so the
+        # seen-set is built from configured cards only — one fewer
+        # pass over the unfiltered transition stream, identical output.
         seen_src = live.select(
             "workflow_id",
             F.col("column_id").cast("string").alias("status_id"),
@@ -171,7 +175,19 @@ def transform_cards(
                 F.col("column_name").alias("status_name"),
             )
         )
-        workflow_steps = auto_map_unmapped_steps(seen_src, workflow_steps)
+        # The augmented dim is at most |config| + |distinct seen
+        # steps| rows, but its lineage drags the full transition
+        # stream (union + left_anti dedupe) into every consumer —
+        # tag_zones, effective_point_orders and the states
+        # current-step join each re-derived it (audited r4: 22
+        # shuffles / 6 sort-merge joins for kanbanize_card_states).
+        # A LAZY localCheckpoint (eager=False — no job at definition,
+        # keeping the registry no-action contract) materializes the
+        # dedupe once; every consumer then broadcast-joins the
+        # materialized few-thousand-row dim.
+        workflow_steps = auto_map_unmapped_steps(
+            seen_src, workflow_steps
+        ).localCheckpoint(eager=False)
     tagged = tag_zones(history, workflow_steps, workflow_events)
     event_dates = extract_event_dates_expr(tagged)
     points = effective_point_orders(workflow_steps, workflow_events)
