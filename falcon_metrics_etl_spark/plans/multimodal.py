@@ -231,6 +231,61 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.png_pixel_stats(media)
 
 
+@register(
+    "multimodal_png_color_pixel_stats",
+    doc="REAL color decode (color types 2 and 3): even doc_ids carry "
+    "truecolor RGB gradients (R=b+x+y, G=b+2x, B=b+2y; rows cycle "
+    "through ALL five PNG filters at bpp=3), odd doc_ids carry palette "
+    "images (PLTE entry i=(i,2i,3i), index=(x+y)%16). decode_png_pixels "
+    "unfilters bpp-aware and PLTE-expands; the oracle replays the "
+    "closed-form channel statistics (per-doc range unnest for the "
+    "palette index sums) — matching is only possible by genuinely "
+    "unfiltering multi-byte pixels and applying the palette. Map-only.",
+    tags=("multimodal", "pandas-udf", "binary", "codec", "pixels"),
+    oracle=f"""
+WITH dims AS ({_DUCK_GRAD_DIMS}),
+rgb AS (
+    SELECT doc_id, 2 AS color_type, 3 AS channels, w, h,
+           3 * w * h AS n_values,
+           b AS min_value,
+           b + GREATEST(w + h - 2, 2 * (w - 1), 2 * (h - 1)) AS max_value,
+           3*w*h*b + 3*h*(w*(w-1))//2 + 3*w*(h*(h-1))//2 AS sum_values
+    FROM dims WHERE doc_id % 2 = 0
+),
+pal_xy AS (
+    SELECT doc_id, x, unnest(range(0, h)) AS y
+    FROM (SELECT doc_id, h, unnest(range(0, w)) AS x
+          FROM dims WHERE doc_id % 2 = 1)
+),
+pal_idx AS (
+    SELECT doc_id, SUM((x + y) % 16) AS sidx FROM pal_xy GROUP BY doc_id
+),
+pal AS (
+    SELECT d.doc_id, 3 AS color_type, 3 AS channels, w, h,
+           3 * w * h AS n_values,
+           0 AS min_value,
+           3 * LEAST(15, w + h - 2) AS max_value,
+           6 * p.sidx AS sum_values
+    FROM dims d JOIN pal_idx p ON p.doc_id = d.doc_id
+)
+SELECT doc_id, color_type, channels,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(n_values AS BIGINT) AS n_values,
+       CAST(min_value AS INT) AS min_value,
+       CAST(max_value AS INT) AS max_value,
+       CAST(sum_values AS BIGINT) AS sum_values,
+       CAST(sum_values AS DOUBLE) / n_values AS mean_value
+FROM (SELECT * FROM rgb UNION ALL SELECT * FROM pal)
+""",
+)
+def multimodal_png_color_pixel_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_png_color(docs)
+    return MM.png_color_pixel_stats(media)
+
+
 RESAMPLE_BOX = 8
 
 
@@ -283,7 +338,7 @@ def multimodal_png_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unpack; PCM 8/16-bit mono) and aggregated; duration re-derived "
     "from the decoded sample count, not the header. Oracle replays the "
     "closed-form sample stats. Remaining codec stubs: non-PCM audio, "
-    "color PNG, video frames.",
+    "16-bit/interlaced/alpha PNG, video frames.",
     tags=("multimodal", "pandas-udf", "binary", "codec", "audio"),
     oracle="""
 WITH durs AS (

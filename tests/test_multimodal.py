@@ -60,7 +60,10 @@ def test_frame_sampling_counts(spark):
 def test_png_roundtrip_and_size_formula():
     p = MM.encode_png(13, 7, fill=0x5A)
     hdr = MM.parse_png_header(p)
-    assert hdr == {"width": 13, "height": 7, "bit_depth": 8, "color_type": 0}
+    assert hdr == {
+        "width": 13, "height": 7, "bit_depth": 8, "color_type": 0,
+        "interlace": 0,
+    }
     assert len(p) == 7 * (13 + 1) + 68  # level-0 IDAT closed form
 
 
@@ -129,8 +132,8 @@ def test_wav_decode_through_spark_plumbing(spark):
 # --------------------------------------------------------------------------
 def test_png_gradient_pixel_roundtrip():
     p = MM.encode_png_gradient(5, 4, base=100)
-    w, h, px = MM.decode_png_pixels(p)
-    assert (w, h) == (5, 4)
+    w, h, ch, px = MM.decode_png_pixels(p)
+    assert (w, h, ch) == (5, 4, 1)
     # pixel(x, y) = base + x + y — only recoverable by unfiltering the
     # Up-filtered rows
     for y in range(h):
@@ -172,20 +175,52 @@ def test_png_unfilter_sub_average_paeth():
         + MM._png_chunk(b"IDAT", _zlib.compress(b"".join(lines), 6))
         + MM._png_chunk(b"IEND", b"")
     )
-    w, h, px = MM.decode_png_pixels(payload)
+    w, h, ch, px = MM.decode_png_pixels(payload)
+    assert ch == 1
     assert [list(px[y * 3 : (y + 1) * 3]) for y in range(4)] == raster
 
 
-def test_png_pixel_decode_rejects_color():
+def test_png_pixel_decode_stub_boundary():
     import pytest as _pytest
     import struct as _struct
 
-    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # color_type 2 = RGB
-    payload = (
-        MM._PNG_SIG + MM._png_chunk(b"IHDR", ihdr) + MM._png_chunk(b"IEND", b"")
-    )
-    with _pytest.raises(NotImplementedError):
-        MM.decode_png_pixels(payload)
+    # 16-bit depth and Adam7 interlace remain the imaging-lib stub
+    for depth, interlace in ((16, 0), (8, 1)):
+        ihdr = _struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, interlace)
+        payload = (
+            MM._PNG_SIG + MM._png_chunk(b"IHDR", ihdr) + MM._png_chunk(b"IEND", b"")
+        )
+        with _pytest.raises(NotImplementedError):
+            MM.decode_png_pixels(payload)
+
+
+def test_png_rgb_and_palette_roundtrip():
+    import pytest as _pytest
+
+    w, h, b = 6, 5, 150
+    W, H, ch, px = MM.decode_png_pixels(MM.encode_png_color(w, h, b))
+    assert (W, H, ch) == (w, h, 3)
+    for y in range(h):
+        for x in range(w):
+            assert list(px[3 * (y * w + x) : 3 * (y * w + x) + 3]) == [
+                b + x + y, b + 2 * x, b + 2 * y,
+            ]
+
+    W, H, ch, px = MM.decode_png_pixels(MM.encode_png_palette(w, h))
+    assert (W, H, ch) == (w, h, 3)
+    for y in range(h):
+        for x in range(w):
+            i = (x + y) % MM.PAL_SIZE
+            assert list(px[3 * (y * w + x) : 3 * (y * w + x) + 3]) == [
+                i, 2 * i, 3 * i,
+            ]
+
+    # palette image missing its PLTE chunk is malformed, not a crash
+    pal = MM.encode_png_palette(3, 3)
+    # strip the PLTE chunk: signature(8) + IHDR(25) | PLTE(12+48) | rest
+    broken = pal[:33] + pal[33 + 12 + 3 * MM.PAL_SIZE :]
+    with _pytest.raises(ValueError, match="PLTE"):
+        MM.decode_png_pixels(broken)
 
 
 def test_resample_nearest_floor_mapping():
@@ -298,8 +333,8 @@ def test_png_multiple_idat_chunks_concatenate():
         + MM._png_chunk(b"IDAT", stream[half:])
         + MM._png_chunk(b"IEND", b"")
     )
-    w, h, px = MM.decode_png_pixels(payload)
-    assert (w, h, list(px)) == (2, 2, [5, 6, 7, 8])
+    w, h, ch, px = MM.decode_png_pixels(payload)
+    assert (w, h, ch, list(px)) == (2, 2, 1, [5, 6, 7, 8])
 
 
 def test_zlib_inflate_caps_zip_bombs(spark):
