@@ -5,6 +5,11 @@ Runs the headline engine queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The SAME payload is also written to $SPARK_GRAFT_BENCH_OUT (default
+BENCH_MEDIANS.json next to this file) so the full medians/spread maps
+survive even when a driver artifact truncates stdout (r4 lost half its
+medians that way).
+
 Queries are materialized with the noop writer (full execution, no
 collect-to-driver, no disk write) — the honest way to time a plan.
 
@@ -12,7 +17,8 @@ Each query is timed over REPEATS in-session runs and reported as the
 MEDIAN, with the max-min spread in a parallel "spread" map — this VM
 shows +/-20-50%% per-query noise across sessions, so single-shot
 comparisons between rounds are meaningless; medians + spread make the
-round-over-round signal readable.
+round-over-round signal readable. pipeline_e2e additionally reports
+per-stage medians ("stages") so a regression names its stage.
 """
 
 from __future__ import annotations
@@ -74,6 +80,9 @@ HEADLINE = [
     "multimodal_png_pixel_stats",
     "unigram_surprisal_scores",
     "cfd_incremental_update",
+    # round-5 additions: scale-path keep-best dedup, color pixel decode
+    "dedup_keep_best_lsh",
+    "multimodal_png_color_pixel_stats",
 ]
 
 
@@ -109,14 +118,20 @@ def time_streaming(spark, sf_dir: str) -> float:
     return elapsed
 
 
-def time_pipeline_e2e(spark, sf_dir: str) -> float:
+def time_pipeline_e2e(spark, sf_dir: str) -> tuple[float, dict[str, float]]:
     """The composition users actually run, timed as ONE job: bronze
     revision stream -> per-item dedupe -> event-date extraction (expr
     scale path) -> snapshot derivation -> keyed MERGE into states +
     snapshots sinks -> gold insights aggregate off the merged table.
     The per-query bench times each stage's plan in isolation; this
     regress-tests the end-to-end composition including the sink
-    copy-on-write."""
+    copy-on-write.
+
+    Returns (total_sec, per-stage wall seconds). Stage boundaries are
+    the persisted silver frames (materialized explicitly with a noop
+    write — the cache write happens either way, this just pins WHERE
+    the time is attributed), the concurrent sink MERGE pair, and the
+    gold aggregate, so a future regression names its stage."""
     import shutil
     import tempfile
 
@@ -134,6 +149,7 @@ def time_pipeline_e2e(spark, sf_dir: str) -> float:
     from falcon_metrics_etl_spark.sources import load_table
 
     base = tempfile.mkdtemp(prefix="bench_e2e_")
+    stages: dict[str, float] = {}
     t0 = time.time()
     try:
         lineitem = load_table(spark, sf_dir, "lineitem")
@@ -159,8 +175,15 @@ def time_pipeline_e2e(spark, sf_dir: str) -> float:
         deduped = dedupe_consecutive(
             tagged, "zone", order_cols=("changed_date", "revision")
         ).persist()
-        event_dates = extract_event_dates_expr(deduped).persist()
+        deduped.write.format("noop").mode("overwrite").save()
+        stages["silver_dedupe"] = round(time.time() - t0, 3)
 
+        ts = time.time()
+        event_dates = extract_event_dates_expr(deduped).persist()
+        event_dates.write.format("noop").mode("overwrite").save()
+        stages["event_dates"] = round(time.time() - ts, 3)
+
+        ts = time.time()
         org = deduped.groupBy("work_item_id").agg(
             F.first("org_id").alias("org_id")
         )
@@ -191,7 +214,9 @@ def time_pipeline_e2e(spark, sf_dir: str) -> float:
                 upsert_snapshots, spark, base + "/snapshots", snaps
             )
             f1.result(), f2.result()
+        stages["states_snapshots_merge"] = round(time.time() - ts, 3)
 
+        ts = time.time()
         gold = (
             spark.read.parquet(base + "/states")
             .groupBy("org_id")
@@ -204,10 +229,11 @@ def time_pipeline_e2e(spark, sf_dir: str) -> float:
             )
         )
         gold.write.format("noop").mode("overwrite").save()
+        stages["gold_insights"] = round(time.time() - ts, 3)
         elapsed = time.time() - t0
         deduped.unpersist()
         event_dates.unpersist()
-        return elapsed
+        return elapsed, stages
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -239,25 +265,37 @@ def main() -> None:
         "stream_windowed_daily",
         [time_streaming(spark, sf_dir) for _ in range(REPEATS)],
     )
-    record(
-        "pipeline_e2e",
-        [time_pipeline_e2e(spark, sf_dir) for _ in range(REPEATS)],
-    )
+    e2e_runs = [time_pipeline_e2e(spark, sf_dir) for _ in range(REPEATS)]
+    record("pipeline_e2e", [r[0] for r in e2e_runs])
+    # per-stage MEDIANS across the same repeats
+    stage_names = e2e_runs[0][1].keys()
+    e2e_stages = {
+        s: round(sorted(r[1][s] for r in e2e_runs)[len(e2e_runs) // 2], 3)
+        for s in stage_names
+    }
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "repeats": REPEATS,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spreads,
+        "pipeline_e2e_stages": e2e_stages,
+        "repeats": REPEATS,
+        "sf": sf,
+    }
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_MEDIANS.json"),
     )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # a read-only checkout must not break the stdout contract
+    print(json.dumps(payload))
     spark.stop()
 
 
