@@ -433,6 +433,40 @@ def extract_event_dates(tagged_revisions: DataFrame) -> DataFrame:
     return clustered.mapInPandas(_extract_partition, schema=EVENT_DATES_SCHEMA)
 
 
+# Routing threshold for the whale-history guard (observe_history_length):
+# per-item ordered windows cannot be split by AQE, so one item with a
+# pathologically long history serializes its partition (skew probe,
+# SCALE.md: 1.68x under a manufactured 300k-revision item; real
+# work-tracking histories are bounded ~300x lower). Items beyond this
+# many revisions should route to extract_event_dates (mapInPandas — the
+# per-item loop is O(n) without a sort-based window) or raise an alert.
+WHALE_HISTORY_REVISIONS = 10_000
+
+
+def observe_history_length(
+    tagged_revisions: DataFrame, name: str = "history_stats"
+) -> tuple[DataFrame, "Observation"]:
+    """Whale-history guard: attach an ``Observation`` to the tagged
+    history stream reporting ``max_history_len`` (``revision`` is the
+    per-item history index, so ``max(revision) + 1`` bounds the longest
+    history — an O(1) aggregate piggybacking on whatever action runs
+    next, no extra pass or shuffle) plus ``n_revisions``.
+
+    After the batch action, ``obs.get["max_history_len"] >
+    WHALE_HISTORY_REVISIONS`` means the expr path's per-item window has
+    a partition AQE cannot split: alert, and route those items to
+    ``extract_event_dates``. Returns (observed_df, observation)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = tagged_revisions.observe(
+        obs,
+        (F.max(F.col("revision").cast("long")) + 1).alias("max_history_len"),
+        F.count(F.lit(1)).alias("n_revisions"),
+    )
+    return observed, obs
+
+
 def extract_event_dates_expr(tagged_revisions: DataFrame) -> DataFrame:
     """W2 exact semantics as pure Catalyst window expressions — the
     scale path (no Python in the plan; whole-stage codegen end to end).

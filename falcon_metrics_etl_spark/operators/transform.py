@@ -26,6 +26,7 @@ from falcon_metrics_etl_spark.operators.event_dates import (
     effective_point_orders,
     extract_event_dates,
     extract_event_dates_expr,
+    observe_history_length,
     state_category_from_dates,
     step_category,
     tag_zones,
@@ -127,6 +128,7 @@ def transform_work_items(
     auto_map: bool = True,
     use_expr_event_dates: bool = True,
     epic_link_field: str | None = None,
+    stats_out: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full pipeline. Inputs carry work_item_id + workflow_id; dims are
     small and broadcast. Returns (states, snapshots).
@@ -163,8 +165,21 @@ def transform_work_items(
         ).unionByName(
             work_items.select("workflow_id", "status_id", "status_name")
         )
-        workflow_steps = auto_map_unmapped_steps(seen_src, workflow_steps)
+        # materialize the augmented dim once (lazy localCheckpoint, no
+        # job at definition): its lineage otherwise drags the full
+        # revision stream into each consumer — tag_zones,
+        # effective_point_orders and the states current-step join
+        # (same fix as operators/kanbanize.py transform_cards)
+        workflow_steps = auto_map_unmapped_steps(
+            seen_src, workflow_steps
+        ).localCheckpoint(eager=False)
     tagged = tag_zones(full_revisions, workflow_steps, workflow_events)
+    if stats_out is not None:
+        # whale-history guard: piggyback max history length on the next
+        # action; callers read stats_out["observation"].get after the
+        # batch lands and route items beyond WHALE_HISTORY_REVISIONS to
+        # the mapInPandas extractor (see operators/event_dates.py)
+        tagged, stats_out["observation"] = observe_history_length(tagged)
 
     extractor = (
         extract_event_dates_expr if use_expr_event_dates else extract_event_dates

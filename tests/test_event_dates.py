@@ -442,3 +442,82 @@ def test_zone_and_step_category_null_point_orders(spark):
     assert (out[0]["z"], out[0]["s"]) == (None, None)
     assert (out[1]["z"], out[1]["s"]) == (None, None)
     assert out[2]["z"] == 2 and out[2]["s"] == "inprogress"
+
+
+def _dt(s):
+    return datetime.fromisoformat(s)
+
+
+def test_whale_history_observation(spark):
+    """observe_history_length reports max(revision)+1 via an Observation
+    piggybacked on the action — the routing signal for items whose
+    ordered per-item window would serialize the expr path."""
+    from falcon_metrics_etl_spark.operators.event_dates import (
+        WHALE_HISTORY_REVISIONS,
+        extract_event_dates_expr,
+        observe_history_length,
+    )
+
+    rows = [("itm-normal", i, f"2024-01-{(i % 27) + 1:02d}", 1) for i in range(40)]
+    rows += [("itm-whale", i, "2024-02-01", 2) for i in range(120)]
+    tagged = spark.createDataFrame(
+        [(w, r, _dt(d), z) for w, r, d, z in rows],
+        "work_item_id string, revision int, changed_date timestamp, zone int",
+    )
+    observed, obs = observe_history_length(tagged)
+    extract_event_dates_expr(observed).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    stats = obs.get
+    assert stats["max_history_len"] == 120
+    assert stats["n_revisions"] == 160
+    # the guard itself: the routing rule fires only beyond the bound
+    assert stats["max_history_len"] < WHALE_HISTORY_REVISIONS
+
+
+def test_whale_observation_through_transform_pipeline(spark):
+    """transform_work_items(stats_out=...) exposes the observation and
+    the metric survives the full states/snapshots composition."""
+    from falcon_metrics_etl_spark.operators.transform import transform_work_items
+
+    d1, d2 = _dt("2024-01-01"), _dt("2024-01-02")
+    items = spark.createDataFrame(
+        [("org1", "ds1", "w1", "wf1", "s2", "Doing", d1, d2)],
+        "org_id string, datasource_id string, work_item_id string, "
+        "workflow_id string, status_id string, status_name string, "
+        "created_date timestamp, updated_date timestamp",
+    )
+    revs = spark.createDataFrame(
+        [
+            ("org1", "ds1", "w1", "wf1", 1, d2, "state_change", "s2",
+             "Doing", "s1", "Todo", None, None, None, None),
+        ],
+        "org_id string, datasource_id string, work_item_id string, "
+        "workflow_id string, revision int, changed_date timestamp, "
+        "type string, status_id string, status_name string, "
+        "from_status_id string, from_status_name string, assignee string, "
+        "blocked_reason string, discarded_reason string, flagged boolean",
+    )
+    steps = spark.createDataFrame(
+        [
+            ("wf1", "s1", "Todo", 1, "queue", "proposed", True),
+            ("wf1", "s2", "Doing", 2, "active", "inprogress", True),
+        ],
+        "workflow_id string, step_id string, step_name string, "
+        "step_order int, state_type string, state_category string, "
+        "active boolean",
+    )
+    events = spark.createDataFrame(
+        [("wf1", 1, 2, 3)],
+        "workflow_id string, arrival_point_order int, "
+        "commitment_point_order int, departure_point_order int",
+    )
+    stats = {}
+    states, _snaps = transform_work_items(
+        items, revs, steps, events, stats_out=stats
+    )
+    states.write.format("noop").mode("overwrite").save()
+    got = stats["observation"].get
+    # synthesize_initial_revision adds revision 0; max real revision is 1
+    assert got["max_history_len"] == 2
+    assert got["n_revisions"] == 2
