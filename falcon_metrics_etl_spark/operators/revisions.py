@@ -363,9 +363,11 @@ def parse_changelog(
     (SURVEY section 1.2). Two emission rules, re-expressed as explode +
     when()/otherwise() tagging (pure Catalyst, no Python):
 
-    - an 'unflag' (field='Flagged' with EMPTY to/toString) emits a
-      FLAGGED row with flagged=false and statusId/Name 'flagged'
-      (ts:357-379);
+    - an 'unflag' (field='Flagged' with to/toString both STRICTLY the
+      empty string — the reference tests ``item.to === '' &&
+      item.toString === ''``, ts:357-361, so a Flagged entry cleared
+      with nulls emits nothing) emits a FLAGGED row with flagged=false
+      and statusId/Name 'flagged' (ts:357-379);
     - an entry with non-empty to/toString emits its typed row when the
       field is status / assignee / Flagged or the fieldId matches the
       org's configured blocked/discarded reason fields (ts:380-438);
@@ -386,13 +388,15 @@ def parse_changelog(
         )
     )
     it = F.col("it")
-    empty = lambda c: c.isNull() | (c == "")  # noqa: E731 — JS falsy
+    # strict '' equality, NOT JS-falsy: `=== ''` in the reference means
+    # a null-cleared Flagged entry must emit nothing (ts:357-361)
+    strict_empty = lambda c: c.isNotNull() & (c == "")  # noqa: E731
     nonempty = lambda c: c.isNotNull() & (c != "")  # noqa: E731
 
     unflag = h.filter(
         (it.getField("field") == "Flagged")
-        & empty(it.getField("to"))
-        & empty(it.getField("toString"))
+        & strict_empty(it.getField("to"))
+        & strict_empty(it.getField("toString"))
     ).select(
         item_col,
         "revision",

@@ -96,8 +96,16 @@ def test_parse_changelog_matches_reference_walk(spark):
             items = []
             for _ in range(rng.randint(1, 3)):
                 field, field_id = rng.choice(FIELDS)
-                if rng.random() < 0.25:
+                roll = rng.random()
+                if roll < 0.15:
                     to, to_s = "", ""  # empty entry (unflag / dropped)
+                elif roll < 0.30:
+                    # null-cleared entry: strictly DIFFERENT from ''
+                    # in the reference (=== comparison) — emits nothing
+                    # even for Flagged
+                    to, to_s = None, None
+                elif roll < 0.35:
+                    to, to_s = None, ""  # mixed null/empty: also nothing
                 else:
                     to, to_s = f"v{rng.randint(1, 5)}", f"Val {rng.randint(1, 5)}"
                 items.append(
