@@ -80,9 +80,11 @@ HEADLINE = [
     "multimodal_png_pixel_stats",
     "unigram_surprisal_scores",
     "cfd_incremental_update",
-    # round-5 additions: scale-path keep-best dedup, color pixel decode
+    # round-5 additions: scale-path keep-best dedup, color pixel
+    # decode, incremental dedup-index maintenance
     "dedup_keep_best_lsh",
     "multimodal_png_color_pixel_stats",
+    "minhash_incremental_update",
 ]
 
 

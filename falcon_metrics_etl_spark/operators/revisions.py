@@ -37,12 +37,24 @@ def synthesize_initial_revision(
     revisions: DataFrame,
     work_items: DataFrame,
     item_col: str = "work_item_id",
+    with_assignee_row: bool = False,
 ) -> DataFrame:
     """W9 — prepend a revision 0 at creation, because Jira logs no event
     at creation (revision_processor.ts:450-499). The synthetic row takes
     the item's created date and the first revision's from-status; items
     with no state_change revisions use the item's current status.
-    """
+
+    ``with_assignee_row=True`` replicates the full Jira synthesis
+    (ts:460-499): a SECOND revision-0 row of type assignee_change
+    carrying the creation-time assignee — the first assignee_change's
+    fromString, i.e. who held the item before its first reassignment
+    (null when the item was never reassigned, exactly the reference's
+    undefined) — and the reference's closing truthy filter
+    (ts:495-498: rows with empty/null statusId or statusName drop,
+    which can only affect the synthetic rows: typed rows are non-empty
+    by the emission branch and unflag rows carry literal 'flagged').
+    Default False keeps the generic single-row W9 shape shared by the
+    non-Jira sources."""
     w = item_window(item_col)
     first_state = (
         revisions.filter(F.col("type") == STATE_CHANGE)
@@ -54,27 +66,54 @@ def synthesize_initial_revision(
             F.col("from_status_name").alias("first_from_name"),
         )
     )
-    initial = (
-        work_items.join(first_state, item_col, "left")
-        .select(
+
+    def synth(rev_type, assignee_col):
+        return work_items.join(first_state, item_col, "left").select(
             F.col("org_id"),
             F.col("datasource_id"),
             F.col(item_col),
             F.lit(0).alias("revision"),
             F.col("created_date").alias("changed_date"),
-            F.lit(STATE_CHANGE).alias("type"),
-            F.coalesce(F.col("first_from_id"), F.col("status_id")).alias("status_id"),
+            F.lit(rev_type).alias("type"),
+            F.coalesce(F.col("first_from_id"), F.col("status_id")).alias(
+                "status_id"
+            ),
             F.coalesce(F.col("first_from_name"), F.col("status_name")).alias(
                 "status_name"
             ),
             F.lit(None).cast("string").alias("from_status_id"),
             F.lit(None).cast("string").alias("from_status_name"),
-            F.lit(None).cast("string").alias("assignee"),
+            assignee_col.alias("assignee"),
             F.lit(None).cast("string").alias("blocked_reason"),
             F.lit(None).cast("string").alias("discarded_reason"),
             F.lit(None).cast("boolean").alias("flagged"),
         )
-    )
+
+    initial = synth(STATE_CHANGE, F.lit(None).cast("string"))
+    if with_assignee_row:
+        first_assignee = (
+            revisions.filter(F.col("type") == ASSIGNEE_CHANGE)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                item_col, F.col("from_status_name").alias("_first_assignee")
+            )
+        )
+        assignee_initial = synth(
+            ASSIGNEE_CHANGE, F.lit(None).cast("string")
+        ).drop("assignee").join(first_assignee, item_col, "left").withColumn(
+            "assignee", F.col("_first_assignee")
+        ).drop("_first_assignee")
+        initial = initial.unionByName(
+            assignee_initial.select(*initial.columns)
+        )
+        # ts:495-498 — the truthy close filter
+        initial = initial.filter(
+            F.col("status_id").isNotNull()
+            & (F.col("status_id") != "")
+            & F.col("status_name").isNotNull()
+            & (F.col("status_name") != "")
+        )
     return revisions.unionByName(initial, allowMissingColumns=True)
 
 

@@ -729,3 +729,63 @@ def test_maintain_cfd_matches_full_recompute(spark):
     assert got == want
     assert got[("A", datetime(2024, 2, 2).date(), "completed")] == 5
     assert got[("B", datetime(2024, 2, 1).date(), "completed")] == 1
+
+
+# -------------------------------------------- W9 Jira double-row synthesis
+
+def test_initial_revision_assignee_row_jira_semantics(spark):
+    """with_assignee_row=True replicates getRevisions' full synthesis
+    (revision_processor.ts:460-499): a second revision-0
+    assignee_change row whose assignee is the first assignee_change's
+    fromString (the creation-time holder), null when never reassigned;
+    both synthetic rows drop under the closing truthy-status filter."""
+    items = spark.createDataFrame(
+        [
+            ("org1", "ds1", "A", "s9", "Current", d(1)),
+            ("org1", "ds1", "B", "s9", "Current", d(1)),
+            # item C: empty current status AND no state changes => both
+            # synthetic rows are filtered out (ts:495-498)
+            ("org1", "ds1", "C", "", "", d(1)),
+        ],
+        "org_id string, datasource_id string, work_item_id string, "
+        "status_id string, status_name string, created_date timestamp",
+    )
+    revs = spark.createDataFrame(
+        [
+            # A: reassigned twice — firstAssignee = fromString of the
+            # FIRST assignee change (by date), i.e. 'alice'
+            ("A", 1, d(2), "state_change", "s1", "Doing", "s0", "Todo", None),
+            ("A", 2, d(3), "assignee_change", "ubob", "Bob", "ualice", "alice", "Bob"),
+            ("A", 3, d(4), "assignee_change", "ucarol", "Carol", "ubob", "Bob", "Carol"),
+            # B: never reassigned => synthetic assignee row with null
+            ("B", 1, d(2), "state_change", "s1", "Doing", "s0", "Todo", None),
+            # C: only an assignee change (no state_change)
+            ("C", 1, d(2), "assignee_change", "ubob", "Bob", None, None, "Bob"),
+        ],
+        "work_item_id string, revision int, changed_date timestamp, "
+        "type string, status_id string, status_name string, "
+        "from_status_id string, from_status_name string, assignee string",
+    )
+    out = synthesize_initial_revision(revs, items, with_assignee_row=True)
+    zero = {
+        (r["work_item_id"], r["type"]): r.asDict()
+        for r in out.filter(F.col("revision") == 0).collect()
+    }
+    # A: both rows, status from the first state change's from-side
+    assert zero[("A", "state_change")]["status_id"] == "s0"
+    assert zero[("A", "assignee_change")]["status_id"] == "s0"
+    assert zero[("A", "assignee_change")]["assignee"] == "alice"
+    # B: assignee row present with null assignee (never reassigned)
+    assert zero[("B", "assignee_change")]["assignee"] is None
+    # C: empty status => both synthetic rows dropped; real row kept
+    assert ("C", "state_change") not in zero
+    assert ("C", "assignee_change") not in zero
+    assert out.filter(F.col("work_item_id") == "C").count() == 1
+    # default path unchanged: single state_change row per item
+    legacy = synthesize_initial_revision(revs, items)
+    assert (
+        legacy.filter(
+            (F.col("revision") == 0) & (F.col("type") == "assignee_change")
+        ).count()
+        == 0
+    )
