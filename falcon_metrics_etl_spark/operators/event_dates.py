@@ -143,13 +143,18 @@ def point_in_time_state_category(
     commitment: Column,
     departure: Column,
 ) -> Column:
-    """W5 — state category *as of* a revision's changedDate
-    (src/utils/date_utils.ts:67-95)."""
+    """W5 — state category *as of* a revision's changedDate, in the
+    reference's exact guard ORDER (src/utils/date_utils.ts:67-95):
+    arrival is checked first, so a comparison date before arrival is
+    'preceding' even when it is past an (out-of-order) commitment or
+    departure — observable when commitment precedes arrival, which the
+    event-date rules permit (a zone-2 acceptance before the effective
+    zone-1 arrival)."""
     return (
-        F.when(departure.isNotNull() & (changed >= departure), F.lit("completed"))
-        .when(commitment.isNotNull() & (changed >= commitment), F.lit("inprogress"))
-        .when(arrival.isNotNull() & (changed >= arrival), F.lit("proposed"))
-        .otherwise(F.lit("preceding"))
+        F.when(arrival.isNull() | (changed < arrival), F.lit("preceding"))
+        .when(commitment.isNull() | (changed < commitment), F.lit("proposed"))
+        .when(departure.isNull() | (changed < departure), F.lit("inprogress"))
+        .otherwise(F.lit("completed"))
     )
 
 

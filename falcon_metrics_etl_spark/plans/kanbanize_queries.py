@@ -337,13 +337,13 @@ SELECT CAST(o.card_id AS VARCHAR) AS work_item_id,
        CASE o.zone WHEN 2 THEN 'active' ELSE 'queue' END AS state_type,
        CASE o.zone WHEN 1 THEN 'proposed' WHEN 2 THEN 'inprogress'
             ELSE 'completed' END AS step_category,
-       CASE WHEN e.departure_date IS NOT NULL AND o.ts >= e.departure_date
-                THEN 'completed'
-            WHEN e.commitment_date IS NOT NULL AND o.ts >= e.commitment_date
-                THEN 'inprogress'
-            WHEN e.arrival_date IS NOT NULL AND o.ts >= e.arrival_date
+       CASE WHEN e.arrival_date IS NULL OR o.ts < e.arrival_date
+                THEN 'preceding'
+            WHEN e.commitment_date IS NULL OR o.ts < e.commitment_date
                 THEN 'proposed'
-            ELSE 'preceding' END AS state_category,
+            WHEN e.departure_date IS NULL OR o.ts < e.departure_date
+                THEN 'inprogress'
+            ELSE 'completed' END AS state_category,
        (e.delayed_revision IS NOT NULL AND o.revision >= e.delayed_revision)
            AS is_delayed,
        FALSE AS is_filler

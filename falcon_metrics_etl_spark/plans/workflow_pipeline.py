@@ -247,13 +247,13 @@ SELECT r.work_item_id, r.revision,
        CAST(r.changed_date AS DATE) AS snapshot_date,
        CASE r.zone WHEN 0 THEN 'preceding' WHEN 1 THEN 'proposed'
             WHEN 2 THEN 'inprogress' ELSE 'completed' END AS step_category,
-       CASE WHEN ed.departure_date IS NOT NULL
-                 AND r.changed_date >= ed.departure_date THEN 'completed'
-            WHEN ed.commitment_date IS NOT NULL
-                 AND r.changed_date >= ed.commitment_date THEN 'inprogress'
-            WHEN ed.arrival_date IS NOT NULL
-                 AND r.changed_date >= ed.arrival_date THEN 'proposed'
-            ELSE 'preceding' END AS state_category,
+       CASE WHEN ed.arrival_date IS NULL
+                 OR r.changed_date < ed.arrival_date THEN 'preceding'
+            WHEN ed.commitment_date IS NULL
+                 OR r.changed_date < ed.commitment_date THEN 'proposed'
+            WHEN ed.departure_date IS NULL
+                 OR r.changed_date < ed.departure_date THEN 'inprogress'
+            ELSE 'completed' END AS state_category,
        (ed.delayed_revision IS NOT NULL
         AND r.revision >= ed.delayed_revision) AS is_delayed,
        FALSE AS flagged

@@ -48,10 +48,16 @@ def test_point_in_time_category_scenarios(spark):
         (6, d3, d1, d1, d2),                # changed >= departure -> completed
         # ts:108-125 exact-instant regression (UTC-normalized)
         (7, T, A, C, D),                    # -> completed
+        # guard-ORDER edge cases (date_utils.ts:74-95): arrival checked
+        # FIRST, so out-of-order dates don't leak later categories
+        (8, d2, d3, d1, None),              # commitment<changed<arrival -> preceding
+        (9, d3, None, d1, d2),              # no arrival at all -> preceding
+        (10, d2, d1, None, d1),             # no commitment -> proposed even past departure
     ])
     assert got == {
         1: "preceding", 2: "preceding", 3: "proposed", 4: "proposed",
         5: "inprogress", 6: "completed", 7: "completed",
+        8: "preceding", 9: "preceding", 10: "proposed",
     }
 
 
