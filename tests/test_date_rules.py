@@ -88,3 +88,44 @@ def test_past_due_rule(spark):
     )
     got = {r["id"]: r["due"] for r in out.collect()}
     assert got == {1: True, 2: True, 3: True, 4: False}
+
+
+def ref_state_category_relative(cmp, arrival, commitment, departure):
+    """Literal port of stateCategoryRelativeToDate (date_utils.ts:67-95)."""
+    if not arrival or cmp < arrival:
+        return "preceding"
+    if not commitment or cmp < commitment:
+        return "proposed"
+    if cmp >= commitment and (not departure or cmp < departure):
+        return "inprogress"
+    if departure and cmp >= departure:
+        return "completed"
+    return "preceding"
+
+
+def test_point_in_time_category_matches_reference_on_random_orderings(spark):
+    """Fuzz the full cross of date orderings (including nulls and exact
+    ties) against the literal reference port — pins the guard-order
+    semantics, not just the happy path."""
+    import random
+
+    rng = random.Random(11)
+    base = datetime(2022, 1, 1)
+    from datetime import timedelta
+
+    def maybe_date():
+        return (
+            None
+            if rng.random() < 0.25
+            else base + timedelta(days=rng.randint(0, 6))
+        )
+
+    rows = []
+    for i in range(300):
+        cmp = base + timedelta(days=rng.randint(0, 6))
+        rows.append((i, cmp, maybe_date(), maybe_date(), maybe_date()))
+    got = categorize(spark, rows)
+    for i, cmp, a, c, d in rows:
+        assert got[i] == ref_state_category_relative(cmp, a, c, d), (
+            i, cmp, a, c, d, got[i],
+        )
