@@ -85,6 +85,7 @@ HEADLINE = [
     "dedup_keep_best_lsh",
     "multimodal_png_color_pixel_stats",
     "minhash_incremental_update",
+    "substring_dedup_windows",
 ]
 
 

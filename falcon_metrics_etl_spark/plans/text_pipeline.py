@@ -575,3 +575,83 @@ def dedup_keep_best_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
     return _keep_best_from_pairs(spark, sf_dir, pairs)
+
+
+# --------------------------------------------------------------------------
+# Exact substring-level dedup (repeated-passage detection)
+# --------------------------------------------------------------------------
+SUBSTR_W = 8  # token window length
+
+
+@register(
+    "substring_dedup_windows",
+    doc=f"Exact substring-level dedup signal (the 'deduplicating "
+    f"training data' repeated-passage detector): every {SUBSTR_W}-token "
+    "sliding window (stride 1 — arbitrary offsets, unlike the "
+    "non-overlapping chunks of chunk_dedup_rebuild) is ranked globally "
+    "by first occurrence (doc_id, pos); later occurrences are "
+    "duplicated passage. Output: per-doc window counts + duplication "
+    "ratio. Plan: one JVM-side HOF window build (no Python, no "
+    "explode-join chains), one shuffle keyed on the window text for "
+    "the first-occurrence rank, one doc-keyed aggregate. At corpus "
+    "scale the window STRING key becomes a 128-bit hash and ultra-hot "
+    "windows (boilerplate) get a df-cap salt; semantics unchanged.",
+    tags=("text", "dedup", "window", "training-data"),
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {TX.DUCK_TOKENS.format(x='text')} AS tk FROM documents
+),
+wins AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(tk[i+1:i+{SUBSTR_W}], ' ') AS win
+    FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - {SUBSTR_W - 1})) AS i
+          FROM toks WHERE len(tk) >= {SUBSTR_W})
+),
+ranked AS (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+    FROM wins
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows,
+       ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_ratio
+FROM ranked
+GROUP BY doc_id
+""",
+)
+def substring_dedup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = SUBSTR_W
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= w
+    )
+    # windows via a pure HOF: transform over the start-index sequence,
+    # slice + join — stays in codegen, one row per window after the
+    # single posexplode
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - w),
+                lambda i: F.array_join(F.slice("tk", i + 1, w), " "),
+            )
+        ).alias("pos", "win"),
+    )
+    ranked = wins.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("win").orderBy("doc_id", "pos")
+        ),
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_windows"),
+        F.round(
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_ratio"),
+    )
