@@ -451,25 +451,126 @@ WHALE_HISTORY_REVISIONS = 10_000
 def observe_history_length(
     tagged_revisions: DataFrame, name: str = "history_stats"
 ) -> tuple[DataFrame, "Observation"]:
-    """Whale-history guard: attach an ``Observation`` to the tagged
-    history stream reporting ``max_history_len`` (``revision`` is the
-    per-item history index, so ``max(revision) + 1`` bounds the longest
-    history — an O(1) aggregate piggybacking on whatever action runs
-    next, no extra pass or shuffle) plus ``n_revisions``.
+    """Whale-history ALERT signal: attach an ``Observation`` to the
+    tagged history stream reporting ``max_history_len`` via
+    ``max(revision) + 1`` — an O(1) aggregate piggybacking on whatever
+    action runs next, no extra pass or shuffle — plus ``n_revisions``.
 
-    After the batch action, ``obs.get["max_history_len"] >
-    WHALE_HISTORY_REVISIONS`` means the expr path's per-item window has
-    a partition AQE cannot split: alert, and route those items to
-    ``extract_event_dates``. Returns (observed_df, observation)."""
+    VALIDITY: ``max(revision)+1`` bounds the longest history only when
+    ``revision`` is a dense per-item index (e.g. the synthetic index
+    used by the Kanbanize/compression paths and this repo's tests).
+    The Jira path's ``parse_changelog`` emits the RAW changelog
+    history id (operators/revisions.py — the reference does the same),
+    which routinely exceeds any count threshold: those streams are NOT
+    valid input for this signal and would alert spuriously. Routing
+    decisions therefore never use this observation — use
+    ``split_by_history_length`` (exact per-item row counts) instead;
+    this stays as cheap telemetry for dense-index pipelines.
+    Empty streams report 0 (max over nothing is NULL, coalesced).
+    Returns (observed_df, observation)."""
     from pyspark.sql import Observation
 
     obs = Observation(name)
     observed = tagged_revisions.observe(
         obs,
-        (F.max(F.col("revision").cast("long")) + 1).alias("max_history_len"),
+        F.coalesce(
+            F.max(F.col("revision").cast("long")) + 1, F.lit(0)
+        ).alias("max_history_len"),
         F.count(F.lit(1)).alias("n_revisions"),
     )
     return observed, obs
+
+
+# whale-id sets beyond this size stop being driver literals (isin) and
+# become a broadcast semi/anti join instead — bounds driver transfer
+_WHALE_ISIN_CAP = 1000
+
+
+def split_by_history_length(
+    tagged_revisions: DataFrame,
+    threshold: int = WHALE_HISTORY_REVISIONS,
+) -> tuple[DataFrame, DataFrame | None, dict]:
+    """Exact count-based whale split: partition the tagged history
+    stream into (normal, whales) on per-item ROW COUNTS — valid for
+    any ``revision`` encoding, unlike ``observe_history_length``'s
+    dense-index bound.
+
+    One extra column-pruned aggregate job runs eagerly (count per
+    work_item_id partial-aggregates map-side; the final agg is one
+    row). The whale-id read is control-plane — items with >threshold
+    revisions are by definition few; the collected array is sliced to
+    ``_WHALE_ISIN_CAP + 1`` driver-side, and beyond the cap the split
+    switches from pushed-down ``isin`` literals to a broadcast
+    semi/anti join on the whale-id frame.
+
+    Returns (normal, whales_or_None, stats) where stats carries exact
+    ``max_history_len`` / ``n_revisions`` / ``n_whales``. whales is
+    None when no item exceeds the threshold — callers then keep the
+    single-branch plan with zero overhead beyond the count job."""
+    lens = tagged_revisions.groupBy("work_item_id").agg(
+        F.count(F.lit(1)).alias("h_len")
+    )
+    row = lens.agg(
+        F.coalesce(F.max("h_len"), F.lit(0)).alias("max_history_len"),
+        F.coalesce(F.sum("h_len"), F.lit(0)).alias("n_revisions"),
+        F.slice(
+            F.collect_list(
+                F.when(F.col("h_len") > threshold, F.col("work_item_id"))
+            ),
+            1,
+            _WHALE_ISIN_CAP + 1,
+        ).alias("whale_ids"),
+        F.sum(
+            F.when(F.col("h_len") > threshold, 1).otherwise(0)
+        ).alias("n_whales"),
+    ).collect()[0]
+    stats = {
+        "max_history_len": row["max_history_len"],
+        "n_revisions": row["n_revisions"],
+        "n_whales": row["n_whales"] or 0,
+    }
+    whale_ids = row["whale_ids"]
+    if not whale_ids:
+        return tagged_revisions, None, stats
+    if len(whale_ids) <= _WHALE_ISIN_CAP:
+        is_whale = F.col("work_item_id").isin(list(whale_ids))
+        return (
+            tagged_revisions.filter(~is_whale),
+            tagged_revisions.filter(is_whale),
+            stats,
+        )
+    whales_dim = F.broadcast(
+        lens.filter(F.col("h_len") > threshold).select("work_item_id")
+    )
+    return (
+        tagged_revisions.join(whales_dim, "work_item_id", "left_anti"),
+        tagged_revisions.join(whales_dim, "work_item_id", "left_semi"),
+        stats,
+    )
+
+
+def extract_event_dates_routed(
+    tagged_revisions: DataFrame,
+    threshold: int = WHALE_HISTORY_REVISIONS,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """W2 with automatic whale routing: items whose history exceeds
+    ``threshold`` revisions go through ``extract_event_dates``
+    (mapInPandas — O(n) per-item loop, no sort-based window, so one
+    pathological item cannot serialize a window partition AQE can't
+    split; SCALE.md skew probe: 1.68x on the expr path under a
+    manufactured 300k-revision item), everything else through the
+    whole-stage-codegen ``extract_event_dates_expr`` scale path; the
+    branches union. With no whales (the overwhelmingly common case)
+    the plan is exactly the expr path — the only overhead is the
+    column-pruned count job in ``split_by_history_length``."""
+    normal, whales, stats = split_by_history_length(tagged_revisions, threshold)
+    if stats_out is not None:
+        stats_out.update(stats)
+    out = extract_event_dates_expr(normal)
+    if whales is not None:
+        out = out.unionByName(extract_event_dates(whales))
+    return out
 
 
 def extract_event_dates_expr(tagged_revisions: DataFrame) -> DataFrame:

@@ -23,9 +23,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from falcon_metrics_etl_spark.operators.event_dates import (
+    WHALE_HISTORY_REVISIONS,
     effective_point_orders,
     extract_event_dates,
     extract_event_dates_expr,
+    extract_event_dates_routed,
     observe_history_length,
     state_category_from_dates,
     step_category,
@@ -129,6 +131,8 @@ def transform_work_items(
     use_expr_event_dates: bool = True,
     epic_link_field: str | None = None,
     stats_out: dict | None = None,
+    whale_routing: bool = True,
+    whale_threshold: int = WHALE_HISTORY_REVISIONS,
 ) -> tuple[DataFrame, DataFrame]:
     """Full pipeline. Inputs carry work_item_id + workflow_id; dims are
     small and broadcast. Returns (states, snapshots).
@@ -136,6 +140,14 @@ def transform_work_items(
     use_expr_event_dates: the Catalyst-expression W2 (default — stays in
     whole-stage codegen; fuzz-verified equivalent to the pandas UDF
     reference implementation in tests/test_event_dates.py).
+
+    whale_routing (default on, expr path only): items with more than
+    whale_threshold revisions are counted EXACTLY (one column-pruned
+    aggregate job) and routed to the mapInPandas extractor, whose
+    per-item O(n) loop cannot be serialized by a window partition AQE
+    can't split; the rest take the expr path and the branches union
+    (extract_event_dates_routed). stats_out additionally receives the
+    exact max_history_len / n_revisions / n_whales from that count.
 
     epic_link_field: the org's epic-link custom field (see
     epic_link_field_from_config). When the work items carry a
@@ -175,16 +187,19 @@ def transform_work_items(
         ).localCheckpoint(eager=False)
     tagged = tag_zones(full_revisions, workflow_steps, workflow_events)
     if stats_out is not None:
-        # whale-history guard: piggyback max history length on the next
-        # action; callers read stats_out["observation"].get after the
-        # batch lands and route items beyond WHALE_HISTORY_REVISIONS to
-        # the mapInPandas extractor (see operators/event_dates.py)
+        # telemetry observation (dense-index alert signal; routing below
+        # is exact and count-based, see observe_history_length docstring)
         tagged, stats_out["observation"] = observe_history_length(tagged)
 
-    extractor = (
-        extract_event_dates_expr if use_expr_event_dates else extract_event_dates
-    )
-    event_dates = extractor(tagged)
+    if use_expr_event_dates and whale_routing:
+        event_dates = extract_event_dates_routed(
+            tagged, whale_threshold, stats_out=stats_out
+        )
+    else:
+        extractor = (
+            extract_event_dates_expr if use_expr_event_dates else extract_event_dates
+        )
+        event_dates = extractor(tagged)
 
     snapshots = derive_snapshots(tagged, event_dates)
 

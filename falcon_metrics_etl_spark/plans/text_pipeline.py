@@ -591,11 +591,16 @@ SUBSTR_W = 8  # token window length
     "non-overlapping chunks of chunk_dedup_rebuild) is ranked globally "
     "by first occurrence (doc_id, pos); later occurrences are "
     "duplicated passage. Output: per-doc window counts + duplication "
-    "ratio. Plan: one JVM-side HOF window build (no Python, no "
-    "explode-join chains), one shuffle keyed on the window text for "
-    "the first-occurrence rank, one doc-keyed aggregate. At corpus "
-    "scale the window STRING key becomes a 128-bit hash and ultra-hot "
-    "windows (boilerplate) get a df-cap salt; semantics unchanged.",
+    "ratio. Plan (scale-safe, registered): windows are keyed by a "
+    "128-bit hash (xxhash64 pair), and the global first occurrence per "
+    "window is computed as min(struct(doc_id, pos)) in a hash "
+    "AGGREGATE, not a row_number sort-window — partial aggregation "
+    "collapses ultra-hot boilerplate windows map-side, so no skewed "
+    "key ever fully shuffles (structurally stronger than a df-cap "
+    "salt). Per-doc totals come straight from size(tk)-W+1 with no "
+    "explode; n_dup = n_windows - n_firsts. 3 shuffles, all "
+    "partial-aggregated or doc-keyed; collision odds at 128 bits are "
+    "negligible at corpus scale (~2^-128 per pair).",
     tags=("text", "dedup", "window", "training-data"),
     oracle=f"""
 WITH toks AS (
@@ -628,9 +633,16 @@ def substring_dedup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("tk")).filter(
         F.size("tk") >= w
     )
+    # per-doc totals need no explode at all: a doc with n tokens has
+    # exactly n-W+1 stride-1 windows
+    totals = toks.select(
+        "doc_id", (F.size("tk") - F.lit(w - 1)).cast("long").alias("n_windows")
+    )
     # windows via a pure HOF: transform over the start-index sequence,
     # slice + join — stays in codegen, one row per window after the
-    # single posexplode
+    # single posexplode; the raw window text is immediately reduced to
+    # a 128-bit key (two independent xxhash64 seeds) so the shuffle
+    # never carries strings
     wins = toks.select(
         "doc_id",
         F.posexplode(
@@ -639,19 +651,28 @@ def substring_dedup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.array_join(F.slice("tk", i + 1, w), " "),
             )
         ).alias("pos", "win"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.xxhash64("win").alias("h1"),
+        F.xxhash64(F.lit("s2"), F.col("win")).alias("h2"),
     )
-    ranked = wins.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("win").orderBy("doc_id", "pos")
-        ),
+    # global first occurrence per window = min(struct(doc_id, pos)) —
+    # the same (doc_id, pos) lexicographic order as the oracle's
+    # ROW_NUMBER ... ORDER BY doc_id, pos. A hash aggregate partial-
+    # aggregates map-side, so a boilerplate window repeated 10^9 times
+    # shuffles ~one row per input partition, not 10^9 rows: the skewed
+    # key cannot reach a single reducer unreduced.
+    firsts_per_doc = (
+        wins.groupBy("h1", "h2")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+        .groupBy(F.col("first.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_first"))
     )
-    return ranked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_windows"),
-        F.round(
-            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("dup_ratio"),
+    n_dup = F.col("n_windows") - F.coalesce(F.col("n_first"), F.lit(0))
+    return totals.join(firsts_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        n_dup.alias("n_dup_windows"),
+        F.round(n_dup.cast("double") / F.col("n_windows"), 6).alias("dup_ratio"),
     )

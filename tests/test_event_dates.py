@@ -521,3 +521,189 @@ def test_whale_observation_through_transform_pipeline(spark):
     # synthesize_initial_revision adds revision 0; max real revision is 1
     assert got["max_history_len"] == 2
     assert got["n_revisions"] == 2
+
+
+def test_observe_history_length_empty_stream_reports_zero(spark):
+    """max over an empty stream is NULL; the observation coalesces it
+    to 0 so callers' threshold comparisons never hit a None."""
+    from falcon_metrics_etl_spark.operators.event_dates import (
+        observe_history_length,
+    )
+
+    empty = spark.createDataFrame(
+        [],
+        "work_item_id string, revision int, changed_date timestamp, zone int",
+    )
+    observed, obs = observe_history_length(empty)
+    observed.write.format("noop").mode("overwrite").save()
+    assert obs.get["max_history_len"] == 0
+    assert obs.get["n_revisions"] == 0
+
+
+def test_split_by_history_length_exact_counts(spark):
+    """The split keys on exact per-item ROW counts — valid for raw
+    Jira history-id revisions (which are NOT dense; a small history
+    can carry huge revision numbers and must not be misrouted)."""
+    from falcon_metrics_etl_spark.operators.event_dates import (
+        split_by_history_length,
+    )
+
+    rows = [("itm-big-ids", 900_000 + i, _dt("2024-01-01"), 1) for i in range(3)]
+    rows += [("itm-long", i, _dt("2024-01-02"), 2) for i in range(80)]
+    tagged = spark.createDataFrame(
+        rows,
+        "work_item_id string, revision long, changed_date timestamp, zone int",
+    )
+    normal, whales, stats = split_by_history_length(tagged, threshold=50)
+    # raw history ids near 1M do NOT make itm-big-ids a whale (3 rows)
+    assert sorted(
+        r[0] for r in normal.select("work_item_id").distinct().collect()
+    ) == ["itm-big-ids"]
+    assert [r[0] for r in whales.select("work_item_id").distinct().collect()] == [
+        "itm-long"
+    ]
+    assert stats == {"max_history_len": 80, "n_revisions": 83, "n_whales": 1}
+
+
+def test_split_by_history_length_no_whales_is_passthrough(spark):
+    from falcon_metrics_etl_spark.operators.event_dates import (
+        split_by_history_length,
+    )
+
+    tagged = spark.createDataFrame(
+        [("a", 1, _dt("2024-01-01"), 1)],
+        "work_item_id string, revision int, changed_date timestamp, zone int",
+    )
+    normal, whales, stats = split_by_history_length(tagged, threshold=50)
+    assert whales is None
+    assert normal is tagged
+    assert stats == {"max_history_len": 1, "n_revisions": 1, "n_whales": 0}
+
+    empty = tagged.filter("1=0")
+    _, whales2, stats2 = split_by_history_length(empty, threshold=50)
+    assert whales2 is None
+    assert stats2 == {"max_history_len": 0, "n_revisions": 0, "n_whales": 0}
+
+
+def test_whale_routing_matches_expr_path_on_manufactured_whale(spark):
+    """extract_event_dates_routed with a manufactured 30k-revision
+    whale (3x the default threshold): the whale takes the mapInPandas
+    branch, normals take the expr branch, and the union is row-for-row
+    identical to running the expr path over everything."""
+    from pyspark.sql import functions as F
+
+    from falcon_metrics_etl_spark.operators.event_dates import (
+        extract_event_dates_expr,
+        extract_event_dates_routed,
+    )
+
+    whale = spark.range(30_000).select(
+        F.lit("itm-whale").alias("work_item_id"),
+        F.col("id").cast("int").alias("revision"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("id").cast("int"))
+        ).alias("changed_date"),
+        # zones cycle 1,2,3 then settle in departure: exercises the
+        # same-day lookahead rules deep inside the history
+        F.when(F.col("id") < 29_000, (F.col("id") % 3 + 1).cast("int"))
+        .otherwise(F.lit(3))
+        .cast("int")
+        .alias("zone"),
+    )
+    normals = spark.createDataFrame(
+        [
+            ("itm-a", 1, _dt("2024-03-01 08:00:00"), 1),
+            ("itm-a", 2, _dt("2024-03-02 09:00:00"), 2),
+            ("itm-a", 3, _dt("2024-03-03 10:00:00"), 3),
+            ("itm-b", 1, _dt("2024-03-05 08:00:00"), 1),
+            ("itm-b", 2, _dt("2024-03-05 08:30:00"), 0),
+            ("itm-b", 3, _dt("2024-03-06 11:00:00"), 1),
+        ],
+        "work_item_id string, revision int, changed_date timestamp, zone int",
+    )
+    tagged = whale.unionByName(normals)
+
+    stats = {}
+    routed = extract_event_dates_routed(tagged, stats_out=stats)
+    assert stats["n_whales"] == 1
+    assert stats["max_history_len"] == 30_000
+
+    got = {r["work_item_id"]: r.asDict() for r in routed.collect()}
+    want = {
+        r["work_item_id"]: r.asDict()
+        for r in extract_event_dates_expr(tagged).collect()
+    }
+    assert got == want
+    assert set(got) == {"itm-whale", "itm-a", "itm-b"}
+
+
+def test_transform_work_items_routes_whales(spark):
+    """transform_work_items(whale_routing=True, low threshold): the
+    split runs inside the full pipeline, states stay correct, and
+    stats_out carries the exact counts."""
+    from falcon_metrics_etl_spark.operators.transform import transform_work_items
+
+    d = _dt("2024-01-01")
+    items = spark.createDataFrame(
+        [
+            ("org1", "ds1", "w-whale", "wf1", "s3", "Done", d, d),
+            ("org1", "ds1", "w-small", "wf1", "s2", "Doing", d, d),
+        ],
+        "org_id string, datasource_id string, work_item_id string, "
+        "workflow_id string, status_id string, status_name string, "
+        "created_date timestamp, updated_date timestamp",
+    )
+    rev_rows = [
+        ("org1", "ds1", "w-whale", "wf1", i + 1,
+         d + timedelta(minutes=i + 1), "state_change",
+         "s2" if i % 2 == 0 else "s3",
+         "Doing" if i % 2 == 0 else "Done",
+         "s1", "Todo", None, None, None, None)
+        for i in range(10)
+    ]
+    rev_rows.append(
+        ("org1", "ds1", "w-small", "wf1", 1, d + timedelta(hours=1),
+         "state_change", "s2", "Doing", "s1", "Todo", None, None, None, None)
+    )
+    revs = spark.createDataFrame(
+        rev_rows,
+        "org_id string, datasource_id string, work_item_id string, "
+        "workflow_id string, revision int, changed_date timestamp, "
+        "type string, status_id string, status_name string, "
+        "from_status_id string, from_status_name string, assignee string, "
+        "blocked_reason string, discarded_reason string, flagged boolean",
+    )
+    steps = spark.createDataFrame(
+        [
+            ("wf1", "s1", "Todo", 1, "queue", "proposed", True),
+            ("wf1", "s2", "Doing", 2, "active", "inprogress", True),
+            ("wf1", "s3", "Done", 3, "queue", "completed", True),
+        ],
+        "workflow_id string, step_id string, step_name string, "
+        "step_order int, state_type string, state_category string, "
+        "active boolean",
+    )
+    events = spark.createDataFrame(
+        [("wf1", 1, 2, 3)],
+        "workflow_id string, arrival_point_order int, "
+        "commitment_point_order int, departure_point_order int",
+    )
+
+    stats = {}
+    states, snaps = transform_work_items(
+        items, revs, steps, events, stats_out=stats, whale_threshold=5
+    )
+    rows = {r["work_item_id"]: r for r in states.collect()}
+    assert stats["n_whales"] == 1  # w-whale: 10 revisions + synthetic > 5
+    assert set(rows) == {"w-whale", "w-small"}
+    # the whale went through the pandas branch and still produced dates
+    assert rows["w-whale"]["departure_date"] is not None
+    # unrouted run must agree exactly
+    states_plain, _ = transform_work_items(
+        items, revs, steps, events, whale_routing=False
+    )
+    plain = {r["work_item_id"]: r for r in states_plain.collect()}
+    assert {k: v.asDict() for k, v in rows.items()} == {
+        k: v.asDict() for k, v in plain.items()
+    }
