@@ -236,32 +236,89 @@ def encode_png_palette(width: int, height: int) -> bytes:
     )
 
 
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # bytes/pixel at bit depth 8
+
+
+def encode_png_rgba(width: int, height: int, base: int) -> bytes:
+    """8-bit RGBA PNG (color type 6, bpp=4): pixel(x, y) =
+    (base+x+y, base+2x, base+2y, base+3x) — with base capped at 199
+    and dims at 16, the alpha channel peaks at 244 so nothing wraps
+    8 bits and every statistic keeps a closed form. Row y is filtered
+    with type (y+1) % 5, exercising all five filters at bpp=4."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    prev = bytes(4 * width)
+    raw = bytearray()
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            line += bytes(
+                (
+                    (base + x + y) & 0xFF,
+                    (base + 2 * x) & 0xFF,
+                    (base + 2 * y) & 0xFF,
+                    (base + 3 * x) & 0xFF,
+                )
+            )
+        raw += _filter_scanline((y + 1) % 5, bytes(line), prev, 4)
+        prev = bytes(line)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_gray_alpha(width: int, height: int, base: int) -> bytes:
+    """8-bit grayscale+alpha PNG (color type 4, bpp=2): pixel(x, y) =
+    (gray=base+x+y, alpha=base+2y). Row y filtered with type
+    (y+2) % 5 — the two-byte pixel stride exercises the spec's
+    bpp-aware left/upper-left filter references at bpp=2."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 4, 0, 0, 0)
+    prev = bytes(2 * width)
+    raw = bytearray()
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            line += bytes(((base + x + y) & 0xFF, (base + 2 * y) & 0xFF))
+        raw += _filter_scanline((y + 2) % 5, bytes(line), prev, 2)
+        prev = bytes(line)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
     """REAL pixel decode, pure stdlib: chunk walk collecting IDAT (and
     PLTE), zlib inflate, then per-scanline unfiltering implementing ALL
     five PNG filter types (None/Sub/Up/Average/Paeth) with the
     bpp-aware left/upper-left references the spec requires. Supported:
-    8-bit grayscale (color type 0), 8-bit truecolor RGB (type 2,
-    bpp=3), and 8-bit palette (type 3 — indices unfiltered at bpp=1,
-    then PLTE-expanded to RGB). 16-bit, interlaced and alpha variants
-    still need the PIL swap-in and raise NotImplementedError; truncated
-    or malformed rasters raise ValueError (quarantine-able).
+    every 8-bit color type — grayscale (0, bpp=1), truecolor RGB (2,
+    bpp=3), palette (3 — indices unfiltered at bpp=1, then
+    PLTE-expanded to RGB), gray+alpha (4, bpp=2) and RGBA (6, bpp=4);
+    alpha channels come back interleaved like any other channel.
+    16-bit and Adam7-interlaced variants still need the PIL swap-in
+    and raise NotImplementedError; truncated or malformed rasters
+    raise ValueError (quarantine-able).
 
     Returns (width, height, channels, raster) — raster is
     channel-interleaved, ``width * height * channels`` bytes."""
     hdr = parse_png_header(payload)
     if (
         hdr["bit_depth"] != 8
-        or hdr["color_type"] not in (0, 2, 3)
+        or hdr["color_type"] not in _PNG_BPP
         or hdr["interlace"] != 0
     ):
-        # STUB BOUNDARY: 16-bit / Adam7 / alpha decode needs an imaging lib
+        # STUB BOUNDARY: 16-bit / Adam7 decode needs an imaging lib
         raise NotImplementedError(
             "pixel decode implemented for non-interlaced 8-bit "
-            "grayscale/RGB/palette (color types 0/2/3) only"
+            "color types 0/2/3/4/6 only"
         )
     w, h = hdr["width"], hdr["height"]
-    bpp = 3 if hdr["color_type"] == 2 else 1
+    bpp = _PNG_BPP[hdr["color_type"]]
     pos, idat, plte = 8, [], None
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -780,11 +837,13 @@ def extract_feature_stub(media: DataFrame) -> DataFrame:
 # Color PNG decode (VERDICT r4 item 4): truecolor + palette corpora.
 # ---------------------------------------------------------------------------
 def attach_payload_png_color(docs: DataFrame) -> DataFrame:
-    """documents -> color PNGs: even doc_ids get truecolor RGB
-    gradients (encode_png_color), odd doc_ids get palette images
-    (encode_png_palette) — dims/base from md5(text) exactly like
-    attach_payload_png_gradient, so every decoded statistic has an
-    oracle-replayable closed form. Map-only Arrow-batched build."""
+    """documents -> color PNGs covering every supported 8-bit color
+    type: doc_id % 4 picks truecolor RGB (0, encode_png_color),
+    palette (1, encode_png_palette), RGBA (2, encode_png_rgba) or
+    gray+alpha (3, encode_png_gray_alpha) — dims/base from md5(text)
+    exactly like attach_payload_png_gradient, so every decoded
+    statistic has an oracle-replayable closed form. Map-only
+    Arrow-batched build."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -794,10 +853,15 @@ def attach_payload_png_color(docs: DataFrame) -> DataFrame:
                 w = int(h[0:4], 16) % PNG_DIM_MOD + 1
                 ht = int(h[4:8], 16) % PNG_DIM_MOD + 1
                 base = int(h[8:10], 16) % GRAD_BASE_MOD
-                if int(doc_id) % 2 == 0:
+                variant = int(doc_id) % 4
+                if variant == 0:
                     payloads.append(encode_png_color(w, ht, base))
-                else:
+                elif variant == 1:
                     payloads.append(encode_png_palette(w, ht))
+                elif variant == 2:
+                    payloads.append(encode_png_rgba(w, ht, base))
+                else:
+                    payloads.append(encode_png_gray_alpha(w, ht, base))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,

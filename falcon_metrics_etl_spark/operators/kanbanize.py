@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from falcon_metrics_etl_spark.session import perf_checkpoint
 from falcon_metrics_etl_spark.functions.scalar import slugify
 from falcon_metrics_etl_spark.operators.event_dates import (
     effective_point_orders,
@@ -140,9 +141,11 @@ def transform_cards(
     # re-joining the raw stream (measured A/B/C at sf0.1: live+dim
     # checkpoints 5.6s < no checkpoints 6.2s < dim-only 7.6s — and at
     # scale it is the variant that touches the raw stream exactly once)
-    live = transitions.join(
-        cfg.select("card_id", "workflow_id"), "card_id", "inner"
-    ).localCheckpoint(eager=False)
+    live = perf_checkpoint(
+        transitions.join(
+            cfg.select("card_id", "workflow_id"), "card_id", "inner"
+        )
+    )
     comp = compress_transitions(live)
     history = comp.select(
         F.col("card_id").cast("string").alias("work_item_id"),
@@ -191,9 +194,9 @@ def transform_cards(
         # keeping the registry no-action contract) materializes the
         # dedupe once; every consumer then broadcast-joins the
         # materialized few-thousand-row dim.
-        workflow_steps = auto_map_unmapped_steps(
-            seen_src, workflow_steps
-        ).localCheckpoint(eager=False)
+        workflow_steps = perf_checkpoint(
+            auto_map_unmapped_steps(seen_src, workflow_steps)
+        )
     tagged = tag_zones(history, workflow_steps, workflow_events)
     event_dates = extract_event_dates_expr(tagged)
     points = effective_point_orders(workflow_steps, workflow_events)

@@ -49,12 +49,14 @@ def synthesize_initial_revision(
     carrying the creation-time assignee — the first assignee_change's
     fromString, i.e. who held the item before its first reassignment
     (null when the item was never reassigned, exactly the reference's
-    undefined) — and the reference's closing truthy filter
-    (ts:495-498: rows with empty/null statusId or statusName drop,
-    which can only affect the synthetic rows: typed rows are non-empty
-    by the emission branch and unflag rows carry literal 'flagged').
-    Default False keeps the generic single-row W9 shape shared by the
-    non-Jira sources."""
+    undefined) — and the reference's closing truthy filter applied to
+    the WHOLE concatenated history like ts:495-498, synthetic and raw
+    rows alike. On parse_changelog output the raw side passes
+    unchanged (typed rows are non-empty by the emission branch and
+    unflag rows carry literal 'flagged'), but revisions fed from any
+    other source with empty/null statusId or statusName drop here
+    exactly as the reference would drop them. Default False keeps the
+    generic single-row W9 shape shared by the non-Jira sources."""
     w = item_window(item_col)
     first_state = (
         revisions.filter(F.col("type") == STATE_CHANGE)
@@ -107,14 +109,17 @@ def synthesize_initial_revision(
         initial = initial.unionByName(
             assignee_initial.select(*initial.columns)
         )
-        # ts:495-498 — the truthy close filter
-        initial = initial.filter(
+    out = revisions.unionByName(initial, allowMissingColumns=True)
+    if with_assignee_row:
+        # ts:495-498 — the truthy close filter, over the full
+        # concatenated history (raw + synthetic), as the reference does
+        out = out.filter(
             F.col("status_id").isNotNull()
             & (F.col("status_id") != "")
             & F.col("status_name").isNotNull()
             & (F.col("status_name") != "")
         )
-    return revisions.unionByName(initial, allowMissingColumns=True)
+    return out
 
 
 def dedupe_consecutive(

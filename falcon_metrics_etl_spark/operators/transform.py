@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from falcon_metrics_etl_spark.session import perf_checkpoint
 from falcon_metrics_etl_spark.operators.event_dates import (
     WHALE_HISTORY_REVISIONS,
     effective_point_orders,
@@ -182,9 +183,9 @@ def transform_work_items(
         # revision stream into each consumer — tag_zones,
         # effective_point_orders and the states current-step join
         # (same fix as operators/kanbanize.py transform_cards)
-        workflow_steps = auto_map_unmapped_steps(
-            seen_src, workflow_steps
-        ).localCheckpoint(eager=False)
+        workflow_steps = perf_checkpoint(
+            auto_map_unmapped_steps(seen_src, workflow_steps)
+        )
     tagged = tag_zones(full_revisions, workflow_steps, workflow_events)
     if stats_out is not None:
         # telemetry observation (dense-index alert signal; routing below

@@ -233,14 +233,16 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_png_color_pixel_stats",
-    doc="REAL color decode (color types 2 and 3): even doc_ids carry "
-    "truecolor RGB gradients (R=b+x+y, G=b+2x, B=b+2y; rows cycle "
-    "through ALL five PNG filters at bpp=3), odd doc_ids carry palette "
-    "images (PLTE entry i=(i,2i,3i), index=(x+y)%16). decode_png_pixels "
-    "unfilters bpp-aware and PLTE-expands; the oracle replays the "
-    "closed-form channel statistics (per-doc range unnest for the "
-    "palette index sums) — matching is only possible by genuinely "
-    "unfiltering multi-byte pixels and applying the palette. Map-only.",
+    doc="REAL color decode over EVERY supported 8-bit color type "
+    "(2/3/6/4 by doc_id % 4): truecolor RGB gradients (R=b+x+y, "
+    "G=b+2x, B=b+2y; rows cycle ALL five PNG filters at bpp=3), "
+    "palette images (PLTE entry i=(i,2i,3i), index=(x+y)%16), RGBA "
+    "(the RGB gradient + alpha=b+3x, filters cycled at bpp=4) and "
+    "gray+alpha (gray=b+x+y, alpha=b+2y, bpp=2). decode_png_pixels "
+    "unfilters bpp-aware, PLTE-expands, and returns alpha interleaved; "
+    "the oracle replays the closed-form channel statistics (per-doc "
+    "range unnest for the palette index sums) — matching is only "
+    "possible by genuinely unfiltering multi-byte pixels. Map-only.",
     tags=("multimodal", "pandas-udf", "binary", "codec", "pixels"),
     oracle=f"""
 WITH dims AS ({_DUCK_GRAD_DIMS}),
@@ -250,12 +252,12 @@ rgb AS (
            b AS min_value,
            b + GREATEST(w + h - 2, 2 * (w - 1), 2 * (h - 1)) AS max_value,
            3*w*h*b + 3*h*(w*(w-1))//2 + 3*w*(h*(h-1))//2 AS sum_values
-    FROM dims WHERE doc_id % 2 = 0
+    FROM dims WHERE doc_id % 4 = 0
 ),
 pal_xy AS (
     SELECT doc_id, x, unnest(range(0, h)) AS y
     FROM (SELECT doc_id, h, unnest(range(0, w)) AS x
-          FROM dims WHERE doc_id % 2 = 1)
+          FROM dims WHERE doc_id % 4 = 1)
 ),
 pal_idx AS (
     SELECT doc_id, SUM((x + y) % 16) AS sidx FROM pal_xy GROUP BY doc_id
@@ -267,6 +269,22 @@ pal AS (
            3 * LEAST(15, w + h - 2) AS max_value,
            6 * p.sidx AS sum_values
     FROM dims d JOIN pal_idx p ON p.doc_id = d.doc_id
+),
+rgba AS (
+    SELECT doc_id, 6 AS color_type, 4 AS channels, w, h,
+           4 * w * h AS n_values,
+           b AS min_value,
+           b + GREATEST(w + h - 2, 3 * (w - 1), 2 * (h - 1)) AS max_value,
+           4*w*h*b + 6*(h*(w*(w-1))//2) + 3*(w*(h*(h-1))//2) AS sum_values
+    FROM dims WHERE doc_id % 4 = 2
+),
+ga AS (
+    SELECT doc_id, 4 AS color_type, 2 AS channels, w, h,
+           2 * w * h AS n_values,
+           b AS min_value,
+           b + GREATEST(w + h - 2, 2 * (h - 1)) AS max_value,
+           2*w*h*b + h*(w*(w-1))//2 + 3*(w*(h*(h-1))//2) AS sum_values
+    FROM dims WHERE doc_id % 4 = 3
 )
 SELECT doc_id, color_type, channels,
        CAST(w AS INT) AS width, CAST(h AS INT) AS height,
@@ -275,7 +293,8 @@ SELECT doc_id, color_type, channels,
        CAST(max_value AS INT) AS max_value,
        CAST(sum_values AS BIGINT) AS sum_values,
        CAST(sum_values AS DOUBLE) / n_values AS mean_value
-FROM (SELECT * FROM rgb UNION ALL SELECT * FROM pal)
+FROM (SELECT * FROM rgb UNION ALL SELECT * FROM pal
+      UNION ALL SELECT * FROM rgba UNION ALL SELECT * FROM ga)
 """,
 )
 def multimodal_png_color_pixel_stats(

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from falcon_metrics_etl_spark.session import perf_checkpoint
 from falcon_metrics_etl_spark.plans.registry import register
 from falcon_metrics_etl_spark.sources import load_table
 
@@ -943,9 +944,9 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoints (eager=False — no job at definition time, so the
     # registry's no-action contract holds) pin each shared frame to be
     # computed once.
-    z = b.withColumn(
-        "zval", morton_interleave(F.col("bx"), F.col("by"))
-    ).localCheckpoint(eager=False)
+    z = perf_checkpoint(
+        b.withColumn("zval", morton_interleave(F.col("bx"), F.col("by")))
+    )
 
     # Two-phase deterministic NTILE — never a single-partition data
     # window: (1) bucket rows by a monotone prefix of the sort key,
@@ -992,21 +993,25 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int")
 
     total = z.agg(F.count(F.lit(1)).alias("_n"))
-    ranked = two_phase_rank(
-        z.join(F.broadcast(total)),
-        F.shiftright(F.col("zval"), 22),
-        ["zval", "o_orderkey"],
-        "_zr",
-    ).localCheckpoint(eager=False)
+    ranked = perf_checkpoint(
+        two_phase_rank(
+            z.join(F.broadcast(total)),
+            F.shiftright(F.col("zval"), 22),
+            ["zval", "o_orderkey"],
+            "_zr",
+        )
+    )
     ranked = two_phase_rank(
         ranked, F.shiftright(F.col("bx"), 6), ["bx", "o_orderkey"], "_lr"
     )
-    assigned = ranked.select(
-        "bx",
-        "by",
-        ntile_of("_zr").alias("zfile"),
-        ntile_of("_lr").alias("lfile"),
-    ).localCheckpoint(eager=False)
+    assigned = perf_checkpoint(
+        ranked.select(
+            "bx",
+            "by",
+            ntile_of("_zr").alias("zfile"),
+            ntile_of("_lr").alias("lfile"),
+        )
+    )
 
     def spans(file_col, scheme):
         return (

@@ -62,3 +62,30 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# -- optional perf checkpoints ------------------------------------------------
+# Conf gating the OPTIONAL shared-subtree checkpoints (kanbanize/
+# transform dims, zorder Morton subtree). They exist purely to stop
+# Catalyst re-deriving a shared frame per consumer (measured plan wins,
+# PLAN_AUDIT_r5); semantics are identical without them.
+PERF_CHECKPOINT_CONF = "spark.falconMetricsEtl.perfCheckpoints"
+
+
+def perf_checkpoint(df):
+    """Lazy ``localCheckpoint`` for shared plan subtrees, gated behind
+    ``spark.falconMetricsEtl.perfCheckpoints`` (default on).
+
+    RELIABILITY TRADEOFF: a localCheckpoint truncates lineage — after
+    materialization, losing an executor that holds checkpoint blocks
+    FAILS the job instead of recomputing from source. That is the right
+    trade for this workload (short batch jobs, the checkpointed frames
+    are small dims or mid-size shared subtrees, and the measured plan
+    wins are large), and the wrong one for long-running jobs on
+    preemptible/spot executors. Such deployments set the conf to
+    "false": every consumer then re-derives the shared frame (more
+    shuffles/scans, full lineage-based recovery). eager=False keeps the
+    no-job-at-plan-definition contract either way."""
+    if df.sparkSession.conf.get(PERF_CHECKPOINT_CONF, "true") == "false":
+        return df
+    return df.localCheckpoint(eager=False)

@@ -223,6 +223,36 @@ def test_png_rgb_and_palette_roundtrip():
         MM.decode_png_pixels(broken)
 
 
+def test_png_rgba_and_gray_alpha_roundtrip():
+    w, h, b = 6, 5, 150
+    W, H, ch, px = MM.decode_png_pixels(MM.encode_png_rgba(w, h, b))
+    assert (W, H, ch) == (w, h, 4)
+    for y in range(h):
+        for x in range(w):
+            assert list(px[4 * (y * w + x) : 4 * (y * w + x) + 4]) == [
+                b + x + y, b + 2 * x, b + 2 * y, b + 3 * x,
+            ]
+
+    W, H, ch, px = MM.decode_png_pixels(MM.encode_png_gray_alpha(w, h, b))
+    assert (W, H, ch) == (w, h, 2)
+    for y in range(h):
+        for x in range(w):
+            assert list(px[2 * (y * w + x) : 2 * (y * w + x) + 2]) == [
+                b + x + y, b + 2 * y,
+            ]
+
+
+def test_png_alpha_filters_all_exercised_at_wide_dims():
+    """h >= 5 cycles every PNG filter type at bpp=4 and bpp=2; a
+    decoder with a wrong left/upper-left stride would corrupt rows."""
+    for enc, ch in ((MM.encode_png_rgba, 4), (MM.encode_png_gray_alpha, 2)):
+        w, h, b = 16, 7, 100
+        W, H, C, px = MM.decode_png_pixels(enc(w, h, b))
+        assert (W, H, C) == (w, h, ch)
+        assert len(px) == w * h * ch
+        assert min(px) == b
+
+
 def test_resample_nearest_floor_mapping():
     # 4x2 gradient, downsample to 2x1: src_x = i*4//2 -> {0, 2}
     px = bytearray([0, 1, 2, 3, 10, 11, 12, 13])

@@ -789,3 +789,23 @@ def test_initial_revision_assignee_row_jira_semantics(spark):
         ).count()
         == 0
     )
+
+
+def test_perf_checkpoint_conf_gate(spark):
+    """spark.falconMetricsEtl.perfCheckpoints=false disables the
+    optional shared-subtree checkpoints (lineage-based recovery mode);
+    the plan is then pure lineage but results are identical."""
+    from falcon_metrics_etl_spark.session import (
+        PERF_CHECKPOINT_CONF,
+        perf_checkpoint,
+    )
+
+    df = spark.range(5)
+    try:
+        spark.conf.set(PERF_CHECKPOINT_CONF, "false")
+        assert perf_checkpoint(df) is df
+    finally:
+        spark.conf.unset(PERF_CHECKPOINT_CONF)
+    out = perf_checkpoint(df)
+    assert out is not df
+    assert [r["id"] for r in out.orderBy("id").collect()] == [0, 1, 2, 3, 4]
