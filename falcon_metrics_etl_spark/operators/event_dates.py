@@ -90,8 +90,12 @@ def effective_point_orders(
     no steps yields +Infinity (double), matching Math.min() semantics.
 
     Both inputs are small config dims; the output is broadcast-joined.
+    The events side carries an explicit broadcast hint: workflow_steps
+    is often a perf_checkpoint'd frame (auto-mapped dim), and a
+    checkpointed relation has no AQE size stats, so without the hint
+    the planner falls back to a sort-merge join on two dim tables.
     """
-    steps = workflow_steps.join(workflow_events, key)
+    steps = workflow_steps.join(F.broadcast(workflow_events), key)
     inf = F.lit(float("inf"))
     order = F.col("step_order").cast("double")
     return steps.groupBy(key).agg(

@@ -217,10 +217,15 @@ def transform_cards(
             "flomatika_type_sle_days"
         ),
     ).join(
-        work_item_types.select(
-            F.col("id").alias("flomatika_work_item_type_id"),
-            F.col("display_name").alias("flomatika_work_item_type_name"),
-            F.col("level").alias("flomatika_work_item_type_level"),
+        # explicit hint: both sides are tiny config dims, but the plan
+        # builds this under the outer broadcast of type_dims and the
+        # planner picked a sort-merge join for the inner dim-dim pair
+        F.broadcast(
+            work_item_types.select(
+                F.col("id").alias("flomatika_work_item_type_id"),
+                F.col("display_name").alias("flomatika_work_item_type_name"),
+                F.col("level").alias("flomatika_work_item_type_level"),
+            )
         ),
         "flomatika_work_item_type_id",
         "left",
