@@ -21,11 +21,14 @@ partition, not the table. Unpartitioned targets fall back to a
 full-table staged rewrite (correct, but documented as the small-table
 path — dims, bridges, cursors).
 
-Writes stage to ``<path>/__stage__``-free tmp dirs? No — Spark's
-dynamic overwrite is already job-atomic per partition via the Hadoop
-commit protocol; a failed job leaves committed partitions from the
-previous run intact. Re-running the same batch converges (idempotent),
-which is exactly the reference's redelivery story (ST2).
+The read-write cycle (overwriting the path the survivors were read
+from) is broken with eager localCheckpoints of the batch-proportional
+frames, not a stage dir — each merged row reaches the target in one
+parquet write. Spark's dynamic overwrite is job-atomic per partition
+via the Hadoop commit protocol; a failed job leaves committed
+partitions from the previous run intact. Re-running the same batch
+converges (idempotent), which is exactly the reference's redelivery
+story (ST2).
 """
 
 from __future__ import annotations
@@ -100,6 +103,12 @@ def merge_upsert(
     # org=42 dir and duplicates the partition. The updates schema is
     # the type authority — genuine numeric partitions cast back
     # losslessly ('7' -> 7).
+    # EAGER checkpoint of the batch up front: the touched-partition
+    # enumeration, the anti-join key scan and the final write all read
+    # the materialized blocks instead of re-deriving the updates plan
+    # (and the final write must not read ``path`` through the updates
+    # lineage — see the read-write-cycle note below).
+    updates = updates.localCheckpoint(eager=True)
     with _verbatim_partition_reads(spark):
         target = spark.read.option("mergeSchema", "true").parquet(path)
     if partition_cols:
@@ -140,21 +149,28 @@ def merge_upsert(
             touched_partition_predicate(partition_cols, touched)
         )
 
+    # We overwrite the same path we read from, so the read side must be
+    # materialized off the target files first (breaking the read-write
+    # cycle). EAGER localCheckpoints pin survivors and updates into
+    # executor block storage (MEMORY_AND_DISK — large batches spill,
+    # they do not OOM): the final write then reads checkpoint blocks,
+    # never ``path``, and every merged row reaches the target in
+    # EXACTLY ONE parquet write. (The previous implementation staged
+    # survivors+updates to a sibling parquet dir and rewrote them —
+    # two full disk passes over the merged batch. Delta's MERGE is the
+    # same copy-on-write with a transaction log instead of checkpoint
+    # blocks.) Cost stays proportional to the batch: only touched
+    # partitions flow through the checkpoint. Checkpointing updates
+    # (done above) also makes the merge safe when the caller derived
+    # ``updates`` from reading this same target path.
     survivors = target.join(
-        updates.select(*keys).dropDuplicates(list(keys)), on=list(keys), how="left_anti"
+        updates.select(*keys), on=list(keys), how="left_anti"
+    ).localCheckpoint(eager=True)
+    merged = _align_to_partitions(
+        survivors.unionByName(updates, allowMissingColumns=True),
+        partition_cols,
     )
-    merged = survivors.unionByName(updates, allowMissingColumns=True)
-
-    # We overwrite the same path we read from, so the merged rows are
-    # staged to a sibling dir first (breaking the read-write cycle),
-    # then swapped in. Only the touched partitions flow through the
-    # stage, so staging cost is proportional to the batch, not the
-    # table. (Delta's MERGE does the same copy-on-write with a
-    # transaction log instead of a stage dir.)
-    stage = path.rstrip("/") + "__stage__"
-    merged.write.mode("overwrite").parquet(stage)
-    staged = _align_to_partitions(spark.read.parquet(stage), partition_cols)
-    writer = staged.write.mode("overwrite")
+    writer = merged.write.mode("overwrite")
     if partition_cols:
         # per-write option, NOT spark.conf.set: a session-wide dynamic
         # mode would silently change every later static partitioned
@@ -163,7 +179,6 @@ def merge_upsert(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy(*partition_cols)
     writer.parquet(path)
-    _rm(stage)
 
 
 _PTI_CONF = "spark.sql.sources.partitionColumnTypeInference.enabled"
