@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import sys
 import zlib
 from typing import Iterator
 
@@ -236,9 +237,6 @@ def encode_png_palette(width: int, height: int) -> bytes:
     )
 
 
-_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # bytes/pixel at bit depth 8
-
-
 def encode_png_rgba(width: int, height: int, base: int) -> bytes:
     """8-bit RGBA PNG (color type 6, bpp=4): pixel(x, y) =
     (base+x+y, base+2x, base+2y, base+3x) — with base capped at 199
@@ -291,55 +289,126 @@ def encode_png_gray_alpha(width: int, height: int, base: int) -> bytes:
     )
 
 
-def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
-    """REAL pixel decode, pure stdlib: chunk walk collecting IDAT (and
-    PLTE), zlib inflate, then per-scanline unfiltering implementing ALL
-    five PNG filter types (None/Sub/Up/Average/Paeth) with the
-    bpp-aware left/upper-left references the spec requires. Supported:
-    every 8-bit color type — grayscale (0, bpp=1), truecolor RGB (2,
-    bpp=3), palette (3 — indices unfiltered at bpp=1, then
-    PLTE-expanded to RGB), gray+alpha (4, bpp=2) and RGBA (6, bpp=4);
-    alpha channels come back interleaved like any other channel.
-    16-bit and Adam7-interlaced variants still need the PIL swap-in
-    and raise NotImplementedError; truncated or malformed rasters
-    raise ValueError (quarantine-able).
+GRAY16_XC, GRAY16_YC = 300, 77  # 16-bit gradient coefficients
 
-    Returns (width, height, channels, raster) — raster is
-    channel-interleaved, ``width * height * channels`` bytes."""
-    hdr = parse_png_header(payload)
-    if (
-        hdr["bit_depth"] != 8
-        or hdr["color_type"] not in _PNG_BPP
-        or hdr["interlace"] != 0
-    ):
-        # STUB BOUNDARY: 16-bit / Adam7 decode needs an imaging lib
-        raise NotImplementedError(
-            "pixel decode implemented for non-interlaced 8-bit "
-            "color types 0/2/3/4/6 only"
+
+def encode_png_gray16(width: int, height: int, base: int) -> bytes:
+    """16-bit grayscale PNG (color type 0, depth 16, bpp=2 bytes):
+    sample(x, y) = 256*base + 300x + 77y, big-endian — with base
+    capped at 199 and dims at 16 the peak is 56,599 < 2^16, so the
+    statistics keep closed forms. Row y filtered with type y % 5: the
+    two-byte sample stride exercises the bpp-aware filters exactly as
+    a real 16-bit encoder would."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, 0, 0, 0, 0)
+    prev = bytes(2 * width)
+    raw = bytearray()
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            line += struct.pack(
+                ">H", 256 * base + GRAY16_XC * x + GRAY16_YC * y
+            )
+        raw += _filter_scanline(y % 5, bytes(line), prev, 2)
+        prev = bytes(line)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _encode_adam7_idat(width, height, bpp, pix):
+    """Filtered Adam7 raster: each pass is gathered with the spec's
+    (x0,y0,dx,dy) sampling, filtered independently (rows cycle the
+    five filter types), and concatenated — the byte stream a real
+    interlaced encoder emits. ``pix(x, y)`` returns one pixel's
+    ``bpp`` bytes."""
+    raw = bytearray()
+    row_idx = 0
+    for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(width, height):
+        if pw == 0 or ph == 0:
+            continue
+        prev = bytes(pw * bpp)
+        for j in range(ph):
+            line = bytearray()
+            for i in range(pw):
+                line += pix(x0 + i * dx, y0 + j * dy)
+            raw += _filter_scanline(row_idx % 5, bytes(line), prev, bpp)
+            prev = bytes(line)
+            row_idx += 1
+    return bytes(raw)
+
+
+def encode_png_gray_interlaced(width: int, height: int, base: int) -> bytes:
+    """Adam7-interlaced 8-bit grayscale PNG with the SAME pixel
+    formula as encode_png_gradient (pixel = base + x + y): a correct
+    deinterlacer must reproduce the sequential gradient raster
+    byte-for-byte."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 1)
+    raw = _encode_adam7_idat(
+        width, height, 1, lambda x, y: bytes([(base + x + y) & 0xFF])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_rgba_interlaced(width: int, height: int, base: int) -> bytes:
+    """Adam7-interlaced RGBA (color type 6) with the same channel
+    formulas as encode_png_rgba — exercises multi-byte pixel scatter
+    across the 7 passes."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 1)
+
+    def pix(x, y):
+        return bytes(
+            (
+                (base + x + y) & 0xFF,
+                (base + 2 * x) & 0xFF,
+                (base + 2 * y) & 0xFF,
+                (base + 3 * x) & 0xFF,
+            )
         )
-    w, h = hdr["width"], hdr["height"]
-    bpp = _PNG_BPP[hdr["color_type"]]
-    pos, idat, plte = 8, [], None
-    while pos + 8 <= len(payload):
-        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
-        tag = payload[pos + 4 : pos + 8]
-        if tag == b"IDAT":
-            idat.append(payload[pos + 8 : pos + 8 + ln])
-        elif tag == b"PLTE":
-            plte = payload[pos + 8 : pos + 8 + ln]
-        if tag == b"IEND":
-            break
-        pos += 12 + ln
-    raw = zlib.decompress(b"".join(idat))
-    rw = w * bpp  # filtered scanline payload width in BYTES
+
+    raw = _encode_adam7_idat(width, height, 4, pix)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # samples per pixel
+_PNG_BPP = _PNG_CHANNELS  # at bit depth 8, bytes/pixel == channels
+
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step) per pass --
+# the spec's fixed 8x8 sampling pattern
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter_scanlines(raw, pos, rw, h, bpp):
+    """Unfilter ``h`` scanlines of ``rw`` payload bytes each starting
+    at ``raw[pos]`` -- all five PNG filters with the spec's bpp-aware
+    left/upper-left references. Shared by the sequential path (one
+    call) and the Adam7 path (one call per non-empty pass, each pass
+    being its own independently filtered sub-image). Returns
+    (raster, next_pos)."""
     stride = rw + 1
-    if len(raw) != stride * h:
+    if pos + stride * h > len(raw):
         raise ValueError("PNG: raster size does not match dimensions")
     out = bytearray(rw * h)
     prev = bytes(rw)
     for y in range(h):
-        ft = raw[y * stride]
-        line = bytearray(raw[y * stride + 1 : (y + 1) * stride])
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + stride])
+        pos += stride
         if ft == 0:
             pass
         elif ft == 1:  # Sub
@@ -361,6 +430,89 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
             raise ValueError(f"PNG: unknown filter type {ft}")
         out[y * rw : (y + 1) * rw] = line
         prev = line
+    return out, pos
+
+
+def _adam7_pass_dims(w, h):
+    """(x0, y0, dx, dy, pass_w, pass_h) per pass; empty passes have
+    pass_w or pass_h == 0 and contribute NO scanlines at all."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = max(0, (w - x0 + dx - 1) // dx)
+        ph = max(0, (h - y0 + dy - 1) // dy)
+        out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def decode_png_pixels(payload: bytes):
+    """REAL pixel decode, pure stdlib: chunk walk collecting IDAT (and
+    PLTE), zlib inflate, then per-scanline unfiltering implementing ALL
+    five PNG filter types (None/Sub/Up/Average/Paeth) with the
+    bpp-aware left/upper-left references the spec requires. Supported:
+    every color type -- grayscale (0), truecolor RGB (2), palette (3 --
+    indices unfiltered at bpp=1, then PLTE-expanded to RGB),
+    gray+alpha (4) and RGBA (6) -- at bit depth 8 AND 16 (16-bit
+    samples unfilter at bpp = 2*channels byte stride per the spec,
+    then unpack big-endian), both sequential and Adam7-interlaced
+    (each of the 7 passes is its own independently filtered sub-image;
+    empty passes contribute no scanlines). Sub-byte depths (1/2/4-bit
+    gray/palette) remain the imaging-lib stub and raise
+    NotImplementedError; truncated or malformed rasters raise
+    ValueError (quarantine-able).
+
+    Returns (width, height, channels, raster) -- raster is
+    channel-interleaved, ``width * height * channels`` samples: a
+    bytearray for 8-bit images, an array('H') of 0..65535 values for
+    16-bit."""
+    hdr = parse_png_header(payload)
+    depth = hdr["bit_depth"]
+    if (
+        depth not in (8, 16)
+        or hdr["color_type"] not in _PNG_CHANNELS
+        or hdr["interlace"] not in (0, 1)
+    ):
+        # STUB BOUNDARY: 1/2/4-bit packed samples need an imaging lib
+        raise NotImplementedError(
+            "pixel decode implemented for 8/16-bit color types "
+            "0/2/3/4/6 (sequential or Adam7) only"
+        )
+    if hdr["color_type"] == 3 and depth != 8:
+        raise ValueError("PNG: palette images must be 8-bit indexed")
+    w, h = hdr["width"], hdr["height"]
+    channels = _PNG_CHANNELS[hdr["color_type"]]
+    bpp = channels * (depth // 8)  # filter byte stride per pixel
+    pos, idat, plte = 8, [], None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat.append(payload[pos + 8 : pos + 8 + ln])
+        elif tag == b"PLTE":
+            plte = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(b"".join(idat))
+    rw = w * bpp  # filtered scanline payload width in BYTES
+    if hdr["interlace"] == 0:
+        out, end = _unfilter_scanlines(raw, 0, rw, h, bpp)
+        if end != len(raw):
+            raise ValueError("PNG: raster size does not match dimensions")
+    else:
+        out = bytearray(rw * h)
+        at = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+            if pw == 0 or ph == 0:
+                continue
+            sub, at = _unfilter_scanlines(raw, at, pw * bpp, ph, bpp)
+            for j in range(ph):
+                src = j * pw * bpp
+                dst_row = (y0 + j * dy) * rw
+                for i in range(pw):
+                    dst = dst_row + (x0 + i * dx) * bpp
+                    out[dst : dst + bpp] = sub[src + i * bpp : src + (i + 1) * bpp]
+        if at != len(raw):
+            raise ValueError("PNG: raster size does not match dimensions")
     if hdr["color_type"] == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("PNG: palette image without a valid PLTE chunk")
@@ -371,7 +523,15 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
                 raise ValueError("PNG: palette index out of range")
             rgb[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
         return w, h, 3, rgb
-    return w, h, bpp, out
+    if depth == 16:
+        import array
+
+        samples = array.array("H")
+        samples.frombytes(bytes(out))
+        if sys.byteorder == "little":
+            samples.byteswap()  # PNG samples are big-endian
+        return w, h, channels, samples
+    return w, h, channels, out
 
 
 def resample_nearest(
@@ -526,11 +686,13 @@ def encode_wav_square(duration_ms: int, base: int) -> bytes:
 
 
 def decode_wav_samples(payload: bytes) -> dict:
-    """REAL PCM sample decode: chunk walk to the data chunk, then
-    unpack mono 8-bit unsigned or 16-bit signed samples (the two
-    formats plain PCM WAVs in the wild overwhelmingly use). Compressed
-    WAV (format tag != 1) raises NotImplementedError — that is the
-    remaining codec stub boundary together with video frames."""
+    """REAL sample decode: chunk walk to the data chunk, then unpack
+    integer PCM (format 1: 8-bit unsigned / 16-bit signed) or IEEE
+    float (format 3: 32-bit little-endian) samples, mono or stereo
+    (stereo comes back channel-interleaved exactly as stored, with
+    ``channels`` reported). Compressed WAV (ADPCM/mp3-in-wav, other
+    format tags) raises NotImplementedError — that is the remaining
+    codec stub boundary together with video frames."""
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     if payload[12:16] != b"fmt ":
@@ -539,24 +701,40 @@ def decode_wav_samples(payload: bytes) -> dict:
     audio_format, channels, sample_rate, _, _, bits = struct.unpack(
         "<HHIIHH", payload[20:36]
     )
-    if audio_format != 1:
-        # STUB BOUNDARY: non-PCM (ADPCM/float/mp3-in-wav) needs a codec lib
-        raise NotImplementedError(f"WAV format {audio_format}: PCM only")
-    if channels != 1 or bits not in (8, 16):
-        raise NotImplementedError("mono 8/16-bit PCM decode only")
+    if audio_format not in (1, 3):
+        # STUB BOUNDARY: compressed audio (ADPCM/mp3-in-wav) needs a codec lib
+        raise NotImplementedError(
+            f"WAV format {audio_format}: integer PCM (1) and IEEE float (3) only"
+        )
+    if channels not in (1, 2):
+        raise NotImplementedError("mono/stereo decode only")
+    if audio_format == 1 and bits not in (8, 16):
+        raise NotImplementedError("8/16-bit integer PCM decode only")
+    if audio_format == 3 and bits != 32:
+        raise NotImplementedError("IEEE float WAV must be 32-bit")
     pos = 20 + fmt_len
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         if tag == b"data":
             body = payload[pos + 8 : pos + 8 + size]
-            if bits == 8:
+            if audio_format == 3:
+                samples = list(
+                    struct.unpack(f"<{len(body) // 4}f", body[: len(body) // 4 * 4])
+                )
+            elif bits == 8:
                 samples = list(body)
             else:
                 samples = list(
                     struct.unpack(f"<{len(body) // 2}h", body[: len(body) // 2 * 2])
                 )
-            return {"sample_rate": sample_rate, "bits": bits, "samples": samples}
+            return {
+                "sample_rate": sample_rate,
+                "bits": bits,
+                "channels": channels,
+                "format": audio_format,
+                "samples": samples,
+            }
         pos += 8 + size + (size & 1)
     raise ValueError("WAV: no data chunk")
 
@@ -674,6 +852,39 @@ def attach_payload_png_gradient(docs: DataFrame) -> DataFrame:
                 ht = int(h[4:8], 16) % PNG_DIM_MOD + 1
                 base = int(h[8:10], 16) % GRAD_BASE_MOD
                 payloads.append(encode_png_gradient(w, ht, base))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": "image",
+                    "codec": "png",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, media_type string, codec string, payload binary"
+    )
+
+
+def attach_payload_png_depth_variants(docs: DataFrame) -> DataFrame:
+    """documents -> the bit-depth/interlace corpus: even doc_ids get
+    16-bit grayscale gradients (encode_png_gray16), odd doc_ids get
+    Adam7-INTERLACED 8-bit gradients (encode_png_gray_interlaced, same
+    pixel formula as the sequential gradient) — dims/base from
+    md5(text) as everywhere. Map-only Arrow-batched build."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                w = int(h[0:4], 16) % PNG_DIM_MOD + 1
+                ht = int(h[4:8], 16) % PNG_DIM_MOD + 1
+                base = int(h[8:10], 16) % GRAD_BASE_MOD
+                if int(doc_id) % 2 == 0:
+                    payloads.append(encode_png_gray16(w, ht, base))
+                else:
+                    payloads.append(encode_png_gray_interlaced(w, ht, base))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,

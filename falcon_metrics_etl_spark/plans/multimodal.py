@@ -305,6 +305,51 @@ def multimodal_png_color_pixel_stats(
     return MM.png_color_pixel_stats(media)
 
 
+@register(
+    "multimodal_png_depth16_interlace_stats",
+    doc="REAL decode of the LAST two PNG structure variants: even "
+    "doc_ids are 16-BIT grayscale gradients (sample = 256b+300x+77y "
+    "big-endian, rows cycle all five filters at the 2-byte stride), "
+    "odd doc_ids are Adam7-INTERLACED 8-bit gradients (7 independently "
+    "filtered passes, same pixel formula as the sequential gradient). "
+    "decode_png_pixels unfilters per-pass and unpacks 16-bit samples; "
+    "the oracle replays both closed forms — matching requires genuine "
+    "deinterlacing and 16-bit unfiltering. With this, the PNG stub "
+    "boundary is sub-byte bit depths (1/2/4) only. Map-only.",
+    tags=("multimodal", "pandas-udf", "binary", "codec", "pixels"),
+    oracle=f"""
+WITH dims AS ({_DUCK_GRAD_DIMS}),
+g16 AS (
+    SELECT doc_id, w, h,
+           256*b AS min_pixel,
+           256*b + 300*(w-1) + 77*(h-1) AS max_pixel,
+           256*b*w*h + 300*h*(w*(w-1))//2 + 77*w*(h*(h-1))//2 AS sum_pixel
+    FROM dims WHERE doc_id % 2 = 0
+),
+g8i AS (
+    SELECT doc_id, w, h,
+           b AS min_pixel,
+           b + w + h - 2 AS max_pixel,
+           w*h*b + h*(w*(w-1))//2 + w*(h*(h-1))//2 AS sum_pixel
+    FROM dims WHERE doc_id % 2 = 1
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(min_pixel AS INT) AS min_pixel,
+       CAST(max_pixel AS INT) AS max_pixel,
+       CAST(sum_pixel AS BIGINT) AS sum_pixel,
+       CAST(sum_pixel AS DOUBLE) / (w * h) AS mean_pixel
+FROM (SELECT * FROM g16 UNION ALL SELECT * FROM g8i)
+""",
+)
+def multimodal_png_depth16_interlace_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_png_depth_variants(docs)
+    return MM.png_pixel_stats(media)
+
+
 RESAMPLE_BOX = 8
 
 

@@ -184,13 +184,14 @@ def test_png_pixel_decode_stub_boundary():
     import pytest as _pytest
     import struct as _struct
 
-    # 16-bit depth and Adam7 interlace remain the imaging-lib stub
+    # 16-bit and Adam7 now DECODE; only sub-byte depths remain stubbed.
+    # A 16-bit/interlaced header with no IDAT is malformed, not a stub.
     for depth, interlace in ((16, 0), (8, 1)):
         ihdr = _struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, interlace)
         payload = (
             MM._PNG_SIG + MM._png_chunk(b"IHDR", ihdr) + MM._png_chunk(b"IEND", b"")
         )
-        with _pytest.raises(NotImplementedError):
+        with _pytest.raises((ValueError, Exception)):
             MM.decode_png_pixels(payload)
 
 
@@ -391,3 +392,80 @@ def test_zlib_inflate_caps_zip_bombs(spark):
     }
     assert got[1] is None
     assert bytes(got[2]) == b"ok"
+
+
+def test_png_16bit_gray_roundtrip():
+    """16-bit samples unfilter at the 2-byte stride and unpack
+    big-endian; the raster comes back as array('H')."""
+    for (w, h, b) in [(6, 5, 150), (1, 1, 0), (16, 16, 199)]:
+        W, H, ch, px = MM.decode_png_pixels(MM.encode_png_gray16(w, h, b))
+        assert (W, H, ch) == (w, h, 1)
+        assert px.typecode == "H"
+        for y in range(h):
+            for x in range(w):
+                assert px[y * w + x] == 256 * b + 300 * x + 77 * y
+
+
+def test_png_adam7_deinterlace_matches_sequential():
+    """An Adam7 image with the same pixel formula as the sequential
+    encoders must decode to the identical raster — including dims
+    smaller than the 8x8 pass grid (empty passes) and 1x1."""
+    cases = [(13, 11, 100), (8, 8, 0), (1, 1, 5), (7, 3, 60),
+             (16, 16, 199), (2, 9, 10), (9, 2, 10)]
+    for (w, h, b) in cases:
+        Wi, Hi, ci, pi = MM.decode_png_pixels(
+            MM.encode_png_gray_interlaced(w, h, b)
+        )
+        Ws, Hs, cs, ps = MM.decode_png_pixels(MM.encode_png_gradient(w, h, b))
+        assert (Wi, Hi, ci) == (Ws, Hs, cs)
+        assert bytes(pi) == bytes(ps)
+    for (w, h, b) in [(13, 11, 100), (5, 6, 150), (1, 1, 0), (16, 7, 199)]:
+        Wi, Hi, ci, pi = MM.decode_png_pixels(
+            MM.encode_png_rgba_interlaced(w, h, b)
+        )
+        Ws, Hs, cs, ps = MM.decode_png_pixels(MM.encode_png_rgba(w, h, b))
+        assert (Wi, Hi, ci) == (Ws, Hs, cs)
+        assert bytes(pi) == bytes(ps)
+
+
+def test_png_sub_byte_depths_remain_stubbed():
+    import pytest as _pytest
+    import struct as _struct
+
+    for depth in (1, 2, 4):
+        ihdr = _struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, 0)
+        payload = (
+            MM._PNG_SIG + MM._png_chunk(b"IHDR", ihdr)
+            + MM._png_chunk(b"IEND", b"")
+        )
+        with _pytest.raises(NotImplementedError):
+            MM.decode_png_pixels(payload)
+
+
+def test_wav_decode_float32_and_stereo():
+    import struct as _struct
+
+    # IEEE float mono (format 3, 32-bit)
+    vals = [0.0, -1.0, 0.5, 0.25]
+    body = _struct.pack("<4f", *vals)
+    fmt = _struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+    p = (
+        b"RIFF" + _struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 16) + fmt
+        + b"data" + _struct.pack("<I", len(body)) + body
+    )
+    d = MM.decode_wav_samples(p)
+    assert d["format"] == 3 and d["bits"] == 32 and d["channels"] == 1
+    assert d["samples"] == vals
+
+    # stereo 16-bit integer PCM, interleaved L/R
+    sv = [100, -100, 200, -200]
+    body = _struct.pack("<4h", *sv)
+    fmt = _struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    p = (
+        b"RIFF" + _struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 16) + fmt
+        + b"data" + _struct.pack("<I", len(body)) + body
+    )
+    d = MM.decode_wav_samples(p)
+    assert d["channels"] == 2 and d["samples"] == sv
