@@ -560,14 +560,22 @@ def extract_event_dates_routed(
 ) -> DataFrame:
     """W2 with automatic whale routing: items whose history exceeds
     ``threshold`` revisions go through ``extract_event_dates``
-    (mapInPandas — O(n) per-item loop, no sort-based window, so one
-    pathological item cannot serialize a window partition AQE can't
-    split; SCALE.md skew probe: 1.68x on the expr path under a
-    manufactured 300k-revision item), everything else through the
-    whole-stage-codegen ``extract_event_dates_expr`` scale path; the
-    branches union. With no whales (the overwhelmingly common case)
-    the plan is exactly the expr path — the only overhead is the
-    column-pruned count job in ``split_by_history_length``."""
+    (mapInPandas), everything else through the whole-stage-codegen
+    ``extract_event_dates_expr`` scale path; the branches union. With
+    no whales (the overwhelmingly common case) the plan is exactly the
+    expr path — the only overhead is the column-pruned count job in
+    ``split_by_history_length``.
+
+    MEASURED CAVEAT (SCALE.md, r6 skew probe): on a manufactured
+    300k-revision whale the routing is a net LOSS — the expr path
+    absorbs the whale at 1.46x (one serialized JVM window partition),
+    while the pandas extractor costs 27x (Python per-row loop with
+    per-day lookahead, ~100x the JVM per-row cost) and buffers the
+    whole item in Python memory where WindowExec would spill. The
+    split mechanism is kept because it is semantics-neutral, exactly
+    counted, and the right scaffold if a faster whale destination
+    (e.g. a vectorized extractor) lands; transform_work_items
+    therefore defaults whale_routing=False."""
     normal, whales, stats = split_by_history_length(tagged_revisions, threshold)
     if stats_out is not None:
         stats_out.update(stats)

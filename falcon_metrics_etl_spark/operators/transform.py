@@ -132,7 +132,7 @@ def transform_work_items(
     use_expr_event_dates: bool = True,
     epic_link_field: str | None = None,
     stats_out: dict | None = None,
-    whale_routing: bool = True,
+    whale_routing: bool = False,
     whale_threshold: int = WHALE_HISTORY_REVISIONS,
 ) -> tuple[DataFrame, DataFrame]:
     """Full pipeline. Inputs carry work_item_id + workflow_id; dims are
@@ -142,13 +142,20 @@ def transform_work_items(
     whole-stage codegen; fuzz-verified equivalent to the pandas UDF
     reference implementation in tests/test_event_dates.py).
 
-    whale_routing (default on, expr path only): items with more than
+    whale_routing (DEFAULT OFF, expr path only): items with more than
     whale_threshold revisions are counted EXACTLY (one column-pruned
-    aggregate job) and routed to the mapInPandas extractor, whose
-    per-item O(n) loop cannot be serialized by a window partition AQE
-    can't split; the rest take the expr path and the branches union
+    aggregate job) and routed to the mapInPandas extractor; the rest
+    take the expr path and the branches union
     (extract_event_dates_routed). stats_out additionally receives the
     exact max_history_len / n_revisions / n_whales from that count.
+    Off by default because the skew probe MEASURED the routing as a
+    net loss: a manufactured 300k-revision item costs the expr path
+    1.46x (one serialized JVM window partition) but the pandas
+    extractor 27x (Python per-row loop with day-group lookahead), and
+    the pandas side also buffers the whole item in Python memory while
+    WindowExec spills — see SCALE.md. The guard's default action is
+    the exact count telemetry; enable routing only after profiling
+    shows YOUR whale distribution behaves differently.
 
     epic_link_field: the org's epic-link custom field (see
     epic_link_field_from_config). When the work items carry a

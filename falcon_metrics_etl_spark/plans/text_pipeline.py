@@ -532,12 +532,16 @@ def _keep_best_from_pairs(
 
 @register(
     "dedup_keep_best",
-    doc="The final dedup decision: per near-dup cluster keep the BEST "
-    "document (longest text, ties to the lowest id — the keep-longest "
-    "rule real pipelines apply) and report what pruning drops. "
-    "This registration feeds on the EXACT embedding pair baseline "
-    "(O(N^2) upstream by definition — oracle-twin role only); "
-    "dedup_keep_best_lsh is the scale path on the same selector.",
+    doc="LABELED O(N^2) BASELINE — oracle-parity role only, NOT the "
+    "scale path (same framing as embedding_near_dup_pairs, whose "
+    "exact all-pairs output this registration deliberately consumes "
+    "so the keep-best selector can be verified against an "
+    "unapproximated pair set). The selector itself is scale-safe "
+    "(1 shuffle, AQE-chosen broadcast); the quadratic upstream is the "
+    "point of this twin. Production composition = dedup_keep_best_lsh "
+    "(identical selector over MinHash-LSH banded pairs). The decision "
+    "rule: per near-dup cluster keep the BEST document (longest text, "
+    "ties to the lowest id) and report what pruning drops.",
     tags=("dedup", "iterative", "window", "training-data"),
     oracle=f"""
 WITH RECURSIVE iv AS (

@@ -198,6 +198,45 @@ def event_dates_expr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_dates_routed",
+    doc="W2 with the whale-history split active: per-item revision "
+    "counts decide (exactly, one column-pruned aggregate job) whether "
+    "an item takes the codegen expr path or the mapInPandas "
+    "extractor; the branches union. Same oracle as event_dates_expr — "
+    "the split is semantics-neutral by construction (oracle-verified "
+    "here). On uniform data no item crosses the threshold and the "
+    "plan degenerates to the expr path. NOTE: the r6 skew probe "
+    "measured whale->pandas routing as a net LOSS (27x vs the expr "
+    "path's 1.46x under a 300k-revision hot item), so "
+    "transform_work_items defaults the routing OFF; this registration "
+    "verifies the mechanism's correctness, not a perf claim (SCALE.md).",
+    tags=("workflow", "window", "pandas-udf"),
+    oracle=_EVENT_DATES_FULL_ORACLE,
+)
+def event_dates_routed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.event_dates import (
+        extract_event_dates_routed,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    tagged = lineitem.select(
+        F.col("l_orderkey").cast("string").alias("work_item_id"),
+        (
+            F.col("l_linenumber") * 4
+            + F.when(F.col("l_returnflag") == "N", 1)
+            .when(F.col("l_returnflag") == "A", 2)
+            .otherwise(3)
+        ).alias("revision"),
+        F.col("l_shipdate").alias("changed_date"),
+        F.when(F.col("l_returnflag") == "N", 1)
+        .when(F.col("l_returnflag") == "A", 2)
+        .otherwise(3)
+        .alias("zone"),
+    )
+    return extract_event_dates_routed(tagged)
+
+
+@register(
     "custom_field_extraction",
     doc="F9 polymorphic custom-field extraction (Arrow-batched pandas UDF "
     "over raw JSON; reference translate_customfield.ts:3-116) — scalar "

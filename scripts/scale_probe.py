@@ -67,13 +67,21 @@ DEFAULT_QUERIES = [
     "multimodal_wav_sample_stats",
     "payload_inflate_roundtrip",
     "zorder_locality_stats",
+    # round-5/6 operators. NOT here by design: dedup_keep_best_lsh and
+    # minhash_incremental_update are pair-generating — replicating
+    # identical texts manufactures cross-replica duplicate pairs, which
+    # measures the synthetic data, not the plan (their hot-key story is
+    # covered by the skew probe's boilerplate corpus instead).
+    "substring_dedup_windows",
+    "multimodal_png_color_pixel_stats",
+    "event_dates_routed",
 ]
 
 # key columns to offset per replica, per table (disjoint key spaces)
 _KEY_OFFSETS = {
     "events": ("event_id", "user_id"),
     "documents": ("doc_id",),
-    "embeddings": ("doc_id",),
+    "embeddings": ("vec_id",),
     "orders": ("o_orderkey", "o_custkey"),
     "lineitem": ("l_orderkey",),
     "customer": ("c_custkey",),
@@ -81,7 +89,8 @@ _KEY_OFFSETS = {
 
 
 def build_replicated_dir(spark, sf_dir: str, factor: int) -> str:
-    out = f"/tmp/scale_probe_{factor}x"
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/scale_probe_{tag}_{factor}x"
     if os.path.isdir(out) and os.listdir(out):
         return out
     os.makedirs(out, exist_ok=True)

@@ -13,7 +13,11 @@ Skew injected:
 - events: 50% of rows remapped to ONE event_type ('click') and ONE
   user_id — stresses the two-phase salted holistic aggregation
   (salted_distinct_users) and per-user windows
-  (transition_compression).
+  (transition_compression);
+- documents: 50% of docs' text replaced with ONE boilerplate passage —
+  stresses the substring-dedup window key (every boilerplate window is
+  now an ultra-hot key: the min-struct hash aggregate must collapse it
+  map-side) and the MinHash band buckets.
 
 Every other table is copied unchanged, so queries still resolve dims.
 ratio = t_skew / t_uniform: ~1 means the plan absorbs the hot key
@@ -44,14 +48,21 @@ DEFAULT_QUERIES = [
     "salted_distinct_users",
     "snapshot_derivation",  # J4 shape: items<->revisions join + windows
     "event_dates_expr",
+    # event_dates_routed is deliberately NOT a default: probing it
+    # here MEASURED the whale->mapInPandas routing at 27x the uniform
+    # time under the 300k-revision hot item (vs 1.46x for the expr
+    # path on the same data) — recorded in SCALE.md; routing now
+    # defaults off. Re-probe explicitly if the destination improves.
     "transition_compression",
     "tpch_pricing_summary",
+    # boilerplate-heavy corpus: hot window keys must partial-aggregate
+    "substring_dedup_windows",
 ]
 
 
 def build_skewed_dir(spark, sf_dir: str) -> str:
     tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/skew_probe_{tag}"
+    out = f"/tmp/skew_probe_v2_{tag}"  # v2: documents boilerplate skew
     if os.path.isdir(out) and os.listdir(out):
         return out
     os.makedirs(out, exist_ok=True)
@@ -67,6 +78,21 @@ def build_skewed_dir(spark, sf_dir: str) -> str:
                 F.lit(hot),
             ).otherwise(F.col("l_orderkey"))
             li.withColumn("l_orderkey", skew).write.mode("overwrite").parquet(dst)
+        elif name == "documents":
+            dc = load_table(spark, sf_dir, "documents")
+            flip = F.xxhash64("doc_id") % 2 == 0
+            boiler = (
+                "subscribe to our newsletter for updates terms of "
+                "service apply all rights reserved contact us for more "
+                "information privacy policy cookie settings follow us"
+            )
+            dc.withColumn(
+                "text",
+                F.when(flip, F.lit(boiler)).otherwise(F.col("text")),
+            ).withColumn(
+                "n_chars",
+                F.when(flip, F.lit(len(boiler)).cast("long")).otherwise(F.col("n_chars")),
+            ).write.mode("overwrite").parquet(dst)
         elif name == "events":
             ev = load_table(spark, sf_dir, "events")
             flip = F.xxhash64("event_id") % 2 == 0

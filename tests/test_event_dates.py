@@ -692,7 +692,8 @@ def test_transform_work_items_routes_whales(spark):
 
     stats = {}
     states, snaps = transform_work_items(
-        items, revs, steps, events, stats_out=stats, whale_threshold=5
+        items, revs, steps, events, stats_out=stats,
+        whale_routing=True, whale_threshold=5
     )
     rows = {r["work_item_id"]: r for r in states.collect()}
     assert stats["n_whales"] == 1  # w-whale: 10 revisions + synthetic > 5
