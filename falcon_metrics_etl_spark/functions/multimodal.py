@@ -444,6 +444,110 @@ def _adam7_pass_dims(w, h):
     return out
 
 
+def encode_png_gray_subbyte(width: int, height: int, depth: int) -> bytes:
+    """1/2/4-bit grayscale PNG: pixel(x, y) = (x + y) % 2^depth, rows
+    packed MSB-first with per-scanline padding and filtered with type
+    y % 5 at the spec's 1-byte sub-byte filter stride."""
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 0, 0, 0, 0)
+    mod = 1 << depth
+    rwb = (width * depth + 7) // 8
+    prev = bytes(rwb)
+    raw = bytearray()
+    for y in range(height):
+        line = _pack_bits([(x + y) % mod for x in range(width)], depth)
+        raw += _filter_scanline(y % 5, line, prev, 1)
+        prev = line
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette_subbyte(width: int, height: int, depth: int) -> bytes:
+    """1/2/4-bit palette PNG: PLTE entry i = (i, 2i, 3i) over 2^depth
+    entries, index(x, y) = (x + y) % 2^depth, rows packed and filtered
+    like encode_png_gray_subbyte."""
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
+    mod = 1 << depth
+    plte = b"".join(bytes(((i, 2 * i, 3 * i))) for i in range(mod))
+    rwb = (width * depth + 7) // 8
+    prev = bytes(rwb)
+    raw = bytearray()
+    for y in range(height):
+        line = _pack_bits([(x + y) % mod for x in range(width)], depth)
+        raw += _filter_scanline((y + 1) % 5, line, prev, 1)
+        prev = line
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_gray_subbyte_interlaced(
+    width: int, height: int, depth: int
+) -> bytes:
+    """Adam7-interlaced sub-byte grayscale with the same pixel formula
+    as encode_png_gray_subbyte — each pass packs ITS OWN scanlines
+    (own bit padding), so a byte-level deinterlacer would corrupt it;
+    decoding must scatter unpacked samples."""
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 0, 0, 0, 1)
+    mod = 1 << depth
+    raw = bytearray()
+    row_idx = 0
+    for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(width, height):
+        if pw == 0 or ph == 0:
+            continue
+        prwb = (pw * depth + 7) // 8
+        prev = bytes(prwb)
+        for j in range(ph):
+            yy = y0 + j * dy
+            line = _pack_bits(
+                [((x0 + i * dx) + yy) % mod for i in range(pw)], depth
+            )
+            raw += _filter_scanline(row_idx % 5, line, prev, 1)
+            prev = line
+            row_idx += 1
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _pack_bits(samples, depth: int) -> bytes:
+    """Pack sub-byte samples MSB-first into scanline bytes, padding the
+    final byte with zero bits — the spec's packing for depths 1/2/4."""
+    out = bytearray()
+    acc = nb = 0
+    mask = (1 << depth) - 1
+    for v in samples:
+        acc = (acc << depth) | (v & mask)
+        nb += depth
+        if nb == 8:
+            out.append(acc)
+            acc = nb = 0
+    if nb:
+        out.append(acc << (8 - nb))
+    return bytes(out)
+
+
+def _unpack_bits(row: bytes, w: int, depth: int) -> bytearray:
+    """Expand one packed scanline to ``w`` per-sample bytes (values
+    0..2^depth-1), MSB-first within each byte."""
+    out = bytearray(w)
+    mask = (1 << depth) - 1
+    for i in range(w):
+        bit = i * depth
+        out[i] = (row[bit >> 3] >> (8 - depth - (bit & 7))) & mask
+    return out
+
+
 def decode_png_pixels(payload: bytes):
     """REAL pixel decode, pure stdlib: chunk walk collecting IDAT (and
     PLTE), zlib inflate, then per-scanline unfiltering implementing ALL
@@ -455,32 +559,39 @@ def decode_png_pixels(payload: bytes):
     samples unfilter at bpp = 2*channels byte stride per the spec,
     then unpack big-endian), both sequential and Adam7-interlaced
     (each of the 7 passes is its own independently filtered sub-image;
-    empty passes contribute no scanlines). Sub-byte depths (1/2/4-bit
-    gray/palette) remain the imaging-lib stub and raise
-    NotImplementedError; truncated or malformed rasters raise
-    ValueError (quarantine-able).
+    empty passes contribute no scanlines) AND sub-byte depths (1/2/4-
+    bit gray or palette: scanlines filter on whole BYTES with a 1-byte
+    left reference per the spec, then samples unpack MSB-first with
+    per-scanline bit padding). Nothing PNG remains stubbed; truncated
+    or malformed rasters raise ValueError (quarantine-able), and
+    spec-invalid depth/color-type combinations (e.g. 16-bit palette,
+    2-bit RGB) are ValueError too, not NotImplementedError.
 
     Returns (width, height, channels, raster) -- raster is
     channel-interleaved, ``width * height * channels`` samples: a
-    bytearray for 8-bit images, an array('H') of 0..65535 values for
+    bytearray (sub-byte gray decodes to RAW 0..2^depth-1 values, not
+    rescaled) for depths <= 8, an array('H') of 0..65535 values for
     16-bit."""
     hdr = parse_png_header(payload)
     depth = hdr["bit_depth"]
+    ct = hdr["color_type"]
     if (
-        depth not in (8, 16)
-        or hdr["color_type"] not in _PNG_CHANNELS
+        depth not in (1, 2, 4, 8, 16)
+        or ct not in _PNG_CHANNELS
         or hdr["interlace"] not in (0, 1)
     ):
-        # STUB BOUNDARY: 1/2/4-bit packed samples need an imaging lib
-        raise NotImplementedError(
-            "pixel decode implemented for 8/16-bit color types "
-            "0/2/3/4/6 (sequential or Adam7) only"
-        )
-    if hdr["color_type"] == 3 and depth != 8:
-        raise ValueError("PNG: palette images must be 8-bit indexed")
+        raise ValueError("PNG: invalid bit depth / color type / interlace")
+    # spec-valid combinations: gray 1/2/4/8/16, RGB(A)/gray+alpha 8/16,
+    # palette 1/2/4/8
+    if ct in (2, 4, 6) and depth < 8:
+        raise ValueError("PNG: sub-byte depth is gray/palette only")
+    if ct == 3 and depth == 16:
+        raise ValueError("PNG: palette images cannot be 16-bit")
     w, h = hdr["width"], hdr["height"]
-    channels = _PNG_CHANNELS[hdr["color_type"]]
-    bpp = channels * (depth // 8)  # filter byte stride per pixel
+    channels = _PNG_CHANNELS[ct]
+    # filter byte stride per pixel; sub-byte rows filter on whole
+    # bytes with a 1-byte left reference (spec: bpp rounds up to 1)
+    bpp = max(1, channels * (depth // 8))
     pos, idat, plte = 8, [], None
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -493,26 +604,59 @@ def decode_png_pixels(payload: bytes):
             break
         pos += 12 + ln
     raw = zlib.decompress(b"".join(idat))
-    rw = w * bpp  # filtered scanline payload width in BYTES
-    if hdr["interlace"] == 0:
-        out, end = _unfilter_scanlines(raw, 0, rw, h, bpp)
-        if end != len(raw):
-            raise ValueError("PNG: raster size does not match dimensions")
+    if depth < 8:
+        # packed rows: unfilter at the padded byte width, then unpack
+        # each scanline to one sample per byte (pixel-granular scatter
+        # for Adam7 happens on the UNPACKED samples — pass rows have
+        # their own bit padding, so byte-level scatter would be wrong)
+        if hdr["interlace"] == 0:
+            rwb = (w * depth + 7) // 8
+            packed, end = _unfilter_scanlines(raw, 0, rwb, h, 1)
+            if end != len(raw):
+                raise ValueError("PNG: raster size does not match dimensions")
+            out = bytearray(w * h)
+            for y in range(h):
+                out[y * w : (y + 1) * w] = _unpack_bits(
+                    packed[y * rwb : (y + 1) * rwb], w, depth
+                )
+        else:
+            out = bytearray(w * h)
+            at = 0
+            for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+                if pw == 0 or ph == 0:
+                    continue
+                prwb = (pw * depth + 7) // 8
+                sub, at = _unfilter_scanlines(raw, at, prwb, ph, 1)
+                for j in range(ph):
+                    vals = _unpack_bits(
+                        sub[j * prwb : (j + 1) * prwb], pw, depth
+                    )
+                    dst_row = (y0 + j * dy) * w
+                    for i in range(pw):
+                        out[dst_row + x0 + i * dx] = vals[i]
+            if at != len(raw):
+                raise ValueError("PNG: raster size does not match dimensions")
     else:
-        out = bytearray(rw * h)
-        at = 0
-        for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
-            if pw == 0 or ph == 0:
-                continue
-            sub, at = _unfilter_scanlines(raw, at, pw * bpp, ph, bpp)
-            for j in range(ph):
-                src = j * pw * bpp
-                dst_row = (y0 + j * dy) * rw
-                for i in range(pw):
-                    dst = dst_row + (x0 + i * dx) * bpp
-                    out[dst : dst + bpp] = sub[src + i * bpp : src + (i + 1) * bpp]
-        if at != len(raw):
-            raise ValueError("PNG: raster size does not match dimensions")
+        rw = w * bpp  # filtered scanline payload width in BYTES
+        if hdr["interlace"] == 0:
+            out, end = _unfilter_scanlines(raw, 0, rw, h, bpp)
+            if end != len(raw):
+                raise ValueError("PNG: raster size does not match dimensions")
+        else:
+            out = bytearray(rw * h)
+            at = 0
+            for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+                if pw == 0 or ph == 0:
+                    continue
+                sub, at = _unfilter_scanlines(raw, at, pw * bpp, ph, bpp)
+                for j in range(ph):
+                    src = j * pw * bpp
+                    dst_row = (y0 + j * dy) * rw
+                    for i in range(pw):
+                        dst = dst_row + (x0 + i * dx) * bpp
+                        out[dst : dst + bpp] = sub[src + i * bpp : src + (i + 1) * bpp]
+            if at != len(raw):
+                raise ValueError("PNG: raster size does not match dimensions")
     if hdr["color_type"] == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("PNG: palette image without a valid PLTE chunk")
@@ -867,11 +1011,14 @@ def attach_payload_png_gradient(docs: DataFrame) -> DataFrame:
 
 
 def attach_payload_png_depth_variants(docs: DataFrame) -> DataFrame:
-    """documents -> the bit-depth/interlace corpus: even doc_ids get
-    16-bit grayscale gradients (encode_png_gray16), odd doc_ids get
-    Adam7-INTERLACED 8-bit gradients (encode_png_gray_interlaced, same
-    pixel formula as the sequential gradient) — dims/base from
-    md5(text) as everywhere. Map-only Arrow-batched build."""
+    """documents -> the bit-depth/interlace corpus, doc_id % 4:
+    0 = 16-bit grayscale gradients (encode_png_gray16),
+    1 = Adam7-INTERLACED 8-bit gradients (encode_png_gray_interlaced,
+    same pixel formula as the sequential gradient),
+    2 = SUB-BYTE grayscale ((x+y) % 2^depth, depth 1/2/4 from md5),
+    3 = SUB-BYTE palette (same indices through a PLTE) —
+    dims/base/depth from md5(text) as everywhere. Map-only
+    Arrow-batched build."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -881,10 +1028,16 @@ def attach_payload_png_depth_variants(docs: DataFrame) -> DataFrame:
                 w = int(h[0:4], 16) % PNG_DIM_MOD + 1
                 ht = int(h[4:8], 16) % PNG_DIM_MOD + 1
                 base = int(h[8:10], 16) % GRAD_BASE_MOD
-                if int(doc_id) % 2 == 0:
+                depth = (1, 2, 4)[int(h[10:12], 16) % 3]
+                variant = int(doc_id) % 4
+                if variant == 0:
                     payloads.append(encode_png_gray16(w, ht, base))
-                else:
+                elif variant == 1:
                     payloads.append(encode_png_gray_interlaced(w, ht, base))
+                elif variant == 2:
+                    payloads.append(encode_png_gray_subbyte(w, ht, depth))
+                else:
+                    payloads.append(encode_png_palette_subbyte(w, ht, depth))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,

@@ -307,39 +307,74 @@ def multimodal_png_color_pixel_stats(
 
 @register(
     "multimodal_png_depth16_interlace_stats",
-    doc="REAL decode of the LAST two PNG structure variants: even "
-    "doc_ids are 16-BIT grayscale gradients (sample = 256b+300x+77y "
-    "big-endian, rows cycle all five filters at the 2-byte stride), "
-    "odd doc_ids are Adam7-INTERLACED 8-bit gradients (7 independently "
-    "filtered passes, same pixel formula as the sequential gradient). "
-    "decode_png_pixels unfilters per-pass and unpacks 16-bit samples; "
-    "the oracle replays both closed forms — matching requires genuine "
-    "deinterlacing and 16-bit unfiltering. With this, the PNG stub "
-    "boundary is sub-byte bit depths (1/2/4) only. Map-only.",
+    doc="REAL decode across EVERY remaining PNG structure variant "
+    "(doc_id % 4): 16-BIT grayscale gradients (sample = 256b+300x+77y "
+    "big-endian, rows cycle all five filters at the 2-byte stride); "
+    "Adam7-INTERLACED 8-bit gradients (7 independently filtered "
+    "passes); SUB-BYTE grayscale ((x+y) % 2^d at depth 1/2/4 — packed "
+    "MSB-first, per-scanline bit padding, filtered at the 1-byte "
+    "stride); SUB-BYTE palette (same indices through a PLTE). "
+    "decode_png_pixels deinterlaces, unpacks 16-bit samples and "
+    "unpacks packed bits; the oracle replays all four closed forms "
+    "(range-unnest modular sums for the sub-byte grids). NOTHING in "
+    "PNG is stubbed any more. Map-only.",
     tags=("multimodal", "pandas-udf", "binary", "codec", "pixels"),
     oracle=f"""
-WITH dims AS ({_DUCK_GRAD_DIMS}),
+WITH dims AS (
+SELECT doc_id,
+       ('0x' || substring(md5(text), 1, 4))::INT % 16 + 1 AS w,
+       ('0x' || substring(md5(text), 5, 4))::INT % 16 + 1 AS h,
+       ('0x' || substring(md5(text), 9, 2))::INT % 200 AS b,
+       CASE ('0x' || substring(md5(text), 11, 2))::INT % 3
+            WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END AS md
+FROM documents
+),
 g16 AS (
-    SELECT doc_id, w, h,
-           256*b AS min_pixel,
-           256*b + 300*(w-1) + 77*(h-1) AS max_pixel,
-           256*b*w*h + 300*h*(w*(w-1))//2 + 77*w*(h*(h-1))//2 AS sum_pixel
-    FROM dims WHERE doc_id % 2 = 0
+    SELECT doc_id, w, h, 1 AS chans,
+           256*b AS min_v,
+           256*b + 300*(w-1) + 77*(h-1) AS max_v,
+           256*b*w*h + 300*h*(w*(w-1))//2 + 77*w*(h*(h-1))//2 AS sum_v
+    FROM dims WHERE doc_id % 4 = 0
 ),
 g8i AS (
-    SELECT doc_id, w, h,
-           b AS min_pixel,
-           b + w + h - 2 AS max_pixel,
-           w*h*b + h*(w*(w-1))//2 + w*(h*(h-1))//2 AS sum_pixel
-    FROM dims WHERE doc_id % 2 = 1
+    SELECT doc_id, w, h, 1 AS chans,
+           b AS min_v,
+           b + w + h - 2 AS max_v,
+           w*h*b + h*(w*(w-1))//2 + w*(h*(h-1))//2 AS sum_v
+    FROM dims WHERE doc_id % 4 = 1
+),
+sub_xy AS (
+    SELECT doc_id, md, x, unnest(range(0, h)) AS y
+    FROM (SELECT doc_id, h, md, unnest(range(0, w)) AS x
+          FROM dims WHERE doc_id % 4 IN (2, 3))
+),
+sub_sum AS (
+    SELECT doc_id, SUM((x + y) % md) AS sidx FROM sub_xy GROUP BY doc_id
+),
+gsub AS (
+    SELECT d.doc_id, w, h, 1 AS chans,
+           0 AS min_v,
+           LEAST(md - 1, w + h - 2) AS max_v,
+           p.sidx AS sum_v
+    FROM dims d JOIN sub_sum p ON p.doc_id = d.doc_id
+    WHERE d.doc_id % 4 = 2
+),
+psub AS (
+    SELECT d.doc_id, w, h, 3 AS chans,
+           0 AS min_v,
+           3 * LEAST(md - 1, w + h - 2) AS max_v,
+           6 * p.sidx AS sum_v
+    FROM dims d JOIN sub_sum p ON p.doc_id = d.doc_id
+    WHERE d.doc_id % 4 = 3
 )
 SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-       CAST(w * h AS BIGINT) AS n_pixels,
-       CAST(min_pixel AS INT) AS min_pixel,
-       CAST(max_pixel AS INT) AS max_pixel,
-       CAST(sum_pixel AS BIGINT) AS sum_pixel,
-       CAST(sum_pixel AS DOUBLE) / (w * h) AS mean_pixel
-FROM (SELECT * FROM g16 UNION ALL SELECT * FROM g8i)
+       CAST(w * h * chans AS BIGINT) AS n_pixels,
+       CAST(min_v AS INT) AS min_pixel,
+       CAST(max_v AS INT) AS max_pixel,
+       CAST(sum_v AS BIGINT) AS sum_pixel,
+       CAST(sum_v AS DOUBLE) / (w * h * chans) AS mean_pixel
+FROM (SELECT * FROM g16 UNION ALL SELECT * FROM g8i
+      UNION ALL SELECT * FROM gsub UNION ALL SELECT * FROM psub)
 """,
 )
 def multimodal_png_depth16_interlace_stats(
@@ -401,8 +436,9 @@ def multimodal_png_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "base, base+1) decoded by decode_wav_samples (chunk walk + sample "
     "unpack; PCM 8/16-bit mono) and aggregated; duration re-derived "
     "from the decoded sample count, not the header. Oracle replays the "
-    "closed-form sample stats. Remaining codec stubs: non-PCM audio, "
-    "16-bit/interlaced/alpha PNG, video frames.",
+    "closed-form sample stats. Remaining codec stubs: compressed "
+    "audio (ADPCM/mp3), jpeg, video frames — formats that genuinely "
+    "need codec libs; PNG and WAV decode completely (r6).",
     tags=("multimodal", "pandas-udf", "binary", "codec", "audio"),
     oracle="""
 WITH durs AS (

@@ -428,17 +428,46 @@ def test_png_adam7_deinterlace_matches_sequential():
         assert bytes(pi) == bytes(ps)
 
 
-def test_png_sub_byte_depths_remain_stubbed():
+def test_png_sub_byte_roundtrip_gray_palette_interlaced():
+    """1/2/4-bit samples unpack MSB-first with per-scanline padding;
+    interlaced sub-byte passes carry their OWN bit padding, so this
+    also catches byte-level (rather than sample-level) deinterlacing."""
+    for depth in (1, 2, 4):
+        mod = 1 << depth
+        for (w, h) in [(13, 11), (1, 1), (16, 16), (8, 1), (3, 9)]:
+            W, H, ch, px = MM.decode_png_pixels(
+                MM.encode_png_gray_subbyte(w, h, depth)
+            )
+            assert (W, H, ch) == (w, h, 1)
+            assert all(
+                px[y * w + x] == (x + y) % mod
+                for y in range(h) for x in range(w)
+            )
+            Wi, Hi, ci, pi = MM.decode_png_pixels(
+                MM.encode_png_gray_subbyte_interlaced(w, h, depth)
+            )
+            assert bytes(pi) == bytes(px)
+            Wp, Hp, cp, pp = MM.decode_png_pixels(
+                MM.encode_png_palette_subbyte(w, h, depth)
+            )
+            assert (Wp, Hp, cp) == (w, h, 3)
+            i0 = (0 + 0) % mod
+            assert list(pp[0:3]) == [i0, 2 * i0, 3 * i0]
+
+
+def test_png_invalid_depth_color_combos_are_value_errors():
+    """Spec-invalid combinations are malformed data (quarantine), not
+    missing features: nothing in PNG is stubbed any more."""
     import pytest as _pytest
     import struct as _struct
 
-    for depth in (1, 2, 4):
-        ihdr = _struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, 0)
+    for depth, ct in [(2, 2), (4, 6), (16, 3), (3, 0), (2, 4)]:
+        ihdr = _struct.pack(">IIBBBBB", 2, 2, depth, ct, 0, 0, 0)
         payload = (
             MM._PNG_SIG + MM._png_chunk(b"IHDR", ihdr)
             + MM._png_chunk(b"IEND", b"")
         )
-        with _pytest.raises(NotImplementedError):
+        with _pytest.raises(ValueError):
             MM.decode_png_pixels(payload)
 
 
