@@ -86,6 +86,10 @@ HEADLINE = [
     "multimodal_png_color_pixel_stats",
     "minhash_incremental_update",
     "substring_dedup_windows",
+    # round-6 additions: whale-split mechanism (count job + expr path
+    # on uniform data), full-variant PNG structure decode
+    "event_dates_routed",
+    "multimodal_png_depth16_interlace_stats",
 ]
 
 
@@ -249,6 +253,18 @@ def main() -> None:
     registry = all_queries()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+
+    # session warmup before any timed run: the first job in a fresh
+    # JVM pays classloading + codegen JIT + parquet footer reads that
+    # no later query pays (the first HEADLINE entry was absorbing it —
+    # cfd's recorded spread was ~4.5s of which ~4s was warmup). One
+    # untimed scan-aggregate per base table makes run 1 comparable.
+    from falcon_metrics_etl_spark.sources import load_table
+
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).limit(1000).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     def record(name: str, runs: list[float]) -> None:
         runs = sorted(runs)

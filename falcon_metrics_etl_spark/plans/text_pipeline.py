@@ -680,3 +680,99 @@ def substring_dedup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_dup.alias("n_dup_windows"),
         F.round(n_dup.cast("double") / F.col("n_windows"), 6).alias("dup_ratio"),
     )
+
+
+@register(
+    "substring_dedup_spans",
+    doc=f"Maximal duplicated SPANS — the operational half of "
+    "substring-level dedup: a scrubber needs span boundaries, not "
+    f"per-window flags. Consecutive duplicated {SUBSTR_W}-token "
+    "windows (stride 1) merge into maximal spans via gaps-and-islands "
+    "(pos - row_number per doc); a span over window positions [s, e] "
+    f"covers tokens [s, e+{SUBSTR_W}-1]. Output: per-doc span count, "
+    "longest span, covered-token total (docs with at least one "
+    "duplicated window). Plan: the same min(struct) hash aggregate as "
+    "substring_dedup_windows computes global first occurrences "
+    "(map-side partial agg kills boilerplate skew), then an N:1 join "
+    "back on the 128-bit window hash flags duplicate occurrences "
+    "(AQE skew-join splits a hot probe side; the build side is one "
+    "row per distinct window), and one doc-keyed window pass forms "
+    "the islands. No raw window text ever shuffles.",
+    tags=("text", "dedup", "window", "training-data"),
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {TX.DUCK_TOKENS.format(x='text')} AS tk FROM documents
+),
+wins AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(tk[i+1:i+{SUBSTR_W}], ' ') AS win
+    FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - {SUBSTR_W - 1})) AS i
+          FROM toks WHERE len(tk) >= {SUBSTR_W})
+),
+ranked AS (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+    FROM wins
+),
+dups AS (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM ranked WHERE rn > 1
+),
+spans AS (
+    SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e
+    FROM dups GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(MAX(e - s + {SUBSTR_W}) AS BIGINT) AS longest_span_tokens,
+       CAST(SUM(e - s + {SUBSTR_W}) AS BIGINT) AS covered_tokens
+FROM spans
+GROUP BY doc_id
+""",
+)
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = SUBSTR_W
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= w
+    )
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - w),
+                lambda i: F.array_join(F.slice("tk", i + 1, w), " "),
+            )
+        ).alias("pos", "win"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.xxhash64("win").alias("h1"),
+        F.xxhash64(F.lit("s2"), F.col("win")).alias("h2"),
+    )
+    firsts = wins.groupBy("h1", "h2").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    # N:1 equi-join on the hash key flags every non-first occurrence;
+    # identical tie-break as the oracle's rn>1 (min struct order)
+    dups = (
+        wins.join(firsts, ["h1", "h2"])
+        .filter(
+            (F.col("first.doc_id") != F.col("doc_id"))
+            | (F.col("first.pos") != F.col("pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        dups.withColumn("grp", F.col("pos") - F.row_number().over(wd))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("s"), F.max("pos").alias("e"))
+    )
+    span_len = F.col("e") - F.col("s") + F.lit(w)
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max(span_len).alias("longest_span_tokens"),
+        F.sum(span_len).alias("covered_tokens"),
+    )
