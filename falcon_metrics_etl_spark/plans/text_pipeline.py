@@ -776,3 +776,119 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(span_len).alias("longest_span_tokens"),
         F.sum(span_len).alias("covered_tokens"),
     )
+
+
+@register(
+    "substring_dedup_scrub",
+    doc=f"The end-to-end substring scrubber: rebuild every document "
+    "with its duplicated spans REMOVED (first occurrences kept — "
+    "later copies of a passage are cut, the 'deduplicating training "
+    "data' rewrite). Spans come from the same hash-aggregate + "
+    "islands pipeline as substring_dedup_spans; the rebuild is a pure "
+    f"JVM HOF — F.filter's (token, index) lambda drops tokens inside "
+    "any covered span (spans per doc are few, so the exists() probe "
+    "is O(spans) per token, no explode). Docs with no duplicated "
+    f"spans (including docs shorter than {SUBSTR_W} tokens) pass "
+    "through with all tokens kept. Output: doc_id, kept-token count, "
+    "the cleaned text itself (hash-compared against the oracle's "
+    "ordered string_agg rebuild).",
+    tags=("text", "dedup", "window", "training-data", "rewrite"),
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {TX.DUCK_TOKENS.format(x='text')} AS tk FROM documents
+),
+wins AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(tk[i+1:i+{SUBSTR_W}], ' ') AS win
+    FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - {SUBSTR_W - 1})) AS i
+          FROM toks WHERE len(tk) >= {SUBSTR_W})
+),
+ranked AS (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+    FROM wins
+),
+dups AS (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM ranked WHERE rn > 1
+),
+spans AS (
+    SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e
+    FROM dups GROUP BY doc_id, grp
+),
+covered AS (
+    SELECT doc_id, unnest(range(s, e + {SUBSTR_W})) AS i FROM spans
+),
+tok_idx AS (
+    SELECT doc_id, i, tk[i + 1] AS t
+    FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i FROM toks)
+),
+kept AS (
+    SELECT k.doc_id,
+           COUNT(*) AS n_tokens_kept,
+           string_agg(k.t, ' ' ORDER BY k.i) AS clean_text
+    FROM tok_idx k
+    LEFT JOIN covered c ON c.doc_id = k.doc_id AND c.i = k.i
+    WHERE c.i IS NULL
+    GROUP BY k.doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(kept.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       COALESCE(kept.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN kept ON kept.doc_id = t.doc_id
+""",
+)
+def substring_dedup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = SUBSTR_W
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("tk"))
+    eligible = toks.filter(F.size("tk") >= w)
+    wins = eligible.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - w),
+                lambda i: F.array_join(F.slice("tk", i + 1, w), " "),
+            )
+        ).alias("pos", "win"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.xxhash64("win").alias("h1"),
+        F.xxhash64(F.lit("s2"), F.col("win")).alias("h2"),
+    )
+    firsts = wins.groupBy("h1", "h2").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    dups = (
+        wins.join(firsts, ["h1", "h2"])
+        .filter(
+            (F.col("first.doc_id") != F.col("doc_id"))
+            | (F.col("first.pos") != F.col("pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        dups.withColumn("grp", F.col("pos") - F.row_number().over(wd))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + w - 1).alias("e_tok"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e_tok")).alias("spans"))
+    )
+    joined = toks.join(spans, "doc_id", "left").withColumn(
+        "spans", F.coalesce(F.col("spans"), F.array())
+    )
+    kept = F.filter(
+        F.col("tk"),
+        lambda t, i: ~F.exists(
+            F.col("spans"),
+            lambda sp: (i >= sp["s"]) & (i <= sp["e_tok"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

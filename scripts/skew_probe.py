@@ -57,6 +57,8 @@ DEFAULT_QUERIES = [
     "tpch_pricing_summary",
     # boilerplate-heavy corpus: hot window keys must partial-aggregate
     "substring_dedup_windows",
+    "substring_dedup_spans",
+    "substring_dedup_scrub",
 ]
 
 
