@@ -498,3 +498,111 @@ def test_wav_decode_float32_and_stereo():
     )
     d = MM.decode_wav_samples(p)
     assert d["channels"] == 2 and d["samples"] == sv
+
+
+# --------------------------------------------------------------------------
+# Property-based decode fuzz: random rasters through a generic
+# test-side encoder across the full (depth x color type x interlace)
+# support matrix, with random per-row filter types.
+# --------------------------------------------------------------------------
+def _encode_png_raw(w, h, depth, ct, samples, interlace, filt_of_row):
+    """Test-side generic encoder: raw per-pixel samples -> spec PNG.
+    samples: flat list, w*h*channels values (palette: indices)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    chans = MM._PNG_CHANNELS[ct]
+    bpp = max(1, chans * (depth // 8))
+
+    def pix_bytes(x, y):
+        base = (y * w + x) * chans
+        vals = samples[base : base + chans]
+        if depth == 16:
+            return b"".join(_struct.pack(">H", v) for v in vals)
+        return bytes(vals)  # 8-bit (sub-byte handled separately)
+
+    raw = bytearray()
+    row_idx = 0
+    passes = (
+        MM._adam7_pass_dims(w, h) if interlace else [(0, 0, 1, 1, w, h)]
+    )
+    for x0, y0, dx, dy, pw, ph in passes:
+        if pw == 0 or ph == 0:
+            continue
+        if depth < 8:
+            prwb = (pw * depth + 7) // 8
+            prev = bytes(prwb)
+            for j in range(ph):
+                yy = y0 + j * dy
+                line = MM._pack_bits(
+                    [samples[yy * w + (x0 + i * dx)] for i in range(pw)],
+                    depth,
+                )
+                raw += MM._filter_scanline(
+                    filt_of_row(row_idx), line, prev, 1
+                )
+                prev = line
+                row_idx += 1
+        else:
+            prev = bytes(pw * bpp)
+            for j in range(ph):
+                yy = y0 + j * dy
+                line = b"".join(
+                    pix_bytes(x0 + i * dx, yy) for i in range(pw)
+                )
+                raw += MM._filter_scanline(
+                    filt_of_row(row_idx), line, prev, bpp
+                )
+                prev = line
+                row_idx += 1
+    ihdr = _struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, 1 if interlace else 0)
+    chunks = MM._PNG_SIG + MM._png_chunk(b"IHDR", ihdr)
+    if ct == 3:
+        n_pal = 1 << depth if depth < 8 else 256
+        plte = b"".join(
+            bytes(((3 * i) & 0xFF, (5 * i) & 0xFF, (7 * i) & 0xFF))
+            for i in range(n_pal)
+        )
+        chunks += MM._png_chunk(b"PLTE", plte)
+    chunks += MM._png_chunk(b"IDAT", _zlib.compress(bytes(raw), 6))
+    return chunks + MM._png_chunk(b"IEND", b"")
+
+
+def test_png_decode_fuzz_full_matrix():
+    """Random rasters with random per-row filters across every
+    supported (depth, color type, interlace) combination round-trip
+    exactly — 8/16-bit gray/RGB/GA/RGBA and sub-byte gray/palette,
+    sequential and Adam7."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    combos = (
+        [(d, 0) for d in (1, 2, 4, 8, 16)]
+        + [(d, 3) for d in (1, 2, 4, 8)]
+        + [(d, ct) for d in (8, 16) for ct in (2, 4, 6)]
+    )
+    for depth, ct in combos:
+        chans = MM._PNG_CHANNELS[ct]
+        for interlace in (0, 1):
+            for _ in range(3):
+                w, h = rng.randint(1, 21), rng.randint(1, 19)
+                hi = (1 << min(depth, 16)) - 1
+                if ct == 3:
+                    hi = (1 << depth) - 1 if depth < 8 else 255
+                samples = [
+                    rng.randint(0, hi) for _ in range(w * h * chans)
+                ]
+                payload = _encode_png_raw(
+                    w, h, depth, ct, samples, interlace,
+                    lambda r: rng.randint(0, 4),
+                )
+                W, H, C, px = MM.decode_png_pixels(payload)
+                if ct == 3:
+                    assert (W, H, C) == (w, h, 3)
+                    want = []
+                    for i in samples:
+                        want += [(3 * i) & 0xFF, (5 * i) & 0xFF, (7 * i) & 0xFF]
+                    assert list(px) == want, (depth, ct, interlace, w, h)
+                else:
+                    assert (W, H, C) == (w, h, chans)
+                    assert list(px) == samples, (depth, ct, interlace, w, h)
