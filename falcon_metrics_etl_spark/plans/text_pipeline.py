@@ -892,3 +892,90 @@ def substring_dedup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("long").alias("n_tokens_kept"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+SUBSTR_DELTA_MOD = 17  # same delta convention as minhash_incremental_update
+
+
+@register(
+    "substring_incremental_flags",
+    doc=f"Incremental substring-dedup — the per-ingest-batch shape: "
+    f"arriving documents (doc_id % {SUBSTR_DELTA_MOD} == 0 plays the "
+    "delta) have their windows probed against the BASE corpus's "
+    "window-hash index, flagging how much of each new document is "
+    "already-seen passage BEFORE it enters the corpus (the admission "
+    "filter a 100 TB pipeline runs on every batch). Plan: base "
+    "windows reduce to one row per distinct 128-bit hash via a "
+    "partial-aggregated groupBy (in production this index is "
+    "PERSISTED and maintained, as with the MinHash band index; here "
+    "both sides derive from the same table but keep the delta-probe "
+    "shape), delta windows left-SEMI-join the index — delta-sized "
+    "probe, never base-x-base work. Output: per delta doc, window "
+    "count, already-in-base count, overlap ratio.",
+    tags=("text", "dedup", "window", "training-data", "incremental"),
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {TX.DUCK_TOKENS.format(x='text')} AS tk FROM documents
+),
+wins AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(tk[i+1:i+{SUBSTR_W}], ' ') AS win
+    FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - {SUBSTR_W - 1})) AS i
+          FROM toks WHERE len(tk) >= {SUBSTR_W})
+),
+base_idx AS (
+    SELECT DISTINCT win FROM wins WHERE doc_id % {SUBSTR_DELTA_MOD} <> 0
+),
+delta AS (
+    SELECT doc_id, pos, win FROM wins WHERE doc_id % {SUBSTR_DELTA_MOD} = 0
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN b.win IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_seen_in_base,
+       ROUND(CAST(SUM(CASE WHEN b.win IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS seen_ratio
+FROM delta d LEFT JOIN base_idx b ON b.win = d.win
+GROUP BY d.doc_id
+""",
+)
+def substring_incremental_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = SUBSTR_W
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= w
+    )
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - w),
+                lambda i: F.array_join(F.slice("tk", i + 1, w), " "),
+            )
+        ).alias("pos", "win"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.xxhash64("win").alias("h1"),
+        F.xxhash64(F.lit("s2"), F.col("win")).alias("h2"),
+    )
+    is_delta = F.col("doc_id") % SUBSTR_DELTA_MOD == 0
+    base_idx = (
+        wins.filter(~is_delta).groupBy("h1", "h2").agg(F.lit(1).alias("_one"))
+    )
+    delta = wins.filter(is_delta)
+    seen = (
+        delta.join(base_idx, ["h1", "h2"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_seen_in_base"))
+    )
+    totals = delta.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    n_seen = F.coalesce(F.col("n_seen_in_base"), F.lit(0))
+    return totals.join(seen, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        n_seen.alias("n_seen_in_base"),
+        F.round(n_seen.cast("double") / F.col("n_windows"), 6).alias(
+            "seen_ratio"
+        ),
+    )
