@@ -90,6 +90,9 @@ HEADLINE = [
     # on uniform data), full-variant PNG structure decode
     "event_dates_routed",
     "multimodal_png_depth16_interlace_stats",
+    "substring_dedup_spans",
+    "substring_dedup_scrub",
+    "substring_incremental_flags",
 ]
 
 

@@ -509,3 +509,74 @@ def payload_inflate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("raw").isNotNull().alias("roundtrip_ok"),
         F.length(F.decode("raw", "UTF-8")).cast("long").alias("inflated_chars"),
     )
+
+
+# Y4M dims/base/frames derivation shared by the two video oracles
+_DUCK_Y4M_DIMS = """
+SELECT doc_id,
+       ('0x' || substring(md5(text), 1, 4))::INT % 16 + 1 AS w,
+       ('0x' || substring(md5(text), 5, 4))::INT % 16 + 1 AS h,
+       ('0x' || substring(md5(text), 9, 2))::INT % 200 AS b,
+       ('0x' || substring(md5(text), 13, 2))::INT % 8 + 1 AS n
+FROM documents
+"""
+
+
+@register(
+    "multimodal_y4m_frame_stats",
+    doc="REAL video decode (third real codec): monochrome Y4M clips "
+    "(YUV4MPEG2 — uncompressed planar frames behind FRAME markers; "
+    "frame k pixel = b+x+y+k) built per document and decoded by "
+    "decode_y4m_frames (header token parse + fixed-size frame walk), "
+    "then whole-clip luma statistics. The oracle replays the "
+    "closed-form three-axis gradient sums — matching requires walking "
+    "every frame. Video is no longer a synthetic-only stub; remaining "
+    "media stubs are compressed codecs (jpeg/mp3/h264). Map-only.",
+    tags=("multimodal", "pandas-udf", "binary", "codec", "video"),
+    oracle=f"""
+WITH dims AS ({_DUCK_Y4M_DIMS})
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(n AS INT) AS n_frames, 25.0 AS fps,
+       CAST(n * w * h AS BIGINT) AS n_luma,
+       CAST(b AS INT) AS min_luma,
+       CAST(b + w + h + n - 3 AS INT) AS max_luma,
+       CAST(n*w*h*b + n*(h*(w*(w-1))//2 + w*(h*(h-1))//2)
+            + w*h*(n*(n-1))//2 AS BIGINT) AS sum_luma,
+       CAST(n*w*h*b + n*(h*(w*(w-1))//2 + w*(h*(h-1))//2)
+            + w*h*(n*(n-1))//2 AS DOUBLE) / (n * w * h) AS mean_luma
+FROM dims
+""",
+)
+def multimodal_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_y4m(docs)
+    return MM.y4m_frame_stats(media)
+
+
+@register(
+    "multimodal_y4m_sampled_frames",
+    doc=f"Frame sampling over REAL video: every "
+    f"{MM.Y4M_SAMPLE_EVERY}nd frame of each Y4M clip is decoded and "
+    "emitted as its own row with per-frame luma stats — the "
+    "binary->frames fan-out (training-data frame subsample stage) "
+    "running on an actual container instead of the synthetic stub "
+    "(multimodal_frame_sample keeps the stub twin for the fan-out "
+    "plan shape). Oracle replays the per-frame closed form with a "
+    "range unnest over sampled indices. Map-only.",
+    tags=("multimodal", "pandas-udf", "binary", "codec", "video", "explode"),
+    oracle=f"""
+WITH dims AS ({_DUCK_Y4M_DIMS})
+SELECT doc_id, CAST(k AS INT) AS frame_idx,
+       CAST(w*h*(b + k) + h*(w*(w-1))//2 + w*(h*(h-1))//2 AS BIGINT)
+           AS sum_luma,
+       CAST(w*h*(b + k) + h*(w*(w-1))//2 + w*(h*(h-1))//2 AS DOUBLE)
+           / (w * h) AS mean_luma
+FROM dims, unnest(range(0, n, {MM.Y4M_SAMPLE_EVERY})) AS t(k)
+""",
+)
+def multimodal_y4m_sampled_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_y4m(docs)
+    return MM.y4m_sampled_frame_stats(media)

@@ -606,3 +606,31 @@ def test_png_decode_fuzz_full_matrix():
                 else:
                     assert (W, H, C) == (w, h, chans)
                     assert list(px) == samples, (depth, ct, interlace, w, h)
+
+
+def test_y4m_roundtrip_and_chroma_sizing():
+    """Real Y4M decode: gradient clips round-trip; 420 chroma planes
+    are skipped by exact size; junk and exotic chroma fail correctly."""
+    import pytest as _pytest
+
+    p = MM.encode_y4m_mono(5, 4, 3, 100)
+    d = MM.decode_y4m_frames(p)
+    assert (d["width"], d["height"], d["n_frames"]) == (5, 4, 3)
+    for k, fr in enumerate(d["frames"]):
+        assert all(
+            fr[y * 5 + x] == 100 + x + y + k
+            for y in range(4) for x in range(5)
+        )
+
+    hdr = b"YUV4MPEG2 W4 H4 F30:1 C420jpeg\n"
+    frame = b"FRAME\n" + bytes(range(16)) + bytes(8)
+    d2 = MM.decode_y4m_frames(hdr + frame + frame)
+    assert d2["n_frames"] == 2 and d2["fps_num"] == 30
+    assert list(d2["frames"][1]) == list(range(16))
+
+    with _pytest.raises(ValueError):
+        MM.decode_y4m_frames(b"JUNK")
+    with _pytest.raises(ValueError):  # truncated final frame
+        MM.decode_y4m_frames(hdr + frame + frame[:10])
+    with _pytest.raises(NotImplementedError):
+        MM.decode_y4m_frames(b"YUV4MPEG2 W2 H2 C411\n")
