@@ -153,3 +153,44 @@ def sampled_percentile_disc(
         f"percentile_disc({q}) WITHIN GROUP (ORDER BY {value_col})"
     )
     return sampled.groupBy(*key_cols).agg(expr.alias(f"p{int(q * 100)}"))
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epochs: Sequence[int],
+    n_shards: int,
+) -> DataFrame:
+    """Reproducible per-epoch global shuffle — the training-data
+    ordering stage: every epoch must present the corpus in a different
+    but DETERMINISTIC order (re-runnable jobs, resumable readers, no
+    rand()).
+
+    Each (row, epoch) hashes to ``portable_hash60(key || ':' || epoch)``;
+    the shard is the hash mod n_shards and the position is the rank of
+    the hash within the shard (key as tie-break). A reader consuming
+    shards in (shard, position) order sees a pseudo-random permutation
+    that changes completely between epochs but is a pure function of
+    (key, epoch) — append-stable and identical on any engine.
+
+    Plan: epochs explode JVM-side (|epochs| small), then ONE shuffle
+    partitioned by (epoch, shard) for the rank window; shards bound
+    partition size, so no global sort and no single-task ordering.
+    """
+    ep = F.explode(
+        F.array(*[F.lit(int(e)) for e in epochs])
+    ).alias("epoch")
+    with_key = df.select("*", ep).withColumn(
+        "_eh",
+        portable_hash60(
+            F.concat_ws(":", F.col(key_col).cast("string"), F.col("epoch"))
+        ),
+    )
+    w = Window.partitionBy("epoch", F.col("_eh") % n_shards).orderBy(
+        "_eh", key_col
+    )
+    return (
+        with_key.withColumn("shard", (F.col("_eh") % n_shards).cast("int"))
+        .withColumn("position", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_eh")
+    )

@@ -367,3 +367,43 @@ def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tokens_selected"),
         F.sum("n_tokens").cast("long").alias("tokens_available"),
     )
+
+
+N_SHUFFLE_SHARDS = 32
+SHUFFLE_EPOCHS = (0, 1)
+
+
+@register(
+    "epoch_shuffle_assignment",
+    doc=f"Reproducible per-epoch global shuffle "
+    "(operators/sampling.py::epoch_shuffle): every (doc, epoch) maps "
+    "to a (shard, position) via the portable md5 hash of key:epoch — "
+    "a deterministic pseudo-random permutation that changes completely "
+    "between epochs, is append-stable, and needs no rand(). One "
+    f"shuffle keyed on (epoch, shard mod {N_SHUFFLE_SHARDS}); shards "
+    "bound the rank window's partition, so there is no global sort "
+    "and no single-task ordering — the 100 TB epoch-ordering shape.",
+    tags=("sampling", "hash", "training-data", "window"),
+    oracle=f"""
+WITH assigned AS (
+    SELECT doc_id, e.epoch,
+           ('0x' || substring(
+                md5(CAST(doc_id AS VARCHAR) || ':' || e.epoch), 1, 15)
+           )::BIGINT AS eh
+    FROM documents, (SELECT unnest(range(0, 2)) AS epoch) e
+)
+SELECT doc_id, CAST(epoch AS INT) AS epoch,
+       CAST(eh % {N_SHUFFLE_SHARDS} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY epoch, eh % {N_SHUFFLE_SHARDS}
+            ORDER BY eh, doc_id) - 1 AS BIGINT) AS position
+FROM assigned
+""",
+)
+def epoch_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(
+        docs, "doc_id", SHUFFLE_EPOCHS, N_SHUFFLE_SHARDS
+    ).select("doc_id", "epoch", "shard", "position")
