@@ -1032,3 +1032,72 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return spans("zfile", "zorder").unionByName(spans("lfile", "linear"))
+
+
+_PROFILE_COLS = {
+    "documents": ("doc_id", "lang", "source", "n_chars"),
+    "orders": ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+    "events": ("event_type", "user_id"),
+}
+
+
+def _duck_profile_union() -> str:
+    parts = []
+    for t, cols in _PROFILE_COLS.items():
+        for c in cols:
+            parts.append(f"""
+SELECT '{t}' AS table_name, '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_str,
+       CAST(MAX({c}) AS VARCHAR) AS max_str
+FROM {t}""")
+    return "\nUNION ALL".join(parts)
+
+
+@register(
+    "table_profile_stats",
+    doc="Data-quality profiling sweep — the ANALYZE-style pass every "
+    "pipeline runs before trusting a new drop: per (table, column) "
+    "row/null/distinct counts and min/max, long-form, across three "
+    "tables in one query. Each table profiles in ONE aggregate pass "
+    "(all columns' metrics in a single agg, unpivoted JVM-side with "
+    "stack()); only integer/varchar columns are profiled so min/max "
+    "string casts are engine-portable. At 100 TB the exact "
+    "COUNT(DISTINCT) (an Expand + two-phase agg per table here) swaps "
+    "for the engine's mergeable KMV sketch (kmv_distinct) to stay "
+    "single-pass; exact is kept in this registration for oracle "
+    "parity.",
+    tags=("relational", "aggregate", "audit", "training-data"),
+    oracle=_duck_profile_union(),
+)
+def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, cols in _PROFILE_COLS.items():
+        df = load_table(spark, sf_dir, t)
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in cols:
+            aggs += [
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                F.countDistinct(c).alias(f"{c}__distinct"),
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+            ]
+        row = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+            for c in cols
+        )
+        prof = row.selectExpr(
+            f"'{t}' as table_name",
+            "_n as n_rows",
+            f"stack({len(cols)}, {stack_args}) as "
+            "(column_name, n_nulls, n_distinct, min_str, max_str)",
+        ).select(
+            "table_name", "column_name", "n_rows",
+            "n_nulls", "n_distinct", "min_str", "max_str",
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out

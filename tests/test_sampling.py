@@ -63,3 +63,39 @@ def test_pack_sequences_budget_overflow_bounded(spark):
         assert r["total"] - r["biggest"] < 1000
     # every doc assigned exactly once
     assert packed.count() == 200
+
+
+def test_epoch_shuffle_is_deterministic_dense_permutation(spark):
+    """Per (epoch, shard): positions are dense 0..n-1; the assignment
+    is a pure function of (key, epoch) — rerun-identical — and epochs
+    produce genuinely different orders."""
+    from pyspark.sql import functions as F
+
+    from falcon_metrics_etl_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = epoch_shuffle(docs, "doc_id", (0, 1), n_shards=8)
+    rows = out.collect()
+    assert len(rows) == 1000  # 500 docs x 2 epochs
+
+    # dense positions per (epoch, shard)
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[(r["epoch"], r["shard"])].append(r["position"])
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(len(ps)))
+
+    # deterministic across reruns
+    again = {(r["doc_id"], r["epoch"]): (r["shard"], r["position"])
+             for r in epoch_shuffle(docs, "doc_id", (0, 1), 8).collect()}
+    first = {(r["doc_id"], r["epoch"]): (r["shard"], r["position"])
+             for r in rows}
+    assert first == again
+
+    # epochs reshuffle: the two epoch assignments must differ broadly
+    moved = sum(
+        1 for d in range(500)
+        if first[(d, 0)] != first[(d, 1)]
+    )
+    assert moved > 400
