@@ -1,0 +1,148 @@
+"""Streaming corpus-admission filter — the substring-dedup index
+maintained ACROSS micro-batches (ST2/ST3 composition of the r6
+substring family; batch twin: plans/text_pipeline.py
+``substring_incremental_flags``).
+
+Every arriving document batch is scored against the window-hash index
+of everything admitted so far (how much of each new document is
+already-seen passage), then the batch's new distinct window hashes
+append to the index. Semantics are batch-atomic: a document is scored
+against the index as of the START of its batch (documents inside one
+batch do not see each other — the same contract as the batch query's
+base/delta split).
+
+Idempotent under redelivery (at-least-once foreachBatch): the flags
+output lands through the keyed MERGE writer (doc_id); index rows are
+PROVENANCE-TAGGED with the (replay-stable) micro-batch id, and the
+probe excludes the current batch's own rows — a replayed batch scores
+against exactly the index it originally saw and its anti-joined
+append adds nothing. Without the tag, replays would find their own
+windows already indexed and mis-score fresh documents as duplicates.
+
+Scale: the per-batch probe is delta-sized on the probe side; the
+index side is one row per distinct corpus window. In production the
+index lands through the bucketed layout (sinks/bucketed.py, bucketed
+on h1) so the probe equi-join plans with no Exchange on the index
+side; the plain-parquet path here keeps the same join keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from falcon_metrics_etl_spark.functions import text as TX
+from falcon_metrics_etl_spark.sinks.merge import merge_upsert
+
+ADMISSION_W = 8  # token window length (matches SUBSTR_W)
+
+
+def _window_hashes(docs: DataFrame, w: int) -> DataFrame:
+    """(doc_id, h1, h2) per stride-1 token window — the same pure-HOF
+    build + 128-bit xxhash64 pair as the batch substring family; raw
+    window text never leaves the projection."""
+    toks = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("tk")
+    ).filter(F.size("tk") >= w)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - w),
+                lambda i: F.array_join(F.slice("tk", i + 1, w), " "),
+            )
+        ).alias("win"),
+    ).select(
+        "doc_id",
+        F.xxhash64("win").alias("h1"),
+        F.xxhash64(F.lit("s2"), F.col("win")).alias("h2"),
+    )
+
+
+def _index_exists(spark: SparkSession, path: str) -> bool:
+    import os
+
+    return os.path.isdir(path) and any(
+        not n.startswith(("_", ".")) for n in os.listdir(path)
+    )
+
+
+def substring_admission_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_path: str,
+    out_path: str,
+    batch_id: int,
+    w: int = ADMISSION_W,
+) -> None:
+    """Process ONE batch: score each document's windows against the
+    index EXCLUDING rows this same batch_id contributed (replay
+    safety), MERGE the per-doc flags into ``out_path`` (keyed on
+    doc_id), then append the batch's not-yet-indexed distinct hashes
+    tagged with batch_id to ``index_path``."""
+    wins = _window_hashes(batch_df, w).localCheckpoint(eager=True)
+    if _index_exists(spark, index_path):
+        full_idx = spark.read.parquet(index_path)
+    else:
+        full_idx = spark.createDataFrame([], "h1 long, h2 long, batch_id long")
+    idx = full_idx.filter(F.col("batch_id") != batch_id)
+    seen = (
+        wins.join(idx, ["h1", "h2"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_seen"))
+    )
+    n_seen = F.coalesce(F.col("n_seen"), F.lit(0))
+    flags = (
+        wins.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+        .join(seen, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            n_seen.alias("n_seen"),
+            F.round(n_seen.cast("double") / F.col("n_windows"), 6).alias(
+                "seen_ratio"
+            ),
+        )
+    )
+    merge_upsert(spark, out_path, flags, keys=("doc_id",))
+    # append against the FULL index (own prior rows included), so a
+    # replay adds nothing
+    new_hashes = (
+        wins.select("h1", "h2")
+        .distinct()
+        .join(full_idx, ["h1", "h2"], "left_anti")
+        .withColumn("batch_id", F.lit(int(batch_id)))
+    )
+    new_hashes.write.mode("append").parquet(index_path)
+
+
+def stream_substring_admission(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    w: int = ADMISSION_W,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Wire the admission filter as a foreachBatch stream over a
+    (doc_id, text) source; availableNow drains what's present and
+    stops (the scheduled-batch tick), False runs continuously."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        substring_admission_batch(
+            batch_df.sparkSession, batch_df, index_path, out_path,
+            batch_id, w
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -428,3 +428,60 @@ def test_stream_sessionize_stateful_late_events(spark, tmp_path):
     assert got[("A", "2024-01-01 07:00:00")] == ("2024-01-01 07:00:00", 1)
     # the open session was extended backward to 09:45 before closing
     assert got[("A", "2024-01-01 09:45:00")] == ("2024-01-01 10:05:00", 3)
+
+
+def test_substring_admission_filter_across_batches(spark, tmp_path):
+    """The streaming admission filter: batch 2's copy of a batch-1
+    passage scores seen_ratio 1.0 against the maintained index; a
+    replayed batch changes nothing (idempotent flags MERGE + anti-join
+    index append); and the foreachBatch wiring drains a real stream."""
+    from pyspark.sql import functions as F
+
+    from falcon_metrics_etl_spark.streaming.admission import (
+        stream_substring_admission,
+        substring_admission_batch,
+    )
+
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "flags")
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = spark.createDataFrame(
+        [(1, passage), (2, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    substring_admission_batch(spark, b1, idx, out, batch_id=1)
+    r1 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    # empty index at batch 1: nothing seen
+    assert r1[1]["n_seen"] == 0 and r1[2]["n_seen"] == 0
+
+    # batch 2: doc 3 repeats doc 1's passage verbatim; doc 4 is fresh
+    b2 = spark.createDataFrame(
+        [(3, passage), (4, "red orange yellow green blue indigo violet x")],
+        "doc_id long, text string",
+    )
+    substring_admission_batch(spark, b2, idx, out, batch_id=2)
+    r2 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert r2[3]["seen_ratio"] == 1.0
+    assert r2[4]["n_seen"] == 0
+    assert set(r2) == {1, 2, 3, 4}
+
+    # replay batch 2: flags identical, index does not grow
+    n_idx = spark.read.parquet(idx).count()
+    substring_admission_batch(spark, b2, idx, out, batch_id=2)
+    r3 = {r["doc_id"]: r.asDict() for r in spark.read.parquet(out).collect()}
+    assert r3 == {k: v.asDict() for k, v in r2.items()}
+    assert spark.read.parquet(idx).count() == n_idx
+
+    # end-to-end stream wiring over a parquet file source
+    src = str(tmp_path / "src")
+    b5 = spark.createDataFrame(
+        [(5, passage)], "doc_id long, text string"
+    )
+    b5.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_substring_admission(
+        stream, idx, out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    r4 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert r4[5]["seen_ratio"] == 1.0  # sees batches 1-2's index
