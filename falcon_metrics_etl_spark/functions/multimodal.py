@@ -6,15 +6,17 @@ bytes, Spark never interprets them JVM-side, and decode/feature
 extraction runs in Arrow-batched Python (``mapInPandas``), the only
 place a codec library can run.
 
-The container for this engine has no image/audio libs, so REAL
-decoding is stubbed: codecs other than ``synthetic`` raise
-``NotImplementedError`` (clearly marked below) the moment a batch
-contains them. The ``synthetic`` codec — a deterministic header
-derived from the payload's md5 — keeps every part of the Spark-side
-plumbing real and testable: binary columns through Arrow, batch
+Three formats decode COMPLETELY in pure stdlib — PNG (every color
+type at 1/2/4/8/16-bit, sequential and Adam7-interlaced), WAV
+(integer PCM 8/16-bit + IEEE float32, mono/stereo) and Y4M video
+(uncompressed planar frames) — with spec-valid encoders backing
+closed-form oracles. Only formats that genuinely require codec
+libraries remain stubbed (jpeg, compressed audio, h264 — clearly
+marked NotImplementedError below); the ``synthetic`` codec keeps the
+plumbing testable for those: binary columns through Arrow, batch
 iteration, output schema, partition-parallelism, and the downstream
-JVM-side frame-sampling explode. Swapping in PIL/ffmpeg later touches
-only ``_decode_one``.
+JVM-side frame-sampling explode. Swapping in PIL/ffmpeg touches only
+``_decode_one``.
 
 Scale notes: ``mapInPandas`` is a pure map — no shuffle, linear in
 bytes scanned; with payloads in their own parquet column, column
@@ -1481,4 +1483,107 @@ def y4m_sampled_frame_stats(media: DataFrame, every: int = Y4M_SAMPLE_EVERY) -> 
 
     return media.select("doc_id", "payload").mapInPandas(
         run, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio preprocessing: silence trim (the lead/tail-strip stage an
+# audio training pipeline runs before feature extraction).
+# ---------------------------------------------------------------------------
+WAV_SILENCE = 128  # 8-bit PCM midpoint
+
+
+def encode_wav_padded(
+    dur_ms: int, base: int, lead_ms: int, tail_ms: int
+) -> bytes:
+    """8 kHz mono 8-bit PCM WAV with lead/tail silence (midpoint 128)
+    around a base/base+1 square wave — callers cap base below 100 so
+    signal never equals silence and trim math stays exact (8 samples
+    per ms at 8 kHz)."""
+    body = (
+        bytes([WAV_SILENCE]) * (8 * lead_ms)
+        + bytes([base, base + 1]) * (4 * dur_ms)
+        + bytes([WAV_SILENCE]) * (8 * tail_ms)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, WAV_SAMPLE_RATE, WAV_SAMPLE_RATE, 1, 8)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+
+
+def trim_silence(samples, silence: int = WAV_SILENCE) -> tuple[int, int, int]:
+    """(lead, signal, tail) sample counts after trimming leading and
+    trailing runs of the exact silence level. All-silence clips report
+    (n, 0, 0)."""
+    n = len(samples)
+    first = next((i for i, v in enumerate(samples) if v != silence), None)
+    if first is None:
+        return n, 0, 0
+    last = next(i for i in range(n - 1, -1, -1) if samples[i] != silence)
+    return first, last - first + 1, n - 1 - last
+
+
+def attach_payload_wav_padded(docs: DataFrame) -> DataFrame:
+    """documents -> silence-padded square-wave WAVs: signal duration,
+    base level and lead/tail padding all derive from md5(text)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                dur = int(h[8:12], 16) % 500 + 1
+                base = int(h[12:14], 16) % 100
+                lead = int(h[14:16], 16) % 50
+                tail = int(h[16:18], 16) % 50
+                payloads.append(encode_wav_padded(dur, base, lead, tail))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": "audio",
+                    "codec": "wav",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, media_type string, codec string, payload binary"
+    )
+
+
+TRIM_SCHEMA = (
+    "doc_id long, total_ms long, lead_silence_ms long, signal_ms long, "
+    "tail_silence_ms long"
+)
+
+
+def wav_silence_trim_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL trim: decode the PCM samples, strip
+    exact-silence lead/tail runs, report millisecond spans (8 kHz:
+    8 samples per ms). Map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_wav_samples(bytes(p))
+                lead, sig, tail = trim_silence(d["samples"])
+                rows.append(
+                    (
+                        int(doc_id), len(d["samples"]) // 8,
+                        lead // 8, sig // 8, tail // 8,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "total_ms", "lead_silence_ms", "signal_ms",
+                    "tail_silence_ms",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=TRIM_SCHEMA
     )

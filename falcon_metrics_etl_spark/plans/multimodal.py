@@ -3,10 +3,12 @@ and video frame sampling — the training-data-pipeline operations over
 opaque media columns.
 
 The decode itself happens in Arrow-batched Python (the only Python in
-this engine's hot paths besides the W2 event-date extractor); the
-deterministic synthetic codec lets the DuckDB oracle replay the decode
-arithmetic exactly, so the correctness gate covers the full
-binary->Arrow->pandas->schema round trip, not a mock.
+this engine's hot paths besides the W2 event-date extractor). PNG,
+WAV and Y4M queries run REAL codecs end to end; the deterministic
+synthetic codec covers the formats that need external libraries. In
+both cases the DuckDB oracle replays the decode arithmetic exactly,
+so the correctness gate covers the full binary->Arrow->pandas->schema
+round trip, not a mock.
 """
 
 from __future__ import annotations
@@ -580,3 +582,33 @@ def multimodal_y4m_sampled_frames(
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_payload_y4m(docs)
     return MM.y4m_sampled_frame_stats(media)
+
+
+@register(
+    "audio_silence_trim",
+    doc="Audio preprocessing: REAL silence trim — silence-padded PCM "
+    "clips (8 kHz square wave with md5-derived lead/tail padding at "
+    "the 8-bit midpoint) decode sample-by-sample and strip the exact-"
+    "silence lead/tail runs, reporting millisecond spans. The oracle "
+    "replays the padding arithmetic — matching requires actually "
+    "scanning the samples from both ends. Map-only.",
+    tags=("multimodal", "pandas-udf", "binary", "codec", "audio"),
+    oracle="""
+SELECT doc_id,
+       CAST(dur + lead + tail AS BIGINT) AS total_ms,
+       CAST(lead AS BIGINT) AS lead_silence_ms,
+       CAST(dur AS BIGINT) AS signal_ms,
+       CAST(tail AS BIGINT) AS tail_silence_ms
+FROM (
+    SELECT doc_id,
+           ('0x' || substring(md5(text), 9, 4))::INT % 500 + 1 AS dur,
+           ('0x' || substring(md5(text), 15, 2))::INT % 50 AS lead,
+           ('0x' || substring(md5(text), 17, 2))::INT % 50 AS tail
+    FROM documents
+)
+""",
+)
+def audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_wav_padded(docs)
+    return MM.wav_silence_trim_stats(media)

@@ -634,3 +634,14 @@ def test_y4m_roundtrip_and_chroma_sizing():
         MM.decode_y4m_frames(hdr + frame + frame[:10])
     with _pytest.raises(NotImplementedError):
         MM.decode_y4m_frames(b"YUV4MPEG2 W2 H2 C411\n")
+
+
+def test_wav_silence_trim():
+    p = MM.encode_wav_padded(dur_ms=10, base=50, lead_ms=3, tail_ms=2)
+    d = MM.decode_wav_samples(p)
+    lead, sig, tail = MM.trim_silence(d["samples"])
+    assert (lead, sig, tail) == (24, 80, 16)  # samples at 8/ms
+    # all-silence clip
+    assert MM.trim_silence([128] * 40) == (40, 0, 0)
+    # no silence at all
+    assert MM.trim_silence([50, 51] * 8) == (0, 16, 0)
