@@ -93,6 +93,11 @@ HEADLINE = [
     "substring_dedup_spans",
     "substring_dedup_scrub",
     "substring_incremental_flags",
+    "multimodal_y4m_frame_stats",
+    "multimodal_y4m_sampled_frames",
+    "epoch_shuffle_assignment",
+    "table_profile_stats",
+    "audio_silence_trim",
 ]
 
 

@@ -75,6 +75,15 @@ DEFAULT_QUERIES = [
     "substring_dedup_windows",
     "multimodal_png_color_pixel_stats",
     "event_dates_routed",
+    "substring_dedup_spans",
+    "substring_dedup_scrub",
+    "substring_incremental_flags",
+    "multimodal_png_depth16_interlace_stats",
+    "multimodal_y4m_frame_stats",
+    "multimodal_y4m_sampled_frames",
+    "epoch_shuffle_assignment",
+    "table_profile_stats",
+    "audio_silence_trim",
 ]
 
 # key columns to offset per replica, per table (disjoint key spaces)
