@@ -97,6 +97,7 @@ HEADLINE = [
     "multimodal_y4m_sampled_frames",
     "epoch_shuffle_assignment",
     "table_profile_stats",
+    "table_profile_kmv",
     "audio_silence_trim",
 ]
 

@@ -1069,7 +1069,7 @@ FROM {t}""")
     "COUNT(DISTINCT) (an Expand + two-phase agg per table here) swaps "
     "for the engine's mergeable KMV sketch (kmv_distinct) to stay "
     "single-pass; exact is kept in this registration for oracle "
-    "parity.",
+    "parity. table_profile_kmv IS that registered scale twin.",
     tags=("relational", "aggregate", "audit", "training-data"),
     oracle=_duck_profile_union(),
 )
@@ -1098,6 +1098,79 @@ def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "table_name", "column_name", "n_rows",
             "n_nulls", "n_distinct", "min_str", "max_str",
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out
+
+
+_PROFILE_KMV_K = 64
+
+
+def _duck_profile_kmv_union() -> str:
+    parts = []
+    k = _PROFILE_KMV_K
+    for t, cols in _PROFILE_COLS.items():
+        for c in cols:
+            h = f"(('0x' || substring(md5(CAST({c} AS VARCHAR)), 1, 15))::BIGINT)"
+            parts.append(f"""
+SELECT '{t}' AS table_name, '{c}' AS column_name,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {t}) AS n_rows,
+       (SELECT CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM {t}) AS n_nulls,
+       CASE WHEN n < {k} THEN n
+            ELSE CAST(FLOOR(({k - 1}.0 * 1152921504606846976.0) / hk)
+                      AS BIGINT) END AS distinct_est
+FROM (
+    SELECT COUNT(*) AS n, MAX(h) AS hk FROM (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM (
+            SELECT DISTINCT {h} AS h FROM {t} WHERE {c} IS NOT NULL
+        )
+    ) WHERE rn <= {k}
+)""")
+    return "\nUNION ALL".join(parts)
+
+
+@register(
+    "table_profile_kmv",
+    doc="The 100 TB scale path of table_profile_stats: per-column "
+    f"distinct counts via the K={_PROFILE_KMV_K} KMV portable-hash "
+    "sketch instead of exact COUNT(DISTINCT) — each table unpivots "
+    "with stack() into (column_name, value) rows in ONE scan, the "
+    "sketch ranks the K smallest hashes per column (mergeable: "
+    "per-partition sketches union and re-take K, so profiling rolls "
+    "up a sharded corpus without re-touching raw data), and exact "
+    "row/null counts ride the same unpivoted frame. Estimates are "
+    "engine-reproducible (the oracle computes the identical "
+    "number); exact below K distinct.",
+    tags=("relational", "sketch", "approx", "audit", "training-data"),
+    oracle=_duck_profile_kmv_union(),
+)
+def table_profile_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.rollup import kmv_distinct
+
+    out = None
+    for t, cols in _PROFILE_COLS.items():
+        df = load_table(spark, sf_dir, t)
+        stack_args = ", ".join(
+            f"'{c}', CAST({c} AS STRING)" for c in cols
+        )
+        unpivoted = df.selectExpr(
+            f"'{t}' as table_name",
+            f"stack({len(cols)}, {stack_args}) as (column_name, value)",
+        )
+        counts = unpivoted.groupBy("table_name", "column_name").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").isNull().cast("long")).alias("n_nulls"),
+        )
+        est = kmv_distinct(
+            unpivoted.filter(F.col("value").isNotNull()),
+            ["table_name", "column_name"],
+            "value",
+            k=_PROFILE_KMV_K,
+        )
+        prof = counts.join(est, ["table_name", "column_name"]).select(
+            "table_name", "column_name", "n_rows", "n_nulls",
+            F.col("distinct_est"),
         )
         out = prof if out is None else out.unionByName(prof)
     return out
