@@ -1428,6 +1428,11 @@ def y4m_frame_stats(media: DataFrame) -> DataFrame:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 d = decode_y4m_frames(bytes(p))
+                if not d["frames"]:
+                    # header-only stream: structurally parseable but
+                    # statless — same ValueError family as truncated
+                    # media, never a ZeroDivisionError
+                    raise ValueError("Y4M: zero-frame stream")
                 n = d["n_frames"] * d["width"] * d["height"]
                 mn, mx, sm = 255, 0, 0
                 for fr in d["frames"]:

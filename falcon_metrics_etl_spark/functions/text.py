@@ -98,3 +98,37 @@ def word_shingles(toks: Column, n: int) -> Column:
 # DuckDB fragments mirroring the above exactly (shared by oracle SQL)
 DUCK_HASH60 = "(('0x' || substring(md5({x}), 1, 15))::BIGINT)"
 DUCK_TOKENS = "string_split_regex(trim({x}), '\\s+')"
+
+
+def substring_window_hashes(docs, w: int, with_pos: bool = True):
+    """(doc_id[, pos], h1, h2) for every stride-1 ``w``-token window of
+    ``docs.text`` — THE canonical window/key builder shared by the
+    whole substring-dedup family (batch queries in
+    plans/text_pipeline.py AND the streaming admission filter, whose
+    persisted index is only compatible because both sides call this
+    one function). Pure JVM: tokens -> transform/slice/array_join HOF
+    -> one (pos)explode -> 128-bit xxhash64 pair ('s2' second seed);
+    raw window text never leaves the projection. Docs shorter than
+    ``w`` tokens emit nothing."""
+    from pyspark.sql import DataFrame  # local: avoid cycle at import
+
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= w
+    )
+    win_expr = F.transform(
+        F.sequence(F.lit(0), F.size("tk") - w),
+        lambda i: F.array_join(F.slice("tk", i + 1, w), " "),
+    )
+    if with_pos:
+        ex = toks.select(
+            "doc_id", F.posexplode(win_expr).alias("pos", "win")
+        )
+        keep = ["doc_id", "pos"]
+    else:
+        ex = toks.select("doc_id", F.explode(win_expr).alias("win"))
+        keep = ["doc_id"]
+    return ex.select(
+        *keep,
+        F.xxhash64("win").alias("h1"),
+        F.xxhash64(F.lit("s2"), F.col("win")).alias("h2"),
+    )

@@ -537,14 +537,26 @@ def split_by_history_length(
     if not whale_ids:
         return tagged_revisions, None, stats
     if len(whale_ids) <= _WHALE_ISIN_CAP:
-        is_whale = F.col("work_item_id").isin(list(whale_ids))
+        # coalesce: isin is NULL (not false) for NULL keys, and a bare
+        # ~isin/isin pair would silently DROP null-keyed rows from both
+        # branches; null keys route to the normal branch, matching the
+        # left_anti semantics of the >cap join path below
+        is_whale = F.coalesce(
+            F.col("work_item_id").isin(list(whale_ids)), F.lit(False)
+        )
         return (
             tagged_revisions.filter(~is_whale),
             tagged_revisions.filter(is_whale),
             stats,
         )
+    # materialize the count table once: without the checkpoint the
+    # groupBy re-derives from the raw stream inside BOTH branch joins
+    from falcon_metrics_etl_spark.session import perf_checkpoint
+
     whales_dim = F.broadcast(
-        lens.filter(F.col("h_len") > threshold).select("work_item_id")
+        perf_checkpoint(
+            lens.filter(F.col("h_len") > threshold).select("work_item_id")
+        )
     )
     return (
         tagged_revisions.join(whales_dim, "work_item_id", "left_anti"),

@@ -7,6 +7,11 @@ both sides at sf0.01 and hash-compares.
 
 Contract notes:
 - spark_fn(spark, sf_dir) -> DataFrame, lazily defined (no actions).
+  ONE documented exception: event_dates_routed runs a single
+  column-pruned control-plane aggregate at definition time — the
+  whale split is decided from data BEFORE the plan exists, by design
+  (see extract_event_dates_routed). Tooling that builds every
+  registered plan (plan_audit, bench) pays one small job there.
 - oracle is ANSI SQL DuckDB can run on the same parquet (views
   pre-registered by the driver). ``None`` => rows-only check (reserved
   for genuinely non-SQL-expressible ops).

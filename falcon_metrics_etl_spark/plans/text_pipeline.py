@@ -647,20 +647,7 @@ def substring_dedup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single posexplode; the raw window text is immediately reduced to
     # a 128-bit key (two independent xxhash64 seeds) so the shuffle
     # never carries strings
-    wins = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("tk") - w),
-                lambda i: F.array_join(F.slice("tk", i + 1, w), " "),
-            )
-        ).alias("pos", "win"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.xxhash64("win").alias("h1"),
-        F.xxhash64(F.lit("s2"), F.col("win")).alias("h2"),
-    )
+    wins = TX.substring_window_hashes(docs, w)
     # global first occurrence per window = min(struct(doc_id, pos)) —
     # the same (doc_id, pos) lexicographic order as the oracle's
     # ROW_NUMBER ... ORDER BY doc_id, pos. A hash aggregate partial-
@@ -734,23 +721,7 @@ GROUP BY doc_id
 def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = SUBSTR_W
-    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("tk")).filter(
-        F.size("tk") >= w
-    )
-    wins = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("tk") - w),
-                lambda i: F.array_join(F.slice("tk", i + 1, w), " "),
-            )
-        ).alias("pos", "win"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.xxhash64("win").alias("h1"),
-        F.xxhash64(F.lit("s2"), F.col("win")).alias("h2"),
-    )
+    wins = TX.substring_window_hashes(docs, w)
     firsts = wins.groupBy("h1", "h2").agg(
         F.min(F.struct("doc_id", "pos")).alias("first")
     )
@@ -843,21 +814,7 @@ def substring_dedup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = SUBSTR_W
     toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("tk"))
-    eligible = toks.filter(F.size("tk") >= w)
-    wins = eligible.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("tk") - w),
-                lambda i: F.array_join(F.slice("tk", i + 1, w), " "),
-            )
-        ).alias("pos", "win"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.xxhash64("win").alias("h1"),
-        F.xxhash64(F.lit("s2"), F.col("win")).alias("h2"),
-    )
+    wins = TX.substring_window_hashes(docs, w)
     firsts = wins.groupBy("h1", "h2").agg(
         F.min(F.struct("doc_id", "pos")).alias("first")
     )
@@ -942,23 +899,7 @@ GROUP BY d.doc_id
 def substring_incremental_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = SUBSTR_W
-    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("tk")).filter(
-        F.size("tk") >= w
-    )
-    wins = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("tk") - w),
-                lambda i: F.array_join(F.slice("tk", i + 1, w), " "),
-            )
-        ).alias("pos", "win"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.xxhash64("win").alias("h1"),
-        F.xxhash64(F.lit("s2"), F.col("win")).alias("h2"),
-    )
+    wins = TX.substring_window_hashes(docs, w)
     is_delta = F.col("doc_id") % SUBSTR_DELTA_MOD == 0
     base_idx = (
         wins.filter(~is_delta).groupBy("h1", "h2").agg(F.lit(1).alias("_one"))

@@ -170,15 +170,30 @@ def merge_upsert(
         survivors.unionByName(updates, allowMissingColumns=True),
         partition_cols,
     )
-    writer = merged.write.mode("overwrite")
     if partition_cols:
         # per-write option, NOT spark.conf.set: a session-wide dynamic
         # mode would silently change every later static partitioned
-        # overwrite in the session into a partial one
-        writer = writer.option(
+        # overwrite in the session into a partial one. Durability:
+        # dynamic overwrite deletes a touched partition's old files
+        # only at job COMMIT, so a mid-write failure leaves the
+        # previous data intact — the checkpoint blocks never become
+        # the only copy.
+        merged.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
-        ).partitionBy(*partition_cols)
-    writer.parquet(path)
+        ).partitionBy(*partition_cols).parquet(path)
+    else:
+        # unpartitioned small-table path: a STATIC overwrite deletes
+        # the target up front, which would make the lineage-truncated
+        # checkpoint blocks the only copy of the merged rows while the
+        # write is in flight (executor loss then loses data, not just
+        # the job). Stage a durable on-disk copy first and write the
+        # target from the staged files — the double write is confined
+        # to the path the module docstring already scopes to dims/
+        # bridges/cursors.
+        stage = path.rstrip("/") + "__stage__"
+        merged.write.mode("overwrite").parquet(stage)
+        spark.read.parquet(stage).write.mode("overwrite").parquet(path)
+        _rm(stage)
 
 
 _PTI_CONF = "spark.sql.sources.partitionColumnTypeInference.enabled"

@@ -39,33 +39,17 @@ ADMISSION_W = 8  # token window length (matches SUBSTR_W)
 
 
 def _window_hashes(docs: DataFrame, w: int) -> DataFrame:
-    """(doc_id, h1, h2) per stride-1 token window — the same pure-HOF
-    build + 128-bit xxhash64 pair as the batch substring family; raw
-    window text never leaves the projection."""
-    toks = docs.select(
-        "doc_id", TX.tokens(F.col("text")).alias("tk")
-    ).filter(F.size("tk") >= w)
-    return toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("tk") - w),
-                lambda i: F.array_join(F.slice("tk", i + 1, w), " "),
-            )
-        ).alias("win"),
-    ).select(
-        "doc_id",
-        F.xxhash64("win").alias("h1"),
-        F.xxhash64(F.lit("s2"), F.col("win")).alias("h2"),
-    )
+    """Delegates to the ONE canonical window/key builder
+    (functions/text.py::substring_window_hashes) — the persisted index
+    stays bit-compatible with the batch substring family because both
+    sides share that function."""
+    return TX.substring_window_hashes(docs, w, with_pos=False)
 
 
 def _index_exists(spark: SparkSession, path: str) -> bool:
-    import os
+    from falcon_metrics_etl_spark.sinks.merge import _target_exists
 
-    return os.path.isdir(path) and any(
-        not n.startswith(("_", ".")) for n in os.listdir(path)
-    )
+    return _target_exists(spark, path)
 
 
 def substring_admission_batch(
@@ -104,9 +88,18 @@ def substring_admission_batch(
             F.round(n_seen.cast("double") / F.col("n_windows"), 6).alias(
                 "seen_ratio"
             ),
+            F.lit(int(batch_id)).alias("batch_id"),
         )
     )
-    merge_upsert(spark, out_path, flags, keys=("doc_id",))
+    # flags partition by batch_id: a document belongs to exactly one
+    # batch forever (replays reuse the id), so each micro-batch MERGE
+    # touches ONLY its own partition — without this, the unpartitioned
+    # fallback would rewrite the whole accumulated flags table per
+    # batch, a per-batch cost growing with the corpus
+    merge_upsert(
+        spark, out_path, flags, keys=("doc_id",),
+        partition_cols=("batch_id",),
+    )
     # append against the FULL index (own prior rows included), so a
     # replay adds nothing
     new_hashes = (

@@ -708,3 +708,26 @@ def test_transform_work_items_routes_whales(spark):
     assert {k: v.asDict() for k, v in rows.items()} == {
         k: v.asDict() for k, v in plain.items()
     }
+
+
+def test_split_by_history_length_null_keys_route_to_normal(spark):
+    """NULL work_item_id rows must not vanish: isin() is NULL (not
+    false) for NULL keys, so the split coalesces — null-keyed rows go
+    to the normal branch in BOTH the isin and join strategies."""
+    from falcon_metrics_etl_spark.operators.event_dates import (
+        split_by_history_length,
+    )
+
+    rows = [(None, i, _dt("2024-01-01"), 1) for i in range(3)]
+    rows += [("itm-whale", i, _dt("2024-01-02"), 2) for i in range(80)]
+    rows += [("itm-a", 1, _dt("2024-01-03"), 1)]
+    tagged = spark.createDataFrame(
+        rows,
+        "work_item_id string, revision int, changed_date timestamp, zone int",
+    )
+    normal, whales, stats = split_by_history_length(tagged, threshold=50)
+    assert stats["n_whales"] == 1
+    assert normal.filter("work_item_id IS NULL").count() == 3
+    assert whales.filter("work_item_id IS NULL").count() == 0
+    # nothing dropped overall
+    assert normal.count() + whales.count() == tagged.count()
