@@ -1057,50 +1057,71 @@ FROM {t}""")
     return "\nUNION ALL".join(parts)
 
 
+def _unpivot_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of all profiled tables unpivoted to one row per (table,
+    column, value), with the value carried in a TYPED slot so min/max
+    stay native-typed (lexical "10" < "9" would corrupt an integer min
+    if we stringified before aggregating). Union is plan-only — no
+    shuffle; each table contributes one pruned column scan."""
+    out = None
+    for t, cols in _PROFILE_COLS.items():
+        df = load_table(spark, sf_dir, t)
+        types = dict(df.dtypes)
+        args = []
+        for c in cols:
+            if types[c] in ("string",):
+                args.append(f"'{c}', CAST(NULL AS BIGINT), {c}")
+            else:
+                args.append(f"'{c}', CAST({c} AS BIGINT), CAST(NULL AS STRING)")
+        part = df.selectExpr(
+            f"'{t}' as table_name",
+            f"stack({len(cols)}, {', '.join(args)}) as "
+            "(column_name, value_long, value_str)",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 @register(
     "table_profile_stats",
     doc="Data-quality profiling sweep — the ANALYZE-style pass every "
     "pipeline runs before trusting a new drop: per (table, column) "
     "row/null/distinct counts and min/max, long-form, across three "
-    "tables in one query. Each table profiles in ONE aggregate pass "
-    "(all columns' metrics in a single agg, unpivoted JVM-side with "
-    "stack()); only integer/varchar columns are profiled so min/max "
-    "string casts are engine-portable. At 100 TB the exact "
-    "COUNT(DISTINCT) (an Expand + two-phase agg per table here) swaps "
-    "for the engine's mergeable KMV sketch (kmv_distinct) to stay "
-    "single-pass; exact is kept in this registration for oracle "
-    "parity. table_profile_kmv IS that registered scale twin.",
+    "tables in one query. r7 fused plan: all tables unpivot (typed "
+    "slots, so min/max aggregate on native types) and union BEFORE "
+    "aggregating, then exactly TWO shuffles total — a distinct-value "
+    "rollup keyed (table, column, value) whose map-side partial agg "
+    "collapses repeats, then the per-column finisher where each "
+    "surviving row IS one distinct value (count(*) = exact "
+    "n_distinct, no Expand). Was 6 shuffles as 3 per-table aggs with "
+    "countDistinct Expand. At 100 TB the exact distinct rollup swaps "
+    "for the mergeable KMV sketch; table_profile_kmv IS that "
+    "registered scale twin on the same unpivoted frame.",
     tags=("relational", "aggregate", "audit", "training-data"),
     oracle=_duck_profile_union(),
 )
 def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = None
-    for t, cols in _PROFILE_COLS.items():
-        df = load_table(spark, sf_dir, t)
-        aggs = [F.count(F.lit(1)).alias("_n")]
-        for c in cols:
-            aggs += [
-                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-                F.countDistinct(c).alias(f"{c}__distinct"),
-                F.min(c).cast("string").alias(f"{c}__min"),
-                F.max(c).cast("string").alias(f"{c}__max"),
-            ]
-        row = df.agg(*aggs)
-        stack_args = ", ".join(
-            f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
-            for c in cols
-        )
-        prof = row.selectExpr(
-            f"'{t}' as table_name",
-            "_n as n_rows",
-            f"stack({len(cols)}, {stack_args}) as "
-            "(column_name, n_nulls, n_distinct, min_str, max_str)",
-        ).select(
-            "table_name", "column_name", "n_rows",
-            "n_nulls", "n_distinct", "min_str", "max_str",
-        )
-        out = prof if out is None else out.unionByName(prof)
-    return out
+    unpivoted = _unpivot_typed(spark, sf_dir)
+    is_null = F.col("value_long").isNull() & F.col("value_str").isNull()
+    per_value = unpivoted.groupBy(
+        "table_name", "column_name", "value_long", "value_str"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return per_value.groupBy("table_name", "column_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(is_null, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "n_nulls"
+        ),
+        F.sum((~is_null).cast("long")).alias("n_distinct"),
+        F.coalesce(
+            F.min("value_long").cast("string"), F.min("value_str")
+        ).alias("min_str"),
+        F.coalesce(
+            F.max("value_long").cast("string"), F.max("value_str")
+        ).alias("max_str"),
+    ).select(
+        "table_name", "column_name", "n_rows",
+        "n_nulls", "n_distinct", "min_str", "max_str",
+    )
 
 
 _PROFILE_KMV_K = 64
@@ -1134,43 +1155,59 @@ FROM (
     "table_profile_kmv",
     doc="The 100 TB scale path of table_profile_stats: per-column "
     f"distinct counts via the K={_PROFILE_KMV_K} KMV portable-hash "
-    "sketch instead of exact COUNT(DISTINCT) — each table unpivots "
-    "with stack() into (column_name, value) rows in ONE scan, the "
-    "sketch ranks the K smallest hashes per column (mergeable: "
-    "per-partition sketches union and re-take K, so profiling rolls "
-    "up a sharded corpus without re-touching raw data), and exact "
-    "row/null counts ride the same unpivoted frame. Estimates are "
-    "engine-reproducible (the oracle computes the identical "
-    "number); exact below K distinct.",
+    "sketch instead of exact COUNT(DISTINCT). r7 fused plan, TWO "
+    "shuffles total (was 9 as per-table counts⨝sketch joins): all "
+    "tables unpivot+union plan-side, shuffle 1 is the (table, "
+    "column, hash) rollup whose map-side partial agg collapses "
+    "repeated values (mergeable: per-partition sketches union and "
+    "re-take K, so profiling rolls up a sharded corpus without "
+    "re-touching raw data), shuffle 2 the per-column rank window — "
+    "and the finishing agg reuses that window's partitioning, so "
+    "exact row/null totals ride the SAME window pass as the sketch "
+    "(no join; an all-NULL column keeps its totals row with "
+    "distinct_est=0 instead of being dropped by an inner join). "
+    "Estimates are engine-reproducible (the oracle computes the "
+    "identical number); exact below K distinct.",
     tags=("relational", "sketch", "approx", "audit", "training-data"),
     oracle=_duck_profile_kmv_union(),
 )
 def table_profile_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from falcon_metrics_etl_spark.operators.rollup import kmv_distinct
+    from falcon_metrics_etl_spark.functions.text import portable_hash60
+    from falcon_metrics_etl_spark.operators.rollup import _kmv_estimate
 
-    out = None
-    for t, cols in _PROFILE_COLS.items():
-        df = load_table(spark, sf_dir, t)
-        stack_args = ", ".join(
-            f"'{c}', CAST({c} AS STRING)" for c in cols
-        )
-        unpivoted = df.selectExpr(
-            f"'{t}' as table_name",
-            f"stack({len(cols)}, {stack_args}) as (column_name, value)",
-        )
-        counts = unpivoted.groupBy("table_name", "column_name").agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("value").isNull().cast("long")).alias("n_nulls"),
-        )
-        est = kmv_distinct(
-            unpivoted.filter(F.col("value").isNotNull()),
-            ["table_name", "column_name"],
-            "value",
-            k=_PROFILE_KMV_K,
-        )
-        prof = counts.join(est, ["table_name", "column_name"]).select(
-            "table_name", "column_name", "n_rows", "n_nulls",
-            F.col("distinct_est"),
-        )
-        out = prof if out is None else out.unionByName(prof)
-    return out
+    k = _PROFILE_KMV_K
+    hashed = _unpivot_typed(spark, sf_dir).select(
+        "table_name", "column_name",
+        portable_hash60(
+            F.coalesce(F.col("value_long").cast("string"), F.col("value_str"))
+        ).alias("__h"),
+    )
+    # shuffle 1: one row per (table, column, distinct hash) — NULL values
+    # collapse to a single NULL-hash row carrying the null count
+    per_hash = hashed.groupBy("table_name", "column_name", "__h").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # shuffle 2: rank + totals in ONE window pass (same partitioning)
+    keys = ("table_name", "column_name")
+    w_rank = Window.partitionBy(*keys).orderBy(F.col("__h").asc_nulls_last())
+    w_all = Window.partitionBy(*keys)
+    ranked = per_hash.select(
+        *keys, "__h", "cnt",
+        F.row_number().over(w_rank).alias("__rn"),
+        F.sum("cnt").over(w_all).alias("__total"),
+        F.sum(
+            F.when(F.col("__h").isNull(), F.col("cnt")).otherwise(F.lit(0))
+        ).over(w_all).alias("__nulls"),
+    ).filter(F.col("__rn") <= k)
+    # finisher groupBy on the window's keys: Catalyst reuses the
+    # shuffle-2 partitioning — no third Exchange. count(__h)/max(__h)
+    # ignore the NULL-hash row, so it never pollutes the sketch.
+    return ranked.groupBy(*keys).agg(
+        F.first("__total").alias("n_rows"),
+        F.first("__nulls").alias("n_nulls"),
+        F.count("__h").alias("__n"),
+        F.max("__h").alias("__hk"),
+    ).select(
+        *keys, "n_rows", "n_nulls",
+        _kmv_estimate(F.col("__n"), F.col("__hk"), k).alias("distinct_est"),
+    )

@@ -86,6 +86,10 @@ def perf_checkpoint(df):
     "false": every consumer then re-derives the shared frame (more
     shuffles/scans, full lineage-based recovery). eager=False keeps the
     no-job-at-plan-definition contract either way."""
-    if df.sparkSession.conf.get(PERF_CHECKPOINT_CONF, "true") == "false":
+    conf = df.sparkSession.conf.get(PERF_CHECKPOINT_CONF, "true")
+    # Boolean-parse loosely: spark-submit / Java Boolean.toString hand us
+    # "False"/"FALSE"/" false " and a silent mismatch here would leave
+    # lineage-truncating checkpoints ON for a deployment that asked them off.
+    if (conf or "").strip().lower() in ("false", "0", "no", "off"):
         return df
     return df.localCheckpoint(eager=False)
