@@ -490,6 +490,59 @@ def observe_history_length(
 _WHALE_ISIN_CAP = 1000
 
 
+def history_length_stats(
+    tagged_revisions: DataFrame,
+    threshold: int = WHALE_HISTORY_REVISIONS,
+    item_col: str = "work_item_id",
+    with_whale_ids: bool = False,
+) -> dict:
+    """Exact per-item history-length telemetry in ONE column-pruned
+    aggregate job: ``max_history_len``, ``n_revisions``, ``n_whales``
+    (non-NULL-keyed groups over ``threshold`` — the routable ones),
+    ``n_null_key_whales`` (NULL-keyed groups over the threshold, which
+    always take the expr path). This is the monitoring hook for the
+    data-model bound SCALE.md documents (~10^2-10^3 revisions/item in
+    the reference's model, event_date_extractor.ts:142-154): pipelines
+    record it per run so a bound violation is SEEN, not assumed.
+
+    ``with_whale_ids=True`` additionally collects the routable whale
+    ids (sliced to the isin cap + 1) for ``split_by_history_length``.
+    """
+    lens = tagged_revisions.groupBy(item_col).agg(
+        F.count(F.lit(1)).alias("h_len")
+    )
+    over = F.col("h_len") > threshold
+    key_null = F.col(item_col).isNull()
+    aggs = [
+        F.coalesce(F.max("h_len"), F.lit(0)).alias("max_history_len"),
+        F.coalesce(F.sum("h_len"), F.lit(0)).alias("n_revisions"),
+        F.sum(
+            F.when(over & ~key_null, 1).otherwise(0)
+        ).alias("n_whales"),
+        F.sum(
+            F.when(over & key_null, 1).otherwise(0)
+        ).alias("n_null_key_whales"),
+    ]
+    if with_whale_ids:
+        aggs.append(
+            F.slice(
+                F.collect_list(F.when(over, F.col(item_col))),
+                1,
+                _WHALE_ISIN_CAP + 1,
+            ).alias("whale_ids")
+        )
+    row = lens.agg(*aggs).collect()[0]
+    out = {
+        "max_history_len": row["max_history_len"],
+        "n_revisions": row["n_revisions"],
+        "n_whales": row["n_whales"] or 0,
+        "n_null_key_whales": row["n_null_key_whales"] or 0,
+    }
+    if with_whale_ids:
+        out["whale_ids"] = row["whale_ids"]
+    return out
+
+
 def split_by_history_length(
     tagged_revisions: DataFrame,
     threshold: int = WHALE_HISTORY_REVISIONS,
@@ -508,30 +561,25 @@ def split_by_history_length(
     semi/anti join on the whale-id frame.
 
     Returns (normal, whales_or_None, stats) where stats carries exact
-    ``max_history_len`` / ``n_revisions`` / ``n_whales``. whales is
-    None when no item exceeds the threshold — callers then keep the
+    ``max_history_len`` / ``n_revisions`` / ``n_whales`` /
+    ``n_null_key_whales``. ``n_whales`` counts only NON-NULL-keyed
+    groups — the ones the whales branch can actually receive; a
+    NULL-keyed group over the threshold is counted separately in
+    ``n_null_key_whales`` and always takes the normal/expr path
+    (collect_list drops NULLs and the >cap path is a left_anti/semi
+    join, so NULL keys route normal either way — the stats now say
+    so instead of disagreeing with the routing). whales is None when
+    no routable item exceeds the threshold — callers then keep the
     single-branch plan with zero overhead beyond the count job."""
-    lens = tagged_revisions.groupBy("work_item_id").agg(
-        F.count(F.lit(1)).alias("h_len")
+    row = history_length_stats(
+        tagged_revisions, threshold, with_whale_ids=True
     )
-    row = lens.agg(
-        F.coalesce(F.max("h_len"), F.lit(0)).alias("max_history_len"),
-        F.coalesce(F.sum("h_len"), F.lit(0)).alias("n_revisions"),
-        F.slice(
-            F.collect_list(
-                F.when(F.col("h_len") > threshold, F.col("work_item_id"))
-            ),
-            1,
-            _WHALE_ISIN_CAP + 1,
-        ).alias("whale_ids"),
-        F.sum(
-            F.when(F.col("h_len") > threshold, 1).otherwise(0)
-        ).alias("n_whales"),
-    ).collect()[0]
     stats = {
-        "max_history_len": row["max_history_len"],
-        "n_revisions": row["n_revisions"],
-        "n_whales": row["n_whales"] or 0,
+        k: row[k]
+        for k in (
+            "max_history_len", "n_revisions", "n_whales",
+            "n_null_key_whales",
+        )
     }
     whale_ids = row["whale_ids"]
     if not whale_ids:
@@ -555,7 +603,10 @@ def split_by_history_length(
 
     whales_dim = F.broadcast(
         perf_checkpoint(
-            lens.filter(F.col("h_len") > threshold).select("work_item_id")
+            tagged_revisions.groupBy("work_item_id")
+            .agg(F.count(F.lit(1)).alias("h_len"))
+            .filter(F.col("h_len") > threshold)
+            .select("work_item_id")
         )
     )
     return (

@@ -95,7 +95,37 @@ def substring_admission_batch(
     # batch forever (replays reuse the id), so each micro-batch MERGE
     # touches ONLY its own partition — without this, the unpartitioned
     # fallback would rewrite the whole accumulated flags table per
-    # batch, a per-batch cost growing with the corpus
+    # batch, a per-batch cost growing with the corpus. The MERGE key
+    # (doc_id) must therefore never migrate partitions: a doc_id
+    # re-delivered under a DIFFERENT batch_id would leave its old
+    # flags row alive in the old partition. That is a contract
+    # violation of the append-only corpus source (Structured Streaming
+    # replays reuse the same batch_id), so it is ENFORCED here — a
+    # 2-column projection scan of the flags table per batch, raising
+    # before the merge can write a duplicate — rather than silently
+    # absorbed by keying partitions on doc_id, which would make every
+    # large batch rewrite ~the whole table.
+    if _index_exists(spark, out_path):
+        migrated = (
+            spark.read.parquet(out_path)
+            .select("doc_id", "batch_id")
+            .filter(F.col("batch_id") != int(batch_id))
+            .join(flags.select("doc_id"), "doc_id", "left_semi")
+            .limit(5)
+            .collect()
+        )
+        if migrated:
+            examples = ", ".join(
+                f"{r['doc_id']}(batch {r['batch_id']})" for r in migrated
+            )
+            raise ValueError(
+                "substring_admission_batch: doc_id(s) re-delivered under a "
+                f"new batch_id {batch_id} but already admitted in an earlier "
+                f"batch: {examples}. The admission source must be "
+                "append-only per doc_id (replays reuse their original "
+                "batch_id); refusing a merge that would strand the old "
+                "flags row in its batch partition."
+            )
     merge_upsert(
         spark, out_path, flags, keys=("doc_id",),
         partition_cols=("batch_id",),

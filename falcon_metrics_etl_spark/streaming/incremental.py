@@ -52,7 +52,12 @@ def run_incremental_batch(
     form of the reference's per-run stats sets
     (extract_state_processor.ts:415, 444-445, 489): ``Observation``
     metrics piggyback on the write action itself, costing no second
-    pass over the data.
+    pass over the data. stats_out additionally carries the per-run
+    whale telemetry (``max_history_len`` / ``n_whales`` /
+    ``n_null_key_whales`` over the recomputed histories): the
+    data-model bound the expr path relies on (histories ~10^2-10^3
+    revisions; SCALE.md) is MONITORED every tick rather than assumed —
+    routing stays off, the counters are how a violation surfaces.
 
     ``versioned=True`` routes the MERGE through the versioned snapshot
     sink (sinks/versioned.py): every tick commits an immutable,
@@ -95,6 +100,14 @@ def run_incremental_batch(
             merge_upsert(spark, sink_path, out, sink_keys, partition_cols)
         if stats_out is not None and obs is not None:
             stats_out.update(obs.get)
+            from falcon_metrics_etl_spark.operators.event_dates import (
+                history_length_stats,
+            )
+
+            hist_stats = history_length_stats(histories, item_col=item_col)
+            stats_out["max_history_len"] = hist_stats["max_history_len"]
+            stats_out["n_whales"] = hist_stats["n_whales"]
+            stats_out["n_null_key_whales"] = hist_stats["n_null_key_whales"]
             bounds = delta.agg(
                 F.min(updated_col).alias("updated_min"),
                 F.max(updated_col).alias("updated_max"),

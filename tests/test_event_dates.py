@@ -562,7 +562,10 @@ def test_split_by_history_length_exact_counts(spark):
     assert [r[0] for r in whales.select("work_item_id").distinct().collect()] == [
         "itm-long"
     ]
-    assert stats == {"max_history_len": 80, "n_revisions": 83, "n_whales": 1}
+    assert stats == {
+        "max_history_len": 80, "n_revisions": 83, "n_whales": 1,
+        "n_null_key_whales": 0,
+    }
 
 
 def test_split_by_history_length_no_whales_is_passthrough(spark):
@@ -577,12 +580,18 @@ def test_split_by_history_length_no_whales_is_passthrough(spark):
     normal, whales, stats = split_by_history_length(tagged, threshold=50)
     assert whales is None
     assert normal is tagged
-    assert stats == {"max_history_len": 1, "n_revisions": 1, "n_whales": 0}
+    assert stats == {
+        "max_history_len": 1, "n_revisions": 1, "n_whales": 0,
+        "n_null_key_whales": 0,
+    }
 
     empty = tagged.filter("1=0")
     _, whales2, stats2 = split_by_history_length(empty, threshold=50)
     assert whales2 is None
-    assert stats2 == {"max_history_len": 0, "n_revisions": 0, "n_whales": 0}
+    assert stats2 == {
+        "max_history_len": 0, "n_revisions": 0, "n_whales": 0,
+        "n_null_key_whales": 0,
+    }
 
 
 def test_whale_routing_matches_expr_path_on_manufactured_whale(spark):
@@ -731,3 +740,55 @@ def test_split_by_history_length_null_keys_route_to_normal(spark):
     assert whales.filter("work_item_id IS NULL").count() == 0
     # nothing dropped overall
     assert normal.count() + whales.count() == tagged.count()
+
+
+def test_split_null_key_whale_counted_separately_routes_normal(spark):
+    """A NULL-keyed group over the threshold cannot reach the whales
+    branch (isin/collect_list drop NULLs; the >cap path is a semi
+    join) — the stats must SAY so: it is excluded from n_whales and
+    reported as n_null_key_whales, and its rows stay in the normal
+    branch rather than being dropped."""
+    from falcon_metrics_etl_spark.operators.event_dates import (
+        split_by_history_length,
+    )
+
+    rows = [(None, i, _dt("2024-01-01"), 1) for i in range(60)]
+    rows += [("itm-whale", i, _dt("2024-01-02"), 2) for i in range(70)]
+    rows += [("itm-a", 1, _dt("2024-01-03"), 1)]
+    tagged = spark.createDataFrame(
+        rows,
+        "work_item_id string, revision long, changed_date timestamp, zone int",
+    )
+    normal, whales, stats = split_by_history_length(tagged, threshold=50)
+    assert stats == {
+        "max_history_len": 70, "n_revisions": 131, "n_whales": 1,
+        "n_null_key_whales": 1,
+    }
+    assert whales is not None
+    assert [r[0] for r in whales.select("work_item_id").distinct().collect()] \
+        == ["itm-whale"]
+    # NULL rows survive in the normal branch (60 NULL + 1 itm-a)
+    assert normal.count() == 61
+    assert normal.filter("work_item_id IS NULL").count() == 60
+
+
+def test_split_only_null_key_whale_is_passthrough(spark):
+    """If the ONLY over-threshold group is NULL-keyed, there is no
+    routable whale: the split returns the single-branch passthrough
+    while the telemetry still reports the violation."""
+    from falcon_metrics_etl_spark.operators.event_dates import (
+        split_by_history_length,
+    )
+
+    rows = [(None, i, _dt("2024-01-01"), 1) for i in range(60)]
+    tagged = spark.createDataFrame(
+        rows,
+        "work_item_id string, revision long, changed_date timestamp, zone int",
+    )
+    normal, whales, stats = split_by_history_length(tagged, threshold=50)
+    assert whales is None
+    assert normal is tagged
+    assert stats == {
+        "max_history_len": 60, "n_revisions": 60, "n_whales": 0,
+        "n_null_key_whales": 1,
+    }

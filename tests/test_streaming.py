@@ -119,6 +119,50 @@ def test_incremental_observe_run_stats(spark, tmp_path):
     assert stats["rows_written"] == 2
     assert str(stats["updated_min"]).startswith("2024-01-01")
     assert str(stats["updated_max"]).startswith("2024-01-03")
+    # whale telemetry rides every monitored tick: the data-model bound
+    # (histories ~10^2-10^3 revisions) is measured, not assumed
+    assert stats["max_history_len"] == 1
+    assert stats["n_whales"] == 0
+    assert stats["n_null_key_whales"] == 0
+
+
+def test_incremental_stats_report_manufactured_whale(spark, tmp_path):
+    """A manufactured >10k-revision item trips the per-tick whale
+    telemetry (n_whales/max_history_len in stats_out) while the
+    transform path stays unchanged — monitoring, not routing."""
+    from falcon_metrics_etl_spark.operators.event_dates import (
+        WHALE_HISTORY_REVISIONS,
+    )
+
+    sink = str(tmp_path / "states")
+    cursors = str(tmp_path / "cursors")
+    n_rev = WHALE_HISTORY_REVISIONS + 1
+
+    def latest_state(histories):
+        return histories.groupBy("work_item_id").agg(
+            F.max_by("state", "revision").alias("state"),
+            F.max("updated").alias("updated"),
+        )
+
+    whale = spark.range(n_rev).select(
+        F.lit("W-whale").alias("work_item_id"),
+        F.col("id").cast("int").alias("revision"),
+        F.lit("busy").alias("state"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("id").cast("int"))
+        ).alias("updated"),
+    )
+    stats: dict = {}
+    n = run_incremental_batch(
+        spark, whale, latest_state, sink, ("work_item_id",), cursors,
+        stats_out=stats,
+    )
+    assert n == 1
+    assert stats["rows_written"] == 1
+    assert stats["max_history_len"] == n_rev
+    assert stats["n_whales"] == 1
+    assert stats["n_null_key_whales"] == 0
 
 
 EVENTS_SCHEMA = "event_id long, ts timestamp, event_type string"
@@ -485,3 +529,31 @@ def test_substring_admission_filter_across_batches(spark, tmp_path):
     q.awaitTermination()
     r4 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     assert r4[5]["seen_ratio"] == 1.0  # sees batches 1-2's index
+
+
+def test_substring_admission_rejects_cross_batch_redelivery(spark, tmp_path):
+    """The flags table is partitioned by batch_id with a doc_id MERGE
+    key, so a key must never migrate partitions: a doc_id arriving
+    under a DIFFERENT batch_id than the one that admitted it is a
+    source-contract violation the sink refuses loudly (the old flags
+    row would otherwise survive in its old partition as a duplicate).
+    Same-batch replays (the Structured Streaming redelivery shape)
+    remain idempotent — covered above."""
+    import pytest
+
+    from falcon_metrics_etl_spark.streaming.admission import (
+        substring_admission_batch,
+    )
+
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "flags")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    substring_admission_batch(spark, b1, idx, out, batch_id=1)
+    with pytest.raises(ValueError, match="re-delivered under a new batch_id"):
+        substring_admission_batch(spark, b1, idx, out, batch_id=9)
+    # the refused merge wrote nothing: doc 1 still has exactly one row
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0]["batch_id"] == 1
