@@ -677,13 +677,26 @@ FROM w WHERE prev IS NULL OR prev <> reason
 def ado_reason_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from falcon_metrics_etl_spark.operators.revisions import custom_field_revisions
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.when(F.col("event_type") == "error", F.lit("Internal Dependency"))
-        .when(F.col("event_type") == "purchase", F.lit("External Dependency"))
-        .alias("reason"),
+    # the reason-is-not-null gate custom_field_revisions applies is, on
+    # this mapping, exactly event_type IN (error, purchase) — stating it
+    # on the SOURCE column turns an unpushable CASE-expression filter
+    # into a pushed In() the parquet scan row-group-skips on
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("error", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.when(
+                F.col("event_type") == "error", F.lit("Internal Dependency")
+            )
+            .when(
+                F.col("event_type") == "purchase",
+                F.lit("External Dependency"),
+            )
+            .alias("reason"),
+        )
     )
     return custom_field_revisions(
         ev, "reason", item_col="user_id", order_cols=("ts", "event_id")
