@@ -55,3 +55,70 @@ def table_is_bucketed(spark: SparkSession, table: str) -> bool:
     """True when the catalog carries bucket metadata for ``table``."""
     rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
     return any(r["col_name"] == "Num Buckets" for r in rows)
+
+
+def merge_upsert_bucketed(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    num_buckets: int,
+    path: Optional[str] = None,
+) -> None:
+    """Keyed MERGE into a bucketed (unpartitioned) parquet table —
+    the no-target-Exchange variant of ``merge_upsert``.
+
+    The survivors anti-join reads the target through its bucketed
+    layout, so the TARGET side plans with no Exchange and no Sort
+    (``sortBy`` buckets arrive presorted); only the batch-sized
+    updates side shuffles into the bucket partitioning. The merged
+    result is repartitioned on the FIRST key into ``num_buckets``
+    before the bucketed rewrite — repartition's hash placement is the
+    same pmod(murmur3) as the bucket-file assignment, so each task
+    holds exactly one bucket and writes one file (no tasks x buckets
+    small-file blowup).
+
+    TRADEOFF vs the hive-partitioned ``merge_upsert``: every merge
+    rewrites the WHOLE table (Spark cannot maintain bucket layout
+    through partition-scoped insertInto — probed: dynamic insertInto
+    writes tasks x buckets unbucketable files). Choose this writer
+    when merges touch most partitions every tick anyway (the steady
+    -state multi-tenant pipeline shape, where per-partition commit
+    overhead dominates) and the partitioned writer when batches are
+    partition-sparse (backfills, single-org reprocessing).
+
+    Bucket metadata lives in the catalog, so the target is addressed
+    as a TABLE; ``path`` makes it external on first creation.
+    """
+    updates = updates.dropDuplicates(list(keys))
+    # bucket on the FULL key tuple: composite keys lead with a
+    # low-cardinality partition_key (8 orgs), which alone would hash
+    # every row into <=8 live buckets; the full tuple distributes, and
+    # the anti-join's keys still cover the bucket columns so the
+    # bucketed side satisfies the join distribution without Exchange
+    bucket_cols = tuple(keys)
+    exists = any(
+        t.name == table.split(".")[-1]
+        for t in spark.catalog.listTables()
+    )
+    if not exists:
+        write_bucketed(
+            updates.repartition(num_buckets, *bucket_cols),
+            table, bucket_cols, num_buckets,
+            sort_cols=bucket_cols, path=path,
+        )
+        return
+    # batch-proportional eager checkpoints break the read-write cycle
+    # (same contract as merge_upsert — survivors never re-read the
+    # table files once the overwrite starts)
+    updates = updates.localCheckpoint(eager=True)
+    target = spark.table(table)
+    survivors = target.join(
+        updates.select(*keys), on=list(keys), how="left_anti"
+    ).localCheckpoint(eager=True)
+    merged = survivors.unionByName(updates, allowMissingColumns=True)
+    write_bucketed(
+        merged.repartition(num_buckets, *bucket_cols),
+        table, bucket_cols, num_buckets,
+        sort_cols=bucket_cols, path=path,
+    )

@@ -145,8 +145,8 @@ def merge_upsert(
         touched = [
             tuple(r) for r in updates.select(*partition_cols).distinct().collect()
         ]
-        target = target.filter(
-            touched_partition_predicate(partition_cols, touched)
+        target = touched_partition_filter(
+            target, updates, partition_cols, touched
         )
 
     # We overwrite the same path we read from, so the read side must be
@@ -213,20 +213,95 @@ def _verbatim_partition_reads(spark: SparkSession):
         spark.conf.set(_PTI_CONF, old)
 
 
+# above this many touched tuples, the exact OR-of-ANDs predicate is
+# replaced by per-column isin pruning + an exact broadcast semi-join:
+# parsing/analyzing a 664-term predicate costs seconds of driver time,
+# while the isin superset still prunes the file index and the 664-row
+# broadcast join restores exactness for ~free
+_TOUCHED_PREDICATE_MAX_TERMS = 64
+
+
+def touched_partition_filter(
+    target: DataFrame,
+    updates: DataFrame,
+    partition_cols,
+    touched,
+) -> DataFrame:
+    """Restrict ``target`` to exactly the partitions in ``touched``.
+
+    Small touched sets use the literal predicate (simplest plan, full
+    partition pruning). Wide sets — real backfills touch hundreds of
+    (org, month) tuples — switch to a two-level plan: a per-column
+    ``isin`` prune (compact to build, prunes the file index to the
+    cartesian SUPERSET of touched values) AND an exact null-safe
+    broadcast left-semi join against the updates' distinct partition
+    tuples, so no untouched partition within the superset is read
+    into survivors and pointlessly rewritten."""
+    if len(touched) <= _TOUCHED_PREDICATE_MAX_TERMS:
+        return target.filter(
+            touched_partition_predicate(partition_cols, touched)
+        )
+    pred = None
+    for i, c in enumerate(partition_cols):
+        vals = {t[i] for t in touched}
+        non_null = [v for v in vals if v is not None]
+        col_pred = F.col(c).isin(non_null) if non_null else F.lit(False)
+        if None in vals:
+            col_pred = col_pred | F.col(c).isNull()
+        pred = col_pred if pred is None else (pred & col_pred)
+    pruned = target.filter(pred)
+    tuples_df = updates.select(*partition_cols).distinct()
+    cond = None
+    for c in partition_cols:
+        eq = pruned[c].eqNullSafe(tuples_df[c])
+        cond = eq if cond is None else (cond & eq)
+    return pruned.join(F.broadcast(tuples_df), cond, "left_semi")
+
+
 def touched_partition_predicate(partition_cols, touched) -> F.Column:
     """Null-safe OR-of-ANDs selecting the given partition tuples.
 
     struct(...).isin(struct-literals) is NOT usable here: a null
     partition value makes the struct literal VOID-typed and the whole
     predicate fails analysis (DATATYPE_MISMATCH); eqNullSafe matches
-    null partitions like any other value."""
-    pred = F.lit(False)
+    null partitions like any other value.
+
+    Built as ONE parsed SQL expression, not composed Column objects:
+    a batch touching many partitions (e.g. 8 orgs x 83 months = 664
+    tuples at sf0.1) costs ~2600 py4j round-trips the Column way —
+    measured 4.6 s of pure driver time — vs one F.expr call. The OR
+    text nests as a BALANCED tree (log depth) because a 664-deep
+    linear Or chain overflows the JVM stack inside Catalyst's tree
+    transforms (and the parser's recursion) — both failure modes hit
+    real backfills, not just adversarial inputs."""
+
+    def _sql_lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+
+    terms = []
     for t in touched:
-        m = F.lit(True)
-        for c, v in zip(partition_cols, t):
-            m = m & F.col(c).eqNullSafe(F.lit(v))
-        pred = pred | m
-    return pred
+        conj = " AND ".join(
+            "(`{}` <=> {})".format(c.replace("`", "``"), _sql_lit(v))
+            for c, v in zip(partition_cols, t)
+        )
+        terms.append(f"({conj})" if conj else "(TRUE)")
+    if not terms:
+        return F.lit(False)
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} OR {terms[i + 1]})"
+            if i + 1 < len(terms)
+            else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return F.expr(terms[0])
 
 
 def _align_to_partitions(df: DataFrame, partition_cols) -> DataFrame:

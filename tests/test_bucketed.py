@@ -72,3 +72,83 @@ def test_unbucketed_same_join_shuffles(spark, bucketed_tables):
         assert "Exchange" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_merge_upsert_bucketed_semantics(spark, tmp_path):
+    """Keyed MERGE into a bucketed table: matched keys replaced
+    (last-write-wins), new keys inserted, in-batch duplicates deduped,
+    re-merge idempotent — the same contract as merge_upsert, through
+    the no-target-Exchange layout."""
+    import re
+
+    from falcon_metrics_etl_spark.sinks.bucketed import (
+        merge_upsert_bucketed,
+    )
+
+    tbl, path = "mb_states", str(tmp_path / "mb")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    keys = ("partition_key", "sort_key")
+    b1 = spark.createDataFrame(
+        [("state#1", "k1", "todo"), ("state#1", "k2", "doing"),
+         ("state#2", "k3", "done")],
+        "partition_key string, sort_key string, state string",
+    )
+    merge_upsert_bucketed(spark, tbl, b1, keys, 4, path=path)
+    # update k2, insert k4, duplicate k4 in-batch (last one kept is
+    # either; both rows identical after dedup contract: unique keys)
+    b2 = spark.createDataFrame(
+        [("state#1", "k2", "done"), ("state#2", "k4", "todo"),
+         ("state#2", "k4", "todo")],
+        "partition_key string, sort_key string, state string",
+    )
+    merge_upsert_bucketed(spark, tbl, b2, keys, 4, path=path)
+    got = {
+        (r["partition_key"], r["sort_key"]): r["state"]
+        for r in spark.table(tbl).collect()
+    }
+    assert got == {
+        ("state#1", "k1"): "todo", ("state#1", "k2"): "done",
+        ("state#2", "k3"): "done", ("state#2", "k4"): "todo",
+    }
+    # idempotent redelivery
+    merge_upsert_bucketed(spark, tbl, b2, keys, 4, path=path)
+    assert spark.table(tbl).count() == 4
+    # the table keeps its bucketed layout across merges, and the
+    # survivors anti-join reads it bucketed: target side plans with
+    # no Exchange (only the checkpointed updates side shuffles)
+    from falcon_metrics_etl_spark.sinks.bucketed import table_is_bucketed
+
+    assert table_is_bucketed(spark, tbl)
+    upd = b2.localCheckpoint(eager=True)
+    surv = spark.table(tbl).join(
+        upd.select(*keys), on=list(keys), how="left_anti"
+    )
+    plan = surv._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    assert len(re.findall(r"\bExchange\b", plan)) == 1
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_merge_upsert_bucketed_schema_evolution(spark, tmp_path):
+    """Additive evolution through the bucketed merge: a new nullable
+    column on updates lands, survivors carry NULL for it."""
+    from falcon_metrics_etl_spark.sinks.bucketed import (
+        merge_upsert_bucketed,
+    )
+
+    tbl, path = "mb_evo", str(tmp_path / "mb_evo")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    keys = ("partition_key", "sort_key")
+    b1 = spark.createDataFrame(
+        [("p1", "k1", "todo")],
+        "partition_key string, sort_key string, state string",
+    )
+    merge_upsert_bucketed(spark, tbl, b1, keys, 2, path=path)
+    b2 = spark.createDataFrame(
+        [("p1", "k2", "doing", 5)],
+        "partition_key string, sort_key string, state string, points int",
+    )
+    merge_upsert_bucketed(spark, tbl, b2, keys, 2, path=path)
+    got = {r["sort_key"]: r["points"] for r in spark.table(tbl).collect()}
+    assert got == {"k1": None, "k2": 5}
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -253,3 +253,51 @@ def test_merge_upsert_numeric_partition_cast_roundtrips(spark, tmp_path):
     merge_upsert(spark, path, df2, keys=["id"], partition_cols=["org"])
     got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got == {1: "x", 2: "y2"}
+
+
+def test_merge_upsert_wide_touched_set_two_level_prune(spark, tmp_path):
+    """Above _TOUCHED_PREDICATE_MAX_TERMS touched tuples the merge
+    switches from the literal OR-of-ANDs predicate to per-column isin
+    pruning + an exact broadcast semi-join. Semantics must be
+    identical: only touched partitions rewritten, untouched files
+    physically untouched — including a partition inside the isin
+    CARTESIAN SUPERSET (org present, month present, combination not
+    touched)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "wide")
+    # seed: 10 orgs x 12 months, keyed rows
+    seed = spark.createDataFrame(
+        [
+            (f"o{o}", f"2024-{m:02d}", f"k-{o}-{m}", "v0")
+            for o in range(10)
+            for m in range(1, 13)
+        ],
+        "org_id string, month string, k string, v string",
+    )
+    merge_upsert(
+        spark, path, seed, keys=("k",), partition_cols=("org_id", "month")
+    )
+    # untouched: (o9, 2024-12) — but o9 AND 2024-12 each appear in the
+    # touched value sets, so it IS in the isin superset
+    probe_dir = str(tmp_path / "wide" / "org_id=o9" / "month=2024-12")
+    before = set(os.listdir(probe_dir))
+    upd_rows = [
+        (f"o{o}", f"2024-{m:02d}", f"k-{o}-{m}", "v1")
+        for o in range(10)
+        for m in range(1, 13)
+        if not (o == 9 and m == 12)
+    ]
+    # 119 touched tuples > 64: exercises the two-level path
+    upd = spark.createDataFrame(
+        upd_rows, "org_id string, month string, k string, v string"
+    )
+    merge_upsert(
+        spark, path, upd, keys=("k",), partition_cols=("org_id", "month")
+    )
+    assert set(os.listdir(probe_dir)) == before
+    got = spark.read.parquet(path)
+    assert got.count() == 120
+    assert got.filter(F.col("v") == "v0").count() == 1  # only (o9, 12)
