@@ -99,6 +99,10 @@ HEADLINE = [
     "table_profile_stats",
     "table_profile_kmv",
     "audio_silence_trim",
+    # round-7 additions: hashed-ngram quality classifier, interpolated
+    # bigram LM scoring
+    "quality_classifier_scores",
+    "bigram_surprisal_scores",
 ]
 
 

@@ -132,3 +132,48 @@ def substring_window_hashes(docs, w: int, with_pos: bool = True):
         F.xxhash64("win").alias("h1"),
         F.xxhash64(F.lit("s2"), F.col("win")).alias("h2"),
     )
+
+
+# ---- hashed-ngram linear quality classifier (fastText-style) ----------
+# deterministic stand-in weights: bucket id -> milli-weight via a
+# multiplicative hash; a trained model replaces bucket_weight with a
+# broadcast array lookup, same plan shape
+QC_BUCKETS = 4096
+QC_MULT = 2654435761  # Knuth multiplicative constant
+QC_BIAS = -0.1        # fixed logit bias (slight reject prior)
+
+
+def hashed_ngram_features(toks: Column) -> Column:
+    """Unigram + bigram feature list of a token array (hashing-trick
+    input). Lambda-discipline-safe: built from word_shingles."""
+    return F.concat(toks, word_shingles(toks, 2))
+
+
+def hashed_ngram_weight_sum(toks: Column) -> Column:
+    """Integer milli-unit weight sum over the hashed features — the
+    whole classifier forward pass as ONE aggregate() HOF (zero
+    shuffles; every lambda references only its own variables)."""
+
+    def bucket_weight(f):
+        bucket = F.pmod(portable_hash60(f), F.lit(QC_BUCKETS))
+        return F.pmod(bucket * F.lit(QC_MULT), F.lit(2001)) - F.lit(1000)
+
+    return F.aggregate(
+        hashed_ngram_features(toks),
+        F.lit(0).cast("long"),
+        lambda acc, f: acc + bucket_weight(f),
+    )
+
+
+# DuckDB fragments mirroring the classifier exactly ({t} = token-list
+# SQL expression); wsum pairs with n_features = 2*len(t) - 1
+DUCK_NGRAM_FEATURES = (
+    "list_concat({t}, list_transform(range(1, len({t})), "
+    "i -> {t}[i] || ' ' || {t}[i + 1]))"
+)
+DUCK_NGRAM_WSUM = (
+    "CAST(list_sum(list_transform(" + DUCK_NGRAM_FEATURES + ", f -> "
+    "((((('0x' || substring(md5(f), 1, 15))::BIGINT) % "
+    + str(QC_BUCKETS) + ") * " + str(QC_MULT) + ") % 2001) - 1000"
+    ")) AS BIGINT)"
+)

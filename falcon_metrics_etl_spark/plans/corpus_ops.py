@@ -554,3 +554,212 @@ def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hashed-ngram linear quality classifier (fastText-style filter stage)
+# --------------------------------------------------------------------------
+_QC_BUCKETS = TX.QC_BUCKETS  # hash-trick feature space
+_QC_MULT = TX.QC_MULT        # multiplicative constant -> weight lookup
+_QC_BIAS = TX.QC_BIAS        # fixed logit bias (slight reject prior)
+
+
+@register(
+    "quality_classifier_scores",
+    doc="fastText-style pretrain quality filter (the classifier stage "
+    "CCNet/Gopher pipelines run after heuristics): token unigrams + "
+    "bigrams hash into a fixed "
+    f"{_QC_BUCKETS}-bucket feature space (hashing trick), each bucket "
+    "carries a deterministic weight in milli-units (integer "
+    "arithmetic on the bucket id stands in for trained parameters, "
+    "so the oracle computes bit-identical scores), mean-pooled to a "
+    "logit and squashed to a quality probability. ZERO shuffles: the "
+    "whole score is one aggregate() HOF over the per-row feature "
+    "array — every lambda references only its own variables (the "
+    "word_shingles zip_with discipline), so at 100 TB this runs scan-"
+    "side at input bandwidth with the weight 'vector' folded into "
+    "the expression instead of broadcast. Swapping real fastText "
+    "weights in means replacing the bucket->weight expression with a "
+    f"{_QC_BUCKETS}-element broadcast array lookup — same plan.",
+    tags=("text", "quality", "classifier", "training-data"),
+    oracle=f"""
+WITH feats AS (
+    SELECT doc_id,
+           list_concat(
+               toks,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1])
+           ) AS fs
+    FROM (SELECT doc_id, {TX.DUCK_TOKENS.format(x='text')} AS toks
+          FROM documents)
+    WHERE len(toks) >= 2
+),
+scored AS (
+    SELECT doc_id,
+           CAST(len(fs) AS BIGINT) AS n_features,
+           CAST(list_sum(list_transform(fs, f ->
+               ((({TX.DUCK_HASH60.format(x='f')} % {_QC_BUCKETS})
+                 * {_QC_MULT}) % 2001) - 1000
+           )) AS BIGINT) AS wsum
+    FROM feats
+)
+SELECT doc_id, n_features,
+       ROUND(1.0 / (1.0 + EXP(-(CAST(wsum AS DOUBLE)
+                                / (n_features * 1000.0) + {_QC_BIAS}))),
+             6) AS quality_prob,
+       CASE WHEN ROUND(1.0 / (1.0 + EXP(-(CAST(wsum AS DOUBLE)
+                                / (n_features * 1000.0) + {_QC_BIAS}))),
+             6) >= 0.5
+            THEN 'keep' ELSE 'drop' END AS quality_label
+FROM scored
+""",
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    feats = TX.hashed_ngram_features(F.col("toks"))
+    scored = docs.select(
+        "doc_id",
+        F.size(feats).cast("long").alias("n_features"),
+        TX.hashed_ngram_weight_sum(F.col("toks")).alias("wsum"),
+    )
+    logit = (
+        F.col("wsum").cast("double")
+        / (F.col("n_features") * F.lit(1000.0))
+        + F.lit(_QC_BIAS)
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return scored.select(
+        "doc_id", "n_features",
+        prob.alias("quality_prob"),
+        F.when(prob >= 0.5, "keep").otherwise("drop").alias("quality_label"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Interpolated bigram LM surprisal (the KenLM-shaped upgrade of the
+# unigram CCNet stage)
+# --------------------------------------------------------------------------
+_BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram ML estimate
+
+
+@register(
+    "bigram_surprisal_scores",
+    doc="CCNet perplexity bucketing upgraded to an interpolated bigram "
+    "LM (unigram_surprisal_scores' docstring names this swap-in "
+    "point): p(w|prev) = 0.75*c(prev,w)/c(prev) + 0.25*(c(w)+1)/(N+V) "
+    "— bigram maximum likelihood backed off to the add-one unigram, "
+    "the standard Jelinek-Mercer shape. Each position's surprisal "
+    "rounds to integer micro-nats BEFORE the per-doc sum, so scores "
+    "are exact in any engine. Plan: one extra count shuffle over the "
+    "unigram stage (bigram counts via a lag window), then the token "
+    "stream joins unigram counts (cur + prev) and bigram counts — "
+    "AQE broadcasts the count tables when the vocab is small, "
+    "shuffles when it is not; first tokens (no prev) score pure "
+    "unigram. Buckets reuse the fixed head/middle/tail thresholds.",
+    tags=("text", "quality", "lm", "join", "window"),
+    oracle=f"""
+WITH tokens AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS tok,
+           unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+    FROM documents
+),
+seq AS (
+    SELECT doc_id, pos, tok,
+           LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM tokens
+),
+uni AS (SELECT tok, COUNT(*) AS c FROM tokens GROUP BY tok),
+stats AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM uni),
+bi AS (
+    SELECT prev, tok, COUNT(*) AS c2 FROM seq
+    WHERE prev IS NOT NULL GROUP BY prev, tok
+),
+terms AS (
+    SELECT s.doc_id,
+           CASE WHEN s.prev IS NULL THEN
+               CAST(ROUND(LN(CAST(st.n + st.v AS DOUBLE) / (u.c + 1))
+                          * 1e6) AS BIGINT)
+           ELSE
+               CAST(ROUND(-LN(
+                   (CAST(COALESCE(b.c2, 0) AS DOUBLE) / up.c)
+                       * {_BIGRAM_LAMBDA}
+                   + (CAST(u.c + 1 AS DOUBLE) / (st.n + st.v))
+                       * {1.0 - _BIGRAM_LAMBDA}
+               ) * 1e6) AS BIGINT)
+           END AS q
+    FROM seq s
+    JOIN uni u ON u.tok = s.tok
+    LEFT JOIN uni up ON up.tok = s.prev
+    LEFT JOIN bi b ON b.prev = s.prev AND b.tok = s.tok
+    CROSS JOIN stats st
+),
+docscore AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(q) AS BIGINT) AS qsum
+    FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(qsum AS DOUBLE) / n_tokens / 1e6 AS avg_surprisal_nats,
+       CASE WHEN CAST(qsum AS DOUBLE) / n_tokens / 1e6 < {_PPL_HEAD}
+                 THEN 'head'
+            WHEN CAST(qsum AS DOUBLE) / n_tokens / 1e6 < {_PPL_MIDDLE}
+                 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM docscore
+""",
+)
+def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = tokens.withColumn("prev", F.lag("tok").over(w))
+    uni = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    stats = uni.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    bi = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "tok")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    joined = (
+        seq.join(uni, "tok")
+        .join(
+            uni.select(
+                F.col("tok").alias("prev"), F.col("c").alias("c_prev")
+            ),
+            "prev",
+            "left",
+        )
+        .join(bi, ["prev", "tok"], "left")
+        .join(F.broadcast(stats))
+    )
+    nv = (F.col("n") + F.col("v")).cast("double")
+    uni_q = F.round(F.log(nv / (F.col("c") + 1)) * 1e6).cast("long")
+    p_interp = (
+        (F.coalesce(F.col("c2"), F.lit(0)).cast("double") / F.col("c_prev"))
+        * F.lit(_BIGRAM_LAMBDA)
+        + ((F.col("c") + 1).cast("double") / (F.col("n") + F.col("v")))
+        * F.lit(1.0 - _BIGRAM_LAMBDA)
+    )
+    bi_q = F.round(-F.log(p_interp) * 1e6).cast("long")
+    terms = joined.select(
+        "doc_id",
+        F.when(F.col("prev").isNull(), uni_q).otherwise(bi_q).alias("q"),
+    )
+    scored = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("q").alias("qsum")
+    )
+    avg = F.col("qsum").cast("double") / F.col("n_tokens") / F.lit(1e6)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        avg.alias("avg_surprisal_nats"),
+        F.when(avg < _PPL_HEAD, "head")
+        .when(avg < _PPL_MIDDLE, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

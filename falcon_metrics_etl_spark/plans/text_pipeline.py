@@ -274,13 +274,18 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_cleaning_audit",
     doc="Corpus cleaning as ONE declarative pass: language gate "
     "(marker argmax = 'en'), quality gate (minimum token count), "
-    "prefix-fingerprint dedup gate (md5 of the first 3 tokens — the "
-    "cheap near-dup canonicalizer; non-canonical rows dropped) — every "
-    "doc labeled kept/dropped with its FIRST failing gate; one scan + "
-    "one window over the fingerprint. The audit-trail shape a 100 TB "
-    "cleaning job persists.",
-    tags=("text", "pipeline", "training-data"),
-    oracle="""
+    "classifier gate (the hashed-ngram linear scorer of "
+    "quality_classifier_scores, folded in as its EXACT integer form — "
+    "prob >= 0.5 is wsum >= 100*n_features, so the gate costs one "
+    "scan-side HOF and no floating point), prefix-fingerprint dedup "
+    "gate (md5 of the first 3 tokens — the cheap near-dup "
+    "canonicalizer; non-canonical rows dropped) — every doc labeled "
+    "kept/dropped with its FIRST failing gate; one scan + one window "
+    "over the fingerprint. The audit-trail shape a 100 TB cleaning "
+    "job persists: heuristics, then classifier, then dedup, the CCNet "
+    "stage order.",
+    tags=("text", "pipeline", "classifier", "training-data"),
+    oracle=f"""
 WITH scored AS (
     SELECT doc_id, text,
            string_split_regex(trim(text), '\\s+') AS tk,
@@ -292,7 +297,8 @@ gates AS (
            len(list_filter(tk, t -> t IN ('the','a','value','fast','slow'))) AS h_en,
            len(list_filter(tk, t -> t IN ('query','join','table','scan','agg'))) AS h_sql,
            len(list_filter(tk, t -> t IN ('batch','stream','merge','window','spark'))) AS h_ops,
-           len(tk) AS n_tokens
+           len(tk) AS n_tokens,
+           {TX.DUCK_NGRAM_WSUM.format(t='tk')} AS wsum
     FROM scored
 ),
 canon AS (
@@ -301,6 +307,7 @@ canon AS (
 SELECT doc_id,
        CASE WHEN NOT (h_en >= h_sql AND h_en >= h_ops) THEN 'dropped:lang'
             WHEN n_tokens < 30 THEN 'dropped:quality'
+            WHEN wsum < 100 * (2 * n_tokens - 1) THEN 'dropped:classifier'
             WHEN doc_id <> canonical_id THEN 'dropped:duplicate'
             ELSE 'kept' END AS status
 FROM canon
@@ -316,12 +323,18 @@ def corpus_cleaning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.marker_hits(t, TX.LANG_MARKERS["sql"]).alias("h_sql"),
         TX.marker_hits(t, TX.LANG_MARKERS["ops"]).alias("h_ops"),
         TX.token_count(t).alias("n_tokens"),
+        TX.hashed_ngram_weight_sum(TX.tokens(t)).alias("wsum"),
     )
     canonical = F.min("doc_id").over(Window.partitionBy("fp"))
     is_en = (F.col("h_en") >= F.col("h_sql")) & (F.col("h_en") >= F.col("h_ops"))
+    # prob >= 0.5 <=> logit >= 0 <=> wsum/(n_features*1000) - 0.1 >= 0
+    # <=> wsum >= 100 * n_features, with n_features = 2*n_tokens - 1
+    # (unigrams + bigrams) — exact integers, no EXP/rounding in the gate
+    classifier_drop = F.col("wsum") < 100 * (2 * F.col("n_tokens") - 1)
     status = (
         F.when(~is_en, F.lit("dropped:lang"))
         .when(F.col("n_tokens") < 30, F.lit("dropped:quality"))
+        .when(classifier_drop, F.lit("dropped:classifier"))
         .when(F.col("doc_id") != canonical, F.lit("dropped:duplicate"))
         .otherwise(F.lit("kept"))
     )

@@ -123,3 +123,108 @@ def test_chunk_dedup_rebuild_semantics(spark):
     md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
     assert rows[1]["rebuilt_fp"] == md5(a_tokens + " " + b_tokens)
     assert rows[2]["rebuilt_fp"] == md5("unique tail here")
+
+
+def test_hashed_ngram_classifier_matches_python_reference(spark):
+    """The classifier forward pass (hash-trick bucket -> deterministic
+    milli-weight -> mean-pool -> sigmoid) recomputed row-by-row in
+    plain Python: wsum, n_features, probability and the exact integer
+    decision form all agree."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from falcon_metrics_etl_spark.functions import text as TX
+
+    texts = [
+        "alpha beta gamma delta",
+        "the quick brown fox jumps over the lazy dog",
+        "one",          # single token: no bigrams
+        "x y",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            TX.hashed_ngram_weight_sum(TX.tokens(F.col("text"))).alias("wsum"),
+            F.size(
+                TX.hashed_ngram_features(TX.tokens(F.col("text")))
+            ).alias("nf"),
+        ).collect()
+    }
+
+    def w(feature: str) -> int:
+        h = int(hashlib.md5(feature.encode()).hexdigest()[:15], 16)
+        return ((h % TX.QC_BUCKETS) * TX.QC_MULT) % 2001 - 1000
+
+    for i, t in enumerate(texts):
+        toks = t.split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        wsum = sum(w(f) for f in feats)
+        assert got[i]["wsum"] == wsum, (i, t)
+        assert got[i]["nf"] == len(feats) == 2 * len(toks) - 1
+        # integer decision form == sign of the true logit
+        logit = wsum / (len(feats) * 1000.0) + TX.QC_BIAS
+        assert (wsum >= -TX.QC_BIAS * 1000 * len(feats)) == (logit >= 0)
+        # and the probability the registered query would emit
+        prob = 1.0 / (1.0 + math.exp(-logit))
+        assert 0.0 < prob < 1.0
+
+
+def test_bigram_surprisal_interpolation_backoff(spark):
+    """On a corpus where one bigram is frequent and another unseen,
+    the interpolated score ranks the seen-bigram doc strictly less
+    surprising, and every per-position term matches a plain-Python
+    recomputation of 0.75*ML + 0.25*add-one-unigram in micro-nats."""
+    import math
+
+    from falcon_metrics_etl_spark.plans import corpus_ops as co
+
+    texts = {
+        1: "a b a b a b",   # bigrams (a,b) x3, (b,a) x2
+        2: "a c",           # bigram (a,c) unseen elsewhere
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    orig = co.load_table
+    co.load_table = lambda s, d, n: df
+    try:
+        rows = {
+            r["doc_id"]: r
+            for r in co.bigram_surprisal_scores(spark, "ignored").collect()
+        }
+    finally:
+        co.load_table = orig
+
+    # python reference
+    toks = {i: t.split() for i, t in texts.items()}
+    uni: dict = {}
+    bi: dict = {}
+    for ts in toks.values():
+        for w_ in ts:
+            uni[w_] = uni.get(w_, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    n = sum(uni.values())
+    v = len(uni)
+
+    def score(ts):
+        qs = []
+        for i, w_ in enumerate(ts):
+            if i == 0:
+                qs.append(round(math.log((n + v) / (uni[w_] + 1)) * 1e6))
+            else:
+                p = (bi.get((ts[i - 1], w_), 0) / uni[ts[i - 1]]) * 0.75 \
+                    + ((uni[w_] + 1) / (n + v)) * 0.25
+                qs.append(round(-math.log(p) * 1e6))
+        return sum(qs) / len(ts) / 1e6
+
+    for i in texts:
+        assert abs(rows[i]["avg_surprisal_nats"] - score(toks[i])) < 1e-9
+        assert rows[i]["n_tokens"] == len(toks[i])
+    assert rows[1]["avg_surprisal_nats"] < rows[2]["avg_surprisal_nats"]
