@@ -831,26 +831,150 @@ def encode_wav_square(duration_ms: int, base: int) -> bytes:
     )
 
 
+# IMA (DVI) ADPCM tables — public spec (IMA Digital Audio Focus and
+# Technical Working Groups, "Recommended Practices for Enhancing
+# Digital Audio Compatibility", rev 3.00, 1992)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step — shared verbatim by the decoder AND
+    the encoder's state tracking, so encoder-side prediction can never
+    drift from what a decoder reconstructs."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    predictor = predictor - diff if nibble & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble]))
+    return predictor, index
+
+
+def _ima_decode_block(block: bytes) -> list[int]:
+    """Decode one mono IMA-ADPCM block: 4-byte header (int16 predictor
+    = the first output sample, step index, reserved), then two nibbles
+    per byte, LOW nibble first."""
+    if len(block) < 4:
+        raise ValueError("IMA-ADPCM: truncated block header")
+    predictor = struct.unpack("<h", block[0:2])[0]
+    index = block[2]
+    if index > 88:
+        raise ValueError(f"IMA-ADPCM: step index {index} out of range")
+    out = [predictor]
+    for byte in block[4:]:
+        for nibble in (byte & 0x0F, byte >> 4):
+            predictor, index = _ima_step(predictor, index, nibble)
+            out.append(predictor)
+    return out
+
+
+ADPCM_BLOCK_ALIGN = 256  # mono: (256-4)*2 + 1 = 505 samples per block
+
+
+def encode_wav_ima_adpcm(
+    samples: list[int],
+    sample_rate: int = WAV_SAMPLE_RATE,
+    block_align: int = ADPCM_BLOCK_ALIGN,
+) -> bytes:
+    """Mono IMA-ADPCM (WAV format 17) encoder: per block, the first
+    sample lands verbatim in the 4-byte header, the rest quantize to
+    4-bit nibbles tracked through the SAME ``_ima_step`` state update
+    the decoder uses. The fact chunk records the true sample count so
+    decoders trim end-of-stream padding nibbles."""
+    if not samples:
+        raise ValueError("IMA-ADPCM encode: empty sample stream")
+    spb = (block_align - 4) * 2 + 1  # samples per mono block
+    index = 0
+    blocks = []
+    for start in range(0, len(samples), spb):
+        chunk = samples[start : start + spb]
+        predictor = max(-32768, min(32767, chunk[0]))
+        header = struct.pack("<hBB", predictor, index, 0)
+        nibbles = []
+        for s in chunk[1:]:
+            step = _IMA_STEP_TABLE[index]
+            diff = s - predictor
+            nibble = 0
+            if diff < 0:
+                nibble = 8
+                diff = -diff
+            if diff >= step:
+                nibble |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nibble |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nibble |= 1
+            predictor, index = _ima_step(predictor, index, nibble)
+            nibbles.append(nibble)
+        # pad the final block's nibble area (decoder trims via fact)
+        nibbles.extend(0 for _ in range((block_align - 4) * 2 - len(nibbles)))
+        body = bytes(
+            nibbles[i] | (nibbles[i + 1] << 4)
+            for i in range(0, len(nibbles), 2)
+        )
+        blocks.append(header + body)
+    data = b"".join(blocks)
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 17, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<II", 4, len(samples))
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def decode_wav_samples(payload: bytes) -> dict:
     """REAL sample decode: chunk walk to the data chunk, then unpack
-    integer PCM (format 1: 8-bit unsigned / 16-bit signed) or IEEE
-    float (format 3: 32-bit little-endian) samples, mono or stereo
-    (stereo comes back channel-interleaved exactly as stored, with
-    ``channels`` reported). Compressed WAV (ADPCM/mp3-in-wav, other
-    format tags) raises NotImplementedError — that is the remaining
-    codec stub boundary together with video frames."""
+    integer PCM (format 1: 8-bit unsigned / 16-bit signed), IEEE
+    float (format 3: 32-bit little-endian), or IMA ADPCM (format 17:
+    4-bit block-compressed, decoded block-by-block with the fact
+    chunk trimming end-of-stream padding) samples. PCM/float decode
+    mono or stereo (stereo comes back channel-interleaved exactly as
+    stored); IMA-ADPCM decodes mono (stereo ADPCM interleaves 4-byte
+    channel words — the remaining ADPCM boundary). Other format tags
+    (mp3-in-wav, A-law) raise NotImplementedError — the codec stub
+    boundary together with compressed video."""
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     if payload[12:16] != b"fmt ":
         raise ValueError("not a WAV: fmt chunk missing")
     (fmt_len,) = struct.unpack("<I", payload[16:20])
-    audio_format, channels, sample_rate, _, _, bits = struct.unpack(
+    audio_format, channels, sample_rate, _, block_align, bits = struct.unpack(
         "<HHIIHH", payload[20:36]
     )
-    if audio_format not in (1, 3):
-        # STUB BOUNDARY: compressed audio (ADPCM/mp3-in-wav) needs a codec lib
+    if audio_format not in (1, 3, 17):
+        # STUB BOUNDARY: other compressed audio (mp3-in-wav, A-law/
+        # mu-law) needs a codec lib
         raise NotImplementedError(
-            f"WAV format {audio_format}: integer PCM (1) and IEEE float (3) only"
+            f"WAV format {audio_format}: integer PCM (1), IEEE float (3) "
+            "and IMA-ADPCM (17) only"
         )
     if channels not in (1, 2):
         raise NotImplementedError("mono/stereo decode only")
@@ -858,13 +982,40 @@ def decode_wav_samples(payload: bytes) -> dict:
         raise NotImplementedError("8/16-bit integer PCM decode only")
     if audio_format == 3 and bits != 32:
         raise NotImplementedError("IEEE float WAV must be 32-bit")
+    if audio_format == 17:
+        if channels != 1:
+            # STUB BOUNDARY: stereo ADPCM interleaves 4-byte channel
+            # words inside each block
+            raise NotImplementedError("IMA-ADPCM decode is mono-only")
+        if bits != 4:
+            raise ValueError("IMA-ADPCM WAV must be 4-bit")
+        if block_align < 5:
+            raise ValueError("IMA-ADPCM: block align too small")
+    fact_samples = None
     pos = 20 + fmt_len
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if tag == b"fact" and size >= 4:
+            (fact_samples,) = struct.unpack(
+                "<I", payload[pos + 8 : pos + 12]
+            )
         if tag == b"data":
             body = payload[pos + 8 : pos + 8 + size]
-            if audio_format == 3:
+            if audio_format == 17:
+                samples = []
+                for off in range(0, len(body), block_align):
+                    samples.extend(
+                        _ima_decode_block(body[off : off + block_align])
+                    )
+                if fact_samples is not None:
+                    if fact_samples > len(samples):
+                        raise ValueError(
+                            "IMA-ADPCM: fact chunk claims more samples "
+                            "than the data chunk decodes"
+                        )
+                    samples = samples[:fact_samples]
+            elif audio_format == 3:
                 samples = list(
                     struct.unpack(f"<{len(body) // 4}f", body[: len(body) // 4 * 4])
                 )
@@ -1107,6 +1258,46 @@ def attach_payload_wav_square(docs: DataFrame) -> DataFrame:
                 dur = int(h[8:12], 16) % WAV_DUR_MOD + 1
                 base = int(h[12:14], 16) % SQUARE_BASE_MOD
                 payloads.append(encode_wav_square(dur, base))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": "audio",
+                    "codec": "wav",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, media_type string, codec string, payload binary"
+    )
+
+
+ADPCM_DUR_MOD = 250  # shorter clips than PCM: the per-nibble state
+# machine is pure Python on both encode and decode, and the codec
+# exercise (block walk, predictor tracking, fact trim) is identical at
+# 250 ms and 2 s — only the test wall-clock differs
+
+
+def attach_payload_wav_adpcm(docs: DataFrame) -> DataFrame:
+    """documents -> IMA-ADPCM WAVs carrying the SAME square wave as
+    attach_payload_wav_square (duration md5[8:12] mod 250ms, base
+    md5[12:14]).
+    A +/-1 alternation at step index 0 quantizes EXACTLY (nibbles
+    1/9 at step 7 reproduce +/-1 and hold the index), so the lossy
+    codec is bit-faithful on this signal and the oracle's closed
+    form stays valid — while the decode still has to walk blocks,
+    track predictor state and trim via the fact chunk."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                dur = int(h[8:12], 16) % ADPCM_DUR_MOD + 1
+                base = int(h[12:14], 16) % SQUARE_BASE_MOD
+                n = WAV_SAMPLE_RATE * dur // 1000
+                samples = [base + (i & 1) for i in range(n)]
+                payloads.append(encode_wav_ima_adpcm(samples))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,

@@ -438,9 +438,10 @@ def multimodal_png_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "base, base+1) decoded by decode_wav_samples (chunk walk + sample "
     "unpack; PCM 8/16-bit mono) and aggregated; duration re-derived "
     "from the decoded sample count, not the header. Oracle replays the "
-    "closed-form sample stats. Remaining codec stubs: compressed "
-    "audio (ADPCM/mp3), jpeg, video frames — formats that genuinely "
-    "need codec libs; PNG and WAV decode completely (r6).",
+    "closed-form sample stats. Remaining codec stubs: mp3-in-wav, "
+    "A-law/mu-law, stereo ADPCM, jpeg, compressed video — formats "
+    "that genuinely need codec libs; PNG, PCM/float WAV and mono "
+    "IMA-ADPCM (r7) decode completely.",
     tags=("multimodal", "pandas-udf", "binary", "codec", "audio"),
     oracle="""
 WITH durs AS (
@@ -463,6 +464,44 @@ FROM durs
 def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_payload_wav_square(docs)
+    return MM.wav_sample_stats(media)
+
+
+@register(
+    "multimodal_wav_adpcm_stats",
+    doc="REAL IMA-ADPCM decode (WAV format 17 — the r6 boundary's "
+    "named next shrink): 4-bit block-compressed audio decoded "
+    "block-by-block (predictor/step-index state machine, public IMA "
+    "1992 spec tables), fact-chunk end trim, then the same sample "
+    "aggregate as the PCM twin. The carried signal is the square "
+    "wave, which IMA quantizes EXACTLY (+/-1 alternation at step "
+    "index 0), so the oracle's closed form is valid against a lossy "
+    "codec; the general encoder/decoder pair is fuzz-tested "
+    "separately against an independent reference decoder. Remaining "
+    "audio stubs: stereo ADPCM word interleave, mp3-in-wav, "
+    "A-law/mu-law.",
+    tags=("multimodal", "pandas-udf", "binary", "codec", "audio"),
+    oracle="""
+WITH durs AS (
+    SELECT doc_id,
+           ('0x' || substring(md5(text), 9, 4))::INT % 250 + 1 AS dur,
+           ('0x' || substring(md5(text), 13, 2))::INT % 200 AS b
+    FROM documents
+)
+SELECT doc_id, 8000 AS sample_rate,
+       CAST(8 * dur AS BIGINT) AS n_samples,
+       CAST(dur AS INT) AS duration_ms,
+       CAST(b AS INT) AS min_sample,
+       CAST(b + 1 AS INT) AS max_sample,
+       CAST(8 * dur * b + (8 * dur) // 2 AS BIGINT) AS sum_samples,
+       CAST(8 * dur * b + (8 * dur) // 2 AS DOUBLE) / (8 * dur)
+           AS mean_sample
+FROM durs
+""",
+)
+def multimodal_wav_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_wav_adpcm(docs)
     return MM.wav_sample_stats(media)
 
 

@@ -645,3 +645,148 @@ def test_wav_silence_trim():
     assert MM.trim_silence([128] * 40) == (40, 0, 0)
     # no silence at all
     assert MM.trim_silence([50, 51] * 8) == (0, 16, 0)
+
+
+def _reference_ima_decode(payload: bytes) -> list[int]:
+    """Independent straight-from-spec IMA-ADPCM decoder (tables typed
+    in separately from the package's): RIFF walk, per-block header,
+    low-nibble-first, fact-chunk trim. Kept deliberately naive."""
+    import struct as st
+
+    steps = []
+    s = 7.0
+    # IMA step table is ~1.1-geometric but only the published integer
+    # table is authoritative — type the first/last entries and verify
+    table = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ]
+    idx_adj = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    (fmt_len,) = st.unpack("<I", payload[16:20])
+    fmt = st.unpack("<HHIIHH", payload[20:36])
+    assert fmt[0] == 17 and fmt[1] == 1
+    block_align = fmt[4]
+    pos = 20 + fmt_len
+    fact = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = st.unpack("<I", payload[pos + 4 : pos + 8])
+        if tag == b"fact":
+            (fact,) = st.unpack("<I", payload[pos + 8 : pos + 12])
+        if tag == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    out = []
+    for off in range(0, len(data), block_align):
+        block = data[off : off + block_align]
+        pred = st.unpack("<h", block[0:2])[0]
+        index = block[2]
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = table[index]
+                d = step >> 3
+                if nib & 1:
+                    d += step >> 2
+                if nib & 2:
+                    d += step >> 1
+                if nib & 4:
+                    d += step
+                pred = pred - d if nib & 8 else pred + d
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + idx_adj[nib]))
+                out.append(pred)
+    return out[:fact] if fact is not None else out
+
+
+def test_wav_adpcm_square_wave_is_bit_exact():
+    """The +/-1 square wave quantizes exactly under IMA (nibbles 1/9
+    at step index 0 hold the index and reproduce the alternation) —
+    the property the oracled query's closed form relies on."""
+    from falcon_metrics_etl_spark.functions.multimodal import (
+        decode_wav_samples,
+        encode_wav_ima_adpcm,
+    )
+
+    for base, n in ((0, 8), (57, 1009), (199, 3000)):
+        src = [base + (i & 1) for i in range(n)]
+        d = decode_wav_samples(encode_wav_ima_adpcm(src))
+        assert d["format"] == 17 and d["bits"] == 4 and d["channels"] == 1
+        assert d["samples"] == src
+
+
+def test_wav_adpcm_fuzz_vs_reference_decoder():
+    """200 random sample streams (mixed ramps, jumps, noise, lengths
+    straddling block boundaries) encode with the package encoder, then
+    decode with BOTH the package decoder and the independent
+    spec-typed reference: streams must agree bit-for-bit, and the
+    decoded signal must track slowly-varying sources."""
+    import random
+
+    from falcon_metrics_etl_spark.functions.multimodal import (
+        decode_wav_samples,
+        encode_wav_ima_adpcm,
+    )
+
+    rng = random.Random(42)
+    for trial in range(200):
+        kind = trial % 4
+        n = rng.choice([1, 2, 504, 505, 506, 1010, rng.randint(3, 2000)])
+        if kind == 0:
+            src = [rng.randint(-32768, 32767) for _ in range(n)]
+        elif kind == 1:  # slow ramp: small diffs, decodable closely
+            x, src = rng.randint(-500, 500), []
+            for _ in range(n):
+                x += rng.randint(-4, 4)
+                src.append(max(-32768, min(32767, x)))
+        elif kind == 2:  # step function with big jumps
+            src = [(-20000 if (i // 100) % 2 else 20000) for i in range(n)]
+        else:  # sine-ish via integer triangle
+            src = [((i % 200) - 100) * 300 for i in range(n)]
+        wav = encode_wav_ima_adpcm(src)
+        got = decode_wav_samples(wav)["samples"]
+        ref = _reference_ima_decode(wav)
+        assert got == ref, (trial, kind, n)
+        assert len(got) == n
+        if kind == 1:
+            # slow signals reconstruct within the minimum step granule
+            worst = max(abs(a - b) for a, b in zip(src, got))
+            assert worst <= 16, (trial, worst)
+
+
+def test_wav_adpcm_malformed_payloads_raise_value_errors():
+    import struct as st
+
+    import pytest
+
+    from falcon_metrics_etl_spark.functions.multimodal import (
+        decode_wav_samples,
+        encode_wav_ima_adpcm,
+    )
+
+    wav = bytearray(encode_wav_ima_adpcm([0, 1] * 600))
+    # corrupt the step index of the first block past the table bound
+    data_at = wav.index(b"data") + 8
+    wav[data_at + 2] = 99
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav_samples(bytes(wav))
+    # fact chunk claiming more samples than blocks decode
+    wav2 = bytearray(encode_wav_ima_adpcm([0, 1] * 10))
+    fact_at = wav2.index(b"fact") + 8
+    wav2[fact_at : fact_at + 4] = st.pack("<I", 10**6)
+    with pytest.raises(ValueError, match="fact chunk"):
+        decode_wav_samples(bytes(wav2))
+    # stereo ADPCM is the documented honest boundary
+    hdr = bytearray(encode_wav_ima_adpcm([0, 1, 0, 1]))
+    hdr[22] = 2  # channels
+    with pytest.raises(NotImplementedError, match="mono"):
+        decode_wav_samples(bytes(hdr))
