@@ -558,21 +558,19 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             s[3].alias(f"max_{col}"),
         ]
     wide = orders.agg(*aggs)
-    longs = [
-        wide.select(
-            F.lit(col).alias("col"),
-            F.col("n_rows"),
-            F.col(f"nulls_{col}").alias("n_nulls"),
-            F.col(f"nd_{col}").alias("n_distinct"),
-            F.col(f"min_{col}").alias("min_val"),
-            F.col(f"max_{col}").alias("max_val"),
-        )
+    # unpivot the single wide row with stack() instead of a 3-way
+    # self-union: the union form re-ran the whole aggregation once per
+    # branch (plans do not share subtrees across union arms) — 6
+    # shuffles where this is 2
+    stack_args = ", ".join(
+        f"'{col}', nulls_{col}, nd_{col}, min_{col}, max_{col}"
         for col in cols
-    ]
-    out = longs[0]
-    for df in longs[1:]:
-        out = out.unionByName(df)
-    return out
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as "
+        "(col, n_nulls, n_distinct, min_val, max_val)",
+        "n_rows",
+    ).select("col", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
 
 
 # --------------------------------------------------------------------------

@@ -335,10 +335,14 @@ _FUNNEL = ("signup", "view", "purchase")
     "funnel_conversion",
     doc="Ordered funnel (signup -> view -> purchase): each stage's entry "
     "time is the first qualifying event AT OR AFTER the previous stage's "
-    "entry — three chained conditional-min aggregations (each a semi-"
-    "join back on user_id, all map-side-combinable), then one global "
-    "rollup of stage counts and conversion rates",
-    tags=("aggregate", "join", "funnel", "timeseries"),
+    "entry. r7 fused plan, TWO shuffles total (was 8 as three "
+    "join+agg stages): ONE hash shuffle on user_id feeds three "
+    "CHAINED unordered window passes (conditional min per user; each "
+    "stage's predicate references the previous stage's window output, "
+    "and same-partitioning windows with no ordering chain without new "
+    "Exchange or Sort), a per-user rollup that reuses the window "
+    "partitioning, then the single-row global count/rate aggregate.",
+    tags=("aggregate", "window", "funnel", "timeseries"),
     oracle=f"""
 WITH s1 AS (
     SELECT user_id, MIN(ts) AS t1 FROM events
@@ -369,28 +373,44 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
-
-    def stage(prev: DataFrame, prev_t: str, etype: str, out_t: str) -> DataFrame:
-        e = events.filter(F.col("event_type") == etype)
-        return (
-            e.join(prev, "user_id")
-            .filter(F.col("ts") >= F.col(prev_t))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out_t))
+    w = Window.partitionBy("user_id")
+    staged = (
+        events.withColumn(
+            "t1",
+            F.min(
+                F.when(F.col("event_type") == _FUNNEL[0], F.col("ts"))
+            ).over(w),
         )
-
-    s1 = (
-        events.filter(F.col("event_type") == _FUNNEL[0])
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == _FUNNEL[1])
+                    & (F.col("ts") >= F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == _FUNNEL[2])
+                    & (F.col("ts") >= F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    s2 = stage(s1, "t1", _FUNNEL[1], "t2")
-    s3 = stage(s2, "t2", _FUNNEL[2], "t3")
-
-    counts = (
-        s1.agg(F.count(F.lit(1)).alias(f"n_{_FUNNEL[0]}"))
-        .crossJoin(s2.agg(F.count(F.lit(1)).alias(f"n_{_FUNNEL[1]}")))
-        .crossJoin(s3.agg(F.count(F.lit(1)).alias(f"n_{_FUNNEL[2]}")))
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"),
+    )
+    counts = per_user.agg(
+        F.count("t1").alias(f"n_{_FUNNEL[0]}"),
+        F.count("t2").alias(f"n_{_FUNNEL[1]}"),
+        F.count("t3").alias(f"n_{_FUNNEL[2]}"),
     )
     return counts.select(
         "*",

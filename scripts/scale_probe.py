@@ -85,6 +85,11 @@ DEFAULT_QUERIES = [
     "table_profile_stats",
     "table_profile_kmv",
     "audio_silence_trim",
+    # round-7 operators: scan-side classifier HOF, bigram LM (count
+    # shuffles + count-table joins), ADPCM block decode (map-only)
+    "quality_classifier_scores",
+    "bigram_surprisal_scores",
+    "multimodal_wav_adpcm_stats",
 ]
 
 # key columns to offset per replica, per table (disjoint key spaces)

@@ -59,6 +59,11 @@ DEFAULT_QUERIES = [
     "substring_dedup_windows",
     "substring_dedup_spans",
     "substring_dedup_scrub",
+    # r7: the boilerplate tokens/bigrams become ultra-hot LM join keys
+    # (the token->count join must absorb them via AQE/broadcast);
+    # the classifier is map-only and should be flat — a control
+    "bigram_surprisal_scores",
+    "quality_classifier_scores",
 ]
 
 
