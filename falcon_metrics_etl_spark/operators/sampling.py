@@ -194,3 +194,35 @@ def epoch_shuffle(
         .withColumn("position", (F.row_number().over(w) - 1).cast("long"))
         .drop("_eh")
     )
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    key_out: str = "sample_key",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis & Spirakis 2006, A-Res): each row draws a
+    deterministic hash-uniform u in (0, 1] and ranks by ln(u)/w — a
+    monotone transform of u^(1/w), so the top-k by this key IS a
+    weighted sample without replacement. Distributed shape: the rank
+    is a pure per-row function (no shuffle) and the top-k is a
+    TakeOrderedAndProject (per-partition heads, no global sort) — at
+    100 TB the only coordination is k rows per partition to the
+    driver-side final heap. Determinism flows from portable_hash60,
+    so reruns, appends of unrelated rows, and repartitioning never
+    change the selected set."""
+    u = (
+        (F.pmod(portable_hash60(F.col(key_col).cast("string")), F.lit(1000000))
+         + F.lit(1)).cast("double")
+        / F.lit(1000001.0)
+    )
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn(key_out, key)
+        .orderBy(F.desc(key_out), F.col(key_col))
+        .limit(k)
+    )

@@ -407,3 +407,44 @@ def epoch_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shuffle(
         docs, "doc_id", SHUFFLE_EPOCHS, N_SHUFFLE_SHARDS
     ).select("doc_id", "epoch", "shard", "position")
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+@register(
+    "weighted_sample_wor",
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis "
+    "exponential keys — the standard one-pass distributed algorithm): "
+    "rank every document by ln(u)/w with a deterministic hash-uniform "
+    "u and weight w = n_chars, take the top "
+    f"{WEIGHTED_SAMPLE_K}. The rank is a pure per-row expression "
+    "(zero shuffles) and the top-k is a TakeOrderedAndProject "
+    "(per-partition heads, no global sort), so the selection is "
+    "reproducible and append-stable at any corpus size — the "
+    "quality-weighted subcorpus draw a data-mixing stage runs. "
+    "operators/sampling.py::weighted_sample_wor.",
+    tags=("sampling", "hash", "topk", "training-data"),
+    oracle=f"""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       ROUND(LN((({_DUCK_HASH} % 1000000) + 1) / 1000001.0)
+             / n_chars, 9) AS sample_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY LN((({_DUCK_HASH} % 1000000) + 1) / 1000001.0) / n_chars DESC,
+         doc_id
+LIMIT {WEIGHTED_SAMPLE_K}
+""",
+)
+def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.sampling import (
+        weighted_sample_wor as sample_op,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = sample_op(docs, "doc_id", "n_chars", WEIGHTED_SAMPLE_K)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.round("sample_key", 9).alias("sample_key"),
+    )

@@ -99,3 +99,49 @@ def test_epoch_shuffle_is_deterministic_dense_permutation(spark):
         if first[(d, 0)] != first[(d, 1)]
     )
     assert moved > 400
+
+
+def test_weighted_sample_wor_properties(spark):
+    """Efraimidis-Spirakis invariants: the selected set matches a
+    plain-Python recomputation of the top-k by ln(u)/w; appending
+    unrelated rows never evicts differently than the algorithm says;
+    zero/negative weights are excluded."""
+    import hashlib
+    import math
+
+    from falcon_metrics_etl_spark.operators.sampling import (
+        weighted_sample_wor,
+    )
+
+    rows = [(i, (i * 37) % 500 + 1) for i in range(400)]
+    rows += [(1000, 0), (1001, -5)]  # excluded weights
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = weighted_sample_wor(df, "doc_id", "n_chars", 25).collect()
+    assert len(got) == 25
+
+    def key(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        u = ((h % 1000000) + 1) / 1000001.0
+        return math.log(u) / w
+
+    ref = sorted(
+        ((key(d, w), d) for d, w in rows if w > 0), reverse=True
+    )[:25]
+    assert [r["doc_id"] for r in got] == [d for _, d in ref]
+    # per-row keys agree with the formula
+    for r in got:
+        assert abs(r["sample_key"] - key(r["doc_id"], r["n_chars"])) < 1e-12
+    # append-stability: adding rows with losing keys changes nothing
+    more = df.union(
+        spark.createDataFrame(
+            [(5000 + i, 1) for i in range(50)], "doc_id long, n_chars long"
+        )
+    )
+    got2 = weighted_sample_wor(more, "doc_id", "n_chars", 25).collect()
+    winners2 = [r["doc_id"] for r in got2]
+    ref2 = sorted(
+        ((key(d, w), d)
+         for d, w in rows + [(5000 + i, 1) for i in range(50)] if w > 0),
+        reverse=True,
+    )[:25]
+    assert winners2 == [d for _, d in ref2]
