@@ -62,6 +62,8 @@ CARTESIAN_OK = {
     "domain_temperature_mix",
     # 1 x N broadcast of the single-row (N, V) corpus-stats scalar
     "unigram_surprisal_scores",
+    # same single-row stats broadcast, bigram variant (r7)
+    "bigram_surprisal_scores",
     # non-equi (g < g) pairing of the per-group estimates — at most
     # |groups| rows on either side (5 event types), broadcast NLJ
     "kmv_set_ops_pairs",
@@ -96,6 +98,8 @@ NOPUSH_OK = {
     "substring_dedup_scrub",
     # same gate on the labeled O(N^2) baseline's probe side
     "embedding_near_dup_pairs",
+    # min-token gate (>=2, for bigram features) on the classifier scan
+    "quality_classifier_scores",
     # Catalyst-inferred IsNotNull(cast(pk as string)) join-key guards on
     # derived keys; the source pk columns are non-null by construction
     "kanbanize_card_states",
