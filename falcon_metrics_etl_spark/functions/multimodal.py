@@ -883,57 +883,127 @@ def _ima_decode_block(block: bytes) -> list[int]:
     return out
 
 
+def _ima_decode_block_stereo(block: bytes) -> list[int]:
+    """Decode one stereo IMA-ADPCM block: two 4-byte channel headers
+    (left then right), then 8-byte groups — 4 bytes (8 nibbles) of
+    LEFT samples followed by 4 bytes of RIGHT — emitted channel-
+    interleaved (L R L R ...) like stored PCM stereo."""
+    if len(block) < 8:
+        raise ValueError("IMA-ADPCM: truncated stereo block header")
+    state = []
+    for c in range(2):
+        pred = struct.unpack("<h", block[4 * c : 4 * c + 2])[0]
+        index = block[4 * c + 2]
+        if index > 88:
+            raise ValueError(f"IMA-ADPCM: step index {index} out of range")
+        state.append((pred, index))
+    out = [state[0][0], state[1][0]]
+    body = block[8:]
+    if len(body) % 8:
+        raise ValueError("IMA-ADPCM: stereo data not 8-byte aligned")
+    for g in range(0, len(body), 8):
+        per_chan: list[list[int]] = []
+        for c in range(2):
+            pred, index = state[c]
+            chan = []
+            for byte in body[g + 4 * c : g + 4 * c + 4]:
+                for nibble in (byte & 0x0F, byte >> 4):
+                    pred, index = _ima_step(pred, index, nibble)
+                    chan.append(pred)
+            state[c] = (pred, index)
+            per_chan.append(chan)
+        for left, right in zip(per_chan[0], per_chan[1]):
+            out.extend((left, right))
+    return out
+
+
 ADPCM_BLOCK_ALIGN = 256  # mono: (256-4)*2 + 1 = 505 samples per block
+
+
+def _ima_encode_nibble(s: int, predictor: int, index: int) -> int:
+    """Quantize one target sample against the current (predictor,
+    index) state — the canonical threshold cascade."""
+    step = _IMA_STEP_TABLE[index]
+    diff = s - predictor
+    nibble = 0
+    if diff < 0:
+        nibble = 8
+        diff = -diff
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nibble |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nibble |= 1
+    return nibble
 
 
 def encode_wav_ima_adpcm(
     samples: list[int],
     sample_rate: int = WAV_SAMPLE_RATE,
     block_align: int = ADPCM_BLOCK_ALIGN,
+    channels: int = 1,
 ) -> bytes:
-    """Mono IMA-ADPCM (WAV format 17) encoder: per block, the first
-    sample lands verbatim in the 4-byte header, the rest quantize to
-    4-bit nibbles tracked through the SAME ``_ima_step`` state update
-    the decoder uses. The fact chunk records the true sample count so
-    decoders trim end-of-stream padding nibbles."""
+    """IMA-ADPCM (WAV format 17) encoder, mono or stereo (stereo
+    input channel-interleaved L R L R): per block, each channel's
+    first sample lands verbatim in its 4-byte header, the rest
+    quantize to 4-bit nibbles tracked through the SAME ``_ima_step``
+    state update the decoder uses; stereo packs 8-nibble (4-byte)
+    channel words, left first. The fact chunk records the true
+    per-channel sample count so decoders trim end-of-stream
+    padding."""
     if not samples:
         raise ValueError("IMA-ADPCM encode: empty sample stream")
-    spb = (block_align - 4) * 2 + 1  # samples per mono block
-    index = 0
+    if channels not in (1, 2):
+        raise ValueError("IMA-ADPCM encode: mono/stereo only")
+    if channels == 2 and len(samples) % 2:
+        raise ValueError("IMA-ADPCM encode: odd stereo sample count")
+    # per-channel samples per block
+    spb = (block_align // channels - 4) * 2 + 1
+    frames_per_block = spb
+    frames = len(samples) // channels
+    chans = [samples[c::channels] for c in range(channels)]
+    index = [0] * channels
     blocks = []
-    for start in range(0, len(samples), spb):
-        chunk = samples[start : start + spb]
-        predictor = max(-32768, min(32767, chunk[0]))
-        header = struct.pack("<hBB", predictor, index, 0)
-        nibbles = []
-        for s in chunk[1:]:
-            step = _IMA_STEP_TABLE[index]
-            diff = s - predictor
-            nibble = 0
-            if diff < 0:
-                nibble = 8
-                diff = -diff
-            if diff >= step:
-                nibble |= 4
-                diff -= step
-            if diff >= step >> 1:
-                nibble |= 2
-                diff -= step >> 1
-            if diff >= step >> 2:
-                nibble |= 1
-            predictor, index = _ima_step(predictor, index, nibble)
-            nibbles.append(nibble)
-        # pad the final block's nibble area (decoder trims via fact)
-        nibbles.extend(0 for _ in range((block_align - 4) * 2 - len(nibbles)))
-        body = bytes(
-            nibbles[i] | (nibbles[i + 1] << 4)
-            for i in range(0, len(nibbles), 2)
-        )
-        blocks.append(header + body)
+    for start in range(0, frames, frames_per_block):
+        headers = []
+        nibs: list[list[int]] = []
+        for c in range(channels):
+            chunk = chans[c][start : start + frames_per_block]
+            predictor = max(-32768, min(32767, chunk[0]))
+            headers.append(struct.pack("<hBB", predictor, index[c], 0))
+            cn = []
+            for s in chunk[1:]:
+                nibble = _ima_encode_nibble(s, predictor, index[c])
+                predictor, index[c] = _ima_step(predictor, index[c], nibble)
+                cn.append(nibble)
+            # pad the final block (decoder trims via fact)
+            cn.extend(0 for _ in range((spb - 1) - len(cn)))
+            nibs.append(cn)
+        body = bytearray()
+        if channels == 1:
+            flat = nibs[0]
+            body += bytes(
+                flat[i] | (flat[i + 1] << 4)
+                for i in range(0, len(flat), 2)
+            )
+        else:
+            # 8-byte groups: 4 bytes (8 nibbles) left, 4 bytes right
+            for g in range(0, len(nibs[0]), 8):
+                for c in range(2):
+                    grp = nibs[c][g : g + 8]
+                    body += bytes(
+                        grp[i] | (grp[i + 1] << 4)
+                        for i in range(0, 8, 2)
+                    )
+        blocks.append(b"".join(headers) + bytes(body))
     data = b"".join(blocks)
     byte_rate = (sample_rate * block_align + spb - 1) // spb
     fmt = struct.pack(
-        "<HHIIHHHH", 17, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+        "<HHIIHHHH", 17, channels, sample_rate, byte_rate, block_align,
+        4, 2, spb,
     )
     return (
         b"RIFF"
@@ -943,7 +1013,7 @@ def encode_wav_ima_adpcm(
         + struct.pack("<I", len(fmt))
         + fmt
         + b"fact"
-        + struct.pack("<II", 4, len(samples))
+        + struct.pack("<II", 4, frames)
         + b"data"
         + struct.pack("<I", len(data))
         + data
@@ -955,12 +1025,11 @@ def decode_wav_samples(payload: bytes) -> dict:
     integer PCM (format 1: 8-bit unsigned / 16-bit signed), IEEE
     float (format 3: 32-bit little-endian), or IMA ADPCM (format 17:
     4-bit block-compressed, decoded block-by-block with the fact
-    chunk trimming end-of-stream padding) samples. PCM/float decode
-    mono or stereo (stereo comes back channel-interleaved exactly as
-    stored); IMA-ADPCM decodes mono (stereo ADPCM interleaves 4-byte
-    channel words — the remaining ADPCM boundary). Other format tags
-    (mp3-in-wav, A-law) raise NotImplementedError — the codec stub
-    boundary together with compressed video."""
+    chunk trimming end-of-stream padding; stereo decodes the 4-byte
+    channel-word interleave) samples. All three decode mono or
+    stereo, returned channel-interleaved. Other format tags
+    (mp3-in-wav, A-law/mu-law) raise NotImplementedError — the codec
+    stub boundary together with compressed video."""
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     if payload[12:16] != b"fmt ":
@@ -983,13 +1052,9 @@ def decode_wav_samples(payload: bytes) -> dict:
     if audio_format == 3 and bits != 32:
         raise NotImplementedError("IEEE float WAV must be 32-bit")
     if audio_format == 17:
-        if channels != 1:
-            # STUB BOUNDARY: stereo ADPCM interleaves 4-byte channel
-            # words inside each block
-            raise NotImplementedError("IMA-ADPCM decode is mono-only")
         if bits != 4:
             raise ValueError("IMA-ADPCM WAV must be 4-bit")
-        if block_align < 5:
+        if block_align < 5 * channels:
             raise ValueError("IMA-ADPCM: block align too small")
     fact_samples = None
     pos = 20 + fmt_len
@@ -1003,18 +1068,25 @@ def decode_wav_samples(payload: bytes) -> dict:
         if tag == b"data":
             body = payload[pos + 8 : pos + 8 + size]
             if audio_format == 17:
+                decode_block = (
+                    _ima_decode_block_stereo
+                    if channels == 2
+                    else _ima_decode_block
+                )
                 samples = []
                 for off in range(0, len(body), block_align):
                     samples.extend(
-                        _ima_decode_block(body[off : off + block_align])
+                        decode_block(body[off : off + block_align])
                     )
                 if fact_samples is not None:
-                    if fact_samples > len(samples):
+                    # fact counts samples PER CHANNEL (frames)
+                    want = fact_samples * channels
+                    if want > len(samples):
                         raise ValueError(
                             "IMA-ADPCM: fact chunk claims more samples "
                             "than the data chunk decodes"
                         )
-                    samples = samples[:fact_samples]
+                    samples = samples[:want]
             elif audio_format == 3:
                 samples = list(
                     struct.unpack(f"<{len(body) // 4}f", body[: len(body) // 4 * 4])

@@ -477,9 +477,9 @@ def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wave, which IMA quantizes EXACTLY (+/-1 alternation at step "
     "index 0), so the oracle's closed form is valid against a lossy "
     "codec; the general encoder/decoder pair is fuzz-tested "
-    "separately against an independent reference decoder. Remaining "
-    "audio stubs: stereo ADPCM word interleave, mp3-in-wav, "
-    "A-law/mu-law.",
+    "separately against an independent reference decoder; stereo's "
+    "4-byte channel-word interleave decodes too. Remaining audio "
+    "stubs: mp3-in-wav, A-law/mu-law.",
     tags=("multimodal", "pandas-udf", "binary", "codec", "audio"),
     oracle="""
 WITH durs AS (

@@ -785,8 +785,43 @@ def test_wav_adpcm_malformed_payloads_raise_value_errors():
     wav2[fact_at : fact_at + 4] = st.pack("<I", 10**6)
     with pytest.raises(ValueError, match="fact chunk"):
         decode_wav_samples(bytes(wav2))
-    # stereo ADPCM is the documented honest boundary
+    # A-law stays the documented honest boundary (stereo ADPCM
+    # decodes for real as of r7 — covered below)
     hdr = bytearray(encode_wav_ima_adpcm([0, 1, 0, 1]))
-    hdr[22] = 2  # channels
-    with pytest.raises(NotImplementedError, match="mono"):
+    fmt_at = hdr.index(b"fmt ") + 8
+    hdr[fmt_at : fmt_at + 2] = st.pack("<H", 6)  # WAVE_FORMAT_ALAW
+    with pytest.raises(NotImplementedError, match="format 6"):
         decode_wav_samples(bytes(hdr))
+
+
+def test_wav_adpcm_stereo_word_interleave_roundtrip():
+    """Stereo IMA-ADPCM (two channel headers + alternating 4-byte
+    channel words): exact-decodable signals round-trip bit-for-bit,
+    per-channel state stays independent, and frame counts straddling
+    block boundaries trim correctly via the per-channel fact count."""
+    from falcon_metrics_etl_spark.functions.multimodal import (
+        decode_wav_samples,
+        encode_wav_ima_adpcm,
+    )
+
+    for frames in (1, 2, 248, 249, 250, 498, 1000):
+        inter = []
+        for i in range(frames):
+            inter += [100 + (i & 1), 40]  # L alternates, R constant
+        d = decode_wav_samples(encode_wav_ima_adpcm(inter, channels=2))
+        assert d["channels"] == 2 and d["format"] == 17
+        assert d["samples"] == inter, frames
+    # lossy random stereo still yields exact length + decoder parity
+    import random
+
+    rng = random.Random(11)
+    inter = [rng.randint(-32768, 32767) for _ in range(2 * 777)]
+    d = decode_wav_samples(encode_wav_ima_adpcm(inter, channels=2))
+    assert len(d["samples"]) == len(inter)
+    # channels decode independently: right channel of an
+    # (exact-L, exact-R) signal equals its mono decode
+    left = [10 + (i & 1) for i in range(500)]
+    right = [90 + (i & 1) for i in range(500)]
+    inter = [s for pair in zip(left, right) for s in pair]
+    d = decode_wav_samples(encode_wav_ima_adpcm(inter, channels=2))
+    assert d["samples"][0::2] == left and d["samples"][1::2] == right
