@@ -580,7 +580,13 @@ _QC_BIAS = TX.QC_BIAS        # fixed logit bias (slight reject prior)
     "side at input bandwidth with the weight 'vector' folded into "
     "the expression instead of broadcast. Swapping real fastText "
     "weights in means replacing the bucket->weight expression with a "
-    f"{_QC_BUCKETS}-element broadcast array lookup — same plan.",
+    f"{_QC_BUCKETS}-element broadcast array lookup — same plan. COST "
+    "NOTE: the feature hash here is md5 (engine-portable, so the "
+    "oracle computes bit-identical scores); a production deployment "
+    "swaps portable_hash60 for xxhash64 in hashed_ngram_weight_sum — "
+    "one line, same plan, substantially cheaper per feature (the "
+    "substring family already uses xxhash64 for exactly this reason: "
+    "its hashes are internal keys, not oracle-compared values).",
     tags=("text", "quality", "classifier", "training-data"),
     oracle=f"""
 WITH feats AS (
