@@ -940,6 +940,64 @@ def _ima_encode_nibble(s: int, predictor: int, index: int) -> int:
     return nibble
 
 
+# G.711 companded telephony audio (public ITU-T spec; the constants
+# and branch structure are the classic CCITT reference decode)
+_G711_SIGN, _G711_QUANT, _G711_SEG, _G711_SHIFT, _G711_BIAS = (
+    0x80, 0x0F, 0x70, 4, 0x84,
+)
+
+
+def g711_ulaw_to_linear(b: int) -> int:
+    """One mu-law byte -> 16-bit linear sample (max magnitude 32124)."""
+    u = ~b & 0xFF
+    t = ((u & _G711_QUANT) << 3) + _G711_BIAS
+    t <<= (u & _G711_SEG) >> _G711_SHIFT
+    return (_G711_BIAS - t) if (u & _G711_SIGN) else (t - _G711_BIAS)
+
+
+def g711_alaw_to_linear(b: int) -> int:
+    """One A-law byte -> 16-bit linear sample (max magnitude 32256)."""
+    a = b ^ 0x55
+    t = (a & _G711_QUANT) << 4
+    seg = (a & _G711_SEG) >> _G711_SHIFT
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t += 0x108
+        t <<= seg - 1
+    return t if (a & _G711_SIGN) else -t
+
+
+def encode_wav_g711(
+    data: bytes,
+    law: str,
+    sample_rate: int = WAV_SAMPLE_RATE,
+    channels: int = 1,
+) -> bytes:
+    """G.711 WAV container: format 6 (A-law) / 7 (mu-law), 8 bits per
+    companded sample, raw bytes as the data chunk."""
+    fmt_tag = {"alaw": 6, "ulaw": 7}[law]
+    fmt = struct.pack(
+        "<HHIIHHH", fmt_tag, channels, sample_rate,
+        sample_rate * channels, channels, 8, 0,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<II", 4, len(data) // channels)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def encode_wav_ima_adpcm(
     samples: list[int],
     sample_rate: int = WAV_SAMPLE_RATE,
@@ -1038,12 +1096,12 @@ def decode_wav_samples(payload: bytes) -> dict:
     audio_format, channels, sample_rate, _, block_align, bits = struct.unpack(
         "<HHIIHH", payload[20:36]
     )
-    if audio_format not in (1, 3, 17):
-        # STUB BOUNDARY: other compressed audio (mp3-in-wav, A-law/
-        # mu-law) needs a codec lib
+    if audio_format not in (1, 3, 6, 7, 17):
+        # STUB BOUNDARY: other compressed audio (mp3-in-wav, MS-ADPCM)
+        # needs a codec lib
         raise NotImplementedError(
-            f"WAV format {audio_format}: integer PCM (1), IEEE float (3) "
-            "and IMA-ADPCM (17) only"
+            f"WAV format {audio_format}: integer PCM (1), IEEE float (3), "
+            "G.711 A-law (6) / mu-law (7) and IMA-ADPCM (17) only"
         )
     if channels not in (1, 2):
         raise NotImplementedError("mono/stereo decode only")
@@ -1051,6 +1109,8 @@ def decode_wav_samples(payload: bytes) -> dict:
         raise NotImplementedError("8/16-bit integer PCM decode only")
     if audio_format == 3 and bits != 32:
         raise NotImplementedError("IEEE float WAV must be 32-bit")
+    if audio_format in (6, 7) and bits != 8:
+        raise ValueError("G.711 WAV must be 8-bit companded")
     if audio_format == 17:
         if bits != 4:
             raise ValueError("IMA-ADPCM WAV must be 4-bit")
@@ -1091,6 +1151,10 @@ def decode_wav_samples(payload: bytes) -> dict:
                 samples = list(
                     struct.unpack(f"<{len(body) // 4}f", body[: len(body) // 4 * 4])
                 )
+            elif audio_format == 6:
+                samples = [g711_alaw_to_linear(b) for b in body]
+            elif audio_format == 7:
+                samples = [g711_ulaw_to_linear(b) for b in body]
             elif bits == 8:
                 samples = list(body)
             else:
@@ -1348,6 +1412,71 @@ ADPCM_DUR_MOD = 250  # shorter clips than PCM: the per-nibble state
 # machine is pure Python on both encode and decode, and the codec
 # exercise (block walk, predictor tracking, fact trim) is identical at
 # 250 ms and 2 s — only the test wall-clock differs
+
+
+G711_DUR_MOD = 500
+
+
+def attach_payload_wav_g711(docs: DataFrame) -> DataFrame:
+    """documents -> TWO G.711 WAVs per doc (one mu-law, one A-law)
+    over the same deterministic byte ramp b_i = (base + 7*i) mod 256:
+    a full-range companded sweep, so header math cannot fake the
+    decoded statistics and every code point is exercised."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                dur = int(h[8:12], 16) % G711_DUR_MOD + 1
+                base = int(h[12:14], 16)
+                n = WAV_SAMPLE_RATE * dur // 1000
+                data = bytes((base + 7 * i) & 0xFF for i in range(n))
+                for law in ("ulaw", "alaw"):
+                    rows.append(
+                        (int(doc_id), law, encode_wav_g711(data, law))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "law", "payload"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, law string, payload binary"
+    )
+
+
+def wav_g711_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched G.711 sample statistics, one row per (doc, law)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, law, p in zip(
+                pdf["doc_id"], pdf["law"], pdf["payload"]
+            ):
+                d = decode_wav_samples(bytes(p))
+                s = d["samples"]
+                if not s:
+                    raise ValueError("WAV: empty data chunk")
+                rows.append(
+                    (
+                        int(doc_id), law, len(s),
+                        min(s), max(s), sum(s),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "law", "n_samples",
+                    "min_sample", "max_sample", "sum_samples",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        schema="doc_id long, law string, n_samples long, "
+        "min_sample int, max_sample int, sum_samples long",
+    )
 
 
 def attach_payload_wav_adpcm(docs: DataFrame) -> DataFrame:

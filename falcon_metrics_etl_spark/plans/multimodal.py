@@ -505,6 +505,72 @@ def multimodal_wav_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.wav_sample_stats(media)
 
 
+# G.711 decode replayed as pure SQL arithmetic (the CCITT reference
+# branch structure; {b} is the companded byte expression)
+_DUCK_ULAW = """(
+    CASE WHEN (255 - ({b})) >= 128
+         THEN 132 - (((((255 - ({b})) % 16) * 8) + 132)
+                     << ((((255 - ({b})) // 16) % 8)))
+         ELSE (((((255 - ({b})) % 16) * 8) + 132)
+               << ((((255 - ({b})) // 16) % 8))) - 132
+    END)"""
+_DUCK_ALAW = """(
+    CASE WHEN xor(({b}), 85) >= 128 THEN 1 ELSE -1 END *
+    CASE ((xor(({b}), 85) // 16) % 8)
+         WHEN 0 THEN (xor(({b}), 85) % 16) * 16 + 8
+         WHEN 1 THEN (xor(({b}), 85) % 16) * 16 + 264
+         ELSE ((xor(({b}), 85) % 16) * 16 + 264)
+              << (((xor(({b}), 85) // 16) % 8) - 1)
+    END)"""
+
+
+@register(
+    "multimodal_wav_g711_stats",
+    doc="REAL G.711 telephony decode (WAV formats 6/7 — A-law and "
+    "mu-law, the last named audio stubs after r7's ADPCM): each "
+    "document carries a full-range companded byte sweep in BOTH laws; "
+    "the decoder expands every code point through the CCITT "
+    "segment/mantissa arithmetic and the oracle REPLAYS that exact "
+    "arithmetic in SQL over a generated byte series — an independent "
+    "spec re-implementation, not a copied table. Output long-form, "
+    "one row per (doc, law). Audio boundary after this: mp3-in-wav "
+    "and MS-ADPCM only (genuinely codec-lib territory).",
+    tags=("multimodal", "pandas-udf", "binary", "codec", "audio"),
+    oracle=f"""
+WITH durs AS (
+    SELECT doc_id,
+           ('0x' || substring(md5(text), 9, 4))::INT % {MM.G711_DUR_MOD} + 1
+               AS dur,
+           ('0x' || substring(md5(text), 13, 2))::INT AS b0
+    FROM documents
+),
+bytes AS (
+    SELECT doc_id, law, ((b0 + 7 * i) % 256) AS b
+    FROM durs,
+         unnest(range(0, 8 * dur)) AS t(i),
+         (SELECT unnest(['ulaw', 'alaw']) AS law)
+),
+decoded AS (
+    SELECT doc_id, law,
+           CASE WHEN law = 'ulaw' THEN {_DUCK_ULAW.format(b='b')}
+                ELSE {_DUCK_ALAW.format(b='b')} END AS v
+    FROM bytes
+)
+SELECT doc_id, law,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(MIN(v) AS INT) AS min_sample,
+       CAST(MAX(v) AS INT) AS max_sample,
+       CAST(SUM(v) AS BIGINT) AS sum_samples
+FROM decoded
+GROUP BY doc_id, law
+""",
+)
+def multimodal_wav_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_wav_g711(docs)
+    return MM.wav_g711_stats(media)
+
+
 @register(
     "payload_inflate_roundtrip",
     doc="F14 zlib payload inflation (inflateResponse, "

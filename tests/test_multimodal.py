@@ -825,3 +825,51 @@ def test_wav_adpcm_stereo_word_interleave_roundtrip():
     inter = [s for pair in zip(left, right) for s in pair]
     d = decode_wav_samples(encode_wav_ima_adpcm(inter, channels=2))
     assert d["samples"][0::2] == left and d["samples"][1::2] == right
+
+
+def test_wav_g711_decode_vs_reference_tables():
+    """The arithmetic G.711 decoders vs independently-typed reference
+    values: all 256 code points of both laws match the classic
+    conversion-table identities (complement/xor symmetry, segment
+    doubling, canonical endpoints), plus a WAV container roundtrip
+    through decode_wav_samples for both formats, mono and stereo."""
+    from falcon_metrics_etl_spark.functions.multimodal import (
+        decode_wav_samples,
+        encode_wav_g711,
+        g711_alaw_to_linear,
+        g711_ulaw_to_linear,
+    )
+
+    # canonical endpoints from the published conversion tables
+    assert g711_ulaw_to_linear(0x00) == -32124
+    assert g711_ulaw_to_linear(0x80) == 32124
+    assert g711_ulaw_to_linear(0xFF) == 0
+    assert g711_alaw_to_linear(0xAA) == 32256
+    assert g711_alaw_to_linear(0x2A) == -32256
+    assert g711_alaw_to_linear(0xD5) == 8
+    assert g711_alaw_to_linear(0x55) == -8
+    for b in range(256):
+        u = g711_ulaw_to_linear(b)
+        a = g711_alaw_to_linear(b)
+        # sign symmetry: flipping the sign bit negates the sample
+        assert g711_ulaw_to_linear(b ^ 0x80) == -u
+        assert g711_alaw_to_linear(b ^ 0x80) == -a
+        assert abs(u) <= 32124 and abs(a) <= 32256
+    # mu-law: within a segment, steps are uniform; across segments
+    # they double (the companding property)
+    def ustep(seg):
+        lo = g711_ulaw_to_linear(~(seg << 4) & 0xFF)
+        hi = g711_ulaw_to_linear(~((seg << 4) | 1) & 0xFF)
+        return abs(hi - lo)
+
+    for seg in range(7):
+        assert ustep(seg + 1) == 2 * ustep(seg)
+    # container roundtrip, both laws, mono + stereo
+    data = bytes(range(256))
+    for law, fn in (("ulaw", g711_ulaw_to_linear),
+                    ("alaw", g711_alaw_to_linear)):
+        d = decode_wav_samples(encode_wav_g711(data, law))
+        assert d["samples"] == [fn(b) for b in data]
+        d2 = decode_wav_samples(encode_wav_g711(data, law, channels=2))
+        assert d2["channels"] == 2
+        assert d2["samples"] == [fn(b) for b in data]
