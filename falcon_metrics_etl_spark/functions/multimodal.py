@@ -940,6 +940,166 @@ def _ima_encode_nibble(s: int, predictor: int, index: int) -> int:
     return nibble
 
 
+# MS-ADPCM (WAV format 2) — public Microsoft WAVE spec constants
+_MS_COEFFS = ((256, 0), (512, -256), (0, 0), (192, 64),
+              (240, 0), (460, -208), (392, -232))
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+
+
+def _ms_adpcm_step(
+    nibble: int, s1: int, s2: int, delta: int, c1: int, c2: int
+) -> tuple[int, int]:
+    """One MS-ADPCM decode step: returns (sample, next_delta).
+    ``nibble`` is the raw unsigned 4-bit code; its signed value is
+    two's complement."""
+    signed = nibble - 16 if nibble >= 8 else nibble
+    pred = ((s1 * c1 + s2 * c2) >> 8) + signed * delta
+    pred = max(-32768, min(32767, pred))
+    delta = max(16, (_MS_ADAPT[nibble] * delta) >> 8)
+    return pred, delta
+
+
+def _ms_decode_block(block: bytes, channels: int) -> list[int]:
+    """Decode one MS-ADPCM block (mono or stereo): per-channel 7-byte
+    headers (predictor index, int16 delta, int16 sample1, int16
+    sample2), then one nibble per channel per frame — HIGH nibble
+    first; stereo alternates channels within each byte."""
+    hdr = 7 * channels
+    if len(block) < hdr:
+        raise ValueError("MS-ADPCM: truncated block header")
+    coef = []
+    delta = []
+    s1 = []
+    s2 = []
+    for c in range(channels):
+        pidx = block[c]
+        if pidx >= len(_MS_COEFFS):
+            raise ValueError(f"MS-ADPCM: predictor index {pidx} out of range")
+        coef.append(_MS_COEFFS[pidx])
+        (d,) = struct.unpack("<h", block[channels + 2 * c:
+                                         channels + 2 * c + 2])
+        delta.append(d)
+        (a,) = struct.unpack("<h", block[3 * channels + 2 * c:
+                                         3 * channels + 2 * c + 2])
+        s1.append(a)
+        (b,) = struct.unpack("<h", block[5 * channels + 2 * c:
+                                         5 * channels + 2 * c + 2])
+        s2.append(b)
+    # output starts with the two header samples per channel,
+    # OLDER (sample2) first, channel-interleaved
+    out = []
+    for c in range(channels):
+        out.append(s2[c])
+    for c in range(channels):
+        out.append(s1[c])
+    chan = 0
+    for byte in block[hdr:]:
+        for nibble in (byte >> 4, byte & 0x0F):
+            c = chan % channels
+            sample, delta[c] = _ms_adpcm_step(
+                nibble, s1[c], s2[c], delta[c], *coef[c]
+            )
+            s2[c], s1[c] = s1[c], sample
+            out.append(sample)
+            chan += 1
+    return out
+
+
+def encode_wav_ms_adpcm(
+    samples: list[int],
+    sample_rate: int = WAV_SAMPLE_RATE,
+    block_align: int = ADPCM_BLOCK_ALIGN,
+    channels: int = 1,
+    predictor: int = 0,
+    initial_delta: int = 16,
+) -> bytes:
+    """MS-ADPCM (WAV format 2) encoder, mono or stereo interleaved:
+    fixed predictor choice (callers pick; real encoders try all 7 and
+    keep the best), nibbles quantized and state-tracked through the
+    SAME ``_ms_adpcm_step`` the decoder uses. The fact chunk records
+    the true per-channel sample count."""
+    if channels not in (1, 2):
+        raise ValueError("MS-ADPCM encode: mono/stereo only")
+    if channels == 2 and len(samples) % 2:
+        raise ValueError("MS-ADPCM encode: odd stereo sample count")
+    frames = len(samples) // channels
+    if frames < 2:
+        raise ValueError("MS-ADPCM encode: need at least 2 frames")
+    chans = [samples[c::channels] for c in range(channels)]
+    fpb = (block_align - 7 * channels) * 2 // channels + 2
+    c1, c2 = _MS_COEFFS[predictor]
+    blocks = []
+    for start in range(0, frames, fpb):
+        chunk_len = min(fpb, frames - start)
+        if chunk_len < 2:
+            # spec blocks carry two header samples; a 1-frame tail
+            # repeats the final sample (fact trims it back)
+            chunk_len = 2
+        state = []
+        for c in range(channels):
+            ch = chans[c][start : start + chunk_len]
+            if len(ch) < 2:
+                ch = ch + ch[-1:]
+            state.append({
+                "s2": ch[0], "s1": ch[1], "delta": initial_delta,
+                "rest": ch[2:],
+            })
+        header = bytearray()
+        for c in range(channels):
+            header.append(predictor)
+        for c in range(channels):
+            header += struct.pack("<h", state[c]["delta"])
+        for c in range(channels):
+            header += struct.pack("<h", state[c]["s1"])
+        for c in range(channels):
+            header += struct.pack("<h", state[c]["s2"])
+        n_nibbles = (block_align - 7 * channels) * 2
+        nibbles = []
+        for i in range(n_nibbles):
+            c = i % channels
+            st = state[c]
+            pos = i // channels
+            pred = (st["s1"] * c1 + st["s2"] * c2) >> 8
+            target = st["rest"][pos] if pos < len(st["rest"]) else pred
+            signed = (target - pred) // st["delta"] if st["delta"] else 0
+            signed = max(-8, min(7, signed))
+            nibble = signed & 0x0F
+            sample, st["delta"] = _ms_adpcm_step(
+                nibble, st["s1"], st["s2"], st["delta"], c1, c2
+            )
+            st["s2"], st["s1"] = st["s1"], sample
+            nibbles.append(nibble)
+        body = bytes(
+            (nibbles[i] << 4) | nibbles[i + 1]
+            for i in range(0, len(nibbles), 2)
+        )
+        blocks.append(bytes(header) + body)
+    data = b"".join(blocks)
+    byte_rate = (sample_rate * block_align + fpb - 1) // fpb
+    # fmt extension: wSamplesPerBlock + wNumCoef + the 7 coeff pairs
+    ext = struct.pack("<HH", fpb, len(_MS_COEFFS))
+    for a, b in _MS_COEFFS:
+        ext += struct.pack("<hh", a, b)
+    fmt = struct.pack(
+        "<HHIIHHH", 2, channels, sample_rate, byte_rate, block_align,
+        4, len(ext),
+    ) + ext
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<II", 4, frames)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 # G.711 companded telephony audio (public ITU-T spec; the constants
 # and branch structure are the classic CCITT reference decode)
 _G711_SIGN, _G711_QUANT, _G711_SEG, _G711_SHIFT, _G711_BIAS = (
@@ -1096,12 +1256,12 @@ def decode_wav_samples(payload: bytes) -> dict:
     audio_format, channels, sample_rate, _, block_align, bits = struct.unpack(
         "<HHIIHH", payload[20:36]
     )
-    if audio_format not in (1, 3, 6, 7, 17):
-        # STUB BOUNDARY: other compressed audio (mp3-in-wav, MS-ADPCM)
-        # needs a codec lib
+    if audio_format not in (1, 2, 3, 6, 7, 17):
+        # STUB BOUNDARY: perceptual codecs (mp3-in-wav) need a codec lib
         raise NotImplementedError(
-            f"WAV format {audio_format}: integer PCM (1), IEEE float (3), "
-            "G.711 A-law (6) / mu-law (7) and IMA-ADPCM (17) only"
+            f"WAV format {audio_format}: integer PCM (1), MS-ADPCM (2), "
+            "IEEE float (3), G.711 A-law (6) / mu-law (7) and "
+            "IMA-ADPCM (17) only"
         )
     if channels not in (1, 2):
         raise NotImplementedError("mono/stereo decode only")
@@ -1116,6 +1276,11 @@ def decode_wav_samples(payload: bytes) -> dict:
             raise ValueError("IMA-ADPCM WAV must be 4-bit")
         if block_align < 5 * channels:
             raise ValueError("IMA-ADPCM: block align too small")
+    if audio_format == 2:
+        if bits != 4:
+            raise ValueError("MS-ADPCM WAV must be 4-bit")
+        if block_align < 8 * channels:
+            raise ValueError("MS-ADPCM: block align too small")
     fact_samples = None
     pos = 20 + fmt_len
     while pos + 8 <= len(payload):
@@ -1127,7 +1292,23 @@ def decode_wav_samples(payload: bytes) -> dict:
             )
         if tag == b"data":
             body = payload[pos + 8 : pos + 8 + size]
-            if audio_format == 17:
+            if audio_format == 2:
+                samples = []
+                for off in range(0, len(body), block_align):
+                    samples.extend(
+                        _ms_decode_block(
+                            body[off : off + block_align], channels
+                        )
+                    )
+                if fact_samples is not None:
+                    want = fact_samples * channels
+                    if want > len(samples):
+                        raise ValueError(
+                            "MS-ADPCM: fact chunk claims more samples "
+                            "than the data chunk decodes"
+                        )
+                    samples = samples[:want]
+            elif audio_format == 17:
                 decode_block = (
                     _ima_decode_block_stereo
                     if channels == 2
@@ -1412,6 +1593,39 @@ ADPCM_DUR_MOD = 250  # shorter clips than PCM: the per-nibble state
 # machine is pure Python on both encode and decode, and the codec
 # exercise (block walk, predictor tracking, fact trim) is identical at
 # 250 ms and 2 s — only the test wall-clock differs
+
+
+def attach_payload_wav_ms_adpcm(docs: DataFrame) -> DataFrame:
+    """documents -> MS-ADPCM WAVs carrying an amplitude-16 square wave
+    (base, base+16 alternation): with predictor 0 (coeffs 256,0 — pure
+    previous-sample prediction) and initial delta 16, the +/-16 steps
+    quantize to nibbles +/-1 and the adaption table PINS delta at 16
+    (230*16>>8 = 14 -> clamped 16), so the lossy codec is bit-faithful
+    on this signal and the oracle's closed form holds — while decode
+    still walks blocks, predictor state and the fact trim."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                dur = int(h[8:12], 16) % ADPCM_DUR_MOD + 1
+                base = int(h[12:14], 16) % SQUARE_BASE_MOD
+                n = WAV_SAMPLE_RATE * dur // 1000
+                samples = [base + 16 * (i & 1) for i in range(n)]
+                payloads.append(encode_wav_ms_adpcm(samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": "audio",
+                    "codec": "wav",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, media_type string, codec string, payload binary"
+    )
 
 
 G711_DUR_MOD = 500

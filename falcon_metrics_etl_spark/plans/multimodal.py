@@ -479,7 +479,7 @@ def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "codec; the general encoder/decoder pair is fuzz-tested "
     "separately against an independent reference decoder; stereo's "
     "4-byte channel-word interleave decodes too. Remaining audio "
-    "stubs: mp3-in-wav, A-law/mu-law.",
+    "stub: mp3-in-wav (perceptual codec-lib territory).",
     tags=("multimodal", "pandas-udf", "binary", "codec", "audio"),
     oracle="""
 WITH durs AS (
@@ -502,6 +502,45 @@ FROM durs
 def multimodal_wav_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_payload_wav_adpcm(docs)
+    return MM.wav_sample_stats(media)
+
+
+@register(
+    "multimodal_wav_ms_adpcm_stats",
+    doc="REAL MS-ADPCM decode (WAV format 2 — the Microsoft WAVE "
+    "spec's coefficient-predicted 4-bit codec, the other half of the "
+    "ADPCM family next to IMA): per-block per-channel 7-byte headers "
+    "(predictor index, delta, two seed samples), high-nibble-first "
+    "codes, adaptive delta via the published 16-entry table. The "
+    "carried signal is an amplitude-16 square wave, which predictor 0 "
+    "+ initial delta 16 quantizes EXACTLY (delta pins at its 16 "
+    "floor), so the closed-form oracle stays valid against a lossy "
+    "codec; the general encoder/decoder pair is fuzz-covered in "
+    "pytest. Audio boundary after this: mp3-in-wav only.",
+    tags=("multimodal", "pandas-udf", "binary", "codec", "audio"),
+    oracle="""
+WITH durs AS (
+    SELECT doc_id,
+           ('0x' || substring(md5(text), 9, 4))::INT % 250 + 1 AS dur,
+           ('0x' || substring(md5(text), 13, 2))::INT % 200 AS b
+    FROM documents
+)
+SELECT doc_id, 8000 AS sample_rate,
+       CAST(8 * dur AS BIGINT) AS n_samples,
+       CAST(dur AS INT) AS duration_ms,
+       CAST(b AS INT) AS min_sample,
+       CAST(b + 16 AS INT) AS max_sample,
+       CAST(8 * dur * b + 16 * ((8 * dur) // 2) AS BIGINT) AS sum_samples,
+       CAST(8 * dur * b + 16 * ((8 * dur) // 2) AS DOUBLE) / (8 * dur)
+           AS mean_sample
+FROM durs
+""",
+)
+def multimodal_wav_ms_adpcm_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_wav_ms_adpcm(docs)
     return MM.wav_sample_stats(media)
 
 
