@@ -573,7 +573,8 @@ _DUCK_ALAW = """(
     "arithmetic in SQL over a generated byte series — an independent "
     "spec re-implementation, not a copied table. Output long-form, "
     "one row per (doc, law). Audio boundary after this: mp3-in-wav "
-    "and MS-ADPCM only (genuinely codec-lib territory).",
+    "only (perceptual codec-lib territory; MS-ADPCM decodes too — "
+    "multimodal_wav_ms_adpcm_stats).",
     tags=("multimodal", "pandas-udf", "binary", "codec", "audio"),
     oracle=f"""
 WITH durs AS (
