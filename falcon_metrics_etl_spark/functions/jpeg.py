@@ -1,0 +1,420 @@
+"""Baseline JPEG (ITU-T T.81) — grayscale encoder + decoder, pure
+stdlib, for the multimodal decode layer.
+
+Scope (honest boundary): baseline sequential DCT, 8-bit, single
+grayscale component, one scan, no restart markers, no progressive/
+arithmetic coding, no chroma subsampling (color needs the 3-component
+MCU interleave — NotImplementedError below). Within that scope the
+decode is REAL: marker walk, DQT/DHT table parsing, Huffman entropy
+decode with byte unstuffing, differential DC, run-length AC,
+dezigzag, dequantization and the full 2-D IDCT with the spec's
+level shift + clamp.
+
+Reference behavior: T.81 Annex F (entropy coding), Annex K (the
+example quantization + Huffman tables, used by the encoder).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# zigzag scan order: index i of the scan -> (row, col) raster position
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# T.81 Annex K.1 luminance quantization table (raster order)
+STD_QUANT = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+
+# Annex K.3 typical Huffman tables for luminance DC / AC:
+# (bits[1..16], values)
+STD_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+STD_DC_VALS = tuple(range(12))
+STD_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+STD_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+# precomputed cos lookup for the float (I)DCT
+_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+    for x in range(8)
+]
+_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def _build_codes(bits, values):
+    """T.81 C.2: canonical Huffman (code, length) per symbol."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decode_table(bits, values):
+    """(length, code) -> symbol for the decoder."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-pad to byte boundary
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG: entropy stream exhausted")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG: dangling 0xFF in entropy stream")
+            marker = self.data[self.pos]
+            if marker == 0x00:
+                self.pos += 1  # unstuff
+            elif marker == 0xD9:  # EOI reached mid-read: padding bits
+                byte = 0xFF
+            else:
+                raise ValueError(
+                    f"JPEG: unexpected marker 0xFF{marker:02X} in scan "
+                    "(restart markers unsupported)"
+                )
+        self.acc = (self.acc << 8) | byte
+        self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid Huffman code in scan")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map ``size`` raw bits to a signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _size_cat(v: int) -> int:
+    size = 0
+    a = abs(v)
+    while a:
+        a >>= 1
+        size += 1
+    return size
+
+
+def _fdct_quant(block, quant) -> list[int]:
+    """Float FDCT of one level-shifted 8x8 block + quantization,
+    zigzag order out."""
+    coef = [[0.0] * 8 for _ in range(8)]
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        (block[x][y] - 128)
+                        * _COS[x][u]
+                        * _COS[y][v]
+                    )
+            coef[u][v] = 0.25 * _C[u] * _C[v] * s
+    out = []
+    for i in range(64):
+        r, c = divmod(ZIGZAG[i], 8)
+        out.append(int(round(coef[r][c] / quant[ZIGZAG[i]])))
+    return out
+
+
+def _idct_block(zz, quant) -> list[list[int]]:
+    """Dezigzag + dequant + float 2-D IDCT + level shift + clamp."""
+    coef = [[0.0] * 8 for _ in range(8)]
+    for i in range(64):
+        r, c = divmod(ZIGZAG[i], 8)
+        coef[r][c] = zz[i] * quant[ZIGZAG[i]]
+    out = []
+    for x in range(8):
+        row = []
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    s += (
+                        _C[u] * _C[v] * coef[u][v]
+                        * _COS[x][u] * _COS[y][v]
+                    )
+            val = int(round(s / 4)) + 128
+            row.append(max(0, min(255, val)))
+        out.append(row)
+    return out
+
+
+def encode_jpeg_gray(pixels, quant=STD_QUANT) -> bytes:
+    """Encode a grayscale image (list of rows, 0-255) as a baseline
+    JFIF JPEG: float FDCT, Annex-K quantization + Huffman tables,
+    differential DC, run-length AC with EOB/ZRL, byte stuffing."""
+    h = len(pixels)
+    w = len(pixels[0])
+    bh = (h + 7) // 8
+    bw = (w + 7) // 8
+    dc_codes = _build_codes(STD_DC_BITS, STD_DC_VALS)
+    ac_codes = _build_codes(STD_AC_BITS, STD_AC_VALS)
+    writer = _BitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = [
+                [
+                    pixels[min(by * 8 + x, h - 1)][min(bx * 8 + y, w - 1)]
+                    for y in range(8)
+                ]
+                for x in range(8)
+            ]
+            zz = _fdct_quant(block, quant)
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            size = _size_cat(diff)
+            code, length = dc_codes[size]
+            writer.write(code, length)
+            if size:
+                writer.write(diff if diff >= 0 else diff - 1 + (1 << size),
+                             size)
+            run = 0
+            last_nz = 0
+            for i in range(1, 64):
+                if zz[i]:
+                    last_nz = i
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    writer.write(code, length)
+                    run -= 16
+                size = _size_cat(zz[i])
+                code, length = ac_codes[(run << 4) | size]
+                writer.write(code, length)
+                v = zz[i]
+                writer.write(v if v >= 0 else v - 1 + (1 << size), size)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]  # EOB
+                writer.write(code, length)
+    scan = writer.flush()
+
+    def seg(marker, payload):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) \
+            + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(quant[ZIGZAG[i]] for i in range(64)))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0)))
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(STD_DC_BITS)
+                 + bytes(STD_DC_VALS))
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes(STD_AC_BITS)
+                 + bytes(STD_AC_VALS))
+    sos = seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1)
+               + bytes((0, 0)))
+    return (b"\xff\xd8" + app0 + dqt + sof + dht_dc + dht_ac + sos
+            + scan + b"\xff\xd9")
+
+
+def decode_jpeg_gray(payload: bytes) -> dict:
+    """Decode a baseline grayscale JPEG: returns {width, height,
+    pixels} with ``pixels`` as a row-major list of lists (the padded
+    block edge trimmed to the declared dimensions)."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    quant = {}
+    dc_tables = {}
+    ac_tables = {}
+    w = h = None
+    comp_dq = None
+    scan_at = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG: marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = body[i + 1 : i + 65]
+                raster = [0] * 64
+                for k in range(64):
+                    raster[ZIGZAG[k]] = zz[k]
+                quant[tq] = raster
+                i += 65
+        elif marker == 0xC0:
+            precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise NotImplementedError("8-bit baseline only")
+            if ncomp != 1:
+                # color needs the 3-component MCU interleave + YCbCr
+                raise NotImplementedError(
+                    "grayscale baseline only (color JPEG unsupported)"
+                )
+            cid, sampling, comp_dq = body[6], body[7], body[8]
+            if sampling != 0x11:
+                raise NotImplementedError("no subsampling for grayscale")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0}: baseline sequential only"
+            )
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = tuple(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = tuple(body[i + 17 : i + 17 + nvals])
+                table = _build_decode_table(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = table
+                i += 17 + nvals
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError("single-component scan only")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            scan_at = pos + 2 + seg_len
+            break
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        pos += 2 + seg_len
+    if scan_at is None or w is None:
+        raise ValueError("JPEG: missing SOS/SOF0")
+    if comp_dq not in quant:
+        raise ValueError("JPEG: component references missing quant table")
+    if td not in dc_tables or ta not in ac_tables:
+        raise ValueError("JPEG: scan references missing Huffman table")
+    q = quant[comp_dq]
+    reader = _BitReader(payload[scan_at:])
+    bh = (h + 7) // 8
+    bw = (w + 7) // 8
+    pixels = [[0] * (bw * 8) for _ in range(bh * 8)]
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = [0] * 64
+            size = reader.read_symbol(dc_tables[td])
+            if size > 11:
+                raise ValueError("JPEG: DC size category out of range")
+            prev_dc += _extend(reader.read_bits(size), size)
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                rs = reader.read_symbol(ac_tables[ta])
+                run, size = rs >> 4, rs & 0x0F
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                i += run
+                if i > 63:
+                    raise ValueError("JPEG: AC run past block end")
+                zz[i] = _extend(reader.read_bits(size), size)
+                i += 1
+            block = _idct_block(zz, q)
+            for x in range(8):
+                row = pixels[by * 8 + x]
+                for y in range(8):
+                    row[bx * 8 + y] = block[x][y]
+    return {
+        "width": w,
+        "height": h,
+        "pixels": [row[:w] for row in pixels[:h]],
+    }

@@ -11,7 +11,7 @@ type at 1/2/4/8/16-bit, sequential and Adam7-interlaced), WAV
 (integer PCM 8/16-bit + IEEE float32, mono/stereo) and Y4M video
 (uncompressed planar frames) — with spec-valid encoders backing
 closed-form oracles. Only formats that genuinely require codec
-libraries remain stubbed (jpeg, compressed audio, h264 — clearly
+libraries remain stubbed (mp3, h264, color/progressive JPEG — clearly
 marked NotImplementedError below); the ``synthetic`` codec keeps the
 plumbing testable for those: binary columns through Arrow, batch
 iteration, output schema, partition-parallelism, and the downstream
@@ -1595,6 +1595,87 @@ ADPCM_DUR_MOD = 250  # shorter clips than PCM: the per-nibble state
 # 250 ms and 2 s — only the test wall-clock differs
 
 
+JPEG_BLOCKS_MOD = 4
+JPEG_DC_RANGE = 49  # per-block dc in [-24, 24] -> values 80..176
+
+
+def attach_payload_jpeg_blocks(docs: DataFrame) -> DataFrame:
+    """documents -> baseline grayscale JPEGs of blockwise-constant
+    images: (bw, bh) 8x8 blocks from md5, block b constant at
+    128 + 2*k_b with k_b = ((base + b) mod 49) - 24. Even offsets
+    quantize the DC exactly under the Annex-K table (Q0 = 16, DC =
+    (v-128)*8, quantized (v-128)/2 — integer), and a constant block's
+    float AC coefficients quantize to exactly 0 — so the lossy codec
+    is bit-faithful on these images and the closed-form oracle holds,
+    while decode still runs Huffman + dezigzag + dequant + IDCT."""
+    from falcon_metrics_etl_spark.functions.jpeg import encode_jpeg_gray
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                bw = int(h[0:4], 16) % JPEG_BLOCKS_MOD + 1
+                bh = int(h[4:8], 16) % JPEG_BLOCKS_MOD + 1
+                base = int(h[8:10], 16)
+                img = [
+                    [
+                        128 + 2 * (
+                            ((base + (y // 8) * bw + (x // 8))
+                             % JPEG_DC_RANGE) - 24
+                        )
+                        for x in range(8 * bw)
+                    ]
+                    for y in range(8 * bh)
+                ]
+                payloads.append(encode_jpeg_gray(img))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": "image",
+                    "codec": "jpeg",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, media_type string, codec string, payload binary"
+    )
+
+
+def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL JPEG pixel statistics (baseline grayscale
+    decode: Huffman entropy decode -> dequant -> IDCT -> raster)."""
+    from falcon_metrics_etl_spark.functions.jpeg import decode_jpeg_gray
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_jpeg_gray(bytes(p))
+                flat = [v for row in d["pixels"] for v in row]
+                rows.append(
+                    (
+                        int(doc_id), d["width"], d["height"], len(flat),
+                        min(flat), max(flat), sum(flat),
+                        sum(flat) / len(flat),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "min_pixel", "max_pixel", "sum_pixel", "mean_pixel",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run,
+        schema="doc_id long, width int, height int, n_pixels long, "
+        "min_pixel int, max_pixel int, sum_pixel long, mean_pixel double",
+    )
+
+
 def attach_payload_wav_ms_adpcm(docs: DataFrame) -> DataFrame:
     """documents -> MS-ADPCM WAVs carrying an amplitude-16 square wave
     (base, base+16 alternation): with predictor 0 (coeffs 256,0 — pure
@@ -1891,7 +1972,8 @@ def png_color_pixel_stats(media: DataFrame) -> DataFrame:
 # Y4M (YUV4MPEG2) — third real codec: an UNCOMPRESSED video container,
 # fully decodable in pure stdlib (header tokens + fixed-size planar
 # frames). Closes the "video frames" stub with a genuine format; the
-# remaining media stubs are compressed codecs only (jpeg/mp3/h264).
+# remaining media stubs are perceptual codecs only (mp3/h264) plus
+# color/progressive JPEG; baseline grayscale JPEG is real (jpeg.py).
 # ---------------------------------------------------------------------------
 Y4M_FRAMES_MOD = 8  # synthetic clips: 1..8 frames keeps payloads tiny
 

@@ -506,6 +506,52 @@ def multimodal_wav_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_pixel_stats",
+    doc="REAL baseline JPEG decode (functions/jpeg.py — ITU-T T.81 "
+    "sequential DCT, grayscale): marker walk, DQT/DHT parsing, "
+    "Huffman entropy decode with byte unstuffing, differential DC, "
+    "run-length AC, dezigzag, dequantization, full 2-D IDCT with "
+    "level shift — the image stub that remained after PNG closed in "
+    "r6. Payloads are blockwise-constant images whose even DC "
+    "offsets quantize exactly under the Annex-K table (constant "
+    "blocks have exactly-zero AC), so the closed-form oracle holds "
+    "against a lossy codec; general (AC-carrying) encode/decode is "
+    "fuzz-covered in pytest vs an independent reference decoder. "
+    "Honest remaining JPEG boundary: color (3-component MCU "
+    "interleave), progressive, restart markers.",
+    tags=("multimodal", "pandas-udf", "binary", "codec", "pixels"),
+    oracle=f"""
+WITH dims AS (
+    SELECT doc_id,
+           ('0x' || substring(md5(text), 1, 4))::INT % {MM.JPEG_BLOCKS_MOD} + 1 AS bw,
+           ('0x' || substring(md5(text), 5, 4))::INT % {MM.JPEG_BLOCKS_MOD} + 1 AS bh,
+           ('0x' || substring(md5(text), 9, 2))::INT AS base
+    FROM documents
+),
+blocks AS (
+    SELECT doc_id, bw, bh,
+           128 + 2 * (((base + i) % {MM.JPEG_DC_RANGE}) - 24) AS v
+    FROM dims, unnest(range(0, bw * bh)) AS t(i)
+)
+SELECT doc_id,
+       CAST(MIN(bw) * 8 AS INT) AS width,
+       CAST(MIN(bh) * 8 AS INT) AS height,
+       CAST(COUNT(*) * 64 AS BIGINT) AS n_pixels,
+       CAST(MIN(v) AS INT) AS min_pixel,
+       CAST(MAX(v) AS INT) AS max_pixel,
+       CAST(SUM(v) * 64 AS BIGINT) AS sum_pixel,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_pixel
+FROM blocks
+GROUP BY doc_id
+""",
+)
+def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_jpeg_blocks(docs)
+    return MM.jpeg_pixel_stats(media)
+
+
+@register(
     "multimodal_wav_ms_adpcm_stats",
     doc="REAL MS-ADPCM decode (WAV format 2 — the Microsoft WAVE "
     "spec's coefficient-predicted 4-bit codec, the other half of the "
@@ -678,7 +724,8 @@ FROM documents
     "then whole-clip luma statistics. The oracle replays the "
     "closed-form three-axis gradient sums — matching requires walking "
     "every frame. Video is no longer a synthetic-only stub; remaining "
-    "media stubs are compressed codecs (jpeg/mp3/h264). Map-only.",
+    "media stubs are perceptual codecs (mp3/h264); baseline grayscale "
+    "JPEG decodes for real (multimodal_jpeg_pixel_stats). Map-only.",
     tags=("multimodal", "pandas-udf", "binary", "codec", "video"),
     oracle=f"""
 WITH dims AS ({_DUCK_Y4M_DIMS})

@@ -987,3 +987,198 @@ def test_wav_ms_adpcm_malformed_payloads():
     wav2[fact_at : fact_at + 4] = st.pack("<I", 10**6)
     with pytest.raises(ValueError, match="fact chunk"):
         decode_wav_samples(bytes(wav2))
+
+
+def _reference_jpeg_decode(payload: bytes):
+    """Independent minimal baseline-grayscale JPEG decoder, typed in
+    separately from functions/jpeg.py: same T.81 spec, different
+    structure (single flat bit loop, dict-free huffman walk)."""
+    import math as m
+    import struct as st
+
+    zig = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    pos = 2
+    q = {}
+    huff = {}
+    w = h = None
+    scan = None
+    td = ta = cq = None
+    while True:
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = st.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                tq = body[i] & 15
+                q[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC0:
+            _, h, w, _ = st.unpack(">BHHB", body[:6])
+            cq = body[8]
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tcth = body[i]
+                bits = list(body[i + 1 : i + 17])
+                vals = list(body[i + 17 : i + 17 + sum(bits)])
+                codes = {}
+                code, k = 0, 0
+                for L in range(1, 17):
+                    for _ in range(bits[L - 1]):
+                        codes[(L, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[tcth] = codes
+                i += 17 + sum(bits)
+        elif marker == 0xDA:
+            td, ta = body[2] >> 4, body[2] & 15
+            scan = payload[pos + 2 + ln :]
+            break
+        pos += 2 + ln
+    # de-stuff the scan up to EOI
+    raw = bytearray()
+    i = 0
+    while i < len(scan):
+        b = scan[i]
+        if b == 0xFF:
+            if scan[i + 1] == 0x00:
+                raw.append(0xFF)
+                i += 2
+                continue
+            break
+        raw.append(b)
+        i += 1
+    bitpos = 0
+
+    def bit():
+        nonlocal bitpos
+        b = (raw[bitpos // 8] >> (7 - bitpos % 8)) & 1
+        bitpos += 1
+        return b
+
+    def sym(codes):
+        code = 0
+        for L in range(1, 17):
+            code = (code << 1) | bit()
+            if (L, code) in codes:
+                return codes[(L, code)]
+        raise ValueError("bad code")
+
+    def bits_val(n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | bit()
+        return v
+
+    def extend(v, n):
+        return v if n == 0 or v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+    cosv = [[m.cos((2 * x + 1) * u * m.pi / 16) for u in range(8)]
+            for x in range(8)]
+    cf = [1 / m.sqrt(2)] + [1.0] * 7
+    bh2, bw2 = (h + 7) // 8, (w + 7) // 8
+    out = [[0] * (bw2 * 8) for _ in range(bh2 * 8)]
+    dc = 0
+    for by in range(bh2):
+        for bx in range(bw2):
+            zz = [0] * 64
+            s = sym(huff[td])
+            dc += extend(bits_val(s), s)
+            zz[0] = dc
+            k = 1
+            while k < 64:
+                rs = sym(huff[0x10 | ta])
+                if rs == 0:
+                    break
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                k += rs >> 4
+                zz[k] = extend(bits_val(rs & 15), rs & 15)
+                k += 1
+            coef = [[0.0] * 8 for _ in range(8)]
+            for k in range(64):
+                coef[zig[k] // 8][zig[k] % 8] = zz[k] * q[cq][k]
+            for x in range(8):
+                for y in range(8):
+                    s2 = 0.0
+                    for u in range(8):
+                        for v in range(8):
+                            s2 += (cf[u] * cf[v] * coef[u][v]
+                                   * cosv[x][u] * cosv[y][v])
+                    out[by * 8 + x][bx * 8 + y] = max(
+                        0, min(255, int(round(s2 / 4)) + 128)
+                    )
+    return [row[:w] for row in out[:h]]
+
+
+def test_jpeg_roundtrip_flat_and_fuzz_vs_reference():
+    """Blockwise-constant images decode bit-exactly (even DC offsets,
+    zero AC); 40 random images — gradients, noise, edge dims not on
+    block boundaries — decode bit-identically through the package
+    decoder and the independent reference; smooth images stay within
+    quantization error."""
+    import random
+
+    from falcon_metrics_etl_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    img = [[128 + 2 * ((b % 49) - 24) for b in range(3) for _ in range(8)]
+           for _ in range(8)]
+    d = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert d["pixels"] == img
+    rng = random.Random(21)
+    for trial in range(40):
+        w = rng.randint(1, 40)
+        h = rng.randint(1, 40)
+        kind = trial % 3
+        if kind == 0:
+            img = [[min(255, x * 3 + y * 2) for x in range(w)]
+                   for y in range(h)]
+        elif kind == 1:
+            img = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        else:
+            img = [[128 + (50 if (x // 8 + y // 8) % 2 else -50)
+                    for x in range(w)] for y in range(h)]
+        enc = encode_jpeg_gray(img)
+        got = decode_jpeg_gray(enc)
+        assert got["width"] == w and got["height"] == h
+        ref = _reference_jpeg_decode(enc)
+        assert got["pixels"] == ref, (trial, kind, w, h)
+        if kind == 0:
+            err = max(abs(a - b) for ra, rb in zip(img, got["pixels"])
+                      for a, b in zip(ra, rb))
+            assert err <= 8, (trial, err)
+
+
+def test_jpeg_unsupported_features_raise_cleanly():
+    import pytest
+
+    from falcon_metrics_etl_spark.functions.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    enc = bytearray(encode_jpeg_gray([[100] * 8] * 8))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"\x00\x00" + bytes(enc[2:]))
+    # flip SOF0 -> SOF2 (progressive): clean NotImplementedError
+    sof_at = enc.index(b"\xff\xc0")
+    enc2 = bytearray(enc)
+    enc2[sof_at + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg_gray(bytes(enc2))
+    # truncate mid-scan: entropy exhaustion is a ValueError
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(enc[: len(enc) - 12]) )
