@@ -39,6 +39,18 @@ STD_QUANT = (
     72, 92, 95, 98, 112, 100, 103, 99,
 )
 
+# T.81 Annex K.1 chrominance quantization table (raster order)
+STD_QUANT_C = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+
 # Annex K.3 typical Huffman tables for luminance DC / AC:
 # (bits[1..16], values)
 STD_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
@@ -190,7 +202,14 @@ def _size_cat(v: int) -> int:
 
 def _fdct_quant(block, quant) -> list[int]:
     """Float FDCT of one level-shifted 8x8 block + quantization,
-    zigzag order out."""
+    zigzag order out. Constant blocks short-circuit (AC exactly
+    zero, DC in closed form) — the counterpart of the decoder's
+    DC-only fast path."""
+    first = block[0][0]
+    if all(v == first for row in block for v in row):
+        out = [0] * 64
+        out[0] = int(round((first - 128) * 8 / quant[0]))
+        return out
     coef = [[0.0] * 8 for _ in range(8)]
     for u in range(8):
         for v in range(8):
@@ -211,7 +230,19 @@ def _fdct_quant(block, quant) -> list[int]:
 
 
 def _idct_block(zz, quant) -> list[list[int]]:
-    """Dezigzag + dequant + float 2-D IDCT + level shift + clamp."""
+    """Dezigzag + dequant + float 2-D IDCT + level shift + clamp.
+
+    DC-only blocks short-circuit to the constant the full transform
+    would produce (the standard decoder fast path — mathematically
+    identical: every AC basis function integrates to zero over the
+    block); blocks with AC energy run the direct-form float sum,
+    bit-matched by the fuzz suite against an independent direct-form
+    reference decoder (a separable refactor would regroup the float
+    additions and drift at round-to-integer boundaries)."""
+    if not any(zz[1:]):
+        val = int(round(zz[0] * quant[0] / 8)) + 128
+        val = max(0, min(255, val))
+        return [[val] * 8 for _ in range(8)]
     coef = [[0.0] * 8 for _ in range(8)]
     for i in range(64):
         r, c = divmod(ZIGZAG[i], 8)
@@ -304,10 +335,149 @@ def encode_jpeg_gray(pixels, quant=STD_QUANT) -> bytes:
             + scan + b"\xff\xd9")
 
 
-def decode_jpeg_gray(payload: bytes) -> dict:
-    """Decode a baseline grayscale JPEG: returns {width, height,
-    pixels} with ``pixels`` as a row-major list of lists (the padded
-    block edge trimmed to the declared dimensions)."""
+def _decode_one_block(reader, dc_table, ac_table, prev_dc: int):
+    """Entropy-decode one 8x8 block (zigzag coefficients) and return
+    (zz, new_dc_predictor)."""
+    zz = [0] * 64
+    size = reader.read_symbol(dc_table)
+    if size > 11:
+        raise ValueError("JPEG: DC size category out of range")
+    prev_dc += _extend(reader.read_bits(size), size)
+    zz[0] = prev_dc
+    i = 1
+    while i < 64:
+        rs = reader.read_symbol(ac_table)
+        run, size = rs >> 4, rs & 0x0F
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            i += 16
+            continue
+        i += run
+        if i > 63:
+            raise ValueError("JPEG: AC run past block end")
+        zz[i] = _extend(reader.read_bits(size), size)
+        i += 1
+    return zz, prev_dc
+
+
+def _clamp8(x: float) -> int:
+    # floor(x + 0.5): deterministic half-up (NOT python banker's
+    # round), the same expression the SQL oracles replay
+    return max(0, min(255, math.floor(x + 0.5)))
+
+
+def _encode_plane_blocks(writer, plane, h, w, quant, dc_codes, ac_codes,
+                         prev_dc, bx, by):
+    """FDCT + entropy-encode the (bx, by) block of one plane; returns
+    the new DC predictor."""
+    block = [
+        [
+            plane[min(by * 8 + x, h - 1)][min(bx * 8 + y, w - 1)]
+            for y in range(8)
+        ]
+        for x in range(8)
+    ]
+    zz = _fdct_quant(block, quant)
+    diff = zz[0] - prev_dc
+    size = _size_cat(diff)
+    code, length = dc_codes[size]
+    writer.write(code, length)
+    if size:
+        writer.write(diff if diff >= 0 else diff - 1 + (1 << size), size)
+    run = 0
+    last_nz = 0
+    for i in range(1, 64):
+        if zz[i]:
+            last_nz = i
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            writer.write(code, length)
+            run -= 16
+        size = _size_cat(zz[i])
+        code, length = ac_codes[(run << 4) | size]
+        writer.write(code, length)
+        v = zz[i]
+        writer.write(v if v >= 0 else v - 1 + (1 << size), size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]
+        writer.write(code, length)
+    return zz[0]
+
+
+def encode_jpeg_ycbcr(
+    y_plane, cb_plane, cr_plane, quant_y=STD_QUANT, quant_c=STD_QUANT_C
+) -> bytes:
+    """Encode three full-resolution planes as a baseline 4:4:4 YCbCr
+    JPEG (one block per component per MCU, separate DC predictors,
+    luma/chroma quant tables, shared Annex-K Huffman tables)."""
+    h = len(y_plane)
+    w = len(y_plane[0])
+    dc_codes = _build_codes(STD_DC_BITS, STD_DC_VALS)
+    ac_codes = _build_codes(STD_AC_BITS, STD_AC_VALS)
+    writer = _BitWriter()
+    prev = [0, 0, 0]
+    planes = (y_plane, cb_plane, cr_plane)
+    quants = (quant_y, quant_c, quant_c)
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            for c in range(3):
+                prev[c] = _encode_plane_blocks(
+                    writer, planes[c], h, w, quants[c],
+                    dc_codes, ac_codes, prev[c], bx, by,
+                )
+    scan = writer.flush()
+
+    def seg(marker, payload):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) \
+            + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(quant_y[ZIGZAG[i]] for i in range(64))
+              + bytes([1]) + bytes(quant_c[ZIGZAG[i]] for i in range(64)))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+              + bytes((1, 0x11, 0)) + bytes((2, 0x11, 1))
+              + bytes((3, 0x11, 1)))
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(STD_DC_BITS)
+                 + bytes(STD_DC_VALS))
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes(STD_AC_BITS)
+                 + bytes(STD_AC_VALS))
+    sos = seg(0xDA, bytes((3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1)
+               + bytes((0, 0)))
+    return (b"\xff\xd8" + app0 + dqt + sof + dht_dc + dht_ac + sos
+            + scan + b"\xff\xd9")
+
+
+def encode_jpeg_color(rgb) -> bytes:
+    """RGB rows of (r, g, b) -> 4:4:4 JPEG via the JFIF forward
+    conversion with half-up rounding."""
+    h = len(rgb)
+    w = len(rgb[0])
+    yp = [[0] * w for _ in range(h)]
+    cbp = [[0] * w for _ in range(h)]
+    crp = [[0] * w for _ in range(h)]
+    for x in range(h):
+        for y in range(w):
+            r, g, b = rgb[x][y]
+            yp[x][y] = _clamp8(0.299 * r + 0.587 * g + 0.114 * b)
+            cbp[x][y] = _clamp8(128 - 0.168736 * r - 0.331264 * g
+                                + 0.5 * b)
+            crp[x][y] = _clamp8(128 + 0.5 * r - 0.418688 * g
+                                - 0.081312 * b)
+    return encode_jpeg_ycbcr(yp, cbp, crp)
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Decode a baseline JPEG: grayscale (1 component) or 4:4:4 YCbCr
+    color (3 components, no subsampling). Returns {width, height,
+    ncomp, pixels} for grayscale or {width, height, ncomp, rgb} for
+    color, rows trimmed to the declared dimensions; ``rgb`` rows hold
+    (r, g, b) tuples via the JFIF conversion with half-up rounding."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -315,7 +485,8 @@ def decode_jpeg_gray(payload: bytes) -> dict:
     dc_tables = {}
     ac_tables = {}
     w = h = None
-    comp_dq = None
+    components = []  # (id, tq)
+    scan_spec = None
     scan_at = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -341,14 +512,16 @@ def decode_jpeg_gray(payload: bytes) -> dict:
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError("8-bit baseline only")
-            if ncomp != 1:
-                # color needs the 3-component MCU interleave + YCbCr
-                raise NotImplementedError(
-                    "grayscale baseline only (color JPEG unsupported)"
-                )
-            cid, sampling, comp_dq = body[6], body[7], body[8]
-            if sampling != 0x11:
-                raise NotImplementedError("no subsampling for grayscale")
+            if ncomp not in (1, 3):
+                raise NotImplementedError("1 or 3 components only")
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    # 4:2:0 needs per-MCU multi-block luma + upsampling
+                    raise NotImplementedError(
+                        "4:4:4 only (chroma subsampling unsupported)"
+                    )
+                components.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -366,9 +539,12 @@ def decode_jpeg_gray(payload: bytes) -> dict:
                 i += 17 + nvals
         elif marker == 0xDA:
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("single-component scan only")
-            td, ta = body[2] >> 4, body[2] & 0x0F
+            if ns != len(components):
+                raise NotImplementedError("scan must cover all components")
+            scan_spec = []
+            for c in range(ns):
+                scan_spec.append((body[2 + 2 * c] >> 4,
+                                  body[2 + 2 * c] & 0x0F))
             scan_at = pos + 2 + seg_len
             break
         elif marker == 0xDD:
@@ -376,45 +552,58 @@ def decode_jpeg_gray(payload: bytes) -> dict:
         pos += 2 + seg_len
     if scan_at is None or w is None:
         raise ValueError("JPEG: missing SOS/SOF0")
-    if comp_dq not in quant:
-        raise ValueError("JPEG: component references missing quant table")
-    if td not in dc_tables or ta not in ac_tables:
-        raise ValueError("JPEG: scan references missing Huffman table")
-    q = quant[comp_dq]
+    for _, tq in components:
+        if tq not in quant:
+            raise ValueError("JPEG: component references missing quant table")
+    for td, ta in scan_spec:
+        if td not in dc_tables or ta not in ac_tables:
+            raise ValueError("JPEG: scan references missing Huffman table")
     reader = _BitReader(payload[scan_at:])
     bh = (h + 7) // 8
     bw = (w + 7) // 8
-    pixels = [[0] * (bw * 8) for _ in range(bh * 8)]
-    prev_dc = 0
+    ncomp = len(components)
+    planes = [
+        [[0] * (bw * 8) for _ in range(bh * 8)] for _ in range(ncomp)
+    ]
+    prev_dc = [0] * ncomp
     for by in range(bh):
         for bx in range(bw):
-            zz = [0] * 64
-            size = reader.read_symbol(dc_tables[td])
-            if size > 11:
-                raise ValueError("JPEG: DC size category out of range")
-            prev_dc += _extend(reader.read_bits(size), size)
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                rs = reader.read_symbol(ac_tables[ta])
-                run, size = rs >> 4, rs & 0x0F
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                i += run
-                if i > 63:
-                    raise ValueError("JPEG: AC run past block end")
-                zz[i] = _extend(reader.read_bits(size), size)
-                i += 1
-            block = _idct_block(zz, q)
-            for x in range(8):
-                row = pixels[by * 8 + x]
-                for y in range(8):
-                    row[bx * 8 + y] = block[x][y]
-    return {
-        "width": w,
-        "height": h,
-        "pixels": [row[:w] for row in pixels[:h]],
-    }
+            for c in range(ncomp):
+                td, ta = scan_spec[c]
+                zz, prev_dc[c] = _decode_one_block(
+                    reader, dc_tables[td], ac_tables[ta], prev_dc[c]
+                )
+                block = _idct_block(zz, quant[components[c][1]])
+                for x in range(8):
+                    row = planes[c][by * 8 + x]
+                    for y in range(8):
+                        row[bx * 8 + y] = block[x][y]
+    if ncomp == 1:
+        return {
+            "width": w, "height": h, "ncomp": 1,
+            "pixels": [row[:w] for row in planes[0][:h]],
+        }
+    rgb = []
+    for x in range(h):
+        row = []
+        for y in range(w):
+            Y = planes[0][x][y]
+            cb = planes[1][x][y] - 128
+            cr = planes[2][x][y] - 128
+            row.append((
+                _clamp8(Y + 1.402 * cr),
+                _clamp8(Y - 0.344136 * cb - 0.714136 * cr),
+                _clamp8(Y + 1.772 * cb),
+            ))
+        rgb.append(row)
+    return {"width": w, "height": h, "ncomp": 3, "rgb": rgb}
+
+
+def decode_jpeg_gray(payload: bytes) -> dict:
+    """Decode a baseline grayscale JPEG: returns {width, height,
+    pixels} (the padded block edge trimmed to the declared
+    dimensions). Color payloads decode via ``decode_jpeg``."""
+    out = decode_jpeg(payload)
+    if out["ncomp"] != 1:
+        raise ValueError("JPEG: expected grayscale, got color")
+    return out

@@ -1676,6 +1676,102 @@ def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
+JPEG_CHROMA_RANGE = 41  # per-doc chroma offsets in [-20, 20]
+
+
+def attach_payload_jpeg_color(docs: DataFrame) -> DataFrame:
+    """documents -> 4:4:4 color JPEGs: per-block luma ramp (same
+    block pattern as the grayscale query) + per-doc constant chroma
+    (Cb, Cr = 128 + 2*{cb0, cr0}), encoded with Q0=16 quant tables
+    for BOTH luma and chroma so every even DC offset quantizes
+    exactly — the decode recovers the exact YCbCr planes and the
+    RGB output is the pure JFIF conversion formula, replayable in
+    SQL."""
+    from falcon_metrics_etl_spark.functions.jpeg import (
+        STD_QUANT,
+        encode_jpeg_ycbcr,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                bw = int(h[0:4], 16) % JPEG_BLOCKS_MOD + 1
+                bh = int(h[4:8], 16) % JPEG_BLOCKS_MOD + 1
+                base = int(h[8:10], 16)
+                cb = 128 + 2 * (int(h[10:12], 16) % JPEG_CHROMA_RANGE - 20)
+                cr = 128 + 2 * (int(h[12:14], 16) % JPEG_CHROMA_RANGE - 20)
+                y_plane = [
+                    [
+                        128 + 2 * (
+                            ((base + (y // 8) * bw + (x // 8))
+                             % JPEG_DC_RANGE) - 24
+                        )
+                        for x in range(8 * bw)
+                    ]
+                    for y in range(8 * bh)
+                ]
+                flat_cb = [[cb] * (8 * bw) for _ in range(8 * bh)]
+                flat_cr = [[cr] * (8 * bw) for _ in range(8 * bh)]
+                payloads.append(
+                    encode_jpeg_ycbcr(
+                        y_plane, flat_cb, flat_cr,
+                        quant_y=STD_QUANT, quant_c=STD_QUANT,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": "image",
+                    "codec": "jpeg",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, media_type string, codec string, payload binary"
+    )
+
+
+def jpeg_rgb_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched color JPEG statistics: full baseline decode
+    (3-component MCU interleave, per-component predictors/tables,
+    YCbCr->RGB) then per-channel aggregates."""
+    from falcon_metrics_etl_spark.functions.jpeg import decode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_jpeg(bytes(p))
+                if d["ncomp"] != 3:
+                    raise ValueError("expected a color JPEG")
+                flat = [px for row in d["rgb"] for px in row]
+                rs = [px[0] for px in flat]
+                gs = [px[1] for px in flat]
+                bs = [px[2] for px in flat]
+                rows.append(
+                    (
+                        int(doc_id), d["width"], d["height"], len(flat),
+                        min(rs), max(rs), sum(rs), sum(gs), sum(bs),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "min_r", "max_r", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run,
+        schema="doc_id long, width int, height int, n_pixels long, "
+        "min_r int, max_r int, sum_r long, sum_g long, sum_b long",
+    )
+
+
 def attach_payload_wav_ms_adpcm(docs: DataFrame) -> DataFrame:
     """documents -> MS-ADPCM WAVs carrying an amplitude-16 square wave
     (base, base+16 alternation): with predictor 0 (coeffs 256,0 — pure

@@ -552,6 +552,66 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_color_stats",
+    doc="REAL 4:4:4 COLOR JPEG decode: three-component MCU interleave "
+    "(per-component DC predictors, separate luma/chroma quant "
+    "tables), full per-plane entropy decode + IDCT, then the JFIF "
+    "YCbCr->RGB conversion with half-up rounding. Payloads carry a "
+    "per-block luma ramp + per-doc constant chroma with Q0=16 on "
+    "both tables, so the planes recover exactly and the oracle "
+    "replays the EXACT RGB conversion arithmetic in SQL. Remaining "
+    "JPEG boundary after this: chroma subsampling (4:2:0 MCU "
+    "geometry), progressive, restart markers.",
+    tags=("multimodal", "pandas-udf", "binary", "codec", "pixels"),
+    oracle=f"""
+WITH dims AS (
+    SELECT doc_id,
+           ('0x' || substring(md5(text), 1, 4))::INT % {MM.JPEG_BLOCKS_MOD} + 1 AS bw,
+           ('0x' || substring(md5(text), 5, 4))::INT % {MM.JPEG_BLOCKS_MOD} + 1 AS bh,
+           ('0x' || substring(md5(text), 9, 2))::INT AS base,
+           2.0 * (('0x' || substring(md5(text), 11, 2))::INT
+                  % {MM.JPEG_CHROMA_RANGE} - 20) AS cb,
+           2.0 * (('0x' || substring(md5(text), 13, 2))::INT
+                  % {MM.JPEG_CHROMA_RANGE} - 20) AS cr
+    FROM documents
+),
+px AS (
+    SELECT doc_id, bw, bh,
+           128 + 2 * (((base + i) % {MM.JPEG_DC_RANGE}) - 24) AS y,
+           cb, cr
+    FROM dims, unnest(range(0, bw * bh)) AS t(i)
+),
+rgb AS (
+    SELECT doc_id, bw, bh,
+           GREATEST(0, LEAST(255, CAST(FLOOR(y + 1.402 * cr + 0.5)
+                                       AS INT))) AS r,
+           GREATEST(0, LEAST(255, CAST(FLOOR(y - 0.344136 * cb
+                                             - 0.714136 * cr + 0.5)
+                                       AS INT))) AS g,
+           GREATEST(0, LEAST(255, CAST(FLOOR(y + 1.772 * cb + 0.5)
+                                       AS INT))) AS b
+    FROM px
+)
+SELECT doc_id,
+       CAST(MIN(bw) * 8 AS INT) AS width,
+       CAST(MIN(bh) * 8 AS INT) AS height,
+       CAST(COUNT(*) * 64 AS BIGINT) AS n_pixels,
+       CAST(MIN(r) AS INT) AS min_r,
+       CAST(MAX(r) AS INT) AS max_r,
+       CAST(SUM(r) * 64 AS BIGINT) AS sum_r,
+       CAST(SUM(g) * 64 AS BIGINT) AS sum_g,
+       CAST(SUM(b) * 64 AS BIGINT) AS sum_b
+FROM rgb
+GROUP BY doc_id
+""",
+)
+def multimodal_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_jpeg_color(docs)
+    return MM.jpeg_rgb_stats(media)
+
+
+@register(
     "multimodal_wav_ms_adpcm_stats",
     doc="REAL MS-ADPCM decode (WAV format 2 — the Microsoft WAVE "
     "spec's coefficient-predicted 4-bit codec, the other half of the "
