@@ -1240,14 +1240,15 @@ def encode_wav_ima_adpcm(
 
 def decode_wav_samples(payload: bytes) -> dict:
     """REAL sample decode: chunk walk to the data chunk, then unpack
-    integer PCM (format 1: 8-bit unsigned / 16-bit signed), IEEE
-    float (format 3: 32-bit little-endian), or IMA ADPCM (format 17:
-    4-bit block-compressed, decoded block-by-block with the fact
-    chunk trimming end-of-stream padding; stereo decodes the 4-byte
-    channel-word interleave) samples. All three decode mono or
-    stereo, returned channel-interleaved. Other format tags
-    (mp3-in-wav, A-law/mu-law) raise NotImplementedError — the codec
-    stub boundary together with compressed video."""
+    integer PCM (format 1: 8-bit unsigned / 16-bit signed), MS-ADPCM
+    (format 2: coefficient prediction + adaptive delta), IEEE float
+    (format 3: 32-bit little-endian), G.711 A-law/mu-law (formats
+    6/7: CCITT segment arithmetic), or IMA ADPCM (format 17: 4-bit
+    blocks with the fact chunk trimming end-of-stream padding; stereo
+    decodes the 4-byte channel-word interleave). All decode mono or
+    stereo, returned channel-interleaved. Perceptual format tags
+    (mp3-in-wav) raise NotImplementedError — the remaining audio
+    boundary together with compressed video."""
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     if payload[12:16] != b"fmt ":

@@ -4,11 +4,13 @@ opaque media columns.
 
 The decode itself happens in Arrow-batched Python (the only Python in
 this engine's hot paths besides the W2 event-date extractor). PNG,
-WAV and Y4M queries run REAL codecs end to end; the deterministic
-synthetic codec covers the formats that need external libraries. In
-both cases the DuckDB oracle replays the decode arithmetic exactly,
-so the correctness gate covers the full binary->Arrow->pandas->schema
-round trip, not a mock.
+JPEG (baseline gray + 4:4:4 color), WAV (PCM, float, G.711, both
+ADPCM families) and Y4M queries run REAL codecs end to end; the
+deterministic synthetic codec covers only the perceptual formats
+that need external libraries (mp3/h264). In every case the DuckDB
+oracle replays the decode arithmetic exactly, so the correctness
+gate covers the full binary->Arrow->pandas->schema round trip, not
+a mock.
 """
 
 from __future__ import annotations

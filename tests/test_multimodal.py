@@ -289,17 +289,20 @@ def test_wav_decode_16bit_pcm():
     assert d["bits"] == 16 and d["samples"] == samples
 
 
-def test_wav_decode_rejects_non_pcm():
+def test_wav_decode_rejects_perceptual_codecs():
+    """Format tags outside the real-decode set (PCM, float, G.711,
+    both ADPCMs) stay an honest NotImplementedError — e.g. 85
+    (MPEG-layer-3-in-wav)."""
     import pytest as _pytest
     import struct as _struct
 
-    fmt = _struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 8)  # ADPCM tag
+    fmt = _struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 8)
     p = (
         b"RIFF" + _struct.pack("<I", 40) + b"WAVE"
         + b"fmt " + _struct.pack("<I", 16) + fmt
         + b"data" + _struct.pack("<I", 4) + b"\x00" * 4
     )
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(NotImplementedError, match="format 85"):
         MM.decode_wav_samples(p)
 
 
@@ -785,12 +788,12 @@ def test_wav_adpcm_malformed_payloads_raise_value_errors():
     wav2[fact_at : fact_at + 4] = st.pack("<I", 10**6)
     with pytest.raises(ValueError, match="fact chunk"):
         decode_wav_samples(bytes(wav2))
-    # A-law stays the documented honest boundary (stereo ADPCM
-    # decodes for real as of r7 — covered below)
+    # perceptual codecs stay the documented honest boundary (A-law,
+    # mu-law, MS-ADPCM and stereo IMA all decode for real as of r7)
     hdr = bytearray(encode_wav_ima_adpcm([0, 1, 0, 1]))
     fmt_at = hdr.index(b"fmt ") + 8
-    hdr[fmt_at : fmt_at + 2] = st.pack("<H", 6)  # WAVE_FORMAT_ALAW
-    with pytest.raises(NotImplementedError, match="format 6"):
+    hdr[fmt_at : fmt_at + 2] = st.pack("<H", 85)  # mp3-in-wav
+    with pytest.raises(NotImplementedError, match="format 85"):
         decode_wav_samples(bytes(hdr))
 
 
