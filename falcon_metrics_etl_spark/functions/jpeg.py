@@ -453,6 +453,63 @@ def encode_jpeg_ycbcr(
             + scan + b"\xff\xd9")
 
 
+def encode_jpeg_ycbcr_420(
+    y_plane, cb_plane, cr_plane, quant_y=STD_QUANT, quant_c=STD_QUANT_C
+) -> bytes:
+    """Encode a 4:2:0 baseline JPEG: full-resolution luma, HALF-
+    resolution chroma planes (ceil(h/2) x ceil(w/2)); each MCU is
+    four 2x2 raster-ordered Y blocks + one Cb + one Cr."""
+    h = len(y_plane)
+    w = len(y_plane[0])
+    ch = (h + 1) // 2
+    cw = (w + 1) // 2
+    if len(cb_plane) != ch or len(cb_plane[0]) != cw:
+        raise ValueError("4:2:0 chroma planes must be half-resolution")
+    dc_codes = _build_codes(STD_DC_BITS, STD_DC_VALS)
+    ac_codes = _build_codes(STD_AC_BITS, STD_AC_VALS)
+    writer = _BitWriter()
+    prev = [0, 0, 0]
+    mcus_y = (h + 15) // 16
+    mcus_x = (w + 15) // 16
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for byi in range(2):
+                for bxi in range(2):
+                    prev[0] = _encode_plane_blocks(
+                        writer, y_plane, h, w, quant_y,
+                        dc_codes, ac_codes, prev[0],
+                        mx * 2 + bxi, my * 2 + byi,
+                    )
+            prev[1] = _encode_plane_blocks(
+                writer, cb_plane, ch, cw, quant_c,
+                dc_codes, ac_codes, prev[1], mx, my,
+            )
+            prev[2] = _encode_plane_blocks(
+                writer, cr_plane, ch, cw, quant_c,
+                dc_codes, ac_codes, prev[2], mx, my,
+            )
+    scan = writer.flush()
+
+    def seg(marker, payload):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) \
+            + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(quant_y[ZIGZAG[i]] for i in range(64))
+              + bytes([1]) + bytes(quant_c[ZIGZAG[i]] for i in range(64)))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+              + bytes((1, 0x22, 0)) + bytes((2, 0x11, 1))
+              + bytes((3, 0x11, 1)))
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(STD_DC_BITS)
+                 + bytes(STD_DC_VALS))
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes(STD_AC_BITS)
+                 + bytes(STD_AC_VALS))
+    sos = seg(0xDA, bytes((3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1)
+               + bytes((0, 0)))
+    return (b"\xff\xd8" + app0 + dqt + sof + dht_dc + dht_ac + sos
+            + scan + b"\xff\xd9")
+
+
 def encode_jpeg_color(rgb) -> bytes:
     """RGB rows of (r, g, b) -> 4:4:4 JPEG via the JFIF forward
     conversion with half-up rounding."""
@@ -516,12 +573,16 @@ def decode_jpeg(payload: bytes) -> dict:
                 raise NotImplementedError("1 or 3 components only")
             for c in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
-                    # 4:2:0 needs per-MCU multi-block luma + upsampling
+                hs, vs = sampling >> 4, sampling & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
                     raise NotImplementedError(
-                        "4:4:4 only (chroma subsampling unsupported)"
+                        "sampling factors 1 or 2 only"
                     )
-                components.append((cid, tq))
+                components.append((cid, tq, hs, vs))
+            hmax = max(c[2] for c in components)
+            vmax = max(c[3] for c in components)
+            if ncomp == 1 and (hmax, vmax) != (1, 1):
+                raise NotImplementedError("grayscale must be 1x1")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -552,44 +613,62 @@ def decode_jpeg(payload: bytes) -> dict:
         pos += 2 + seg_len
     if scan_at is None or w is None:
         raise ValueError("JPEG: missing SOS/SOF0")
-    for _, tq in components:
-        if tq not in quant:
+    for comp in components:
+        if comp[1] not in quant:
             raise ValueError("JPEG: component references missing quant table")
     for td, ta in scan_spec:
         if td not in dc_tables or ta not in ac_tables:
             raise ValueError("JPEG: scan references missing Huffman table")
     reader = _BitReader(payload[scan_at:])
-    bh = (h + 7) // 8
-    bw = (w + 7) // 8
     ncomp = len(components)
-    planes = [
-        [[0] * (bw * 8) for _ in range(bh * 8)] for _ in range(ncomp)
-    ]
+    # MCU geometry (T.81 A.2.3): an MCU spans 8*hmax x 8*vmax pixels
+    # and carries h_i*v_i blocks of component i, raster order within
+    # the MCU; each component's plane is stored at its OWN resolution
+    # ceil(dim * f_i / fmax), padded to whole blocks
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for cid, tq, hs, vs in components:
+        planes.append(
+            [[0] * (mcus_x * 8 * hs) for _ in range(mcus_y * 8 * vs)]
+        )
     prev_dc = [0] * ncomp
-    for by in range(bh):
-        for bx in range(bw):
-            for c in range(ncomp):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c, (cid, tq, hs, vs) in enumerate(components):
                 td, ta = scan_spec[c]
-                zz, prev_dc[c] = _decode_one_block(
-                    reader, dc_tables[td], ac_tables[ta], prev_dc[c]
-                )
-                block = _idct_block(zz, quant[components[c][1]])
-                for x in range(8):
-                    row = planes[c][by * 8 + x]
-                    for y in range(8):
-                        row[bx * 8 + y] = block[x][y]
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        zz, prev_dc[c] = _decode_one_block(
+                            reader, dc_tables[td], ac_tables[ta],
+                            prev_dc[c],
+                        )
+                        block = _idct_block(zz, quant[tq])
+                        ox = my * 8 * vs + byi * 8
+                        oy = mx * 8 * hs + bxi * 8
+                        for x in range(8):
+                            row = planes[c][ox + x]
+                            for y in range(8):
+                                row[oy + y] = block[x][y]
     if ncomp == 1:
         return {
             "width": w, "height": h, "ncomp": 1,
             "pixels": [row[:w] for row in planes[0][:h]],
         }
+    # upsample subsampled planes by nearest (pixel (x, y) reads
+    # component sample (x * v_i // vmax, y * h_i // hmax))
     rgb = []
     for x in range(h):
         row = []
+        yrow = planes[0][x * components[0][3] // vmax]
+        cbrow = planes[1][x * components[1][3] // vmax]
+        crrow = planes[2][x * components[2][3] // vmax]
+        h0, h1, h2 = (components[0][2], components[1][2],
+                      components[2][2])
         for y in range(w):
-            Y = planes[0][x][y]
-            cb = planes[1][x][y] - 128
-            cr = planes[2][x][y] - 128
+            Y = yrow[y * h0 // hmax]
+            cb = cbrow[y * h1 // hmax] - 128
+            cr = crrow[y * h2 // hmax] - 128
             row.append((
                 _clamp8(Y + 1.402 * cr),
                 _clamp8(Y - 0.344136 * cb - 0.714136 * cr),

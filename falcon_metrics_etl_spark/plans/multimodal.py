@@ -561,9 +561,9 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "YCbCr->RGB conversion with half-up rounding. Payloads carry a "
     "per-block luma ramp + per-doc constant chroma with Q0=16 on "
     "both tables, so the planes recover exactly and the oracle "
-    "replays the EXACT RGB conversion arithmetic in SQL. Remaining "
-    "JPEG boundary after this: chroma subsampling (4:2:0 MCU "
-    "geometry), progressive, restart markers.",
+    "replays the EXACT RGB conversion arithmetic in SQL. 4:2:0 "
+    "subsampling decodes too (multimodal_jpeg_420_stats); remaining "
+    "JPEG boundary: progressive, restart markers.",
     tags=("multimodal", "pandas-udf", "binary", "codec", "pixels"),
     oracle=f"""
 WITH dims AS (
@@ -610,6 +610,66 @@ GROUP BY doc_id
 def multimodal_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_payload_jpeg_color(docs)
+    return MM.jpeg_rgb_stats(media)
+
+
+@register(
+    "multimodal_jpeg_420_stats",
+    doc="REAL 4:2:0 SUBSAMPLED JPEG decode — the dominant real-world "
+    "JPEG layout: each MCU interleaves FOUR raster-ordered luma "
+    "blocks with one half-resolution Cb and Cr block; the decoder "
+    "walks the T.81 A.2.3 MCU geometry, decodes every component at "
+    "its own resolution and nearest-upsamples chroma. Constant "
+    "per-doc chroma makes the 2x2 upsample exact, so the same "
+    "closed-form RGB oracle as the 4:4:4 query holds on an even "
+    "(16-px-aligned) block grid. Remaining JPEG boundary: "
+    "progressive, restart markers.",
+    tags=("multimodal", "pandas-udf", "binary", "codec", "pixels"),
+    oracle=f"""
+WITH dims AS (
+    SELECT doc_id,
+           2 * (('0x' || substring(md5(text), 1, 4))::INT % 2 + 1) AS bw,
+           2 * (('0x' || substring(md5(text), 5, 4))::INT % 2 + 1) AS bh,
+           ('0x' || substring(md5(text), 9, 2))::INT AS base,
+           2.0 * (('0x' || substring(md5(text), 11, 2))::INT
+                  % {MM.JPEG_CHROMA_RANGE} - 20) AS cb,
+           2.0 * (('0x' || substring(md5(text), 13, 2))::INT
+                  % {MM.JPEG_CHROMA_RANGE} - 20) AS cr
+    FROM documents
+),
+px AS (
+    SELECT doc_id, bw, bh,
+           128 + 2 * (((base + i) % {MM.JPEG_DC_RANGE}) - 24) AS y,
+           cb, cr
+    FROM dims, unnest(range(0, bw * bh)) AS t(i)
+),
+rgb AS (
+    SELECT doc_id, bw, bh,
+           GREATEST(0, LEAST(255, CAST(FLOOR(y + 1.402 * cr + 0.5)
+                                       AS INT))) AS r,
+           GREATEST(0, LEAST(255, CAST(FLOOR(y - 0.344136 * cb
+                                             - 0.714136 * cr + 0.5)
+                                       AS INT))) AS g,
+           GREATEST(0, LEAST(255, CAST(FLOOR(y + 1.772 * cb + 0.5)
+                                       AS INT))) AS b
+    FROM px
+)
+SELECT doc_id,
+       CAST(MIN(bw) * 8 AS INT) AS width,
+       CAST(MIN(bh) * 8 AS INT) AS height,
+       CAST(COUNT(*) * 64 AS BIGINT) AS n_pixels,
+       CAST(MIN(r) AS INT) AS min_r,
+       CAST(MAX(r) AS INT) AS max_r,
+       CAST(SUM(r) * 64 AS BIGINT) AS sum_r,
+       CAST(SUM(g) * 64 AS BIGINT) AS sum_g,
+       CAST(SUM(b) * 64 AS BIGINT) AS sum_b
+FROM rgb
+GROUP BY doc_id
+""",
+)
+def multimodal_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_jpeg_420(docs)
     return MM.jpeg_rgb_stats(media)
 
 

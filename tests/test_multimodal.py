@@ -1185,3 +1185,53 @@ def test_jpeg_unsupported_features_raise_cleanly():
     # truncate mid-scan: entropy exhaustion is a ValueError
     with pytest.raises(ValueError):
         decode_jpeg_gray(bytes(enc[: len(enc) - 12]) )
+
+
+def test_jpeg_420_subsampled_decode():
+    """4:2:0 MCU geometry: four raster-ordered luma blocks + one
+    half-resolution Cb/Cr per MCU, nearest chroma upsample. Constant
+    YCbCr decodes exactly; odd (non-16-aligned) dimensions trim
+    correctly; a varying-chroma image decodes with the chroma of
+    each 2x2 cell shared (the subsampling property itself)."""
+    import math
+
+    from falcon_metrics_etl_spark.functions.jpeg import (
+        STD_QUANT,
+        decode_jpeg,
+        encode_jpeg_ycbcr_420,
+    )
+
+    def clamp8(x):
+        return max(0, min(255, math.floor(x + 0.5)))
+
+    Y, Cb, Cr = 128 + 20, 128 - 28, 128 + 16
+    for (h, w) in ((32, 48), (19, 21), (16, 16), (1, 1)):
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        enc = encode_jpeg_ycbcr_420(
+            [[Y] * w] * h, [[Cb] * cw] * ch, [[Cr] * cw] * ch,
+            STD_QUANT, STD_QUANT,
+        )
+        d = decode_jpeg(enc)
+        assert (d["width"], d["height"]) == (w, h)
+        exp = (
+            clamp8(Y + 1.402 * (Cr - 128)),
+            clamp8(Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128)),
+            clamp8(Y + 1.772 * (Cb - 128)),
+        )
+        assert {p for row in d["rgb"] for p in row} == {exp}, (h, w)
+    # chroma varies per half-res BLOCK (DC-only, so exact): every
+    # 16x16 pixel region reads its own chroma block's constant
+    h = w = 32
+    cb_vals = [[128 + 2 * (4 * i + j - 4) for j in range(2)]
+               for i in range(2)]
+    cb_half = [[cb_vals[i // 8][j // 8] for j in range(16)]
+               for i in range(16)]
+    cr_half = [[128] * 16 for _ in range(16)]
+    enc = encode_jpeg_ycbcr_420(
+        [[128] * w] * h, cb_half, cr_half, STD_QUANT, STD_QUANT
+    )
+    d = decode_jpeg(enc)
+    for x in range(h):
+        for y in range(w):
+            cb = cb_vals[x // 16][y // 16] - 128
+            assert d["rgb"][x][y][2] == clamp8(128 + 1.772 * cb), (x, y)
