@@ -1,14 +1,15 @@
 """Baseline JPEG (ITU-T T.81) — grayscale encoder + decoder, pure
 stdlib, for the multimodal decode layer.
 
-Scope (honest boundary): baseline sequential DCT, 8-bit, single
-grayscale component, one scan, no restart markers, no progressive/
-arithmetic coding, no chroma subsampling (color needs the 3-component
-MCU interleave — NotImplementedError below). Within that scope the
-decode is REAL: marker walk, DQT/DHT table parsing, Huffman entropy
-decode with byte unstuffing, differential DC, run-length AC,
-dezigzag, dequantization and the full 2-D IDCT with the spec's
-level shift + clamp.
+Scope (honest boundary): baseline sequential DCT, 8-bit, grayscale
+or YCbCr color (4:4:4 and 4:2:0 chroma subsampling), one scan,
+DRI/RSTn restart markers; progressive and arithmetic coding raise
+NotImplementedError. Within that scope the decode is REAL: marker
+walk, DQT/DHT table parsing, Huffman entropy decode with byte
+unstuffing, the T.81 A.2.3 MCU geometry with per-component
+resolutions + nearest chroma upsample, differential DC with restart
+resets, run-length AC, dezigzag, dequantization and the full 2-D
+IDCT with the spec's level shift + clamp.
 
 Reference behavior: T.81 Annex F (entropy coding), Annex K (the
 example quantization + Huffman tables, used by the encoder).
@@ -133,6 +134,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-pad to byte boundary
         return bytes(self.out)
 
+    def restart(self, idx: int) -> None:
+        """1-pad to a byte boundary and emit the RSTn marker (markers
+        are NOT byte-stuffed — they are the one FF sequence a scan
+        may legally contain)."""
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes((0xFF, 0xD0 + (idx & 7)))
+
 
 class _BitReader:
     def __init__(self, data: bytes):
@@ -156,8 +166,9 @@ class _BitReader:
                 byte = 0xFF
             else:
                 raise ValueError(
-                    f"JPEG: unexpected marker 0xFF{marker:02X} in scan "
-                    "(restart markers unsupported)"
+                    f"JPEG: unexpected marker 0xFF{marker:02X} inside "
+                    "entropy data (restart markers are consumed at "
+                    "their MCU boundaries, not mid-block)"
                 )
         self.acc = (self.acc << 8) | byte
         self.n += 8
@@ -182,6 +193,23 @@ class _BitReader:
             if sym is not None:
                 return sym
         raise ValueError("JPEG: invalid Huffman code in scan")
+
+    def expect_restart(self, idx: int) -> None:
+        """Discard the pad bits of the current byte and consume the
+        expected RSTn marker (T.81 F.2.1.3.1: restart markers are
+        byte-aligned and cycle D0..D7)."""
+        self.acc = 0
+        self.n = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (idx & 7)
+        ):
+            got = self.data[self.pos : self.pos + 2].hex()
+            raise ValueError(
+                f"JPEG: expected restart marker RST{idx & 7}, got 0x{got}"
+            )
+        self.pos += 2
 
 
 def _extend(v: int, size: int) -> int:
@@ -264,10 +292,12 @@ def _idct_block(zz, quant) -> list[list[int]]:
     return out
 
 
-def encode_jpeg_gray(pixels, quant=STD_QUANT) -> bytes:
+def encode_jpeg_gray(pixels, quant=STD_QUANT, restart_interval=0) -> bytes:
     """Encode a grayscale image (list of rows, 0-255) as a baseline
     JFIF JPEG: float FDCT, Annex-K quantization + Huffman tables,
-    differential DC, run-length AC with EOB/ZRL, byte stuffing."""
+    differential DC, run-length AC with EOB/ZRL, byte stuffing;
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (DC predictors reset)."""
     h = len(pixels)
     w = len(pixels[0])
     bh = (h + 7) // 8
@@ -276,8 +306,15 @@ def encode_jpeg_gray(pixels, quant=STD_QUANT) -> bytes:
     ac_codes = _build_codes(STD_AC_BITS, STD_AC_VALS)
     writer = _BitWriter()
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.restart(rst)
+                rst = (rst + 1) & 7
+                prev_dc = 0
+            mcu += 1
             block = [
                 [
                     pixels[min(by * 8 + x, h - 1)][min(bx * 8 + y, w - 1)]
@@ -323,6 +360,8 @@ def encode_jpeg_gray(pixels, quant=STD_QUANT) -> bytes:
             + payload
 
     dqt = seg(0xDB, bytes([0]) + bytes(quant[ZIGZAG[i]] for i in range(64)))
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0)))
     dht_dc = seg(0xC4, bytes([0x00]) + bytes(STD_DC_BITS)
                  + bytes(STD_DC_VALS))
@@ -331,7 +370,7 @@ def encode_jpeg_gray(pixels, quant=STD_QUANT) -> bytes:
     sos = seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1)
                + bytes((0, 0)))
-    return (b"\xff\xd8" + app0 + dqt + sof + dht_dc + dht_ac + sos
+    return (b"\xff\xd8" + app0 + dqt + dri + sof + dht_dc + dht_ac + sos
             + scan + b"\xff\xd9")
 
 
@@ -411,7 +450,8 @@ def _encode_plane_blocks(writer, plane, h, w, quant, dc_codes, ac_codes,
 
 
 def encode_jpeg_ycbcr(
-    y_plane, cb_plane, cr_plane, quant_y=STD_QUANT, quant_c=STD_QUANT_C
+    y_plane, cb_plane, cr_plane, quant_y=STD_QUANT, quant_c=STD_QUANT_C,
+    restart_interval=0,
 ) -> bytes:
     """Encode three full-resolution planes as a baseline 4:4:4 YCbCr
     JPEG (one block per component per MCU, separate DC predictors,
@@ -424,8 +464,15 @@ def encode_jpeg_ycbcr(
     prev = [0, 0, 0]
     planes = (y_plane, cb_plane, cr_plane)
     quants = (quant_y, quant_c, quant_c)
+    mcu = 0
+    rst = 0
     for by in range((h + 7) // 8):
         for bx in range((w + 7) // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.restart(rst)
+                rst = (rst + 1) & 7
+                prev = [0, 0, 0]
+            mcu += 1
             for c in range(3):
                 prev[c] = _encode_plane_blocks(
                     writer, planes[c], h, w, quants[c],
@@ -439,6 +486,8 @@ def encode_jpeg_ycbcr(
 
     dqt = seg(0xDB, bytes([0]) + bytes(quant_y[ZIGZAG[i]] for i in range(64))
               + bytes([1]) + bytes(quant_c[ZIGZAG[i]] for i in range(64)))
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
               + bytes((1, 0x11, 0)) + bytes((2, 0x11, 1))
               + bytes((3, 0x11, 1)))
@@ -449,7 +498,7 @@ def encode_jpeg_ycbcr(
     sos = seg(0xDA, bytes((3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)))
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1)
                + bytes((0, 0)))
-    return (b"\xff\xd8" + app0 + dqt + sof + dht_dc + dht_ac + sos
+    return (b"\xff\xd8" + app0 + dqt + dri + sof + dht_dc + dht_ac + sos
             + scan + b"\xff\xd9")
 
 
@@ -542,9 +591,10 @@ def decode_jpeg(payload: bytes) -> dict:
     dc_tables = {}
     ac_tables = {}
     w = h = None
-    components = []  # (id, tq)
+    components = []  # (id, tq, hs, vs)
     scan_spec = None
     scan_at = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG: marker expected")
@@ -609,7 +659,7 @@ def decode_jpeg(payload: bytes) -> dict:
             scan_at = pos + 2 + seg_len
             break
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         pos += 2 + seg_len
     if scan_at is None or w is None:
         raise ValueError("JPEG: missing SOS/SOF0")
@@ -633,8 +683,18 @@ def decode_jpeg(payload: bytes) -> dict:
             [[0] * (mcus_x * 8 * hs) for _ in range(mcus_y * 8 * vs)]
         )
     prev_dc = [0] * ncomp
+    mcu_count = 0
+    rst_idx = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                # byte-align, consume RSTn (cycling D0..D7), reset the
+                # DC predictors — T.81 F.2.1.3.1
+                reader.expect_restart(rst_idx)
+                rst_idx = (rst_idx + 1) & 7
+                prev_dc = [0] * ncomp
+            mcu_count += 1
             for c, (cid, tq, hs, vs) in enumerate(components):
                 td, ta = scan_spec[c]
                 for byi in range(vs):
