@@ -947,6 +947,15 @@ _MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
              768, 614, 512, 409, 307, 230, 230, 230)
 
 
+def _ms_trunc_div256(n: int) -> int:
+    """C-style ``/256`` (truncation toward zero). The MS-ADPCM spec and
+    real decoders (ffmpeg, libsndfile) truncate the coefficient
+    prediction toward zero; ``>> 8`` floors, which is off by one for
+    negative ``s1*c1 + s2*c2`` under the c2 != 0 predictors and the
+    error feeds forward through the s1/s2 state."""
+    return n // 256 if n >= 0 else -((-n) // 256)
+
+
 def _ms_adpcm_step(
     nibble: int, s1: int, s2: int, delta: int, c1: int, c2: int
 ) -> tuple[int, int]:
@@ -954,7 +963,7 @@ def _ms_adpcm_step(
     ``nibble`` is the raw unsigned 4-bit code; its signed value is
     two's complement."""
     signed = nibble - 16 if nibble >= 8 else nibble
-    pred = ((s1 * c1 + s2 * c2) >> 8) + signed * delta
+    pred = _ms_trunc_div256(s1 * c1 + s2 * c2) + signed * delta
     pred = max(-32768, min(32767, pred))
     delta = max(16, (_MS_ADAPT[nibble] * delta) >> 8)
     return pred, delta
@@ -1060,7 +1069,7 @@ def encode_wav_ms_adpcm(
             c = i % channels
             st = state[c]
             pos = i // channels
-            pred = (st["s1"] * c1 + st["s2"] * c2) >> 8
+            pred = _ms_trunc_div256(st["s1"] * c1 + st["s2"] * c2)
             target = st["rest"][pos] if pos < len(st["rest"]) else pred
             signed = (target - pred) // st["delta"] if st["delta"] else 0
             signed = max(-8, min(7, signed))

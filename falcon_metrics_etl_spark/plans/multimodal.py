@@ -440,10 +440,11 @@ def multimodal_png_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "base, base+1) decoded by decode_wav_samples (chunk walk + sample "
     "unpack; PCM 8/16-bit mono) and aggregated; duration re-derived "
     "from the decoded sample count, not the header. Oracle replays the "
-    "closed-form sample stats. Remaining codec stubs: mp3-in-wav, "
-    "A-law/mu-law, stereo ADPCM, jpeg, compressed video — formats "
-    "that genuinely need codec libs; PNG, PCM/float WAV and mono "
-    "IMA-ADPCM (r7) decode completely.",
+    "closed-form sample stats. Remaining codec stubs after r7: "
+    "mp3-in-wav, compressed video (h264) — perceptual codec-lib "
+    "territory; PNG, PCM/float WAV, IMA-ADPCM (mono+stereo), "
+    "MS-ADPCM, G.711 A-law/mu-law and baseline JPEG decode "
+    "completely.",
     tags=("multimodal", "pandas-udf", "binary", "codec", "audio"),
     oracle="""
 WITH durs AS (
@@ -519,8 +520,9 @@ def multimodal_wav_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "blocks have exactly-zero AC), so the closed-form oracle holds "
     "against a lossy codec; general (AC-carrying) encode/decode is "
     "fuzz-covered in pytest vs an independent reference decoder. "
-    "Honest remaining JPEG boundary: color (3-component MCU "
-    "interleave), progressive, restart markers.",
+    "Color (3-component MCU interleave, 4:4:4 and 4:2:0) and "
+    "DRI/RSTn restart markers ship in the sibling queries; honest "
+    "remaining JPEG boundary: progressive and arithmetic coding.",
     tags=("multimodal", "pandas-udf", "binary", "codec", "pixels"),
     oracle=f"""
 WITH dims AS (

@@ -97,10 +97,17 @@ def merge_upsert_bucketed(
     # the anti-join's keys still cover the bucket columns so the
     # bucketed side satisfies the join distribution without Exchange
     bucket_cols = tuple(keys)
-    exists = any(
-        t.name == table.split(".")[-1]
-        for t in spark.catalog.listTables()
-    )
+    # tableExists resolves qualified names across databases and is not
+    # fooled by a same-named temp view shadowing the target (listTables
+    # name-matching saw only the current database and matched temp
+    # views, silently degrading the merge to an overwrite)
+    exists = spark.catalog.tableExists(table)
+    if exists and spark.catalog.getTable(table).tableType == "TEMPORARY":
+        raise ValueError(
+            f"merge_upsert_bucketed target {table!r} resolves to a "
+            "temporary view, not a catalog table — drop the view or "
+            "qualify the table name"
+        )
     if not exists:
         write_bucketed(
             updates.repartition(num_buckets, *bucket_cols),

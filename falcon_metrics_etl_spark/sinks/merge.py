@@ -33,6 +33,8 @@ story (ST2).
 
 from __future__ import annotations
 
+import datetime
+import math
 import os
 from contextlib import contextmanager
 from typing import Optional, Sequence
@@ -280,8 +282,25 @@ def touched_partition_predicate(partition_cols, touched) -> F.Column:
             return "NULL"
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
-        if isinstance(v, (int, float)):
+        if isinstance(v, float):
+            # repr(inf)/repr(nan) are not SQL; emit the typed literal
+            # Spark parses for non-finite doubles
+            if math.isnan(v):
+                return "CAST('NaN' AS DOUBLE)"
+            if math.isinf(v):
+                sign = "-" if v < 0 else ""
+                return f"CAST('{sign}Infinity' AS DOUBLE)"
             return repr(v)
+        if isinstance(v, int):
+            return repr(v)
+        # typed literals for temporal partition values — quoted str(v)
+        # would lean on implicit string->column coercion where the old
+        # F.lit path was exactly typed (datetime check first: datetime
+        # is a date subclass)
+        if isinstance(v, datetime.datetime):
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        if isinstance(v, datetime.date):
+            return f"DATE '{v.isoformat()}'"
         s = str(v).replace("\\", "\\\\").replace("'", "\\'")
         return f"'{s}'"
 

@@ -54,7 +54,9 @@ def run_incremental_batch(
     metrics piggyback on the write action itself, costing no second
     pass over the data. stats_out additionally carries the per-run
     whale telemetry (``max_history_len`` / ``n_whales`` /
-    ``n_null_key_whales`` over the recomputed histories): the
+    ``n_null_key_whales``), which DOES run a second aggregate action —
+    over the persisted histories frame, so it replays the cached
+    semi-join rather than re-scanning the revisions source: the
     data-model bound the expr path relies on (histories ~10^2-10^3
     revisions; SCALE.md) is MONITORED every tick rather than assumed —
     routing stays off, the counters are how a violation surfaces.
@@ -78,6 +80,7 @@ def run_incremental_batch(
     # The cache pins one consistent snapshot for the whole tick.
     delta = delta.persist()
     changed_ids = delta.select(item_col).distinct().persist()
+    histories = None
     try:
         n_changed = changed_ids.count()
         if n_changed == 0:
@@ -87,6 +90,13 @@ def run_incremental_batch(
         histories = revisions.join(
             changed_ids, on=item_col, how="left_semi"
         )
+        # when whale telemetry is requested it runs as a second
+        # aggregate action over `histories`; persist so that action
+        # replays the cached semi-join instead of re-executing the
+        # revisions scan + join (the tick otherwise pays a second full
+        # pass that grows with history size)
+        if stats_out is not None:
+            histories = histories.persist()
         out = transform(histories)
         obs: Optional[Observation] = None
         if stats_out is not None:
@@ -119,5 +129,7 @@ def run_incremental_batch(
         )
         return n_changed
     finally:
+        if stats_out is not None and histories is not None:
+            histories.unpersist()
         changed_ids.unpersist()
         delta.unpersist()

@@ -923,7 +923,11 @@ def _reference_ms_adpcm_decode(payload: bytes) -> list[int]:
             for nib in (byte >> 4, byte & 0x0F):
                 (c1, c2), dl, s1, s2 = st_[i % channels]
                 sv = nib - 16 if nib >= 8 else nib
-                pred = ((s1 * c1 + s2 * c2) >> 8) + sv * dl
+                # C-style /256 truncates toward zero (ffmpeg,
+                # libsndfile); >>8 would floor and drift on negative
+                # predictions under the c2 != 0 predictors
+                acc = s1 * c1 + s2 * c2
+                pred = (acc // 256 if acc >= 0 else -((-acc) // 256)) + sv * dl
                 pred = max(-32768, min(32767, pred))
                 dl = max(16, (adapt[nib] * dl) >> 8)
                 st_[i % channels] = [(c1, c2), dl, pred, s1]
