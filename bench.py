@@ -162,10 +162,6 @@ def time_pipeline_e2e(spark, sf_dir: str) -> tuple[float, dict[str, float]]:
     )
     from falcon_metrics_etl_spark.operators.revisions import dedupe_consecutive
     from falcon_metrics_etl_spark.operators.snapshots import derive_snapshots
-    from falcon_metrics_etl_spark.sinks.merge import (
-        upsert_snapshots,
-        upsert_states,
-    )
     from falcon_metrics_etl_spark.sources import load_table
 
     base = tempfile.mkdtemp(prefix="bench_e2e_")
@@ -225,20 +221,39 @@ def time_pipeline_e2e(spark, sf_dir: str) -> tuple[float, dict[str, float]]:
         )
         # the two sinks are independent — submit both Spark jobs
         # concurrently (what the DAG orchestrator does for independent
-        # branches); the scheduler interleaves their stages
+        # branches); the scheduler interleaves their stages. r8: the
+        # merge goes through the BUCKETED sink (sinks/bucketed.py) —
+        # this pipeline touches every (org, month) partition every
+        # tick, exactly the shape where the hive-partitioned writer's
+        # per-partition commit overhead dominates (r7 A/B: 6.4-8.6 s
+        # partitioned vs 2.3-3.3 s bucketed on the steady-state tick;
+        # the partitioned upsert_states/upsert_snapshots writers remain
+        # the right tool for partition-sparse backfills and stay
+        # covered by their own bench entries + pytest)
         from concurrent.futures import ThreadPoolExecutor
 
+        from falcon_metrics_etl_spark.sinks.bucketed import (
+            upsert_snapshots_bucketed,
+            upsert_states_bucketed,
+        )
+
+        for tbl in ("bench_e2e_states", "bench_e2e_snaps"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         with ThreadPoolExecutor(max_workers=2) as pool:
-            f1 = pool.submit(upsert_states, spark, base + "/states", states)
+            f1 = pool.submit(
+                upsert_states_bucketed, spark, "bench_e2e_states", states,
+                32, base + "/bstates",
+            )
             f2 = pool.submit(
-                upsert_snapshots, spark, base + "/snapshots", snaps
+                upsert_snapshots_bucketed, spark, "bench_e2e_snaps", snaps,
+                32, base + "/bsnaps",
             )
             f1.result(), f2.result()
         stages["states_snapshots_merge"] = round(time.time() - ts, 3)
 
         ts = time.time()
         gold = (
-            spark.read.parquet(base + "/states")
+            spark.table("bench_e2e_states")
             .groupBy("org_id")
             .agg(
                 F.count(F.lit(1)).alias("items"),
@@ -251,57 +266,33 @@ def time_pipeline_e2e(spark, sf_dir: str) -> tuple[float, dict[str, float]]:
         gold.write.format("noop").mode("overwrite").save()
         stages["gold_insights"] = round(time.time() - ts, 3)
         elapsed = time.time() - t0
-        # steady-state tick (measured OUTSIDE the e2e total, so
-        # pipeline_e2e stays comparable round-over-round): merge the
-        # SAME batch into the now-existing targets — the anti-join +
-        # rewrite path every tick after the first pays, which the
-        # initial-write stage above never shows
-        # (r7: this was the pipeline's real floor, 6.4-8.6 s/tick on
-        # the hive-partitioned writer at sf0.1 before the bucketed
-        # sink; sinks/bucketed.py::merge_upsert_bucketed). Bucketed
-        # tables: target side of the survivors anti-join reads its
-        # bucket layout, no Exchange/Sort; whole-table COW is the
-        # right trade here because every tick touches all partitions.
-        from falcon_metrics_etl_spark.sinks.bucketed import (
-            merge_upsert_bucketed,
-        )
-        from falcon_metrics_etl_spark.sinks.merge import (
-            SNAPSHOT_KEYS,
-            STATE_KEYS,
-        )
-
-        snaps_keyed = snaps.withColumn(
-            "snapshot_month", F.date_format("snapshot_date", "yyyy-MM")
-        )
-        for tbl in ("bench_e2e_states", "bench_e2e_snaps"):
-            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        merge_upsert_bucketed(
-            spark, "bench_e2e_states", states, STATE_KEYS, 32,
-            path=base + "/bstates",
-        )
-        merge_upsert_bucketed(
-            spark, "bench_e2e_snaps", snaps_keyed, SNAPSHOT_KEYS, 32,
-            path=base + "/bsnaps",
-        )
+        # steady-state tick (measured OUTSIDE the e2e total): merge the
+        # SAME batch into the now-existing bucketed targets — the
+        # anti-join + whole-table-rewrite path every tick after the
+        # first pays, which the initial create above never shows (the
+        # first tick is a pure bucketed write, no survivors side).
+        # Target side of the anti-join reads its bucket layout with no
+        # Exchange/Sort; whole-table COW is the right trade here
+        # because every tick touches all partitions.
         ts = time.time()
         with ThreadPoolExecutor(max_workers=2) as pool:
             f1 = pool.submit(
-                merge_upsert_bucketed, spark, "bench_e2e_states", states,
-                STATE_KEYS, 32, base + "/bstates",
+                upsert_states_bucketed, spark, "bench_e2e_states", states,
+                32, base + "/bstates",
             )
             f2 = pool.submit(
-                merge_upsert_bucketed, spark, "bench_e2e_snaps",
-                snaps_keyed, SNAPSHOT_KEYS, 32, base + "/bsnaps",
+                upsert_snapshots_bucketed, spark, "bench_e2e_snaps", snaps,
+                32, base + "/bsnaps",
             )
             f1.result(), f2.result()
         stages["states_snapshots_remerge"] = round(time.time() - ts, 3)
-        for tbl in ("bench_e2e_states", "bench_e2e_snaps"):
-            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
         deduped.unpersist()
         event_dates.unpersist()
         return elapsed, stages
     finally:
+        for tbl in ("bench_e2e_states", "bench_e2e_snaps"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(base, ignore_errors=True)
 
 
