@@ -27,6 +27,11 @@ Scale notes: every config dim (steps, events, type maps, types) is
 broadcast; the only wide shuffle is the per-card window/aggregation
 for compression + event dates — all keyed on card_id, so at 100 TB
 the whole transform is one hash-partition of the transition stream.
+With the card facts staged through ``stage_card_facts_bucketed``
+(co-bucketed on the string card key) even that shuffle disappears:
+``transform_cards(..., bucketed_facts=True)`` plans with ZERO
+fact-side Exchanges — the ingest-time layout pays the partition once
+and every downstream run reads it back aligned.
 """
 
 from __future__ import annotations
@@ -114,6 +119,7 @@ def transform_cards(
     work_item_types: DataFrame,
     org_id: str,
     auto_map: bool = True,
+    bucketed_facts: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Full Kanbanize transform (transform_processor.ts:402-493).
 
@@ -123,6 +129,16 @@ def transform_cards(
       display_value>>).
     transitions: card_id, idx (array position), column_id,
       column_name, start.
+
+    ``bucketed_facts=True`` declares that cards/transitions come from
+    ``stage_card_facts_bucketed`` (co-bucketed on the STRING card key):
+    the ``live`` working-set checkpoint is skipped, because (a) the
+    re-join it avoids is already exchange-free against the bucketed
+    layout, and (b) a localCheckpoint under AQE reports
+    UnknownPartitioning, which would re-insert the very card-key
+    Exchange the layout exists to remove (measured: the compression
+    window re-shuffled the checkpointed frame). With the flag the
+    whole transform plans with ZERO fact-side Exchanges.
 
     Returns (states, snapshots) — the StandardStateItem /
     StandardSnapshotItem shapes of ts:174-201 and ts:265-285.
@@ -141,11 +157,19 @@ def transform_cards(
     # re-joining the raw stream (measured A/B/C at sf0.1: live+dim
     # checkpoints 5.6s < no checkpoints 6.2s < dim-only 7.6s — and at
     # scale it is the variant that touches the raw stream exactly once)
-    live = perf_checkpoint(
-        transitions.join(
-            cfg.select("card_id", "workflow_id"), "card_id", "inner"
-        )
+    live = transitions.join(
+        cfg.select("card_id", "workflow_id"), "card_id", "inner"
     )
+    if bucketed_facts:
+        # persist, not localCheckpoint: a checkpoint under AQE reports
+        # UnknownPartitioning and the compression window would re-insert
+        # the card-key Exchange the bucketed layout removed. A cached
+        # plan keeps its output partitioning (AQE cannot change cached
+        # plan partitioning by default), so consumers get BOTH the
+        # shared materialization and the exchange-free card-key plan.
+        live = live.persist()
+    else:
+        live = perf_checkpoint(live)
     comp = compress_transitions(live)
     history = comp.select(
         F.col("card_id").cast("string").alias("work_item_id"),
@@ -312,6 +336,62 @@ def transform_cards(
         F.lit(False).alias("is_filler"),
     )
     return states, snapshots
+
+
+def stage_card_facts_bucketed(
+    spark,
+    cards: DataFrame,
+    transitions: DataFrame,
+    table_prefix: str,
+    num_buckets: int = 32,
+    base_path: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Stage the Kanbanize card fact pair as CO-BUCKETED tables on the
+    string card key — the ingest-time layout that removes every fact
+    Exchange from ``transform_cards`` (SURVEY S5; the r7 plan audit
+    showed the transform's one surviving sort-merge join was exactly
+    the cfg⨝event_dates card-key join paying Exchange+Sort on the
+    unbucketed side every run).
+
+    Why the STRING key: the transform derives ``work_item_id`` as
+    ``cast(card_id as string)``. Bucketing on a bigint card_id would
+    hash differently from the string join key downstream and the
+    Exchange would reappear; staging the key as string makes the cast
+    trivial (Catalyst's SimplifyCasts removes it), so the bucketed
+    HashPartitioning propagates through the whole transform — the
+    live join, the compression window, the event-date aggregation and
+    the states/snapshots joins all plan with ZERO fact shuffles, and
+    the per-bucket ``sortBy`` feeds the compression window's
+    (card, idx) sort for free while each bucket holds one file.
+
+    One-time layout cost at ingest, paid back on every downstream run
+    — the same trade the states/snapshots bucketed sink makes. Both
+    tables MUST share ``num_buckets`` (co-bucketed joins only drop the
+    Exchange when bucket counts match).
+    """
+    from falcon_metrics_etl_spark.sinks.bucketed import write_bucketed
+
+    cards_staged = cards.withColumn(
+        "card_id", F.col("card_id").cast("string")
+    )
+    trans_staged = transitions.withColumn(
+        "card_id", F.col("card_id").cast("string")
+    )
+    suffix = {"cards": cards_staged, "transitions": trans_staged}
+    sort_cols = {"cards": ("card_id",), "transitions": ("card_id", "idx")}
+    for name, df in suffix.items():
+        write_bucketed(
+            df.repartition(num_buckets, "card_id"),
+            f"{table_prefix}_{name}",
+            ("card_id",),
+            num_buckets,
+            sort_cols=sort_cols[name],
+            path=f"{base_path}/{name}" if base_path else None,
+        )
+    return (
+        spark.table(f"{table_prefix}_cards"),
+        spark.table(f"{table_prefix}_transitions"),
+    )
 
 
 def enrich_raw_cards(

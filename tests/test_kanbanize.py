@@ -432,3 +432,48 @@ def test_kanbanize_incremental_recompute(spark, tmp_path):
     row2 = spark.read.parquet(sink).collect()[0]
     assert row2["departure_date"] == datetime(2024, 2, 1)
     assert row2["commitment_date"] == datetime(2024, 1, 5)
+
+
+def test_bucketed_card_facts_plan_and_parity(spark, tmp_path, sf_smoke):
+    """stage_card_facts_bucketed: co-bucketing the card fact pair on the
+    string card key removes EVERY fact-side Exchange from
+    transform_cards (the r7 plan audit's surviving SMJ paid
+    Exchange+Sort on the card key each run), and the staged transform
+    returns row-identical states/snapshots."""
+    import falcon_metrics_etl_spark.plans.kanbanize_queries as KQ
+    from falcon_metrics_etl_spark.operators.kanbanize import (
+        stage_card_facts_bucketed,
+        transform_cards,
+    )
+
+    cards, transitions, steps, events, maps, wits = KQ._build_inputs(
+        spark, sf_smoke
+    )
+    states0, snaps0 = transform_cards(
+        cards, transitions, steps, events, maps, wits, KQ._ORG
+    )
+    for t in ("kbt_cards", "kbt_transitions"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        bc, bt = stage_card_facts_bucketed(
+            spark, cards, transitions, "kbt", 4, str(tmp_path / "kb")
+        )
+        states1, snaps1 = transform_cards(
+            bc, bt, steps, events, maps, wits, KQ._ORG, bucketed_facts=True
+        )
+        for df in (states1, snaps1):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            # the only shuffles left are dim-sized (type-map dedup,
+            # workflow point orders) — no card/work-item fact exchange
+            assert "Exchange hashpartitioning(card_id" not in plan
+            assert "Exchange hashpartitioning(work_item_id" not in plan
+
+        def rows(df):
+            cols = [c for c in df.columns if c != "custom_fields"]
+            return sorted(tuple(r) for r in df.select(*cols).collect())
+
+        assert rows(states0) == rows(states1)
+        assert rows(snaps0) == rows(snaps1)
+    finally:
+        for t in ("kbt_cards", "kbt_transitions"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
