@@ -103,6 +103,12 @@ HEADLINE = [
     # bigram LM scoring
     "quality_classifier_scores",
     "bigram_surprisal_scores",
+    # round-8 additions: xxhash64 production twins of the classifier
+    # and the cleaning audit (the md5 entries above stay benched as the
+    # oracle-parity baselines — the twins show the production cost
+    # without the md5 portability tax)
+    "quality_classifier_scores_fast",
+    "corpus_cleaning_audit_fast",
 ]
 
 

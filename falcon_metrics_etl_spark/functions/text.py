@@ -165,6 +165,27 @@ def hashed_ngram_weight_sum(toks: Column) -> Column:
     )
 
 
+def hashed_ngram_weight_sum_fast(toks: Column) -> Column:
+    """xxhash64 production twin of ``hashed_ngram_weight_sum`` — the
+    one-line swap that function's cost note documents: identical
+    bucket->weight mapping, but the feature hash is Spark's native
+    non-cryptographic xxhash64 instead of the engine-portable
+    md5+conv pair. DuckDB cannot replay XXH64(seed=42), so queries
+    built on this register rows-only; the md5 twin stays the
+    oracle-parity baseline (same split the substring-dedup family
+    made for its internal keys)."""
+
+    def bucket_weight(f):
+        bucket = F.pmod(F.xxhash64(f), F.lit(QC_BUCKETS))
+        return F.pmod(bucket * F.lit(QC_MULT), F.lit(2001)) - F.lit(1000)
+
+    return F.aggregate(
+        hashed_ngram_features(toks),
+        F.lit(0).cast("long"),
+        lambda acc, f: acc + bucket_weight(f),
+    )
+
+
 # DuckDB fragments mirroring the classifier exactly ({t} = token-list
 # SQL expression); wsum pairs with n_features = 2*len(t) - 1
 DUCK_NGRAM_FEATURES = (

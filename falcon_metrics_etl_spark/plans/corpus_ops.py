@@ -643,6 +643,47 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_classifier_scores_fast",
+    doc="Production twin of quality_classifier_scores: identical "
+    "classifier (same bucket space, weight mapping, logit, labels) "
+    "with the feature hash swapped md5 -> native xxhash64 — the "
+    "documented one-line production swap, now registered so the "
+    "benched pipeline stops paying the oracle-portability tax. "
+    "Rows-only check by design: DuckDB cannot replay XXH64(seed=42), "
+    "so scores are engine-specific; the md5 twin remains the "
+    "hash-matched oracle baseline, and the invariant pytest pins that "
+    "the two twins agree on n_features and differ only through the "
+    "hash choice (label flips stay a small minority on the synthetic "
+    "corpus).",
+    tags=("text", "quality", "classifier", "training-data", "fast-twin"),
+    oracle=None,
+)
+def quality_classifier_scores_fast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    feats = TX.hashed_ngram_features(F.col("toks"))
+    scored = docs.select(
+        "doc_id",
+        F.size(feats).cast("long").alias("n_features"),
+        TX.hashed_ngram_weight_sum_fast(F.col("toks")).alias("wsum"),
+    )
+    logit = (
+        F.col("wsum").cast("double")
+        / (F.col("n_features") * F.lit(1000.0))
+        + F.lit(_QC_BIAS)
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return scored.select(
+        "doc_id", "n_features",
+        prob.alias("quality_prob"),
+        F.when(prob >= 0.5, "keep").otherwise("drop").alias("quality_label"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Interpolated bigram LM surprisal (the KenLM-shaped upgrade of the
 # unigram CCNet stage)

@@ -341,6 +341,47 @@ def corpus_cleaning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gates.select("doc_id", status.alias("status"))
 
 
+@register(
+    "corpus_cleaning_audit_fast",
+    doc="The corpus_cleaning_audit composition gated on the xxhash64 "
+    "classifier twin (hashed_ngram_weight_sum_fast) — the PRODUCTION "
+    "form of the audit: same lang gate, quality gate, gate order, "
+    "prefix-fingerprint dedup and audit-trail shape, but the "
+    "classifier stage stops paying the md5 oracle-portability tax "
+    "the md5 audit documents. Rows-only check (DuckDB cannot replay "
+    "XXH64); the md5 audit stays registered as the hash-matched "
+    "baseline, and the invariant pytest pins that the two audits "
+    "agree on every gate EXCEPT where the classifier verdict itself "
+    "differs (lang/quality drops identical; a doc only moves between "
+    "kept / dropped:classifier / dropped:duplicate).",
+    tags=("text", "pipeline", "classifier", "training-data", "fast-twin"),
+    oracle=None,
+)
+def corpus_cleaning_audit_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    gates = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(TX.tokens(t), 1, 3))).alias("fp"),
+        TX.marker_hits(t, TX.LANG_MARKERS["en"]).alias("h_en"),
+        TX.marker_hits(t, TX.LANG_MARKERS["sql"]).alias("h_sql"),
+        TX.marker_hits(t, TX.LANG_MARKERS["ops"]).alias("h_ops"),
+        TX.token_count(t).alias("n_tokens"),
+        TX.hashed_ngram_weight_sum_fast(TX.tokens(t)).alias("wsum"),
+    )
+    canonical = F.min("doc_id").over(Window.partitionBy("fp"))
+    is_en = (F.col("h_en") >= F.col("h_sql")) & (F.col("h_en") >= F.col("h_ops"))
+    classifier_drop = F.col("wsum") < 100 * (2 * F.col("n_tokens") - 1)
+    status = (
+        F.when(~is_en, F.lit("dropped:lang"))
+        .when(F.col("n_tokens") < 30, F.lit("dropped:quality"))
+        .when(classifier_drop, F.lit("dropped:classifier"))
+        .when(F.col("doc_id") != canonical, F.lit("dropped:duplicate"))
+        .otherwise(F.lit("kept"))
+    )
+    return gates.select("doc_id", status.alias("status"))
+
+
 # --------------------------------------------------------------------------
 # Duplicate clusters: pairs -> connected components -> canonical pick
 # --------------------------------------------------------------------------

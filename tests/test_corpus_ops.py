@@ -228,3 +228,44 @@ def test_bigram_surprisal_interpolation_backoff(spark):
         assert abs(rows[i]["avg_surprisal_nats"] - score(toks[i])) < 1e-9
         assert rows[i]["n_tokens"] == len(toks[i])
     assert rows[1]["avg_surprisal_nats"] < rows[2]["avg_surprisal_nats"]
+
+
+def test_fast_classifier_twins_invariants(spark, sf_smoke):
+    """The xxhash64 fast twins (quality_classifier_scores_fast,
+    corpus_cleaning_audit_fast) register rows-only — this pins the
+    cross-twin invariants an oracle can't: identical doc sets and
+    n_features, probabilities in range, and audit statuses that agree
+    on every gate EXCEPT through the classifier verdict (lang/quality
+    drops are hash-independent; a doc may only move between kept /
+    dropped:classifier / dropped:duplicate)."""
+    from falcon_metrics_etl_spark.plans.registry import all_queries
+
+    reg = all_queries()
+    md5_scores = {
+        r["doc_id"]: r
+        for r in reg["quality_classifier_scores"].spark(spark, sf_smoke).collect()
+    }
+    fast_scores = {
+        r["doc_id"]: r
+        for r in reg["quality_classifier_scores_fast"].spark(spark, sf_smoke).collect()
+    }
+    assert set(md5_scores) == set(fast_scores) and md5_scores
+    for k, f in fast_scores.items():
+        assert f["n_features"] == md5_scores[k]["n_features"]
+        assert 0.0 <= f["quality_prob"] <= 1.0
+        assert f["quality_label"] == ("keep" if f["quality_prob"] >= 0.5 else "drop")
+
+    md5_audit = {
+        r["doc_id"]: r["status"]
+        for r in reg["corpus_cleaning_audit"].spark(spark, sf_smoke).collect()
+    }
+    fast_audit = {
+        r["doc_id"]: r["status"]
+        for r in reg["corpus_cleaning_audit_fast"].spark(spark, sf_smoke).collect()
+    }
+    assert set(md5_audit) == set(fast_audit)
+    classifier_reachable = {"kept", "dropped:classifier", "dropped:duplicate"}
+    for k in md5_audit:
+        if md5_audit[k] != fast_audit[k]:
+            assert md5_audit[k] in classifier_reachable, (k, md5_audit[k])
+            assert fast_audit[k] in classifier_reachable, (k, fast_audit[k])
