@@ -8,17 +8,23 @@ Semantics from the reference's serving query
 - in-progress branch: plain count per (state, day);
 - UNION of the two.
 
-Spark shape: two groupBy aggregations + one window cumulative sum +
-``unionByName``. At scale the groupBy pre-aggregates map-side
-(partial_count), so the shuffle carries one row per (state, day)
-rather than one per snapshot; the window then runs over a tiny
-aggregate (states x days), so its sort is cheap regardless of input
-size.
+Spark shape (r8 fused form): ONE conditional groupBy computes the
+completed and in-progress daily counts in the same (state, day)
+rollup, one window cumulative sum runs over that shared grid, and the
+two output branches are filters of the same subtree — 2 shuffles
+total (rollup + window re-key), where the original two-filtered-
+branches shape paid 4-5. Cumsum equivalence: summing the conditional
+completed count over ALL (state, day) grid rows equals the cumsum
+over completed-only days at every kept row (non-completed days
+contribute 0), so filtering ``_c_cnt > 0`` AFTER the window emits
+exactly the original rows. At scale the groupBy pre-aggregates
+map-side, so the shuffle carries one row per (state, day) rather
+than one per snapshot; the window runs over the tiny aggregate.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -48,35 +54,84 @@ def cumulative_flow(
         F.col(category_col).alias("state_category"),
     )
 
-    completed_daily = (
-        base.filter(F.col("state_category") == completed_value)
+    daily = (
+        base.filter(
+            F.col("state_category").isin(completed_value, inprogress_value)
+        )
         .groupBy("state", "snapshot_date")
-        .agg(F.count(F.lit(1)).alias("daily_count"))
+        .agg(
+            F.sum(
+                F.when(F.col("state_category") == completed_value, 1)
+                .otherwise(0)
+            ).alias("_c_cnt"),
+            F.sum(
+                F.when(F.col("state_category") == inprogress_value, 1)
+                .otherwise(0)
+            ).alias("_i_cnt"),
+        )
     )
     cum_window = (
         Window.partitionBy("state")
         .orderBy("snapshot_date")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    completed = completed_daily.select(
-        "state",
-        "snapshot_date",
-        F.lit(completed_label).alias("state_category"),
-        F.sum("daily_count").over(cum_window).alias("item_count"),
+    with_cum = daily.withColumn("_c_cum", F.sum("_c_cnt").over(cum_window))
+    # emit both branches from the SAME subtree via a conditional
+    # array + explode instead of a union of two filters: column
+    # pruning would otherwise split the shared rollup back into
+    # per-branch aggregates (each union branch references only its own
+    # count column, so Catalyst specializes — and duplicates — the
+    # whole aggregate+window). Generate preserves partitioning, so
+    # this stays a 2-shuffle plan.
+    return _explode_branches(
+        with_cum, completed_label, F.col("_c_cum"), inprogress_label
     )
 
-    inprogress = (
-        base.filter(F.col("state_category") == inprogress_value)
-        .groupBy("state", "snapshot_date")
-        .agg(F.count(F.lit(1)).alias("item_count"))
-        .select(
-            "state",
-            "snapshot_date",
-            F.lit(inprogress_label).alias("state_category"),
-            "item_count",
+
+def _explode_branches(
+    with_cum: DataFrame,
+    completed_label: str,
+    completed_count: Column,
+    inprogress_label: str,
+) -> DataFrame:
+    """(state, day, _c_cnt, _i_cnt, cum) grid -> the CFD union shape,
+    one output row per branch with a positive daily count."""
+    branch = F.explode(
+        F.concat(
+            F.when(
+                F.col("_c_cnt") > 0,
+                F.array(
+                    F.struct(
+                        F.lit(completed_label).alias("state_category"),
+                        completed_count.cast("long").alias("item_count"),
+                    )
+                ),
+            ).otherwise(F.expr(
+                "CAST(array() AS array<struct<state_category:string,"
+                "item_count:bigint>>)"
+            )),
+            F.when(
+                F.col("_i_cnt") > 0,
+                F.array(
+                    F.struct(
+                        F.lit(inprogress_label).alias("state_category"),
+                        F.col("_i_cnt").cast("long").alias("item_count"),
+                    )
+                ),
+            ).otherwise(F.expr(
+                "CAST(array() AS array<struct<state_category:string,"
+                "item_count:bigint>>)"
+            )),
         )
     )
-    return completed.unionByName(inprogress)
+    return with_cum.select(
+        "state", "snapshot_date", branch.alias("_b")
+    ).select(
+        "state",
+        "snapshot_date",
+        F.col("_b.state_category").alias("state_category"),
+        F.col("_b.item_count").alias("item_count"),
+    )
 
 
 def maintain_cfd(
@@ -115,40 +170,45 @@ def maintain_cfd(
         F.col(category_col).alias("state_category"),
     )
 
+    # per-state offsets: filtering the gold union on its literal
+    # category column lets the optimizer prune the in-progress child
+    # (the literal predicate folds to false there), so when gold is
+    # itself a cumulative_flow plan this aggregate rides the completed
+    # branch's window partitioning / exchange reuse
     offsets = (
         gold.filter(F.col("state_category") == completed_label)
         .groupBy("state")
         .agg(F.max("item_count").alias("_prior_cum"))
+    )
+    # same fused single-rollup shape as cumulative_flow: one
+    # conditional (state, day) aggregate feeds both delta branches
+    daily = (
+        base.filter(
+            F.col("state_category").isin(completed_value, inprogress_value)
+        )
+        .groupBy("state", "snapshot_date")
+        .agg(
+            F.sum(
+                F.when(F.col("state_category") == completed_value, 1)
+                .otherwise(0)
+            ).alias("_c_cnt"),
+            F.sum(
+                F.when(F.col("state_category") == inprogress_value, 1)
+                .otherwise(0)
+            ).alias("_i_cnt"),
+        )
     )
     cum_window = (
         Window.partitionBy("state")
         .orderBy("snapshot_date")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    new_completed = (
-        base.filter(F.col("state_category") == completed_value)
-        .groupBy("state", "snapshot_date")
-        .agg(F.count(F.lit(1)).alias("daily_count"))
-        .join(F.broadcast(offsets), "state", "left")
-        .select(
-            "state",
-            "snapshot_date",
-            F.lit(completed_label).alias("state_category"),
-            (
-                F.sum("daily_count").over(cum_window)
-                + F.coalesce(F.col("_prior_cum"), F.lit(0))
-            ).alias("item_count"),
-        )
+    with_cum = daily.join(F.broadcast(offsets), "state", "left").withColumn(
+        "_c_cum",
+        F.sum("_c_cnt").over(cum_window)
+        + F.coalesce(F.col("_prior_cum"), F.lit(0)),
     )
-    new_inprogress = (
-        base.filter(F.col("state_category") == inprogress_value)
-        .groupBy("state", "snapshot_date")
-        .agg(F.count(F.lit(1)).alias("item_count"))
-        .select(
-            "state",
-            "snapshot_date",
-            F.lit(inprogress_label).alias("state_category"),
-            "item_count",
-        )
+    new_rows = _explode_branches(
+        with_cum, completed_label, F.col("_c_cum"), inprogress_label
     )
-    return gold.unionByName(new_completed).unionByName(new_inprogress)
+    return gold.unionByName(new_rows)

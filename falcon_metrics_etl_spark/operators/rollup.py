@@ -125,66 +125,58 @@ def kmv_pairwise_set_ops(
     at 0. Everything downstream of the first dedup operates on at most
     K rows per group.
     """
-    # the K-row-per-group sketch feeds three consumers (per-group
-    # estimates + both pair taggings); a lazy checkpoint computes it
-    # once instead of re-running the raw-data dedup per reference
-    sketch = (
-        _kmv_sketch(
-            df.select(F.col(key_col).alias("g"), F.col(value_col)), ["g"],
-            value_col, k,
+    # r8 fused form (the table_profile 9->2 pattern): collapse the
+    # K-row-per-group sketch to ONE ARRAY ROW per group — the window
+    # already partitioned by g, so the collect_list aggregate is
+    # exchange-free — then every downstream set operation (per-group
+    # estimate, pair union-merge, re-take-K, union/intersection
+    # estimates) is a plain array EXPRESSION inside the pair join:
+    # array_union + array_sort + slice IS "union the hash sets,
+    # re-take the K smallest". 2 shuffles total (the sketch's dedup +
+    # window), where the row-shaped form paid 9 (per-group aggs, two
+    # pair taggings, a pair-keyed dedup + window + agg, and the final
+    # pair join each re-keyed). The group frame is tiny (one
+    # <=K-element array per group); a lazy checkpoint computes the
+    # sketch chain once for both sides of the self-join.
+    from falcon_metrics_etl_spark.session import perf_checkpoint
+
+    sketch = _kmv_sketch(
+        df.select(F.col(key_col).alias("g"), F.col(value_col)), ["g"],
+        value_col, k,
+    ).withColumnRenamed("__h", "h")
+    groups = perf_checkpoint(
+        sketch.groupBy("g").agg(
+            F.array_sort(F.collect_list("h")).alias("hs")
         )
-        .withColumnRenamed("__h", "h")
-        .localCheckpoint(eager=False)
     )
 
-    per_group = sketch.groupBy("g").agg(
-        F.count("*").alias("n"), F.max("h").alias("hk")
-    ).select("g", _kmv_estimate(F.col("n"), F.col("hk"), k).alias("est"))
+    def est_of(hs: Column) -> Column:
+        return _kmv_estimate(F.size(hs), F.element_at(hs, -1), k)
 
-    pairs = (
-        per_group.alias("pa")
-        .join(per_group.alias("pb"), F.col("pa.g") < F.col("pb.g"))
-        .select(
-            F.col("pa.g").alias("ga"),
-            F.col("pb.g").alias("gb"),
-            F.col("pa.est").alias("est_a"),
-            F.col("pb.est").alias("est_b"),
-        )
+    left = groups.select(
+        F.col("g").alias("ga"),
+        F.col("hs").alias("hs_a"),
+        est_of(F.col("hs")).alias("est_a"),
     )
-    # merged sketch per pair: union the two K-min hash sets (tagging
-    # each sketch row with every pair it belongs to via two broadcast
-    # equi-joins — no OR-join), dedup, re-take the K smallest
-    tags = pairs.select("ga", "gb")
-    m1 = sketch.join(F.broadcast(tags), sketch["g"] == tags["ga"]).select(
-        "ga", "gb", "h"
+    right = groups.select(
+        F.col("g").alias("gb"),
+        F.col("hs").alias("hs_b"),
+        est_of(F.col("hs")).alias("est_b"),
     )
-    m2 = sketch.join(F.broadcast(tags), sketch["g"] == tags["gb"]).select(
-        "ga", "gb", "h"
-    )
-    wm = Window.partitionBy("ga", "gb").orderBy("h")
-    merged = (
-        m1.unionByName(m2)
-        .dropDuplicates(["ga", "gb", "h"])
-        .withColumn("rn", F.row_number().over(wm))
-        .filter(F.col("rn") <= k)
-        .groupBy("ga", "gb")
-        .agg(F.count("*").alias("n"), F.max("h").alias("hk"))
-        .select(
-            "ga",
-            "gb",
-            _kmv_estimate(F.col("n"), F.col("hk"), k).alias("est_union"),
-        )
+    merged = F.slice(
+        F.array_sort(F.array_union(F.col("hs_a"), F.col("hs_b"))), 1, k
     )
     return (
-        pairs.join(merged, ["ga", "gb"])
+        left.join(F.broadcast(right), F.col("ga") < F.col("gb"))
+        .withColumn("_mh", merged)
         .select(
             F.col("ga").alias("group_a"),
             F.col("gb").alias("group_b"),
             "est_a",
             "est_b",
-            "est_union",
+            est_of(F.col("_mh")).alias("est_union"),
             F.greatest(
-                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                F.col("est_a") + F.col("est_b") - est_of(F.col("_mh")),
                 F.lit(0).cast("long"),
             ).alias("est_intersect"),
         )

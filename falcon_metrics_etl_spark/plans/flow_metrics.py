@@ -25,6 +25,7 @@ from falcon_metrics_etl_spark.operators.metrics import (
     throughput,
 )
 from falcon_metrics_etl_spark.plans.registry import register
+from falcon_metrics_etl_spark.session import perf_checkpoint
 from falcon_metrics_etl_spark.sources import load_table
 
 WIP_AS_OF_DATE = "1998-06-01"  # mid-range of o_orderdate (1995..2001)
@@ -598,12 +599,19 @@ def cfd_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit(CFD_CUTOFF).cast("date")
     base = snaps.filter(F.to_date("snapshot_date") < cutoff)
     delta = snaps.filter(F.to_date("snapshot_date") >= cutoff)
-    gold = cumulative_flow(
-        base,
-        completed_value="F",
-        inprogress_value="O",
-        completed_label="completed",
-        inprogress_label="inprogress",
+    # gold is consumed twice (union output + the per-state offsets
+    # aggregate); in production it is a read table, but here it is a
+    # derived frame whose offsets copy can't exchange-reuse (the join
+    # key's inferred isnotnull specializes the subtree) — the lazy
+    # checkpoint computes the 2-shuffle gold rollup exactly once
+    gold = perf_checkpoint(
+        cumulative_flow(
+            base,
+            completed_value="F",
+            inprogress_value="O",
+            completed_label="completed",
+            inprogress_label="inprogress",
+        )
     )
     return maintain_cfd(
         gold,
