@@ -1,9 +1,12 @@
-"""Baseline JPEG (ITU-T T.81) — grayscale encoder + decoder, pure
+"""Baseline + progressive JPEG (ITU-T T.81) — encoder + decoder, pure
 stdlib, for the multimodal decode layer.
 
-Scope (honest boundary): baseline sequential DCT, 8-bit, grayscale
-or YCbCr color (4:4:4 and 4:2:0 chroma subsampling), one scan,
-DRI/RSTn restart markers; progressive and arithmetic coding raise
+Scope (honest boundary): 8-bit Huffman DCT — baseline sequential
+(SOF0) and progressive (SOF2: spectral selection + successive
+approximation, DC and AC first/refinement scans, EOB runs, multi-scan
+table redefinition), grayscale or YCbCr color (4:4:4 and 4:2:0
+chroma subsampling), DRI/RSTn restart markers in both modes;
+arithmetic coding and the hierarchical/lossless SOFs raise
 NotImplementedError. Within that scope the decode is REAL: marker
 walk, DQT/DHT table parsing, Huffman entropy decode with byte
 unstuffing, the T.81 A.2.3 MCU geometry with per-component
@@ -11,8 +14,9 @@ resolutions + nearest chroma upsample, differential DC with restart
 resets, run-length AC, dezigzag, dequantization and the full 2-D
 IDCT with the spec's level shift + clamp.
 
-Reference behavior: T.81 Annex F (entropy coding), Annex K (the
-example quantization + Huffman tables, used by the encoder).
+Reference behavior: T.81 Annex F (entropy coding), Annex G
+(progressive: G.1.2 encode / G.2 decode control), Annex K (the
+example quantization + Huffman tables, used by the encoders).
 """
 
 from __future__ import annotations
@@ -633,10 +637,14 @@ def decode_jpeg(payload: bytes) -> dict:
             vmax = max(c[3] for c in components)
             if ncomp == 1 and (hmax, vmax) != (1, 1):
                 raise NotImplementedError("grayscale must be 1x1")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:
+            # progressive DCT (Huffman): multi-scan coefficient decode
+            return _decode_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: baseline sequential only"
+                f"JPEG SOF{marker - 0xC0}: baseline sequential or "
+                "Huffman progressive only"
             )
         elif marker == 0xC4:
             i = 0
@@ -645,6 +653,8 @@ def decode_jpeg(payload: bytes) -> dict:
                 bits = tuple(body[i + 1 : i + 17])
                 nvals = sum(bits)
                 vals = tuple(body[i + 17 : i + 17 + nvals])
+                if len(bits) < 16 or len(vals) < nvals:
+                    raise ValueError("JPEG: truncated DHT segment")
                 table = _build_decode_table(bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = table
                 i += 17 + nvals
@@ -710,7 +720,13 @@ def decode_jpeg(payload: bytes) -> dict:
                             row = planes[c][ox + x]
                             for y in range(8):
                                 row[oy + y] = block[x][y]
-    if ncomp == 1:
+    return _assemble_output(components, planes, w, h, hmax, vmax)
+
+
+def _assemble_output(components, planes, w, h, hmax, vmax) -> dict:
+    """Decoded component planes -> the output dict (grayscale trim or
+    nearest-neighbour chroma upsample + JFIF YCbCr->RGB)."""
+    if len(components) == 1:
         return {
             "width": w, "height": h, "ncomp": 1,
             "pixels": [row[:w] for row in planes[0][:h]],
@@ -746,3 +762,659 @@ def decode_jpeg_gray(payload: bytes) -> dict:
     if out["ncomp"] != 1:
         raise ValueError("JPEG: expected grayscale, got color")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Progressive DCT (SOF2, Huffman) — T.81 Annex G
+# ---------------------------------------------------------------------------
+
+# AC Huffman table used by the PROGRESSIVE encoder: the Annex-K AC
+# table has no EOBn symbols (0x10..0xE0), which progressive AC scans
+# need for EOB runs > 1. Canonical 256-symbol table, 254 codes of
+# length 8 + 2 of length 9 (Kraft 254/256 + 2/512 < 1 — incomplete
+# codes are legal per T.81 C.2); poor compression, full symbol space.
+PROG_AC_BITS = (0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0)
+PROG_AC_VALS = tuple(range(256))
+
+
+def _find_entropy_end(payload: bytes, start: int) -> int:
+    """First position >= start where a real marker begins (0xFF
+    followed by anything but 0x00 stuffing or RST0-7)."""
+    pos = start
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00,) and not (
+            0xD0 <= payload[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1 + (1 if payload[pos] == 0xFF else 0)
+    return n
+
+
+class _ScanState:
+    """Cross-block progressive scan state: EOB run + DC predictors."""
+
+    def __init__(self, ncomp: int):
+        self.eobrun = 0
+        self.prev_dc = [0] * ncomp
+
+    def reset_restart(self) -> None:
+        self.eobrun = 0
+        self.prev_dc = [0] * len(self.prev_dc)
+
+
+def _prog_dc_first(reader, dc_table, coef, state, ci, al) -> None:
+    size = reader.read_symbol(dc_table)
+    if size > 11:
+        raise ValueError("JPEG: DC size category out of range")
+    state.prev_dc[ci] += _extend(reader.read_bits(size), size)
+    coef[0] = state.prev_dc[ci] << al
+
+
+def _prog_dc_refine(reader, coef, al) -> None:
+    if reader.read_bit():
+        coef[0] |= 1 << al
+
+
+def _prog_ac_first(reader, ac_table, coef, state, ss, se, al) -> None:
+    """T.81 G.2 / figure G.3: first AC scan of a band — run/size
+    symbols with EOBn run-length codes."""
+    if state.eobrun > 0:
+        state.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.read_symbol(ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("JPEG: progressive AC run past band end")
+            coef[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+        else:
+            if r != 15:
+                state.eobrun = (1 << r) - 1
+                if r:
+                    state.eobrun += reader.read_bits(r)
+                break
+            k += 16  # ZRL
+
+
+def _prog_ac_refine(reader, ac_table, coef, state, ss, se, al) -> None:
+    """T.81 G.2 / figure G.7: AC refinement — every already-nonzero
+    coefficient crossed consumes one correction bit; run counts cover
+    still-zero positions only; EOB runs refine the band tail."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if state.eobrun == 0:
+        while k <= se:
+            rs = reader.read_symbol(ac_table)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG: refinement scan coded size != 1"
+                    )
+                newval = p1 if reader.read_bit() else m1
+            else:
+                if r != 15:
+                    state.eobrun = 1 << r
+                    if r:
+                        state.eobrun += reader.read_bits(r)
+                    break
+            while k <= se:
+                c = coef[k]
+                if c != 0:
+                    if reader.read_bit() and (c & p1) == 0:
+                        coef[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if state.eobrun > 0:
+        while k <= se:
+            c = coef[k]
+            if c != 0:
+                if reader.read_bit() and (c & p1) == 0:
+                    coef[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        state.eobrun -= 1
+
+
+def _decode_progressive(payload: bytes) -> dict:
+    """Decode a Huffman progressive JPEG (SOF2): every scan refines a
+    persistent per-component coefficient store (T.81 G.2 decode
+    control); tables may be redefined between scans; after EOI the
+    accumulated coefficients IDCT exactly like a baseline image.
+
+    Scan rules enforced: a DC scan has Ss=Se=0 and may be interleaved;
+    an AC scan covers a single component (T.81 B.2.3); first scans
+    have Ah=0, refinements Ah>0.
+    """
+    pos = 2
+    quant = {}
+    dc_tables = {}
+    ac_tables = {}
+    w = h = None
+    components = []
+    restart_interval = 0
+    coefs = None  # per component: [by][bx] -> 64-list (zigzag order)
+    comp_blocks = None  # per component: (blocks_w, blocks_h)
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG: marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = body[i + 1 : i + 65]
+                raster = [0] * 64
+                for k in range(64):
+                    raster[ZIGZAG[k]] = zz[k]
+                quant[tq] = raster
+                i += 65
+        elif marker == 0xC2:
+            precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise NotImplementedError("8-bit only")
+            if ncomp not in (1, 3):
+                raise NotImplementedError("1 or 3 components only")
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                hs, vs = sampling >> 4, sampling & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise NotImplementedError("sampling factors 1 or 2 only")
+                components.append((cid, tq, hs, vs))
+            hmax = max(c[2] for c in components)
+            vmax = max(c[3] for c in components)
+            if ncomp == 1 and (hmax, vmax) != (1, 1):
+                raise NotImplementedError("grayscale must be 1x1")
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = []
+            comp_blocks = []
+            for cid, tq, hs, vs in components:
+                cw = (w * hs + hmax - 1) // hmax
+                ch = (h * vs + vmax - 1) // vmax
+                bw = (cw + 7) // 8
+                bh = (ch + 7) // 8
+                comp_blocks.append((bw, bh))
+                # allocate at the interleaved-MCU coverage (>= bw/bh):
+                # interleaved DC scans touch the padding blocks too
+                coefs.append(
+                    [
+                        [[0] * 64 for _ in range(mcus_x * hs)]
+                        for _ in range(mcus_y * vs)
+                    ]
+                )
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = tuple(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = tuple(body[i + 17 : i + 17 + nvals])
+                if len(bits) < 16 or len(vals) < nvals:
+                    raise ValueError("JPEG: truncated DHT segment")
+                table = _build_decode_table(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = table
+                i += 17 + nvals
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("JPEG: second SOF inside progressive frame")
+        elif marker == 0xDA:
+            if coefs is None:
+                raise ValueError("JPEG: SOS before SOF2")
+            ns = body[0]
+            scan_comps = []  # (component index, td, ta)
+            for c in range(ns):
+                cs = body[1 + 2 * c]
+                td = body[2 + 2 * c] >> 4
+                ta = body[2 + 2 * c] & 0x0F
+                idx = next(
+                    (i for i, comp in enumerate(components) if comp[0] == cs),
+                    None,
+                )
+                if idx is None:
+                    raise ValueError("JPEG: scan references unknown component")
+                scan_comps.append((idx, td, ta))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if ss == 0 and se != 0:
+                raise ValueError("JPEG: DC scan must have Se=0")
+            if ss > 0 and ns != 1:
+                raise ValueError("JPEG: AC scans are single-component")
+            if se > 63 or ss > se:
+                raise ValueError("JPEG: bad spectral selection")
+            scan_start = pos + 2 + seg_len
+            scan_end = _find_entropy_end(payload, scan_start)
+            reader = _BitReader(payload[scan_start:scan_end])
+            _decode_progressive_scan(
+                reader, components, comp_blocks, coefs, scan_comps,
+                ss, se, ah, al, dc_tables, ac_tables,
+                restart_interval, mcus_x, mcus_y,
+            )
+            pos = scan_end
+            continue
+        pos += 2 + seg_len
+    if coefs is None or w is None:
+        raise ValueError("JPEG: missing SOF2/SOS")
+    planes = []
+    for ci, (cid, tq, hs, vs) in enumerate(components):
+        if tq not in quant:
+            raise ValueError("JPEG: component references missing quant table")
+        bw, bh = comp_blocks[ci]
+        plane = [[0] * (mcus_x * 8 * hs) for _ in range(mcus_y * 8 * vs)]
+        for by in range(bh):
+            for bx in range(bw):
+                block = _idct_block(coefs[ci][by][bx], quant[tq])
+                for x in range(8):
+                    row = plane[by * 8 + x]
+                    for y in range(8):
+                        row[bx * 8 + y] = block[x][y]
+        planes.append(plane)
+    return _assemble_output(components, planes, w, h, hmax, vmax)
+
+
+def _decode_progressive_scan(
+    reader, components, comp_blocks, coefs, scan_comps,
+    ss, se, ah, al, dc_tables, ac_tables,
+    restart_interval, mcus_x, mcus_y,
+) -> None:
+    """One progressive scan over the coefficient store. Restart
+    markers byte-align, reset the DC predictors AND the EOB run, and
+    cycle RST0-7 from 0 within each scan."""
+    state = _ScanState(len(components))
+    rst_idx = 0
+    unit = 0  # MCUs (interleaved) or blocks (single-component)
+
+    def maybe_restart():
+        nonlocal rst_idx
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.expect_restart(rst_idx)
+            rst_idx = (rst_idx + 1) & 7
+            state.reset_restart()
+
+    if len(scan_comps) > 1 or (
+        ss == 0 and len(components) > 1 and len(scan_comps) == len(components)
+    ):
+        # interleaved DC scan: full MCU geometry
+        for ci, td, ta in scan_comps:
+            if ah == 0 and td not in dc_tables:
+                raise ValueError("JPEG: scan references missing DC table")
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart()
+                unit += 1
+                for ci, td, ta in scan_comps:
+                    cid, tq, hs, vs = components[ci]
+                    for byi in range(vs):
+                        for bxi in range(hs):
+                            coef = coefs[ci][my * vs + byi][mx * hs + bxi]
+                            if ah == 0:
+                                _prog_dc_first(
+                                    reader, dc_tables[td], coef, state, ci, al
+                                )
+                            else:
+                                _prog_dc_refine(reader, coef, al)
+        return
+    # single-component scan: the component's own block grid
+    ci, td, ta = scan_comps[0]
+    bw, bh = comp_blocks[ci]
+    if ss == 0 and ah == 0 and td not in dc_tables:
+        raise ValueError("JPEG: scan references missing DC table")
+    if ss > 0 and ta not in ac_tables:
+        raise ValueError("JPEG: scan references missing AC table")
+    for by in range(bh):
+        for bx in range(bw):
+            maybe_restart()
+            unit += 1
+            coef = coefs[ci][by][bx]
+            if ss == 0:
+                if ah == 0:
+                    _prog_dc_first(reader, dc_tables[td], coef, state, ci, al)
+                else:
+                    _prog_dc_refine(reader, coef, al)
+            elif ah == 0:
+                _prog_ac_first(
+                    reader, ac_tables[ta], coef, state, ss, se, al
+                )
+            else:
+                _prog_ac_refine(
+                    reader, ac_tables[ta], coef, state, ss, se, al
+                )
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (T.81 G.1.2) — the fuzz twin of the decoder
+# ---------------------------------------------------------------------------
+
+
+class _EncState:
+    def __init__(self):
+        self.eobrun = 0
+        self.pending = []  # correction bits buffered behind the EOB run
+
+
+def _enc_flush_eobrun(writer, st: _EncState, ac_codes) -> None:
+    """Emit the pending EOBn symbol (nbits = floor(log2(run)), low
+    bits follow) and any correction bits buffered behind it."""
+    if st.eobrun > 0:
+        nbits = st.eobrun.bit_length() - 1
+        code, length = ac_codes[nbits << 4]
+        writer.write(code, length)
+        if nbits:
+            writer.write(st.eobrun & ((1 << nbits) - 1), nbits)
+        st.eobrun = 0
+    for b in st.pending:
+        writer.write(b, 1)
+    st.pending = []
+
+
+def _enc_dc_first(writer, zz, prev: int, al, dc_codes) -> int:
+    """Differential DC of the point-transformed value (arithmetic
+    shift right — exact for negatives under the OR-bit refinement).
+    Returns the new predictor (shifted domain)."""
+    v = zz[0] >> al
+    diff = v - prev
+    size = _size_cat(diff)
+    code, length = dc_codes[size]
+    writer.write(code, length)
+    if size:
+        writer.write(diff if diff >= 0 else diff - 1 + (1 << size), size)
+    return v
+
+
+def _enc_dc_refine(writer, zz, al) -> None:
+    writer.write((zz[0] >> al) & 1, 1)
+
+
+def _enc_ac_first(writer, st: _EncState, zz, ss, se, al, ac_codes) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        v = zz[k]
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        _enc_flush_eobrun(writer, st, ac_codes)
+        while r > 15:
+            code, length = ac_codes[0xF0]
+            writer.write(code, length)
+            r -= 16
+        s = _size_cat(t)
+        code, length = ac_codes[(r << 4) | s]
+        writer.write(code, length)
+        tv = t if v >= 0 else -t
+        writer.write(tv if tv >= 0 else tv - 1 + (1 << s), s)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _enc_flush_eobrun(writer, st, ac_codes)
+
+
+def _enc_ac_refine(writer, st: _EncState, zz, ss, se, al, ac_codes) -> None:
+    """T.81 G.1.2.3 / figure G.7: newly-significant coefficients code
+    (run, 1) + sign; already-significant ones buffer one correction
+    bit that rides the NEXT emitted symbol (or the EOB run)."""
+    absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+    eob_k = ss - 1  # last newly-significant position
+    for i, k in enumerate(range(ss, se + 1)):
+        if absv[i] == 1:
+            eob_k = k
+    r = 0
+    br = []  # correction bits since the last emitted symbol
+    for i, k in enumerate(range(ss, se + 1)):
+        t = absv[i]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob_k:
+            _enc_flush_eobrun(writer, st, ac_codes)
+            code, length = ac_codes[0xF0]
+            writer.write(code, length)
+            r -= 16
+            for b in br:
+                writer.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        _enc_flush_eobrun(writer, st, ac_codes)
+        code, length = ac_codes[(r << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if zz[k] >= 0 else 0, 1)
+        for b in br:
+            writer.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF:
+            _enc_flush_eobrun(writer, st, ac_codes)
+
+
+def _plane_zz_blocks(plane, h, w, quant):
+    """FDCT+quantize every 8x8 block of a plane (edge-replicated)."""
+    bh = (h + 7) // 8
+    bw = (w + 7) // 8
+    out = []
+    for by in range(bh):
+        row = []
+        for bx in range(bw):
+            block = [
+                [
+                    plane[min(by * 8 + x, h - 1)][min(bx * 8 + y, w - 1)]
+                    for y in range(8)
+                ]
+                for x in range(8)
+            ]
+            row.append(_fdct_quant(block, quant))
+        out.append(row)
+    return out
+
+
+def _prog_headers(h, w, comps, quants, restart_interval):
+    """SOI..DHT prefix shared by the progressive encoders. ``comps``:
+    (cid, sampling_byte, tq) triples; ``quants``: tq -> raster table."""
+
+    def seg(marker, payload):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) \
+            + payload
+
+    dqt = b""
+    for tq in sorted(quants):
+        dqt += seg(
+            0xDB,
+            bytes([tq]) + bytes(quants[tq][ZIGZAG[i]] for i in range(64)),
+        )
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    sof = seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, len(comps))
+        + b"".join(bytes(c) for c in comps),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(STD_DC_BITS) + bytes(STD_DC_VALS))
+    dht += seg(0xC4, bytes([0x10]) + bytes(PROG_AC_BITS)
+               + bytes(PROG_AC_VALS))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1)
+               + bytes((0, 0)))
+    return b"\xff\xd8" + app0 + dqt + dri + sof + dht
+
+
+def _sos(scan_comps, ss, se, ah, al) -> bytes:
+    """SOS header: ``scan_comps`` = (component id, td, ta) triples."""
+    body = bytes([len(scan_comps)])
+    for cid, td, ta in scan_comps:
+        body += bytes((cid, (td << 4) | ta))
+    body += bytes((ss, se, (ah << 4) | al))
+    return bytes((0xFF, 0xDA)) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg_gray_progressive(
+    pixels, quant=STD_QUANT, restart_interval=0
+) -> bytes:
+    """Progressive grayscale encoder: DC first (Al=1) -> two AC bands
+    first (Al=2) -> two full-band AC refinements (Al 2->1->0) -> DC
+    refinement. Successive approximation is lossless once every
+    refinement lands, so the decoded image equals the baseline decode
+    of the same quantized coefficients — the differential fuzz
+    contract. ``restart_interval`` > 0 emits RSTn every that many
+    blocks in EVERY scan (EOB runs and DC predictors reset)."""
+    h = len(pixels)
+    w = len(pixels[0])
+    blocks = _plane_zz_blocks(pixels, h, w, quant)
+    dc_codes = _build_codes(STD_DC_BITS, STD_DC_VALS)
+    ac_codes = _build_codes(PROG_AC_BITS, PROG_AC_VALS)
+    out = bytearray(_prog_headers(h, w, [(1, 0x11, 0)],
+                                  {0: quant}, restart_interval))
+
+    def dc_scan(ah, al):
+        writer = _BitWriter()
+        prev = 0
+        unit = 0
+        rst = 0
+        for row in blocks:
+            for zz in row:
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    writer.restart(rst)
+                    rst = (rst + 1) & 7
+                    prev = 0
+                unit += 1
+                if ah == 0:
+                    prev = _enc_dc_first(writer, zz, prev, al, dc_codes)
+                else:
+                    _enc_dc_refine(writer, zz, al)
+        return writer.flush()
+
+    def ac_scan(ss, se, ah, al):
+        writer = _BitWriter()
+        st = _EncState()
+        unit = 0
+        rst = 0
+        for row in blocks:
+            for zz in row:
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    _enc_flush_eobrun(writer, st, ac_codes)
+                    writer.restart(rst)
+                    rst = (rst + 1) & 7
+                unit += 1
+                if ah == 0:
+                    _enc_ac_first(writer, st, zz, ss, se, al, ac_codes)
+                else:
+                    _enc_ac_refine(writer, st, zz, ss, se, al, ac_codes)
+        _enc_flush_eobrun(writer, st, ac_codes)
+        return writer.flush()
+
+    out += _sos([(1, 0, 0)], 0, 0, 0, 1) + dc_scan(0, 1)
+    out += _sos([(1, 0, 0)], 1, 5, 0, 2) + ac_scan(1, 5, 0, 2)
+    out += _sos([(1, 0, 0)], 6, 63, 0, 2) + ac_scan(6, 63, 0, 2)
+    out += _sos([(1, 0, 0)], 1, 63, 2, 1) + ac_scan(1, 63, 2, 1)
+    out += _sos([(1, 0, 0)], 1, 63, 1, 0) + ac_scan(1, 63, 1, 0)
+    out += _sos([(1, 0, 0)], 0, 0, 1, 0) + dc_scan(1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_ycbcr_progressive(
+    y_plane, cb_plane, cr_plane,
+    quant_y=STD_QUANT, quant_c=STD_QUANT_C, restart_interval=0,
+) -> bytes:
+    """Progressive 4:4:4 color encoder: one INTERLEAVED DC first scan
+    (all three components per MCU, separate predictors), per-component
+    AC first (Al=1) and AC refinement (Al=0) scans, then the DC
+    refinement scan — the standard multi-scan shape real progressive
+    encoders emit."""
+    h = len(y_plane)
+    w = len(y_plane[0])
+    planes = (y_plane, cb_plane, cr_plane)
+    quants = (quant_y, quant_c, quant_c)
+    blocks = [_plane_zz_blocks(planes[c], h, w, quants[c]) for c in range(3)]
+    dc_codes = _build_codes(STD_DC_BITS, STD_DC_VALS)
+    ac_codes = _build_codes(PROG_AC_BITS, PROG_AC_VALS)
+    out = bytearray(
+        _prog_headers(
+            h, w,
+            [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)],
+            {0: quant_y, 1: quant_c}, restart_interval,
+        )
+    )
+
+    def dc_scan(ah, al):
+        writer = _BitWriter()
+        prev = [0, 0, 0]
+        unit = 0
+        rst = 0
+        for by in range((h + 7) // 8):
+            for bx in range((w + 7) // 8):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    writer.restart(rst)
+                    rst = (rst + 1) & 7
+                    prev = [0, 0, 0]
+                unit += 1
+                for c in range(3):
+                    zz = blocks[c][by][bx]
+                    if ah == 0:
+                        prev[c] = _enc_dc_first(
+                            writer, zz, prev[c], al, dc_codes
+                        )
+                    else:
+                        _enc_dc_refine(writer, zz, al)
+        return writer.flush()
+
+    def ac_scan(c, ss, se, ah, al):
+        writer = _BitWriter()
+        st = _EncState()
+        unit = 0
+        rst = 0
+        for row in blocks[c]:
+            for zz in row:
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    _enc_flush_eobrun(writer, st, ac_codes)
+                    writer.restart(rst)
+                    rst = (rst + 1) & 7
+                unit += 1
+                if ah == 0:
+                    _enc_ac_first(writer, st, zz, ss, se, al, ac_codes)
+                else:
+                    _enc_ac_refine(writer, st, zz, ss, se, al, ac_codes)
+        _enc_flush_eobrun(writer, st, ac_codes)
+        return writer.flush()
+
+    ids = (1, 2, 3)
+    out += _sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 0, 1) \
+        + dc_scan(0, 1)
+    for c in range(3):
+        out += _sos([(ids[c], 0, 0)], 1, 63, 0, 1) + ac_scan(c, 1, 63, 0, 1)
+    for c in range(3):
+        out += _sos([(ids[c], 0, 0)], 1, 63, 1, 0) + ac_scan(c, 1, 63, 1, 0)
+    out += _sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 1, 0) \
+        + dc_scan(1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)

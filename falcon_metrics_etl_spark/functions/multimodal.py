@@ -10,9 +10,11 @@ Three formats decode COMPLETELY in pure stdlib — PNG (every color
 type at 1/2/4/8/16-bit, sequential and Adam7-interlaced), WAV
 (integer PCM 8/16-bit + IEEE float32, mono/stereo) and Y4M video
 (uncompressed planar frames) — with spec-valid encoders backing
-closed-form oracles. Only formats that genuinely require codec
-libraries remain stubbed (mp3, h264, color/progressive JPEG — clearly
-marked NotImplementedError below); the ``synthetic`` codec keeps the
+closed-form oracles, and JPEG decodes baseline AND progressive,
+grayscale and color (functions/jpeg.py). Only formats that genuinely
+require codec libraries remain stubbed (mp3, h264, arithmetic-coded
+JPEG — clearly marked NotImplementedError); the ``synthetic`` codec
+keeps the
 plumbing testable for those: binary columns through Arrow, batch
 iteration, output schema, partition-parallelism, and the downstream
 JVM-side frame-sampling explode. Swapping in PIL/ffmpeg touches only
@@ -1798,6 +1800,54 @@ def attach_payload_jpeg_420(docs: DataFrame) -> DataFrame:
     )
 
 
+def attach_payload_jpeg_progressive(docs: DataFrame) -> DataFrame:
+    """documents -> PROGRESSIVE (SOF2) grayscale JPEGs of the same
+    blockwise-constant images as the baseline query: six scans (DC
+    first Al=1, two spectral AC bands at Al=2, two full-band AC
+    refinements, DC refinement) plus RSTn restarts every 5 blocks in
+    every scan. Successive approximation reconstructs the quantized
+    coefficients exactly, so the baseline query's closed-form oracle
+    carries over unchanged while the decode runs the full T.81 Annex
+    G scan machinery."""
+    from falcon_metrics_etl_spark.functions.jpeg import (
+        encode_jpeg_gray_progressive,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                bw = int(h[0:4], 16) % JPEG_BLOCKS_MOD + 1
+                bh = int(h[4:8], 16) % JPEG_BLOCKS_MOD + 1
+                base = int(h[8:10], 16)
+                img = [
+                    [
+                        128 + 2 * (
+                            ((base + (y // 8) * bw + (x // 8))
+                             % JPEG_DC_RANGE) - 24
+                        )
+                        for x in range(8 * bw)
+                    ]
+                    for y in range(8 * bh)
+                ]
+                payloads.append(
+                    encode_jpeg_gray_progressive(img, restart_interval=5)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": "image",
+                    "codec": "jpeg-progressive",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, media_type string, codec string, payload binary"
+    )
+
+
 def jpeg_rgb_stats(media: DataFrame) -> DataFrame:
     """Arrow-batched color JPEG statistics: full baseline decode
     (3-component MCU interleave, per-component predictors/tables,
@@ -2133,7 +2183,8 @@ def png_color_pixel_stats(media: DataFrame) -> DataFrame:
 # fully decodable in pure stdlib (header tokens + fixed-size planar
 # frames). Closes the "video frames" stub with a genuine format; the
 # remaining media stubs are perceptual codecs only (mp3/h264) plus
-# color/progressive JPEG; baseline grayscale JPEG is real (jpeg.py).
+# arithmetic-coded JPEG; baseline + progressive JPEG, grayscale and
+# color, decode for real (jpeg.py).
 # ---------------------------------------------------------------------------
 Y4M_FRAMES_MOD = 8  # synthetic clips: 1..8 frames keeps payloads tiny
 

@@ -556,6 +556,56 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_progressive_stats",
+    doc="REAL PROGRESSIVE JPEG decode (SOF2 — the r7 boundary's named "
+    "dominant remaining real-world layout): six Huffman scans per "
+    "image (interleavable DC first with point transform, spectral-"
+    "selection AC bands, successive-approximation AC/DC refinements "
+    "with EOB runs and buffered correction bits, T.81 Annex G) plus "
+    "RSTn restarts every 5 blocks in EVERY scan, accumulated into a "
+    "persistent coefficient store and IDCT'd once at EOI. Payloads "
+    "are the SAME blockwise-constant images as the baseline query — "
+    "successive approximation is lossless once all refinements land, "
+    "so the baseline closed-form oracle carries over; the general "
+    "(AC-carrying) path is differentially fuzzed in pytest: "
+    "progressive decode must equal the baseline decode of the same "
+    "quantized coefficients. Remaining JPEG boundary: arithmetic "
+    "coding (SOF9/10).",
+    tags=("multimodal", "pandas-udf", "binary", "codec", "pixels"),
+    oracle=f"""
+WITH dims AS (
+    SELECT doc_id,
+           ('0x' || substring(md5(text), 1, 4))::INT % {MM.JPEG_BLOCKS_MOD} + 1 AS bw,
+           ('0x' || substring(md5(text), 5, 4))::INT % {MM.JPEG_BLOCKS_MOD} + 1 AS bh,
+           ('0x' || substring(md5(text), 9, 2))::INT AS base
+    FROM documents
+),
+blocks AS (
+    SELECT doc_id, bw, bh,
+           128 + 2 * (((base + i) % {MM.JPEG_DC_RANGE}) - 24) AS v
+    FROM dims, unnest(range(0, bw * bh)) AS t(i)
+)
+SELECT doc_id,
+       CAST(MIN(bw) * 8 AS INT) AS width,
+       CAST(MIN(bh) * 8 AS INT) AS height,
+       CAST(COUNT(*) * 64 AS BIGINT) AS n_pixels,
+       CAST(MIN(v) AS INT) AS min_pixel,
+       CAST(MAX(v) AS INT) AS max_pixel,
+       CAST(SUM(v) * 64 AS BIGINT) AS sum_pixel,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_pixel
+FROM blocks
+GROUP BY doc_id
+""",
+)
+def multimodal_jpeg_progressive_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_jpeg_progressive(docs)
+    return MM.jpeg_pixel_stats(media)
+
+
+@register(
     "multimodal_jpeg_color_stats",
     doc="REAL 4:4:4 COLOR JPEG decode: three-component MCU interleave "
     "(per-component DC predictors, separate luma/chroma quant "
@@ -564,8 +614,9 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-block luma ramp + per-doc constant chroma with Q0=16 on "
     "both tables, so the planes recover exactly and the oracle "
     "replays the EXACT RGB conversion arithmetic in SQL. 4:2:0 "
-    "subsampling decodes too (multimodal_jpeg_420_stats); remaining "
-    "JPEG boundary: progressive, restart markers.",
+    "subsampling (multimodal_jpeg_420_stats), DRI/RSTn restarts and "
+    "progressive SOF2 (multimodal_jpeg_progressive_stats) decode "
+    "too; remaining JPEG boundary: arithmetic coding.",
     tags=("multimodal", "pandas-udf", "binary", "codec", "pixels"),
     oracle=f"""
 WITH dims AS (

@@ -1180,11 +1180,12 @@ def test_jpeg_unsupported_features_raise_cleanly():
     enc = bytearray(encode_jpeg_gray([[100] * 8] * 8))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_gray(b"\x00\x00" + bytes(enc[2:]))
-    # flip SOF0 -> SOF2 (progressive): clean NotImplementedError
+    # flip SOF0 -> SOF9 (arithmetic sequential): clean
+    # NotImplementedError (progressive SOF2 decodes for real now)
     sof_at = enc.index(b"\xff\xc0")
     enc2 = bytearray(enc)
-    enc2[sof_at + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    enc2[sof_at + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF9"):
         decode_jpeg_gray(bytes(enc2))
     # truncate mid-scan: entropy exhaustion is a ValueError
     with pytest.raises(ValueError):
@@ -1239,3 +1240,112 @@ def test_jpeg_420_subsampled_decode():
         for y in range(w):
             cb = cb_vals[x // 16][y // 16] - 128
             assert d["rgb"][x][y][2] == clamp8(128 + 1.772 * cb), (x, y)
+
+
+def test_jpeg_progressive_differential_fuzz():
+    """Progressive (SOF2) decode: successive approximation over all
+    six scans reconstructs the quantized coefficients EXACTLY, so the
+    progressive decode of an image must be bit-identical to the
+    baseline decode of the same image (whose own correctness is
+    fuzz-pinned against the independent reference decoder above).
+    120 random images — noise, gradients, sparse spikes (deep ZRL +
+    EOB-run paths), checkerboards — across edge dimensions and
+    restart intervals, grayscale and 4:4:4 color."""
+    import random
+
+    from falcon_metrics_etl_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+        encode_jpeg_ycbcr,
+        encode_jpeg_ycbcr_progressive,
+    )
+
+    rng = random.Random(4242)
+    for trial in range(80):
+        w = rng.randint(1, 40)
+        h = rng.randint(1, 40)
+        kind = trial % 4
+        if kind == 0:
+            img = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        elif kind == 1:
+            img = [[min(255, x * 3 + y * 2) for x in range(w)]
+                   for y in range(h)]
+        elif kind == 2:
+            # sparse spikes on a flat field: long zero runs -> ZRL and
+            # EOB-run machinery, including runs > 1 via the EOBn codes
+            img = [[128] * w for _ in range(h)]
+            for _ in range(max(1, (w * h) // 40)):
+                img[rng.randrange(h)][rng.randrange(w)] = rng.choice((0, 255))
+        else:
+            img = [[128 + (50 if (x // 8 + y // 8) % 2 else -50)
+                    for x in range(w)] for y in range(h)]
+        ri = rng.choice([0, 0, 1, 3, 7])
+        base = decode_jpeg(encode_jpeg_gray(img))
+        prog = decode_jpeg(
+            encode_jpeg_gray_progressive(img, restart_interval=ri)
+        )
+        assert prog["ncomp"] == 1
+        assert prog["pixels"] == base["pixels"], (trial, kind, w, h, ri)
+    for trial in range(40):
+        w = rng.randint(1, 24)
+        h = rng.randint(1, 24)
+        mk = (lambda: [[rng.randrange(256) for _ in range(w)]
+                       for _ in range(h)])
+        yp, cb, cr = mk(), mk(), mk()
+        ri = rng.choice([0, 2, 5])
+        base = decode_jpeg(encode_jpeg_ycbcr(yp, cb, cr))
+        prog = decode_jpeg(
+            encode_jpeg_ycbcr_progressive(yp, cb, cr, restart_interval=ri)
+        )
+        assert prog["rgb"] == base["rgb"], (trial, w, h, ri)
+
+
+def test_jpeg_progressive_structure_and_guards():
+    """The progressive payload really is multi-scan SOF2 (six SOS
+    segments, RSTn present when asked), and malformed progressive
+    streams fail with clean errors: multi-component AC scan, bad
+    spectral band, truncated entropy data."""
+    import struct as st
+
+    import pytest
+
+    from falcon_metrics_etl_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray_progressive,
+        encode_jpeg_ycbcr_progressive,
+    )
+
+    img = [[(x * 7 + y * 3) % 256 for x in range(24)] for y in range(17)]
+    enc = encode_jpeg_gray_progressive(img, restart_interval=3)
+    assert enc.count(b"\xff\xc2") >= 1
+    assert enc.count(b"\xff\xda") == 6
+    assert any(bytes((0xFF, 0xD0 + i)) in enc for i in range(8))
+    decode_jpeg(enc)  # sanity
+
+    color = encode_jpeg_ycbcr_progressive(
+        [[100] * 16] * 16, [[120] * 16] * 16, [[140] * 16] * 16
+    )
+    # corrupt the FIRST AC scan's SOS to cover 3 components: the DC
+    # scan SOS has ns=3, AC scans ns=1 — find the second SOS
+    pos = color.index(b"\xff\xda")
+    pos2 = color.index(b"\xff\xda", pos + 2)
+    bad = bytearray(color)
+    (seg_len,) = st.unpack(">H", color[pos2 + 2 : pos2 + 4])
+    # rewrite ns=1 scan header to claim Ss>0 with 3 components by
+    # editing the DC scan instead: set its Ss byte to 1
+    dc_body_at = pos + 4
+    ns = color[dc_body_at]
+    ss_at = dc_body_at + 1 + 2 * ns
+    bad[ss_at] = 1
+    with pytest.raises(ValueError, match="single-component"):
+        decode_jpeg(bytes(bad))
+    bad2 = bytearray(color)
+    ac_body_at = pos2 + 4
+    ns2 = color[ac_body_at]
+    se_at = ac_body_at + 1 + 2 * ns2 + 1
+    bad2[se_at] = 70  # Se > 63
+    with pytest.raises(ValueError, match="spectral"):
+        decode_jpeg(bytes(bad2))
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[: len(enc) // 2])
