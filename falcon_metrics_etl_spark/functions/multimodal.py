@@ -2188,11 +2188,17 @@ def png_color_pixel_stats(media: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 Y4M_FRAMES_MOD = 8  # synthetic clips: 1..8 frames keeps payloads tiny
 
-# frame payload bytes per pixel-count, by colour space
+# frame payload bytes per pixel-count, by colour space (the chroma
+# siting suffixes — jpeg/mpeg2/paldv — only move WHERE the chroma
+# samples sit, not how many there are, so they share a stride)
 _Y4M_FRAME_SIZE = {
     "mono": lambda w, h: w * h,
     "444": lambda w, h: 3 * w * h,
+    "422": lambda w, h: w * h + 2 * ((w + 1) // 2) * h,
+    "411": lambda w, h: w * h + 2 * ((w + 3) // 4) * h,
     "420jpeg": lambda w, h: w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2),
+    "420mpeg2": lambda w, h: w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2),
+    "420paldv": lambda w, h: w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2),
     "420": lambda w, h: w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2),
 }
 
@@ -2209,6 +2215,34 @@ def encode_y4m_mono(width: int, height: int, n_frames: int, base: int) -> bytes:
         out += b"FRAME\n"
         for y in range(height):
             out += bytes((base + x + y + k) & 0xFF for x in range(width))
+    return bytes(out)
+
+
+def encode_y4m_chroma(
+    width: int,
+    height: int,
+    n_frames: int,
+    base: int,
+    cspace: str,
+    chroma: int = 128,
+) -> bytes:
+    """Y4M clip with chroma planes: the SAME luma gradient as
+    ``encode_y4m_mono`` plus constant Cb/Cr planes at the colour
+    space's stride (422 half-width, 411 quarter-width, 420* 2x2,
+    444 full) — so luma statistics stay the mono closed form while
+    the decoder must stride past real chroma bytes per frame."""
+    if cspace not in _Y4M_FRAME_SIZE or cspace == "mono":
+        raise ValueError(f"encode_y4m_chroma: unsupported cspace {cspace!r}")
+    hdr = (
+        f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C{cspace}\n".encode()
+    )
+    chroma_bytes = _Y4M_FRAME_SIZE[cspace](width, height) - width * height
+    out = bytearray(hdr)
+    for k in range(n_frames):
+        out += b"FRAME\n"
+        for y in range(height):
+            out += bytes((base + x + y + k) & 0xFF for x in range(width))
+        out += bytes([chroma & 0xFF]) * chroma_bytes
     return bytes(out)
 
 
@@ -2254,8 +2288,9 @@ def decode_y4m_frames(payload: bytes) -> dict:
     hdr = parse_y4m_header(payload)
     cs = hdr["cspace"]
     if cs not in _Y4M_FRAME_SIZE:
-        # STUB BOUNDARY: exotic chroma taggings (411, interlaced chroma
-        # variants) are out of scope; common 420/444/mono decode fully
+        # STUB BOUNDARY: >8-bit taggings (e.g. 420p10/420p16) and
+        # interlaced-chroma variants are out of scope; mono/444/422/
+        # 411 and every 420 siting variant decode fully (r8)
         raise NotImplementedError(f"Y4M colour space {cs!r}")
     w, h = hdr["width"], hdr["height"]
     fsize = _Y4M_FRAME_SIZE[cs](w, h)
@@ -2279,6 +2314,40 @@ def decode_y4m_frames(payload: bytes) -> dict:
         "n_frames": len(frames),
         "frames": frames,
     }
+
+
+Y4M_CSPACES = ("444", "422", "411", "420mpeg2")  # chroma-query rotation
+
+
+def attach_payload_y4m_chroma(docs: DataFrame) -> DataFrame:
+    """documents -> Y4M clips WITH chroma planes, colour space rotated
+    per doc (444/422/411/420mpeg2 by md5[14:16]) — same luma gradient
+    and dims as the mono corpus, so the mono closed-form oracle holds
+    while the decode must stride each space's chroma layout."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                w = int(h[0:4], 16) % PNG_DIM_MOD + 1
+                ht = int(h[4:8], 16) % PNG_DIM_MOD + 1
+                base = int(h[8:10], 16) % GRAD_BASE_MOD
+                n = int(h[12:14], 16) % Y4M_FRAMES_MOD + 1
+                cs = Y4M_CSPACES[int(h[14:16], 16) % len(Y4M_CSPACES)]
+                payloads.append(encode_y4m_chroma(w, ht, n, base, cs))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": "video",
+                    "codec": "y4m",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, media_type string, codec string, payload binary"
+    )
 
 
 def attach_payload_y4m(docs: DataFrame) -> DataFrame:

@@ -898,9 +898,10 @@ FROM documents
     "decode_y4m_frames (header token parse + fixed-size frame walk), "
     "then whole-clip luma statistics. The oracle replays the "
     "closed-form three-axis gradient sums — matching requires walking "
-    "every frame. Video is no longer a synthetic-only stub; remaining "
-    "media stubs are perceptual codecs (mp3/h264); baseline grayscale "
-    "JPEG decodes for real (multimodal_jpeg_pixel_stats). Map-only.",
+    "every frame. Video is no longer a synthetic-only stub; chroma-"
+    "plane colour spaces decode too (multimodal_y4m_chroma_stats); "
+    "remaining media stubs are perceptual codecs (mp3/h264) and "
+    "arithmetic-coded JPEG. Map-only.",
     tags=("multimodal", "pandas-udf", "binary", "codec", "video"),
     oracle=f"""
 WITH dims AS ({_DUCK_Y4M_DIMS})
@@ -919,6 +920,40 @@ FROM dims
 def multimodal_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_payload_y4m(docs)
+    return MM.y4m_frame_stats(media)
+
+
+@register(
+    "multimodal_y4m_chroma_stats",
+    doc="Y4M chroma-plane stride decode (r8 — closes the 411/422/"
+    "siting-variant boundary): clips carry REAL Cb/Cr planes with the "
+    "colour space rotated per doc (444 full, 422 half-width, 411 "
+    "quarter-width, 420mpeg2 2x2), so decode_y4m_frames must compute "
+    "each space's frame stride to slice luma correctly — a one-byte "
+    "stride error shears every later frame. The luma gradient and "
+    "dims match the mono corpus, so the same closed-form oracle "
+    "holds. Remaining Y4M boundary: >8-bit taggings (420p10/p16), "
+    "interlaced chroma.",
+    tags=("multimodal", "pandas-udf", "binary", "codec", "video"),
+    oracle=f"""
+WITH dims AS ({_DUCK_Y4M_DIMS})
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(n AS INT) AS n_frames, 25.0 AS fps,
+       CAST(n * w * h AS BIGINT) AS n_luma,
+       CAST(b AS INT) AS min_luma,
+       CAST(b + w + h + n - 3 AS INT) AS max_luma,
+       CAST(n*w*h*b + n*(h*(w*(w-1))//2 + w*(h*(h-1))//2)
+            + w*h*(n*(n-1))//2 AS BIGINT) AS sum_luma,
+       CAST(n*w*h*b + n*(h*(w*(w-1))//2 + w*(h*(h-1))//2)
+            + w*h*(n*(n-1))//2 AS DOUBLE) / (n * w * h) AS mean_luma
+FROM dims
+""",
+)
+def multimodal_y4m_chroma_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_y4m_chroma(docs)
     return MM.y4m_frame_stats(media)
 
 

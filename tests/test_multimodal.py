@@ -635,8 +635,10 @@ def test_y4m_roundtrip_and_chroma_sizing():
         MM.decode_y4m_frames(b"JUNK")
     with _pytest.raises(ValueError):  # truncated final frame
         MM.decode_y4m_frames(hdr + frame + frame[:10])
+    # 411 decodes for real since r8; >8-bit taggings stay the boundary
+    assert MM.decode_y4m_frames(b"YUV4MPEG2 W2 H2 C411\n")["n_frames"] == 0
     with _pytest.raises(NotImplementedError):
-        MM.decode_y4m_frames(b"YUV4MPEG2 W2 H2 C411\n")
+        MM.decode_y4m_frames(b"YUV4MPEG2 W2 H2 C420p10\n")
 
 
 def test_wav_silence_trim():
@@ -1349,3 +1351,32 @@ def test_jpeg_progressive_structure_and_guards():
         decode_jpeg(bytes(bad2))
     with pytest.raises(ValueError):
         decode_jpeg(enc[: len(enc) // 2])
+
+
+def test_y4m_chroma_space_strides():
+    """422/411/444/420-siting clips decode with correct per-space
+    frame strides: the luma frames equal the mono encoding's (a
+    one-byte stride error shears every frame after the first);
+    unknown/16-bit taggings still raise the honest boundary error."""
+    import pytest
+
+    from falcon_metrics_etl_spark.functions.multimodal import (
+        decode_y4m_frames,
+        encode_y4m_chroma,
+        encode_y4m_mono,
+    )
+
+    for cs in ("444", "422", "411", "420mpeg2", "420paldv", "420jpeg"):
+        for (w, h, n) in ((5, 3, 4), (1, 1, 2), (16, 9, 3)):
+            mono = decode_y4m_frames(encode_y4m_mono(w, h, n, 50))
+            got = decode_y4m_frames(encode_y4m_chroma(w, h, n, 50, cs))
+            assert got["n_frames"] == n, (cs, w, h)
+            assert got["frames"] == mono["frames"], (cs, w, h, n)
+    # truncated chroma tail -> clean error, not a sheared decode
+    enc = encode_y4m_chroma(6, 4, 2, 10, "422")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m_frames(enc[:-3])
+    with pytest.raises(NotImplementedError, match="420p16"):
+        decode_y4m_frames(
+            b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420p16\nFRAME\n" + bytes(48)
+        )
