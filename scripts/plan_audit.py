@@ -100,6 +100,7 @@ NOPUSH_OK = {
     "embedding_near_dup_pairs",
     # min-token gate (>=2, for bigram features) on the classifier scan
     "quality_classifier_scores",
+    "quality_classifier_scores_fast",
     # Catalyst-inferred IsNotNull(cast(pk as string)) join-key guards on
     # derived keys; the source pk columns are non-null by construction
     "kanbanize_card_states",
