@@ -90,6 +90,15 @@ DEFAULT_QUERIES = [
     "quality_classifier_scores",
     "bigram_surprisal_scores",
     "multimodal_wav_adpcm_stats",
+    # round-8 operators: progressive JPEG + Y4M chroma strides
+    # (map-only Arrow decode), xxhash64 classifier/audit twins
+    # (scan-side HOFs), the fused CFD plans
+    "multimodal_jpeg_progressive_stats",
+    "multimodal_y4m_chroma_stats",
+    "quality_classifier_scores_fast",
+    "corpus_cleaning_audit_fast",
+    "cfd",
+    "cfd_incremental_update",
 ]
 
 # key columns to offset per replica, per table (disjoint key spaces)
