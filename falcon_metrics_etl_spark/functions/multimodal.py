@@ -1746,6 +1746,60 @@ def attach_payload_jpeg_color(docs: DataFrame) -> DataFrame:
     )
 
 
+def attach_payload_jpeg_color_progressive(docs: DataFrame) -> DataFrame:
+    """documents -> PROGRESSIVE 4:4:4 color JPEGs: same per-block luma
+    ramp + constant chroma construction as the baseline color corpus
+    (exact recovery under Q0=16 on both tables), re-encoded as
+    multi-scan SOF2 with an interleaved DC scan, per-component AC
+    first/refinement scans and RSTn restarts every 3 units."""
+    from falcon_metrics_etl_spark.functions.jpeg import (
+        STD_QUANT,
+        encode_jpeg_ycbcr_progressive,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                bw = int(h[0:4], 16) % JPEG_BLOCKS_MOD + 1
+                bh = int(h[4:8], 16) % JPEG_BLOCKS_MOD + 1
+                base = int(h[8:10], 16)
+                cb = 128 + 2 * (int(h[10:12], 16) % JPEG_CHROMA_RANGE - 20)
+                cr = 128 + 2 * (int(h[12:14], 16) % JPEG_CHROMA_RANGE - 20)
+                y_plane = [
+                    [
+                        128 + 2 * (
+                            ((base + (y // 8) * bw + (x // 8))
+                             % JPEG_DC_RANGE) - 24
+                        )
+                        for x in range(8 * bw)
+                    ]
+                    for y in range(8 * bh)
+                ]
+                flat_cb = [[cb] * (8 * bw) for _ in range(8 * bh)]
+                flat_cr = [[cr] * (8 * bw) for _ in range(8 * bh)]
+                payloads.append(
+                    encode_jpeg_ycbcr_progressive(
+                        y_plane, flat_cb, flat_cr,
+                        quant_y=STD_QUANT, quant_c=STD_QUANT,
+                        restart_interval=3,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": "image",
+                    "codec": "jpeg-progressive",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, media_type string, codec string, payload binary"
+    )
+
+
 def attach_payload_jpeg_420(docs: DataFrame) -> DataFrame:
     """documents -> 4:2:0 subsampled color JPEGs: even block grids
     (16-px MCU alignment), the same per-block luma ramp and per-doc

@@ -615,10 +615,11 @@ def multimodal_jpeg_progressive_stats(
     "both tables, so the planes recover exactly and the oracle "
     "replays the EXACT RGB conversion arithmetic in SQL. 4:2:0 "
     "subsampling (multimodal_jpeg_420_stats), DRI/RSTn restarts and "
-    "progressive SOF2 (multimodal_jpeg_progressive_stats) decode "
-    "too; remaining JPEG boundary: arithmetic coding.",
+    "progressive SOF2 (multimodal_jpeg_progressive_stats, "
+    "multimodal_jpeg_progressive_color_stats) decode too; remaining "
+    "JPEG boundary: arithmetic coding.",
     tags=("multimodal", "pandas-udf", "binary", "codec", "pixels"),
-    oracle=f"""
+    oracle=(_JPEG_COLOR_ORACLE := f"""
 WITH dims AS (
     SELECT doc_id,
            ('0x' || substring(md5(text), 1, 4))::INT % {MM.JPEG_BLOCKS_MOD} + 1 AS bw,
@@ -658,11 +659,35 @@ SELECT doc_id,
        CAST(SUM(b) * 64 AS BIGINT) AS sum_b
 FROM rgb
 GROUP BY doc_id
-""",
+"""),
 )
 def multimodal_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_payload_jpeg_color(docs)
+    return MM.jpeg_rgb_stats(media)
+
+
+@register(
+    "multimodal_jpeg_progressive_color_stats",
+    doc="PROGRESSIVE COLOR JPEG decode: the 4:4:4 color corpus "
+    "re-encoded as multi-scan SOF2 — an INTERLEAVED DC first scan "
+    "(all three components per MCU, separate predictors), per-"
+    "component spectral AC first and successive-approximation "
+    "refinement scans, DC refinement, RSTn restarts every 3 units in "
+    "every scan. Same exact-recovery construction as the baseline "
+    "color query (Q0=16 both tables, constant chroma), so the SAME "
+    "closed-form RGB oracle holds; the interleaved-DC + per-component "
+    "-AC geometry is exactly what real progressive color files do. "
+    "Differentially fuzzed (progressive == baseline decode) in "
+    "pytest. Remaining JPEG boundary: arithmetic coding.",
+    tags=("multimodal", "pandas-udf", "binary", "codec", "pixels"),
+    oracle=_JPEG_COLOR_ORACLE,
+)
+def multimodal_jpeg_progressive_color_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_jpeg_color_progressive(docs)
     return MM.jpeg_rgb_stats(media)
 
 
@@ -675,8 +700,9 @@ def multimodal_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "its own resolution and nearest-upsamples chroma. Constant "
     "per-doc chroma makes the 2x2 upsample exact, so the same "
     "closed-form RGB oracle as the 4:4:4 query holds on an even "
-    "(16-px-aligned) block grid. Remaining JPEG boundary: "
-    "progressive, restart markers.",
+    "(16-px-aligned) block grid. Restart markers and progressive "
+    "SOF2 decode in the sibling queries; remaining JPEG boundary: "
+    "arithmetic coding.",
     tags=("multimodal", "pandas-udf", "binary", "codec", "pixels"),
     oracle=f"""
 WITH dims AS (
