@@ -1215,10 +1215,12 @@ def _enc_ac_refine(writer, st: _EncState, zz, ss, se, al, ac_codes) -> None:
             _enc_flush_eobrun(writer, st, ac_codes)
 
 
-def _plane_zz_blocks(plane, h, w, quant):
-    """FDCT+quantize every 8x8 block of a plane (edge-replicated)."""
-    bh = (h + 7) // 8
-    bw = (w + 7) // 8
+def _plane_zz_blocks(plane, h, w, quant, bw=None, bh=None):
+    """FDCT+quantize every 8x8 block of a plane (edge-replicated).
+    ``bw``/``bh`` may exceed the ceil(dim/8) grid to cover interleaved
+    -MCU padding blocks (edge replication extends them too)."""
+    bh = bh if bh is not None else (h + 7) // 8
+    bw = bw if bw is not None else (w + 7) // 8
     out = []
     for by in range(bh):
         row = []
@@ -1414,6 +1416,120 @@ def encode_jpeg_ycbcr_progressive(
         out += _sos([(ids[c], 0, 0)], 1, 63, 0, 1) + ac_scan(c, 1, 63, 0, 1)
     for c in range(3):
         out += _sos([(ids[c], 0, 0)], 1, 63, 1, 0) + ac_scan(c, 1, 63, 1, 0)
+    out += _sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 1, 0) \
+        + dc_scan(1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_ycbcr_420_progressive(
+    y_plane, cb_plane, cr_plane,
+    quant_y=STD_QUANT, quant_c=STD_QUANT_C, restart_interval=0,
+) -> bytes:
+    """Progressive 4:2:0 encoder — the combination real progressive
+    photos actually use (SOF2 + 2x2 chroma subsampling). The
+    INTERLEAVED DC scans walk the 16-px MCU grid (four luma blocks +
+    one Cb + one Cr per MCU, INCLUDING the edge-padding blocks, whose
+    DC diffs are part of the predictor chain exactly as in baseline
+    4:2:0); the per-component AC scans walk each component's OWN
+    ceil(dim/8) block grid, which excludes padding blocks (T.81
+    non-interleaved geometry — the decoder never IDCTs them)."""
+    h = len(y_plane)
+    w = len(y_plane[0])
+    ch = (h + 1) // 2
+    cw = (w + 1) // 2
+    if len(cb_plane) != ch or len(cb_plane[0]) != cw:
+        raise ValueError("4:2:0 chroma planes must be half-resolution")
+    mcus_x = (w + 15) // 16
+    mcus_y = (h + 15) // 16
+    # luma blocks on the PADDED interleaved grid; chroma padded to MCUs
+    blocks_y = _plane_zz_blocks(
+        y_plane, h, w, quant_y, bw=mcus_x * 2, bh=mcus_y * 2
+    )
+    blocks_cb = _plane_zz_blocks(
+        cb_plane, ch, cw, quant_c, bw=mcus_x, bh=mcus_y
+    )
+    blocks_cr = _plane_zz_blocks(
+        cr_plane, ch, cw, quant_c, bw=mcus_x, bh=mcus_y
+    )
+    dc_codes = _build_codes(STD_DC_BITS, STD_DC_VALS)
+    ac_codes = _build_codes(PROG_AC_BITS, PROG_AC_VALS)
+    out = bytearray(
+        _prog_headers(
+            h, w,
+            [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)],
+            {0: quant_y, 1: quant_c}, restart_interval,
+        )
+    )
+
+    def dc_scan(ah, al):
+        writer = _BitWriter()
+        prev = [0, 0, 0]
+        unit = 0
+        rst = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    writer.restart(rst)
+                    rst = (rst + 1) & 7
+                    prev = [0, 0, 0]
+                unit += 1
+                for byi in range(2):
+                    for bxi in range(2):
+                        zz = blocks_y[my * 2 + byi][mx * 2 + bxi]
+                        if ah == 0:
+                            prev[0] = _enc_dc_first(
+                                writer, zz, prev[0], al, dc_codes
+                            )
+                        else:
+                            _enc_dc_refine(writer, zz, al)
+                for c, grid in ((1, blocks_cb), (2, blocks_cr)):
+                    zz = grid[my][mx]
+                    if ah == 0:
+                        prev[c] = _enc_dc_first(
+                            writer, zz, prev[c], al, dc_codes
+                        )
+                    else:
+                        _enc_dc_refine(writer, zz, al)
+        return writer.flush()
+
+    def ac_scan(grid, bw, bh, ss, se, ah, al):
+        writer = _BitWriter()
+        st = _EncState()
+        unit = 0
+        rst = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    _enc_flush_eobrun(writer, st, ac_codes)
+                    writer.restart(rst)
+                    rst = (rst + 1) & 7
+                unit += 1
+                zz = grid[by][bx]
+                if ah == 0:
+                    _enc_ac_first(writer, st, zz, ss, se, al, ac_codes)
+                else:
+                    _enc_ac_refine(writer, st, zz, ss, se, al, ac_codes)
+        _enc_flush_eobrun(writer, st, ac_codes)
+        return writer.flush()
+
+    y_bw, y_bh = (w + 7) // 8, (h + 7) // 8
+    c_bw, c_bh = (cw + 7) // 8, (ch + 7) // 8
+    comp_grids = (
+        (1, blocks_y, y_bw, y_bh),
+        (2, blocks_cb, c_bw, c_bh),
+        (3, blocks_cr, c_bw, c_bh),
+    )
+    out += _sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 0, 1) \
+        + dc_scan(0, 1)
+    for cid, grid, bw, bh in comp_grids:
+        out += _sos([(cid, 0, 0)], 1, 63, 0, 1) \
+            + ac_scan(grid, bw, bh, 1, 63, 0, 1)
+    for cid, grid, bw, bh in comp_grids:
+        out += _sos([(cid, 0, 0)], 1, 63, 1, 0) \
+            + ac_scan(grid, bw, bh, 1, 63, 1, 0)
     out += _sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 1, 0) \
         + dc_scan(1, 0)
     out += b"\xff\xd9"

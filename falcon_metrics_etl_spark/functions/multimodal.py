@@ -1902,6 +1902,59 @@ def attach_payload_jpeg_progressive(docs: DataFrame) -> DataFrame:
     )
 
 
+def attach_payload_jpeg_420_progressive(docs: DataFrame) -> DataFrame:
+    """documents -> PROGRESSIVE 4:2:0 JPEGs: same even-block-grid luma
+    ramp + constant half-resolution chroma as the baseline 4:2:0
+    corpus, re-encoded as multi-scan SOF2 (interleaved DC over the
+    16-px MCU grid, per-component AC scans, RSTn every 3 units)."""
+    from falcon_metrics_etl_spark.functions.jpeg import (
+        STD_QUANT,
+        encode_jpeg_ycbcr_420_progressive,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                h = hashlib.md5(text.encode("utf-8")).hexdigest()
+                bw = 2 * (int(h[0:4], 16) % 2 + 1)
+                bh = 2 * (int(h[4:8], 16) % 2 + 1)
+                base = int(h[8:10], 16)
+                cb = 128 + 2 * (int(h[10:12], 16) % JPEG_CHROMA_RANGE - 20)
+                cr = 128 + 2 * (int(h[12:14], 16) % JPEG_CHROMA_RANGE - 20)
+                y_plane = [
+                    [
+                        128 + 2 * (
+                            ((base + (y // 8) * bw + (x // 8))
+                             % JPEG_DC_RANGE) - 24
+                        )
+                        for x in range(8 * bw)
+                    ]
+                    for y in range(8 * bh)
+                ]
+                half_cb = [[cb] * (4 * bw) for _ in range(4 * bh)]
+                half_cr = [[cr] * (4 * bw) for _ in range(4 * bh)]
+                payloads.append(
+                    encode_jpeg_ycbcr_420_progressive(
+                        y_plane, half_cb, half_cr,
+                        quant_y=STD_QUANT, quant_c=STD_QUANT,
+                        restart_interval=3,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": "image",
+                    "codec": "jpeg-progressive",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, media_type string, codec string, payload binary"
+    )
+
+
 def jpeg_rgb_stats(media: DataFrame) -> DataFrame:
     """Arrow-batched color JPEG statistics: full baseline decode
     (3-component MCU interleave, per-component predictors/tables,

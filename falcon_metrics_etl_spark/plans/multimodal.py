@@ -704,7 +704,7 @@ def multimodal_jpeg_progressive_color_stats(
     "SOF2 decode in the sibling queries; remaining JPEG boundary: "
     "arithmetic coding.",
     tags=("multimodal", "pandas-udf", "binary", "codec", "pixels"),
-    oracle=f"""
+    oracle=(_JPEG_420_ORACLE := f"""
 WITH dims AS (
     SELECT doc_id,
            2 * (('0x' || substring(md5(text), 1, 4))::INT % 2 + 1) AS bw,
@@ -744,11 +744,34 @@ SELECT doc_id,
        CAST(SUM(b) * 64 AS BIGINT) AS sum_b
 FROM rgb
 GROUP BY doc_id
-""",
+"""),
 )
 def multimodal_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_payload_jpeg_420(docs)
+    return MM.jpeg_rgb_stats(media)
+
+
+@register(
+    "multimodal_jpeg_progressive_420_stats",
+    doc="PROGRESSIVE 4:2:0 JPEG decode — THE dominant real-world "
+    "photo layout (SOF2 + 2x2 chroma subsampling combined): the "
+    "interleaved DC scans walk the 16-px MCU grid (four luma blocks "
+    "+ Cb + Cr per MCU, padding blocks in the predictor chain), the "
+    "per-component AC first/refinement scans walk each component's "
+    "OWN block grid at its own resolution, RSTn restarts every 3 "
+    "units. Same exact-recovery corpus and closed-form RGB oracle as "
+    "the baseline 4:2:0 query; differentially fuzzed (progressive == "
+    "baseline 4:2:0 decode, including odd non-MCU-aligned dims). "
+    "Remaining JPEG boundary: arithmetic coding.",
+    tags=("multimodal", "pandas-udf", "binary", "codec", "pixels"),
+    oracle=_JPEG_420_ORACLE,
+)
+def multimodal_jpeg_progressive_420_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_jpeg_420_progressive(docs)
     return MM.jpeg_rgb_stats(media)
 
 

@@ -1380,3 +1380,33 @@ def test_y4m_chroma_space_strides():
         decode_y4m_frames(
             b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420p16\nFRAME\n" + bytes(48)
         )
+
+
+def test_jpeg_progressive_420_differential_fuzz():
+    """Progressive 4:2:0 (SOF2 + subsampling — the real-world photo
+    layout): decode must equal the baseline 4:2:0 decode of the same
+    planes, across odd (non-MCU-aligned) dims and restart intervals.
+    Covers the interleaved-DC-over-padding-blocks predictor chain and
+    the per-component non-interleaved AC grids."""
+    import random
+
+    from falcon_metrics_etl_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_ycbcr_420,
+        encode_jpeg_ycbcr_420_progressive,
+    )
+
+    rng = random.Random(777)
+    for trial in range(30):
+        h = rng.choice([16, 17, 19, 31, 32, 1, 8, 47])
+        w = rng.choice([16, 18, 23, 33, 48, 2, 9])
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        yp = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        cb = [[rng.randrange(256) for _ in range(cw)] for _ in range(ch)]
+        cr = [[rng.randrange(256) for _ in range(cw)] for _ in range(ch)]
+        ri = rng.choice([0, 0, 2, 3, 7])
+        base = decode_jpeg(encode_jpeg_ycbcr_420(yp, cb, cr))
+        prog = decode_jpeg(
+            encode_jpeg_ycbcr_420_progressive(yp, cb, cr, restart_interval=ri)
+        )
+        assert prog["rgb"] == base["rgb"], (trial, h, w, ri)
