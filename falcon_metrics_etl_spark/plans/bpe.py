@@ -1,0 +1,306 @@
+"""BPE tokenizer queries — train + dictionary-encode with FULL
+cross-engine oracles.
+
+The training oracle replays the exact merge loop in DuckDB as
+``N_MERGES`` generated CTE stages (pair counting with overlaps,
+deterministic (count DESC, pair ASC) selection, left-to-right
+non-overlapping application via a run-parity kept-position set — no
+recursion, pure list algebra); the encode oracle unrolls
+``ENCODE_STAGES`` lowest-rank-first stages over the DISTINCT-word
+dictionary, bounded because a word of <= MAX_WORD_LEN chars holds
+<= MAX_WORD_LEN + 1 tokens. Both sides share the exact semantics
+pinned in functions/bpe.py.
+
+Spark-first scale shape: the distributed work is the word count and
+the per-document aggregation; the merge loop runs inside ONE executor
+task over the capped vocabulary (``applyInPandas`` on a literal
+group — the plan stays lazy, nothing collects to the driver); words
+encode ONCE via the distinct-word dictionary and documents join the
+word -> token-count map back (classic dictionary encoding — at 100 TB
+the dictionary is vocabulary-sized, not corpus-sized).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.functions import text as TX
+from falcon_metrics_etl_spark.functions.bpe import (
+    ENCODE_STAGES,
+    MAX_WORD_LEN,
+    N_MERGES,
+    VOCAB_CAP,
+)
+from falcon_metrics_etl_spark.plans.registry import register
+from falcon_metrics_etl_spark.sources import load_table
+
+_DUCK_WORDS = f"""
+wordsrc AS (
+    SELECT doc_id, unnest({TX.DUCK_TOKENS.format(x='text')}) AS word
+    FROM documents
+),
+words AS MATERIALIZED (
+    SELECT doc_id, word FROM wordsrc
+    WHERE length(word) BETWEEN 1 AND {MAX_WORD_LEN}
+),
+vocab AS MATERIALIZED (
+    SELECT word, COUNT(*) AS freq FROM words GROUP BY word
+    ORDER BY freq DESC, word LIMIT {VOCAB_CAP}
+),
+v0 AS MATERIALIZED (
+    SELECT word, freq,
+           list_append(list_transform(range(1, length(word)+1),
+                       i -> word[i]), '</w>') AS toks
+    FROM vocab
+)"""
+
+
+def _apply_nested(inner_sql: str, carry: str) -> str:
+    """SQL applying one (lhs, rhs) merge to ``toks`` left-to-right,
+    non-overlapping: candidate positions C, then the kept subset by
+    run parity (within a run of CONSECUTIVE candidates — only possible
+    when lhs == rhs — every other one merges, exactly the greedy
+    left-to-right rule), then a flatten rebuild. ``inner_sql`` must
+    yield {carry}, toks, lhs, rhs; lhs NULL means no-op."""
+    return f"""
+  SELECT {carry},
+    CASE WHEN lhs IS NULL THEN toks ELSE
+      flatten(list_transform(range(1, len(toks)+1), j ->
+        CASE WHEN list_contains(kept, j) THEN [lhs || rhs]
+             WHEN list_contains(kept, j-1) THEN CAST([] AS VARCHAR[])
+             ELSE [toks[j]] END)) END AS toks
+  FROM (
+    SELECT {carry}, toks, lhs, rhs,
+      list_transform(
+        list_filter(range(1, len(C)+1), k ->
+          (k - list_filter(range(1, len(C)+1),
+                           q -> C[q] - q = C[k] - k)[1]) % 2 = 0),
+        k -> C[k]) AS kept
+    FROM (
+      SELECT {carry}, toks, lhs, rhs,
+        CASE WHEN lhs IS NULL THEN CAST([] AS BIGINT[]) ELSE
+          list_filter(range(1, len(toks)),
+                      j -> toks[j] = lhs AND toks[j+1] = rhs)
+        END AS C
+      FROM ({inner_sql})
+    )
+  )"""
+
+
+def _train_ctes() -> str:
+    """p0/v1 .. p{N-1}/v{N} stages + the merges CTE."""
+    parts = [_DUCK_WORDS]
+    for i in range(N_MERGES):
+        inner = (
+            f"SELECT word, freq, toks, lhs, rhs "
+            f"FROM v{i} LEFT JOIN p{i} ON TRUE"
+        )
+        parts.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT lhs, rhs, cnt FROM (
+    SELECT toks[j] AS lhs, toks[j+1] AS rhs, SUM(freq) AS cnt
+    FROM v{i}, unnest(range(1, len(toks))) AS t(j)
+    GROUP BY 1, 2
+  ) ORDER BY cnt DESC, lhs, rhs LIMIT 1
+),
+v{i + 1} AS MATERIALIZED ({_apply_nested(inner, "word, freq")}
+)""")
+    rows = "\n  UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, lhs, rhs, cnt FROM p{i}"
+        for i in range(N_MERGES)
+    )
+    parts.append(f""",
+merges AS MATERIALIZED (
+  {rows}
+)""")
+    return "WITH " + "".join(parts)
+
+
+def _encode_ctes() -> str:
+    """mk + e0 .. e{E} stages over the distinct-word dictionary."""
+    parts = [f""",
+mk AS MATERIALIZED (
+  SELECT COALESCE(list(lhs || chr(31) || rhs ORDER BY merge_rank),
+                  CAST([] AS VARCHAR[])) AS ml
+  FROM merges
+),
+e0 AS MATERIALIZED (
+  SELECT word,
+         list_append(list_transform(range(1, length(word)+1),
+                     i -> word[i]), '</w>') AS toks
+  FROM (SELECT DISTINCT word FROM words)
+)"""]
+    for s in range(ENCODE_STAGES):
+        inner = f"""
+      SELECT word, toks,
+        split_part(ml[br], chr(31), 1) AS lhs,
+        split_part(ml[br], chr(31), 2) AS rhs
+      FROM (
+        SELECT word, toks, ml,
+          list_min(list_filter(list_transform(range(1, len(toks)),
+              j -> list_position(ml, toks[j] || chr(31) || toks[j+1])),
+            p -> p > 0)) AS br
+        FROM e{s}, mk
+      )"""
+        parts.append(f""",
+e{s + 1} AS MATERIALIZED ({_apply_nested(inner, "word")}
+)""")
+    return "".join(parts)
+
+
+_TRAIN_ORACLE = _train_ctes() + """
+SELECT merge_rank, lhs, rhs, lhs || rhs AS merged,
+       CAST(cnt AS BIGINT) AS pair_count
+FROM merges
+"""
+
+_ENCODE_ORACLE = _train_ctes() + _encode_ctes() + f"""
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(w.word)) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(length(w.word)) AS DOUBLE) / SUM(e.n_toks), 4)
+           AS chars_per_token
+FROM words w
+JOIN (SELECT word, len(toks) AS n_toks FROM e{ENCODE_STAGES}) e
+  USING (word)
+GROUP BY w.doc_id
+"""
+
+
+def _words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word")
+    )
+    return w.filter(
+        (F.length("word") >= 1) & (F.length("word") <= MAX_WORD_LEN)
+    )
+
+
+def _merges_df(words: DataFrame) -> DataFrame:
+    """Capped word-frequency vocab -> the merge table, trained inside
+    ONE executor task (applyInPandas over a literal group keeps the
+    plan lazy; the vocab is the bounded sketch of the corpus)."""
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(VOCAB_CAP)
+    )
+
+    def train(pdf: pd.DataFrame) -> pd.DataFrame:
+        from falcon_metrics_etl_spark.functions.bpe import train_bpe
+
+        rows = train_bpe(
+            list(zip(pdf["word"], (int(f) for f in pdf["freq"])))
+        )
+        return pd.DataFrame(
+            rows, columns=["merge_rank", "lhs", "rhs", "pair_count"]
+        )
+
+    return (
+        vocab.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            train,
+            "merge_rank int, lhs string, rhs string, pair_count long",
+        )
+    )
+
+
+@register(
+    "bpe_train_merges",
+    doc=f"REAL BPE training (Sennrich 2016) over the corpus: "
+    f"distributed word count -> top-{VOCAB_CAP} frequency vocabulary "
+    f"(<= {MAX_WORD_LEN}-char words, the standard pre-tokenization "
+    f"filter) -> {N_MERGES} merge iterations with overlap-inclusive "
+    "pair counts, deterministic (count DESC, pair ASC) selection and "
+    "left-to-right non-overlapping application. The merge loop runs "
+    "in one executor task over the bounded vocab sketch "
+    "(applyInPandas on a literal group — lazy plan, no driver "
+    "collect); the oracle replays EVERY iteration as generated CTE "
+    "stages (run-parity kept-position list algebra instead of "
+    "recursion) and hash-matches the full merge table.",
+    tags=("text", "tokenizer", "bpe", "training-data", "iterative"),
+    oracle=_TRAIN_ORACLE,
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _merges_df(_words_df(spark, sf_dir))
+    return merges.select(
+        "merge_rank",
+        "lhs",
+        "rhs",
+        F.concat("lhs", "rhs").alias("merged"),
+        F.col("pair_count").cast("long").alias("pair_count"),
+    )
+
+
+@register(
+    "bpe_encode_stats",
+    doc="BPE dictionary encoding end to end: the SAME training "
+    "pipeline feeds a 1-row sorted merge array (broadcast cross "
+    "join — the centroid pattern), DISTINCT words encode once via an "
+    "Arrow-batched lowest-rank-first merge loop, and documents join "
+    "the word -> token-count dictionary back for per-doc token/char "
+    "budgets — the token-counting stage a 100 TB pretrain pipeline "
+    "runs, with the dictionary vocab-sized rather than corpus-sized. "
+    f"Oracle: the training stages plus {ENCODE_STAGES} unrolled "
+    "lowest-rank encode stages over the word dictionary (bounded by "
+    "MAX_WORD_LEN+1 tokens/word), hash-matched per document.",
+    tags=("text", "tokenizer", "bpe", "training-data", "join"),
+    oracle=_ENCODE_ORACLE,
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _words_df(spark, sf_dir)
+    merges = _merges_df(words)
+    marr = merges.agg(
+        F.sort_array(
+            F.collect_list(F.struct("merge_rank", "lhs", "rhs"))
+        ).alias("ml")
+    )
+    dw = words.select("word").distinct()
+
+    def encode(batches):
+        from falcon_metrics_etl_spark.functions.bpe import encode_word
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"word": [], "n_toks": []})
+                continue
+            ml = pdf["ml"].iloc[0]
+            merge_list = [(m["lhs"], m["rhs"]) for m in ml]
+            ranks = {p: i for i, p in enumerate(merge_list)}
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_toks": [
+                        len(encode_word(w, merge_list, ranks))
+                        for w in pdf["word"]
+                    ],
+                }
+            )
+
+    enc = dw.crossJoin(F.broadcast(marr)).mapInPandas(
+        encode, "word string, n_toks int"
+    )
+    return (
+        words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens"), 4
+            ).alias("chars_per_token"),
+        )
+    )

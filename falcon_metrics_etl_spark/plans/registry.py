@@ -61,6 +61,7 @@ def all_queries() -> dict[str, Query]:
     # local imports to avoid import cycles; each module registers on import
     from falcon_metrics_etl_spark.plans import (  # noqa: F401
         ann_ivf,
+        bpe,
         corpus_ops,
         dedup_lsh,
         etl_parity,

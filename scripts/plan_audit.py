@@ -58,6 +58,9 @@ CARTESIAN_OK = {
     "bm25_topk",
     # 1 x N broadcast of the single-row weight-sum scalar
     "domain_mix_token_budget",
+    # 1 x N broadcast of the single-row sorted merge array onto the
+    # distinct-word dictionary (the centroid pattern; plans/bpe.py)
+    "bpe_encode_stats",
     # 1 x N broadcast of the single-row quantized-weight-sum scalar
     "domain_temperature_mix",
     # 1 x N broadcast of the single-row (N, V) corpus-stats scalar
