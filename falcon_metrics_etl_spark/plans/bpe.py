@@ -304,3 +304,98 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+_PACK_BUDGET = 2048  # tokens per training shard (matches sequence_packing)
+_DUCK_DOC_HASH = (
+    "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+)
+
+_PACK_ORACLE = _train_ctes() + _encode_ctes() + f""",
+doc_toks AS MATERIALIZED (
+  SELECT w.doc_id, CAST(SUM(e.n_toks) AS BIGINT) AS n_tokens
+  FROM words w
+  JOIN (SELECT word, len(toks) AS n_toks FROM e{ENCODE_STAGES}) e
+    USING (word)
+  GROUP BY w.doc_id
+),
+t AS (
+  SELECT d.doc_id, d.lang, dt.n_tokens, {_DUCK_DOC_HASH} AS h
+  FROM documents d JOIN doc_toks dt USING (doc_id)
+),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY h, CAST(doc_id AS VARCHAR)
+      ROWS UNBOUNDED PRECEDING
+  ) AS cum
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(FLOOR((cum - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+FROM c
+"""
+
+
+@register(
+    "bpe_sequence_packing",
+    doc="Pipeline composition: fixed-budget training-shard packing "
+    "(sequence_packing's operator) driven by REAL BPE token counts "
+    "instead of the chars/4 proxy — train -> dictionary-encode -> "
+    "per-doc token budget -> hash-ordered running-sum binning within "
+    "each lang, documents never split, overflow bounded by one doc. "
+    "The oracle chains the full training + encode stages into the "
+    "packing window; at 100 TB the added cost over the proxy version "
+    "is one vocab-sized dictionary join.",
+    tags=("packing", "tokenizer", "bpe", "window", "training-data"),
+    oracle=_PACK_ORACLE,
+)
+def bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.sampling import pack_sequences
+
+    words = _words_df(spark, sf_dir)
+    merges = _merges_df(words)
+    marr = merges.agg(
+        F.sort_array(
+            F.collect_list(F.struct("merge_rank", "lhs", "rhs"))
+        ).alias("ml")
+    )
+    dw = words.select("word").distinct()
+
+    def encode(batches):
+        from falcon_metrics_etl_spark.functions.bpe import encode_word
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"word": [], "n_toks": []})
+                continue
+            ml = pdf["ml"].iloc[0]
+            merge_list = [(m["lhs"], m["rhs"]) for m in ml]
+            ranks = {p: i for i, p in enumerate(merge_list)}
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_toks": [
+                        len(encode_word(w, merge_list, ranks))
+                        for w in pdf["word"]
+                    ],
+                }
+            )
+
+    enc = dw.crossJoin(F.broadcast(marr)).mapInPandas(
+        encode, "word string, n_toks int"
+    )
+    doc_toks = (
+        words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_toks").cast("long").alias("n_tokens"))
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .join(doc_toks, "doc_id")
+        .withColumn("k", F.col("doc_id").cast("string"))
+    )
+    packed = pack_sequences(
+        docs, "k", "n_tokens", _PACK_BUDGET, pack_key_cols=["lang"]
+    )
+    return packed.select("doc_id", "lang", "n_tokens", "pack_id")

@@ -61,6 +61,7 @@ CARTESIAN_OK = {
     # 1 x N broadcast of the single-row sorted merge array onto the
     # distinct-word dictionary (the centroid pattern; plans/bpe.py)
     "bpe_encode_stats",
+    "bpe_sequence_packing",
     # 1 x N broadcast of the single-row quantized-weight-sum scalar
     "domain_temperature_mix",
     # 1 x N broadcast of the single-row (N, V) corpus-stats scalar
