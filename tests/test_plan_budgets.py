@@ -1,0 +1,47 @@
+"""Shuffle-count regression pins for flagship plans.
+
+Each entry is a HARD CEILING on visible Exchange nodes in the
+executed plan at smoke scale — the structural wins rounds 7-8 paid
+for (fused rollups, exchange-free sketch algebra, bucketed layouts)
+must not silently regress when someone edits an operator. Ceilings
+are the CURRENT count (see PLAN_AUDIT_r8), not aspirational lows;
+loosen one only with a plan-audit diff explaining why.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from falcon_metrics_etl_spark.plans.registry import all_queries
+
+# query -> max allowed shuffle Exchange nodes (BroadcastExchange not
+# counted, same regex as scripts/plan_audit.py)
+BUDGETS = {
+    "cfd": 2,                       # r8 fused single-rollup + explode
+    "cfd_incremental_update": 3,    # r8: checkpointed gold, was 8
+    "kmv_set_ops_pairs": 0,         # r8 array-sketch algebra, was 9
+    "table_profile_stats": 2,       # r7 fused unpivot, was 9
+    "corpus_cleaning_audit": 1,     # one window over the fingerprint
+    "corpus_cleaning_audit_fast": 1,
+    "quality_classifier_scores": 0,  # scan-side HOF only
+    "quality_classifier_scores_fast": 0,
+    "multimodal_jpeg_progressive_stats": 0,  # map-only Arrow decode
+    "multimodal_y4m_chroma_stats": 0,
+    "tpch_pricing_summary": 1,
+    "dedup_exact_fingerprint": 1,
+    "bpe_train_merges": 1,          # one word-count shuffle
+    "kanbanize_card_states": 5,     # unbucketed floor (r6-r8 verdicts)
+}
+
+
+@pytest.mark.parametrize("name,budget", sorted(BUDGETS.items()))
+def test_shuffle_budget(spark, sf_smoke, name, budget):
+    df = all_queries()[name].spark(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    shuffles = len(re.findall(r"\bExchange\b", plan))
+    assert shuffles <= budget, (
+        f"{name}: {shuffles} shuffle exchanges > pinned budget {budget} "
+        "— a structural plan regression (see PLAN_AUDIT history)"
+    )
