@@ -810,3 +810,153 @@ def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# Character-entropy quality signal (compressibility proxy)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "char_entropy_scores",
+    doc="Per-document character entropy — the cheap compressibility / "
+    "gibberish signal cleaning stacks run beside the token "
+    "heuristics: order-0 Shannon entropy of the char distribution "
+    "plus the conditional bigram entropy H(c2|c1) (repetitive or "
+    "templated text scores low on both; random-ish blobs score "
+    "high). Exact cross-engine: per-(doc, char) terms quantize "
+    "ln(total/count) to integer micro-nats BEFORE the per-doc sum "
+    "(the surprisal-family trick) and the final divisions run in the "
+    "same IEEE order on both sides. Plan: two histogram aggregates "
+    "(map-side partial) + windows riding their own partitioning — "
+    "scan-linear at 100 TB, no Python.",
+    tags=("text", "quality", "entropy", "training-data"),
+    oracle="""
+WITH ch AS (
+    SELECT doc_id, text[i] AS ch
+    FROM documents, unnest(range(1, length(text)+1)) AS t(i)
+),
+c0 AS (
+    SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2
+),
+w0 AS (
+    SELECT *, SUM(c) OVER (PARTITION BY doc_id) AS tot FROM c0
+),
+h0 AS (
+    SELECT doc_id,
+           CAST(SUM(c * round(ln(CAST(tot AS DOUBLE) / c) * 1e6))
+                AS BIGINT) AS hq,
+           MAX(tot) AS tot,
+           COUNT(*) AS n_distinct
+    FROM w0 GROUP BY doc_id
+),
+pr AS (
+    SELECT doc_id, text[i] AS c1, text[i+1] AS c2
+    FROM documents, unnest(range(1, length(text))) AS t(i)
+    WHERE length(text) >= 2
+),
+cb AS (
+    SELECT doc_id, c1, c2, COUNT(*) AS c12 FROM pr GROUP BY 1, 2, 3
+),
+wb AS (
+    SELECT *,
+           SUM(c12) OVER (PARTITION BY doc_id, c1) AS c1tot,
+           SUM(c12) OVER (PARTITION BY doc_id) AS ptot
+    FROM cb
+),
+h1 AS (
+    SELECT doc_id,
+           CAST(SUM(c12 * round(ln(CAST(c1tot AS DOUBLE) / c12) * 1e6))
+                AS BIGINT) AS hq1,
+           MAX(ptot) AS ptot
+    FROM wb GROUP BY doc_id
+)
+SELECT h0.doc_id,
+       CAST(h0.tot AS BIGINT) AS n_chars,
+       CAST(h0.n_distinct AS INT) AS n_distinct_chars,
+       CAST(h0.hq AS DOUBLE) / h0.tot / 1e6 AS char_entropy_nats,
+       COALESCE(CAST(h1.hq1 AS DOUBLE) / h1.ptot / 1e6, 0.0)
+           AS cond_bigram_entropy_nats,
+       CASE WHEN CAST(h0.hq AS DOUBLE) / h0.tot / 1e6 < 2.5 THEN 'low'
+            WHEN CAST(h0.hq AS DOUBLE) / h0.tot / 1e6 < 4.0 THEN 'mid'
+            ELSE 'high' END AS entropy_flag
+FROM h0 LEFT JOIN h1 ON h0.doc_id = h1.doc_id
+""",
+)
+def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chars = (
+        docs.filter(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text"))
+            ).alias("i"),
+        )
+        .select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
+    )
+    c0 = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    w_doc = Window.partitionBy("doc_id")
+    w0 = c0.withColumn("tot", F.sum("c").over(w_doc))
+    h0 = w0.groupBy("doc_id").agg(
+        F.sum(
+            F.col("c")
+            * F.round(
+                F.log(F.col("tot").cast("double") / F.col("c")) * 1e6
+            ).cast("long")
+        ).alias("hq"),
+        F.max("tot").alias("tot"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    pairs = (
+        docs.filter(F.length("text") >= 2)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - 1)
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr("substring(text, i, 1)").alias("c1"),
+            F.expr("substring(text, i + 1, 1)").alias("c2"),
+        )
+    )
+    cb = pairs.groupBy("doc_id", "c1", "c2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    wb = cb.withColumn(
+        "c1tot", F.sum("c12").over(Window.partitionBy("doc_id", "c1"))
+    ).withColumn("ptot", F.sum("c12").over(w_doc))
+    h1 = wb.groupBy("doc_id").agg(
+        F.sum(
+            F.col("c12")
+            * F.round(
+                F.log(F.col("c1tot").cast("double") / F.col("c12")) * 1e6
+            ).cast("long")
+        ).alias("hq1"),
+        F.max("ptot").alias("ptot"),
+    )
+    ent0 = F.col("hq").cast("double") / F.col("tot") / F.lit(1e6)
+    ent1 = F.coalesce(
+        F.col("hq1").cast("double") / F.col("ptot") / F.lit(1e6),
+        F.lit(0.0),
+    )
+    return (
+        h0.join(h1, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("tot").cast("long").alias("n_chars"),
+            F.col("n_distinct").cast("int").alias("n_distinct_chars"),
+            ent0.alias("char_entropy_nats"),
+            ent1.alias("cond_bigram_entropy_nats"),
+            F.when(ent0 < 2.5, "low")
+            .when(ent0 < 4.0, "mid")
+            .otherwise("high")
+            .alias("entropy_flag"),
+        )
+    )
