@@ -109,10 +109,12 @@ HEADLINE = [
     # without the md5 portability tax)
     "quality_classifier_scores_fast",
     "corpus_cleaning_audit_fast",
-    # round-8 additions: progressive JPEG decode, BPE train + encode
+    # round-8 additions: progressive JPEG decode, BPE train + encode,
+    # char-entropy quality signal
     "multimodal_jpeg_progressive_stats",
     "bpe_train_merges",
     "bpe_encode_stats",
+    "char_entropy_scores",
 ]
 
 
