@@ -886,9 +886,19 @@ FROM h0 LEFT JOIN h1 ON h0.doc_id = h1.doc_id
 def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # ONE explode + ONE histogram: counting at (c1, next-char) grain
+    # with the doc's LAST position keeping a NULL next-char makes the
+    # order-0 histogram a marginal of the same aggregate —
+    # c(c1) = sum_c2 c12 — so both entropies ride one pass (the
+    # two-explode form cost ~1.5x, A/B'd in-session at sf0.1)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    chars = (
+    pairs = (
         docs.filter(F.length("text") >= 1)
+        # fan out BEFORE the position explode: the docs table arrives
+        # in few input splits, and a 300x row-multiplying Generate on
+        # one split serializes the whole histogram on a single core —
+        # the repartition shuffles only the small pre-explode rows
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(
             "doc_id",
             "text",
@@ -896,67 +906,63 @@ def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(1), F.length("text"))
             ).alias("i"),
         )
-        .select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
-    )
-    c0 = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
-    w_doc = Window.partitionBy("doc_id")
-    w0 = c0.withColumn("tot", F.sum("c").over(w_doc))
-    h0 = w0.groupBy("doc_id").agg(
-        F.sum(
-            F.col("c")
-            * F.round(
-                F.log(F.col("tot").cast("double") / F.col("c")) * 1e6
-            ).cast("long")
-        ).alias("hq"),
-        F.max("tot").alias("tot"),
-        F.count(F.lit(1)).alias("n_distinct"),
-    )
-    pairs = (
-        docs.filter(F.length("text") >= 2)
-        .select(
-            "doc_id",
-            "text",
-            F.explode(
-                F.sequence(F.lit(1), F.length("text") - 1)
-            ).alias("i"),
-        )
         .select(
             "doc_id",
             F.expr("substring(text, i, 1)").alias("c1"),
-            F.expr("substring(text, i + 1, 1)").alias("c2"),
+            F.expr(
+                "CASE WHEN i < length(text) "
+                "THEN substring(text, i + 1, 1) END"
+            ).alias("c2"),
         )
     )
     cb = pairs.groupBy("doc_id", "c1", "c2").agg(
         F.count(F.lit(1)).alias("c12")
     )
-    wb = cb.withColumn(
-        "c1tot", F.sum("c12").over(Window.partitionBy("doc_id", "c1"))
-    ).withColumn("ptot", F.sum("c12").over(w_doc))
-    h1 = wb.groupBy("doc_id").agg(
+    w_c1 = Window.partitionBy("doc_id", "c1")
+    w_doc = Window.partitionBy("doc_id")
+    wb = (
+        cb.withColumn("c1tot", F.sum("c12").over(w_c1))  # order-0 count
+        .withColumn(
+            # pair-grain c1 occurrences exclude the doc-final position
+            "c1pairs",
+            F.sum(
+                F.when(F.col("c2").isNotNull(), F.col("c12")).otherwise(0)
+            ).over(w_c1),
+        )
+        .withColumn(
+            "rn1", F.row_number().over(w_c1.orderBy(F.col("c2")))
+        )
+        .withColumn("tot", F.sum("c12").over(w_doc))
+    )
+    q0 = F.round(
+        F.log(F.col("tot").cast("double") / F.col("c1tot")) * 1e6
+    ).cast("long")
+    q1 = F.round(
+        F.log(F.col("c1pairs").cast("double") / F.col("c12")) * 1e6
+    ).cast("long")
+    h = wb.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("rn1") == 1, F.col("c1tot") * q0)).alias("hq"),
         F.sum(
-            F.col("c12")
-            * F.round(
-                F.log(F.col("c1tot").cast("double") / F.col("c12")) * 1e6
-            ).cast("long")
+            F.when(F.col("c2").isNotNull(), F.col("c12") * q1)
         ).alias("hq1"),
-        F.max("ptot").alias("ptot"),
+        F.max("tot").alias("tot"),
+        F.sum(F.when(F.col("rn1") == 1, 1).otherwise(0)).alias(
+            "n_distinct"
+        ),
     )
     ent0 = F.col("hq").cast("double") / F.col("tot") / F.lit(1e6)
     ent1 = F.coalesce(
-        F.col("hq1").cast("double") / F.col("ptot") / F.lit(1e6),
+        F.col("hq1").cast("double") / (F.col("tot") - 1) / F.lit(1e6),
         F.lit(0.0),
     )
-    return (
-        h0.join(h1, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("tot").cast("long").alias("n_chars"),
-            F.col("n_distinct").cast("int").alias("n_distinct_chars"),
-            ent0.alias("char_entropy_nats"),
-            ent1.alias("cond_bigram_entropy_nats"),
-            F.when(ent0 < 2.5, "low")
-            .when(ent0 < 4.0, "mid")
-            .otherwise("high")
-            .alias("entropy_flag"),
-        )
+    return h.select(
+        "doc_id",
+        F.col("tot").cast("long").alias("n_chars"),
+        F.col("n_distinct").cast("int").alias("n_distinct_chars"),
+        ent0.alias("char_entropy_nats"),
+        ent1.alias("cond_bigram_entropy_nats"),
+        F.when(ent0 < 2.5, "low")
+        .when(ent0 < 4.0, "mid")
+        .otherwise("high")
+        .alias("entropy_flag"),
     )
