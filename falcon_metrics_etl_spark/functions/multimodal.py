@@ -49,6 +49,19 @@ META_SCHEMA = (
 )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Rebalance the small pre-payload rows across the cluster before
+    the Arrow codec stage: the docs table arrives in FEW input splits
+    (one, at bench scale), and payload synthesis/decode are CPU-bound
+    per row — without this a 1-split scan serializes the whole codec
+    matrix on one core (measured 4x on the char-entropy explode, ~5x
+    on progressive JPEG decode). The shuffle moves only (doc_id,
+    text); at real scale the same rule applies whenever per-row codec
+    cost dominates split granularity."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def attach_payload(docs: DataFrame) -> DataFrame:
     """documents -> (doc_id, media_type, codec, payload binary).
 
@@ -93,7 +106,7 @@ def attach_payload_png(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, media_type string, codec string, payload binary"
     )
 
@@ -755,7 +768,7 @@ def attach_payload_wav(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, media_type string, codec string, payload binary"
     )
 
@@ -1487,7 +1500,7 @@ def attach_payload_png_gradient(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, media_type string, codec string, payload binary"
     )
 
@@ -1529,7 +1542,7 @@ def attach_payload_png_depth_variants(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, media_type string, codec string, payload binary"
     )
 
@@ -1596,7 +1609,7 @@ def attach_payload_wav_square(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, media_type string, codec string, payload binary"
     )
 
@@ -1650,7 +1663,7 @@ def attach_payload_jpeg_blocks(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, media_type string, codec string, payload binary"
     )
 
@@ -1741,7 +1754,7 @@ def attach_payload_jpeg_color(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, media_type string, codec string, payload binary"
     )
 
@@ -1795,7 +1808,7 @@ def attach_payload_jpeg_color_progressive(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, media_type string, codec string, payload binary"
     )
 
@@ -1849,7 +1862,7 @@ def attach_payload_jpeg_420(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, media_type string, codec string, payload binary"
     )
 
@@ -1897,7 +1910,7 @@ def attach_payload_jpeg_progressive(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, media_type string, codec string, payload binary"
     )
 
@@ -1950,7 +1963,7 @@ def attach_payload_jpeg_420_progressive(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, media_type string, codec string, payload binary"
     )
 
@@ -2021,7 +2034,7 @@ def attach_payload_wav_ms_adpcm(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, media_type string, codec string, payload binary"
     )
 
@@ -2052,7 +2065,7 @@ def attach_payload_wav_g711(docs: DataFrame) -> DataFrame:
                 rows, columns=["doc_id", "law", "payload"]
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, law string, payload binary"
     )
 
@@ -2120,7 +2133,7 @@ def attach_payload_wav_adpcm(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, media_type string, codec string, payload binary"
     )
 
@@ -2241,7 +2254,7 @@ def attach_payload_png_color(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, media_type string, codec string, payload binary"
     )
 
@@ -2452,7 +2465,7 @@ def attach_payload_y4m_chroma(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, media_type string, codec string, payload binary"
     )
 
@@ -2481,7 +2494,7 @@ def attach_payload_y4m(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, media_type string, codec string, payload binary"
     )
 
@@ -2628,7 +2641,7 @@ def attach_payload_wav_padded(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, media_type string, codec string, payload binary"
     )
 
