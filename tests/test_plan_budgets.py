@@ -27,8 +27,11 @@ BUDGETS = {
     "corpus_cleaning_audit_fast": 1,
     "quality_classifier_scores": 0,  # scan-side HOF only
     "quality_classifier_scores_fast": 0,
-    "multimodal_jpeg_progressive_stats": 0,  # map-only Arrow decode
-    "multimodal_y4m_chroma_stats": 0,
+    # Arrow decode stages: one pre-explode fan-out Exchange of the
+    # small (doc_id, text) rows, then map-only decode (r8 _fan_out —
+    # a 1-split scan serialized the codec matrix on one core)
+    "multimodal_jpeg_progressive_stats": 1,
+    "multimodal_y4m_chroma_stats": 1,
     "tpch_pricing_summary": 1,
     "dedup_exact_fingerprint": 1,
     "bpe_train_merges": 1,          # one word-count shuffle
