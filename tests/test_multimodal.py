@@ -1410,3 +1410,72 @@ def test_jpeg_progressive_420_differential_fuzz():
             encode_jpeg_ycbcr_420_progressive(yp, cb, cr, restart_interval=ri)
         )
         assert prog["rgb"] == base["rgb"], (trial, h, w, ri)
+
+
+def test_jpeg_progressive_partial_progression_dc_only():
+    """A progressive file whose progression stops after the DC scans
+    (no AC scans at all) is VALID per T.81 — decoders render what has
+    arrived. Hand-crafted 2-scan file (DC first Al=1 + DC refinement);
+    for blockwise-constant images DC-only IS the full image, so the
+    decode must equal the payload exactly."""
+    from falcon_metrics_etl_spark.functions.jpeg import (
+        _BitWriter,
+        _build_codes,
+        _enc_dc_first,
+        _enc_dc_refine,
+        _fdct_quant,
+        _prog_headers,
+        _sos,
+        STD_DC_BITS,
+        STD_DC_VALS,
+        STD_QUANT,
+        decode_jpeg,
+    )
+
+    img = [
+        [128 + 2 * (((3 + (y // 8) * 2 + (x // 8)) % 49) - 24)
+         for x in range(16)]
+        for y in range(24)
+    ]
+    blocks = []
+    for by in range(3):
+        row = []
+        for bx in range(2):
+            blk = [[img[by * 8 + x][bx * 8 + y] for y in range(8)]
+                   for x in range(8)]
+            row.append(_fdct_quant(blk, STD_QUANT))
+        blocks.append(row)
+    dc_codes = _build_codes(STD_DC_BITS, STD_DC_VALS)
+    out = bytearray(_prog_headers(24, 16, [(1, 0x11, 0)],
+                                  {0: STD_QUANT}, 0))
+    for ah, al in ((0, 1), (1, 0)):
+        writer = _BitWriter()
+        prev = 0
+        for row in blocks:
+            for zz in row:
+                if ah == 0:
+                    prev = _enc_dc_first(writer, zz, prev, al, dc_codes)
+                else:
+                    _enc_dc_refine(writer, zz, al)
+        out += _sos([(1, 0, 0)], 0, 0, ah, al) + writer.flush()
+    out += b"\xff\xd9"
+    d = decode_jpeg(bytes(out))
+    assert d["pixels"] == img
+    # the HALF progression (first DC scan only, Al=1) must also decode
+    # cleanly — values within the 2x quantization of the dropped bit
+    half = bytearray(_prog_headers(24, 16, [(1, 0x11, 0)],
+                                   {0: STD_QUANT}, 0))
+    writer = _BitWriter()
+    prev = 0
+    for row in blocks:
+        for zz in row:
+            prev = _enc_dc_first(writer, zz, prev, 1, dc_codes)
+    half += _sos([(1, 0, 0)], 0, 0, 0, 1) + writer.flush()
+    half += b"\xff\xd9"
+    d2 = decode_jpeg(bytes(half))
+    err = max(
+        abs(a - b)
+        for ra, rb in zip(img, d2["pixels"])
+        for a, b in zip(ra, rb)
+    )
+    assert err <= 2 * STD_QUANT[0] // 8 + 2
