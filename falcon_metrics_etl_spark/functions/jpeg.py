@@ -602,6 +602,12 @@ def decode_jpeg(payload: bytes) -> dict:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG: marker expected")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip the run so payload[pos + 1] is the id byte
+        # (r9 advisor finding: a fill-padded file had the 0xFF fill
+        # misread as the marker id and seg_len parsed from garbage)
+        while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
@@ -778,8 +784,12 @@ PROG_AC_VALS = tuple(range(256))
 
 
 def _find_entropy_end(payload: bytes, start: int) -> int:
-    """First position >= start where a real marker begins (0xFF
-    followed by anything but 0x00 stuffing or RST0-7)."""
+    """First position >= start where the entropy-coded data ends: a
+    0xFF followed by anything but 0x00 stuffing or RST0-7. A 0xFF 0xFF
+    pair means optional fill bytes pad the next marker (T.81 B.1.1.2)
+    — the returned position is the FIRST fill byte (the true entropy
+    boundary, so the scan slice excludes padding); the segment walk
+    skips the remainder of the run before reading the marker id."""
     pos = start
     n = len(payload)
     while pos + 1 < n:
@@ -912,6 +922,12 @@ def _decode_progressive(payload: bytes) -> dict:
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG: marker expected")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip the run so payload[pos + 1] is the id byte
+        # (r9 advisor finding: a fill-padded file had the 0xFF fill
+        # misread as the marker id and seg_len parsed from garbage)
+        while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:
             break

@@ -49,7 +49,7 @@ META_SCHEMA = (
 )
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
+def _fan_out(df: DataFrame, heavy: bool = True) -> DataFrame:
     """Rebalance the small pre-payload rows across the cluster before
     the Arrow codec stage: the docs table arrives in FEW input splits
     (one, at bench scale), and payload synthesis/decode are CPU-bound
@@ -57,8 +57,23 @@ def _fan_out(df: DataFrame) -> DataFrame:
     matrix on one core (measured 4x on the char-entropy explode, ~5x
     on progressive JPEG decode). The shuffle moves only (doc_id,
     text); at real scale the same rule applies whenever per-row codec
-    cost dominates split granularity."""
+    cost dominates split granularity.
+
+    Two gates (r9, advisor finding):
+    - ``heavy=False`` declares a stage whose per-row cost is trivial
+      (the <=16x16 grayscale PNG assembly) — the shuffle costs more
+      than the decode saves (measured: 0.35 -> 0.93 s r8 regression);
+      the stage keeps its shuffle-free map-only plan.
+    - when the input already carries >= defaultParallelism partitions
+      (the at-scale case: a 100 TB docs table arrives in thousands of
+      splits) the repartition is a no-op at best and a partition-count
+      REDUCTION at worst — skip it.
+    """
+    if not heavy:
+        return df
     sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
     return df.repartition(sc.defaultParallelism)
 
 
@@ -106,7 +121,7 @@ def attach_payload_png(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
+    return _fan_out(docs.select("doc_id", "text"), heavy=False).mapInPandas(
         run, schema="doc_id long, media_type string, codec string, payload binary"
     )
 
@@ -117,9 +132,10 @@ def attach_payload_png(docs: DataFrame) -> DataFrame:
 # level-0 zlib IDAT, CRC-32 per chunk); parse_png_header is a genuine
 # header decoder any PNG in the wild satisfies; decode_png_pixels is a
 # genuine PIXEL decoder (IDAT inflate + all five scanline filters,
-# bpp-aware) for 8-bit grayscale, truecolor RGB and palette images.
-# The remaining stub boundary is 16-bit/interlaced/alpha PNG, non-PCM
-# audio, and video frames (PIL/ffmpeg swap-in).
+# bpp-aware) for every PNG color type at 1/2/4/8/16-bit depth,
+# sequential and Adam7-interlaced (r6 closed the full matrix). The
+# remaining stub boundary is mp3-in-wav audio and compressed video
+# frames (PIL/ffmpeg swap-in).
 # ---------------------------------------------------------------------------
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -1500,7 +1516,11 @@ def attach_payload_png_gradient(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return _fan_out(docs.select("doc_id", "text")).mapInPandas(
+    # heavy=False: the <=16x16 grayscale gradient assembly + decode is
+    # trivial per row — the r8 unconditional fan-out shuffle cost more
+    # than the decode saved (0.35 -> 0.93 s, the round's only
+    # plan-changed regression; restored r9)
+    return _fan_out(docs.select("doc_id", "text"), heavy=False).mapInPandas(
         run, schema="doc_id long, media_type string, codec string, payload binary"
     )
 

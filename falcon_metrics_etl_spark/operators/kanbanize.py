@@ -120,6 +120,7 @@ def transform_cards(
     org_id: str,
     auto_map: bool = True,
     bucketed_facts: bool = False,
+    persist_handles: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full Kanbanize transform (transform_processor.ts:402-493).
 
@@ -138,7 +139,10 @@ def transform_cards(
     UnknownPartitioning, which would re-insert the very card-key
     Exchange the layout exists to remove (measured: the compression
     window re-shuffled the checkpointed frame). With the flag the
-    whole transform plans with ZERO fact-side Exchanges.
+    whole transform plans with ZERO fact-side Exchanges. In that mode
+    the shared transition working set is ``persist()``-ed; pass a list
+    as ``persist_handles`` to receive the cached frame and unpersist
+    it once the returned states/snapshots actions have run.
 
     Returns (states, snapshots) — the StandardStateItem /
     StandardSnapshotItem shapes of ts:174-201 and ts:265-285.
@@ -167,7 +171,13 @@ def transform_cards(
         # plan keeps its output partitioning (AQE cannot change cached
         # plan partitioning by default), so consumers get BOTH the
         # shared materialization and the exchange-free card-key plan.
+        # The handle is surfaced via persist_handles (r9 advisor: a
+        # steady-state pipeline calling the transform every tick would
+        # otherwise accumulate cached partitions for the session) —
+        # callers unpersist after the states/snapshots actions finish.
         live = live.persist()
+        if persist_handles is not None:
+            persist_handles.append(live)
     else:
         live = perf_checkpoint(live)
     comp = compress_transitions(live)

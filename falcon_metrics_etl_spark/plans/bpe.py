@@ -44,6 +44,7 @@ wordsrc AS (
 words AS MATERIALIZED (
     SELECT doc_id, word FROM wordsrc
     WHERE length(word) BETWEEN 1 AND {MAX_WORD_LEN}
+      AND NOT regexp_matches(word, '[\\x00-\\x1f\\x7f]')
 ),
 vocab AS MATERIALIZED (
     SELECT word, COUNT(*) AS freq FROM words GROUP BY word
@@ -175,8 +176,15 @@ def _words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = docs.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word")
     )
+    # control chars are excluded alongside the length cap (advisor r9:
+    # the oracle packs merge pairs as lhs||chr(31)||rhs — a word
+    # containing U+001F would make that encoding ambiguous and desync
+    # the oracle from the engine's real-tuple comparison); ASCII
+    # control range matches DuckDB's RE2 class exactly
     return w.filter(
-        (F.length("word") >= 1) & (F.length("word") <= MAX_WORD_LEN)
+        (F.length("word") >= 1)
+        & (F.length("word") <= MAX_WORD_LEN)
+        & ~F.col("word").rlike("[\\x00-\\x1f\\x7f]")
     )
 
 

@@ -520,9 +520,10 @@ def multimodal_wav_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "blocks have exactly-zero AC), so the closed-form oracle holds "
     "against a lossy codec; general (AC-carrying) encode/decode is "
     "fuzz-covered in pytest vs an independent reference decoder. "
-    "Color (3-component MCU interleave, 4:4:4 and 4:2:0) and "
-    "DRI/RSTn restart markers ship in the sibling queries; honest "
-    "remaining JPEG boundary: progressive and arithmetic coding.",
+    "Color (3-component MCU interleave, 4:4:4 and 4:2:0), DRI/RSTn "
+    "restart markers and progressive (SOF2) decode ship in the "
+    "sibling queries; honest remaining JPEG boundary: arithmetic "
+    "coding.",
     tags=("multimodal", "pandas-udf", "binary", "codec", "pixels"),
     oracle=f"""
 WITH dims AS (

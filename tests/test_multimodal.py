@@ -1479,3 +1479,35 @@ def test_jpeg_progressive_partial_progression_dc_only():
         for a, b in zip(ra, rb)
     )
     assert err <= 2 * STD_QUANT[0] // 8 + 2
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any marker may be preceded by a run of 0xFF fill
+    bytes. Decode must be bit-identical with fill runs inserted before
+    every SOS and before EOI — including between a progressive scan's
+    entropy data and the next SOS header, where the r9 advisor found
+    the fill byte misread as the marker id (seg_len then parsed from
+    entropy garbage)."""
+    import random
+
+    from falcon_metrics_etl_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = random.Random(9)
+    img = [[rng.randrange(256) for _ in range(13)] for _ in range(11)]
+
+    for enc_fn in (encode_jpeg_gray, encode_jpeg_gray_progressive):
+        enc = enc_fn(img)
+        base = decode_jpeg(enc)
+        # 0xFF never precedes a marker id inside entropy data (only
+        # 0x00 stuffing / RSTn follow 0xFF there), so these rewrites
+        # touch exactly the real SOS/EOI markers
+        padded = enc.replace(b"\xff\xda", b"\xff\xff\xff\xff\xda")
+        padded = padded.replace(b"\xff\xd9", b"\xff\xff\xff\xff\xd9")
+        assert len(padded) > len(enc)
+        d = decode_jpeg(padded)
+        assert d["pixels"] == base["pixels"]
+        assert (d["width"], d["height"]) == (base["width"], base["height"])
