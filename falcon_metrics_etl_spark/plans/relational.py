@@ -719,109 +719,123 @@ SELECT 'not_null', 'lineitem.l_shipdate',
 """,
 )
 def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ONE pass per fact table: all of a table's checks (fk orphan
-    flags via left joins against deduped key sets, uniqueness, null
-    counts) reduce in a single aggregate over a single scan, then
-    ``stack()`` unpivots the one-row summary into the report rows.
-    3 fact scans total for 8 checks (vs one scan+join per check);
-    reference-key sets stay join-sides, which scales to
-    non-broadcastable dims (orders at 100 TB) unlike an IN-list."""
+    """Shared-unpivot fusion (r9 — was 9 shuffles / 4 broadcasts, the
+    last >=9-shuffle plan in PLAN_AUDIT_r8): every check becomes
+    map-side (check, key, fact, ref) rows inlined off its table's ONE
+    scan, all checks union into a SINGLE two-level aggregation —
+    groupBy(check, key) merges fact counts with referenced-key
+    presence (the join the old plan paid per FK pair), then
+    groupBy(check) finishes each check type from the per-key frame:
+    fk violations = fact rows on keys no ref emitted, uniqueness =
+    sum(n-1) over duplicated keys, not-null = fact rows whose key is
+    the is-null sentinel. 2 Exchanges total for all 8 checks, zero
+    joins; partial aggregation combines the per-key rows map-side, so
+    at 100 TB the wide shuffle carries ~|distinct keys| rows per
+    check, not ~|fact| — and adding a 9th check adds zero stages."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     part = load_table(spark, sf_dir, "part")
     nation = load_table(spark, sf_dir, "nation")
 
-    def keys(df, col, marker):
-        return df.select(F.col(col).alias(f"__k_{marker}")).dropDuplicates(
-            [f"__k_{marker}"]
-        ).withColumn(f"__hit_{marker}", F.lit(1))
+    def emit(df, rows):
+        """One scan -> inlined (check_type, check_name, key, fact,
+        ref) rows. ``rows``: (type, name, key Column, is_fact). Fact
+        rows keep null keys (an FK row with a null key has no match —
+        the NOT EXISTS semantics); ref rows only vouch for non-null
+        keys (SQL equality with NULL never matches)."""
+        return df.select(
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("check_type"),
+                            F.lit(n).alias("check_name"),
+                            key.cast("long").alias("key"),
+                            F.lit(1 if is_fact else 0).alias("fact"),
+                            (
+                                F.lit(0)
+                                if is_fact
+                                else key.isNotNull().cast("int")
+                            ).alias("ref"),
+                        )
+                        for t, n, key, is_fact in rows
+                    ]
+                )
+            )
+        )
 
-    def report(agg_row, entries):
-        # stack(n, type, name, rows_col, viol_col, ...) unpivots the
-        # single aggregate row into one report row per check
-        parts = ", ".join(
-            f"'{t}', '{n}', {r}, {v}" for t, n, r, v in entries
-        )
-        return agg_row.selectExpr(
-            f"stack({len(entries)}, {parts}) AS "
-            "(check_type, check_name, n_rows, n_violations)"
-        )
+    def null_key(col):
+        # not_null checks bucket rows by the is-null sentinel: key=1
+        # counts violations, key=0 the rest
+        return F.col(col).isNull().cast("long")
 
-    li = (
-        lineitem.select("l_orderkey", "l_partkey", "l_shipdate")
-        .join(
-            keys(orders, "o_orderkey", "o"),
-            F.col("l_orderkey") == F.col("__k_o"),
-            "left",
-        )
-        .join(
-            F.broadcast(keys(part, "p_partkey", "p")),
-            F.col("l_partkey") == F.col("__k_p"),
-            "left",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("__hit_o").isNull().cast("long")).alias("orph_o"),
-            F.sum(F.col("__hit_p").isNull().cast("long")).alias("orph_p"),
-            F.sum(F.col("l_shipdate").isNull().cast("long")).alias("null_ship"),
-        )
-    )
-    od = (
-        orders.select("o_orderkey", "o_custkey", "o_orderdate")
-        .join(
-            keys(customer, "c_custkey", "c"),
-            F.col("o_custkey") == F.col("__k_c"),
-            "left",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("__hit_c").isNull().cast("long")).alias("orph_c"),
-            (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("dup_ok"),
-            F.sum(F.col("o_orderdate").isNull().cast("long")).alias("null_od"),
-        )
-    )
-    cu = (
-        customer.select("c_custkey", "c_nationkey")
-        .join(
-            F.broadcast(keys(nation, "n_nationkey", "n")),
-            F.col("c_nationkey") == F.col("__k_n"),
-            "left",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("__hit_n").isNull().cast("long")).alias("orph_n"),
-            (F.count(F.lit(1)) - F.count_distinct("c_custkey")).alias("dup_ck"),
-        )
-    )
-    return (
-        report(
-            li,
+    unioned = (
+        emit(
+            lineitem.select("l_orderkey", "l_partkey", "l_shipdate"),
             [
-                ("fk", "lineitem.orderkey->orders", "n", "orph_o"),
-                ("fk", "lineitem.partkey->part", "n", "orph_p"),
-                ("not_null", "lineitem.l_shipdate", "n", "null_ship"),
+                ("fk", "lineitem.orderkey->orders", F.col("l_orderkey"), True),
+                ("fk", "lineitem.partkey->part", F.col("l_partkey"), True),
+                ("not_null", "lineitem.l_shipdate", null_key("l_shipdate"), True),
             ],
         )
         .unionByName(
-            report(
-                od,
+            emit(
+                orders.select("o_orderkey", "o_custkey", "o_orderdate"),
                 [
-                    ("fk", "orders.custkey->customer", "n", "orph_c"),
-                    ("unique", "orders.o_orderkey", "n", "dup_ok"),
-                    ("not_null", "orders.o_orderdate", "n", "null_od"),
+                    ("fk", "lineitem.orderkey->orders", F.col("o_orderkey"), False),
+                    ("fk", "orders.custkey->customer", F.col("o_custkey"), True),
+                    ("unique", "orders.o_orderkey", F.col("o_orderkey"), True),
+                    ("not_null", "orders.o_orderdate", null_key("o_orderdate"), True),
                 ],
             )
         )
         .unionByName(
-            report(
-                cu,
+            emit(
+                customer.select("c_custkey", "c_nationkey"),
                 [
-                    ("fk", "customer.nationkey->nation", "n", "orph_n"),
-                    ("unique", "customer.c_custkey", "n", "dup_ck"),
+                    ("fk", "orders.custkey->customer", F.col("c_custkey"), False),
+                    ("fk", "customer.nationkey->nation", F.col("c_nationkey"), True),
+                    ("unique", "customer.c_custkey", F.col("c_custkey"), True),
                 ],
             )
         )
+        .unionByName(
+            emit(
+                part.select("p_partkey"),
+                [("fk", "lineitem.partkey->part", F.col("p_partkey"), False)],
+            )
+        )
+        .unionByName(
+            emit(
+                nation.select("n_nationkey"),
+                [("fk", "customer.nationkey->nation", F.col("n_nationkey"), False)],
+            )
+        )
+    )
+    per_key = unioned.groupBy("check_type", "check_name", "key").agg(
+        F.sum("fact").alias("nf"), F.max("ref").alias("has_ref")
+    )
+    finished = per_key.groupBy("check_type", "check_name").agg(
+        F.sum("nf").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("has_ref") == 0, F.col("nf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("viol_fk"),
+        F.sum(F.greatest(F.col("nf") - 1, F.lit(0)))
+        .cast("long")
+        .alias("viol_unique"),
+        F.sum(F.when(F.col("key") == 1, F.col("nf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("viol_not_null"),
+    )
+    return finished.select(
+        "check_type",
+        "check_name",
+        "n_rows",
+        F.when(F.col("check_type") == "fk", F.col("viol_fk"))
+        .when(F.col("check_type") == "unique", F.col("viol_unique"))
+        .otherwise(F.col("viol_not_null"))
+        .alias("n_violations"),
     )
 
 

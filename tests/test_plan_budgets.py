@@ -38,6 +38,7 @@ BUDGETS = {
     "tpch_pricing_summary": 1,
     "dedup_exact_fingerprint": 1,
     "bpe_train_merges": 1,          # one word-count shuffle
+    "referential_integrity_audit": 2,  # r9 shared unpivot, was 9
     "kanbanize_card_states": 5,     # unbucketed floor (r6-r8 verdicts)
 }
 
