@@ -19,6 +19,14 @@ shows +/-20-50%% per-query noise across sessions, so single-shot
 comparisons between rounds are meaningless; medians + spread make the
 round-over-round signal readable. pipeline_e2e additionally reports
 per-stage medians ("stages") so a regression names its stage.
+
+r9 additions: a STALL GUARD re-draws any query whose max/min repeat
+ratio exceeds SPARK_GRAFT_BENCH_STALL_RATIO (default 3x — the class
+of corrupted medians r7/r8 hand-purged), recording re-drawn names in
+"redrawn"; and `kanbanize_card_states_bucketed` times the transform
+against the co-bucketed card-fact layout (staged once, untimed, the
+way an ingest pipeline lands it) with a zero-card-key-Exchange plan
+assertion — the bucketed twin of the slowest real query.
 """
 
 from __future__ import annotations
@@ -35,6 +43,30 @@ from falcon_metrics_etl_spark.session import get_spark
 
 # in-session repeats per query; reported value is the MEDIAN
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+# stall guard (r9): this VM stalls whole seconds at random — with 3
+# repeats one stall corrupts a median (r7 fb040e8 and the r8 driver
+# rerun both needed hand-purged entries). A draw whose max/min repeat
+# ratio exceeds this is thrown away and re-measured once; the payload
+# records which entries were re-drawn.
+STALL_RATIO = float(os.environ.get("SPARK_GRAFT_BENCH_STALL_RATIO", "3.0"))
+
+
+def draw_runs(fn, repeats: int | None = None, ratio: float | None = None):
+    """Time ``fn`` (zero-arg, returns elapsed seconds) ``repeats``
+    times; if the draw's max/min ratio exceeds ``ratio`` — a VM stall,
+    not a plan property — discard it and measure ONE fresh draw.
+    Returns (runs, redrawn). The re-draw is not iterated: two stalled
+    draws in a row is signal the whole session is bad, and the spread
+    map reports it."""
+    repeats = REPEATS if repeats is None else repeats
+    ratio = STALL_RATIO if ratio is None else ratio
+    runs = [fn() for _ in range(repeats)]
+    redrawn = False
+    if len(runs) > 1 and min(runs) > 0 and max(runs) / min(runs) > ratio:
+        runs = [fn() for _ in range(repeats)]
+        redrawn = True
+    return runs, redrawn
 
 HEADLINE = [
     "cfd",
@@ -308,6 +340,74 @@ def time_pipeline_e2e(spark, sf_dir: str) -> tuple[float, dict[str, float]]:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def kanbanize_bucketed_runner(spark, sf_dir: str):
+    """The bucketed Kanbanize card-fact path, benched (r8 built the
+    mechanism + plan-parity pytest; r9 collects the number). Stages
+    the card fact pair CO-BUCKETED on the string card key ONCE (the
+    ingest-time layout cost a steady-state deployment pays at load,
+    not per transform), then returns (run_fn, cleanup_fn): run_fn
+    times one full transform_cards(bucketed_facts=True) -> states
+    projection — the same output shape `kanbanize_card_states` times
+    against the unbucketed floor. The first run asserts the plan
+    carries ZERO card-key Exchanges (the win the layout exists for);
+    the registered query keeps the self-contained unbucketed plan
+    because an oracle query cannot pre-stage tables."""
+    import re
+    import shutil
+    import tempfile
+
+    from falcon_metrics_etl_spark.operators.kanbanize import (
+        stage_card_facts_bucketed,
+        transform_cards,
+    )
+    from falcon_metrics_etl_spark.plans import kanbanize_queries as KQ
+
+    base = tempfile.mkdtemp(prefix="bench_kb_bucketed_")
+    cards, transitions, steps, events, maps, wits = KQ._build_inputs(
+        spark, sf_dir
+    )
+    for tbl in ("bench_kb_cards", "bench_kb_transitions"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    bc, bt = stage_card_facts_bucketed(
+        spark, cards, transitions, "bench_kb", 32, base
+    )
+    plan_checked = []
+
+    def run() -> float:
+        handles: list = []
+        states, _ = transform_cards(
+            bc, bt, steps, events, maps, wits, KQ._ORG,
+            bucketed_facts=True, persist_handles=handles,
+        )
+        out = KQ._states_projection(states)
+        if not plan_checked:
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            card_ex = re.findall(
+                r"Exchange hashpartitioning\((?:cast\()?(?:card_id|work_item_id)",
+                plan,
+            )
+            if card_ex:
+                raise AssertionError(
+                    f"bucketed kanbanize transform re-introduced "
+                    f"{len(card_ex)} card-key Exchange(s) — the layout "
+                    "win regressed"
+                )
+            plan_checked.append(True)
+        t0 = time.time()
+        out.write.format("noop").mode("overwrite").save()
+        elapsed = time.time() - t0
+        for h in handles:
+            h.unpersist()
+        return elapsed
+
+    def cleanup() -> None:
+        for tbl in ("bench_kb_cards", "bench_kb_transitions"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(base, ignore_errors=True)
+
+    return run, cleanup
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -329,27 +429,48 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    def record(name: str, runs: list[float]) -> None:
+    redrawn: list[str] = []
+
+    def record(name: str, runs: list[float], was_redrawn: bool = False) -> None:
         runs = sorted(runs)
         timings[name] = round(runs[len(runs) // 2], 3)  # median
         spreads[name] = round(runs[-1] - runs[0], 3)
+        if was_redrawn:
+            redrawn.append(name)
 
     for name in HEADLINE:
         q = registry[name]
-        runs = []
-        for _ in range(REPEATS):
+
+        def one_run(q=q) -> float:
             t0 = time.time()
             q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        record(name, runs)
+            return time.time() - t0
+
+        record(name, *draw_runs(one_run))
+
+    # bucketed Kanbanize transform (staged layout built once, untimed)
+    kb_run, kb_cleanup = kanbanize_bucketed_runner(spark, sf_dir)
+    try:
+        record("kanbanize_card_states_bucketed", *draw_runs(kb_run))
+    finally:
+        kb_cleanup()
 
     record(
         "stream_windowed_daily",
-        [time_streaming(spark, sf_dir) for _ in range(REPEATS)],
+        *draw_runs(lambda: time_streaming(spark, sf_dir)),
     )
-    e2e_runs = [time_pipeline_e2e(spark, sf_dir) for _ in range(REPEATS)]
-    record("pipeline_e2e", [r[0] for r in e2e_runs])
-    # per-stage MEDIANS across the same repeats
+
+    e2e_all: list[tuple[float, dict[str, float]]] = []
+
+    def one_e2e() -> float:
+        res = time_pipeline_e2e(spark, sf_dir)
+        e2e_all.append(res)
+        return res[0]
+
+    e2e_totals, e2e_redrawn = draw_runs(one_e2e)
+    record("pipeline_e2e", e2e_totals, e2e_redrawn)
+    # per-stage MEDIANS across the KEPT draw's repeats
+    e2e_runs = e2e_all[-len(e2e_totals):]
     stage_names = e2e_runs[0][1].keys()
     e2e_stages = {
         s: round(sorted(r[1][s] for r in e2e_runs)[len(e2e_runs) // 2], 3)
@@ -363,6 +484,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spreads,
+        "redrawn": redrawn,
         "pipeline_e2e_stages": e2e_stages,
         "repeats": REPEATS,
         "sf": sf,

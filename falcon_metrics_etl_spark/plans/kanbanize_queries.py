@@ -292,6 +292,13 @@ def kanbanize_card_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     states, _ = transform_cards(
         cards, transitions, steps, events, maps, wits, _ORG
     )
+    return _states_projection(states)
+
+
+def _states_projection(states: DataFrame) -> DataFrame:
+    """The StandardStateItem projection the oracle checks — shared
+    with bench.py's bucketed-layout stage so both time the identical
+    output shape."""
     return states.select(
         "work_item_id",
         "project_id",

@@ -458,9 +458,12 @@ def test_bucketed_card_facts_plan_and_parity(spark, tmp_path, sf_smoke):
         bc, bt = stage_card_facts_bucketed(
             spark, cards, transitions, "kbt", 4, str(tmp_path / "kb")
         )
+        handles = []
         states1, snaps1 = transform_cards(
-            bc, bt, steps, events, maps, wits, KQ._ORG, bucketed_facts=True
+            bc, bt, steps, events, maps, wits, KQ._ORG,
+            bucketed_facts=True, persist_handles=handles,
         )
+        assert len(handles) == 1  # the persisted live working set
         for df in (states1, snaps1):
             plan = df._jdf.queryExecution().executedPlan().toString()
             # the only shuffles left are dim-sized (type-map dedup,
@@ -474,6 +477,8 @@ def test_bucketed_card_facts_plan_and_parity(spark, tmp_path, sf_smoke):
 
         assert rows(states0) == rows(states1)
         assert rows(snaps0) == rows(snaps1)
+        for h in handles:
+            h.unpersist()
     finally:
         for t in ("kbt_cards", "kbt_transitions"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
