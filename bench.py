@@ -147,6 +147,10 @@ HEADLINE = [
     "bpe_train_merges",
     "bpe_encode_stats",
     "char_entropy_scores",
+    # round-9 additions: byte-level GPT-2-shaped tokenizer training,
+    # fused referential-integrity audit (9 -> 2 shuffles)
+    "bpe_byte_level_merges",
+    "referential_integrity_audit",
 ]
 
 

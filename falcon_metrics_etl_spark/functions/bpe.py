@@ -45,6 +45,26 @@ MAX_WORD_LEN = 15   # longer "words" (URLs, blobs) are excluded from
 ENCODE_STAGES = MAX_WORD_LEN + 1
 END_TOKEN = "</w>"
 
+# ---- byte-level variant (GPT-2-shaped) ------------------------------------
+# Pre-tokenizer: contraction suffixes, optionally-space-prefixed
+# letter/digit/symbol runs, whitespace runs — the standard byte-level
+# BPE split (Radford et al. 2019, public gpt-2 encoder.py pattern),
+# restated lookahead-free with explicit ASCII classes so Java regex
+# (Spark) and RE2 (DuckDB) agree byte-for-byte: RE2 lacks the
+# upstream pattern's `\s+(?!\S)` lookahead, and the engines' \s
+# classes differ at \x0B.
+BYTE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^A-Za-z0-9 \t\n\r\f]+"
+    r"|[ \t\n\r\f]+"
+)
+# pre-tokens longer than this many UTF-8 bytes (blobs, URLs) are
+# excluded from training on both engines — the byte-level analogue of
+# MAX_WORD_LEN, and the bound on tokens per word
+BYTE_TOKEN_MAX_BYTES = 16
+
 
 def word_to_tokens(word: str) -> list[str]:
     return list(word) + [END_TOKEN]
@@ -75,13 +95,16 @@ def pair_counts(vocab: Iterable[tuple[Sequence[str], int]]) -> Counter:
     return c
 
 
-def train_bpe(
-    word_freqs: Iterable[tuple[str, int]], n_merges: int = N_MERGES
+def train_bpe_seqs(
+    seq_freqs: Iterable[tuple[Sequence[str], int]], n_merges: int = N_MERGES
 ) -> list[tuple[int, str, str, int]]:
-    """Learn up to ``n_merges`` merges from (word, freq) pairs.
-    Returns [(rank, left, right, pair_count)] in rank order; stops
-    early when no adjacent pair remains."""
-    vocab = [(word_to_tokens(w), f) for w, f in word_freqs]
+    """Learn up to ``n_merges`` merges from pre-tokenized (symbol
+    sequence, freq) pairs — the alphabet-agnostic core shared by the
+    char-level trainer (``train_bpe``) and the byte-level variant
+    (symbols = uppercase hex byte pairs, no end marker). Returns
+    [(rank, left, right, pair_count)] in rank order; stops early when
+    no adjacent pair remains."""
+    vocab = [(list(toks), f) for toks, f in seq_freqs]
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         counts = pair_counts(vocab)
@@ -93,6 +116,27 @@ def train_bpe(
         merges.append((rank, left, right, cnt))
         vocab = [(merge_word(t, left, right), f) for t, f in vocab]
     return merges
+
+
+def train_bpe(
+    word_freqs: Iterable[tuple[str, int]], n_merges: int = N_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """Learn up to ``n_merges`` merges from (word, freq) pairs.
+    Returns [(rank, left, right, pair_count)] in rank order; stops
+    early when no adjacent pair remains."""
+    return train_bpe_seqs(
+        ((word_to_tokens(w), f) for w, f in word_freqs), n_merges
+    )
+
+
+def word_to_byte_tokens(word: str) -> list[str]:
+    """Byte-level alphabet: the word's UTF-8 bytes as uppercase hex
+    pairs ('He' -> ['48', '65']). No end-of-word marker — the
+    GPT-2-style pre-tokenizer keeps the leading space INSIDE the
+    token (' the' starts with '20'), which is what marks word
+    boundaries at byte level."""
+    h = word.encode("utf-8").hex().upper()
+    return [h[i : i + 2] for i in range(0, len(h), 2)]
 
 
 def encode_word(

@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 
 from falcon_metrics_etl_spark.functions import text as TX
 from falcon_metrics_etl_spark.functions.bpe import (
+    BYTE_PRETOKEN_RE,
+    BYTE_TOKEN_MAX_BYTES,
     ENCODE_STAGES,
     MAX_WORD_LEN,
     N_MERGES,
@@ -90,9 +92,12 @@ def _apply_nested(inner_sql: str, carry: str) -> str:
   )"""
 
 
-def _train_ctes() -> str:
-    """p0/v1 .. p{N-1}/v{N} stages + the merges CTE."""
-    parts = [_DUCK_WORDS]
+def _train_ctes(words_block: str = _DUCK_WORDS) -> str:
+    """p0/v1 .. p{N-1}/v{N} stages + the merges CTE. ``words_block``
+    supplies the words/vocab/v0 CTEs — the char-level default or the
+    byte-level variant; everything downstream operates on v0.toks and
+    is alphabet-agnostic."""
+    parts = [words_block]
     for i in range(N_MERGES):
         inner = (
             f"SELECT word, freq, toks, lhs, rhs "
@@ -407,3 +412,118 @@ def bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "k", "n_tokens", _PACK_BUDGET, pack_key_cols=["lang"]
     )
     return packed.select("doc_id", "lang", "n_tokens", "pack_id")
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2-shaped) — the production pretrain tokenizer
+# ---------------------------------------------------------------------------
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+# byte-level words/vocab/v0 block: GPT-2-style pre-tokens (regex
+# shared VERBATIM with the Spark side — functions/bpe.py pins why it
+# is lookahead-free and ASCII-classed), each token's alphabet = its
+# UTF-8 bytes as uppercase hex pairs, NO end-of-word marker (the
+# leading space inside the token marks word boundaries)
+_DUCK_BYTE_WORDS = f"""
+wordsrc AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(text, '{_sql_quote(BYTE_PRETOKEN_RE)}'))
+               AS word
+    FROM documents
+),
+words AS MATERIALIZED (
+    SELECT doc_id, word FROM wordsrc
+    WHERE octet_length(encode(word)) BETWEEN 1 AND {BYTE_TOKEN_MAX_BYTES}
+),
+vocab AS MATERIALIZED (
+    SELECT word, COUNT(*) AS freq FROM words GROUP BY word
+    ORDER BY freq DESC, word LIMIT {VOCAB_CAP}
+),
+v0 AS MATERIALIZED (
+    SELECT word, freq,
+           list_transform(range(1, octet_length(encode(word)) + 1),
+                          i -> substring(upper(hex(encode(word))),
+                                         2*i - 1, 2)) AS toks
+    FROM vocab
+)"""
+
+_BYTE_TRAIN_ORACLE = _train_ctes(_DUCK_BYTE_WORDS) + """
+SELECT merge_rank, lhs, rhs, lhs || rhs AS merged,
+       CAST(cnt AS BIGINT) AS pair_count
+FROM merges
+"""
+
+
+def _byte_words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(BYTE_PRETOKEN_RE), F.lit(0))
+        ).alias("word"),
+    )
+    return w.filter(
+        (F.octet_length("word") >= 1)
+        & (F.octet_length("word") <= BYTE_TOKEN_MAX_BYTES)
+    )
+
+
+@register(
+    "bpe_byte_level_merges",
+    doc="BYTE-level BPE training, the GPT-2-shaped production "
+    "tokenizer (Radford 2019; Sennrich 2016 merge loop): GPT-2-style "
+    "regex pre-tokenization (contraction suffixes, space-prefixed "
+    "letter/digit/symbol runs — leading space stays inside the "
+    f"token), alphabet = UTF-8 bytes as hex pairs, top-{VOCAB_CAP} "
+    "pre-token vocabulary, then the same overlap-inclusive count / "
+    "(count DESC, pair ASC) select / left-to-right non-overlapping "
+    f"apply loop for {N_MERGES} iterations — run in ONE executor "
+    "task over the bounded vocab (applyInPandas on a literal group, "
+    "lazy plan). The oracle pre-tokenizes with the IDENTICAL regex "
+    "(restated lookahead-free so RE2 and Java regex agree), derives "
+    "the byte alphabet via hex(encode(word)), and replays every "
+    "merge iteration as generated CTE stages.",
+    tags=("text", "tokenizer", "bpe", "training-data", "iterative"),
+    oracle=_BYTE_TRAIN_ORACLE,
+)
+def bpe_byte_level_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _byte_words_df(spark, sf_dir)
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(VOCAB_CAP)
+    )
+
+    def train(pdf: pd.DataFrame) -> pd.DataFrame:
+        from falcon_metrics_etl_spark.functions.bpe import (
+            train_bpe_seqs,
+            word_to_byte_tokens,
+        )
+
+        rows = train_bpe_seqs(
+            (word_to_byte_tokens(w), int(f))
+            for w, f in zip(pdf["word"], pdf["freq"])
+        )
+        return pd.DataFrame(
+            rows, columns=["merge_rank", "lhs", "rhs", "pair_count"]
+        )
+
+    merges = (
+        vocab.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            train,
+            "merge_rank int, lhs string, rhs string, pair_count long",
+        )
+    )
+    return merges.select(
+        "merge_rank",
+        "lhs",
+        "rhs",
+        F.concat("lhs", "rhs").alias("merged"),
+        F.col("pair_count").cast("long").alias("pair_count"),
+    )

@@ -93,3 +93,46 @@ def test_encode_stage_bound_holds():
         stages += 1
         assert stages <= ENCODE_STAGES
     assert encode_word(w, pairs) == toks
+
+
+def test_byte_tokens_are_utf8_hex_pairs():
+    from falcon_metrics_etl_spark.functions.bpe import word_to_byte_tokens
+
+    assert word_to_byte_tokens("He") == ["48", "65"]
+    assert word_to_byte_tokens(" the") == ["20", "74", "68", "65"]
+    # multibyte chars split into their UTF-8 bytes — é = C3 A9
+    assert word_to_byte_tokens("é") == ["C3", "A9"]
+
+
+def test_byte_pretokenizer_gpt2_shapes():
+    """The lookahead-free restatement keeps the GPT-2 properties that
+    matter: leading space inside the token, contraction suffixes
+    split, digit/letter/symbol runs separated."""
+    import re
+
+    from falcon_metrics_etl_spark.functions.bpe import BYTE_PRETOKEN_RE
+
+    toks = re.findall(BYTE_PRETOKEN_RE, "He said: don't add 42 apples!")
+    assert toks == [
+        "He", " said", ":", " don", "'t", " add", " 42", " apples", "!",
+    ]
+    # every char lands in exactly one token (the alternation covers
+    # the full alphabet)
+    assert "".join(toks) == "He said: don't add 42 apples!"
+
+
+def test_byte_level_train_matches_char_level_on_ascii_alphabet():
+    """On a corpus where every word is a single repeated ASCII letter
+    pair, byte-level merges are the hex image of char-level ones."""
+    from falcon_metrics_etl_spark.functions.bpe import (
+        train_bpe_seqs,
+        word_to_byte_tokens,
+    )
+
+    vocab = [("ab", 5), ("abab", 3), ("ba", 2)]
+    merges = train_bpe_seqs(
+        ((word_to_byte_tokens(w), f) for w, f in vocab), n_merges=2
+    )
+    # most frequent pair: (61,62) = 'ab' seen 5 + 2*3 + 0 = 11 times
+    assert merges[0][1:3] == ("61", "62")
+    assert merges[0][3] == 11
