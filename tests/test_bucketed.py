@@ -126,6 +126,20 @@ def test_merge_upsert_bucketed_semantics(spark, tmp_path):
     plan = surv._jdf.queryExecution().executedPlan().toString()
     assert "Bucketed: true" in plan
     assert len(re.findall(r"\bExchange\b", plan)) == 1
+    # the rewrite repartitions on the bucket function, so the table
+    # holds AT MOST one file per bucket id (empty buckets write no
+    # file) — the IO-level pin that replaced the retired first-tick
+    # wall-time target (SCALE.md r9); without the repartition each
+    # task writes a file per bucket it touches (tasks x buckets files)
+    import pathlib
+
+    bucket_ids = [
+        p.name.split("_")[1].split(".")[0]
+        for p in pathlib.Path(path).iterdir()
+        if p.name.startswith("part-")
+    ]
+    assert bucket_ids and len(bucket_ids) == len(set(bucket_ids)), bucket_ids
+    assert len(bucket_ids) <= 4
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
