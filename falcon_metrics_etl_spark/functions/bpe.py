@@ -139,16 +139,18 @@ def word_to_byte_tokens(word: str) -> list[str]:
     return [h[i : i + 2] for i in range(0, len(h), 2)]
 
 
-def encode_word(
-    word: str,
+def encode_tokens(
+    toks: Sequence[str],
     merges: Sequence[tuple[str, str]],
     ranks: Optional[dict] = None,
 ) -> list[str]:
-    """Encode one word with rank-ordered ``merges`` [(left, right)]:
-    repeatedly apply the lowest-rank pair present (all occurrences)."""
+    """Encode a pre-split symbol sequence with rank-ordered
+    ``merges`` [(left, right)]: repeatedly apply the lowest-rank pair
+    present (all occurrences) — the alphabet-agnostic core shared by
+    the char-level and byte-level encoders."""
     if ranks is None:
         ranks = {pair: i for i, pair in enumerate(merges)}
-    toks = word_to_tokens(word)
+    toks = list(toks)
     while True:
         best = None
         for pair in zip(toks, toks[1:]):
@@ -159,3 +161,21 @@ def encode_word(
             return toks
         left, right = merges[best]
         toks = merge_word(toks, left, right)
+
+
+def encode_word(
+    word: str,
+    merges: Sequence[tuple[str, str]],
+    ranks: Optional[dict] = None,
+) -> list[str]:
+    """Char-level encode: chars + ``</w>`` end marker."""
+    return encode_tokens(word_to_tokens(word), merges, ranks)
+
+
+def encode_byte_word(
+    word: str,
+    merges: Sequence[tuple[str, str]],
+    ranks: Optional[dict] = None,
+) -> list[str]:
+    """Byte-level encode: UTF-8 hex-pair alphabet, no end marker."""
+    return encode_tokens(word_to_byte_tokens(word), merges, ranks)

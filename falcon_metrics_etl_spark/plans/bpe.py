@@ -124,21 +124,30 @@ merges AS MATERIALIZED (
     return "WITH " + "".join(parts)
 
 
-def _encode_ctes() -> str:
-    """mk + e0 .. e{E} stages over the distinct-word dictionary."""
+_CHAR_E0 = """
+  SELECT word,
+         list_append(list_transform(range(1, length(word)+1),
+                     i -> word[i]), '</w>') AS toks
+  FROM (SELECT DISTINCT word FROM words)"""
+
+
+def _encode_ctes(e0_body: str = _CHAR_E0, n_stages: int = ENCODE_STAGES) -> str:
+    """mk + e0 .. e{E} stages over the distinct-word dictionary.
+    ``e0_body`` supplies the initial tokenization (char default /
+    byte-level hex pairs); ``n_stages`` bounds the unroll — each
+    stage applies at least one merge, so max-tokens-per-word stages
+    always reach the fixed point. chr(31) pair packing stays
+    unambiguous for BOTH alphabets: control chars are filtered from
+    char-level words and hex-pair tokens never contain them."""
     parts = [f""",
 mk AS MATERIALIZED (
   SELECT COALESCE(list(lhs || chr(31) || rhs ORDER BY merge_rank),
                   CAST([] AS VARCHAR[])) AS ml
   FROM merges
 ),
-e0 AS MATERIALIZED (
-  SELECT word,
-         list_append(list_transform(range(1, length(word)+1),
-                     i -> word[i]), '</w>') AS toks
-  FROM (SELECT DISTINCT word FROM words)
+e0 AS MATERIALIZED ({e0_body}
 )"""]
-    for s in range(ENCODE_STAGES):
+    for s in range(n_stages):
         inner = f"""
       SELECT word, toks,
         split_part(ml[br], chr(31), 1) AS lhs,
@@ -457,6 +466,41 @@ FROM merges
 """
 
 
+def _byte_merges_df(words: DataFrame) -> DataFrame:
+    """Byte-level twin of _merges_df: capped pre-token vocab -> merge
+    table over the hex-pair alphabet, trained inside one executor
+    task (lazy applyInPandas on a literal group)."""
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(VOCAB_CAP)
+    )
+
+    def train(pdf: pd.DataFrame) -> pd.DataFrame:
+        from falcon_metrics_etl_spark.functions.bpe import (
+            train_bpe_seqs,
+            word_to_byte_tokens,
+        )
+
+        rows = train_bpe_seqs(
+            (word_to_byte_tokens(w), int(f))
+            for w, f in zip(pdf["word"], pdf["freq"])
+        )
+        return pd.DataFrame(
+            rows, columns=["merge_rank", "lhs", "rhs", "pair_count"]
+        )
+
+    return (
+        vocab.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            train,
+            "merge_rank int, lhs string, rhs string, pair_count long",
+        )
+    )
+
+
 def _byte_words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select(
@@ -490,40 +534,103 @@ def _byte_words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_BYTE_TRAIN_ORACLE,
 )
 def bpe_byte_level_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    words = _byte_words_df(spark, sf_dir)
-    vocab = (
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .orderBy(F.col("freq").desc(), F.col("word"))
-        .limit(VOCAB_CAP)
-    )
-
-    def train(pdf: pd.DataFrame) -> pd.DataFrame:
-        from falcon_metrics_etl_spark.functions.bpe import (
-            train_bpe_seqs,
-            word_to_byte_tokens,
-        )
-
-        rows = train_bpe_seqs(
-            (word_to_byte_tokens(w), int(f))
-            for w, f in zip(pdf["word"], pdf["freq"])
-        )
-        return pd.DataFrame(
-            rows, columns=["merge_rank", "lhs", "rhs", "pair_count"]
-        )
-
-    merges = (
-        vocab.withColumn("_g", F.lit(1))
-        .groupBy("_g")
-        .applyInPandas(
-            train,
-            "merge_rank int, lhs string, rhs string, pair_count long",
-        )
-    )
+    merges = _byte_merges_df(_byte_words_df(spark, sf_dir))
     return merges.select(
         "merge_rank",
         "lhs",
         "rhs",
         F.concat("lhs", "rhs").alias("merged"),
         F.col("pair_count").cast("long").alias("pair_count"),
+    )
+
+
+_BYTE_E0 = """
+  SELECT word,
+         list_transform(range(1, octet_length(encode(word)) + 1),
+                        i -> substring(upper(hex(encode(word))),
+                                       2*i - 1, 2)) AS toks
+  FROM (SELECT DISTINCT word FROM words)"""
+
+# a pre-token of <= BYTE_TOKEN_MAX_BYTES bytes holds that many hex
+# tokens, so the unroll is bounded the same way ENCODE_STAGES is
+_BYTE_ENCODE_STAGES = BYTE_TOKEN_MAX_BYTES
+
+_BYTE_ENCODE_ORACLE = (
+    _train_ctes(_DUCK_BYTE_WORDS)
+    + _encode_ctes(_BYTE_E0, _BYTE_ENCODE_STAGES)
+    + f"""
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+       CAST(SUM(e.n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(octet_length(encode(w.word))) AS BIGINT) AS n_bytes,
+       ROUND(CAST(SUM(octet_length(encode(w.word))) AS DOUBLE)
+                 / SUM(e.n_toks), 4) AS bytes_per_token
+FROM words w
+JOIN (SELECT word, len(toks) AS n_toks FROM e{_BYTE_ENCODE_STAGES}) e
+  USING (word)
+GROUP BY w.doc_id
+"""
+)
+
+
+@register(
+    "bpe_byte_encode_stats",
+    doc="Byte-level BPE dictionary encoding end to end — the token "
+    "accounting a GPT-2-style pretrain pipeline runs: the byte-level "
+    "training pipeline feeds a 1-row sorted merge array (broadcast "
+    "cross join), DISTINCT pre-tokens encode once through the "
+    "hex-pair alphabet (Arrow-batched lowest-rank-first loop), and "
+    "documents join the pre-token -> token-count dictionary back for "
+    "per-doc token/byte budgets. Oracle: byte-level training stages "
+    f"plus {_BYTE_ENCODE_STAGES} unrolled encode stages over the "
+    "pre-token dictionary, hash-matched per document.",
+    tags=("text", "tokenizer", "bpe", "training-data", "join"),
+    oracle=_BYTE_ENCODE_ORACLE,
+)
+def bpe_byte_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _byte_words_df(spark, sf_dir)
+    merges = _byte_merges_df(words)
+    marr = merges.agg(
+        F.sort_array(
+            F.collect_list(F.struct("merge_rank", "lhs", "rhs"))
+        ).alias("ml")
+    )
+    dw = words.select("word").distinct()
+
+    def encode(batches):
+        from falcon_metrics_etl_spark.functions.bpe import encode_byte_word
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"word": [], "n_toks": []})
+                continue
+            ml = pdf["ml"].iloc[0]
+            merge_list = [(m["lhs"], m["rhs"]) for m in ml]
+            ranks = {p: i for i, p in enumerate(merge_list)}
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_toks": [
+                        len(encode_byte_word(w, merge_list, ranks))
+                        for w in pdf["word"]
+                    ],
+                }
+            )
+
+    enc = dw.crossJoin(F.broadcast(marr)).mapInPandas(
+        encode, "word string, n_toks int"
+    )
+    return (
+        words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pretokens"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum(F.octet_length("word")).cast("long").alias("n_bytes"),
+            F.round(
+                F.sum(F.octet_length("word")).cast("double")
+                / F.sum("n_toks"),
+                4,
+            ).alias("bytes_per_token"),
+        )
     )
