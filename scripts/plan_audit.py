@@ -61,6 +61,9 @@ CARTESIAN_OK = {
     # 1 x N broadcast of the single-row sorted merge array onto the
     # distinct-word dictionary (the centroid pattern; plans/bpe.py)
     "bpe_encode_stats",
+    # same 1-row broadcast merge-array crossJoin as bpe_encode_stats,
+    # byte-level alphabet (r9)
+    "bpe_byte_encode_stats",
     "bpe_sequence_packing",
     # 1 x N broadcast of the single-row quantized-weight-sum scalar
     "domain_temperature_mix",
