@@ -147,10 +147,13 @@ HEADLINE = [
     "bpe_train_merges",
     "bpe_encode_stats",
     "char_entropy_scores",
-    # round-9 additions: byte-level GPT-2-shaped tokenizer training,
-    # fused referential-integrity audit (9 -> 2 shuffles)
+    # round-9 additions: byte-level GPT-2-shaped tokenizer training +
+    # encoding, fused referential-integrity audit (9 -> 2 shuffles),
+    # SQ8 embedding quantization
     "bpe_byte_level_merges",
+    "bpe_byte_encode_stats",
     "referential_integrity_audit",
+    "embedding_int8_stats",
 ]
 
 

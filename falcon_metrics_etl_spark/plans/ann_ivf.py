@@ -441,3 +441,158 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization (SQ8) — embedding compression before ANN
+# ---------------------------------------------------------------------------
+SQ8_DIM = 64  # embeddings table dimensionality (TESTDATA.md)
+
+
+@register(
+    "embedding_int8_stats",
+    doc="Scalar int8 quantization (the faiss-SQ8 shape a 100 TB "
+    "vector store runs before ANN — 4x smaller, cache-resident "
+    "codes): per-DIMENSION symmetric absmax scales learned in ONE "
+    "64-way aggregate pass (single-row result, broadcast back — no "
+    "explode, no per-dim shuffle), codes c_d = round(127*q_d/m_d) "
+    "computed as EXACT integer arithmetic over the engine's "
+    "fixed-point layer (functions/vectors.py), and per-vector "
+    "quality accounting: exact-integer SSE and max-abs error in "
+    "127*2^20-scale units, reconstruction cosine (the /127 "
+    "dequant factor cancels, so cos(q, c*m) is exact-int-derived), "
+    "and relative RMSE in original embedding units. The oracle "
+    "replays the same integer formulas; the half-away rounding is "
+    "the floor((2a+m)/2m) identity, exact for both engines because "
+    "the rational quotient is >= 2^-22 away from any non-attained "
+    "integer while double division errs by <= 1 ulp.",
+    tags=("vector", "quantization", "training-data", "ann"),
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
+               AS q
+    FROM embeddings
+),
+mx AS (
+    SELECT d, MAX(abs(q[d])) AS m
+    FROM q, unnest(range(1, {SQ8_DIM} + 1)) AS t(d)
+    GROUP BY d
+),
+marr AS (SELECT list(m ORDER BY d) AS m FROM mx),
+coded AS (
+    SELECT vec_id, q, m,
+           list_transform(range(1, {SQ8_DIM} + 1), d ->
+               CASE WHEN m[d] = 0 THEN 0 ELSE
+                   CASE WHEN q[d] < 0 THEN -1 ELSE 1 END *
+                   CAST(floor((abs(q[d]) * 127 * 2 + m[d])
+                              / (m[d] * 2)) AS BIGINT)
+               END) AS c
+    FROM q, marr
+),
+errs AS (
+    SELECT vec_id,
+           list_transform(range(1, {SQ8_DIM} + 1),
+                          d -> 127 * q[d] - c[d] * m[d]) AS e,
+           list_transform(range(1, {SQ8_DIM} + 1),
+                          d -> q[d] * c[d] * m[d]) AS dterm,
+           list_transform(range(1, {SQ8_DIM} + 1), d -> q[d] * q[d]) AS nq_t,
+           list_transform(range(1, {SQ8_DIM} + 1),
+                          d -> (c[d] * m[d]) * (c[d] * m[d])) AS nd_t
+    FROM coded
+)
+SELECT vec_id,
+       {SQ8_DIM} AS n_dims,
+       CAST(list_aggregate(list_transform(e, x -> x * x), 'sum')
+            AS BIGINT) AS sse,
+       CAST(list_aggregate(list_transform(e, x -> abs(x)), 'max')
+            AS BIGINT) AS max_abs_err,
+       CASE WHEN list_aggregate(nq_t, 'sum') = 0
+                 OR list_aggregate(nd_t, 'sum') = 0 THEN NULL
+            ELSE ROUND(
+                CAST(list_aggregate(dterm, 'sum') AS DOUBLE)
+                / sqrt(CAST(list_aggregate(nq_t, 'sum') AS DOUBLE))
+                / sqrt(CAST(list_aggregate(nd_t, 'sum') AS DOUBLE)), 6)
+       END AS recon_cosine,
+       ROUND(sqrt(CAST(list_aggregate(list_transform(e, x -> x * x),
+                                      'sum') AS DOUBLE) / {SQ8_DIM})
+             / (127.0 * 1048576.0), 8) AS rel_rmse
+FROM errs
+""",
+)
+def embedding_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.quantize(F.col("embedding")).alias("q")
+    )
+    absmax = emb.agg(
+        F.array(
+            *[
+                F.max(F.abs(F.element_at("q", d + 1)))
+                for d in range(SQ8_DIM)
+            ]
+        ).alias("m")
+    )
+
+    def code(q, m):
+        mag = (
+            F.floor(
+                ((F.abs(q) * 127 * 2 + m).cast("double"))
+                / ((m * 2).cast("double"))
+            )
+        ).cast("long")
+        return F.when(m == F.lit(0), F.lit(0).cast("long")).otherwise(
+            F.when(q < 0, -mag).otherwise(mag)
+        )
+
+    j = (
+        emb.crossJoin(F.broadcast(absmax))
+        .withColumn("c", F.zip_with("q", "m", code))
+        .withColumn(
+            "e",
+            F.transform(
+                F.arrays_zip("q", "m", "c"),
+                lambda s: F.lit(127) * s["q"] - s["c"] * s["m"],
+            ),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    sse = F.aggregate(
+        F.transform("e", lambda x: x * x), zero, lambda a, x: a + x
+    )
+    nq = F.aggregate(
+        F.transform("q", lambda x: x * x), zero, lambda a, x: a + x
+    )
+    nd = F.aggregate(
+        F.transform(
+            F.arrays_zip("c", "m"), lambda s: (s["c"] * s["m"]) * (s["c"] * s["m"])
+        ),
+        zero,
+        lambda a, x: a + x,
+    )
+    dot = F.aggregate(
+        F.transform(
+            F.arrays_zip("q", "c", "m"), lambda s: s["q"] * s["c"] * s["m"]
+        ),
+        zero,
+        lambda a, x: a + x,
+    )
+    return j.select(
+        "vec_id",
+        F.lit(SQ8_DIM).cast("int").alias("n_dims"),
+        sse.alias("sse"),
+        F.array_max(F.transform("e", F.abs)).alias("max_abs_err"),
+        F.when((nq == 0) | (nd == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                dot.cast("double")
+                / F.sqrt(nq.cast("double"))
+                / F.sqrt(nd.cast("double")),
+                6,
+            )
+        )
+        .alias("recon_cosine"),
+        F.round(
+            F.sqrt(sse.cast("double") / SQ8_DIM) / (127.0 * 1048576.0), 8
+        ).alias("rel_rmse"),
+    )
