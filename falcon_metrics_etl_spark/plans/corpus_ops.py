@@ -966,3 +966,172 @@ def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("high")
         .alias("entropy_flag"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter contamination probe — the mergeable MEMBERSHIP sketch
+# (the set-membership sibling of the KMV distinct sketch family)
+# --------------------------------------------------------------------------
+_BLOOM_BITS = 1 << 16     # m: filter size in bits
+_BLOOM_WORDS = _BLOOM_BITS // 16   # bitmap stored as 16-bit words —
+# bit 15 is the widest mask, so no engine touches a sign bit
+_BLOOM_K = 3              # hash positions per key: disjoint 16-bit
+# slices of the 60-bit portable shingle hash (offsets 0/16/32)
+
+
+@register(
+    "bloom_contamination_probe",
+    doc=f"Bloom-filter membership probe over the contamination "
+    f"pipeline, with MEASURED false positives: the train split's "
+    f"distinct {_SHINGLE_N}-token shingle hashes build an "
+    f"m={_BLOOM_BITS}-bit k={_BLOOM_K} Bloom filter (positions = "
+    "disjoint 16-bit slices of the portable 60-bit hash; the bitmap "
+    f"is {_BLOOM_WORDS} 16-bit words built by ONE bit_or aggregate "
+    "whose map-side partials collapse every partition to <= "
+    f"{_BLOOM_WORDS} rows — at 100 TB the build shuffles KBs, not "
+    "the shingle stream, and filters from independent corpus shards "
+    "merge by bitwise OR). Test-split shingles then probe the "
+    "broadcast bitmap map-side; the exact inverted-index join runs "
+    "alongside ONLY to account fp_count = bloom_hits - exact_hits "
+    "per doc — production decontamination ships the filter alone "
+    "and pays zero join shuffle. Engine-portable: every position, "
+    "mask and word is exact integer arithmetic.",
+    tags=("text", "dedup", "sketch", "training-data", "join"),
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id,
+           string_split_regex(trim(text), '\\s+') AS tk,
+           ({_DUCK_HASH} % 1000000) / 1000000.0 AS frac
+    FROM documents
+    WHERE len(string_split_regex(trim(text), '\\s+')) >= {_SHINGLE_N}
+),
+sh AS (
+    SELECT DISTINCT doc_id, frac,
+           (('0x' || substring(md5(array_to_string(tk[p:p+{_SHINGLE_N - 1}], ' ')), 1, 15))::BIGINT) AS h
+    FROM (
+        SELECT doc_id, frac, tk,
+               unnest(range(1, len(tk) - {_SHINGLE_N - 2})) AS p
+        FROM d
+    )
+),
+train AS (SELECT DISTINCT h FROM sh WHERE frac < {_B1}),
+test AS (SELECT doc_id, h FROM sh WHERE frac >= {_B2}),
+tpos AS (
+    SELECT DISTINCT ((h >> s) % {_BLOOM_BITS}) AS pos
+    FROM train, unnest([0, 16, 32]) AS t(s)
+),
+wb AS (
+    SELECT pos // 16 AS w,
+           CAST(bit_or(1 << (pos % 16)) AS BIGINT) AS bits
+    FROM tpos GROUP BY 1
+),
+bm AS (
+    SELECT list_transform(range(0, {_BLOOM_WORDS}),
+                          i -> COALESCE(map_extract(m, i)[1], 0)) AS bm
+    FROM (SELECT map(list(w ORDER BY w), list(bits ORDER BY w)) AS m
+          FROM wb)
+),
+probed AS (
+    SELECT t.doc_id, t.h,
+           CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END AS exact_hit,
+           CASE WHEN list_aggregate(list_transform([0, 16, 32], s ->
+                    CASE WHEN (bm.bm[CAST(((t.h >> s) % {_BLOOM_BITS}) // 16
+                                     AS BIGINT) + 1]
+                               & (1 << CAST(((t.h >> s) % {_BLOOM_BITS}) % 16
+                                            AS BIGINT))) <> 0
+                         THEN 1 ELSE 0 END), 'min') = 1
+                THEN 1 ELSE 0 END AS bloom_hit
+    FROM test t
+    LEFT JOIN train tr ON tr.h = t.h
+    CROSS JOIN bm
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(exact_hit) AS BIGINT) AS n_exact_hits,
+       CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_hits,
+       CAST(SUM(bloom_hit) - SUM(exact_hit) AS BIGINT) AS n_false_positives
+FROM probed
+GROUP BY doc_id
+""",
+)
+def bloom_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.col("doc_id").cast("string").alias("k")
+    )
+    docs = deterministic_split(docs, "k", _SPLITS)
+    tokenized = docs.select(
+        "doc_id", "split", TX.tokens(F.col("text")).alias("tk")
+    ).filter(F.size("tk") >= _SHINGLE_N)
+    shingle_hashes = F.array_distinct(
+        F.transform(
+            TX.word_shingles(F.col("tk"), _SHINGLE_N),
+            lambda s: TX.portable_hash60(s),
+        )
+    )
+    base = tokenized.select(
+        "doc_id", "split", F.explode(shingle_hashes).alias("h")
+    )
+    train = base.filter(F.col("split") == "train").select("h").distinct()
+    test = base.filter(F.col("split") == "test").select("doc_id", "h")
+
+    # shiftleft/shiftright take literal shift amounts only, so the
+    # column-indexed mask 1 << (pos % 16) reads from a 16-entry
+    # power-of-two literal array instead
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(16)])
+
+    def positions(h):
+        return [
+            F.shiftright(h, s) % _BLOOM_BITS for s in (0, 16, 32)
+        ]
+
+    # build: (word, mask) per position -> ONE bit_or aggregate; the
+    # dense bitmap materializes as a single-row array via map lookup
+    tpos = train.select(
+        F.explode(F.array_distinct(F.array(*positions(F.col("h"))))).alias(
+            "pos"
+        )
+    ).distinct()
+    wb = tpos.select(
+        F.shiftright("pos", 4).cast("int").alias("w"),
+        F.element_at(powers, (F.col("pos") % 16 + 1).cast("int")).alias(
+            "mask"
+        ),
+    ).groupBy("w").agg(F.bit_or("mask").alias("bits"))
+    bitmap = wb.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("mp")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_WORDS - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("mp"), i.cast("int")), F.lit(0).cast("long")
+            ),
+        ).alias("bm")
+    )
+
+    probed = (
+        test.join(
+            train.withColumn("in_train", F.lit(1)), "h", "left"
+        )
+        .crossJoin(F.broadcast(bitmap))
+    )
+    bits = []
+    for pos in positions(F.col("h")):
+        word = F.element_at(F.col("bm"), F.shiftright(pos, 4).cast("int") + 1)
+        mask = F.element_at(powers, (pos % 16 + 1).cast("int"))
+        bits.append((word.bitwiseAND(mask) != 0).cast("int"))
+    bloom_hit = F.when(bits[0] + bits[1] + bits[2] == _BLOOM_K, 1).otherwise(0)
+    probed = probed.select(
+        "doc_id",
+        F.when(F.col("in_train").isNotNull(), 1).otherwise(0).alias(
+            "exact_hit"
+        ),
+        bloom_hit.alias("bloom_hit"),
+    )
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum("exact_hit").cast("long").alias("n_exact_hits"),
+        F.sum("bloom_hit").cast("long").alias("n_bloom_hits"),
+        (F.sum("bloom_hit") - F.sum("exact_hit"))
+        .cast("long")
+        .alias("n_false_positives"),
+    )

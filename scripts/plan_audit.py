@@ -67,6 +67,8 @@ CARTESIAN_OK = {
     # 1-row broadcast per-dim absmax crossJoin (r9 SQ8 quantization —
     # the centroid pattern)
     "embedding_int8_stats",
+    # 1-row broadcast Bloom-bitmap crossJoin (r9 membership sketch)
+    "bloom_contamination_probe",
     "bpe_sequence_packing",
     # 1 x N broadcast of the single-row quantized-weight-sum scalar
     "domain_temperature_mix",
@@ -101,6 +103,7 @@ NOPUSH_OK = {
     # source-column equivalent; the scan still prunes to (doc_id, text)
     "chunk_dedup_rebuild",
     "contamination_ngram_overlap",
+    "bloom_contamination_probe",  # same shingle pipeline (r9)
     "ngram_jaccard_pairs",
     "repetition_quality_flags",
     "substring_dedup_windows",
