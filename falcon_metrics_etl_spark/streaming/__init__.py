@@ -8,6 +8,7 @@ from falcon_metrics_etl_spark.streaming.windows import (
     stream_dedupe,
     stream_session_counts,
     stream_sessionize_stateful,
+    stream_sessionize_tws,
 )
 from falcon_metrics_etl_spark.streaming.jobs import (
     foreach_batch_merge,
@@ -23,5 +24,6 @@ __all__ = [
     "stream_dedupe",
     "stream_session_counts",
     "stream_sessionize_stateful",
+    "stream_sessionize_tws",
     "foreach_batch_merge",
 ]

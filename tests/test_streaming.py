@@ -557,3 +557,148 @@ def test_substring_admission_rejects_cross_batch_redelivery(spark, tmp_path):
     # the refused merge wrote nothing: doc 1 still has exactly one row
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1 and rows[0]["batch_id"] == 1
+
+
+def test_session_merge_loop_shared_by_both_state_apis():
+    """_merge_session_events is the single merge loop behind BOTH
+    stateful sessionizers (applyInPandasWithState, integration-tested
+    above, and the Spark 4 transformWithState twin, which this
+    container cannot execute — see the gated test below). Pin its
+    semantics directly: gap close, backward extension within gap,
+    pre-session singleton, empty-state bootstrap."""
+    import pandas as pd
+
+    from falcon_metrics_etl_spark.streaming.windows import (
+        _merge_session_events,
+    )
+
+    gap_us = 1800 * 1_000_000
+    us = lambda s: int(pd.Timestamp(s).value // 1000)
+
+    # bootstrap + extension + gap close
+    closed, st, en, n = _merge_session_events(
+        "A",
+        [us("2024-01-01 10:00:00"), us("2024-01-01 10:10:00"),
+         us("2024-01-01 13:00:00")],
+        -1, -1, 0, gap_us,
+    )
+    assert [(c[0], str(c[1]), str(c[2]), c[3]) for c in closed] == [
+        ("A", "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2)
+    ]
+    assert (st, en, n) == (us("2024-01-01 13:00:00"),
+                           us("2024-01-01 13:00:00"), 1)
+
+    # backward extension: late event within gap BEFORE start extends
+    closed, st, en, n = _merge_session_events(
+        "A", [us("2024-01-01 12:40:00")],
+        us("2024-01-01 13:00:00"), us("2024-01-01 13:00:00"), 1, gap_us,
+    )
+    assert closed == [] and st == us("2024-01-01 12:40:00") and n == 2
+
+    # pre-session singleton: late event more than gap before start
+    closed, st, en, n = _merge_session_events(
+        "A", [us("2024-01-01 08:00:00")],
+        us("2024-01-01 13:00:00"), us("2024-01-01 13:00:00"), 1, gap_us,
+    )
+    assert [(c[0], str(c[1]), c[3]) for c in closed] == [
+        ("A", "2024-01-01 08:00:00", 1)
+    ]
+    assert st == us("2024-01-01 13:00:00") and n == 1
+
+
+def test_stream_sessionize_tws_parity_with_group_state(spark, tmp_path):
+    """Spark 4 transformWithState sessionizer == the GroupState twin
+    on identical input. GATED: transformWithStateInPandas speaks
+    protobuf between the Python worker and the JVM state server, and
+    google.protobuf is not installed in this container (no-install
+    policy) — the wiring is real public-API code; its merge loop is
+    the SAME _merge_session_events the integration-tested GroupState
+    path runs (pinned by the unit test above)."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol needs protobuf "
+        "(not in this container; no-install policy)",
+    )
+
+    from falcon_metrics_etl_spark.streaming import (
+        stream_sessionize_stateful,
+        stream_sessionize_tws,
+    )
+
+    if stream_sessionize_tws is None:
+        pytest.skip("pyspark < 4: no transformWithState")
+
+    src = str(tmp_path / "src")
+    rows1 = [
+        (1, "2024-01-01 10:00:00", "A"),
+        (2, "2024-01-01 10:10:00", "A"),
+        (3, "2024-01-01 10:05:00", "B"),
+    ]
+    rows2 = [
+        (4, "2024-01-01 13:00:00", "A"),   # > gap: closes A's first
+        (5, "2024-01-01 23:00:00", "A"),   # watermark -> times out B
+    ]
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    results = {}
+    for name, builder, provider in (
+        ("gs", stream_sessionize_stateful, None),
+        ("tws", stream_sessionize_tws, rocks),
+    ):
+        sink = str(tmp_path / f"sink_{name}")
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        _write_user_events(spark, src, rows1, mode="overwrite")
+        old = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        if provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", provider
+            )
+        try:
+            def run():
+                stream = builder(
+                    spark.readStream.schema(
+                        "event_id long, ts timestamp, user_id string"
+                    ).parquet(src),
+                    gap_seconds=1800,
+                    watermark="10 minutes",
+                )
+                q = (
+                    stream.writeStream.format("parquet")
+                    .option("path", sink)
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                _drain(q)
+
+            run()
+            _write_user_events(spark, src, rows2)
+            run()
+        finally:
+            if provider:
+                if old is None:
+                    spark.conf.unset(
+                        "spark.sql.streaming.stateStore.providerClass"
+                    )
+                else:
+                    spark.conf.set(
+                        "spark.sql.streaming.stateStore.providerClass", old
+                    )
+        results[name] = {
+            (r["user_id"], str(r["session_start"])): (
+                str(r["session_end"]), r["n_events"]
+            )
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    assert results["tws"] == results["gs"]
+    assert results["tws"][("A", "2024-01-01 10:00:00")] == (
+        "2024-01-01 10:10:00", 2,
+    )
