@@ -348,6 +348,100 @@ def time_pipeline_e2e(spark, sf_dir: str) -> tuple[float, dict[str, float]]:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def time_corpus_e2e(spark, sf_dir: str) -> tuple[float, dict[str, float]]:
+    """Training-corpus production composed as ONE job — the text-side
+    sibling of time_pipeline_e2e: cleaning gates (lang / quality /
+    classifier / prefix-dedup, xxhash64 production form) -> MinHash+LSH
+    near-dup pruning (keep the best doc per cluster) -> byte-level BPE
+    token budgets over the SURVIVORS -> fixed-budget shard packing.
+    Every stage's operator is individually oracled in the registry
+    (corpus_cleaning_audit_fast, dedup_keep_best_lsh family,
+    bpe_byte_encode_stats, sequence_packing); this times their
+    composition including the survivor semi-joins the individual
+    queries can't show. Stage boundaries persist + noop-materialize so
+    a regression names its stage."""
+    from pyspark.sql import functions as F
+
+    from falcon_metrics_etl_spark.operators.components import (
+        duplicate_clusters,
+    )
+    from falcon_metrics_etl_spark.operators.sampling import pack_sequences
+    from falcon_metrics_etl_spark.plans.bpe import (
+        _byte_words_df,
+        byte_token_budgets,
+    )
+    from falcon_metrics_etl_spark.plans.dedup_lsh import dedup_minhash_lsh
+    from falcon_metrics_etl_spark.sources import load_table
+
+    registry = all_queries()
+    stages: dict[str, float] = {}
+    handles = []
+    t0 = time.time()
+    try:
+        # ---- clean: per-doc gate verdicts, survivors persist --------
+        audit = registry["corpus_cleaning_audit_fast"].spark(spark, sf_dir)
+        kept = audit.filter(F.col("status") == "kept").select("doc_id")
+        kept = kept.persist()
+        handles.append(kept)
+        kept.write.format("noop").mode("overwrite").save()
+        stages["clean"] = round(time.time() - t0, 3)
+
+        # ---- near-dedup: LSH pairs -> clusters -> drop non-best -----
+        ts = time.time()
+        pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+        comp = duplicate_clusters(pairs).select("node", "cluster_id")
+        best = comp.join(
+            load_table(spark, sf_dir, "documents").select(
+                F.col("doc_id").alias("node"), "n_chars"
+            ),
+            "node",
+        )
+        from pyspark.sql import Window
+
+        rk = F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("n_chars").desc(), "node"
+            )
+        )
+        dropped = (
+            best.withColumn("rk", rk)
+            .filter(F.col("rk") > 1)
+            .select(F.col("node").alias("doc_id"))
+        )
+        survivors = kept.join(dropped, "doc_id", "left_anti").persist()
+        handles.append(survivors)
+        survivors.write.format("noop").mode("overwrite").save()
+        stages["near_dedup"] = round(time.time() - ts, 3)
+
+        # ---- tokenize: byte-BPE budgets over survivors only ---------
+        ts = time.time()
+        words = _byte_words_df(spark, sf_dir).join(
+            survivors, "doc_id", "left_semi"
+        )
+        budgets = byte_token_budgets(words).persist()
+        handles.append(budgets)
+        budgets.write.format("noop").mode("overwrite").save()
+        stages["tokenize"] = round(time.time() - ts, 3)
+
+        # ---- pack: fixed-budget shards, docs never split ------------
+        ts = time.time()
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang")
+            .join(budgets.select("doc_id", "n_tokens"), "doc_id")
+            .withColumn("k", F.col("doc_id").cast("string"))
+        )
+        packed = pack_sequences(
+            docs, "k", "n_tokens", 8192, pack_key_cols=["lang"]
+        )
+        packed.write.format("noop").mode("overwrite").save()
+        stages["pack"] = round(time.time() - ts, 3)
+        return time.time() - t0, stages
+    finally:
+        for h in handles:
+            h.unpersist()
+
+
 def kanbanize_bucketed_runner(spark, sf_dir: str):
     """The bucketed Kanbanize card-fact path, benched (r8 built the
     mechanism + plan-parity pytest; r9 collects the number). Stages
@@ -485,6 +579,21 @@ def main() -> None:
         for s in stage_names
     }
 
+    corpus_all: list[tuple[float, dict[str, float]]] = []
+
+    def one_corpus() -> float:
+        res = time_corpus_e2e(spark, sf_dir)
+        corpus_all.append(res)
+        return res[0]
+
+    c_totals, c_redrawn = draw_runs(one_corpus)
+    record("corpus_e2e", c_totals, c_redrawn)
+    c_runs = corpus_all[-len(c_totals):]
+    corpus_stages = {
+        s: round(sorted(r[1][s] for r in c_runs)[len(c_runs) // 2], 3)
+        for s in c_runs[0][1].keys()
+    }
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total_runtime",
@@ -494,6 +603,7 @@ def main() -> None:
         "spread": spreads,
         "redrawn": redrawn,
         "pipeline_e2e_stages": e2e_stages,
+        "corpus_e2e_stages": corpus_stages,
         "repeats": REPEATS,
         "sf": sf,
     }

@@ -588,7 +588,19 @@ GROUP BY w.doc_id
     oracle=_BYTE_ENCODE_ORACLE,
 )
 def bpe_byte_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    words = _byte_words_df(spark, sf_dir)
+    return byte_token_budgets(_byte_words_df(spark, sf_dir)).withColumn(
+        "bytes_per_token",
+        F.round(F.col("n_bytes").cast("double") / F.col("n_tokens"), 4),
+    )
+
+
+def byte_token_budgets(words: DataFrame) -> DataFrame:
+    """(doc_id, word) pre-token stream -> per-doc byte-BPE token
+    budgets: train the byte merge table on the stream's vocab sketch,
+    encode DISTINCT pre-tokens once (Arrow-batched lowest-rank loop),
+    join the dictionary back. Shared by the registered
+    ``bpe_byte_encode_stats`` and bench.py's composed corpus e2e
+    (which feeds a survivor-filtered stream)."""
     merges = _byte_merges_df(words)
     marr = merges.agg(
         F.sort_array(
@@ -627,10 +639,5 @@ def bpe_byte_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_pretokens"),
             F.sum("n_toks").cast("long").alias("n_tokens"),
             F.sum(F.octet_length("word")).cast("long").alias("n_bytes"),
-            F.round(
-                F.sum(F.octet_length("word")).cast("double")
-                / F.sum("n_toks"),
-                4,
-            ).alias("bytes_per_token"),
         )
     )
