@@ -136,3 +136,40 @@ def test_byte_level_train_matches_char_level_on_ascii_alphabet():
     # most frequent pair: (61,62) = 'ab' seen 5 + 2*3 + 0 = 11 times
     assert merges[0][1:3] == ("61", "62")
     assert merges[0][3] == 11
+
+
+def test_byte_bpe_roundtrip_property():
+    """Property (hypothesis): byte-level encoding is a PARTITION of
+    the word's UTF-8 hex — concatenating the output tokens always
+    reproduces the full hex string exactly, for any corpus-trained
+    merge table and any word (trained-on or unseen)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from falcon_metrics_etl_spark.functions.bpe import (
+        encode_byte_word,
+        train_bpe_seqs,
+        word_to_byte_tokens,
+    )
+
+    words = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(words, st.integers(1, 9)), min_size=1,
+                    max_size=8), words)
+    def check(vocab, probe):
+        merges = train_bpe_seqs(
+            ((word_to_byte_tokens(w), f) for w, f in vocab), n_merges=8
+        )
+        pairs = [(l, r) for _, l, r, _ in merges]
+        for w in [probe] + [v[0] for v in vocab]:
+            toks = encode_byte_word(w, pairs)
+            assert "".join(toks) == w.encode("utf-8").hex().upper()
+            # every token is a whole number of bytes
+            assert all(len(t) % 2 == 0 and len(t) >= 2 for t in toks)
+
+    check()
