@@ -154,6 +154,7 @@ HEADLINE = [
     "bpe_byte_encode_stats",
     "referential_integrity_audit",
     "embedding_int8_stats",
+    "ann_int8_recall",
     "bloom_contamination_probe",
 ]
 

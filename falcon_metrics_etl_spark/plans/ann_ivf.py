@@ -596,3 +596,168 @@ def embedding_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(sse.cast("double") / SQ8_DIM) / (127.0 * 1048576.0), 8
         ).alias("rel_rmse"),
     )
+
+
+SQ8_NQ = 8    # query vectors for the recall measurement
+SQ8_K = 10    # top-k depth
+
+
+@register(
+    "ann_int8_recall",
+    doc=f"Recall@{SQ8_K} of int8-quantized similarity search vs the "
+    f"exact ranking, per query — the measurement that justifies "
+    "shipping SQ8 codes to a 100 TB vector store: both rankings are "
+    "cosine top-k over the SAME broadcast-queries scan "
+    "(knn_brute_cosine's shape), the exact one on fixed-point "
+    "vectors, the approximate one on dequantized codes c_d*m_d (the "
+    "/127 factor cancels in cosine). Every dot/norm is an exact "
+    "integer (the oracle sums products through HUGEINT via "
+    "list_sum to match Spark's exact long fold bit-for-bit before "
+    "the single double cast); cosines round to 6 decimals before "
+    "ranking with id tie-breaks, so ranks are engine-identical.",
+    tags=("vector", "quantization", "ann", "window", "join"),
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
+               AS q
+    FROM embeddings
+),
+mx AS (
+    SELECT d, MAX(abs(q[d])) AS m
+    FROM q, unnest(range(1, {SQ8_DIM} + 1)) AS t(d)
+    GROUP BY d
+),
+marr AS (SELECT list(m ORDER BY d) AS m FROM mx),
+cmv AS (
+    SELECT vec_id, q,
+           list_transform(range(1, {SQ8_DIM} + 1), d ->
+               (CASE WHEN m[d] = 0 THEN 0 ELSE
+                   CASE WHEN q[d] < 0 THEN -1 ELSE 1 END *
+                   CAST(floor((abs(q[d]) * 127 * 2 + m[d])
+                              / (m[d] * 2)) AS BIGINT)
+               END) * m[d]) AS cm
+    FROM q, marr
+),
+n AS (
+    SELECT vec_id, q, cm,
+           CAST(list_sum(list_transform(range(1, {SQ8_DIM} + 1),
+                d -> q[d] * q[d])) AS DOUBLE) AS nsq,
+           CAST(list_sum(list_transform(range(1, {SQ8_DIM} + 1),
+                d -> cm[d] * cm[d])) AS DOUBLE) AS nsa
+    FROM cmv
+),
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROUND(CAST(list_sum(list_transform(range(1, {SQ8_DIM} + 1),
+                    d -> a.q[d] * b.q[d])) AS DOUBLE)
+                 / sqrt(a.nsq) / sqrt(b.nsq), 6) AS ec,
+           ROUND(CAST(list_sum(list_transform(range(1, {SQ8_DIM} + 1),
+                    d -> a.cm[d] * b.cm[d])) AS DOUBLE)
+                 / sqrt(a.nsa) / sqrt(b.nsa), 6) AS ac
+    FROM n a JOIN n b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < {SQ8_NQ}
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ec DESC, neighbor_id) AS re,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ac DESC, neighbor_id) AS ra
+    FROM scored
+)
+SELECT query_id,
+       CAST(SUM(CASE WHEN re <= {SQ8_K} AND ra <= {SQ8_K}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       ROUND(CAST(SUM(CASE WHEN re <= {SQ8_K} AND ra <= {SQ8_K}
+                           THEN 1 ELSE 0 END) AS DOUBLE) / {SQ8_K}, 4)
+           AS recall_at_k
+FROM ranked
+GROUP BY query_id
+""",
+)
+def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.quantize(F.col("embedding")).alias("q")
+    )
+    absmax = emb.agg(
+        F.array(
+            *[
+                F.max(F.abs(F.element_at("q", d + 1)))
+                for d in range(SQ8_DIM)
+            ]
+        ).alias("m")
+    )
+
+    def code_times_m(q, m):
+        mag = (
+            F.floor(
+                ((F.abs(q) * 127 * 2 + m).cast("double"))
+                / ((m * 2).cast("double"))
+            )
+        ).cast("long")
+        c = F.when(m == F.lit(0), F.lit(0).cast("long")).otherwise(
+            F.when(q < 0, -mag).otherwise(mag)
+        )
+        return c * m
+
+    base = (
+        emb.crossJoin(F.broadcast(absmax))
+        .select(
+            "vec_id",
+            "q",
+            F.zip_with("q", "m", code_times_m).alias("cm"),
+        )
+        .withColumn("nsq", VX.int_norm_sq(F.col("q")))
+        .withColumn("nsa", VX.int_norm_sq(F.col("cm")))
+    )
+    queries = base.filter(F.col("vec_id") < SQ8_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("cm").alias("qcm"),
+        F.col("nsq").alias("qnsq"),
+        F.col("nsa").alias("qnsa"),
+    )
+    scored = base.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            VX.cosine_from_int(
+                VX.int_dot(F.col("qv"), F.col("q")),
+                F.col("qnsq"),
+                F.col("nsq"),
+            ),
+            6,
+        ).alias("ec"),
+        F.round(
+            VX.cosine_from_int(
+                VX.int_dot(F.col("qcm"), F.col("cm")),
+                F.col("qnsa"),
+                F.col("nsa"),
+            ),
+            6,
+        ).alias("ac"),
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("ec").desc(), "neighbor_id"
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("ac").desc(), "neighbor_id"
+    )
+    hit = (
+        (F.col("re") <= SQ8_K) & (F.col("ra") <= SQ8_K)
+    ).cast("int")
+    return (
+        scored.withColumn("re", F.row_number().over(we))
+        .withColumn("ra", F.row_number().over(wa))
+        .groupBy("query_id")
+        .agg(
+            F.sum(hit).cast("long").alias("n_overlap"),
+            F.round(F.sum(hit).cast("double") / SQ8_K, 4).alias(
+                "recall_at_k"
+            ),
+        )
+    )

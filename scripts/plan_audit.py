@@ -69,6 +69,8 @@ CARTESIAN_OK = {
     "embedding_int8_stats",
     # 1-row broadcast Bloom-bitmap crossJoin (r9 membership sketch)
     "bloom_contamination_probe",
+    # absmax-row + query-side broadcasts (r9 SQ8 recall measurement)
+    "ann_int8_recall",
     "bpe_sequence_packing",
     # 1 x N broadcast of the single-row quantized-weight-sum scalar
     "domain_temperature_mix",
