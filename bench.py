@@ -23,10 +23,13 @@ per-stage medians ("stages") so a regression names its stage.
 r9 additions: a STALL GUARD re-draws any query whose max/min repeat
 ratio exceeds SPARK_GRAFT_BENCH_STALL_RATIO (default 3x — the class
 of corrupted medians r7/r8 hand-purged), recording re-drawn names in
-"redrawn"; and `kanbanize_card_states_bucketed` times the transform
+"redrawn"; `kanbanize_card_states_bucketed` times the transform
 against the co-bucketed card-fact layout (staged once, untimed, the
 way an ingest pipeline lands it) with a zero-card-key-Exchange plan
-assertion — the bucketed twin of the slowest real query.
+assertion — the bucketed twin of the slowest real query; and
+`corpus_e2e` times the training-corpus production composition (clean
+-> LSH near-dedup -> byte-BPE budgets -> packing) with per-stage
+medians, the text-side sibling of pipeline_e2e.
 """
 
 from __future__ import annotations
