@@ -608,9 +608,16 @@ def decode_jpeg(payload: bytes) -> dict:
         # misread as the marker id and seg_len parsed from garbage)
         while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        # the skip loop may consume the tail of the payload; keep the
+        # module's ValueError contract for malformed input instead of
+        # letting payload[pos + 1] raise IndexError
+        if pos + 2 > len(payload):
+            raise ValueError("JPEG: truncated fill-byte run")
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
+        if pos + 4 > len(payload):
+            raise ValueError("JPEG: truncated segment header")
         (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:
@@ -928,9 +935,16 @@ def _decode_progressive(payload: bytes) -> dict:
         # misread as the marker id and seg_len parsed from garbage)
         while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        # the skip loop may consume the tail of the payload; keep the
+        # module's ValueError contract for malformed input instead of
+        # letting payload[pos + 1] raise IndexError
+        if pos + 2 > len(payload):
+            raise ValueError("JPEG: truncated fill-byte run")
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
+        if pos + 4 > len(payload):
+            raise ValueError("JPEG: truncated segment header")
         (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:

@@ -640,7 +640,7 @@ cmv AS (
                END) * m[d]) AS cm
     FROM q, marr
 ),
-n AS (
+n0 AS (
     SELECT vec_id, q, cm,
            CAST(list_sum(list_transform(range(1, {SQ8_DIM} + 1),
                 d -> q[d] * q[d])) AS DOUBLE) AS nsq,
@@ -648,6 +648,9 @@ n AS (
                 d -> cm[d] * cm[d])) AS DOUBLE) AS nsa
     FROM cmv
 ),
+-- zero-norm vectors give 0/0 = NaN cosines whose DESC-rank placement
+-- is engine-dependent; exclude them on BOTH engines (r9 advisor)
+n AS (SELECT * FROM n0 WHERE nsq > 0 AND nsa > 0),
 scored AS (
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
            ROUND(CAST(list_sum(list_transform(range(1, {SQ8_DIM} + 1),
@@ -711,6 +714,10 @@ def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("nsq", VX.int_norm_sq(F.col("q")))
         .withColumn("nsa", VX.int_norm_sq(F.col("cm")))
+        # zero-norm vectors give 0/0 = NaN cosines; NaN ordering under
+        # DESC differs across engines, so drop them before ranking,
+        # mirrored by the oracle's `n` CTE (r9 advisor finding)
+        .filter((F.col("nsq") > 0) & (F.col("nsa") > 0))
     )
     queries = base.filter(F.col("vec_id") < SQ8_NQ).select(
         F.col("vec_id").alias("query_id"),

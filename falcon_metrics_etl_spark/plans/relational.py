@@ -821,7 +821,14 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("has_ref") == 0, F.col("nf")).otherwise(F.lit(0)))
         .cast("long")
         .alias("viol_fk"),
-        F.sum(F.greatest(F.col("nf") - 1, F.lit(0)))
+        # NULL keys: the oracle's COUNT(*) - COUNT(DISTINCT key) counts
+        # EVERY null-key row as a unique violation (COUNT DISTINCT skips
+        # NULLs), so the shared NULL group contributes nf, not nf - 1
+        F.sum(
+            F.when(F.col("key").isNull(), F.col("nf")).otherwise(
+                F.greatest(F.col("nf") - 1, F.lit(0))
+            )
+        )
         .cast("long")
         .alias("viol_unique"),
         F.sum(F.when(F.col("key") == 1, F.col("nf")).otherwise(F.lit(0)))

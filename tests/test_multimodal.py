@@ -1192,6 +1192,14 @@ def test_jpeg_unsupported_features_raise_cleanly():
     # truncate mid-scan: entropy exhaustion is a ValueError
     with pytest.raises(ValueError):
         decode_jpeg_gray(bytes(enc[: len(enc) - 12]) )
+    # r9 advisor: a fill-byte run that consumes the payload tail must
+    # keep the ValueError contract, not IndexError past the end
+    from falcon_metrics_etl_spark.functions.jpeg import decode_jpeg
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(b"\xff\xd8" + b"\xff" * 4)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(b"\xff\xd8" + b"\xff\xdb\x00")  # header cut short
 
 
 def test_jpeg_420_subsampled_decode():
