@@ -1198,7 +1198,7 @@ def test_jpeg_unsupported_features_raise_cleanly():
 
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg(b"\xff\xd8" + b"\xff" * 4)
-    with pytest.raises(ValueError, match="truncated"):
+    with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8" + b"\xff\xdb\x00")  # header cut short
 
 
