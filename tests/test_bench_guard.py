@@ -53,3 +53,23 @@ def test_second_stall_is_kept_and_reported():
     runs, redrawn = bench.draw_runs(lambda: next(vals), repeats=3, ratio=3.0)
     assert redrawn
     assert max(runs) == 2.00
+
+
+def test_output_targets_protect_tracked_medians():
+    """Default bench runs must never touch the tracked medians file;
+    --commit-medians / SPARK_GRAFT_BENCH_COMMIT=1 opt in (r10)."""
+    import bench
+
+    default = bench._output_targets(["bench.py"], {})
+    assert [p.split("/")[-1] for p in default] == ["BENCH_OUT.json"]
+    flagged = bench._output_targets(["bench.py", "--commit-medians"], {})
+    assert [p.split("/")[-1] for p in flagged] == [
+        "BENCH_OUT.json",
+        "BENCH_MEDIANS.json",
+    ]
+    env = bench._output_targets(["bench.py"], {"SPARK_GRAFT_BENCH_COMMIT": "1"})
+    assert [p.split("/")[-1] for p in env][-1] == "BENCH_MEDIANS.json"
+    redirected = bench._output_targets(
+        ["bench.py"], {"SPARK_GRAFT_BENCH_OUT": "/tmp/x.json"}
+    )
+    assert redirected == ["/tmp/x.json"]
