@@ -164,6 +164,10 @@ HEADLINE = [
     "embedding_int8_stats",
     "ann_int8_recall",
     "bloom_contamination_probe",
+    # round-10 additions: perceptual image near-dup (dHash fingerprint
+    # over real PNG/JPEG decodes + byte-band Hamming LSH pairing)
+    "media_fingerprint_dhash",
+    "media_near_dup_pairs",
 ]
 
 

@@ -2700,3 +2700,160 @@ def wav_silence_trim_stats(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         run, schema=TRIM_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual dHash: cross-codec image near-dup fingerprinting
+# ---------------------------------------------------------------------------
+# The grid is the classic dHash shape: sample a 9x8 luma grid, emit one
+# bit per horizontal gradient (64 bits). Cell = (w // 9) x (h // 8)
+# pixels; equal-size cells make the mean comparison identical to the
+# exact integer SUM comparison, so no floats enter the fingerprint.
+DHASH_GRID_W = 9
+DHASH_GRID_H = 8
+DHASH_GROUP = 4       # docs per content group: variant = doc_id % 4
+DHASH_DC_RANGE = 49   # block offsets in [-24, 24]: the JPEG-exact envelope
+DHASH_EDIT_MOD = 29   # variant v re-draws blocks where md5 % 29 < v
+
+
+def dhash_block_value(g: int, v: int, bx: int, by: int) -> int:
+    """Closed-form luma of 8x8 block (bx, by) for content group ``g``,
+    variant ``v`` — replayed verbatim by the DuckDB oracle via
+    md5(g || ':' || bx || ':' || by). Blocks draw a uniform value from
+    the md5; variant v REPLACES the blocks whose edit-gate hex is
+    < v with an independent draw (a sparse, real image edit: v=0 is
+    the anchor, v=3 redraws ~10%% of blocks), so within-group Hamming
+    distances spread over 0..~14 while cross-group hashes are
+    independent 64-bit draws. Values are 128 + 2k, |k| <= 24 — even
+    offsets quantize exactly under the Annex-K JPEG table (see
+    attach_payload_jpeg_blocks), keeping the lossy codec bit-faithful."""
+    h = hashlib.md5(f"{g}:{bx}:{by}".encode()).hexdigest()
+    if int(h[4:6], 16) % DHASH_EDIT_MOD < v:
+        k = int(h[6:10], 16) % DHASH_DC_RANGE - 24
+    else:
+        k = int(h[0:4], 16) % DHASH_DC_RANGE - 24
+    return 128 + 2 * k
+
+
+def encode_png_gray_raster(rows) -> bytes:
+    """8-bit grayscale PNG of an arbitrary raster. Scanline filters
+    cycle through all five types (bpp=1 forward filtering via
+    _filter_scanline), IDAT is a real deflate stream — decoding has
+    to genuinely unfilter, same contract as the gradient encoders."""
+    height = len(rows)
+    width = len(rows[0])
+    prev = bytes(width)
+    raw = bytearray()
+    for y, r in enumerate(rows):
+        line = bytes(r)
+        raw += _filter_scanline(y % 5, line, prev, 1)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def attach_payload_dhash_corpus(docs: DataFrame) -> DataFrame:
+    """documents -> the cross-codec near-dup image corpus: each group
+    of DHASH_GROUP consecutive doc_ids shares one blockwise-constant
+    72x64 luma surface (dhash_block_value), lightly edited per
+    variant; EVEN doc_ids ship as PNG (all five scanline filters),
+    ODD as baseline JPEG (blockwise-constant => DC-only, bit-faithful
+    under Annex-K quantization). The same picture saved through two
+    codecs is exactly the duplicate class a multimodal training
+    corpus must catch — byte-level dedup can never pair them."""
+    from falcon_metrics_etl_spark.functions.jpeg import encode_jpeg_gray
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows_out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g, v = divmod(doc_id, DHASH_GROUP)
+                img = [
+                    [
+                        dhash_block_value(g, v, x // 8, y // 8)
+                        for x in range(8 * DHASH_GRID_W)
+                    ]
+                    for y in range(8 * DHASH_GRID_H)
+                ]
+                if doc_id % 2 == 0:
+                    rows_out.append(
+                        (doc_id, "image", "png", encode_png_gray_raster(img))
+                    )
+                else:
+                    rows_out.append(
+                        (doc_id, "image", "jpeg", encode_jpeg_gray(img))
+                    )
+            yield pd.DataFrame(
+                rows_out,
+                columns=["doc_id", "media_type", "codec", "payload"],
+            )
+
+    return _fan_out(docs.select("doc_id")).mapInPandas(
+        run,
+        schema="doc_id long, media_type string, codec string, payload binary",
+    )
+
+
+DHASH_SCHEMA = "doc_id long, codec string, width int, height int, dhash long"
+
+
+def media_dhash(media: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual fingerprint over REAL decodes: PNG via
+    zlib inflate + scanline unfilter, JPEG via Huffman entropy decode
+    + dequant + IDCT — then the 9x8 dHash: crop to (w//9*9, h//8*8),
+    exact integer cell sums, bit (by*8 + bx) set iff cell (bx+1, by)
+    outweighs cell (bx, by). The unsigned 64-bit value is emitted as
+    a signed long (two's complement), matching the oracle's two-half
+    reconstruction. Map-only: no shuffle, linear in bytes."""
+    from falcon_metrics_etl_spark.functions.jpeg import decode_jpeg_gray
+
+    def one(doc_id, codec, payload):
+        if codec == "png":
+            w, h, ch, px = decode_png_pixels(bytes(payload))
+            if ch != 1:
+                raise ValueError("media_dhash: grayscale PNG expected")
+        else:
+            d = decode_jpeg_gray(bytes(payload))
+            w, h = d["width"], d["height"]
+            px = [val for row in d["pixels"] for val in row]
+        sx = w // DHASH_GRID_W
+        sy = h // DHASH_GRID_H
+        if sx == 0 or sy == 0:
+            raise ValueError("media_dhash: image below the 9x8 grid")
+        u = 0
+        for by in range(DHASH_GRID_H):
+            sums = []
+            for bx in range(DHASH_GRID_W):
+                s = 0
+                for y in range(by * sy, (by + 1) * sy):
+                    base = y * w + bx * sx
+                    s += sum(px[base : base + sx])
+                sums.append(s)
+            for bx in range(DHASH_GRID_W - 1):
+                if sums[bx + 1] > sums[bx]:
+                    u |= 1 << (by * 8 + bx)
+        if u >= 1 << 63:
+            u -= 1 << 64
+        return (int(doc_id), codec, w, h, u)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    one(i, c, p)
+                    for i, c, p in zip(
+                        pdf["doc_id"], pdf["codec"], pdf["payload"]
+                    )
+                ],
+                columns=["doc_id", "codec", "width", "height", "dhash"],
+            )
+
+    return media.select("doc_id", "codec", "payload").mapInPandas(
+        run, schema=DHASH_SCHEMA
+    )

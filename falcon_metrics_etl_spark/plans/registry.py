@@ -68,6 +68,7 @@ def all_queries() -> dict[str, Query]:
         flow_metrics,
         graph,
         kanbanize_queries,
+        media_dedup,
         multimodal,
         relational,
         retrieval,

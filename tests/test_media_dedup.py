@@ -1,0 +1,159 @@
+"""Perceptual dHash unit pins: cross-codec decode equality, raster
+PNG round-trip through all five filters, dHash bit math, and the
+byte-band LSH recall guarantee (Hamming <= 7 with 8 bands of 8 bits).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from falcon_metrics_etl_spark.functions import multimodal as MM
+from falcon_metrics_etl_spark.functions.jpeg import (
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+)
+
+
+def _group_raster(g: int, v: int) -> list[list[int]]:
+    return [
+        [
+            MM.dhash_block_value(g, v, x // 8, y // 8)
+            for x in range(8 * MM.DHASH_GRID_W)
+        ]
+        for y in range(8 * MM.DHASH_GRID_H)
+    ]
+
+
+def _dhash_of_pixels(w: int, h: int, px: list[int]) -> int:
+    sx, sy = w // MM.DHASH_GRID_W, h // MM.DHASH_GRID_H
+    u = 0
+    for by in range(MM.DHASH_GRID_H):
+        sums = []
+        for bx in range(MM.DHASH_GRID_W):
+            s = 0
+            for y in range(by * sy, (by + 1) * sy):
+                base = y * w + bx * sx
+                s += sum(px[base : base + sx])
+            sums.append(s)
+        for bx in range(MM.DHASH_GRID_W - 1):
+            if sums[bx + 1] > sums[bx]:
+                u |= 1 << (by * 8 + bx)
+    return u - (1 << 64) if u >= 1 << 63 else u
+
+
+def test_png_raster_roundtrip_all_filters():
+    """encode_png_gray_raster cycles filters 0-4; decode must recover
+    the exact raster (>= 5 rows exercises every filter type)."""
+    img = _group_raster(7, 2)
+    w, h, ch, px = MM.decode_png_pixels(MM.encode_png_gray_raster(img))
+    assert (w, h, ch) == (8 * MM.DHASH_GRID_W, 8 * MM.DHASH_GRID_H, 1)
+    assert list(px) == [v for row in img for v in row]
+
+
+def test_cross_codec_decode_identical():
+    """The same blockwise-constant raster shipped as PNG and as
+    baseline JPEG decodes to IDENTICAL pixels (the Annex-K-exact
+    envelope), hence identical dHash — the property that makes
+    cross-codec near-dup pairs exact rather than approximate."""
+    for g, v in ((0, 0), (3, 1), (11, 3)):
+        img = _group_raster(g, v)
+        flat = [val for row in img for val in row]
+        w, h, ch, px_png = MM.decode_png_pixels(
+            MM.encode_png_gray_raster(img)
+        )
+        d = decode_jpeg_gray(encode_jpeg_gray(img))
+        px_jpeg = [val for row in d["pixels"] for val in row]
+        assert list(px_png) == flat
+        assert px_jpeg == flat
+        assert _dhash_of_pixels(w, h, px_png) == _dhash_of_pixels(
+            d["width"], d["height"], px_jpeg
+        )
+
+
+def test_dhash_bit_math_pinned():
+    """Hand-checkable 9x8 image (cell = 1 px): row 0 strictly
+    increasing -> its 8 bits set; row 1 strictly decreasing -> clear;
+    remaining rows constant -> clear (strict >)."""
+    w, h = MM.DHASH_GRID_W, MM.DHASH_GRID_H
+    px = []
+    px += list(range(9))            # row 0: 0..8 increasing
+    px += list(range(8, -1, -1))    # row 1: 8..0 decreasing
+    px += [5] * (w * (h - 2))       # constant rows
+    assert _dhash_of_pixels(w, h, px) == 0xFF
+
+
+def test_dhash_sign_conversion():
+    """An image whose last row is increasing sets bit 63 -> the
+    fingerprint must be the NEGATIVE two's-complement long, matching
+    the oracle's two-half reconstruction."""
+    w, h = MM.DHASH_GRID_W, MM.DHASH_GRID_H
+    px = [5] * (w * (h - 1)) + list(range(9))
+    got = _dhash_of_pixels(w, h, px)
+    assert got == (0xFF << 56) - (1 << 64)
+    assert got < 0
+
+
+def test_band_recall_guarantee():
+    """Pigeonhole: two 64-bit hashes within Hamming <= 7 MUST share
+    at least one of the 8 byte bands — the LSH recall contract the
+    query doc claims. Checked over every 7-bit flip pattern spread
+    across distinct bytes plus a same-byte cluster."""
+    base = 0x0123456789ABCDEF
+
+    def bands(x):
+        return [(x >> (b * 8)) & 255 for b in range(8)]
+
+    # flips concentrated in one byte: 7 other bands untouched
+    for flip in (0x7F, 0x3E, 0x01):
+        other = base ^ flip
+        assert any(
+            a == b for a, b in zip(bands(base), bands(other))
+        )
+    # flips spread over 7 different bytes: the 8th band survives
+    spread = base
+    for b in range(7):
+        spread ^= 1 << (b * 8 + 3)
+    assert any(a == b for a, b in zip(bands(base), bands(spread)))
+    # 8 flips in 8 different bytes CAN evade banding (why the doc
+    # says approximate above Hamming 7)
+    evade = base
+    for b in range(8):
+        evade ^= 1 << (b * 8 + 3)
+    assert not any(a == b for a, b in zip(bands(base), bands(evade)))
+
+
+def test_variant_zero_is_anchor():
+    """v=0 never takes the edit branch: the anchor raster equals the
+    un-edited md5 draw, and higher variants differ on a sparse block
+    set only."""
+    g = 5
+    anchor = _group_raster(g, 0)
+    for v in (1, 2, 3):
+        edited = _group_raster(g, v)
+        diff_blocks = {
+            (x // 8, y // 8)
+            for y in range(len(anchor))
+            for x in range(len(anchor[0]))
+            if anchor[y][x] != edited[y][x]
+        }
+        n_blocks = MM.DHASH_GRID_W * MM.DHASH_GRID_H
+        assert 0 < len(diff_blocks) < n_blocks // 3
+
+
+def test_media_dhash_rejects_tiny_images(spark):
+    """Images below the 9x8 grid raise instead of emitting a
+    degenerate fingerprint — driven through the real mapInPandas
+    stage."""
+    img = [[100] * 4 for _ in range(4)]
+    payload = MM.encode_png_gray_raster(img)
+    media = spark.createDataFrame(
+        [(1, "png", bytearray(payload))],
+        "doc_id long, codec string, payload binary",
+    )
+    with pytest.raises(Exception, match="below the 9x8 grid"):
+        MM.media_dhash(media).collect()

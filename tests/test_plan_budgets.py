@@ -40,6 +40,11 @@ BUDGETS = {
     "bpe_train_merges": 1,          # one word-count shuffle
     "referential_integrity_audit": 2,  # r9 shared unpivot, was 9
     "kanbanize_card_states": 5,     # unbucketed floor (r6-r8 verdicts)
+    # r10 perceptual dHash: decode is map-only behind the one fan-out
+    # Exchange; pairing adds the banded self-join + distinct (never
+    # all-pairs — budget allows the SMJ shape AQE picks at scale)
+    "media_fingerprint_dhash": 1,
+    "media_near_dup_pairs": 4,
 }
 
 
