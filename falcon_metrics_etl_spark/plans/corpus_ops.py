@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from falcon_metrics_etl_spark.functions import text as TX
 from falcon_metrics_etl_spark.operators.sampling import deterministic_split
 from falcon_metrics_etl_spark.plans.registry import register
+from falcon_metrics_etl_spark.session import perf_checkpoint
 from falcon_metrics_etl_spark.sources import load_table
 
 # same split universe as train_val_test_split (operators/sampling.py):
@@ -699,12 +700,17 @@ _BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram ML estimate
     "— bigram maximum likelihood backed off to the add-one unigram, "
     "the standard Jelinek-Mercer shape. Each position's surprisal "
     "rounds to integer micro-nats BEFORE the per-doc sum, so scores "
-    "are exact in any engine. Plan: one extra count shuffle over the "
-    "unigram stage (bigram counts via a lag window), then the token "
-    "stream joins unigram counts (cur + prev) and bigram counts — "
-    "AQE broadcasts the count tables when the vocab is small, "
-    "shuffles when it is not; first tokens (no prev) score pure "
-    "unigram. Buckets reuse the fixed head/middle/tail thresholds.",
+    "are exact in any engine. Plan (r10 fusion, was 7 shuffles): "
+    "(prev, tok) pairs come straight off the split array via an "
+    "index transform — no lag window, no doc_id shuffle — into ONE "
+    "global histogram; the unigram LM is the histogram's marginal "
+    "and per-pair surprisal is computed once on that vocab^2-bounded "
+    "table (the char_entropy_scores pattern), so the token stream is "
+    "touched exactly twice: once to count, once to join the scored "
+    "pairs (AQE broadcasts when the bigram-type table is small, "
+    "shuffles when it is not) and fold per doc. First tokens (NULL "
+    "prev) ride the same histogram via a null-safe join key. Buckets "
+    "reuse the fixed head/middle/tail thresholds.",
     tags=("text", "quality", "lm", "join", "window"),
     oracle=f"""
 WITH tokens AS (
@@ -760,43 +766,74 @@ FROM docscore
 )
 def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tokens = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    seq = tokens.withColumn("prev", F.lag("tok").over(w))
-    uni = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    stats = uni.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
-    bi = (
-        seq.filter(F.col("prev").isNotNull())
-        .groupBy("prev", "tok")
-        .agg(F.count(F.lit(1)).alias("c2"))
-    )
-    joined = (
-        seq.join(uni, "tok")
-        .join(
-            uni.select(
-                F.col("tok").alias("prev"), F.col("c").alias("c_prev")
-            ),
-            "prev",
-            "left",
+    # (prev, tok) straight off the split array — index 0 pairs with a
+    # NULL prev, exactly the lag-window semantics without the window's
+    # doc_id Exchange+Sort
+    pairs = (
+        docs.withColumn("toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(toks, (t, i) -> struct("
+                    "CASE WHEN i = 0 THEN NULL ELSE toks[i - 1] END"
+                    " AS prev, t AS tok))"
+                )
+            ).alias("p"),
         )
-        .join(bi, ["prev", "tok"], "left")
-        .join(F.broadcast(stats))
+        .select("doc_id", "p.prev", "p.tok")
+    )
+    # ONE corpus-wide histogram; every count table is derived from it.
+    # hist feeds the scored-pair build AND its own marginal; uni feeds
+    # two join sides plus the corpus stats — perf_checkpoint computes
+    # each once instead of re-deriving the subtree per consumer (both
+    # are vocab-bounded, the frames a checkpoint is for). Checkpointed
+    # frames lose AQE size stats, so the small-table joins below carry
+    # explicit broadcast hints.
+    hist = perf_checkpoint(
+        pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2"))
+    )
+    uni = perf_checkpoint(
+        hist.groupBy("tok").agg(F.sum("c2").alias("c"))
+    )
+    stats = uni.agg(
+        F.sum("c").cast("long").alias("n"), F.count(F.lit(1)).alias("v")
     )
     nv = (F.col("n") + F.col("v")).cast("double")
     uni_q = F.round(F.log(nv / (F.col("c") + 1)) * 1e6).cast("long")
     p_interp = (
-        (F.coalesce(F.col("c2"), F.lit(0)).cast("double") / F.col("c_prev"))
+        (F.col("c2").cast("double") / F.col("c_prev"))
         * F.lit(_BIGRAM_LAMBDA)
         + ((F.col("c") + 1).cast("double") / (F.col("n") + F.col("v")))
         * F.lit(1.0 - _BIGRAM_LAMBDA)
     )
     bi_q = F.round(-F.log(p_interp) * 1e6).cast("long")
-    terms = joined.select(
-        "doc_id",
-        F.when(F.col("prev").isNull(), uni_q).otherwise(bi_q).alias("q"),
+    # per-pair surprisal computed ONCE on the vocab^2-bounded table
+    hist_q = (
+        hist.join(F.broadcast(uni), "tok")
+        .join(
+            F.broadcast(
+                uni.select(
+                    F.col("tok").alias("prev"), F.col("c").alias("c_prev")
+                )
+            ),
+            "prev",
+            "left",
+        )
+        .join(F.broadcast(stats))
+        .select(
+            F.col("prev").alias("h_prev"),
+            F.col("tok").alias("h_tok"),
+            F.when(F.col("prev").isNull(), uni_q)
+            .otherwise(bi_q)
+            .alias("q"),
+        )
     )
+    terms = pairs.join(
+        hist_q,
+        pairs["prev"].eqNullSafe(hist_q["h_prev"])
+        & (pairs["tok"] == hist_q["h_tok"]),
+    ).select("doc_id", "q")
     scored = terms.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"), F.sum("q").alias("qsum")
     )

@@ -45,6 +45,9 @@ BUDGETS = {
     # all-pairs — budget allows the SMJ shape AQE picks at scale)
     "media_fingerprint_dhash": 1,
     "media_near_dup_pairs": 4,
+    # r10 histogram fusion (was 7): visible = stats + final doc agg;
+    # hist/uni aggs sit behind perf checkpoints (full-plan pin below)
+    "bigram_surprisal_scores": 2,
 }
 
 
@@ -67,6 +70,9 @@ def test_shuffle_budget(spark, sf_smoke, name, budget):
 # FULL lineage plan visible; the committed r8 win was 9 -> this count.
 FULL_PLAN_BUDGETS = {
     "kmv_set_ops_pairs": 4,
+    # checkpoints-off re-derives hist per consumer (4x) + uni (3x);
+    # the EXECUTED default-mode total is 4 (hist, uni, stats, doc agg)
+    "bigram_surprisal_scores": 9,
 }
 
 
