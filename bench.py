@@ -168,6 +168,8 @@ HEADLINE = [
     # over real PNG/JPEG decodes + byte-band Hamming LSH pairing)
     "media_fingerprint_dhash",
     "media_near_dup_pairs",
+    # round-10: IVF cells prune, SQ8 codes rank (the memory-bound shape)
+    "ann_ivf_int8",
 ]
 
 

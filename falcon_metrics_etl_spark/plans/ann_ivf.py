@@ -602,6 +602,51 @@ SQ8_NQ = 8    # query vectors for the recall measurement
 SQ8_K = 10    # top-k depth
 
 
+def _code_times_m(q, m):
+    """Dequantized SQ8 code c_d * m_d as one exact-integer expression
+    (the /127 scale cancels in cosine): magnitude by round-half-up on
+    |q|*127/m via the floor((2a+b)/2b) identity, sign reapplied,
+    zero-scale dims code to 0."""
+    mag = (
+        F.floor(
+            ((F.abs(q) * 127 * 2 + m).cast("double"))
+            / ((m * 2).cast("double"))
+        )
+    ).cast("long")
+    c = F.when(m == F.lit(0), F.lit(0).cast("long")).otherwise(
+        F.when(q < 0, -mag).otherwise(mag)
+    )
+    return c * m
+
+
+def _int8_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SQ8 frame: (vec_id, q fixed-point, cm dequantized-code,
+    nsq, nsa) with zero-norm vectors dropped (0/0 = NaN cosines rank
+    engine-dependently; mirrored by every consumer's oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.quantize(F.col("embedding")).alias("q")
+    )
+    absmax = emb.agg(
+        F.array(
+            *[
+                F.max(F.abs(F.element_at("q", d + 1)))
+                for d in range(SQ8_DIM)
+            ]
+        ).alias("m")
+    )
+    return (
+        emb.crossJoin(F.broadcast(absmax))
+        .select(
+            "vec_id",
+            "q",
+            F.zip_with("q", "m", _code_times_m).alias("cm"),
+        )
+        .withColumn("nsq", VX.int_norm_sq(F.col("q")))
+        .withColumn("nsa", VX.int_norm_sq(F.col("cm")))
+        .filter((F.col("nsq") > 0) & (F.col("nsa") > 0))
+    )
+
+
 @register(
     "ann_int8_recall",
     doc=f"Recall@{SQ8_K} of int8-quantized similarity search vs the "
@@ -681,44 +726,7 @@ GROUP BY query_id
 """,
 )
 def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", VX.quantize(F.col("embedding")).alias("q")
-    )
-    absmax = emb.agg(
-        F.array(
-            *[
-                F.max(F.abs(F.element_at("q", d + 1)))
-                for d in range(SQ8_DIM)
-            ]
-        ).alias("m")
-    )
-
-    def code_times_m(q, m):
-        mag = (
-            F.floor(
-                ((F.abs(q) * 127 * 2 + m).cast("double"))
-                / ((m * 2).cast("double"))
-            )
-        ).cast("long")
-        c = F.when(m == F.lit(0), F.lit(0).cast("long")).otherwise(
-            F.when(q < 0, -mag).otherwise(mag)
-        )
-        return c * m
-
-    base = (
-        emb.crossJoin(F.broadcast(absmax))
-        .select(
-            "vec_id",
-            "q",
-            F.zip_with("q", "m", code_times_m).alias("cm"),
-        )
-        .withColumn("nsq", VX.int_norm_sq(F.col("q")))
-        .withColumn("nsa", VX.int_norm_sq(F.col("cm")))
-        # zero-norm vectors give 0/0 = NaN cosines; NaN ordering under
-        # DESC differs across engines, so drop them before ranking,
-        # mirrored by the oracle's `n` CTE (r9 advisor finding)
-        .filter((F.col("nsq") > 0) & (F.col("nsa") > 0))
-    )
+    base = _int8_base(spark, sf_dir)
     queries = base.filter(F.col("vec_id") < SQ8_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qv"),
@@ -767,4 +775,144 @@ def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_at_k"
             ),
         )
+    )
+
+
+@register(
+    "ann_ivf_int8",
+    doc=f"IVF + SQ8 composed — the production memory-bound ANN shape: "
+    f"cells PRUNE (every vector assigned to its nearest of {IVF_K} "
+    f"coarse centroids on the exact fixed-point vectors, queries probe "
+    f"their {IVF_PROBE} nearest cells), int8 CODES RANK (candidate "
+    "cosine over the dequantized c_d*m_d codes, exact-integer "
+    "dot/norms through a long fold / HUGEINT list_sum, same contract "
+    "as ann_int8_recall which measured this ranking at 0.9-1.0 "
+    "recall@10). At 100 TB the cell shuffle carries the 64-byte code "
+    "row instead of the 512-byte fixed-point row — the 8x scan-side "
+    "saving that justifies SQ8. Zero-norm vectors are dropped on both "
+    "engines (NaN cosines rank engine-dependently).",
+    tags=("vector", "ivf", "quantization", "ann", "window", "join"),
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id, {_DUCK_QUANT} AS q FROM embeddings
+),
+mx AS (
+    SELECT d, MAX(abs(q[d])) AS m
+    FROM q, unnest(range(1, {SQ8_DIM} + 1)) AS t(d)
+    GROUP BY d
+),
+marr AS (SELECT list(m ORDER BY d) AS m FROM mx),
+cmv AS (
+    SELECT vec_id, q,
+           list_transform(range(1, {SQ8_DIM} + 1), d ->
+               (CASE WHEN m[d] = 0 THEN 0 ELSE
+                   CASE WHEN q[d] < 0 THEN -1 ELSE 1 END *
+                   CAST(floor((abs(q[d]) * 127 * 2 + m[d])
+                              / (m[d] * 2)) AS BIGINT)
+               END) * m[d]) AS cm
+    FROM q, marr
+),
+n0 AS (
+    SELECT vec_id, q, cm,
+           CAST(list_sum(list_transform(range(1, {SQ8_DIM} + 1),
+                d -> q[d] * q[d])) AS DOUBLE) AS nsq,
+           CAST(list_sum(list_transform(range(1, {SQ8_DIM} + 1),
+                d -> cm[d] * cm[d])) AS DOUBLE) AS nsa
+    FROM cmv
+),
+n AS (SELECT * FROM n0 WHERE nsq > 0 AND nsa > 0),
+cents AS (
+    SELECT vec_id AS cent_id, q AS cq, nsq AS cnsq FROM n
+    WHERE vec_id < {IVF_K}
+),
+aff AS (
+    SELECT v.vec_id, v.cm, v.nsa, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.q, c.cq) / sqrt(c.cnsq) DESC,
+                                       c.cent_id) AS crank
+    FROM n v CROSS JOIN cents c
+),
+assign AS (
+    SELECT vec_id, cm, nsa, cent_id AS cell FROM aff WHERE crank = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cm AS qcm, nsa AS qnsa, cent_id AS cell
+    FROM aff WHERE vec_id < {IVF_N_QUERIES} AND crank <= {IVF_PROBE}
+),
+scored AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           ROUND(CAST(list_sum(list_transform(range(1, {SQ8_DIM} + 1),
+                     d -> p.qcm[d] * a.cm[d])) AS DOUBLE)
+                 / sqrt(p.qnsa) / sqrt(a.nsa), 6) AS cosine_int8
+    FROM probes p JOIN assign a ON a.cell = p.cell
+    WHERE a.vec_id <> p.query_id
+),
+dedup AS (SELECT DISTINCT query_id, neighbor_id, cosine_int8 FROM scored),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine_int8,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine_int8 DESC, neighbor_id) AS rank
+    FROM dedup
+)
+SELECT query_id, neighbor_id, cosine_int8, rank FROM ranked
+WHERE rank <= {IVF_TOPK}
+""",
+)
+def ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _int8_base(spark, sf_dir)
+    cents = base.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("q").alias("cq"),
+        F.col("nsq").alias("cnsq"),
+    )
+    # assignment scores on the EXACT vectors (the coarse quantizer is
+    # full-precision in a real IVF-SQ index); only cm/nsa ride past it
+    aff = base.join(F.broadcast(cents)).withColumn(
+        "score",
+        VX.int_dot(F.col("q"), F.col("cq")).cast("double")
+        / F.sqrt(F.col("cnsq").cast("double")),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cent_id")
+    )
+    aff = (
+        aff.withColumn("crank", F.row_number().over(wc))
+        .select("vec_id", "cm", "nsa", "cent_id", "crank")
+        .localCheckpoint(eager=False)
+    )
+    assign = aff.filter(F.col("crank") == 1).select(
+        "vec_id", "cm", "nsa", F.col("cent_id").alias("cell")
+    )
+    probes = aff.filter(
+        (F.col("vec_id") < IVF_N_QUERIES) & (F.col("crank") <= IVF_PROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cm").alias("qcm"),
+        F.col("nsa").alias("qnsa"),
+        F.col("cent_id").alias("cell"),
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                VX.cosine_from_int(
+                    VX.int_dot(F.col("qcm"), F.col("cm")),
+                    F.col("qnsa"),
+                    F.col("nsa"),
+                ),
+                6,
+            ).alias("cosine_int8"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_int8").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("query_id", "neighbor_id", "cosine_int8", "rank")
     )
