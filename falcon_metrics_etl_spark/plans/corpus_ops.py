@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from falcon_metrics_etl_spark.functions import text as TX
+from falcon_metrics_etl_spark.operators.rollup import _kmv_estimate
 from falcon_metrics_etl_spark.operators.sampling import deterministic_split
 from falcon_metrics_etl_spark.plans.registry import register
 from falcon_metrics_etl_spark.session import perf_checkpoint
@@ -1009,30 +1010,41 @@ def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bloom-filter contamination probe — the mergeable MEMBERSHIP sketch
 # (the set-membership sibling of the KMV distinct sketch family)
 # --------------------------------------------------------------------------
-_BLOOM_BITS = 1 << 16     # m: filter size in bits
-_BLOOM_WORDS = _BLOOM_BITS // 16   # bitmap stored as 16-bit words —
-# bit 15 is the widest mask, so no engine touches a sign bit
-_BLOOM_K = 3              # hash positions per key: disjoint 16-bit
+_BLOOM_K = 3              # hash positions per key: 16-bit-offset
 # slices of the 60-bit portable shingle hash (offsets 0/16/32)
+_BLOOM_KMV_K = 256        # KMV sketch size for the train-cardinality
+# estimate that SIZES the bitmap (r9 verdict: a fixed 2^16 bits
+# saturates to FP=1 when the train shingle set outgrows it)
+_BLOOM_BPK = 16           # target bits per key: FP = (1-e^(-3/16))^3
+# ~= 0.5% at k=3, held as the corpus grows because m grows with it
+_BLOOM_SKETCH_BUCKETS = 32  # parallel min-K prune buckets
+_BLOOM_MIN_BITS = 1 << 16
+_BLOOM_MAX_BITS = 1 << 20  # cap: the s=32 slice keeps 28 uniform
+# bits, so m must stay well below 2^28; beyond the cap a deployment
+# shards the filter (they merge by OR) rather than widening one bitmap
 
 
 @register(
     "bloom_contamination_probe",
     doc=f"Bloom-filter membership probe over the contamination "
-    f"pipeline, with MEASURED false positives: the train split's "
-    f"distinct {_SHINGLE_N}-token shingle hashes build an "
-    f"m={_BLOOM_BITS}-bit k={_BLOOM_K} Bloom filter (positions = "
-    "disjoint 16-bit slices of the portable 60-bit hash; the bitmap "
-    f"is {_BLOOM_WORDS} 16-bit words built by ONE bit_or aggregate "
-    "whose map-side partials collapse every partition to <= "
-    f"{_BLOOM_WORDS} rows — at 100 TB the build shuffles KBs, not "
-    "the shingle stream, and filters from independent corpus shards "
-    "merge by bitwise OR). Test-split shingles then probe the "
-    "broadcast bitmap map-side; the exact inverted-index join runs "
-    "alongside ONLY to account fp_count = bloom_hits - exact_hits "
-    "per doc — production decontamination ships the filter alone "
-    "and pays zero join shuffle. Engine-portable: every position, "
-    "mask and word is exact integer arithmetic.",
+    f"pipeline, with MEASURED false positives and a DATA-SIZED "
+    f"bitmap (r10): a K={_BLOOM_KMV_K} KMV sketch estimates the "
+    "train split's distinct shingle count, and m is the smallest "
+    f"power of two giving >= {_BLOOM_BPK} bits/key (clamped to "
+    f"[2^16, 2^20]) — the target ~0.5% FP rate at k={_BLOOM_K} "
+    "holds as the corpus grows instead of saturating to 1 the way "
+    "the r9 fixed 2^16 bitmap would. Positions are 16-bit-offset "
+    "slices of the portable 60-bit hash mod m; the bitmap is m/16 "
+    "16-bit words built by ONE bit_or aggregate whose map-side "
+    "partials collapse every partition to <= m/16 rows — at 100 TB "
+    "the build shuffles KBs, not the shingle stream, and filters "
+    "from independent corpus shards merge by bitwise OR (past the "
+    "2^20 cap a deployment shards filters rather than widening "
+    "one). Test-split shingles then probe the broadcast bitmap "
+    "map-side; the exact inverted-index join runs alongside ONLY "
+    "to account fp_count = bloom_hits - exact_hits per doc. "
+    "Engine-portable: the KMV estimate, sizing CASE, and every "
+    "position/mask/word are exact arithmetic both engines replay.",
     tags=("text", "dedup", "sketch", "training-data", "join"),
     oracle=f"""
 WITH d AS (
@@ -1053,9 +1065,25 @@ sh AS (
 ),
 train AS (SELECT DISTINCT h FROM sh WHERE frac < {_B1}),
 test AS (SELECT doc_id, h FROM sh WHERE frac >= {_B2}),
+sizing AS (
+    SELECT CASE WHEN n < {_BLOOM_KMV_K} THEN n
+                ELSE CAST(FLOOR(({_BLOOM_KMV_K - 1}.0
+                                 * 1152921504606846976.0) / hk)
+                          AS BIGINT) END AS est
+    FROM (SELECT COUNT(*) AS n, MAX(h) AS hk
+          FROM (SELECT h FROM train ORDER BY h LIMIT {_BLOOM_KMV_K}))
+),
+mbits AS (
+    SELECT CASE WHEN {_BLOOM_BPK} * est <= {1 << 16} THEN {1 << 16}
+                WHEN {_BLOOM_BPK} * est <= {1 << 17} THEN {1 << 17}
+                WHEN {_BLOOM_BPK} * est <= {1 << 18} THEN {1 << 18}
+                WHEN {_BLOOM_BPK} * est <= {1 << 19} THEN {1 << 19}
+                ELSE {1 << 20} END AS m
+    FROM sizing
+),
 tpos AS (
-    SELECT DISTINCT ((h >> s) % {_BLOOM_BITS}) AS pos
-    FROM train, unnest([0, 16, 32]) AS t(s)
+    SELECT DISTINCT ((h >> s) % mb.m) AS pos
+    FROM train, unnest([0, 16, 32]) AS t(s), mbits mb
 ),
 wb AS (
     SELECT pos // 16 AS w,
@@ -1063,18 +1091,19 @@ wb AS (
     FROM tpos GROUP BY 1
 ),
 bm AS (
-    SELECT list_transform(range(0, {_BLOOM_WORDS}),
-                          i -> COALESCE(map_extract(m, i)[1], 0)) AS bm
-    FROM (SELECT map(list(w ORDER BY w), list(bits ORDER BY w)) AS m
-          FROM wb)
+    SELECT mb.m AS m,
+           list_transform(range(0, mb.m // 16),
+                          i -> COALESCE(map_extract(mp, i)[1], 0)) AS bm
+    FROM (SELECT map(list(w ORDER BY w), list(bits ORDER BY w)) AS mp
+          FROM wb), mbits mb
 ),
 probed AS (
     SELECT t.doc_id, t.h,
            CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END AS exact_hit,
            CASE WHEN list_aggregate(list_transform([0, 16, 32], s ->
-                    CASE WHEN (bm.bm[CAST(((t.h >> s) % {_BLOOM_BITS}) // 16
+                    CASE WHEN (bm.bm[CAST(((t.h >> s) % bm.m) // 16
                                      AS BIGINT) + 1]
-                               & (1 << CAST(((t.h >> s) % {_BLOOM_BITS}) % 16
+                               & (1 << CAST(((t.h >> s) % bm.m) % 16
                                             AS BIGINT))) <> 0
                          THEN 1 ELSE 0 END), 'min') = 1
                 THEN 1 ELSE 0 END AS bloom_hit
@@ -1108,8 +1137,43 @@ def bloom_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tokenized.select(
         "doc_id", "split", F.explode(shingle_hashes).alias("h")
     )
-    train = base.filter(F.col("split") == "train").select("h").distinct()
+    # train feeds the sizing sketch, the bitmap build, AND the exact
+    # accounting join — checkpoint the distinct hash set once
+    train = perf_checkpoint(
+        base.filter(F.col("split") == "train").select("h").distinct()
+    )
     test = base.filter(F.col("split") == "test").select("doc_id", "h")
+
+    # --- size the bitmap from the data: KMV estimate of |train| ---
+    # two-phase global min-K: per-bucket rank windows prune in
+    # parallel, then ONE array expression takes the K smallest of the
+    # <= buckets*K survivors — no corpus-sized global window
+    wb_bucket = Window.partitionBy("b").orderBy("h")
+    pruned = (
+        train.withColumn("b", F.col("h") % _BLOOM_SKETCH_BUCKETS)
+        .withColumn("rn", F.row_number().over(wb_bucket))
+        .filter(F.col("rn") <= _BLOOM_KMV_K)
+        .select("h")
+    )
+    sketch = pruned.agg(
+        F.slice(
+            F.array_sort(F.collect_list("h")), 1, _BLOOM_KMV_K
+        ).alias("hs")
+    )
+    est = _kmv_estimate(
+        F.size("hs").cast("long"),
+        F.element_at("hs", _BLOOM_KMV_K),
+        _BLOOM_KMV_K,
+    )
+    bits_needed = F.lit(_BLOOM_BPK) * est
+    m_col = F.lit(_BLOOM_MAX_BITS).cast("long")
+    b = _BLOOM_MAX_BITS >> 1
+    while b >= _BLOOM_MIN_BITS:
+        m_col = F.when(bits_needed <= b, F.lit(b).cast("long")).otherwise(
+            m_col
+        )
+        b >>= 1
+    sizing = sketch.select(m_col.alias("m"))
 
     # shiftleft/shiftright take literal shift amounts only, so the
     # column-indexed mask 1 << (pos % 16) reads from a 16-entry
@@ -1118,31 +1182,46 @@ def bloom_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def positions(h):
         return [
-            F.shiftright(h, s) % _BLOOM_BITS for s in (0, 16, 32)
+            F.shiftright(h, s) % F.col("m") for s in (0, 16, 32)
         ]
 
     # build: (word, mask) per position -> ONE bit_or aggregate; the
     # dense bitmap materializes as a single-row array via map lookup
-    tpos = train.select(
-        F.explode(F.array_distinct(F.array(*positions(F.col("h"))))).alias(
-            "pos"
+    tpos = (
+        train.crossJoin(F.broadcast(sizing))
+        .select(
+            F.explode(
+                F.array_distinct(F.array(*positions(F.col("h"))))
+            ).alias("pos")
         )
-    ).distinct()
+        .distinct()
+    )
     wb = tpos.select(
         F.shiftright("pos", 4).cast("int").alias("w"),
         F.element_at(powers, (F.col("pos") % 16 + 1).cast("int")).alias(
             "mask"
         ),
     ).groupBy("w").agg(F.bit_or("mask").alias("bits"))
-    bitmap = wb.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("mp")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_BLOOM_WORDS - 1)),
-            lambda i: F.coalesce(
-                F.element_at(F.col("mp"), i.cast("int")), F.lit(0).cast("long")
-            ),
-        ).alias("bm")
+    bitmap = (
+        wb.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "bits"))
+            ).alias("mp")
+        )
+        .crossJoin(F.broadcast(sizing))
+        .select(
+            "m",
+            F.transform(
+                F.sequence(
+                    F.lit(0).cast("int"),
+                    (F.shiftright(F.col("m"), 4) - 1).cast("int"),
+                ),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("mp"), i.cast("int")),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("bm"),
+        )
     )
 
     probed = (
