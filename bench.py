@@ -457,6 +457,53 @@ def time_corpus_e2e(spark, sf_dir: str) -> tuple[float, dict[str, float]]:
             h.unpersist()
 
 
+def corpus_incremental_runner(spark, sf_dir: str):
+    """Incremental corpus tick, benched (r10): stage the ingest state
+    (fp/band/shingle indexes + frozen byte-BPE merges) on the base
+    slice ONCE untimed — the tick-0 backfill a pipeline lands at
+    bootstrap — then return (run_fn, cleanup_fn) where run_fn times
+    one delta tick through streaming/corpus_tick.py: clean gates,
+    band-index near-dup admission, frozen-tokenizer budgets, index
+    appends. Replays of the same batch_id are idempotent, so repeat
+    draws measure identical compute. Read AGAINST corpus_e2e: that
+    entry pays the full-corpus recompute every run; this entry is the
+    per-batch delta cost the maintained indexes exist to enable."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from falcon_metrics_etl_spark.plans.bpe import (
+        _byte_merges_df,
+        byte_words_of,
+    )
+    from falcon_metrics_etl_spark.plans.dedup_lsh import LSH_DELTA_MOD
+    from falcon_metrics_etl_spark.sources import load_table
+    from falcon_metrics_etl_spark.streaming.corpus_tick import (
+        corpus_ingest_tick,
+        stage_corpus_state,
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="bench_corpus_tick_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % LSH_DELTA_MOD != 0)
+    delta = docs.filter(F.col("doc_id") % LSH_DELTA_MOD == 0).persist()
+    delta.write.format("noop").mode("overwrite").save()
+    merges = _byte_merges_df(byte_words_of(base))
+    stage_corpus_state(spark, base, merges, state_dir, batch_id=0)
+
+    def run() -> float:
+        t0 = time.time()
+        corpus_ingest_tick(spark, delta, state_dir, batch_id=1)
+        return time.time() - t0
+
+    def cleanup() -> None:
+        delta.unpersist()
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+    return run, cleanup
+
+
 def kanbanize_bucketed_runner(spark, sf_dir: str):
     """The bucketed Kanbanize card-fact path, benched (r8 built the
     mechanism + plan-parity pytest; r9 collects the number). Stages
@@ -619,6 +666,13 @@ def main() -> None:
 
     c_totals, c_redrawn = draw_runs(one_corpus)
     record("corpus_e2e", c_totals, c_redrawn)
+
+    # incremental ingest tick (state staged once, untimed)
+    ci_run, ci_cleanup = corpus_incremental_runner(spark, sf_dir)
+    try:
+        record("corpus_incremental_tick", *draw_runs(ci_run))
+    finally:
+        ci_cleanup()
     c_runs = corpus_all[-len(c_totals):]
     corpus_stages = {
         s: round(sorted(r[1][s] for r in c_runs)[len(c_runs) // 2], 3)

@@ -501,8 +501,10 @@ def _byte_merges_df(words: DataFrame) -> DataFrame:
     )
 
 
-def _byte_words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def byte_words_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) frame -> the GPT-2-shaped (doc_id, word)
+    pre-token stream. Frame-based so the incremental ingest tick can
+    pre-tokenize a delta batch with the same regex as the corpus."""
     w = docs.select(
         "doc_id",
         F.explode(
@@ -513,6 +515,10 @@ def _byte_words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.octet_length("word") >= 1)
         & (F.octet_length("word") <= BYTE_TOKEN_MAX_BYTES)
     )
+
+
+def _byte_words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return byte_words_of(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -594,14 +600,20 @@ def bpe_byte_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def byte_token_budgets(words: DataFrame) -> DataFrame:
+def byte_token_budgets(
+    words: DataFrame, merges: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, word) pre-token stream -> per-doc byte-BPE token
-    budgets: train the byte merge table on the stream's vocab sketch,
+    budgets: train the byte merge table on the stream's vocab sketch
+    (or encode with a caller-supplied FROZEN ``merges`` table — the
+    incremental-ingest shape, where a tick must tokenize its delta
+    with the tokenizer the corpus was trained with, never retrain),
     encode DISTINCT pre-tokens once (Arrow-batched lowest-rank loop),
     join the dictionary back. Shared by the registered
-    ``bpe_byte_encode_stats`` and bench.py's composed corpus e2e
-    (which feeds a survivor-filtered stream)."""
-    merges = _byte_merges_df(words)
+    ``bpe_byte_encode_stats``, bench.py's composed corpus e2e (which
+    feeds a survivor-filtered stream), and streaming/corpus_tick.py."""
+    if merges is None:
+        merges = _byte_merges_df(words)
     marr = merges.agg(
         F.sort_array(
             F.collect_list(F.struct("merge_rank", "lhs", "rhs"))

@@ -169,16 +169,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_candidates(cand, sh, toks)
 
 
-def _lsh_frames(
-    spark: SparkSession, sf_dir: str
+def lsh_frames_of(
+    docs: DataFrame,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The MinHash+LSH building blocks over ``documents``: returns
-    (toks, sh, bands) — distinct shingle arrays, the exploded
+    """The MinHash+LSH building blocks over a (doc_id, text) frame:
+    returns (toks, sh, bands) — distinct shingle arrays, the exploded
     (doc_id, shingle) stream, and the (doc_id, band, bkey) bucket
     stream. All three are scan-side projections + ONE doc_id-keyed
     aggregation; at 100 TB the ``bands`` frame is what a maintained
-    dedup index persists between runs."""
-    docs = load_table(spark, sf_dir, "documents")
+    dedup index persists between runs (streaming/corpus_tick.py is
+    the maintainer)."""
     # materialize the token array before shingling: HOF lambdas are
     # interpreted, so an inline split() would re-evaluate per element
     toks = (
@@ -221,6 +221,12 @@ def _lsh_frames(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     return toks, sh, bands
+
+
+def _lsh_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    return lsh_frames_of(load_table(spark, sf_dir, "documents"))
 
 
 def _verify_candidates(

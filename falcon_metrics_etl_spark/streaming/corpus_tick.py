@@ -1,0 +1,300 @@
+"""Incremental training-corpus ingest tick — the composed delta shape
+of bench.py's ``corpus_e2e`` (r9 verdict #5): a batch of NEW documents
+is cleaned, near-dup-checked against the MAINTAINED LSH band index,
+and tokenized with the FROZEN byte-BPE merge table; only then do its
+fingerprints/bands/shingles append to the indexes. Tick cost scales
+with the delta: every gate is map-only on the batch, the band probe
+is a delta-keyed equi-join into the persisted index, exact-Jaccard
+verification joins only candidate base docs, and the tokenizer
+encodes the batch's distinct pre-tokens against a broadcast
+dictionary. The full-corpus recompute (``corpus_e2e``) only remains
+for backfills.
+
+State under ``state_dir`` (all plain parquet; production lands the
+indexes through sinks/bucketed.py keyed on their join columns so the
+probe side plans with no Exchange):
+
+- ``fp_index``    (fp, canonical_id, batch_id) — prefix-fingerprint
+  exact-dup canon, the cleaning audit's duplicate gate made
+  incremental
+- ``band_index``  (doc_id, band, bkey, batch_id) — MinHash LSH
+  buckets of every ADMITTED doc
+- ``shingle_index`` (doc_id, shs array, batch_id) — admitted docs'
+  distinct shingles, fetched only for verification candidates
+- ``merges``      (merge_rank, lhs, rhs) — the frozen tokenizer
+- ``flags``       (doc_id, status, n_tokens, batch_id) — per-doc
+  verdicts, landed through the keyed MERGE writer
+
+Replay safety (at-least-once foreachBatch, same contract as
+streaming/admission.py): every index row carries its (replay-stable)
+batch_id; probes EXCLUDE the current batch's own rows, so a replayed
+batch scores against exactly the state it originally saw; appends
+anti-join the full index, so a replay appends nothing; flags land
+keyed on doc_id (last-write-wins with identical values).
+
+Admission policy for near-dups is greedy keep-first: a batch doc is
+rejected when it near-dups the admitted corpus (the corpus always
+wins) or ANY smaller-id batch doc that passed the cleaning gates —
+deterministic and one-pass, the standard ingest-side simplification
+of the batch pipeline's cluster keep-best.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from falcon_metrics_etl_spark.functions import text as TX
+from falcon_metrics_etl_spark.plans.bpe import byte_token_budgets, byte_words_of
+from falcon_metrics_etl_spark.plans.dedup_lsh import (
+    MINHASH_JACCARD_T,
+    lsh_frames_of,
+)
+from falcon_metrics_etl_spark.sinks.merge import _target_exists, merge_upsert
+
+
+def _gate_status(docs: DataFrame) -> DataFrame:
+    """Map-only cleaning gates (lang / quality / classifier-fast) —
+    the per-doc prefix of corpus_cleaning_audit_fast's gate order;
+    the corpus-dependent duplicate gate is applied by the caller via
+    the fp index. Output: (doc_id, text, fp, gate_status)."""
+    t = F.col("text")
+    is_en = (F.col("h_en") >= F.col("h_sql")) & (
+        F.col("h_en") >= F.col("h_ops")
+    )
+    classifier_drop = F.col("wsum") < 100 * (2 * F.col("n_tokens") - 1)
+    return docs.select(
+        "doc_id",
+        "text",
+        F.md5(F.concat_ws(" ", F.slice(TX.tokens(t), 1, 3))).alias("fp"),
+        TX.marker_hits(t, TX.LANG_MARKERS["en"]).alias("h_en"),
+        TX.marker_hits(t, TX.LANG_MARKERS["sql"]).alias("h_sql"),
+        TX.marker_hits(t, TX.LANG_MARKERS["ops"]).alias("h_ops"),
+        TX.token_count(t).alias("n_tokens"),
+        TX.hashed_ngram_weight_sum_fast(TX.tokens(t)).alias("wsum"),
+    ).select(
+        "doc_id",
+        "text",
+        "fp",
+        F.when(~is_en, F.lit("dropped:lang"))
+        .when(F.col("n_tokens") < 30, F.lit("dropped:quality"))
+        .when(classifier_drop, F.lit("dropped:classifier"))
+        .otherwise(F.lit("pass"))
+        .alias("gate_status"),
+    )
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    if _target_exists(spark, path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def stage_corpus_state(
+    spark: SparkSession,
+    docs: DataFrame,
+    merges: DataFrame,
+    state_dir: str,
+    batch_id: int = 0,
+) -> None:
+    """Tick-0 backfill: persist the corpus state the incremental
+    ingest maintains, from an already-cleaned base corpus (the
+    caller runs the batch pipeline once; this lands its indexes)."""
+    gated = _gate_status(docs).localCheckpoint(eager=True)
+    passed = gated.filter(F.col("gate_status") == "pass")
+    canon = passed.withColumn(
+        "canonical_id", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
+    admitted = canon.filter(F.col("doc_id") == F.col("canonical_id")).select(
+        "doc_id", "text"
+    )
+    tag = F.lit(int(batch_id)).alias("batch_id")
+    canon.select("fp", "canonical_id").distinct().select(
+        "fp", "canonical_id", tag
+    ).write.mode("overwrite").parquet(f"{state_dir}/fp_index")
+    toks, _sh, bands = lsh_frames_of(admitted)
+    bands.select("doc_id", "band", "bkey", tag).write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/band_index")
+    toks.select("doc_id", "shs", tag).write.mode("overwrite").parquet(
+        f"{state_dir}/shingle_index"
+    )
+    merges.write.mode("overwrite").parquet(f"{state_dir}/merges")
+
+
+def corpus_ingest_tick(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """Process ONE delta batch end to end (clean -> near-dup admit ->
+    tokenize -> index append), idempotent under replay of the same
+    (batch_df, batch_id)."""
+    bid = int(batch_id)
+    gated = _gate_status(batch_df).localCheckpoint(eager=True)
+
+    # --- exact-dup gate: probe the fp index (excluding own batch) ---
+    fp_idx = _read_or_empty(
+        spark, f"{state_dir}/fp_index", "fp string, canonical_id long, batch_id long"
+    ).filter(F.col("batch_id") != bid)
+    batch_canon = F.min(
+        F.when(F.col("gate_status") == "pass", F.col("doc_id"))
+    ).over(Window.partitionBy("fp"))
+    in_index = fp_idx.select("fp").distinct().withColumn("fp_hit", F.lit(1))
+    deduped = (
+        gated.withColumn("batch_canonical", batch_canon)
+        .join(in_index, "fp", "left")
+        .select(
+            "doc_id",
+            "text",
+            "fp",
+            F.when(F.col("gate_status") != "pass", F.col("gate_status"))
+            .when(
+                F.col("fp_hit").isNotNull()
+                | (F.col("doc_id") != F.col("batch_canonical")),
+                F.lit("dropped:duplicate"),
+            )
+            .otherwise(F.lit("pass"))
+            .alias("gate_status"),
+        )
+    )
+    survivors = deduped.filter(F.col("gate_status") == "pass").select(
+        "doc_id", "text"
+    )
+
+    # --- near-dup gate: delta bands probe the maintained index ------
+    toks, sh, bands = lsh_frames_of(survivors)
+    toks = toks.localCheckpoint(eager=True)
+    sh = sh.localCheckpoint(eager=True)
+    bands = bands.localCheckpoint(eager=True)
+    band_idx = _read_or_empty(
+        spark,
+        f"{state_dir}/band_index",
+        "doc_id long, band int, bkey string, batch_id long",
+    ).filter(F.col("batch_id") != bid)
+    # candidates vs the admitted corpus + smaller-id batch mates
+    cand = (
+        bands.alias("a")
+        .join(
+            band_idx.select("doc_id", "band", "bkey").unionByName(
+                bands.select("doc_id", "band", "bkey")
+            ).alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_new"),
+            F.col("b.doc_id").alias("id_old"),
+        )
+        .distinct()
+    )
+    # exact verification: batch shingles vs (index ∪ batch) shingles,
+    # fetched ONLY for candidate ids
+    sh_idx = _read_or_empty(
+        spark,
+        f"{state_dir}/shingle_index",
+        "doc_id long, shs array<string>, batch_id long",
+    ).filter(F.col("batch_id") != bid)
+    old_toks = sh_idx.select("doc_id", "shs").unionByName(
+        toks.select("doc_id", "shs")
+    )
+    old_toks = old_toks.join(
+        cand.select(F.col("id_old").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    old_sh = old_toks.select("doc_id", F.explode("shs").alias("sh"))
+    old_sizes = old_toks.select("doc_id", F.size("shs").alias("n"))
+    shared = (
+        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("id_new"))
+        .join(
+            old_sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("id_old"))
+            & (F.col("sb.sh") == F.col("sa.sh")),
+        )
+        .groupBy("id_new", "id_old")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    new_sizes = toks.select("doc_id", F.size("shs").alias("n"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na.n") + F.col("nb.n") - F.col("n_shared")
+    )
+    near_dups = (
+        shared.join(
+            new_sizes.alias("na"), F.col("na.doc_id") == F.col("id_new")
+        )
+        .join(old_sizes.alias("nb"), F.col("nb.doc_id") == F.col("id_old"))
+        .filter(jac >= MINHASH_JACCARD_T)
+        .select(F.col("id_new").alias("doc_id"))
+        .distinct()
+    )
+    admitted = survivors.join(near_dups, "doc_id", "left_anti").select(
+        "doc_id", "text"
+    )
+
+    # --- tokenize admitted docs with the FROZEN merge table ---------
+    merges = spark.read.parquet(f"{state_dir}/merges")
+    budgets = byte_token_budgets(byte_words_of(admitted), merges=merges)
+
+    # --- land flags (keyed merge) + append indexes (anti-joined) ----
+    status = (
+        deduped.select("doc_id", "gate_status")
+        .join(
+            near_dups.withColumn("nd", F.lit(1)), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("nd").isNotNull(), F.lit("dropped:near_dup"))
+            .otherwise(F.col("gate_status"))
+            .alias("status"),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("status") == "pass", F.lit("kept")).otherwise(
+                F.col("status")
+            ),
+        )
+    )
+    flags = status.join(
+        budgets.select("doc_id", "n_tokens"), "doc_id", "left"
+    ).select("doc_id", "status", "n_tokens", F.lit(bid).alias("batch_id"))
+    merge_upsert(spark, f"{state_dir}/flags", flags, ["doc_id"])
+
+    full_fp = _read_or_empty(
+        spark, f"{state_dir}/fp_index", "fp string, canonical_id long, batch_id long"
+    )
+    new_fps = (
+        deduped.filter(F.col("gate_status") == "pass")
+        .select("fp", F.col("doc_id").alias("canonical_id"))
+        .join(full_fp.select("fp"), "fp", "left_anti")
+        .withColumn("batch_id", F.lit(bid))
+    )
+    new_fps.write.mode("append").parquet(f"{state_dir}/fp_index")
+
+    full_bands = _read_or_empty(
+        spark,
+        f"{state_dir}/band_index",
+        "doc_id long, band int, bkey string, batch_id long",
+    )
+    admitted_ids = admitted.select("doc_id")
+    new_bands = (
+        bands.join(admitted_ids, "doc_id", "left_semi")
+        .join(full_bands.select("doc_id").distinct(), "doc_id", "left_anti")
+        .withColumn("batch_id", F.lit(bid))
+    )
+    new_bands.write.mode("append").parquet(f"{state_dir}/band_index")
+
+    full_sh = _read_or_empty(
+        spark,
+        f"{state_dir}/shingle_index",
+        "doc_id long, shs array<string>, batch_id long",
+    )
+    new_shs = (
+        toks.join(admitted_ids, "doc_id", "left_semi")
+        .join(full_sh.select("doc_id").distinct(), "doc_id", "left_anti")
+        .withColumn("batch_id", F.lit(bid))
+    )
+    new_shs.write.mode("append").parquet(f"{state_dir}/shingle_index")
