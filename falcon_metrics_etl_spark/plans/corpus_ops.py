@@ -1040,8 +1040,9 @@ _BLOOM_MAX_BITS = 1 << 20  # cap: the s=32 slice keeps 28 uniform
     "the build shuffles KBs, not the shingle stream, and filters "
     "from independent corpus shards merge by bitwise OR (past the "
     "2^20 cap a deployment shards filters rather than widening "
-    "one). Test-split shingles then probe the broadcast bitmap "
-    "map-side; the exact inverted-index join runs alongside ONLY "
+    "one). Test-split shingles then probe the BROADCAST word table "
+    "(three broadcast hash joins, zero probe-side shuffle); the "
+    "exact inverted-index join runs alongside ONLY "
     "to account fp_count = bloom_hits - exact_hits per doc. "
     "Engine-portable: the KMV estimate, sizing CASE, and every "
     "position/mask/word are exact arithmetic both engines replay.",
@@ -1196,45 +1197,51 @@ def bloom_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    wb = tpos.select(
-        F.shiftright("pos", 4).cast("int").alias("w"),
-        F.element_at(powers, (F.col("pos") % 16 + 1).cast("int")).alias(
-            "mask"
-        ),
-    ).groupBy("w").agg(F.bit_or("mask").alias("bits"))
-    bitmap = (
-        wb.agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("w", "bits"))
-            ).alias("mp")
-        )
-        .crossJoin(F.broadcast(sizing))
-        .select(
-            "m",
-            F.transform(
-                F.sequence(
-                    F.lit(0).cast("int"),
-                    (F.shiftright(F.col("m"), 4) - 1).cast("int"),
-                ),
-                lambda i: F.coalesce(
-                    F.element_at(F.col("mp"), i.cast("int")),
-                    F.lit(0).cast("long"),
-                ),
-            ).alias("bm"),
-        )
+    # the filter itself: one bit_or'd 16-bit word per touched index —
+    # <= m/16 rows, bounded by the 2^20 cap at 64Ki rows, so it
+    # BROADCASTS at any corpus size and shards merge by OR. (r10: the
+    # r9 dense-array materialization — a per-index lookup into an
+    # unsorted map — was O(words^2) interpreted work once the sized
+    # bitmap grew past 2^16 bits; the probe is now three broadcast
+    # hash joins on the word index, still zero probe-side shuffle.)
+    wb = perf_checkpoint(
+        tpos.select(
+            F.shiftright("pos", 4).cast("int").alias("w"),
+            F.element_at(powers, (F.col("pos") % 16 + 1).cast("int")).alias(
+                "mask"
+            ),
+        ).groupBy("w").agg(F.bit_or("mask").alias("bits"))
     )
 
     probed = (
         test.join(
             train.withColumn("in_train", F.lit(1)), "h", "left"
         )
-        .crossJoin(F.broadcast(bitmap))
+        .crossJoin(F.broadcast(sizing))
     )
     bits = []
-    for pos in positions(F.col("h")):
-        word = F.element_at(F.col("bm"), F.shiftright(pos, 4).cast("int") + 1)
+    for i, pos in enumerate(positions(F.col("h"))):
+        wcol, bcol = f"w{i}", f"bits{i}"
+        probed = probed.withColumn(
+            wcol, F.shiftright(pos, 4).cast("int")
+        ).join(
+            F.broadcast(
+                wb.select(
+                    F.col("w").alias(wcol), F.col("bits").alias(bcol)
+                )
+            ),
+            wcol,
+            "left",
+        )
         mask = F.element_at(powers, (pos % 16 + 1).cast("int"))
-        bits.append((word.bitwiseAND(mask) != 0).cast("int"))
+        bits.append(
+            (
+                F.coalesce(F.col(bcol), F.lit(0).cast("long")).bitwiseAND(
+                    mask
+                )
+                != 0
+            ).cast("int")
+        )
     bloom_hit = F.when(bits[0] + bits[1] + bits[2] == _BLOOM_K, 1).otherwise(0)
     probed = probed.select(
         "doc_id",

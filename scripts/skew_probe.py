@@ -119,6 +119,13 @@ def build_skewed_dir(spark, sf_dir: str) -> str:
 
 
 def time_query(q, spark, sf_dir: str, repeats: int = 3) -> float:
+    # one UNTIMED warmup: the probe always times uniform before skew,
+    # and whole-stage codegen / JIT warming of the query shape made
+    # the second dir systematically faster — the r9 "0.57 skew
+    # witness" on ann_int8_recall was exactly this artifact (its
+    # input table is copied UNCHANGED into the skew dir, so any
+    # ratio != 1 there is measurement bias by construction)
+    q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
     runs = []
     for _ in range(repeats):
         t0 = time.time()
