@@ -25,6 +25,14 @@ comparisons between rounds are meaningless; medians + spread make the
 round-over-round signal readable. pipeline_e2e additionally reports
 per-stage medians ("stages") so a regression names its stage.
 
+r10 additions: `media_fingerprint_dhash` / `media_near_dup_pairs`
+(perceptual image dedup over real PNG/JPEG decodes), `ann_ivf_int8`
+(cells prune, SQ8 codes rank), and `corpus_incremental_tick` — the
+delta-ingest twin of `corpus_e2e`: state (fp/band/shingle indexes +
+frozen BPE merges) staged once untimed, then one idempotent tick of
+the ~6% delta slice timed per draw; read it against corpus_e2e's
+full-corpus recompute.
+
 r9 additions: a STALL GUARD re-draws any query whose max/min repeat
 ratio exceeds SPARK_GRAFT_BENCH_STALL_RATIO (default 3x — the class
 of corrupted medians r7/r8 hand-purged), recording re-drawn names in

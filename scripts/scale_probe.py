@@ -139,6 +139,10 @@ def build_replicated_dir(spark, sf_dir: str, factor: int) -> str:
 
 
 def time_query(q, spark, sf_dir: str) -> float:
+    # one UNTIMED warmup: 1x is always timed before Nx, so codegen/JIT
+    # warming of the query shape would otherwise bias ratios LOW
+    # (same artifact the skew probe's r10 warmup fix documents)
+    q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
     best = float("inf")
     for _ in range(2):
         t0 = time.time()
