@@ -785,18 +785,18 @@ def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "p.prev", "p.tok")
     )
     # ONE corpus-wide histogram; every count table is derived from it.
-    # hist feeds the scored-pair build AND its own marginal; uni feeds
-    # two join sides plus the corpus stats — perf_checkpoint computes
-    # each once instead of re-deriving the subtree per consumer (both
-    # are vocab-bounded, the frames a checkpoint is for). Checkpointed
-    # frames lose AQE size stats, so the small-table joins below carry
-    # explicit broadcast hints.
+    # hist feeds the scored-pair build AND its own marginal, so its
+    # checkpoint stops the corpus-scan subtree recomputing per
+    # consumer. uni (3 consumers) deliberately is NOT checkpointed:
+    # it re-aggregates the already-checkpointed vocab^2-bounded hist,
+    # which costs less than a second materialization job (A/B at
+    # sf0.1: 1.13 s vs 1.27 s median with both checkpointed).
+    # Checkpointed frames lose AQE size stats, so the small-table
+    # joins below carry explicit broadcast hints.
     hist = perf_checkpoint(
         pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2"))
     )
-    uni = perf_checkpoint(
-        hist.groupBy("tok").agg(F.sum("c2").alias("c"))
-    )
+    uni = hist.groupBy("tok").agg(F.sum("c2").alias("c"))
     stats = uni.agg(
         F.sum("c").cast("long").alias("n"), F.count(F.lit(1)).alias("v")
     )

@@ -45,9 +45,11 @@ BUDGETS = {
     # all-pairs — budget allows the SMJ shape AQE picks at scale)
     "media_fingerprint_dhash": 1,
     "media_near_dup_pairs": 4,
-    # r10 histogram fusion (was 7): visible = stats + final doc agg;
-    # hist/uni aggs sit behind perf checkpoints (full-plan pin below)
-    "bigram_surprisal_scores": 2,
+    # r10 histogram fusion (was 7): hist sits behind a perf checkpoint
+    # (full-plan pin below); the visible 5 = uni marginal x3 consumers
+    # (each a CHEAP re-agg of the checkpointed vocab-bounded hist —
+    # A/B'd faster than a second checkpoint) + stats + final doc agg
+    "bigram_surprisal_scores": 5,
 }
 
 
