@@ -172,10 +172,17 @@ HEADLINE = [
     "embedding_int8_stats",
     "ann_int8_recall",
     "bloom_contamination_probe",
-    # round-10 additions: perceptual image near-dup (dHash fingerprint
-    # over real PNG/JPEG decodes + byte-band Hamming LSH pairing)
+    # round-10 additions: perceptual near-dup across ALL decoded
+    # modalities — image dHash (real PNG/JPEG decodes + byte-band
+    # Hamming LSH), per-frame video fingerprints (Y4M frame walk ->
+    # frame-hash inverted index), audio energy-gradient hash (PCM
+    # windowing -> the same byte-band pairing)
     "media_fingerprint_dhash",
     "media_near_dup_pairs",
+    "video_fingerprint_frames",
+    "video_near_dup_pairs",
+    "audio_fingerprint_energy",
+    "audio_near_dup_pairs",
     # round-10: IVF cells prune, SQ8 codes rank (the memory-bound shape)
     "ann_ivf_int8",
 ]

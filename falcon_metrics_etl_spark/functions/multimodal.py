@@ -2800,6 +2800,33 @@ def attach_payload_dhash_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def dhash64_of_raster(px, w: int, h: int) -> int:
+    """64-bit dHash of a flat grayscale raster: crop to the 9x8 cell
+    grid (cell = w//9 x h//8), exact integer cell sums, bit
+    (by*8 + bx) set iff cell (bx+1, by) outweighs cell (bx, by);
+    returned as a signed two's-complement long. Shared by the image
+    fingerprint and the per-frame video fingerprint."""
+    sx = w // DHASH_GRID_W
+    sy = h // DHASH_GRID_H
+    if sx == 0 or sy == 0:
+        raise ValueError("dhash: image below the 9x8 grid")
+    u = 0
+    for by in range(DHASH_GRID_H):
+        sums = []
+        for bx in range(DHASH_GRID_W):
+            s = 0
+            for y in range(by * sy, (by + 1) * sy):
+                base = y * w + bx * sx
+                s += sum(px[base : base + sx])
+            sums.append(s)
+        for bx in range(DHASH_GRID_W - 1):
+            if sums[bx + 1] > sums[bx]:
+                u |= 1 << (by * 8 + bx)
+    if u >= 1 << 63:
+        u -= 1 << 64
+    return u
+
+
 DHASH_SCHEMA = "doc_id long, codec string, width int, height int, dhash long"
 
 
@@ -2822,24 +2849,10 @@ def media_dhash(media: DataFrame) -> DataFrame:
             d = decode_jpeg_gray(bytes(payload))
             w, h = d["width"], d["height"]
             px = [val for row in d["pixels"] for val in row]
-        sx = w // DHASH_GRID_W
-        sy = h // DHASH_GRID_H
-        if sx == 0 or sy == 0:
-            raise ValueError("media_dhash: image below the 9x8 grid")
-        u = 0
-        for by in range(DHASH_GRID_H):
-            sums = []
-            for bx in range(DHASH_GRID_W):
-                s = 0
-                for y in range(by * sy, (by + 1) * sy):
-                    base = y * w + bx * sx
-                    s += sum(px[base : base + sx])
-                sums.append(s)
-            for bx in range(DHASH_GRID_W - 1):
-                if sums[bx + 1] > sums[bx]:
-                    u |= 1 << (by * 8 + bx)
-        if u >= 1 << 63:
-            u -= 1 << 64
+        try:
+            u = dhash64_of_raster(px, w, h)
+        except ValueError as e:
+            raise ValueError(f"media_dhash: {e}") from e
         return (int(doc_id), codec, w, h, u)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2856,4 +2869,245 @@ def media_dhash(media: DataFrame) -> DataFrame:
 
     return media.select("doc_id", "codec", "payload").mapInPandas(
         run, schema=DHASH_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video perceptual fingerprint: per-frame dHash over decoded Y4M luma
+# ---------------------------------------------------------------------------
+VIDEO_GROUP = 3    # docs per clip group: variant = doc_id % 3
+VIDEO_FRAMES = 6   # frames per clip
+# variant v drops the base clip's first v frames and appends v fresh
+# ones — a TRIMMED/EXTENDED edit: v=1 shares 5 of 6 frames with the
+# anchor, v=2 shares 4; cross-group clips share none (md5-unique)
+
+
+def video_block_value(fkey: str, bx: int, by: int) -> int:
+    """Closed-form luma of 8x8 block (bx, by) of the frame with
+    logical content key ``fkey`` — one md5 draw, uniform 0..255,
+    replayed verbatim by the DuckDB oracle."""
+    h = hashlib.md5(f"{fkey}:{bx}:{by}".encode()).hexdigest()
+    return int(h[0:2], 16)
+
+
+def video_frame_keys(doc_id: int) -> list[str]:
+    """Logical content keys of doc ``doc_id``'s frames: slot s takes
+    the GROUP frame (v + s) while s < VIDEO_FRAMES - v, else a fresh
+    doc-keyed frame — the trim-and-extend variant model."""
+    g, v = divmod(int(doc_id), VIDEO_GROUP)
+    return [
+        f"G{g}:{v + s}" if s < VIDEO_FRAMES - v else f"D{doc_id}:{s}"
+        for s in range(VIDEO_FRAMES)
+    ]
+
+
+def encode_y4m_mono_raster(width: int, height: int, frames) -> bytes:
+    """Monochrome Y4M clip from explicit luma planes (``frames`` =
+    list of w*h-byte planes) — the raster sibling of encode_y4m_mono,
+    same spec layout."""
+    hdr = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 Cmono\n".encode()
+    out = bytearray(hdr)
+    for plane in frames:
+        if len(plane) != width * height:
+            raise ValueError("Y4M raster: plane size mismatch")
+        out += b"FRAME\n"
+        out += plane
+    return bytes(out)
+
+
+def attach_payload_video_clips(docs: DataFrame) -> DataFrame:
+    """documents -> the video near-dup corpus: groups of VIDEO_GROUP
+    consecutive doc_ids share one 6-frame 72x64 blockwise-constant
+    clip; variant v trims the first v frames and appends v fresh ones
+    (video_frame_keys). Real Y4M layout, decoded by the real frame
+    walker."""
+    w = 8 * DHASH_GRID_W
+    h = 8 * DHASH_GRID_H
+
+    def plane(fkey: str) -> bytes:
+        rows = []
+        for by in range(DHASH_GRID_H):
+            row = b"".join(
+                bytes([video_block_value(fkey, bx, by)]) * 8
+                for bx in range(DHASH_GRID_W)
+            )
+            rows.extend([row] * 8)
+        return b"".join(rows)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows_out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                frames = [plane(k) for k in video_frame_keys(doc_id)]
+                rows_out.append(
+                    (
+                        doc_id,
+                        "video",
+                        "y4m",
+                        encode_y4m_mono_raster(w, h, frames),
+                    )
+                )
+            yield pd.DataFrame(
+                rows_out,
+                columns=["doc_id", "media_type", "codec", "payload"],
+            )
+
+    return _fan_out(docs.select("doc_id")).mapInPandas(
+        run,
+        schema="doc_id long, media_type string, codec string, payload binary",
+    )
+
+
+VIDEO_DHASH_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, frame_dhash long"
+)
+
+
+def video_frame_dhash(media: DataFrame) -> DataFrame:
+    """Arrow-batched per-frame perceptual fingerprint: decode the Y4M
+    frame stream (real marker walk) and dHash every luma plane — one
+    output row per frame. Map-only; at 100 TB this is the
+    frame-fingerprint extraction stage of a video dedup index."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_y4m_frames(bytes(p))
+                w, h = d["width"], d["height"]
+                for i, plane in enumerate(d["frames"]):
+                    rows.append(
+                        (int(doc_id), i, w, h, dhash64_of_raster(plane, w, h))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height", "frame_dhash",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=VIDEO_DHASH_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio perceptual fingerprint: window-energy gradient over decoded PCM
+# ---------------------------------------------------------------------------
+AUDIO_GROUP = 4      # docs per clip group: variant = doc_id % 4
+AUDIO_SEGMENTS = 65  # constant-amplitude segments -> 64 gradient bits
+AUDIO_SEG_LEN = 64   # samples per segment == fingerprint window
+AUDIO_EDIT_MOD = 29  # variant v redraws segments where md5 % 29 < v
+
+
+def audio_segment_value(g: int, v: int, s: int) -> int:
+    """Closed-form signed amplitude of segment ``s`` for content group
+    ``g``, variant ``v`` — one md5 draw in [-8000, 8000], sparse
+    per-variant redraws (same family as dhash_block_value), replayed
+    verbatim by the DuckDB oracle."""
+    h = hashlib.md5(f"A{g}:{s}".encode()).hexdigest()
+    if int(h[4:6], 16) % AUDIO_EDIT_MOD < v:
+        return int(h[6:10], 16) % 16001 - 8000
+    return int(h[0:4], 16) % 16001 - 8000
+
+
+def encode_wav_pcm16(samples) -> bytes:
+    """Mono 16-bit signed PCM WAV (8 kHz) from explicit samples —
+    the int16 sibling of encode_wav_square's 8-bit container."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, WAV_SAMPLE_RATE, WAV_SAMPLE_RATE * 2, 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def attach_payload_audio_clips(docs: DataFrame) -> DataFrame:
+    """documents -> the audio near-dup corpus: groups of AUDIO_GROUP
+    consecutive doc_ids share one segment-constant 16-bit PCM clip
+    (AUDIO_SEGMENTS segments x AUDIO_SEG_LEN samples); variant v
+    redraws a sparse segment subset — the clipped/re-levelled edit
+    class. PCM is lossless, so decode is bit-exact by construction."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows_out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g, v = divmod(doc_id, AUDIO_GROUP)
+                samples = []
+                for s in range(AUDIO_SEGMENTS):
+                    samples.extend(
+                        [audio_segment_value(g, v, s)] * AUDIO_SEG_LEN
+                    )
+                rows_out.append(
+                    (doc_id, "audio", "wav", encode_wav_pcm16(samples))
+                )
+            yield pd.DataFrame(
+                rows_out,
+                columns=["doc_id", "media_type", "codec", "payload"],
+            )
+
+    return _fan_out(docs.select("doc_id")).mapInPandas(
+        run,
+        schema="doc_id long, media_type string, codec string, payload binary",
+    )
+
+
+AUDIO_FP_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate int, ahash long"
+)
+
+
+def audio_energy_dhash(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio fingerprint over REAL PCM decodes: window
+    the sample stream at AUDIO_SEG_LEN, exact integer energy
+    (sum |x|) per window, one bit per adjacent-window gradient — the
+    dHash idea on the time axis. (Production audio fingerprints hash
+    spectrogram bands; the windowing, gradient and banding plumbing
+    here is exactly that shape with the FFT as the swap-in.) First
+    65 windows -> 64 bits, signed-64 like the image hash. Map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_wav_samples(bytes(p))
+                xs = d["samples"]
+                n_win = min(len(xs) // AUDIO_SEG_LEN, AUDIO_SEGMENTS)
+                if n_win < 2:
+                    raise ValueError("audio fingerprint: clip too short")
+                energies = [
+                    sum(
+                        abs(x)
+                        for x in xs[w * AUDIO_SEG_LEN : (w + 1) * AUDIO_SEG_LEN]
+                    )
+                    for w in range(n_win)
+                ]
+                u = 0
+                for i in range(n_win - 1):
+                    if energies[i + 1] > energies[i]:
+                        u |= 1 << i
+                if u >= 1 << 63:
+                    u -= 1 << 64
+                rows.append(
+                    (int(doc_id), len(xs), d["sample_rate"], u)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "ahash"],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=AUDIO_FP_SCHEMA
     )

@@ -1,5 +1,11 @@
-"""Perceptual image near-dup: dHash fingerprints over REAL codec
-decodes feeding byte-band Hamming LSH pairing.
+"""Perceptual media near-dup across ALL decoded modalities: image
+dHash (PNG/JPEG), per-frame video fingerprints (Y4M), and audio
+energy-gradient hashes (PCM) — every fingerprint computed over REAL
+codec decodes, every pairing a banded/keyed equi-join, never
+all-pairs. Images and audio share the byte-band Hamming index shape;
+video pairs through a frame-hash inverted index (the 64-bit frame
+fingerprint IS the bucket key), catching trimmed/extended/
+re-containerized copies.
 
 This is the bridge between the engine's two strongest subsystems
 (r9 verdict "what's missing" #1): the codec layer already decodes
@@ -187,4 +193,277 @@ def media_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= DHASH_HAMMING_T)
         .select("id_a", "id_b", "codec_a", "codec_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup: per-frame dHash -> frame-fingerprint inverted index
+# ---------------------------------------------------------------------------
+VIDEO_SHARED_T = 3  # shared distinct frame hashes to call a pair
+
+# DuckDB replay of video_frame_keys + video_block_value + the per-frame
+# dHash (same two-half signed-64 reconstruction as the image CTE)
+_DUCK_VIDEO = f"""
+vparams AS (
+    SELECT doc_id,
+           doc_id // {MM.VIDEO_GROUP} AS g,
+           doc_id % {MM.VIDEO_GROUP} AS v
+    FROM documents
+),
+vslots AS (
+    SELECT doc_id, s,
+           CASE WHEN s < {MM.VIDEO_FRAMES} - v
+                THEN 'G' || CAST(g AS VARCHAR) || ':' || CAST(v + s AS VARCHAR)
+                ELSE 'D' || CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)
+           END AS fkey
+    FROM vparams, unnest(range(0, {MM.VIDEO_FRAMES})) t(s)
+),
+vblocks AS (
+    SELECT doc_id, s, bx, by,
+           ('0x' || substring(md5(fkey || ':' || CAST(bx AS VARCHAR)
+                              || ':' || CAST(by AS VARCHAR)), 1, 2))::INT
+               AS val
+    FROM vslots,
+         unnest(range(0, {MM.DHASH_GRID_W})) t1(bx),
+         unnest(range(0, {MM.DHASH_GRID_H})) t2(by)
+),
+vbits AS (
+    SELECT l.doc_id, l.s, l.by * 8 + l.bx AS i,
+           CASE WHEN r.val > l.val THEN 1 ELSE 0 END AS bit
+    FROM vblocks l
+    JOIN vblocks r ON r.doc_id = l.doc_id AND r.s = l.s
+                  AND r.by = l.by AND r.bx = l.bx + 1
+    WHERE l.bx < 8
+),
+vfp AS (
+    SELECT doc_id, s,
+           SUM(CASE WHEN i < 32 THEN bit * (1::BIGINT << i)
+                    ELSE 0 END) AS lo,
+           SUM(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32))
+                    ELSE 0 END) AS hi
+    FROM vbits GROUP BY doc_id, s
+),
+vhashes AS (
+    SELECT doc_id, s,
+           CAST((hi - CASE WHEN hi >= 2147483648 THEN 4294967296
+                           ELSE 0 END) * 4294967296 + lo AS BIGINT)
+               AS frame_dhash
+    FROM vfp
+)
+"""
+
+
+def _video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_video_clips(docs)
+    return MM.video_frame_dhash(media)
+
+
+@register(
+    "video_fingerprint_frames",
+    doc=f"Per-frame video fingerprint over REAL Y4M decodes: groups "
+    f"of {MM.VIDEO_GROUP} doc_ids share one {MM.VIDEO_FRAMES}-frame "
+    "72x64 blockwise-constant clip; variant v is a TRIM-AND-EXTEND "
+    "edit (drops the first v frames, appends v fresh ones). The "
+    "fingerprint stage walks the actual FRAME markers and dHashes "
+    "every decoded luma plane — one (doc_id, frame_idx, frame_dhash) "
+    "row per frame, the extraction stage of a video dedup index. "
+    "Map-only: zero shuffles at any corpus size.",
+    tags=("multimodal", "video", "dedup", "dhash", "pandas-udf"),
+    oracle=f"""
+WITH {_DUCK_VIDEO}
+SELECT doc_id, CAST(s AS INT) AS frame_idx,
+       CAST(72 AS INT) AS width, CAST(64 AS INT) AS height, frame_dhash
+FROM vhashes
+""",
+)
+def video_fingerprint_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _video_fingerprints(spark, sf_dir)
+
+
+@register(
+    "video_near_dup_pairs",
+    doc="Video near-dup pairs via the frame-fingerprint inverted "
+    "index: distinct (doc, frame_dhash) rows self-join on the frame "
+    f"hash (the hash IS the bucket key — no banding needed at 64 "
+    f"bits per frame), pairs sharing >= {VIDEO_SHARED_T} distinct "
+    "frames are near-dups with their shared count. Catches trimmed / "
+    "extended / re-containerized copies byte hashing never pairs; "
+    "candidate volume is bounded by frame-hash collisions (content "
+    "duplicates), never an all-pairs product.",
+    tags=("multimodal", "video", "dedup", "lsh", "join"),
+    oracle=f"""
+WITH {_DUCK_VIDEO},
+vsig AS (SELECT DISTINCT doc_id, frame_dhash FROM vhashes),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_frames
+    FROM vsig a JOIN vsig b
+      ON a.frame_dhash = b.frame_dhash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_shared_frames
+FROM shared WHERE n_shared_frames >= {VIDEO_SHARED_T}
+""",
+)
+def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _video_fingerprints(spark, sf_dir).select(
+        "doc_id", "frame_dhash"
+    ).distinct()
+    shared = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.frame_dhash") == F.col("b.frame_dhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_frames"))
+    )
+    return shared.filter(F.col("n_shared_frames") >= VIDEO_SHARED_T)
+
+
+# ---------------------------------------------------------------------------
+# Audio near-dup: window-energy gradient hash -> byte-band Hamming LSH
+# ---------------------------------------------------------------------------
+AUDIO_HAMMING_T = 12
+
+# DuckDB replay of audio_segment_value + the energy-gradient bits: a
+# constant segment's window energy is AUDIO_SEG_LEN * |amplitude|, so
+# the oracle compares |amplitude| directly — matching it requires the
+# engine to actually decode and window the PCM stream.
+_DUCK_AUDIO = f"""
+aparams AS (
+    SELECT doc_id,
+           doc_id // {MM.AUDIO_GROUP} AS g,
+           doc_id % {MM.AUDIO_GROUP} AS v
+    FROM documents
+),
+asegs AS (
+    SELECT doc_id, s,
+           CASE WHEN ('0x' || substring(md5h, 5, 2))::INT
+                     % {MM.AUDIO_EDIT_MOD} < v
+                THEN ('0x' || substring(md5h, 7, 4))::INT % 16001 - 8000
+                ELSE ('0x' || substring(md5h, 1, 4))::INT % 16001 - 8000
+           END AS amp
+    FROM (
+        SELECT doc_id, v, s,
+               md5('A' || CAST(g AS VARCHAR) || ':' || CAST(s AS VARCHAR))
+                   AS md5h
+        FROM aparams, unnest(range(0, {MM.AUDIO_SEGMENTS})) t(s)
+    )
+),
+abits AS (
+    SELECT l.doc_id, l.s AS i,
+           CASE WHEN abs(r.amp) > abs(l.amp) THEN 1 ELSE 0 END AS bit
+    FROM asegs l
+    JOIN asegs r ON r.doc_id = l.doc_id AND r.s = l.s + 1
+    WHERE l.s < {MM.AUDIO_SEGMENTS - 1}
+),
+afp AS (
+    SELECT doc_id,
+           SUM(CASE WHEN i < 32 THEN bit * (1::BIGINT << i)
+                    ELSE 0 END) AS lo,
+           SUM(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32))
+                    ELSE 0 END) AS hi
+    FROM abits GROUP BY doc_id
+),
+ahashes AS (
+    SELECT doc_id,
+           CAST((hi - CASE WHEN hi >= 2147483648 THEN 4294967296
+                           ELSE 0 END) * 4294967296 + lo AS BIGINT)
+               AS ahash
+    FROM afp
+)
+"""
+
+
+def _audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_audio_clips(docs)
+    return MM.audio_energy_dhash(media)
+
+
+@register(
+    "audio_fingerprint_energy",
+    doc=f"Audio perceptual fingerprint over REAL PCM decodes: groups "
+    f"of {MM.AUDIO_GROUP} doc_ids share one segment-constant 16-bit "
+    f"clip ({MM.AUDIO_SEGMENTS} x {MM.AUDIO_SEG_LEN} samples), "
+    "variant v redraws a sparse segment subset; the fingerprint "
+    "windows the decoded sample stream, takes exact integer energy "
+    "per window, and emits one bit per adjacent-window gradient — "
+    "dHash on the time axis (production systems hash spectrogram "
+    "bands; same windowing/banding plumbing, FFT as the swap-in). "
+    "Map-only: zero shuffles at any corpus size.",
+    tags=("multimodal", "audio", "dedup", "dhash", "pandas-udf"),
+    oracle=f"""
+WITH {_DUCK_AUDIO}
+SELECT doc_id,
+       CAST({MM.AUDIO_SEGMENTS * MM.AUDIO_SEG_LEN} AS BIGINT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate, ahash
+FROM ahashes
+""",
+)
+def audio_fingerprint_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _audio_fingerprints(spark, sf_dir)
+
+
+@register(
+    "audio_near_dup_pairs",
+    doc=f"Audio near-dup pairs: {DHASH_BANDS} bands of 8 bits over "
+    "the energy-gradient hash (guaranteed recall for Hamming <= 7), "
+    f"candidates verified at Hamming <= {AUDIO_HAMMING_T} via "
+    "bit_count(xor) — the same banded shape as the image and SimHash "
+    "pairings, so the three modalities share one index design.",
+    tags=("multimodal", "audio", "dedup", "lsh", "join"),
+    oracle=f"""
+WITH {_DUCK_AUDIO},
+abands AS (
+    SELECT doc_id, ahash, t.b AS band,
+           (ahash >> (t.b * 8)) & 255 AS byte
+    FROM ahashes CROSS JOIN range({DHASH_BANDS}) t(b)
+),
+acand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.ahash AS h_a, b.ahash AS h_b
+    FROM abands a JOIN abands b
+      ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(h_a, h_b)) AS hamming
+FROM acand WHERE bit_count(xor(h_a, h_b)) <= {AUDIO_HAMMING_T}
+""",
+)
+def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _audio_fingerprints(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "ahash",
+        F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias(
+            "band"
+        ),
+    ).withColumn("byte", F.expr("(ahash >> (band * 8)) & 255"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.ahash").alias("h_a"),
+            F.col("b.ahash").alias("h_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("h_a ^ h_b"))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= AUDIO_HAMMING_T)
+        .select("id_a", "id_b", "hamming")
     )

@@ -157,3 +157,88 @@ def test_media_dhash_rejects_tiny_images(spark):
     )
     with pytest.raises(Exception, match="below the 9x8 grid"):
         MM.media_dhash(media).collect()
+
+
+# ---------------------------------------------------------------------------
+# Video / audio perceptual fingerprints (r10 second wave)
+# ---------------------------------------------------------------------------
+def _frame_dhash(fkey: str) -> int:
+    px = []
+    for y in range(8 * MM.DHASH_GRID_H):
+        for x in range(8 * MM.DHASH_GRID_W):
+            px.append(MM.video_block_value(fkey, x // 8, y // 8))
+    return MM.dhash64_of_raster(
+        px, 8 * MM.DHASH_GRID_W, 8 * MM.DHASH_GRID_H
+    )
+
+
+def test_video_trim_variant_shares_exact_frames():
+    """Variant v of a clip group keeps frames v..5 of the anchor and
+    appends v fresh doc-keyed frames: shared distinct frame hashes
+    with the anchor must be exactly VIDEO_FRAMES - v."""
+    g = 11
+    anchors = {MM.video_frame_keys(g * MM.VIDEO_GROUP + 0)[s]
+               for s in range(MM.VIDEO_FRAMES)}
+    for v in (1, 2):
+        keys = MM.video_frame_keys(g * MM.VIDEO_GROUP + v)
+        assert len(set(keys) & anchors) == MM.VIDEO_FRAMES - v
+        # content keys resolve to distinct hashes (md5-unique blocks)
+        hs = {_frame_dhash(k) for k in keys}
+        assert len(hs) == MM.VIDEO_FRAMES
+
+
+def test_y4m_raster_roundtrip_and_frame_dhash():
+    """encode_y4m_mono_raster -> decode_y4m_frames recovers the exact
+    planes, and the decoded-plane dHash equals the closed-form one."""
+    doc_id = 7  # g=2, v=1
+    keys = MM.video_frame_keys(doc_id)
+    w, h = 8 * MM.DHASH_GRID_W, 8 * MM.DHASH_GRID_H
+    planes = []
+    for k in keys:
+        rows = []
+        for by in range(MM.DHASH_GRID_H):
+            row = b"".join(
+                bytes([MM.video_block_value(k, bx, by)]) * 8
+                for bx in range(MM.DHASH_GRID_W)
+            )
+            rows.extend([row] * 8)
+        planes.append(b"".join(rows))
+    d = MM.decode_y4m_frames(MM.encode_y4m_mono_raster(w, h, planes))
+    assert d["n_frames"] == MM.VIDEO_FRAMES
+    assert [bytes(f) for f in d["frames"]] == planes
+    for k, plane in zip(keys, d["frames"]):
+        assert MM.dhash64_of_raster(plane, w, h) == _frame_dhash(k)
+
+
+def test_audio_pcm16_roundtrip_and_energy_bits():
+    """encode_wav_pcm16 -> decode_wav_samples is bit-exact on signed
+    amplitudes, and a handcrafted energy staircase pins the gradient
+    bit math (strictly rising |amp| -> all bits set)."""
+    amps = [100 * (s + 1) * (-1 if s % 2 else 1)
+            for s in range(MM.AUDIO_SEGMENTS)]
+    samples = []
+    for a in amps:
+        samples.extend([a] * MM.AUDIO_SEG_LEN)
+    d = MM.decode_wav_samples(MM.encode_wav_pcm16(samples))
+    assert list(d["samples"]) == samples
+    energies = [
+        sum(abs(x) for x in samples[w * 64 : (w + 1) * 64])
+        for w in range(MM.AUDIO_SEGMENTS)
+    ]
+    assert all(b > a for a, b in zip(energies, energies[1:]))
+    # the all-rising staircase sets every one of the 64 bits -> -1
+    u = 0
+    for i in range(MM.AUDIO_SEGMENTS - 1):
+        u |= 1 << i
+    assert u - (1 << 64) == -1
+
+
+def test_audio_variant_edits_are_sparse():
+    g = 9
+    anchor = [MM.audio_segment_value(g, 0, s)
+              for s in range(MM.AUDIO_SEGMENTS)]
+    for v in (1, 2, 3):
+        edited = [MM.audio_segment_value(g, v, s)
+                  for s in range(MM.AUDIO_SEGMENTS)]
+        diffs = sum(1 for a, b in zip(anchor, edited) if a != b)
+        assert 0 < diffs < MM.AUDIO_SEGMENTS // 3

@@ -45,6 +45,10 @@ BUDGETS = {
     # all-pairs — budget allows the SMJ shape AQE picks at scale)
     "media_fingerprint_dhash": 1,
     "media_near_dup_pairs": 4,
+    "video_fingerprint_frames": 1,
+    "video_near_dup_pairs": 5,   # distinct + self-join + pair agg
+    "audio_fingerprint_energy": 1,
+    "audio_near_dup_pairs": 4,
     # r10 histogram fusion (was 7): hist sits behind a perf checkpoint
     # (full-plan pin below); the visible 5 = uni marginal x3 consumers
     # (each a CHEAP re-agg of the checkpointed vocab-bounded hist —
