@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from falcon_metrics_etl_spark.plans.registry import register
+from falcon_metrics_etl_spark.session import perf_checkpoint
 from falcon_metrics_etl_spark.sources import load_table
 
 _MICROS_PER_DAY = 86_400_000_000
@@ -465,23 +466,44 @@ FROM grid g JOIN cohort_sizes s ON g.cohort_week = s.cohort_week
 """,
 )
 def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 fusion (was the worst plan in PLAN_AUDIT_r10 at 6
+    shuffles): ONE user-keyed aggregation over ONE events scan
+    carries both the cohort week (min signup ts) and the distinct
+    active-week set — the old plan scanned events twice and paid a
+    user_id join plus an expensive COUNT(DISTINCT). Distinct weeks
+    map to distinct offsets (both are week-aligned), so each user
+    hits a (cohort, offset) cell at most once and the grid count is
+    a plain algebraic count(*). 3 executed shuffles: the per-user
+    agg (checkpointed — feeds grid AND sizes), the grid agg, the
+    sizes agg; the final join broadcasts. Per-user state is the
+    distinct-week set, bounded by the timeline length in weeks."""
     events = load_table(spark, sf_dir, "events")
-    first_seen = (
-        events.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    per_user = perf_checkpoint(
+        events.groupBy("user_id")
+        .agg(
+            F.date_trunc(
+                "week",
+                F.min(
+                    F.when(F.col("event_type") == "signup", F.col("ts"))
+                ),
+            )
+            .cast("date")
+            .alias("cohort_week"),
+            F.collect_set(wk).alias("weeks"),
+        )
+        .filter(F.col("cohort_week").isNotNull())
     )
-    cohort_sizes = first_seen.groupBy("cohort_week").agg(
+    cohort_sizes = per_user.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("cohort_size")
     )
-    activity = events.select(
-        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
-    ).distinct()
     offset = F.floor(
         F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
     )
     marked = (
-        activity.join(first_seen, "user_id")
+        per_user.select(
+            "cohort_week", F.explode("weeks").alias("active_week")
+        )
         .withColumn("week_offset", offset)
         .filter(
             (F.col("week_offset") >= 0)
@@ -489,7 +511,7 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     grid = marked.groupBy("cohort_week", "week_offset").agg(
-        F.countDistinct("user_id").alias("n_active")
+        F.count(F.lit(1)).alias("n_active")
     )
     return grid.join(F.broadcast(cohort_sizes), "cohort_week").select(
         "cohort_week",

@@ -49,6 +49,9 @@ BUDGETS = {
     "video_near_dup_pairs": 5,   # distinct + self-join + pair agg
     "audio_fingerprint_energy": 1,
     "audio_near_dup_pairs": 4,
+    # r10 one-scan user-keyed fusion (was 6): visible = grid + sizes
+    # aggs off the checkpointed per-user frame (full-plan pin below)
+    "cohort_retention_weekly": 2,
     # r10 histogram fusion (was 7): hist sits behind a perf checkpoint
     # (full-plan pin below); the visible 5 = uni marginal x3 consumers
     # (each a CHEAP re-agg of the checkpointed vocab-bounded hist —
@@ -79,6 +82,8 @@ FULL_PLAN_BUDGETS = {
     # checkpoints-off re-derives hist per consumer (4x) + uni (3x);
     # the EXECUTED default-mode total is 4 (hist, uni, stats, doc agg)
     "bigram_surprisal_scores": 9,
+    # checkpoints-off re-derives per_user for grid + sizes
+    "cohort_retention_weekly": 4,
 }
 
 
