@@ -467,3 +467,69 @@ def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= AUDIO_HAMMING_T)
         .select("id_a", "id_b", "hamming")
     )
+
+
+@register(
+    "media_dedup_keep_best",
+    doc="The image-dedup loop closed (the step text dedup has had "
+    "since r5): connected components (iterative min-label "
+    "propagation, operators/components.py) over the cross-codec "
+    "near-dup pairs, keep the min-id doc per perceptual cluster, "
+    "drop the rest; unclustered images keep themselves. The oracle "
+    "recomputes the same components via DuckDB's recursive "
+    "transitive closure over the identical banded pair set.",
+    tags=("multimodal", "dedup", "dhash", "iterative", "training-data"),
+    oracle=f"""
+WITH RECURSIVE {_DUCK_DHASH},
+bands AS (
+    SELECT doc_id, dhash, t.b AS band,
+           (dhash >> (t.b * 8)) & 255 AS byte
+    FROM hashes CROSS JOIN range({DHASH_BANDS}) t(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.dhash AS h_a, b.dhash AS h_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+),
+prs AS (
+    SELECT id_a, id_b FROM cand
+    WHERE bit_count(xor(h_a, h_b)) <= {DHASH_HAMMING_T}
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM prs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM prs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT h.doc_id, h.codec,
+       COALESCE(c.cluster_id, h.doc_id) AS cluster_id,
+       CASE WHEN COALESCE(c.cluster_id, h.doc_id) = h.doc_id
+            THEN 'kept' ELSE 'dropped' END AS status
+FROM hashes h LEFT JOIN comp c ON c.node = h.doc_id
+""",
+)
+def media_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.components import (
+        duplicate_clusters,
+    )
+
+    fp = _fingerprints(spark, sf_dir).select("doc_id", "codec")
+    pairs = media_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = duplicate_clusters(pairs).select("node", "cluster_id")
+    joined = fp.join(comp, fp["doc_id"] == comp["node"], "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return joined.select(
+        "doc_id",
+        "codec",
+        cluster.alias("cluster_id"),
+        F.when(cluster == F.col("doc_id"), F.lit("kept"))
+        .otherwise(F.lit("dropped"))
+        .alias("status"),
+    )

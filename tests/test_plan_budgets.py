@@ -46,6 +46,9 @@ BUDGETS = {
     "media_fingerprint_dhash": 1,
     "media_near_dup_pairs": 4,
     "video_fingerprint_frames": 1,
+    # keep-best: banded pairs + the label-propagation join/agg rounds
+    # visible past the components loop's checkpoints
+    "media_dedup_keep_best": 4,
     "video_near_dup_pairs": 5,   # distinct + self-join + pair agg
     "audio_fingerprint_energy": 1,
     "audio_near_dup_pairs": 4,
