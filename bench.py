@@ -480,7 +480,11 @@ def corpus_incremental_runner(spark, sf_dir: str):
     one delta tick through streaming/corpus_tick.py: clean gates,
     band-index near-dup admission, frozen-tokenizer budgets, index
     appends. Replays of the same batch_id are idempotent, so repeat
-    draws measure identical compute. Read AGAINST corpus_e2e: that
+    draws measure near-identical compute (the first timed tick appends
+    the batch's rows to the indexes; later draws scan a slightly
+    larger index whose rows the batch_id filter excludes — identical
+    admission outcome, marginally bigger scan; advisor r10). Read
+    AGAINST corpus_e2e: that
     entry pays the full-corpus recompute every run; this entry is the
     per-batch delta cost the maintained indexes exist to enable."""
     import shutil

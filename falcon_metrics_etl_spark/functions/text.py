@@ -198,3 +198,54 @@ DUCK_NGRAM_WSUM = (
     + str(QC_BUCKETS) + ") * " + str(QC_MULT) + ") % 2001) - 1000"
     ")) AS BIGINT)"
 )
+
+
+# --------------------------------------------------------------------------
+# Shared corpus-cleaning gate (batch audits + the incremental ingest tick)
+# --------------------------------------------------------------------------
+GATE_MIN_TOKENS = 30  # quality gate: minimum whitespace-token count
+
+
+def cleaning_gate_frame(docs: Column, fast: bool = True):
+    """(doc_id, text) frame -> the per-doc gate-score frame
+    ``(doc_id, text, fp, h_en, h_sql, h_ops, n_tokens, wsum)`` shared
+    by corpus_cleaning_audit (md5 classifier, ``fast=False``),
+    corpus_cleaning_audit_fast and streaming/corpus_tick.py (xxhash64
+    twin, ``fast=True``). One definition so a threshold or marker
+    change can never silently diverge the batch audits from the
+    incremental tick (advisor r10)."""
+    t = F.col("text")
+    wsum = (
+        hashed_ngram_weight_sum_fast(tokens(t))
+        if fast
+        else hashed_ngram_weight_sum(tokens(t))
+    )
+    return docs.select(
+        "doc_id",
+        "text",
+        F.md5(F.concat_ws(" ", F.slice(tokens(t), 1, 3))).alias("fp"),
+        marker_hits(t, LANG_MARKERS["en"]).alias("h_en"),
+        marker_hits(t, LANG_MARKERS["sql"]).alias("h_sql"),
+        marker_hits(t, LANG_MARKERS["ops"]).alias("h_ops"),
+        token_count(t).alias("n_tokens"),
+        wsum.alias("wsum"),
+    )
+
+
+def cleaning_gate_verdict() -> Column:
+    """First failing PER-DOC gate over a cleaning_gate_frame row —
+    lang (marker argmax must be 'en'), quality (token floor),
+    classifier (prob >= 0.5 in exact integer form: wsum >=
+    100 * n_features with n_features = 2*n_tokens - 1) — else
+    'pass'. The corpus-dependent duplicate gate (fp window or fp
+    index probe) is layered on by each caller."""
+    is_en = (F.col("h_en") >= F.col("h_sql")) & (
+        F.col("h_en") >= F.col("h_ops")
+    )
+    classifier_drop = F.col("wsum") < 100 * (2 * F.col("n_tokens") - 1)
+    return (
+        F.when(~is_en, F.lit("dropped:lang"))
+        .when(F.col("n_tokens") < GATE_MIN_TOKENS, F.lit("dropped:quality"))
+        .when(classifier_drop, F.lit("dropped:classifier"))
+        .otherwise(F.lit("pass"))
+    )

@@ -314,27 +314,17 @@ FROM canon
 """,
 )
 def corpus_cleaning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc gate scores + verdict come from the SHARED helpers
+    # (functions/text.py) also consumed by the incremental ingest tick
+    # — one definition of the lang/quality/classifier expressions
+    # (advisor r10). prob >= 0.5 <=> wsum >= 100 * n_features with
+    # n_features = 2*n_tokens - 1 — exact integers, no EXP in the gate.
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    gates = docs.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.slice(TX.tokens(t), 1, 3))).alias("fp"),
-        TX.marker_hits(t, TX.LANG_MARKERS["en"]).alias("h_en"),
-        TX.marker_hits(t, TX.LANG_MARKERS["sql"]).alias("h_sql"),
-        TX.marker_hits(t, TX.LANG_MARKERS["ops"]).alias("h_ops"),
-        TX.token_count(t).alias("n_tokens"),
-        TX.hashed_ngram_weight_sum(TX.tokens(t)).alias("wsum"),
-    )
+    gates = TX.cleaning_gate_frame(docs, fast=False)
     canonical = F.min("doc_id").over(Window.partitionBy("fp"))
-    is_en = (F.col("h_en") >= F.col("h_sql")) & (F.col("h_en") >= F.col("h_ops"))
-    # prob >= 0.5 <=> logit >= 0 <=> wsum/(n_features*1000) - 0.1 >= 0
-    # <=> wsum >= 100 * n_features, with n_features = 2*n_tokens - 1
-    # (unigrams + bigrams) — exact integers, no EXP/rounding in the gate
-    classifier_drop = F.col("wsum") < 100 * (2 * F.col("n_tokens") - 1)
+    verdict = TX.cleaning_gate_verdict()
     status = (
-        F.when(~is_en, F.lit("dropped:lang"))
-        .when(F.col("n_tokens") < 30, F.lit("dropped:quality"))
-        .when(classifier_drop, F.lit("dropped:classifier"))
+        F.when(verdict != "pass", verdict)
         .when(F.col("doc_id") != canonical, F.lit("dropped:duplicate"))
         .otherwise(F.lit("kept"))
     )
@@ -358,24 +348,14 @@ def corpus_cleaning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
 )
 def corpus_cleaning_audit_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shared gate helpers (functions/text.py) with the xxhash64
+    # classifier — the exact expressions streaming/corpus_tick.py runs
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    gates = docs.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.slice(TX.tokens(t), 1, 3))).alias("fp"),
-        TX.marker_hits(t, TX.LANG_MARKERS["en"]).alias("h_en"),
-        TX.marker_hits(t, TX.LANG_MARKERS["sql"]).alias("h_sql"),
-        TX.marker_hits(t, TX.LANG_MARKERS["ops"]).alias("h_ops"),
-        TX.token_count(t).alias("n_tokens"),
-        TX.hashed_ngram_weight_sum_fast(TX.tokens(t)).alias("wsum"),
-    )
+    gates = TX.cleaning_gate_frame(docs, fast=True)
     canonical = F.min("doc_id").over(Window.partitionBy("fp"))
-    is_en = (F.col("h_en") >= F.col("h_sql")) & (F.col("h_en") >= F.col("h_ops"))
-    classifier_drop = F.col("wsum") < 100 * (2 * F.col("n_tokens") - 1)
+    verdict = TX.cleaning_gate_verdict()
     status = (
-        F.when(~is_en, F.lit("dropped:lang"))
-        .when(F.col("n_tokens") < 30, F.lit("dropped:quality"))
-        .when(classifier_drop, F.lit("dropped:classifier"))
+        F.when(verdict != "pass", verdict)
         .when(F.col("doc_id") != canonical, F.lit("dropped:duplicate"))
         .otherwise(F.lit("kept"))
     )

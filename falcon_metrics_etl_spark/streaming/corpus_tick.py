@@ -16,7 +16,10 @@ probe side plans with no Exchange):
 
 - ``fp_index``    (fp, canonical_id, batch_id) — prefix-fingerprint
   exact-dup canon, the cleaning audit's duplicate gate made
-  incremental
+  incremental; ADMITTED docs only, so canonical_id always references
+  a corpus member (an exact copy of a near-dup-rejected doc falls
+  through to the near-dup gate and is rejected against the same
+  corpus doc its original was)
 - ``band_index``  (doc_id, band, bkey, batch_id) — MinHash LSH
   buckets of every ADMITTED doc
 - ``shingle_index`` (doc_id, shs array, batch_id) — admitted docs'
@@ -56,32 +59,16 @@ from falcon_metrics_etl_spark.sinks.merge import _target_exists, merge_upsert
 
 def _gate_status(docs: DataFrame) -> DataFrame:
     """Map-only cleaning gates (lang / quality / classifier-fast) —
-    the per-doc prefix of corpus_cleaning_audit_fast's gate order;
-    the corpus-dependent duplicate gate is applied by the caller via
-    the fp index. Output: (doc_id, text, fp, gate_status)."""
-    t = F.col("text")
-    is_en = (F.col("h_en") >= F.col("h_sql")) & (
-        F.col("h_en") >= F.col("h_ops")
-    )
-    classifier_drop = F.col("wsum") < 100 * (2 * F.col("n_tokens") - 1)
-    return docs.select(
-        "doc_id",
-        "text",
-        F.md5(F.concat_ws(" ", F.slice(TX.tokens(t), 1, 3))).alias("fp"),
-        TX.marker_hits(t, TX.LANG_MARKERS["en"]).alias("h_en"),
-        TX.marker_hits(t, TX.LANG_MARKERS["sql"]).alias("h_sql"),
-        TX.marker_hits(t, TX.LANG_MARKERS["ops"]).alias("h_ops"),
-        TX.token_count(t).alias("n_tokens"),
-        TX.hashed_ngram_weight_sum_fast(TX.tokens(t)).alias("wsum"),
-    ).select(
+    the SAME gate expressions as corpus_cleaning_audit_fast via the
+    shared functions/text.py helpers (advisor r10: one definition, so
+    a threshold change can never diverge the tick from the batch
+    audit); the corpus-dependent duplicate gate is applied by the
+    caller via the fp index. Output: (doc_id, text, fp, gate_status)."""
+    return TX.cleaning_gate_frame(docs, fast=True).select(
         "doc_id",
         "text",
         "fp",
-        F.when(~is_en, F.lit("dropped:lang"))
-        .when(F.col("n_tokens") < 30, F.lit("dropped:quality"))
-        .when(classifier_drop, F.lit("dropped:classifier"))
-        .otherwise(F.lit("pass"))
-        .alias("gate_status"),
+        TX.cleaning_gate_verdict().alias("gate_status"),
     )
 
 
@@ -266,8 +253,13 @@ def corpus_ingest_tick(
     full_fp = _read_or_empty(
         spark, f"{state_dir}/fp_index", "fp string, canonical_id long, batch_id long"
     )
+    # only ADMITTED docs register their fp (advisor r10: a near-dup-
+    # rejected doc must not become canonical_id for future exact
+    # copies — those copies now fall through to the near-dup gate and
+    # are rejected against the same corpus doc their original was)
     new_fps = (
         deduped.filter(F.col("gate_status") == "pass")
+        .join(near_dups, "doc_id", "left_anti")
         .select("fp", F.col("doc_id").alias("canonical_id"))
         .join(full_fp.select("fp"), "fp", "left_anti")
         .withColumn("batch_id", F.lit(bid))
