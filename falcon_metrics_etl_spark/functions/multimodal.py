@@ -2800,17 +2800,17 @@ def attach_payload_dhash_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
-def dhash64_of_raster(px, w: int, h: int) -> int:
-    """64-bit dHash of a flat grayscale raster: crop to the 9x8 cell
-    grid (cell = w//9 x h//8), exact integer cell sums, bit
-    (by*8 + bx) set iff cell (bx+1, by) outweighs cell (bx, by);
-    returned as a signed two's-complement long. Shared by the image
-    fingerprint and the per-frame video fingerprint."""
+def dhash_cell_sums(px, w: int, h: int) -> list:
+    """Exact integer cell sums of a flat grayscale raster over the
+    9x8 dHash grid (cell = w//9 x h//8 pixels, image cropped to the
+    grid): one list of DHASH_GRID_W sums per grid row. The shared
+    quantity under BOTH the dHash bits (pairwise comparisons) and the
+    detail score (pairwise absolute gradients)."""
     sx = w // DHASH_GRID_W
     sy = h // DHASH_GRID_H
     if sx == 0 or sy == 0:
         raise ValueError("dhash: image below the 9x8 grid")
-    u = 0
+    rows = []
     for by in range(DHASH_GRID_H):
         sums = []
         for bx in range(DHASH_GRID_W):
@@ -2819,6 +2819,16 @@ def dhash64_of_raster(px, w: int, h: int) -> int:
                 base = y * w + bx * sx
                 s += sum(px[base : base + sx])
             sums.append(s)
+        rows.append(sums)
+    return rows
+
+
+def dhash64_of_cells(cell_rows) -> int:
+    """dHash bits from precomputed cell sums: bit (by*8 + bx) set iff
+    cell (bx+1, by) outweighs cell (bx, by); signed two's-complement
+    long."""
+    u = 0
+    for by, sums in enumerate(cell_rows):
         for bx in range(DHASH_GRID_W - 1):
             if sums[bx + 1] > sums[bx]:
                 u |= 1 << (by * 8 + bx)
@@ -2827,18 +2837,49 @@ def dhash64_of_raster(px, w: int, h: int) -> int:
     return u
 
 
+def detail_of_cells(cell_rows) -> int:
+    """Detail (sharpness proxy) from precomputed cell sums: the total
+    absolute horizontal gradient magnitude the dHash THRESHOLDS —
+    sum of |cell(bx+1) - cell(bx)| over the same 8x8 neighbor pairs.
+    A blurrier / more-compressed variant of the same picture scores
+    lower; exact integers, so the oracle replays it from the block
+    constants (cell sum = 64 * block value on this corpus)."""
+    d = 0
+    for sums in cell_rows:
+        for bx in range(DHASH_GRID_W - 1):
+            d += abs(sums[bx + 1] - sums[bx])
+    return d
+
+
+def dhash64_of_raster(px, w: int, h: int) -> int:
+    """64-bit dHash of a flat grayscale raster: crop to the 9x8 cell
+    grid (cell = w//9 x h//8), exact integer cell sums, bit
+    (by*8 + bx) set iff cell (bx+1, by) outweighs cell (bx, by);
+    returned as a signed two's-complement long. Shared by the image
+    fingerprint and the per-frame video fingerprint."""
+    return dhash64_of_cells(dhash_cell_sums(px, w, h))
+
+
 DHASH_SCHEMA = "doc_id long, codec string, width int, height int, dhash long"
+DHASH_DETAIL_SCHEMA = DHASH_SCHEMA + ", detail long"
 
 
-def media_dhash(media: DataFrame) -> DataFrame:
+def media_dhash(media: DataFrame, with_detail: bool = False) -> DataFrame:
     """Arrow-batched perceptual fingerprint over REAL decodes: PNG via
     zlib inflate + scanline unfilter, JPEG via Huffman entropy decode
     + dequant + IDCT — then the 9x8 dHash: crop to (w//9*9, h//8*8),
     exact integer cell sums, bit (by*8 + bx) set iff cell (bx+1, by)
     outweighs cell (bx, by). The unsigned 64-bit value is emitted as
     a signed long (two's complement), matching the oracle's two-half
-    reconstruction. Map-only: no shuffle, linear in bytes."""
+    reconstruction. With ``with_detail`` the same cell sums also emit
+    the detail score (total |horizontal gradient|, detail_of_cells) —
+    the keep-best quality column, at zero extra decode cost.
+    Map-only: no shuffle, linear in bytes."""
     from falcon_metrics_etl_spark.functions.jpeg import decode_jpeg_gray
+
+    cols = ["doc_id", "codec", "width", "height", "dhash"] + (
+        ["detail"] if with_detail else []
+    )
 
     def one(doc_id, codec, payload):
         if codec == "png":
@@ -2850,10 +2891,14 @@ def media_dhash(media: DataFrame) -> DataFrame:
             w, h = d["width"], d["height"]
             px = [val for row in d["pixels"] for val in row]
         try:
-            u = dhash64_of_raster(px, w, h)
+            cells = dhash_cell_sums(px, w, h)
         except ValueError as e:
             raise ValueError(f"media_dhash: {e}") from e
-        return (int(doc_id), codec, w, h, u)
+        u = dhash64_of_cells(cells)
+        row = (int(doc_id), codec, w, h, u)
+        if with_detail:
+            row = row + (detail_of_cells(cells),)
+        return row
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2864,11 +2909,11 @@ def media_dhash(media: DataFrame) -> DataFrame:
                         pdf["doc_id"], pdf["codec"], pdf["payload"]
                     )
                 ],
-                columns=["doc_id", "codec", "width", "height", "dhash"],
+                columns=cols,
             )
 
     return media.select("doc_id", "codec", "payload").mapInPandas(
-        run, schema=DHASH_SCHEMA
+        run, schema=DHASH_DETAIL_SCHEMA if with_detail else DHASH_SCHEMA
     )
 
 
