@@ -78,6 +78,7 @@ def all_queries() -> dict[str, Query]:
         temporal_joins,
         text_pipeline,
         timeseries,
+        ulm,
         workflow_pipeline,
     )
 

@@ -1,0 +1,374 @@
+"""Unigram-LM (SentencePiece-style) tokenizer queries — train +
+dictionary-encode with FULL cross-engine oracles (r10 verdict #1).
+
+The training oracle replays EVERY Viterbi-EM iteration in DuckDB as
+generated CTE stages: seed substring counts, quantized integer
+log-costs with add-one smoothing, a forward Viterbi DP over a
+list-of-struct cost carry (one stage per word position, bounded by
+MAX_WORD_LEN), a backtrace loop resolving ties by smallest piece
+start, usage-count aggregation, and the prune/M-step — exactly the
+semantics pinned in functions/ulm.py. The encode oracle runs the
+final-vocabulary DP (with per-char UNK fallback edges) over the
+DISTINCT-word dictionary, no backtrace needed.
+
+Spark-first scale shape (the same split as plans/bpe.py): the
+distributed work is the word count, the per-document aggregation and
+the dictionary join; the EM loop runs inside ONE executor task over
+the capped vocabulary (``applyInPandas`` on a literal group — the
+plan stays lazy, nothing collects to the driver); DISTINCT words
+encode once and documents join the word -> (token, unk) map back —
+at 100 TB the dictionary is vocabulary-sized, not corpus-sized.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.functions import text as TX
+from falcon_metrics_etl_spark.functions.bpe import MAX_WORD_LEN, VOCAB_CAP
+from falcon_metrics_etl_spark.functions.ulm import (
+    ULM_MAX_PIECE,
+    ULM_N_EM,
+    ULM_Q,
+    ULM_SEED_CAP,
+    ULM_UNK_COST,
+    ULM_UNK_PIECE,
+)
+from falcon_metrics_etl_spark.plans.bpe import _words_df
+from falcon_metrics_etl_spark.plans.registry import register
+from falcon_metrics_etl_spark.sources import load_table
+
+# same word sketch as the BPE trainer (functions/bpe.py constants):
+# top-VOCAB_CAP words of <= MAX_WORD_LEN chars, control chars excluded
+_DUCK_SKETCH = f"""
+wordsrc AS (
+    SELECT doc_id, unnest({TX.DUCK_TOKENS.format(x='text')}) AS word
+    FROM documents
+),
+words AS MATERIALIZED (
+    SELECT doc_id, word FROM wordsrc
+    WHERE length(word) BETWEEN 1 AND {MAX_WORD_LEN}
+      AND NOT regexp_matches(word, '[\\x00-\\x1f\\x7f]')
+),
+sketch AS MATERIALIZED (
+    SELECT word, COUNT(*) AS freq FROM words GROUP BY word
+    ORDER BY freq DESC, word LIMIT {VOCAB_CAP}
+),
+subs AS MATERIALIZED (
+    SELECT substring(word, j, l) AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM sketch,
+         unnest(range(1, length(word) + 1)) t1(j),
+         unnest(range(1, {ULM_MAX_PIECE} + 1)) t2(l)
+    WHERE j + l - 1 <= length(word)
+    GROUP BY 1
+),
+vv0 AS MATERIALIZED (
+    SELECT piece, cnt FROM subs WHERE length(piece) = 1
+    UNION ALL
+    SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM subs WHERE length(piece) >= 2
+        ORDER BY cnt DESC, piece LIMIT {ULM_SEED_CAP}
+    )
+)"""
+
+# cost table from a count table: add-one smoothing, quantized -ln(p);
+# SUM goes through HUGEINT so it is cast back (DuckDB convention)
+_COST_SQL = (
+    "SELECT piece, CAST(FLOOR(-ln(CAST(cnt + 1 AS DOUBLE) / "
+    "(SELECT CAST(SUM(cnt + 1) AS BIGINT) FROM {src})) * {q} + 0.5) "
+    "AS BIGINT) AS cost FROM {src}"
+)
+
+
+def _fwd_stage(prev: str, name: str, p: int) -> str:
+    """One forward-Viterbi stage: append the min-(c, n, u) value of
+    prefix length ``p`` to the cost carry ``bl`` (bl[k] = best value
+    of the length-(k-1) prefix; list_min of an empty candidate list
+    is NULL, which only lands on positions past the word's end and is
+    never read back)."""
+    return f"""
+{name} AS MATERIALIZED (
+  SELECT * EXCLUDE (bl), list_append(bl,
+    list_min(list_transform(list_filter(ms, t -> t.en = {p}),
+      t -> struct_pack(c := bl[t.st].c + t.cost,
+                       n := bl[t.st].n + 1,
+                       u := bl[t.st].u + t.u)))) AS bl
+  FROM {prev})"""
+
+
+def _bt_stage(prev: str, name: str) -> str:
+    """One backtrace stage: among edges ending at ``pos`` whose value
+    extends to bl[pos+1] exactly, take the smallest start (the pinned
+    tie-break), append its piece, and move to that start."""
+    return f"""
+{name} AS MATERIALIZED (
+  SELECT word, freq, ms, bl,
+    CASE WHEN pos = 0 THEN pos ELSE mst - 1 END AS pos,
+    CASE WHEN pos = 0 THEN segs
+         ELSE list_append(segs,
+              list_filter(cands, t -> t.st = mst)[1].piece) END AS segs
+  FROM (
+    SELECT word, freq, ms, bl, pos, segs, cands,
+           list_min(list_transform(cands, t -> t.st)) AS mst
+    FROM (
+      SELECT word, freq, ms, bl, pos, segs,
+        list_filter(ms, t -> t.en = pos
+            AND bl[t.st].c + t.cost = bl[pos + 1].c
+            AND bl[t.st].n + 1 = bl[pos + 1].n
+            AND bl[t.st].u + t.u = bl[pos + 1].u) AS cands
+      FROM {prev})))"""
+
+
+def _em_ctes() -> str:
+    """ct0/m0/ml0/d0_*/b0_*/uc0/vv1 ... stages for ULM_N_EM hard-EM
+    iterations over the sketch, ending with vv{N} (final counts) and
+    ct{N} (final re-smoothed costs)."""
+    parts = []
+    for i in range(ULM_N_EM):
+        cost_sql = _COST_SQL.format(src=f"vv{i}", q=ULM_Q)
+        parts.append(f""",
+ct{i} AS MATERIALIZED ({cost_sql}),
+m{i} AS MATERIALIZED (
+  SELECT s.word, t.j AS st, t.j + length(c.piece) - 1 AS en,
+         c.cost, 0 AS u, c.piece
+  FROM sketch s
+  CROSS JOIN unnest(range(1, length(s.word) + 1)) t(j)
+  JOIN ct{i} c ON c.piece = substring(s.word, t.j, length(c.piece))
+),
+ml{i} AS MATERIALIZED (
+  SELECT s.word, s.freq,
+         list(struct_pack(en := m.en, st := m.st, cost := m.cost,
+                          u := m.u, piece := m.piece)
+              ORDER BY m.en, m.st, m.cost, m.piece) AS ms
+  FROM m{i} m JOIN sketch s USING (word)
+  GROUP BY s.word, s.freq
+),
+d{i}_0 AS MATERIALIZED (
+  SELECT word, freq, ms,
+         [struct_pack(c := 0::BIGINT, n := 0, u := 0)] AS bl
+  FROM ml{i})""")
+        for p in range(1, MAX_WORD_LEN + 1):
+            parts.append(
+                "," + _fwd_stage(f"d{i}_{p - 1}", f"d{i}_{p}", p)
+            )
+        parts.append(f""",
+b{i}_0 AS MATERIALIZED (
+  SELECT word, freq, ms, bl, length(word)::BIGINT AS pos,
+         CAST([] AS VARCHAR[]) AS segs
+  FROM d{i}_{MAX_WORD_LEN})""")
+        for k in range(1, MAX_WORD_LEN + 1):
+            parts.append("," + _bt_stage(f"b{i}_{k - 1}", f"b{i}_{k}"))
+        parts.append(f""",
+uc{i} AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM b{i}_{MAX_WORD_LEN}, unnest(segs) s(piece)
+  GROUP BY piece
+),
+vv{i + 1} AS MATERIALIZED (
+  SELECT v.piece, COALESCE(u.cnt, 0) AS cnt
+  FROM (SELECT piece FROM vv{i} WHERE length(piece) = 1) v
+  LEFT JOIN uc{i} u USING (piece)
+  UNION ALL
+  SELECT piece, cnt FROM uc{i} WHERE length(piece) >= 2
+)""")
+    final_cost = _COST_SQL.format(src=f"vv{ULM_N_EM}", q=ULM_Q)
+    parts.append(f""",
+ct{ULM_N_EM} AS MATERIALIZED ({final_cost})""")
+    return "".join(parts)
+
+
+_TRAIN_ORACLE = (
+    "WITH "
+    + _DUCK_SKETCH
+    + _em_ctes()
+    + f"""
+SELECT v.piece, v.cnt AS piece_count, c.cost
+FROM vv{ULM_N_EM} v JOIN ct{ULM_N_EM} c USING (piece)
+"""
+)
+
+
+def _encode_ctes() -> str:
+    """Final-vocab Viterbi DP over the DISTINCT-word dictionary with
+    per-char UNK fallback edges — forward only (the per-word outputs
+    are bl[len+1].n / .u, no backtrace needed)."""
+    parts = [f""",
+ew AS MATERIALIZED (SELECT DISTINCT word FROM words),
+em AS MATERIALIZED (
+  SELECT w.word, t.j AS st, t.j + length(c.piece) - 1 AS en,
+         c.cost, 0 AS u, c.piece
+  FROM ew w
+  CROSS JOIN unnest(range(1, length(w.word) + 1)) t(j)
+  JOIN ct{ULM_N_EM} c ON c.piece = substring(w.word, t.j, length(c.piece))
+  UNION ALL
+  SELECT word, j AS st, j AS en, {ULM_UNK_COST}::BIGINT AS cost,
+         1 AS u, chr(1) AS piece
+  FROM ew, unnest(range(1, length(word) + 1)) t(j)
+),
+eml AS MATERIALIZED (
+  SELECT word,
+         list(struct_pack(en := en, st := st, cost := cost,
+                          u := u, piece := piece)
+              ORDER BY en, st, cost, piece) AS ms
+  FROM em GROUP BY word
+),
+e0 AS MATERIALIZED (
+  SELECT word, ms, [struct_pack(c := 0::BIGINT, n := 0, u := 0)] AS bl
+  FROM eml)"""]
+    for p in range(1, MAX_WORD_LEN + 1):
+        parts.append("," + _fwd_stage(f"e{p - 1}", f"e{p}", p))
+    parts.append(f""",
+estats AS MATERIALIZED (
+  SELECT word, bl[length(word) + 1].n AS n_toks,
+         bl[length(word) + 1].u AS n_unk
+  FROM e{MAX_WORD_LEN})""")
+    return "".join(parts)
+
+
+_ENCODE_ORACLE = (
+    "WITH "
+    + _DUCK_SKETCH
+    + _em_ctes()
+    + _encode_ctes()
+    + """
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(w.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(e.n_unk) AS BIGINT) AS n_unk,
+       ROUND(CAST(SUM(length(w.word)) AS DOUBLE) / SUM(e.n_toks), 4)
+           AS chars_per_token
+FROM words w JOIN estats e USING (word)
+GROUP BY w.doc_id
+"""
+)
+
+
+def _ulm_vocab_df(words: DataFrame) -> DataFrame:
+    """Capped word-frequency sketch -> the trained unigram-LM
+    vocabulary, EM run inside ONE executor task (applyInPandas over a
+    literal group keeps the plan lazy; the sketch is the bounded
+    corpus summary, the exact pattern of plans/bpe._merges_df)."""
+    sketch = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(VOCAB_CAP)
+    )
+
+    def train(pdf: pd.DataFrame) -> pd.DataFrame:
+        from falcon_metrics_etl_spark.functions.ulm import train_ulm
+
+        rows = train_ulm(
+            list(zip(pdf["word"], (int(f) for f in pdf["freq"])))
+        )
+        return pd.DataFrame(
+            rows, columns=["piece", "piece_count", "cost"]
+        )
+
+    return (
+        sketch.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            train, "piece string, piece_count long, cost long"
+        )
+    )
+
+
+@register(
+    "ulm_train_vocab",
+    doc=f"REAL unigram-LM tokenizer training (Kudo 2018, the "
+    "SentencePiece trainer's deterministic Viterbi-EM variant): the "
+    f"BPE word sketch (top-{VOCAB_CAP}, <= {MAX_WORD_LEN} chars) "
+    f"seeds substring candidates (<= {ULM_MAX_PIECE} chars; all "
+    f"single chars + top-{ULM_SEED_CAP} multis), then {ULM_N_EM} "
+    "hard-EM iterations: quantized integer -ln(p) costs with add-one "
+    "smoothing, min-(cost, n_tokens) Viterbi segmentation with "
+    "smallest-start tie-break, usage re-count, prune-unused-multis. "
+    "The EM loop runs in one executor task over the bounded sketch "
+    "(applyInPandas on a literal group — lazy plan, no driver "
+    "collect); the oracle replays EVERY iteration as generated CTE "
+    "stages (per-position forward-DP + backtrace loops over a "
+    "list-of-struct cost carry) and hash-matches the full vocabulary "
+    "with counts and costs.",
+    tags=("text", "tokenizer", "unigram-lm", "training-data", "iterative"),
+    oracle=_TRAIN_ORACLE,
+)
+def ulm_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ulm_vocab_df(_words_df(spark, sf_dir))
+
+
+@register(
+    "ulm_encode_stats",
+    doc="Unigram-LM dictionary encoding end to end: the SAME training "
+    "pipeline feeds a broadcast piece->cost map, DISTINCT words "
+    "Viterbi-encode once (Arrow-batched; per-char UNK fallback edges "
+    "cover out-of-vocabulary chars at a fixed cost no real piece can "
+    "reach), and documents join the word -> (tokens, unks) dictionary "
+    "back for per-doc token/char/unk budgets — the token-accounting "
+    "stage a pretrain pipeline runs with a SentencePiece-family "
+    "tokenizer. Oracle: the full EM replay plus the final-vocab DP "
+    "over the word dictionary, hash-matched per document.",
+    tags=("text", "tokenizer", "unigram-lm", "training-data", "join"),
+    oracle=_ENCODE_ORACLE,
+)
+def ulm_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _words_df(spark, sf_dir)
+    vocab = _ulm_vocab_df(words)
+    varr = vocab.agg(
+        F.sort_array(
+            F.collect_list(F.struct("piece", "cost"))
+        ).alias("vl")
+    )
+    dw = words.select("word").distinct()
+
+    def encode(batches):
+        from falcon_metrics_etl_spark.functions.ulm import encode_stats
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"word": [], "n_toks": [], "n_unk": []}
+                )
+                continue
+            vl = pdf["vl"].iloc[0]
+            costs = {v["piece"]: int(v["cost"]) for v in vl}
+            stats = [encode_stats(w, costs) for w in pdf["word"]]
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_toks": [s[0] for s in stats],
+                    "n_unk": [s[1] for s in stats],
+                }
+            )
+
+    enc = dw.crossJoin(F.broadcast(varr)).mapInPandas(
+        encode, "word string, n_toks int, n_unk int"
+    )
+    return (
+        words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("n_unk").cast("long").alias("n_unk"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            "n_unk",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens"), 4
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+# keep the sentinel import referenced (the encoder embeds chr(1) via
+# the oracle; the Python side uses the same constant)
+assert ULM_UNK_PIECE == chr(1)

@@ -64,6 +64,9 @@ CARTESIAN_OK = {
     # same 1-row broadcast merge-array crossJoin as bpe_encode_stats,
     # byte-level alphabet (r9)
     "bpe_byte_encode_stats",
+    # same 1-row broadcast vocabulary-array crossJoin onto the
+    # distinct-word dictionary (r11 unigram-LM encoder)
+    "ulm_encode_stats",
     # 1-row broadcast per-dim absmax crossJoin (r9 SQ8 quantization —
     # the centroid pattern)
     "embedding_int8_stats",

@@ -38,6 +38,10 @@ BUDGETS = {
     "tpch_pricing_summary": 1,
     "dedup_exact_fingerprint": 1,
     "bpe_train_merges": 1,          # one word-count shuffle
+    "ulm_train_vocab": 1,           # r11: same word-count shuffle
+    # r11 unigram-LM encode: distinct-word dict + dictionary join
+    # back + final doc agg (the 1-row vocab array rides a broadcast)
+    "ulm_encode_stats": 3,
     "referential_integrity_audit": 2,  # r9 shared unpivot, was 9
     "kanbanize_card_states": 5,     # unbucketed floor (r6-r8 verdicts)
     # r10 perceptual dHash: decode is map-only behind the one fan-out
