@@ -327,6 +327,119 @@ def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared.filter(F.col("n_shared_frames") >= VIDEO_SHARED_T)
 
 
+@register(
+    "video_near_dup_aligned",
+    doc="Temporal-order verification over the video pairs (r10 "
+    "verdict #6): video_near_dup_pairs counts shared DISTINCT frame "
+    "hashes, so a REORDERED clip scores exactly like a TRIMMED one. "
+    "This query adds the discriminator: over the matched "
+    "(frame_idx_a, frame_idx_b) set of each candidate pair, the "
+    "longest run of consecutive SAME-OFFSET matches (classic "
+    "gaps-and-islands: group by offset = idx_b - idx_a, island key = "
+    "idx_a - row_number within the offset, max island size) — a "
+    "trim/extend edit aligns its whole shared set in one run "
+    "(aligned_run == n_shared_frames) while a shuffled re-cut "
+    "fragments it (aligned_run -> 1). No new shuffle class beyond "
+    "the existing pair grouping: matches flow from the same "
+    "frame-hash inverted-index join, the run window partitions by "
+    "(pair, offset). The oracle replays the identical window algebra.",
+    tags=("multimodal", "video", "dedup", "window", "join"),
+    oracle=f"""
+WITH {_DUCK_VIDEO},
+hsig AS (SELECT DISTINCT doc_id, frame_dhash FROM vhashes),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_frames
+    FROM hsig a JOIN hsig b
+      ON a.frame_dhash = b.frame_dhash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+fm AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.s AS ia, b.s AS ib
+    FROM vhashes a JOIN vhashes b
+      ON a.frame_dhash = b.frame_dhash AND a.doc_id < b.doc_id
+),
+runs AS (
+    SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM (
+        SELECT id_a, id_b, ib - ia AS off, ia,
+               ia - ROW_NUMBER() OVER (
+                   PARTITION BY id_a, id_b, ib - ia ORDER BY ia) AS isl
+        FROM fm
+    )
+    GROUP BY id_a, id_b, off, isl
+),
+aligned AS (
+    SELECT id_a, id_b, MAX(run_len) AS aligned_run
+    FROM runs GROUP BY id_a, id_b
+)
+SELECT s.id_a, s.id_b, s.n_shared_frames, a.aligned_run
+FROM shared s
+JOIN aligned a ON a.id_a = s.id_a AND a.id_b = s.id_b
+WHERE s.n_shared_frames >= {VIDEO_SHARED_T}
+""",
+)
+def video_near_dup_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _video_fingerprints(spark, sf_dir).select(
+        "doc_id", "frame_idx", "frame_dhash"
+    )
+    return aligned_video_pairs(fp)
+
+
+def aligned_video_pairs(fp: DataFrame) -> DataFrame:
+    """(doc_id, frame_idx, frame_dhash) -> near-dup pairs with their
+    longest consecutive same-offset aligned run. Frame-based so the
+    incremental media tick can verify delta pairs with the same
+    algebra."""
+    fp = fp.localCheckpoint(eager=False)
+    hsig = fp.select("doc_id", "frame_dhash").distinct()
+    shared = (
+        hsig.alias("a")
+        .join(
+            hsig.alias("b"),
+            (F.col("a.frame_dhash") == F.col("b.frame_dhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= VIDEO_SHARED_T)
+    )
+    fm = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.frame_dhash") == F.col("b.frame_dhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.frame_idx").alias("ia"),
+            F.col("b.frame_idx").alias("ib"),
+        )
+        .distinct()
+        .withColumn("off", F.col("ib") - F.col("ia"))
+    )
+    isl = F.col("ia") - F.row_number().over(
+        Window.partitionBy("id_a", "id_b", "off").orderBy("ia")
+    )
+    runs = (
+        fm.withColumn("isl", isl)
+        .groupBy("id_a", "id_b", "off", "isl")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+    )
+    aligned = runs.groupBy("id_a", "id_b").agg(
+        F.max("run_len").alias("aligned_run")
+    )
+    return shared.join(aligned, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "n_shared_frames", "aligned_run"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Audio near-dup: window-energy gradient hash -> byte-band Hamming LSH
 # ---------------------------------------------------------------------------

@@ -242,3 +242,50 @@ def test_audio_variant_edits_are_sparse():
                   for s in range(MM.AUDIO_SEGMENTS)]
         diffs = sum(1 for a, b in zip(anchor, edited) if a != b)
         assert 0 < diffs < MM.AUDIO_SEGMENTS // 3
+
+
+def test_aligned_run_discriminates_reorder_from_trim(spark):
+    """video_near_dup_aligned's core claim: a TRIMMED copy aligns its
+    whole shared-frame set in one consecutive run, while a REORDERED
+    re-cut of the same frames fragments it."""
+    from falcon_metrics_etl_spark.plans.media_dedup import (
+        aligned_video_pairs,
+    )
+
+    w = 8 * MM.DHASH_GRID_W
+    h = 8 * MM.DHASH_GRID_H
+
+    def plane(key):
+        rows = []
+        for by in range(MM.DHASH_GRID_H):
+            row = b"".join(
+                bytes([MM.video_block_value(key, bx, by)]) * 8
+                for bx in range(MM.DHASH_GRID_W)
+            )
+            rows.extend([row] * 8)
+        return b"".join(rows)
+
+    base = [plane(f"T:{i}") for i in range(6)]
+    trimmed = base[1:] + [plane("T:fresh")]          # doc 1: trim+extend
+    reordered = [base[i] for i in (3, 0, 4, 1, 5, 2)]  # doc 2: re-cut
+    clips = [(0, base), (1, trimmed), (2, reordered)]
+    media = spark.createDataFrame(
+        [
+            (d, MM.encode_y4m_mono_raster(w, h, frames))
+            for d, frames in clips
+        ],
+        "doc_id long, payload binary",
+    )
+    fp = MM.video_frame_dhash(media)
+    rows = {
+        (r["id_a"], r["id_b"]): (r["n_shared_frames"], r["aligned_run"])
+        for r in aligned_video_pairs(fp).collect()
+    }
+    # trim pair: 5 shared frames, all in one aligned run
+    assert rows[(0, 1)] == (5, 5)
+    # reorder pair: all 6 frames shared, but no two stay consecutive
+    # under the chosen permutation -> aligned_run collapses to 1
+    assert rows[(0, 2)][0] == 6
+    assert rows[(0, 2)][1] == 1
+    # the distinct-frame count alone could NOT tell these apart
+    assert rows[(0, 2)][0] >= rows[(0, 1)][0]
