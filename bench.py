@@ -523,6 +523,49 @@ def corpus_incremental_runner(spark, sf_dir: str):
     return run, cleanup
 
 
+def media_incremental_runner(spark, sf_dir: str):
+    """Incremental perceptual-media tick, benched (r11): stage the
+    image band/hash indexes + the video frame inverted index on the
+    base slice ONCE untimed, then return (run_fn, cleanup_fn) where
+    run_fn times one delta tick through streaming/media_tick.py:
+    delta-only decode + fingerprint, band / frame-hash probes into
+    the persisted indexes, Hamming / shared-frame admission, index
+    appends. Replays of the same batch_id are near-identical (first
+    timed tick appends the batch's admitted rows — the corpus tick's
+    caveat). Read AGAINST media_near_dup_pairs / video_near_dup_pairs:
+    those recompute the full corpus every run; this is the per-batch
+    delta cost the maintained indexes exist to enable."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from falcon_metrics_etl_spark.plans.media_dedup import MEDIA_DELTA_MOD
+    from falcon_metrics_etl_spark.sources import load_table
+    from falcon_metrics_etl_spark.streaming.media_tick import (
+        media_ingest_tick,
+        stage_media_state,
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="bench_media_tick_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = docs.filter(F.col("doc_id") % MEDIA_DELTA_MOD != 0)
+    delta = docs.filter(F.col("doc_id") % MEDIA_DELTA_MOD == 0).persist()
+    delta.write.format("noop").mode("overwrite").save()
+    stage_media_state(spark, base, state_dir, batch_id=0)
+
+    def run() -> float:
+        t0 = time.time()
+        media_ingest_tick(spark, delta, state_dir, batch_id=1)
+        return time.time() - t0
+
+    def cleanup() -> None:
+        delta.unpersist()
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+    return run, cleanup
+
+
 def kanbanize_bucketed_runner(spark, sf_dir: str):
     """The bucketed Kanbanize card-fact path, benched (r8 built the
     mechanism + plan-parity pytest; r9 collects the number). Stages
@@ -692,6 +735,13 @@ def main() -> None:
         record("corpus_incremental_tick", *draw_runs(ci_run))
     finally:
         ci_cleanup()
+
+    # incremental perceptual-media tick (indexes staged once, untimed)
+    mi_run, mi_cleanup = media_incremental_runner(spark, sf_dir)
+    try:
+        record("media_incremental_tick", *draw_runs(mi_run))
+    finally:
+        mi_cleanup()
     c_runs = corpus_all[-len(c_totals):]
     corpus_stages = {
         s: round(sorted(r[1][s] for r in c_runs)[len(c_runs) // 2], 3)

@@ -441,6 +441,150 @@ def aligned_video_pairs(fp: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental index maintenance: delta images / clips probe the
+# persisted perceptual indexes (the minhash_incremental_update shape)
+# ---------------------------------------------------------------------------
+# fraction of the corpus playing the "newly arrived" delta — every
+# 17th doc (~6%), the same SF-proportional slice as LSH_DELTA_MOD so
+# the delta/base ratio is stable across scales
+MEDIA_DELTA_MOD = 17
+
+
+@register(
+    "media_incremental_update",
+    doc="Incremental image-dedup index maintenance — the delta shape "
+    "a perceptual media pipeline runs per ingest batch (r10 verdict "
+    "#3): new images (doc_id % 17 == 0 plays the arriving delta) are "
+    "DECODED AND FINGERPRINTED DELTA-ONLY, their 8x8-bit bands probe "
+    "the maintained band index with a band-key equi-join, and only "
+    "candidates touching the delta are Hamming-verified against the "
+    "stored 64-bit hashes. Never recomputes base-base pairs; the "
+    "probe side is delta-sized. Same banding/verification semantics "
+    "as media_near_dup_pairs (the oracle is its pair set filtered to "
+    "delta-touching pairs).",
+    tags=("multimodal", "dedup", "dhash", "lsh", "incremental"),
+    oracle=f"""
+WITH {_DUCK_DHASH},
+bands AS (
+    SELECT doc_id, codec, dhash, t.b AS band,
+           (dhash >> (t.b * 8)) & 255 AS byte
+    FROM hashes CROSS JOIN range({DHASH_BANDS}) t(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.codec AS codec_a, b.codec AS codec_b,
+           a.dhash AS h_a, b.dhash AS h_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, codec_a, codec_b,
+       bit_count(xor(h_a, h_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(h_a, h_b)) <= {DHASH_HAMMING_T}
+  AND (id_a % {MEDIA_DELTA_MOD} = 0 OR id_b % {MEDIA_DELTA_MOD} = 0)
+""",
+)
+def media_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # in production the base side reads the PERSISTED fingerprint/band
+    # index (streaming/media_tick.py); here both sides derive from the
+    # same decode (checkpointed once), but the plan keeps the
+    # delta-only probe shape: the left side is the ~6% delta slice
+    fp = _fingerprints(spark, sf_dir).localCheckpoint(eager=False)
+    bands = fp.select(
+        "doc_id",
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias(
+            "band"
+        ),
+    ).withColumn("byte", F.expr("(dhash >> (band * 8)) & 255"))
+    delta_bands = bands.filter(F.col("doc_id") % MEDIA_DELTA_MOD == 0)
+    cand = (
+        delta_bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    fa = fp.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("codec").alias("codec_a"),
+        F.col("dhash").alias("h_a"),
+    )
+    fb = fp.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("codec").alias("codec_b"),
+        F.col("dhash").alias("h_b"),
+    )
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", F.bit_count(F.expr("h_a ^ h_b")))
+        .filter(F.col("hamming") <= DHASH_HAMMING_T)
+        .select("id_a", "id_b", "codec_a", "codec_b", "hamming")
+    )
+
+
+@register(
+    "video_incremental_update",
+    doc="Incremental video-dedup index maintenance: new clips "
+    "(doc_id % 17 == 0 plays the delta) are frame-fingerprinted "
+    "DELTA-ONLY and probe the maintained frame-hash inverted index "
+    "(the 64-bit frame fingerprint IS the bucket key); only pairs "
+    "touching the delta are counted and thresholded. Base-base pairs "
+    "are never recomputed. Same semantics as video_near_dup_pairs "
+    "(the oracle is its pair set filtered to delta-touching pairs).",
+    tags=("multimodal", "video", "dedup", "lsh", "incremental"),
+    oracle=f"""
+WITH {_DUCK_VIDEO},
+vsig AS (SELECT DISTINCT doc_id, frame_dhash FROM vhashes),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_frames
+    FROM vsig a JOIN vsig b
+      ON a.frame_dhash = b.frame_dhash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_shared_frames
+FROM shared
+WHERE n_shared_frames >= {VIDEO_SHARED_T}
+  AND (id_a % {MEDIA_DELTA_MOD} = 0 OR id_b % {MEDIA_DELTA_MOD} = 0)
+""",
+)
+def video_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = (
+        _video_fingerprints(spark, sf_dir)
+        .select("doc_id", "frame_dhash")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    delta_sig = sig.filter(F.col("doc_id") % MEDIA_DELTA_MOD == 0)
+    shared = (
+        delta_sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.frame_dhash") == F.col("b.frame_dhash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+            F.col("a.frame_dhash").alias("frame_dhash"),
+        )
+        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_frames"))
+    )
+    return shared.filter(F.col("n_shared_frames") >= VIDEO_SHARED_T)
+
+
+# ---------------------------------------------------------------------------
 # Audio near-dup: window-energy gradient hash -> byte-band Hamming LSH
 # ---------------------------------------------------------------------------
 AUDIO_HAMMING_T = 12
