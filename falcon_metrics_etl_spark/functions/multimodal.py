@@ -3156,3 +3156,119 @@ def audio_energy_dhash(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         run, schema=AUDIO_FP_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio SPECTRAL fingerprint: exact fixed-point DFT band energies over
+# overlapping PCM windows (the production swap-in the energy-gradient
+# hash documents), r11
+# ---------------------------------------------------------------------------
+AUDIO_FFT_N = 128      # window length in samples (2 segments), stride 64
+AUDIO_FFT_HOP = 64     # 50% overlap
+AUDIO_FFT_BINS = 8     # non-DC bins k = 1..8 feed the band energy
+AUDIO_FFT_SCALE = 64   # fixed-point twiddle scale (6 fractional bits)
+
+
+def audio_fft_twiddles() -> tuple[list[int], list[int]]:
+    """Pinned integer twiddle table: T_re[m] = round(cos(2*pi*m/N)*S),
+    T_im[m] = -round(sin(2*pi*m/N)*S) for m = 0..N-1. The table is a
+    FIXED constant of the fingerprint definition — the engine computes
+    the DFT with it over real decoded samples, and the oracle embeds
+    the DERIVED half-window sums (audio_fft_halfsums), so cross-engine
+    parity never rides on trig evaluation."""
+    import math as _m
+
+    tre = [
+        int(_m.floor(_m.cos(2 * _m.pi * m / AUDIO_FFT_N)
+                     * AUDIO_FFT_SCALE + 0.5))
+        for m in range(AUDIO_FFT_N)
+    ]
+    tim = [
+        -int(_m.floor(_m.sin(2 * _m.pi * m / AUDIO_FFT_N)
+                      * AUDIO_FFT_SCALE + 0.5))
+        for m in range(AUDIO_FFT_N)
+    ]
+    return tre, tim
+
+
+def audio_fft_halfsums() -> list[tuple[int, int, int, int]]:
+    """(PR, PI, QR, QI) per bin k = 1..AUDIO_FFT_BINS: the twiddle
+    sums over the window's first and second halves. For a window
+    whose halves are constant amplitudes (A, B) — the fixture's shape
+    by construction — linearity gives X_k = A*(PR,PI) + B*(QR,QI)
+    EXACTLY, which is what the DuckDB oracle replays; the engine
+    computes the full per-sample DFT and must land on the same
+    integers."""
+    tre, tim = audio_fft_twiddles()
+    out = []
+    for k in range(1, AUDIO_FFT_BINS + 1):
+        pr = sum(tre[(k * n) % AUDIO_FFT_N] for n in range(64))
+        pi = sum(tim[(k * n) % AUDIO_FFT_N] for n in range(64))
+        qr = sum(tre[(k * n) % AUDIO_FFT_N] for n in range(64, 128))
+        qi = sum(tim[(k * n) % AUDIO_FFT_N] for n in range(64, 128))
+        out.append((pr, pi, qr, qi))
+    return out
+
+
+AUDIO_SPECTRAL_SCHEMA = "doc_id long, n_windows int, sphash long"
+
+
+def audio_spectral_dhash(media: DataFrame) -> DataFrame:
+    """Arrow-batched SPECTRAL audio fingerprint over REAL PCM decodes:
+    overlapping AUDIO_FFT_N-sample windows (hop AUDIO_FFT_HOP), exact
+    integer fixed-point DFT per window (the pinned twiddle table, all
+    int64 — |X| <= 8000*128*64 so squares stay well inside 64 bits),
+    band energy E = sum over bins 1..AUDIO_FFT_BINS of |X_k|^2, one
+    bit per adjacent-window energy gradient (Haitsma-Kalker-style
+    band-energy differencing, public algorithm). numpy int64 matmul:
+    (n_windows x N) sample matrix against the (N x 2*BINS) twiddle
+    matrix — vectorized, map-only, linear in samples."""
+    import numpy as np
+
+    tre, tim = audio_fft_twiddles()
+    mre = np.array(
+        [
+            [tre[(k * n) % AUDIO_FFT_N] for n in range(AUDIO_FFT_N)]
+            for k in range(1, AUDIO_FFT_BINS + 1)
+        ],
+        dtype=np.int64,
+    ).T  # (N, BINS)
+    mim = np.array(
+        [
+            [tim[(k * n) % AUDIO_FFT_N] for n in range(AUDIO_FFT_N)]
+            for k in range(1, AUDIO_FFT_BINS + 1)
+        ],
+        dtype=np.int64,
+    ).T
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_wav_samples(bytes(p))
+                xs = np.asarray(d["samples"], dtype=np.int64)
+                n_win = len(xs) // AUDIO_FFT_HOP - 1
+                if n_win < 2:
+                    raise ValueError("audio spectral: clip too short")
+                idx = (
+                    np.arange(n_win)[:, None] * AUDIO_FFT_HOP
+                    + np.arange(AUDIO_FFT_N)[None, :]
+                )
+                s = xs[idx]  # (n_win, N)
+                xr = s @ mre
+                xi = s @ mim
+                e = (xr * xr + xi * xi).sum(axis=1)
+                u = 0
+                for i in range(min(63, n_win - 1)):
+                    if e[i + 1] > e[i]:
+                        u |= 1 << i
+                if u >= 1 << 63:
+                    u -= 1 << 64
+                rows.append((int(doc_id), int(n_win), u))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_windows", "sphash"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=AUDIO_SPECTRAL_SCHEMA
+    )

@@ -727,6 +727,151 @@ def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Audio SPECTRAL near-dup: fixed-point DFT band energies (r11) — the
+# production swap-in the energy-gradient hash documented
+# ---------------------------------------------------------------------------
+AUDIO_SPECTRAL_T = 14
+
+
+def _duck_spectral_energy(a: str, b: str) -> str:
+    """Exact window band energy as SQL: the window's two constant
+    halves (A, B) hit the DFT linearly, X_k = A*(PR,PI) + B*(QR,QI)
+    with the half-window twiddle sums embedded as integer constants
+    (functions/multimodal.audio_fft_halfsums) — the engine must land
+    on the same integers by computing the full per-sample DFT over
+    the decoded stream."""
+    terms = []
+    for pr, pi, qr, qi in MM.audio_fft_halfsums():
+        re = f"CAST(({a})*({pr}) + ({b})*({qr}) AS BIGINT)"
+        im = f"CAST(({a})*({pi}) + ({b})*({qi}) AS BIGINT)"
+        terms.append(f"({re}) * ({re})")
+        terms.append(f"({im}) * ({im})")
+    return " + ".join(terms)
+
+
+_DUCK_SPECTRAL = f"""
+{_DUCK_AUDIO},
+awin AS (
+    SELECT l.doc_id, l.s AS w,
+           CAST({_duck_spectral_energy('l.amp', 'r.amp')} AS BIGINT) AS e
+    FROM asegs l
+    JOIN asegs r ON r.doc_id = l.doc_id AND r.s = l.s + 1
+),
+spbits AS (
+    SELECT l.doc_id, l.w AS i,
+           CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
+    FROM awin l
+    JOIN awin r ON r.doc_id = l.doc_id AND r.w = l.w + 1
+    WHERE l.w < 63
+),
+spfp AS (
+    SELECT doc_id,
+           SUM(CASE WHEN i < 32 THEN bit * (1::BIGINT << i)
+                    ELSE 0 END) AS lo,
+           SUM(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32))
+                    ELSE 0 END) AS hi
+    FROM spbits GROUP BY doc_id
+),
+sphashes AS (
+    SELECT doc_id,
+           CAST((hi - CASE WHEN hi >= 2147483648 THEN 4294967296
+                           ELSE 0 END) * 4294967296 + lo AS BIGINT)
+               AS sphash
+    FROM spfp
+)
+"""
+
+
+def _audio_spectral_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_payload_audio_clips(docs)
+    return MM.audio_spectral_dhash(media)
+
+
+@register(
+    "audio_fingerprint_spectral",
+    doc="SPECTRAL audio fingerprint over REAL PCM decodes — the "
+    "production shape the energy-gradient hash documented as its "
+    f"swap-in: {MM.AUDIO_FFT_N}-sample windows at 50% overlap, exact "
+    f"fixed-point integer DFT (pinned scale-{MM.AUDIO_FFT_SCALE} "
+    f"twiddle table, the functions/jpeg.py exact-integer discipline), "
+    f"band energy over bins 1..{MM.AUDIO_FFT_BINS}, one bit per "
+    "adjacent-window energy gradient (Haitsma-Kalker-style band "
+    "differencing). The oracle exploits the fixture's "
+    "constant-amplitude halves: DFT linearity collapses each window "
+    "to A*(PR,PI) + B*(QR,QI) with the half-window twiddle sums "
+    "embedded as integer constants — matching it requires the engine "
+    "to decode the PCM and run the actual per-sample transform. "
+    "numpy int64 matmul inside mapInPandas; map-only, zero shuffles.",
+    tags=("multimodal", "audio", "dedup", "fft", "pandas-udf"),
+    oracle=f"""
+WITH {_DUCK_SPECTRAL}
+SELECT doc_id, CAST(64 AS INT) AS n_windows, sphash
+FROM sphashes
+""",
+)
+def audio_fingerprint_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _audio_spectral_fps(spark, sf_dir)
+
+
+@register(
+    "audio_spectral_pairs",
+    doc=f"Audio near-dup pairs over the SPECTRAL fingerprint: the "
+    f"same {DHASH_BANDS}x8-bit byte-band Hamming index as the image, "
+    f"SimHash and energy-hash pairings (one index design, now four "
+    f"fingerprint families), candidates verified at Hamming <= "
+    f"{AUDIO_SPECTRAL_T}. Banded equi-join only; no all-pairs product.",
+    tags=("multimodal", "audio", "dedup", "fft", "lsh", "join"),
+    oracle=f"""
+WITH {_DUCK_SPECTRAL},
+spbands AS (
+    SELECT doc_id, sphash, t.b AS band,
+           (sphash >> (t.b * 8)) & 255 AS byte
+    FROM sphashes CROSS JOIN range({DHASH_BANDS}) t(b)
+),
+spcand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sphash AS h_a, b.sphash AS h_b
+    FROM spbands a JOIN spbands b
+      ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(h_a, h_b)) AS hamming
+FROM spcand WHERE bit_count(xor(h_a, h_b)) <= {AUDIO_SPECTRAL_T}
+""",
+)
+def audio_spectral_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _audio_spectral_fps(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "sphash",
+        F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias(
+            "band"
+        ),
+    ).withColumn("byte", F.expr("(sphash >> (band * 8)) & 255"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sphash").alias("h_a"),
+            F.col("b.sphash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("h_a ^ h_b")))
+        .filter(F.col("hamming") <= AUDIO_SPECTRAL_T)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 @register(
     "media_dedup_keep_best",
     doc="The image-dedup loop closed with PRODUCTION keep semantics "

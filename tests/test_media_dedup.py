@@ -289,3 +289,51 @@ def test_aligned_run_discriminates_reorder_from_trim(spark):
     assert rows[(0, 2)][1] == 1
     # the distinct-frame count alone could NOT tell these apart
     assert rows[(0, 2)][0] >= rows[(0, 1)][0]
+
+
+def test_spectral_dhash_is_a_real_dft(spark):
+    """The spectral fingerprint must come from the actual per-sample
+    transform, not the oracle's constant-halves shortcut: feed a RAMP
+    signal (no two samples equal inside a window) and check the
+    engine against an independent pure-Python DFT over the same
+    pinned twiddle table."""
+    tre, tim = MM.audio_fft_twiddles()
+    n_seg = 6  # 384 samples -> 5 windows -> 4 gradient bits
+    samples = [((7 * i) % 16001) - 8000 for i in range(64 * n_seg)]
+    media = spark.createDataFrame(
+        [(0, MM.encode_wav_pcm16(samples))], "doc_id long, payload binary"
+    )
+    row = MM.audio_spectral_dhash(media).collect()[0]
+    n_win = len(samples) // MM.AUDIO_FFT_HOP - 1
+    assert row["n_windows"] == n_win == 5
+
+    def energy(w):
+        e = 0
+        xs = samples[w * 64 : w * 64 + 128]
+        for k in range(1, MM.AUDIO_FFT_BINS + 1):
+            re = sum(x * tre[(k * n) % 128] for n, x in enumerate(xs))
+            im = sum(x * tim[(k * n) % 128] for n, x in enumerate(xs))
+            e += re * re + im * im
+        return e
+
+    es = [energy(w) for w in range(n_win)]
+    u = 0
+    for i in range(n_win - 1):
+        if es[i + 1] > es[i]:
+            u |= 1 << i
+    if u >= 1 << 63:
+        u -= 1 << 64
+    assert row["sphash"] == u
+
+
+def test_spectral_halfsum_linearity():
+    """audio_fft_halfsums must equal the per-sample DFT of a
+    constant-halves window — the identity the oracle rides on."""
+    tre, tim = MM.audio_fft_twiddles()
+    a, b = 1234, -567
+    xs = [a] * 64 + [b] * 64
+    for k, (pr, pi, qr, qi) in enumerate(MM.audio_fft_halfsums(), 1):
+        re = sum(x * tre[(k * n) % 128] for n, x in enumerate(xs))
+        im = sum(x * tim[(k * n) % 128] for n, x in enumerate(xs))
+        assert re == a * pr + b * qr
+        assert im == a * pi + b * qi
