@@ -702,3 +702,51 @@ def test_stream_sessionize_tws_parity_with_group_state(spark, tmp_path):
     assert results["tws"][("A", "2024-01-01 10:00:00")] == (
         "2024-01-01 10:10:00", 2,
     )
+
+
+def test_stream_windowed_daily_structure(spark, tmp_path):
+    """Re-baseline of the stream_windowed_daily bench entry (r10
+    verdict #5): the wall time drifted ~2x across rounds with
+    byte-identical code and plan (fresh checkpoint + state store +
+    commit log per run, AQE off in stateful mode — all environment),
+    so round-over-round claims now ride on STRUCTURE, pinned here:
+    ONE availableNow micro-batch drains the whole events file, input
+    rows equal the table's count, the state store holds exactly one
+    row per (day window, event_type) group, and the update-mode sink
+    emits each group exactly once. Wall time carries a documented
+    1.0-4.5s band at sf0.1 (bench payload's "bands"; SCALE.md r11)."""
+    from falcon_metrics_etl_spark.sources import load_table
+    from falcon_metrics_etl_spark.streaming.jobs import (
+        stream_events,
+        stream_windowed_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    agg = stream_windowed_counts(
+        spark, "", "", source=stream_events(spark, sf)
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [p for p in q.recentProgress if p.numInputRows > 0]
+
+    events = load_table(spark, sf, "events")
+    n_rows = events.count()
+    n_groups = (
+        events.select(
+            F.window("ts", "1 day").alias("win"), "event_type"
+        )
+        .distinct()
+        .count()
+    )
+    assert len(progress) == 1, "availableNow must drain in ONE batch"
+    p = progress[0]
+    assert p.numInputRows == n_rows
+    state = p.stateOperators[0]
+    assert state["numRowsTotal"] == n_groups
+    assert p.sink["numOutputRows"] == n_groups
