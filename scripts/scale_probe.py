@@ -99,6 +99,17 @@ DEFAULT_QUERIES = [
     "corpus_cleaning_audit_fast",
     "cfd",
     "cfd_incremental_update",
+    # round-11 operators: unigram-LM tokenizer (vocab-bounded EM +
+    # dictionary encode — replication multiplies word counts, the
+    # sketch and vocabulary are unchanged, encode scales with docs),
+    # spectral audio fingerprint (map-only integer DFT). The media
+    # PAIR queries replicate meaningfully too (payloads derive from
+    # doc_id, so fresh replicas mint fresh content groups — pair
+    # volume scales linearly, not cross-replica-quadratically); run
+    # them by naming them explicitly, as r10/r11 SCALE.md did.
+    "ulm_train_vocab",
+    "ulm_encode_stats",
+    "audio_fingerprint_spectral",
 ]
 
 # key columns to offset per replica, per table (disjoint key spaces)
