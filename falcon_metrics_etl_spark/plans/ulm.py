@@ -369,6 +369,101 @@ def ulm_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BUDGET = 2048  # tokens per training shard (matches the BPE twin)
+_DUCK_DOC_HASH = (
+    "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+)
+
+_PACK_ORACLE = (
+    "WITH "
+    + _DUCK_SKETCH
+    + _em_ctes()
+    + _encode_ctes()
+    + f""",
+doc_toks AS MATERIALIZED (
+  SELECT w.doc_id, CAST(SUM(e.n_toks) AS BIGINT) AS n_tokens
+  FROM words w JOIN estats e USING (word)
+  GROUP BY w.doc_id
+),
+t AS (
+  SELECT d.doc_id, d.lang, dt.n_tokens, {_DUCK_DOC_HASH} AS h
+  FROM documents d JOIN doc_toks dt USING (doc_id)
+),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY h, CAST(doc_id AS VARCHAR)
+      ROWS UNBOUNDED PRECEDING
+  ) AS cum
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(FLOOR((cum - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+FROM c
+"""
+)
+
+
+@register(
+    "ulm_sequence_packing",
+    doc="Pipeline composition: fixed-budget training-shard packing "
+    "driven by REAL unigram-LM token counts — train -> Viterbi "
+    "dictionary-encode -> per-doc token budget -> hash-ordered "
+    "running-sum binning within each lang (sequence_packing's "
+    "operator), documents never split, overflow bounded by one doc. "
+    "The BPE twin is bpe_sequence_packing; a pretrain pipeline picks "
+    "its tokenizer and keeps the identical packing stage. The oracle "
+    "chains the full EM replay + encode DP into the packing window.",
+    tags=("packing", "tokenizer", "unigram-lm", "window", "training-data"),
+    oracle=_PACK_ORACLE,
+)
+def ulm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.sampling import pack_sequences
+
+    words = _words_df(spark, sf_dir)
+    vocab = _ulm_vocab_df(words)
+    varr = vocab.agg(
+        F.sort_array(F.collect_list(F.struct("piece", "cost"))).alias("vl")
+    )
+    dw = words.select("word").distinct()
+
+    def encode(batches):
+        from falcon_metrics_etl_spark.functions.ulm import encode_stats
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"word": [], "n_toks": []})
+                continue
+            vl = pdf["vl"].iloc[0]
+            costs = {v["piece"]: int(v["cost"]) for v in vl}
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_toks": [
+                        encode_stats(w, costs)[0] for w in pdf["word"]
+                    ],
+                }
+            )
+
+    enc = dw.crossJoin(F.broadcast(varr)).mapInPandas(
+        encode, "word string, n_toks int"
+    )
+    doc_toks = (
+        words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_toks").cast("long").alias("n_tokens"))
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .join(doc_toks, "doc_id")
+        .withColumn("k", F.col("doc_id").cast("string"))
+    )
+    packed = pack_sequences(
+        docs, "k", "n_tokens", _PACK_BUDGET, pack_key_cols=["lang"]
+    )
+    return packed.select("doc_id", "lang", "n_tokens", "pack_id")
+
+
 # keep the sentinel import referenced (the encoder embeds chr(1) via
 # the oracle; the Python side uses the same constant)
 assert ULM_UNK_PIECE == chr(1)

@@ -65,8 +65,10 @@ CARTESIAN_OK = {
     # byte-level alphabet (r9)
     "bpe_byte_encode_stats",
     # same 1-row broadcast vocabulary-array crossJoin onto the
-    # distinct-word dictionary (r11 unigram-LM encoder)
+    # distinct-word dictionary (r11 unigram-LM encoder + its packing
+    # composition)
     "ulm_encode_stats",
+    "ulm_sequence_packing",
     # 1-row broadcast per-dim absmax crossJoin (r9 SQ8 quantization —
     # the centroid pattern)
     "embedding_int8_stats",
