@@ -355,8 +355,9 @@ shared AS (
     GROUP BY a.doc_id, b.doc_id
 ),
 fm AS (
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           a.s AS ia, b.s AS ib
+    -- (ia, ib) needs no DISTINCT: a frame index carries exactly one
+    -- hash, so a match pair can only be produced once
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS ia, b.s AS ib
     FROM vhashes a JOIN vhashes b
       ON a.frame_dhash = b.frame_dhash AND a.doc_id < b.doc_id
 ),
@@ -421,7 +422,9 @@ def aligned_video_pairs(fp: DataFrame) -> DataFrame:
             F.col("a.frame_idx").alias("ia"),
             F.col("b.frame_idx").alias("ib"),
         )
-        .distinct()
+        # no distinct: (ia, ib) is already unique per pair — a frame
+        # index carries exactly one hash (saves a full shuffle+dedup
+        # over the biggest intermediate; r11 plan-audit trim 6 -> 5)
         .withColumn("off", F.col("ib") - F.col("ia"))
     )
     isl = F.col("ia") - F.row_number().over(
