@@ -40,6 +40,7 @@ from pyspark.sql import Window
 
 from falcon_metrics_etl_spark.functions import multimodal as MM
 from falcon_metrics_etl_spark.plans.registry import register
+from falcon_metrics_etl_spark.session import perf_checkpoint
 from falcon_metrics_etl_spark.sources import load_table
 
 DHASH_HAMMING_T = 12  # within-group edits measure 0..~14 bits apart
@@ -162,7 +163,11 @@ FROM cand WHERE bit_count(xor(h_a, h_b)) <= {DHASH_HAMMING_T}
 """,
 )
 def media_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = _fingerprints(spark, sf_dir)
+    # lazy checkpoint: the banded self-join consumes the decoded
+    # fingerprint frame twice — materialize the ~40-byte rows once
+    # instead of decoding the corpus twice (the r11 keep-best pattern,
+    # A/B'd 0.48x there)
+    fp = perf_checkpoint(_fingerprints(spark, sf_dir))
     bands = fp.select(
         "doc_id",
         "codec",
@@ -308,9 +313,13 @@ FROM shared WHERE n_shared_frames >= {VIDEO_SHARED_T}
 """,
 )
 def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _video_fingerprints(spark, sf_dir).select(
-        "doc_id", "frame_dhash"
-    ).distinct()
+    # lazy checkpoint: the inverted-index self-join reads the decoded
+    # frame signatures twice — decode the clips once
+    sig = perf_checkpoint(
+        _video_fingerprints(spark, sf_dir)
+        .select("doc_id", "frame_dhash")
+        .distinct()
+    )
     shared = (
         sig.alias("a")
         .join(
@@ -393,7 +402,7 @@ def aligned_video_pairs(fp: DataFrame) -> DataFrame:
     longest consecutive same-offset aligned run. Frame-based so the
     incremental media tick can verify delta pairs with the same
     algebra."""
-    fp = fp.localCheckpoint(eager=False)
+    fp = perf_checkpoint(fp)
     hsig = fp.select("doc_id", "frame_dhash").distinct()
     shared = (
         hsig.alias("a")
@@ -492,7 +501,7 @@ def media_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index (streaming/media_tick.py); here both sides derive from the
     # same decode (checkpointed once), but the plan keeps the
     # delta-only probe shape: the left side is the ~6% delta slice
-    fp = _fingerprints(spark, sf_dir).localCheckpoint(eager=False)
+    fp = perf_checkpoint(_fingerprints(spark, sf_dir))
     bands = fp.select(
         "doc_id",
         "dhash",
@@ -561,11 +570,10 @@ WHERE n_shared_frames >= {VIDEO_SHARED_T}
 """,
 )
 def video_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = (
+    sig = perf_checkpoint(
         _video_fingerprints(spark, sf_dir)
         .select("doc_id", "frame_dhash")
         .distinct()
-        .localCheckpoint(eager=False)
     )
     delta_sig = sig.filter(F.col("doc_id") % MEDIA_DELTA_MOD == 0)
     shared = (
@@ -698,7 +706,8 @@ FROM acand WHERE bit_count(xor(h_a, h_b)) <= {AUDIO_HAMMING_T}
 """,
 )
 def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = _audio_fingerprints(spark, sf_dir)
+    # lazy checkpoint: decode the PCM corpus once, not twice
+    fp = perf_checkpoint(_audio_fingerprints(spark, sf_dir))
     bands = fp.select(
         "doc_id",
         "ahash",
@@ -844,7 +853,8 @@ FROM spcand WHERE bit_count(xor(h_a, h_b)) <= {AUDIO_SPECTRAL_T}
 """,
 )
 def audio_spectral_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = _audio_spectral_fps(spark, sf_dir)
+    # lazy checkpoint: decode + DFT the PCM corpus once, not twice
+    fp = perf_checkpoint(_audio_spectral_fps(spark, sf_dir))
     bands = fp.select(
         "doc_id",
         "sphash",
@@ -963,9 +973,7 @@ def media_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy checkpoint: the decoded fingerprint frame feeds the banded
     # self-join AND the member list — materialize the ~40-byte rows
     # once instead of decoding the corpus three times
-    fp = MM.media_dhash(media, with_detail=True).localCheckpoint(
-        eager=False
-    )
+    fp = perf_checkpoint(MM.media_dhash(media, with_detail=True))
     bands = fp.select(
         "doc_id",
         "dhash",
