@@ -2774,13 +2774,16 @@ def attach_payload_dhash_corpus(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 g, v = divmod(doc_id, DHASH_GROUP)
-                img = [
-                    [
-                        dhash_block_value(g, v, x // 8, y // 8)
-                        for x in range(8 * DHASH_GRID_W)
-                    ]
-                    for y in range(8 * DHASH_GRID_H)
-                ]
+                # one md5 draw PER BLOCK, expanded to pixels — not one
+                # per pixel (r11: the per-pixel form recomputed each
+                # block's md5 64x and dominated the whole media bench
+                # at ~74% of pair-query cost; identical raster)
+                img = []
+                for by in range(DHASH_GRID_H):
+                    row: list = []
+                    for bx in range(DHASH_GRID_W):
+                        row.extend([dhash_block_value(g, v, bx, by)] * 8)
+                    img.extend([row] * 8)
                 if doc_id % 2 == 0:
                     rows_out.append(
                         (doc_id, "image", "png", encode_png_gray_raster(img))
