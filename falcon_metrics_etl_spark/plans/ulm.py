@@ -464,6 +464,74 @@ def ulm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "lang", "n_tokens", "pack_id")
 
 
+def words_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) frame -> the char-level (doc_id, word) stream
+    under the SAME filter as the training sketch (<= MAX_WORD_LEN
+    chars, no ASCII control chars) — frame-based so the incremental
+    ingest tick can tokenize a delta batch (the char-level sibling of
+    plans/bpe.byte_words_of)."""
+    w = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word")
+    )
+    return w.filter(
+        (F.length("word") >= 1)
+        & (F.length("word") <= MAX_WORD_LEN)
+        & ~F.col("word").rlike("[\\x00-\\x1f\\x7f]")
+    )
+
+
+def ulm_token_budgets(
+    words: DataFrame, vocab: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, word) stream -> per-doc unigram-LM token budgets
+    (doc_id, n_pretokens, n_tokens, n_unk): Viterbi-encode DISTINCT
+    words against a broadcast (piece, cost) vocabulary — either a
+    caller-supplied FROZEN ``vocab`` (the incremental-ingest shape:
+    a tick must tokenize its delta with the tokenizer the corpus was
+    trained with, never retrain) or one trained on the stream's own
+    sketch. The ULM sibling of plans/bpe.byte_token_budgets, shared
+    by the registered queries and streaming/corpus_tick.py."""
+    if vocab is None:
+        vocab = _ulm_vocab_df(words)
+    varr = vocab.agg(
+        F.sort_array(F.collect_list(F.struct("piece", "cost"))).alias("vl")
+    )
+    dw = words.select("word").distinct()
+
+    def encode(batches):
+        from falcon_metrics_etl_spark.functions.ulm import encode_stats
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"word": [], "n_toks": [], "n_unk": []}
+                )
+                continue
+            vl = pdf["vl"].iloc[0]
+            costs = {v["piece"]: int(v["cost"]) for v in vl}
+            stats = [encode_stats(w, costs) for w in pdf["word"]]
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_toks": [s[0] for s in stats],
+                    "n_unk": [s[1] for s in stats],
+                }
+            )
+
+    enc = dw.crossJoin(F.broadcast(varr)).mapInPandas(
+        encode, "word string, n_toks int, n_unk int"
+    )
+    return (
+        words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pretokens"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("n_unk").cast("long").alias("n_unk"),
+        )
+    )
+
+
 # keep the sentinel import referenced (the encoder embeds chr(1) via
 # the oracle; the Python side uses the same constant)
 assert ULM_UNK_PIECE == chr(1)

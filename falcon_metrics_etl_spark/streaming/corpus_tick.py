@@ -24,7 +24,10 @@ probe side plans with no Exchange):
   buckets of every ADMITTED doc
 - ``shingle_index`` (doc_id, shs array, batch_id) — admitted docs'
   distinct shingles, fetched only for verification candidates
-- ``merges``      (merge_rank, lhs, rhs) — the frozen tokenizer
+- ``merges``      (merge_rank, lhs, rhs) — the frozen byte-BPE
+  tokenizer; OR ``ulm_vocab`` (piece, piece_count, cost) — the frozen
+  unigram-LM vocabulary (r11: the tokenizer is pluggable; the tick
+  encodes deltas with whichever the corpus was trained with)
 - ``flags``       (doc_id, status, n_tokens, batch_id) — per-doc
   verdicts, landed through the keyed MERGE writer
 
@@ -81,13 +84,24 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
 def stage_corpus_state(
     spark: SparkSession,
     docs: DataFrame,
-    merges: DataFrame,
+    merges: DataFrame | None,
     state_dir: str,
     batch_id: int = 0,
+    ulm_vocab: DataFrame | None = None,
 ) -> None:
     """Tick-0 backfill: persist the corpus state the incremental
     ingest maintains, from an already-cleaned base corpus (the
-    caller runs the batch pipeline once; this lands its indexes)."""
+    caller runs the batch pipeline once; this lands its indexes).
+
+    The frozen tokenizer is PLUGGABLE (r11): pass ``merges`` for the
+    byte-BPE corpus or ``ulm_vocab`` (piece, piece_count, cost) for a
+    unigram-LM corpus — exactly one; the tick detects which state
+    exists and encodes its deltas with the tokenizer the corpus was
+    trained with."""
+    if (merges is None) == (ulm_vocab is None):
+        raise ValueError(
+            "stage_corpus_state: pass exactly one of merges / ulm_vocab"
+        )
     gated = _gate_status(docs).localCheckpoint(eager=True)
     passed = gated.filter(F.col("gate_status") == "pass")
     canon = passed.withColumn(
@@ -107,7 +121,10 @@ def stage_corpus_state(
     toks.select("doc_id", "shs", tag).write.mode("overwrite").parquet(
         f"{state_dir}/shingle_index"
     )
-    merges.write.mode("overwrite").parquet(f"{state_dir}/merges")
+    if merges is not None:
+        merges.write.mode("overwrite").parquet(f"{state_dir}/merges")
+    else:
+        ulm_vocab.write.mode("overwrite").parquet(f"{state_dir}/ulm_vocab")
 
 
 def corpus_ingest_tick(
@@ -222,9 +239,22 @@ def corpus_ingest_tick(
         "doc_id", "text"
     )
 
-    # --- tokenize admitted docs with the FROZEN merge table ---------
-    merges = spark.read.parquet(f"{state_dir}/merges")
-    budgets = byte_token_budgets(byte_words_of(admitted), merges=merges)
+    # --- tokenize admitted docs with the FROZEN tokenizer -----------
+    # whichever the corpus was trained with: byte-BPE merge table or
+    # unigram-LM vocabulary (r11 — never retrain inside a tick)
+    if _target_exists(spark, f"{state_dir}/ulm_vocab"):
+        from falcon_metrics_etl_spark.plans.ulm import (
+            ulm_token_budgets,
+            words_of,
+        )
+
+        vocab = spark.read.parquet(f"{state_dir}/ulm_vocab")
+        budgets = ulm_token_budgets(words_of(admitted), vocab=vocab)
+    else:
+        merges = spark.read.parquet(f"{state_dir}/merges")
+        budgets = byte_token_budgets(
+            byte_words_of(admitted), merges=merges
+        )
 
     # --- land flags (keyed merge) + append indexes (anti-joined) ----
     status = (

@@ -216,3 +216,51 @@ def test_second_batch_sees_first_batch_admissions(spark, state):
     )
     corpus_ingest_tick(spark, batch2, state_dir, batch_id=2)
     assert _flags(spark, state_dir)[910001][0] == "dropped:duplicate"
+
+
+def test_tick_with_frozen_ulm_vocab(spark, tmp_path):
+    """The pluggable-tokenizer path (r11): stage the corpus state with
+    a frozen unigram-LM vocabulary instead of BPE merges — the tick
+    must detect it, Viterbi-encode admitted deltas against it, and
+    produce n_tokens matching the direct batch encode."""
+    from falcon_metrics_etl_spark.plans.ulm import (
+        _ulm_vocab_df,
+        ulm_token_budgets,
+        words_of,
+    )
+
+    state_dir = str(tmp_path / "ulm_state")
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    planted = _passing_texts(spark, 2)
+    base = docs.filter(F.col("doc_id") % DELTA_MOD != 0)
+    vocab = _ulm_vocab_df(words_of(base)).localCheckpoint(eager=True)
+    stage_corpus_state(
+        spark, base, None, state_dir, batch_id=0, ulm_vocab=vocab
+    )
+    delta = spark.createDataFrame(
+        [(910001, planted[0]), (910002, planted[1])],
+        "doc_id long, text string",
+    )
+    corpus_ingest_tick(spark, delta, state_dir, batch_id=1)
+    flags = {
+        r.doc_id: (r.status, r.n_tokens)
+        for r in spark.read.parquet(f"{state_dir}/flags").collect()
+    }
+    assert flags[910001][0] == "kept" and flags[910002][0] == "kept"
+    # n_tokens must equal the direct frozen-vocab batch encode
+    expected = {
+        r.doc_id: r.n_tokens
+        for r in ulm_token_budgets(words_of(delta), vocab=vocab).collect()
+    }
+    assert flags[910001][1] == expected[910001]
+    assert flags[910002][1] == expected[910002]
+    # replay idempotence holds on the ULM path too
+    before = spark.read.parquet(f"{state_dir}/band_index").count()
+    corpus_ingest_tick(spark, delta, state_dir, batch_id=1)
+    assert spark.read.parquet(f"{state_dir}/band_index").count() == before
+
+
+def test_stage_requires_exactly_one_tokenizer(spark, tmp_path):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        stage_corpus_state(spark, docs, None, str(tmp_path / "s1"))
