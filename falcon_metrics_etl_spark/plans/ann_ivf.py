@@ -163,6 +163,137 @@ def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fraction of the vectors playing the "newly arrived" delta in the
+# incremental index-maintenance query — every 17th vec_id (~6%), the
+# same SF-proportional convention as LSH_DELTA_MOD / MEDIA_DELTA_MOD
+IVF_DELTA_MOD = 17
+
+
+@register(
+    "ann_ivf_incremental",
+    doc="Incremental IVF index maintenance — the vector-side member "
+    "of the delta family (text LSH, image bands, video frames; r11): "
+    f"new vectors (vec_id % {IVF_DELTA_MOD} == 0 plays the arriving "
+    "delta) are assigned to the FROZEN coarse centroids DELTA-ONLY "
+    "(broadcast map + per-delta-vector argmin — never a base-wide "
+    "re-assignment; a maintenance tick appends these rows to the "
+    "persisted inverted file), and each standing query's probe cells "
+    "surface its top-k among the NEW candidates — the rows a tick "
+    "merges into the per-query result lists by score. Oracle: the "
+    "full IVF probe-scored pair set filtered to delta neighbors, "
+    "ranked within the delta (the minhash_incremental_update shape).",
+    tags=("vector", "ivf", "incremental", "join", "window"),
+    oracle=f"""
+WITH iv AS (
+    SELECT vec_id, {_DUCK_QUANT} AS q FROM embeddings
+),
+n AS (
+    SELECT vec_id, q, list_dot_product(q, q) AS nsq FROM iv
+),
+cents AS (
+    SELECT vec_id AS cent_id, q AS cq, nsq AS cnsq FROM n
+    WHERE vec_id < {IVF_K}
+),
+aff AS (
+    SELECT v.vec_id, v.q, v.nsq, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.q, c.cq) / sqrt(c.cnsq) DESC,
+                                       c.cent_id) AS crank
+    FROM n v CROSS JOIN cents c
+),
+assign AS (
+    SELECT vec_id, q, nsq, cent_id AS cell FROM aff
+    WHERE crank = 1 AND vec_id % {IVF_DELTA_MOD} = 0
+),
+probes AS (
+    SELECT vec_id AS query_id, q AS qv, nsq AS qn, cent_id AS cell
+    FROM aff WHERE vec_id < {IVF_N_QUERIES} AND crank <= {IVF_PROBE}
+),
+scored AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           ROUND(list_dot_product(p.qv, a.q) / sqrt(p.qn) / sqrt(a.nsq), 6)
+               AS cosine
+    FROM probes p JOIN assign a ON a.cell = p.cell
+    WHERE a.vec_id <> p.query_id
+),
+dedup AS (SELECT DISTINCT query_id, neighbor_id, cosine FROM scored),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM dedup
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= {IVF_TOPK}
+""",
+)
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VX.quantize(F.col("embedding")).alias("q")
+    )
+    n = emb.withColumn("nsq", VX.int_norm_sq(F.col("q")))
+    cents = n.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("q").alias("cq"),
+        F.col("nsq").alias("cnsq"),
+    )
+    score = VX.int_dot(F.col("q"), F.col("cq")).cast("double") / F.sqrt(
+        F.col("cnsq").cast("double")
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cent_id")
+    )
+    # DELTA-ONLY assignment: the broadcast-affinity window runs over
+    # the ~6% slice, never the base (whose assignments a production
+    # tick reads from the persisted inverted file)
+    assign = (
+        n.filter(F.col("vec_id") % IVF_DELTA_MOD == 0)
+        .join(F.broadcast(cents))
+        .withColumn("score", score)
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "q", "nsq", F.col("cent_id").alias("cell"))
+    )
+    probes = (
+        n.filter(F.col("vec_id") < IVF_N_QUERIES)
+        .join(F.broadcast(cents))
+        .withColumn("score", score)
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= IVF_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qv"),
+            F.col("nsq").alias("qn"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                VX.cosine_from_int(
+                    VX.int_dot(F.col("qv"), F.col("q")),
+                    F.col("qn"),
+                    F.col("nsq"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 SEMDEDUP_K = 16      # coarse cells for the cluster-scoped dedup
 SEMDEDUP_TAU = 0.4   # within-cell cosine threshold
 
