@@ -452,6 +452,124 @@ def aligned_video_pairs(fp: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "video_dedup_keep_best",
+    doc="The video-dedup loop closed (the image family's r11 "
+    "keep-best, restated for clips): connected components over the "
+    "frame-sharing near-dup pairs, keep the doc with the MOST "
+    "decoded frames per cluster (a trimmed copy loses to the longer "
+    "original — the clip-world quality rule), ties to min doc_id; "
+    "unclustered clips keep themselves. Frame counts come from the "
+    "real Y4M frame walk; the oracle recomputes components via "
+    "recursive transitive closure and counts frames from the slot "
+    "replay.",
+    tags=("multimodal", "video", "dedup", "iterative", "training-data"),
+    oracle=f"""
+WITH RECURSIVE {_DUCK_VIDEO},
+vsig AS (SELECT DISTINCT doc_id, frame_dhash FROM vhashes),
+nfr AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM vhashes GROUP BY doc_id
+),
+prs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM vsig a JOIN vsig b
+      ON a.frame_dhash = b.frame_dhash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {VIDEO_SHARED_T}
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM prs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM prs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+members AS (
+    SELECT f.doc_id, f.n_frames,
+           COALESCE(c.cluster_id, f.doc_id) AS cluster_id
+    FROM nfr f LEFT JOIN comp c ON c.node = f.doc_id
+),
+best AS (
+    SELECT cluster_id, doc_id AS keep_id FROM (
+        SELECT cluster_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY n_frames DESC, doc_id) AS rn
+        FROM members
+    ) WHERE rn = 1
+)
+SELECT m.doc_id, m.n_frames, m.cluster_id, b.keep_id,
+       CASE WHEN m.doc_id = b.keep_id THEN 'kept' ELSE 'dropped' END
+           AS status
+FROM members m JOIN best b ON b.cluster_id = m.cluster_id
+""",
+)
+def video_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _video_fingerprints(spark, sf_dir).select(
+        "doc_id", "frame_idx", "frame_dhash"
+    )
+    return video_keep_best_of(fp)
+
+
+def video_keep_best_of(fp: DataFrame) -> DataFrame:
+    """(doc_id, frame_idx, frame_dhash) -> per-clip keep-best rows.
+    Frame-based so the pytest can prove the longest-clip rule on
+    variable-length hand-built clips (the corpus fixture's clips are
+    all VIDEO_FRAMES long, which exercises only the min-id tiebreak)."""
+    from falcon_metrics_etl_spark.operators.components import (
+        duplicate_clusters,
+    )
+
+    fp = perf_checkpoint(fp)
+    nfr = fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
+    )
+    sig = fp.select("doc_id", "frame_dhash").distinct()
+    pairs = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.frame_dhash") == F.col("b.frame_dhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= VIDEO_SHARED_T)
+        .select("id_a", "id_b")
+    )
+    comp = duplicate_clusters(pairs).select("node", "cluster_id")
+    members = (
+        nfr.join(comp, nfr["doc_id"] == comp["node"], "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+        )
+        .select("doc_id", "n_frames", "cluster_id")
+    )
+    best = F.max(
+        F.struct(
+            F.col("n_frames").alias("nf"),
+            (-F.col("doc_id")).alias("negid"),
+        )
+    ).over(Window.partitionBy("cluster_id"))
+    return members.withColumn("keep_id", -best.getField("negid")).select(
+        "doc_id",
+        "n_frames",
+        "cluster_id",
+        "keep_id",
+        F.when(F.col("doc_id") == F.col("keep_id"), F.lit("kept"))
+        .otherwise(F.lit("dropped"))
+        .alias("status"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental index maintenance: delta images / clips probe the
 # persisted perceptual indexes (the minhash_incremental_update shape)

@@ -337,3 +337,50 @@ def test_spectral_halfsum_linearity():
         im = sum(x * tim[(k * n) % 128] for n, x in enumerate(xs))
         assert re == a * pr + b * qr
         assert im == a * pi + b * qi
+
+
+def test_video_keep_best_prefers_longest_clip(spark):
+    """video_dedup_keep_best's quality rule on variable-length clips
+    (the corpus fixture's clips are all the same length, exercising
+    only the tiebreak): the 8-frame original must win over its
+    5-frame trimmed copy regardless of id order."""
+    from falcon_metrics_etl_spark.plans.media_dedup import (
+        video_keep_best_of,
+    )
+
+    w = 8 * MM.DHASH_GRID_W
+    h = 8 * MM.DHASH_GRID_H
+
+    def plane(key):
+        rows = []
+        for by in range(MM.DHASH_GRID_H):
+            row = b"".join(
+                bytes([MM.video_block_value(key, bx, by)]) * 8
+                for bx in range(MM.DHASH_GRID_W)
+            )
+            rows.extend([row] * 8)
+        return b"".join(rows)
+
+    base = [plane(f"K:{i}") for i in range(8)]
+    clips = [
+        (0, base[:5]),   # trimmed copy, SMALLER id
+        (1, base),       # the 8-frame original
+        (2, [plane("K:solo")]),  # unclustered singleton
+    ]
+    media = spark.createDataFrame(
+        [
+            (d, MM.encode_y4m_mono_raster(w, h, frames))
+            for d, frames in clips
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r["doc_id"]: (r["n_frames"], r["keep_id"], r["status"])
+        for r in video_keep_best_of(
+            MM.video_frame_dhash(media)
+        ).collect()
+    }
+    # min-id would keep doc 0; the frame-count rule keeps doc 1
+    assert rows[0] == (5, 1, "dropped")
+    assert rows[1] == (8, 1, "kept")
+    assert rows[2] == (1, 2, "kept")
