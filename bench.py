@@ -196,6 +196,8 @@ HEADLINE = [
     "audio_spectral_pairs",
     "media_incremental_update",
     "video_incremental_update",
+    "ann_ivf_incremental",
+    "video_dedup_keep_best",
 ]
 
 
