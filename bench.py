@@ -198,6 +198,7 @@ HEADLINE = [
     "video_incremental_update",
     "ann_ivf_incremental",
     "video_dedup_keep_best",
+    "audio_dedup_keep_best",
 ]
 
 

@@ -857,6 +857,136 @@ def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "audio_dedup_keep_best",
+    doc="The audio-dedup loop closed — keep-best now spans all three "
+    "modalities (image: quality argmax; video: longest clip; audio "
+    "r11): connected components over the energy-hash banded pairs, "
+    "keep the doc with the MOST decoded samples per cluster (a "
+    "clipped copy loses to the longer original), min-id tiebreak; "
+    "unclustered clips keep themselves. Sample counts come from the "
+    "real PCM decode; the oracle recomputes components via recursive "
+    "transitive closure (fixture clips share one length, so the "
+    "tiebreak decides — the pytest proves the sample-count rule on "
+    "variable-length hand-built WAVs).",
+    tags=("multimodal", "audio", "dedup", "iterative", "training-data"),
+    oracle=f"""
+WITH RECURSIVE {_DUCK_AUDIO},
+abands AS (
+    SELECT doc_id, ahash, t.b AS band,
+           (ahash >> (t.b * 8)) & 255 AS byte
+    FROM ahashes CROSS JOIN range({DHASH_BANDS}) t(b)
+),
+acand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.ahash AS h_a, b.ahash AS h_b
+    FROM abands a JOIN abands b
+      ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+),
+prs AS (
+    SELECT id_a, id_b FROM acand
+    WHERE bit_count(xor(h_a, h_b)) <= {AUDIO_HAMMING_T}
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM prs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM prs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+members AS (
+    SELECT h.doc_id,
+           CAST({MM.AUDIO_SEGMENTS * MM.AUDIO_SEG_LEN} AS BIGINT)
+               AS n_samples,
+           COALESCE(c.cluster_id, h.doc_id) AS cluster_id
+    FROM ahashes h LEFT JOIN comp c ON c.node = h.doc_id
+),
+best AS (
+    SELECT cluster_id, doc_id AS keep_id FROM (
+        SELECT cluster_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY n_samples DESC, doc_id) AS rn
+        FROM members
+    ) WHERE rn = 1
+)
+SELECT m.doc_id, m.n_samples, m.cluster_id, b.keep_id,
+       CASE WHEN m.doc_id = b.keep_id THEN 'kept' ELSE 'dropped' END
+           AS status
+FROM members m JOIN best b ON b.cluster_id = m.cluster_id
+""",
+)
+def audio_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _audio_fingerprints(spark, sf_dir).select(
+        "doc_id", "n_samples", "ahash"
+    )
+    return audio_keep_best_of(fp)
+
+
+def audio_keep_best_of(fp: DataFrame) -> DataFrame:
+    """(doc_id, n_samples, ahash) -> per-clip keep-best rows: banded
+    Hamming pairs -> components -> argmax (n_samples DESC, doc_id
+    ASC). Frame-based so the pytest can prove the sample-count rule
+    on variable-length clips."""
+    from falcon_metrics_etl_spark.operators.components import (
+        duplicate_clusters,
+    )
+
+    fp = perf_checkpoint(fp)
+    bands = fp.select(
+        "doc_id",
+        "ahash",
+        F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias(
+            "band"
+        ),
+    ).withColumn("byte", F.expr("(ahash >> (band * 8)) & 255"))
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.ahash").alias("h_a"),
+            F.col("b.ahash").alias("h_b"),
+        )
+        .distinct()
+        .filter(F.bit_count(F.expr("h_a ^ h_b")) <= AUDIO_HAMMING_T)
+        .select("id_a", "id_b")
+    )
+    comp = duplicate_clusters(pairs).select("node", "cluster_id")
+    members = (
+        fp.join(comp, fp["doc_id"] == comp["node"], "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+        )
+        .select("doc_id", "n_samples", "cluster_id")
+    )
+    best = F.max(
+        F.struct(
+            F.col("n_samples").alias("ns"),
+            (-F.col("doc_id")).alias("negid"),
+        )
+    ).over(Window.partitionBy("cluster_id"))
+    return members.withColumn("keep_id", -best.getField("negid")).select(
+        "doc_id",
+        "n_samples",
+        "cluster_id",
+        "keep_id",
+        F.when(F.col("doc_id") == F.col("keep_id"), F.lit("kept"))
+        .otherwise(F.lit("dropped"))
+        .alias("status"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Audio SPECTRAL near-dup: fixed-point DFT band energies (r11) — the
 # production swap-in the energy-gradient hash documented

@@ -384,3 +384,41 @@ def test_video_keep_best_prefers_longest_clip(spark):
     assert rows[0] == (5, 1, "dropped")
     assert rows[1] == (8, 1, "kept")
     assert rows[2] == (1, 2, "kept")
+
+
+def test_audio_keep_best_prefers_longest_recording(spark):
+    """audio_dedup_keep_best's rule on variable-length clips: the
+    longer original must win over its clipped copy at a smaller id."""
+    from falcon_metrics_etl_spark.plans.media_dedup import (
+        audio_keep_best_of,
+    )
+
+    segs = [MM.audio_segment_value(900, 0, s) for s in range(20)]
+
+    def pcm(seg_vals):
+        return [v for sv in seg_vals for v in [sv] * MM.AUDIO_SEG_LEN]
+
+    # the unrelated clip is LONG (64 segments): a short clip's hash is
+    # mostly zero bits, and all-zero high bands collide in the banded
+    # index for every short clip — a real LSH degeneracy of padded
+    # items; the Hamming verification must then separate it, which
+    # needs enough meaningful bits
+    clips = [
+        (0, pcm(segs[:12])),  # clipped copy, SMALLER id
+        (1, pcm(segs)),       # the 20-segment original
+        (2, pcm([MM.audio_segment_value(901, 0, s) for s in range(64)])),
+    ]
+    media = spark.createDataFrame(
+        [(d, MM.encode_wav_pcm16(xs)) for d, xs in clips],
+        "doc_id long, payload binary",
+    )
+    fp = MM.audio_energy_dhash(media).select("doc_id", "n_samples", "ahash")
+    rows = {
+        r["doc_id"]: (r["n_samples"], r["keep_id"], r["status"])
+        for r in audio_keep_best_of(fp).collect()
+    }
+    # clips 0 and 1 share the first 11 gradient bits; the clipped
+    # copy's hash agrees on the low bits -> banded pair -> clustered
+    assert rows[1] == (20 * MM.AUDIO_SEG_LEN, 1, "kept")
+    assert rows[0][1:] == (1, "dropped")
+    assert rows[2][2] == "kept"  # 63 meaningful bits -> Hamming > T
