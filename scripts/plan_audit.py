@@ -50,6 +50,8 @@ CARTESIAN_OK = {
     # deliberate IVF coarse-quantization / Lloyd-assignment map,
     # ann_ivf.py:21-24)
     "ann_ivf_probed",
+    # same K-row broadcast centroid assignment, delta slice only (r11)
+    "ann_ivf_incremental",
     "kmeans_lloyd_step",
     # N x K broadcast centroid assignment (K=16 rows) + the same
     # pattern as ann_ivf_probed, for the cluster-scoped dedup
