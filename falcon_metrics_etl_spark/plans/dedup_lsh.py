@@ -682,3 +682,126 @@ def doc_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# LSH recall audit (r11): measured recall of the banded index against
+# exact Jaccard on a sampled query slice — the live-accounting sibling
+# of ann_int8_recall / the Bloom FP measurement
+# --------------------------------------------------------------------------
+LSH_AUDIT_MOD = 11  # ~9% of docs play the audited query slice
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    doc=f"Measured LSH recall, per audited doc: every {LSH_AUDIT_MOD}th "
+    "doc plays a query, its TRUE neighbors (exact Jaccard >= "
+    f"{MINHASH_JACCARD_T}) are computed through the shingle inverted "
+    "index restricted to the sample side (complete for any T > 0 — a "
+    "qualifying pair must share a shingle — and linear in corpus "
+    "size, never all-pairs), and the banded candidate set is scored "
+    "against them: n_true, n_caught, recall per doc. The accept/"
+    "reject measurement for shipping a banding config — the dedup "
+    f"family's sibling of ann_int8_recall ({LSH_BANDS}x{LSH_ROWS} "
+    "bands over 12 minhashes give PROBABILISTIC recall at the 0.3 "
+    "threshold; this query reports the number instead of asserting "
+    "it). Docs with no true neighbor are excluded (recall undefined).",
+    tags=("text", "dedup", "lsh", "minhash", "audit", "training-data"),
+    oracle=f"""
+WITH {DUCK_LSH_PAIR_CTES},
+strue AS (
+    SELECT sa.doc_id AS qid, sb.doc_id AS oid, COUNT(*) AS n_shared
+    FROM sh sa
+    JOIN sh sb ON sb.sh = sa.sh AND sa.doc_id <> sb.doc_id
+    WHERE sa.doc_id % {LSH_AUDIT_MOD} = 0
+    GROUP BY sa.doc_id, sb.doc_id
+),
+truep AS (
+    SELECT qid, oid FROM strue s
+    JOIN sizes na ON na.doc_id = s.qid
+    JOIN sizes nb ON nb.doc_id = s.oid
+    WHERE CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared)
+          >= {MINHASH_JACCARD_T}
+),
+caught AS (
+    SELECT DISTINCT a.doc_id AS qid, b.doc_id AS oid
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+              AND a.doc_id <> b.doc_id
+    WHERE a.doc_id % {LSH_AUDIT_MOD} = 0
+)
+SELECT t.qid AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN c.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_caught,
+       ROUND(CAST(SUM(CASE WHEN c.qid IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS recall
+FROM truep t
+LEFT JOIN caught c ON c.qid = t.qid AND c.oid = t.oid
+GROUP BY t.qid
+""",
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.session import perf_checkpoint
+
+    toks, sh, bands = _lsh_frames(spark, sf_dir)
+    # both streams feed a sample-side AND a full-side branch — decode/
+    # shingle once (the r11 media-family discipline)
+    sh = perf_checkpoint(sh)
+    bands = perf_checkpoint(bands)
+    sample_sh = sh.filter(F.col("doc_id") % LSH_AUDIT_MOD == 0)
+    shared = (
+        sample_sh.alias("sa")
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.sh") == F.col("sa.sh"))
+            & (F.col("sa.doc_id") != F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("qid"),
+            F.col("sb.doc_id").alias("oid"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = toks.select("doc_id", F.size("shs").alias("n"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na.n") + F.col("nb.n") - F.col("n_shared")
+    )
+    truep = (
+        shared.join(sizes.alias("na"), F.col("na.doc_id") == F.col("qid"))
+        .join(sizes.alias("nb"), F.col("nb.doc_id") == F.col("oid"))
+        .filter(jac >= MINHASH_JACCARD_T)
+        .select("qid", "oid")
+    )
+    caught = (
+        bands.filter(F.col("doc_id") % LSH_AUDIT_MOD == 0)
+        .alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("qid"),
+            F.col("b.doc_id").alias("oid"),
+            F.lit(1).alias("hit"),
+        )
+        .distinct()
+    )
+    return (
+        truep.join(caught, ["qid", "oid"], "left")
+        .groupBy(F.col("qid").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum(
+                F.when(F.col("hit").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_caught"),
+        )
+        .withColumn(
+            "recall",
+            F.round(
+                F.col("n_caught").cast("double") / F.col("n_true"), 4
+            ),
+        )
+    )
