@@ -738,6 +738,20 @@ def ab_main(ref: str, sf_dir: str, full: bool = False) -> None:
     import tempfile
 
     repo = os.path.dirname(os.path.abspath(__file__))
+    # sweep worktrees leaked by a killed prior run (the finally below
+    # cannot run under SIGKILL; observed once in r11)
+    import glob as _glob
+
+    for stale in _glob.glob(
+        os.path.join(tempfile.gettempdir(), "bench_ab_base_*")
+    ):
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", stale],
+            capture_output=True,
+        )
+        shutil.rmtree(stale, ignore_errors=True)
+    subprocess.run(["git", "-C", repo, "worktree", "prune"],
+                   capture_output=True)
     base_dir = tempfile.mkdtemp(prefix="bench_ab_base_")
     subprocess.run(
         ["git", "-C", repo, "worktree", "add", "--detach", base_dir, ref],

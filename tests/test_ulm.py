@@ -156,3 +156,88 @@ def test_seed_cap_is_applied_deterministically():
     vocab = seed_pieces(wf)
     multis = [p for p in vocab if len(p) >= 2]
     assert len(multis) <= ULM_SEED_CAP
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): the Viterbi DP must equal brute-force
+# minimization over ALL segmentations for short words
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _brute_best(word, costs, allow_unk):
+    """Enumerate every segmentation of ``word`` (2^(L-1) cut masks),
+    return the min (cost, n_tokens, n_unk) tuple, or None."""
+    L = len(word)
+    best = None
+    for mask in range(1 << max(0, L - 1)):
+        cuts = [0] + [i for i in range(1, L) if mask >> (i - 1) & 1] + [L]
+        tot = n = u = 0
+        ok = True
+        for a, b in zip(cuts, cuts[1:]):
+            piece = word[a:b]
+            c = costs.get(piece)
+            if c is None:
+                if allow_unk and b - a == 1:
+                    tot += ULM_UNK_COST
+                    n += 1
+                    u += 1
+                    continue
+                ok = False
+                break
+            if b - a > ULM_MAX_PIECE:
+                ok = False
+                break
+            tot += c
+            n += 1
+        if ok:
+            v = (tot, n, u)
+            if best is None or v < best:
+                best = v
+    return best
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    word=st.text(alphabet="abc", min_size=1, max_size=8),
+    pieces=st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=3),
+        st.integers(min_value=1, max_value=10_000_000),
+        max_size=12,
+    ),
+    unk=st.booleans(),
+)
+def test_viterbi_matches_bruteforce(word, pieces, unk):
+    costs = dict(pieces)
+    # guarantee coverage when unk is off (singles always in a real vocab)
+    if not unk:
+        for ch in set(word):
+            costs.setdefault(ch, 999_999)
+    res = viterbi(word, costs, allow_unk=unk)
+    exp = _brute_best(word, costs, unk)
+    assert (res is None) == (exp is None)
+    if res is not None:
+        assert res[0] == exp
+        # the backtraced segmentation reproduces the optimal value
+        tot = sum(
+            ULM_UNK_COST if p == ULM_UNK_PIECE else costs[p]
+            for p in res[1]
+        )
+        n_unk = sum(1 for p in res[1] if p == ULM_UNK_PIECE)
+        assert (tot, len(res[1]), n_unk) == res[0]
+        assert "".join(reversed(
+            [ch if p == ULM_UNK_PIECE else p
+             for p, ch in zip(res[1], _reconstruct_chars(word, res[1]))]
+        )) == word
+
+
+def _reconstruct_chars(word, segs_end_first):
+    """For UNK pieces, the covered char (segs are end-first)."""
+    out = []
+    pos = len(word)
+    for p in segs_end_first:
+        ln = 1 if p == ULM_UNK_PIECE else len(p)
+        out.append(word[pos - ln : pos])
+        pos -= ln
+    return out
