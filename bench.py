@@ -3,7 +3,12 @@
 Runs the headline engine queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...}. The stdout line is SIZE-CAPPED
+(r12): the driver reads it from a bounded tail buffer that the full
+per-query map overflowed in r11, so "queries" is truncated
+slowest-first to ~COMPACT_BYTES with "queries_omitted" recording the
+cut — the COMPLETE payload (all queries, spreads, stages) always
+lands in $SPARK_GRAFT_BENCH_OUT.
 
 The SAME payload is also written to $SPARK_GRAFT_BENCH_OUT (default
 BENCH_OUT.json next to this file — untracked) so the full medians/
@@ -66,6 +71,16 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 # ratio exceeds this is thrown away and re-measured once; the payload
 # records which entries were re-drawn.
 STALL_RATIO = float(os.environ.get("SPARK_GRAFT_BENCH_STALL_RATIO", "3.0"))
+
+
+def _parse_sf(sf_dir: str) -> float | None:
+    """Scale factor from a .../sfN.NN dir name; None when the dir does
+    not follow the convention (advisor r11: the bare float() raised
+    AFTER a full A/B session's timed runs and discarded the results)."""
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return None
 
 
 def draw_runs(fn, repeats: int | None = None, ratio: float | None = None):
@@ -737,14 +752,30 @@ def ab_main(ref: str, sf_dir: str, full: bool = False) -> None:
     import subprocess
     import tempfile
 
+    # resolve BEFORE any timed run: a late parse error must never
+    # discard a completed A/B session (advisor r11)
+    sf = _parse_sf(sf_dir)
     repo = os.path.dirname(os.path.abspath(__file__))
-    # sweep worktrees leaked by a killed prior run (the finally below
-    # cannot run under SIGKILL; observed once in r11)
+    # sweep worktrees leaked by a KILLED prior run only (the finally
+    # below cannot run under SIGKILL; observed once in r11). The dir
+    # name embeds the owning pid, and the sweep skips dirs whose owner
+    # is still alive — advisor r11: an unconditional sweep deleted the
+    # live base worktree of a concurrent A/B run mid-bench.
     import glob as _glob
+    import re as _re
 
     for stale in _glob.glob(
         os.path.join(tempfile.gettempdir(), "bench_ab_base_*")
     ):
+        m = _re.search(r"bench_ab_base_(\d+)_", os.path.basename(stale))
+        if m:
+            try:
+                os.kill(int(m.group(1)), 0)
+                continue  # owner alive: a concurrent run — leave it
+            except ProcessLookupError:
+                pass  # owner dead: a genuine leak
+            except PermissionError:
+                continue  # pid exists under another uid: treat as alive
         subprocess.run(
             ["git", "-C", repo, "worktree", "remove", "--force", stale],
             capture_output=True,
@@ -752,7 +783,7 @@ def ab_main(ref: str, sf_dir: str, full: bool = False) -> None:
         shutil.rmtree(stale, ignore_errors=True)
     subprocess.run(["git", "-C", repo, "worktree", "prune"],
                    capture_output=True)
-    base_dir = tempfile.mkdtemp(prefix="bench_ab_base_")
+    base_dir = tempfile.mkdtemp(prefix=f"bench_ab_base_{os.getpid()}_")
     subprocess.run(
         ["git", "-C", repo, "worktree", "add", "--detach", base_dir, ref],
         check=True,
@@ -802,7 +833,7 @@ def ab_main(ref: str, sf_dir: str, full: bool = False) -> None:
             "total_cur": round(tot_c, 3),
             "total_base": round(tot_b, 3),
             "repeats": REPEATS,
-            "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+            "sf": sf,
             "queries": queries,
         }
         out = os.path.join(repo, "BENCH_AB.json")
@@ -816,6 +847,39 @@ def ab_main(ref: str, sf_dir: str, full: bool = False) -> None:
             capture_output=True,
         )
         shutil.rmtree(base_dir, ignore_errors=True)
+
+
+COMPACT_BYTES = int(os.environ.get("SPARK_GRAFT_BENCH_COMPACT_BYTES", "2800"))
+
+
+def _compact_summary(payload: dict) -> dict:
+    """Size-capped summary of a full bench payload — emitted as the
+    LAST stdout line so a driver with a bounded tail buffer can parse
+    it (r11: the full line overflowed the buffer and the round's
+    "parsed" field came back null). Keeps every contract key; the
+    queries map is truncated slowest-first to fit COMPACT_BYTES, with
+    the omission count recorded."""
+    compact = {
+        k: payload[k]
+        for k in (
+            "metric", "value", "unit", "repeats", "sf", "redrawn", "bands",
+            "pipeline_e2e_stages", "corpus_e2e_stages",
+        )
+        if k in payload
+    }
+    compact["full_payload"] = "BENCH_OUT.json"
+    full_q = payload.get("queries", {})
+    qmap: dict[str, float] = {}
+    compact["queries"] = qmap
+    compact["queries_omitted"] = len(full_q)
+    for name, sec in sorted(full_q.items(), key=lambda kv: -kv[1]):
+        qmap[name] = sec
+        compact["queries_omitted"] = len(full_q) - len(qmap)
+        if len(json.dumps(compact)) > COMPACT_BYTES:
+            del qmap[name]
+            compact["queries_omitted"] = len(full_q) - len(qmap)
+            break
+    return compact
 
 
 def _output_targets(argv, env) -> list:
@@ -836,7 +900,7 @@ def _output_targets(argv, env) -> list:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    sf = _parse_sf(sf_dir)
     spark = get_spark("bench")
 
     registry = all_queries()
@@ -960,7 +1024,13 @@ def main() -> None:
                 f.write("\n")
         except OSError:
             pass  # a read-only checkout must not break the stdout contract
-    print(json.dumps(payload))
+    # stdout stays ONE JSON line, but SIZE-CAPPED: the driver parses
+    # the final line from a bounded tail buffer, and the full
+    # per-query map outgrew it in r11 ("parsed": null). The compact
+    # line keeps the contract keys (metric/value/unit/queries/sf) with
+    # the queries map truncated to the slowest entries that fit; the
+    # complete maps live in BENCH_OUT.json / BENCH_MEDIANS.json.
+    print(json.dumps(_compact_summary(payload)))
     spark.stop()
 
 

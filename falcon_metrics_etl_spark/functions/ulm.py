@@ -90,6 +90,18 @@ def costs_of(counts: dict[str, int]) -> tuple[dict[str, int], int]:
     """Add-one-smoothed quantized costs for a count table; returns
     (costs, smoothed_total)."""
     tot = sum(c + 1 for c in counts.values())
+    # the documented "UNK never outbids a real edge" invariant holds
+    # only while every real cost <= ln(tot)*Q stays below ULM_UNK_COST
+    # — CHECK it rather than assume it (advisor r11: on an extreme
+    # corpus the freq-weighted totals could cross e^30 and UNK would
+    # silently win over real pieces with no parity break to flag it).
+    # The oracle replays these exact counts, so the engine-side guard
+    # covers both sides.
+    assert tot < math.exp(ULM_UNK_COST / ULM_Q), (
+        f"ULM smoothed count total {tot} >= e^{ULM_UNK_COST // ULM_Q}: "
+        "ULM_UNK_COST no longer dominates every real piece cost — raise "
+        "ULM_UNK_COST or shrink the sketch"
+    )
     return {p: q_cost(c, tot) for p, c in counts.items()}, tot
 
 
