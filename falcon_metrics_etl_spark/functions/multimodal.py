@@ -3041,6 +3041,59 @@ def video_frame_dhash(media: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-modal fixture: keyframe thumbnails — a clip frame exported as a
+# still image (r11 verdict "what's missing" #1: one of the most common
+# duplicate classes in web corpora)
+# ---------------------------------------------------------------------------
+CM_THUMB_MOD = 7  # every 7th doc exports a keyframe thumbnail
+
+
+def thumb_slot(doc_id: int) -> int:
+    """Which frame of its own clip a thumbnail doc exports — varies
+    with doc_id so the matched slot isn't constant; replayed by the
+    oracle as (doc_id // 7) % VIDEO_FRAMES."""
+    return (doc_id // CM_THUMB_MOD) % VIDEO_FRAMES
+
+
+def attach_payload_keyframe_thumbs(docs: DataFrame) -> DataFrame:
+    """documents -> the cross-modal near-dup corpus: every
+    CM_THUMB_MOD-th doc exports ONE keyframe of its own fixture clip
+    (slot thumb_slot(doc_id) of attach_payload_video_clips' clip for
+    the same doc_id) as a grayscale PNG — the luma surface is the
+    frame's, byte for byte, so the STILL's image dHash equals the
+    clip's frame fingerprint only if both codec paths decode
+    faithfully. Real PNG encode (all five scanline filters, real
+    deflate), decoded by the real unfilter path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows_out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % CM_THUMB_MOD != 0:
+                    continue
+                fkey = video_frame_keys(doc_id)[thumb_slot(doc_id)]
+                img = []
+                for by in range(DHASH_GRID_H):
+                    row: list = []
+                    for bx in range(DHASH_GRID_W):
+                        row.extend([video_block_value(fkey, bx, by)] * 8)
+                    img.extend([row] * 8)
+                rows_out.append(
+                    (doc_id, "image", "png", encode_png_gray_raster(img))
+                )
+            yield pd.DataFrame(
+                rows_out,
+                columns=["doc_id", "media_type", "codec", "payload"],
+            )
+
+    return _fan_out(docs.select("doc_id")).mapInPandas(
+        run,
+        schema="doc_id long, media_type string, codec string, payload binary",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Audio perceptual fingerprint: window-energy gradient over decoded PCM
 # ---------------------------------------------------------------------------
 AUDIO_GROUP = 4      # docs per clip group: variant = doc_id % 4

@@ -1,0 +1,156 @@
+"""Incremental keep-best resolution — the delta step of quality-scored
+dedup (r11 verdict #2): given a batch of NEW docs, the maintained
+index of ALL previously processed docs (kept AND dropped, each row
+carrying the id of its cluster keeper), and the verified duplicate
+edges touching the batch, decide per batch doc keep/drop and which
+incumbent keepers the batch DISPLACES — such that the resulting keep
+set equals the batch pipeline's connected-components + argmax
+keep-best recomputed over the full corpus.
+
+Why this is exact (the IVM argument, relied on by the oracled
+``media_keep_best_delta`` / ``video_keep_best_delta`` twins in
+plans/media_dedup.py):
+
+- the index holds every processed doc with ``keep_id`` pointing at
+  its cluster's current keeper, so mapping a matched old doc to its
+  keeper lifts every delta edge onto the keeper graph;
+- old clusters are maximal under old-old edges (each doc evaluated
+  all its matches when IT was the delta), so a full-corpus cluster is
+  exactly (old clusters bridged by delta docs) + (delta docs), and
+  its quality argmax is the argmax over {bridging delta docs} ∪
+  {bridged clusters' keepers} — precisely the nodes this resolution
+  scores;
+- connected components over the keeper-lifted delta edges therefore
+  reproduce the full-corpus cluster merges, and the per-component
+  argmax reproduces the full-corpus keeper.
+
+Displaced keepers must then have every index row pointing at them
+REPOINTED to the new winner (the caller's merge step) — that is what
+keeps the invariant inductive across ticks.
+
+Scale: every frame here is delta-sized (edges touch the batch by
+construction; components run on the delta-touching subgraph only).
+The index itself grows with the corpus, not the keep set — the price
+of exactness, and the same trade the corpus tick's fp_index makes for
+exact-dup canon.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.operators.components import duplicate_clusters
+
+
+def resolve_keep_best(
+    new_q: DataFrame,
+    idx_q: DataFrame,
+    edges: DataFrame,
+    quality_cols: Sequence[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Resolve one delta batch against the processed-doc index.
+
+    new_q:  (doc_id, *quality_cols) — the batch docs' quality tuples.
+    idx_q:  (doc_id, keep_id, *quality_cols) — ALL processed rows
+            (kept and dropped; the current batch's own replayed rows
+            excluded by the caller), keep_id = cluster keeper.
+    edges:  (id_a, id_b) verified duplicate pairs, each touching at
+            least one batch doc; either side may be a batch mate or an
+            index doc, in either orientation.
+    quality_cols: argmax priority order; each compared DESC, with
+            doc_id ASC as the final tiebreak.
+
+    Returns (verdicts, displaced):
+    - verdicts: (doc_id, keep_id, is_kept) — one row per new_q doc;
+      keep_id == doc_id for docs with no surviving match.
+    - displaced: (doc_id, new_keep) — incumbent cluster keepers beaten
+      by the component winner; the caller must repoint every index row
+      whose keep_id is a displaced doc to new_keep and flag the doc.
+    """
+    rep = idx_q.select("doc_id", "keep_id")
+    # lift old endpoints to their cluster keepers; batch docs (absent
+    # from idx_q) stay themselves. Self-loops (a replayed batch doc
+    # matching rows that already point at it) drop out here.
+    e = (
+        edges.join(
+            rep.select(
+                F.col("doc_id").alias("id_a"), F.col("keep_id").alias("rep_a")
+            ),
+            "id_a",
+            "left",
+        )
+        .join(
+            rep.select(
+                F.col("doc_id").alias("id_b"), F.col("keep_id").alias("rep_b")
+            ),
+            "id_b",
+            "left",
+        )
+        .select(
+            F.coalesce("rep_a", F.col("id_a")).alias("id_a"),
+            F.coalesce("rep_b", F.col("id_b")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    # materialize the (delta-sized) edge list once: it feeds the
+    # empty-graph short circuit AND the component loop. A batch of
+    # fresh content has no edges at all — skip the iterative
+    # clustering (several jobs) and admit everything.
+    e = e.localCheckpoint(eager=True)
+    if e.isEmpty():
+        verdicts = new_q.select(
+            "doc_id",
+            F.col("doc_id").alias("keep_id"),
+            F.lit(True).alias("is_kept"),
+        )
+        displaced = new_q.sparkSession.createDataFrame(
+            [], "doc_id long, new_keep long"
+        )
+        return verdicts, displaced
+    comp = duplicate_clusters(e).select("node", "cluster_id")
+    # quality of every component node: batch docs from new_q, keepers
+    # from the index; a doc present in both (a re-sent doc in a fresh
+    # batch) decodes to identical values, so the dedup pick is safe
+    qual = (
+        new_q.select("doc_id", *quality_cols)
+        .unionByName(idx_q.select("doc_id", *quality_cols))
+        .dropDuplicates(["doc_id"])
+    )
+    members = comp.join(
+        qual, comp["node"] == qual["doc_id"]
+    ).select("node", "cluster_id", *quality_cols)
+    best = F.max(
+        F.struct(
+            *[F.col(c) for c in quality_cols],
+            (-F.col("node")).alias("negid"),
+        )
+    ).over(Window.partitionBy("cluster_id"))
+    winners = members.withColumn("winner", -best.getField("negid")).select(
+        "node", "winner"
+    )
+    verdicts = (
+        new_q.select("doc_id")
+        .join(
+            winners.select(F.col("node").alias("doc_id"), "winner"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("winner", F.col("doc_id")).alias("keep_id"),
+            (
+                F.coalesce("winner", F.col("doc_id")) == F.col("doc_id")
+            ).alias("is_kept"),
+        )
+    )
+    displaced = (
+        winners.filter(F.col("node") != F.col("winner"))
+        .join(
+            new_q.select(F.col("doc_id").alias("node")), "node", "left_anti"
+        )
+        .select(F.col("node").alias("doc_id"), F.col("winner").alias("new_keep"))
+    )
+    return verdicts, displaced

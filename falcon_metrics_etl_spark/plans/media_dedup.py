@@ -397,6 +397,28 @@ def video_near_dup_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aligned_video_pairs(fp)
 
 
+def aligned_runs_of(fm: DataFrame) -> DataFrame:
+    """Matched frame-index pairs (id_a, id_b, ia, ib) -> the longest
+    consecutive same-offset aligned run per pair (classic
+    gaps-and-islands: group by offset = ib - ia, island key = ia -
+    row_number within the offset, max island size). Factored so the
+    incremental media tick's delta verification (streaming/
+    media_tick.py, r11 verdict #5) runs the SAME algebra as the batch
+    query over its delta-only match set."""
+    fm = fm.withColumn("off", F.col("ib") - F.col("ia"))
+    isl = F.col("ia") - F.row_number().over(
+        Window.partitionBy("id_a", "id_b", "off").orderBy("ia")
+    )
+    runs = (
+        fm.withColumn("isl", isl)
+        .groupBy("id_a", "id_b", "off", "isl")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+    )
+    return runs.groupBy("id_a", "id_b").agg(
+        F.max("run_len").alias("aligned_run")
+    )
+
+
 def aligned_video_pairs(fp: DataFrame) -> DataFrame:
     """(doc_id, frame_idx, frame_dhash) -> near-dup pairs with their
     longest consecutive same-offset aligned run. Frame-based so the
@@ -434,38 +456,19 @@ def aligned_video_pairs(fp: DataFrame) -> DataFrame:
         # no distinct: (ia, ib) is already unique per pair — a frame
         # index carries exactly one hash (saves a full shuffle+dedup
         # over the biggest intermediate; r11 plan-audit trim 6 -> 5)
-        .withColumn("off", F.col("ib") - F.col("ia"))
     )
-    isl = F.col("ia") - F.row_number().over(
-        Window.partitionBy("id_a", "id_b", "off").orderBy("ia")
-    )
-    runs = (
-        fm.withColumn("isl", isl)
-        .groupBy("id_a", "id_b", "off", "isl")
-        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
-    )
-    aligned = runs.groupBy("id_a", "id_b").agg(
-        F.max("run_len").alias("aligned_run")
-    )
+    aligned = aligned_runs_of(fm)
     return shared.join(aligned, ["id_a", "id_b"]).select(
         "id_a", "id_b", "n_shared_frames", "aligned_run"
     )
 
 
-@register(
-    "video_dedup_keep_best",
-    doc="The video-dedup loop closed (the image family's r11 "
-    "keep-best, restated for clips): connected components over the "
-    "frame-sharing near-dup pairs, keep the doc with the MOST "
-    "decoded frames per cluster (a trimmed copy loses to the longer "
-    "original — the clip-world quality rule), ties to min doc_id; "
-    "unclustered clips keep themselves. Frame counts come from the "
-    "real Y4M frame walk; the oracle recomputes components via "
-    "recursive transitive closure and counts frames from the slot "
-    "replay.",
-    tags=("multimodal", "video", "dedup", "iterative", "training-data"),
-    oracle=f"""
-WITH RECURSIVE {_DUCK_VIDEO},
+# the video keep-best closure, shared by the batch query and the
+# incremental delta twin (r12): components via recursive transitive
+# closure over the >= VIDEO_SHARED_T frame-sharing pairs, keeper =
+# argmax(n_frames DESC, doc_id ASC)
+_DUCK_VID_KB = f"""
+{_DUCK_VIDEO},
 vsig AS (SELECT DISTINCT doc_id, frame_dhash FROM vhashes),
 nfr AS (
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames
@@ -503,6 +506,23 @@ best AS (
         FROM members
     ) WHERE rn = 1
 )
+"""
+
+
+@register(
+    "video_dedup_keep_best",
+    doc="The video-dedup loop closed (the image family's r11 "
+    "keep-best, restated for clips): connected components over the "
+    "frame-sharing near-dup pairs, keep the doc with the MOST "
+    "decoded frames per cluster (a trimmed copy loses to the longer "
+    "original — the clip-world quality rule), ties to min doc_id; "
+    "unclustered clips keep themselves. Frame counts come from the "
+    "real Y4M frame walk; the oracle recomputes components via "
+    "recursive transitive closure and counts frames from the slot "
+    "replay.",
+    tags=("multimodal", "video", "dedup", "iterative", "training-data"),
+    oracle=f"""
+WITH RECURSIVE {_DUCK_VID_KB}
 SELECT m.doc_id, m.n_frames, m.cluster_id, b.keep_id,
        CASE WHEN m.doc_id = b.keep_id THEN 'kept' ELSE 'dropped' END
            AS status
@@ -1133,25 +1153,14 @@ def audio_spectral_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "media_dedup_keep_best",
-    doc="The image-dedup loop closed with PRODUCTION keep semantics "
-    "(r10 verdict #2): connected components (iterative min-label "
-    "propagation, operators/components.py) over the cross-codec "
-    "near-dup pairs, then keep the HIGHEST-QUALITY doc per "
-    "perceptual cluster — argmax by (width*height DESC, detail DESC, "
-    "doc_id ASC), the same argmax-per-cluster pattern as the text "
-    "family's dedup_keep_best_lsh. width/height come from the real "
-    "decode; detail is the exact-integer |horizontal gradient| total "
-    "over the dHash cell sums (detail_of_cells) — the sharpness "
-    "proxy that prefers the least-degraded variant (on real data, "
-    "payload bytes slots in as the least-compressed tiebreak). "
-    "Unclustered images keep themselves. The oracle recomputes "
-    "components via recursive transitive closure and the detail "
-    "score from the block constants (cell sum = 64 * block value).",
-    tags=("multimodal", "dedup", "dhash", "iterative", "training-data"),
-    oracle=f"""
-WITH RECURSIVE {_DUCK_DHASH},
+# the image keep-best closure, shared by the batch query and the
+# incremental delta twin (r12): components via recursive transitive
+# closure over the banded Hamming pairs, keeper = argmax(detail DESC,
+# doc_id ASC) — width*height is 72*64 for every fixture image, so the
+# leading argmax key is constant here and elided from the ORDER BY;
+# the Spark side orders by the real decoded width*height first
+_DUCK_IMG_KB = f"""
+{_DUCK_DHASH},
 det AS (
     SELECT l.doc_id, SUM(64 * abs(r.val - l.val)) AS detail
     FROM blocks l
@@ -1160,19 +1169,19 @@ det AS (
     WHERE l.bx < 8
     GROUP BY l.doc_id
 ),
-bands AS (
+kb_bands AS (
     SELECT doc_id, dhash, t.b AS band,
            (dhash >> (t.b * 8)) & 255 AS byte
     FROM hashes CROSS JOIN range({DHASH_BANDS}) t(b)
 ),
-cand AS (
+kb_cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            a.dhash AS h_a, b.dhash AS h_b
-    FROM bands a JOIN bands b
+    FROM kb_bands a JOIN kb_bands b
       ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
 ),
 prs AS (
-    SELECT id_a, id_b FROM cand
+    SELECT id_a, id_b FROM kb_cand
     WHERE bit_count(xor(h_a, h_b)) <= {DHASH_HAMMING_T}
 ),
 edges AS (
@@ -1194,9 +1203,6 @@ members AS (
     JOIN det d ON d.doc_id = h.doc_id
     LEFT JOIN comp c ON c.node = h.doc_id
 ),
--- width*height is 72*64 for every fixture image, so the leading
--- argmax key is constant here and elided from the ORDER BY; the
--- Spark side orders by the real decoded width*height first
 best AS (
     SELECT cluster_id, doc_id AS keep_id FROM (
         SELECT cluster_id, doc_id,
@@ -1205,6 +1211,28 @@ best AS (
         FROM members
     ) WHERE rn = 1
 )
+"""
+
+
+@register(
+    "media_dedup_keep_best",
+    doc="The image-dedup loop closed with PRODUCTION keep semantics "
+    "(r10 verdict #2): connected components (iterative min-label "
+    "propagation, operators/components.py) over the cross-codec "
+    "near-dup pairs, then keep the HIGHEST-QUALITY doc per "
+    "perceptual cluster — argmax by (width*height DESC, detail DESC, "
+    "doc_id ASC), the same argmax-per-cluster pattern as the text "
+    "family's dedup_keep_best_lsh. width/height come from the real "
+    "decode; detail is the exact-integer |horizontal gradient| total "
+    "over the dHash cell sums (detail_of_cells) — the sharpness "
+    "proxy that prefers the least-degraded variant (on real data, "
+    "payload bytes slots in as the least-compressed tiebreak). "
+    "Unclustered images keep themselves. The oracle recomputes "
+    "components via recursive transitive closure and the detail "
+    "score from the block constants (cell sum = 64 * block value).",
+    tags=("multimodal", "dedup", "dhash", "iterative", "training-data"),
+    oracle=f"""
+WITH RECURSIVE {_DUCK_IMG_KB}
 SELECT m.doc_id, m.codec, m.cluster_id, b.keep_id, m.detail,
        CASE WHEN m.doc_id = b.keep_id THEN 'kept' ELSE 'dropped' END
            AS status
@@ -1212,23 +1240,42 @@ FROM members m JOIN best b ON b.cluster_id = m.cluster_id
 """,
 )
 def media_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from falcon_metrics_etl_spark.operators.components import (
-        duplicate_clusters,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_payload_dhash_corpus(docs)
     # lazy checkpoint: the decoded fingerprint frame feeds the banded
     # self-join AND the member list — materialize the ~40-byte rows
     # once instead of decoding the corpus three times
     fp = perf_checkpoint(MM.media_dhash(media, with_detail=True))
-    bands = fp.select(
+    return image_keep_best_of(fp).select(
+        "doc_id", "codec", "cluster_id", "keep_id", "detail", "status"
+    )
+
+
+def image_bands_of(fp: DataFrame, hash_col: str = "dhash") -> DataFrame:
+    """64-bit hash column -> the 8x8-bit LSH band rows (doc_id, band,
+    byte [, carried hash]) every byte-band pairing in this module
+    probes with."""
+    return fp.select(
         "doc_id",
-        "dhash",
+        hash_col,
         F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias(
             "band"
         ),
-    ).withColumn("byte", F.expr("(dhash >> (band * 8)) & 255"))
+    ).withColumn("byte", F.expr(f"({hash_col} >> (band * 8)) & 255"))
+
+
+def image_keep_best_of(fp: DataFrame) -> DataFrame:
+    """(doc_id, codec, width, height, detail, dhash) -> per-image
+    keep-best rows: banded Hamming pairs -> components -> argmax
+    (width*height DESC, detail DESC, doc_id ASC). Factored (r12) so
+    the batch query, the media tick's tick-0 staging and the
+    incremental keep-best delta query share ONE definition of the
+    image keep rule."""
+    from falcon_metrics_etl_spark.operators.components import (
+        duplicate_clusters,
+    )
+
+    bands = image_bands_of(fp)
     pairs = (
         bands.alias("a")
         .join(
@@ -1253,7 +1300,10 @@ def media_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
         )
-        .select("doc_id", "codec", "width", "height", "detail", "cluster_id")
+        .select(
+            "doc_id", "codec", "width", "height", "detail", "dhash",
+            "cluster_id",
+        )
     )
     # argmax per cluster: one window aggregate, no second shuffle of a
     # row_number+join pair — struct max is lexicographic on
@@ -1268,10 +1318,563 @@ def media_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.withColumn("keep_id", -best.getField("negid")).select(
         "doc_id",
         "codec",
+        "width",
+        "height",
+        "detail",
+        "dhash",
         "cluster_id",
         "keep_id",
-        "detail",
         F.when(F.col("doc_id") == F.col("keep_id"), F.lit("kept"))
+        .otherwise(F.lit("dropped"))
+        .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental KEEP-BEST maintenance (r12, r11 verdict #2): the IVM form
+# of the quality-scored dedup — resolve a delta batch against a
+# maintained keep-best index (operators/keep_best.py) and prove the
+# result row-identical to the batch recompute: the ORACLE is the batch
+# keep-best closure over the FULL corpus, while the engine computes
+# base keep-best + delta resolution + displacement repointing. A hash
+# match here is the exactness witness the media tick's replace-if-
+# better admission (streaming/media_tick.py) relies on.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "media_keep_best_delta",
+    doc="Incremental image keep-best — the IVM twin of "
+    "media_dedup_keep_best: the base corpus (doc_id % 17 != 0) is "
+    "resolved with the batch closure and plays the maintained index "
+    "(every processed row carrying its cluster keeper); the delta "
+    "(doc_id % 17 == 0) is decoded delta-only, its banded Hamming "
+    "edges are lifted onto the keeper graph, components + quality "
+    "argmax decide keep/drop/DISPLACE, and displaced keepers are "
+    "repointed. The oracle is the full-corpus BATCH closure — a hash "
+    "match proves the incremental resolution reproduces batch "
+    "keep-best exactly (keeper ids included), the invariant the "
+    "media tick's replace-if-better admission maintains per tick.",
+    tags=("multimodal", "dedup", "dhash", "incremental", "iterative"),
+    oracle=f"""
+WITH RECURSIVE {_DUCK_IMG_KB}
+SELECT m.doc_id, m.codec, b.keep_id,
+       CASE WHEN m.doc_id = b.keep_id THEN 'kept' ELSE 'dropped' END
+           AS status
+FROM members m JOIN best b ON b.cluster_id = m.cluster_id
+""",
+)
+def media_keep_best_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.keep_best import (
+        resolve_keep_best,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = perf_checkpoint(
+        MM.media_dhash(MM.attach_payload_dhash_corpus(docs), with_detail=True)
+    )
+    wh = (F.col("width").cast("long") * F.col("height")).alias("wh")
+    is_delta = F.col("doc_id") % MEDIA_DELTA_MOD == 0
+    base_kb = perf_checkpoint(image_keep_best_of(fp.filter(~is_delta)))
+    bands = image_bands_of(fp)
+    cand = (
+        bands.filter(is_delta).alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    h = fp.select("doc_id", "dhash")
+    edges = (
+        cand.join(
+            h.select(F.col("doc_id").alias("id_a"), F.col("dhash").alias("h_a")),
+            "id_a",
+        )
+        .join(
+            h.select(F.col("doc_id").alias("id_b"), F.col("dhash").alias("h_b")),
+            "id_b",
+        )
+        .filter(F.bit_count(F.expr("h_a ^ h_b")) <= DHASH_HAMMING_T)
+        .select("id_a", "id_b")
+    )
+    new_q = fp.filter(is_delta).select("doc_id", wh, "detail")
+    idx_q = base_kb.select("doc_id", "keep_id", wh, "detail")
+    verdicts, displaced = resolve_keep_best(
+        new_q, idx_q, edges, ["wh", "detail"]
+    )
+    delta_rows = fp.filter(is_delta).select("doc_id", "codec").join(
+        verdicts.select("doc_id", "keep_id"), "doc_id"
+    )
+    # repoint: every base row whose keeper was displaced follows the
+    # new winner (the tick's MERGE step, expressed relationally)
+    base_rows = (
+        base_kb.select("doc_id", "codec", "keep_id")
+        .join(
+            displaced.select(
+                F.col("doc_id").alias("keep_id"), "new_keep"
+            ),
+            "keep_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "codec",
+            F.coalesce("new_keep", F.col("keep_id")).alias("keep_id"),
+        )
+    )
+    return base_rows.unionByName(
+        delta_rows.select("doc_id", "codec", "keep_id")
+    ).select(
+        "doc_id",
+        "codec",
+        "keep_id",
+        F.when(F.col("doc_id") == F.col("keep_id"), F.lit("kept"))
+        .otherwise(F.lit("dropped"))
+        .alias("status"),
+    )
+
+
+@register(
+    "video_keep_best_delta",
+    doc="Incremental video keep-best — the IVM twin of "
+    "video_dedup_keep_best (same structure as media_keep_best_delta, "
+    "clip quality = most decoded frames): base clips resolved with "
+    "the batch closure play the maintained frame index, delta clips "
+    "(doc_id % 17 == 0) pair through the frame-hash inverted index, "
+    "keeper-lifted components + argmax(n_frames, -doc_id) decide "
+    "keep/drop/displace, displaced keepers repoint. The oracle is "
+    "the full-corpus batch closure — hash match = IVM exactness.",
+    tags=("multimodal", "video", "dedup", "incremental", "iterative"),
+    oracle=f"""
+WITH RECURSIVE {_DUCK_VID_KB}
+SELECT m.doc_id, m.n_frames, b.keep_id,
+       CASE WHEN m.doc_id = b.keep_id THEN 'kept' ELSE 'dropped' END
+           AS status
+FROM members m JOIN best b ON b.cluster_id = m.cluster_id
+""",
+)
+def video_keep_best_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.keep_best import (
+        resolve_keep_best,
+    )
+
+    vfp = perf_checkpoint(
+        _video_fingerprints(spark, sf_dir).select(
+            "doc_id", "frame_idx", "frame_dhash"
+        )
+    )
+    is_delta = F.col("doc_id") % MEDIA_DELTA_MOD == 0
+    nfr = vfp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
+    )
+    base_kb = perf_checkpoint(video_keep_best_of(vfp.filter(~is_delta)))
+    sig = vfp.select("doc_id", "frame_dhash").distinct()
+    edges = (
+        sig.filter(is_delta).alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.frame_dhash") == F.col("b.frame_dhash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+            F.col("a.frame_dhash").alias("fd"),
+        )
+        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= VIDEO_SHARED_T)
+        .select("id_a", "id_b")
+    )
+    new_q = nfr.filter(is_delta).select("doc_id", "n_frames")
+    idx_q = base_kb.select("doc_id", "keep_id", "n_frames")
+    verdicts, displaced = resolve_keep_best(
+        new_q, idx_q, edges, ["n_frames"]
+    )
+    delta_rows = nfr.filter(is_delta).join(
+        verdicts.select("doc_id", "keep_id"), "doc_id"
+    )
+    base_rows = (
+        base_kb.select("doc_id", "n_frames", "keep_id")
+        .join(
+            displaced.select(
+                F.col("doc_id").alias("keep_id"), "new_keep"
+            ),
+            "keep_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            F.coalesce("new_keep", F.col("keep_id")).alias("keep_id"),
+        )
+    )
+    return base_rows.unionByName(
+        delta_rows.select("doc_id", "n_frames", "keep_id")
+    ).select(
+        "doc_id",
+        "n_frames",
+        "keep_id",
+        F.when(F.col("doc_id") == F.col("keep_id"), F.lit("kept"))
+        .otherwise(F.lit("dropped"))
+        .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CROSS-MODAL near-dup (r12, r11 verdict "what's missing" #1): a video
+# keyframe exported as a still image — thumbnail, poster frame — is one
+# of the most common duplicate classes in web corpora, and both
+# families already speak 64-bit luma dHash. The unified image index
+# (photos + keyframe thumbnails) is probed by the clip frame hashes
+# through the SAME 8x8-bit byte-band equi-join every other pairing in
+# this module uses: no new shuffle class, no all-pairs product.
+# ---------------------------------------------------------------------------
+
+# thumbnail hashes replayed WITHOUT pixels: the thumb's luma surface
+# IS its clip's frame surface by construction, so its dHash equals the
+# vhashes row of (doc_id, thumb_slot) — the engine can only match this
+# by decoding the PNG still and the Y4M stream to identical rasters
+_DUCK_THUMBS = f"""
+thumbs AS (
+    SELECT v.doc_id, v.frame_dhash AS dhash
+    FROM vhashes v
+    WHERE v.doc_id % {MM.CM_THUMB_MOD} = 0
+      AND v.s = (v.doc_id // {MM.CM_THUMB_MOD}) % {MM.VIDEO_FRAMES}
+)
+"""
+
+
+def _thumb_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.media_dhash(MM.attach_payload_keyframe_thumbs(docs))
+
+
+@register(
+    "cross_modal_near_dup",
+    doc="Cross-modal image<->video near-dup: the unified image index "
+    "(every fixture photo PLUS keyframe thumbnails — stills exported "
+    "from clip frames, attach_payload_keyframe_thumbs) is probed by "
+    f"the clip frame-hash index via the {DHASH_BANDS}x8-bit byte-band "
+    f"equi-join, candidates verified at Hamming <= {DHASH_HAMMING_T}; "
+    "one output row per (image, clip) pair with matched-frame count "
+    "and best Hamming. The oracle derives thumbnail hashes from the "
+    "video CTE (the surfaces are shared by construction) — the engine "
+    "must decode the PNG still and the Y4M stream to the identical "
+    "64-bit fingerprint to match. Banded equi-join only; the photo "
+    "side contributes chance candidates that verification rejects.",
+    tags=("multimodal", "video", "dedup", "dhash", "lsh", "join",
+          "cross-modal"),
+    oracle=f"""
+WITH {_DUCK_DHASH},
+{_DUCK_VIDEO},
+{_DUCK_THUMBS},
+imgs AS (
+    SELECT doc_id, 'photo' AS img_kind, dhash FROM hashes
+    UNION ALL
+    SELECT doc_id, 'thumb' AS img_kind, dhash FROM thumbs
+),
+ibands AS (
+    SELECT doc_id, img_kind, dhash, t.b AS band,
+           (dhash >> (t.b * 8)) & 255 AS byte
+    FROM imgs CROSS JOIN range({DHASH_BANDS}) t(b)
+),
+vsig AS (SELECT DISTINCT doc_id, frame_dhash FROM vhashes),
+fbands AS (
+    SELECT doc_id, frame_dhash, t.b AS band,
+           (frame_dhash >> (t.b * 8)) & 255 AS byte
+    FROM vsig CROSS JOIN range({DHASH_BANDS}) t(b)
+),
+cm AS (
+    SELECT DISTINCT i.doc_id AS img_id, i.img_kind, f.doc_id AS clip_id,
+           i.dhash AS h_i, f.frame_dhash AS h_f
+    FROM ibands i JOIN fbands f ON i.band = f.band AND i.byte = f.byte
+)
+SELECT img_id, img_kind, clip_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames_matched,
+       CAST(MIN(bit_count(xor(h_i, h_f))) AS INT) AS min_hamming
+FROM cm
+WHERE bit_count(xor(h_i, h_f)) <= {DHASH_HAMMING_T}
+GROUP BY img_id, img_kind, clip_id
+""",
+)
+def cross_modal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # decode each corpus once: the image side feeds its band explode,
+    # the frame side feeds bands AND the Hamming verify
+    photos = _fingerprints(spark, sf_dir).select(
+        "doc_id", F.lit("photo").alias("img_kind"), "dhash"
+    )
+    thumbs = _thumb_fingerprints(spark, sf_dir).select(
+        "doc_id", F.lit("thumb").alias("img_kind"), "dhash"
+    )
+    imgs = perf_checkpoint(photos.unionByName(thumbs))
+    vsig = perf_checkpoint(
+        _video_fingerprints(spark, sf_dir)
+        .select("doc_id", "frame_dhash")
+        .distinct()
+    )
+    ibands = imgs.select(
+        "doc_id",
+        "img_kind",
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias(
+            "band"
+        ),
+    ).withColumn("byte", F.expr("(dhash >> (band * 8)) & 255"))
+    fbands = vsig.select(
+        "doc_id",
+        "frame_dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias(
+            "band"
+        ),
+    ).withColumn("byte", F.expr("(frame_dhash >> (band * 8)) & 255"))
+    cm = (
+        ibands.alias("i")
+        .join(
+            fbands.alias("f"),
+            (F.col("i.band") == F.col("f.band"))
+            & (F.col("i.byte") == F.col("f.byte")),
+        )
+        .select(
+            F.col("i.doc_id").alias("img_id"),
+            F.col("i.img_kind").alias("img_kind"),
+            F.col("f.doc_id").alias("clip_id"),
+            F.col("i.dhash").alias("h_i"),
+            F.col("f.frame_dhash").alias("h_f"),
+        )
+        .distinct()
+    )
+    return (
+        cm.withColumn("hamming", F.bit_count(F.expr("h_i ^ h_f")))
+        .filter(F.col("hamming") <= DHASH_HAMMING_T)
+        .groupBy("img_id", "img_kind", "clip_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames_matched"),
+            F.min("hamming").cast("int").alias("min_hamming"),
+        )
+    )
+
+
+@register(
+    "cross_modal_keep_best",
+    doc="Keep-best over MIXED image/video clusters: thumbnails and "
+    "clips cluster through THREE edge families — thumb<->clip frame "
+    "(banded Hamming, >= 1 matched frame), thumb<->thumb (two stills "
+    "of the same group frame), clip<->clip (>= VIDEO_SHARED_T shared "
+    "frames) — via connected components over modality-tagged nodes "
+    "(node = 2*doc_id + is_video), keeping the node with the MOST "
+    "decoded frames (the source footage always beats its exported "
+    "still; stills count 1), ties to smallest node. The oracle "
+    "recomputes the closure recursively with thumbnail hashes derived "
+    "from the video CTE. Every edge family is a banded or "
+    "inverted-index equi-join — no all-pairs product.",
+    tags=("multimodal", "video", "dedup", "iterative", "cross-modal",
+          "training-data"),
+    oracle=f"""
+WITH RECURSIVE {_DUCK_VIDEO},
+{_DUCK_THUMBS},
+vsig AS (SELECT DISTINCT doc_id, frame_dhash FROM vhashes),
+nfr AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM vhashes GROUP BY doc_id
+),
+tbands AS (
+    SELECT doc_id, dhash, t.b AS band,
+           (dhash >> (t.b * 8)) & 255 AS byte
+    FROM thumbs CROSS JOIN range({DHASH_BANDS}) t(b)
+),
+fbands AS (
+    SELECT doc_id, frame_dhash, t.b AS band,
+           (frame_dhash >> (t.b * 8)) & 255 AS byte
+    FROM vsig CROSS JOIN range({DHASH_BANDS}) t(b)
+),
+tc AS (
+    SELECT DISTINCT tb.doc_id * 2 AS a, fb.doc_id * 2 + 1 AS b
+    FROM tbands tb JOIN fbands fb
+      ON tb.band = fb.band AND tb.byte = fb.byte
+    WHERE bit_count(xor(tb.dhash, fb.frame_dhash)) <= {DHASH_HAMMING_T}
+),
+tt AS (
+    SELECT DISTINCT x.doc_id * 2 AS a, y.doc_id * 2 AS b
+    FROM tbands x JOIN tbands y
+      ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.dhash, y.dhash)) <= {DHASH_HAMMING_T}
+),
+cc AS (
+    SELECT x.doc_id * 2 + 1 AS a, y.doc_id * 2 + 1 AS b
+    FROM vsig x JOIN vsig y
+      ON x.frame_dhash = y.frame_dhash AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+    HAVING COUNT(*) >= {VIDEO_SHARED_T}
+),
+prs AS (SELECT a, b FROM tc UNION SELECT a, b FROM tt
+        UNION SELECT a, b FROM cc),
+edges AS (SELECT a, b FROM prs UNION SELECT b AS a, a AS b FROM prs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+allnodes AS (
+    SELECT doc_id * 2 AS node, doc_id, 'image' AS modality,
+           CAST(1 AS BIGINT) AS n_frames
+    FROM thumbs
+    UNION ALL
+    SELECT doc_id * 2 + 1 AS node, doc_id, 'video' AS modality, n_frames
+    FROM nfr
+),
+members AS (
+    SELECT n.node, n.doc_id, n.modality, n.n_frames,
+           COALESCE(c.cluster_id, n.node) AS cluster_id
+    FROM allnodes n LEFT JOIN comp c ON c.node = n.node
+),
+best AS (
+    SELECT cluster_id, node AS keep_node FROM (
+        SELECT cluster_id, node,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY n_frames DESC, node) AS rn
+        FROM members
+    ) WHERE rn = 1
+)
+SELECT m.doc_id, m.modality, m.n_frames,
+       b.keep_node // 2 AS keep_doc,
+       CASE WHEN b.keep_node % 2 = 1 THEN 'video' ELSE 'image' END
+           AS keep_modality,
+       CASE WHEN m.node = b.keep_node THEN 'kept' ELSE 'dropped' END
+           AS status
+FROM members m JOIN best b ON b.cluster_id = m.cluster_id
+""",
+)
+def cross_modal_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.components import (
+        duplicate_clusters,
+    )
+
+    thumbs = perf_checkpoint(
+        _thumb_fingerprints(spark, sf_dir).select("doc_id", "dhash")
+    )
+    vfp = perf_checkpoint(
+        _video_fingerprints(spark, sf_dir).select(
+            "doc_id", "frame_idx", "frame_dhash"
+        )
+    )
+    vsig = vfp.select("doc_id", "frame_dhash").distinct()
+    nfr = vfp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
+    )
+    tbands = thumbs.select(
+        "doc_id",
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias(
+            "band"
+        ),
+    ).withColumn("byte", F.expr("(dhash >> (band * 8)) & 255"))
+    fbands = vsig.select(
+        "doc_id",
+        "frame_dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias(
+            "band"
+        ),
+    ).withColumn("byte", F.expr("(frame_dhash >> (band * 8)) & 255"))
+    tc = (
+        tbands.alias("t")
+        .join(
+            fbands.alias("f"),
+            (F.col("t.band") == F.col("f.band"))
+            & (F.col("t.byte") == F.col("f.byte")),
+        )
+        .filter(
+            F.bit_count(F.expr("t.dhash ^ f.frame_dhash"))
+            <= DHASH_HAMMING_T
+        )
+        .select(
+            (F.col("t.doc_id") * 2).alias("id_a"),
+            (F.col("f.doc_id") * 2 + 1).alias("id_b"),
+        )
+        .distinct()
+    )
+    tt = (
+        tbands.alias("x")
+        .join(
+            tbands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.byte") == F.col("y.byte"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .filter(
+            F.bit_count(F.expr("x.dhash ^ y.dhash")) <= DHASH_HAMMING_T
+        )
+        .select(
+            (F.col("x.doc_id") * 2).alias("id_a"),
+            (F.col("y.doc_id") * 2).alias("id_b"),
+        )
+        .distinct()
+    )
+    cc = (
+        vsig.alias("x")
+        .join(
+            vsig.alias("y"),
+            (F.col("x.frame_dhash") == F.col("y.frame_dhash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            (F.col("x.doc_id") * 2 + 1).alias("id_a"),
+            (F.col("y.doc_id") * 2 + 1).alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= VIDEO_SHARED_T)
+        .select("id_a", "id_b")
+    )
+    comp = duplicate_clusters(tc.unionByName(tt).unionByName(cc)).select(
+        "node", "cluster_id"
+    )
+    allnodes = (
+        thumbs.select(
+            (F.col("doc_id") * 2).alias("node"),
+            "doc_id",
+            F.lit("image").alias("modality"),
+            F.lit(1).cast("long").alias("n_frames"),
+        )
+        .unionByName(
+            nfr.select(
+                (F.col("doc_id") * 2 + 1).alias("node"),
+                "doc_id",
+                F.lit("video").alias("modality"),
+                "n_frames",
+            )
+        )
+    )
+    members = (
+        allnodes.join(comp, "node", "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("node"))
+        )
+    )
+    best = F.max(
+        F.struct(
+            F.col("n_frames").alias("nf"),
+            (-F.col("node")).alias("negnode"),
+        )
+    ).over(Window.partitionBy("cluster_id"))
+    return members.withColumn("keep_node", -best.getField("negnode")).select(
+        "doc_id",
+        "modality",
+        "n_frames",
+        (F.col("keep_node") / 2).cast("long").alias("keep_doc"),
+        F.when(F.col("keep_node") % 2 == 1, F.lit("video"))
+        .otherwise(F.lit("image"))
+        .alias("keep_modality"),
+        F.when(F.col("node") == F.col("keep_node"), F.lit("kept"))
         .otherwise(F.lit("dropped"))
         .alias("status"),
     )

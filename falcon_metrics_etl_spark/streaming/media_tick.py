@@ -1,38 +1,68 @@
 """Incremental perceptual-media ingest tick — the delta shape of the
-image/video dedup family (r10 verdict #3), mirroring the text-corpus
-tick (streaming/corpus_tick.py): a batch of NEW media documents is
-decoded and fingerprinted DELTA-ONLY, probes the MAINTAINED
-perceptual indexes, and only admitted (non-duplicate) fingerprints
-append. Tick cost scales with the delta: the decode is map-only on
-the batch, the image band probe and the video frame-hash probe are
-delta-keyed equi-joins into the persisted indexes, and Hamming /
-shared-frame verification joins only candidate base rows.
+image/video dedup family, QUALITY-AWARE since r12 (r11 verdict #2):
+admission is no longer greedy keep-first but replace-if-better, so
+the tick's keep set stays row-identical to the batch pipeline's
+quality-scored keep-best (media_dedup_keep_best /
+video_dedup_keep_best) recomputed over everything processed so far —
+the IVM invariant proven by the oracled ``media_keep_best_delta`` /
+``video_keep_best_delta`` twins (plans/media_dedup.py) and the
+resolution operator they share with this tick
+(operators/keep_best.resolve_keep_best).
+
+A batch of NEW media documents is decoded and fingerprinted
+DELTA-ONLY, probes the MAINTAINED perceptual indexes, and its
+verified duplicate edges are resolved by connected components +
+quality argmax over {batch docs} ∪ {matched incumbents' cluster
+keepers}: the component winner keeps, losing batch docs drop, and a
+losing incumbent keeper is DISPLACED — flagged, and every index row
+pointing at it repointed to the winner (a keyed MERGE). This also
+removes the r11 advisor's batch-composition dependence: a rejected
+batch mate can no longer gate another doc, because admission depends
+only on the match graph and qualities, never on id order or how docs
+were split across mates.
 
 State under ``state_dir`` (plain parquet; production lands the
-indexes through sinks/bucketed.py keyed on their join columns):
+indexes through sinks/bucketed.py keyed on their join columns, where
+the repoint MERGE rewrites partitions, not the table):
 
-- ``fp_index``     (doc_id, codec, dhash, batch_id) — 64-bit image
-  dHashes of every ADMITTED image (the Hamming-verification side)
-- ``band_index``   (doc_id, band, byte, batch_id) — the 8x8-bit LSH
-  bands of the same hashes (the probe side)
-- ``frame_index``  (doc_id, frame_dhash, batch_id) — the video
-  frame-hash inverted index of every admitted clip (the frame hash
-  IS the bucket key; distinct per clip)
-- ``media_flags``  (doc_id, modality, status, batch_id) — per-doc
-  verdicts, landed through the keyed MERGE writer
+- ``fp_index``    (doc_id, codec, dhash, width, height, detail,
+  keep_id, batch_id) — one row per PROCESSED image, kept AND dropped:
+  keeping dropped docs' fingerprints is what makes the cluster
+  closure exact across ticks (a new doc matching only a dropped copy
+  must still be scored against that copy's cluster keeper — the
+  corpus tick's canonical_id design, generalized). keep_id always
+  references the row's current cluster keeper.
+- ``band_index``  (doc_id, band, byte, batch_id) — the 8x8-bit LSH
+  bands of every processed image's hash (the probe side).
+- ``frame_index`` (doc_id, frame_idx, frame_dhash, n_frames, keep_id,
+  batch_id) — per-frame rows of every processed clip; frame_idx
+  feeds the aligned-run verification, n_frames is the clip quality.
+- ``media_flags`` (doc_id, modality, status, batch_id) — per-doc
+  verdicts through the keyed MERGE writer: 'kept',
+  'dropped:near_dup', 'dropped:near_dup:reordered' (video whose
+  duplicate evidence is entirely ORDER-BROKEN — see below),
+  'displaced:near_dup' (an incumbent keeper beaten by a better
+  arrival).
+
+Video admission additionally runs the TEMPORAL-ORDER verification
+(r11 verdict #5) with the batch family's exact algebra
+(plans/media_dedup.aligned_runs_of): candidate pairs sharing >=
+VIDEO_SHARED_T distinct frames still dedup (matching the batch keep
+rule), but a clip whose every candidate pair has aligned_run <
+VIDEO_SHARED_T — shared content, order destroyed: a re-cut, not a
+trim — is flagged 'dropped:near_dup:reordered' so downstream can
+treat re-edits differently from copies.
 
 Replay safety (at-least-once foreachBatch, the corpus tick's
 contract): every index row carries its replay-stable batch_id; probes
 EXCLUDE the current batch's own rows, so a replayed batch scores
-against exactly the state it originally saw; appends anti-join the
-full index on doc_id, so a replay appends nothing; flags land keyed
-on (doc_id, modality) — last-write-wins with identical values.
-
-Admission policy is greedy keep-first (the ingest-side simplification
-of the batch pipeline's quality-scored keep-best, same as the corpus
-tick): a batch image is rejected when it Hamming-matches the admitted
-corpus or ANY smaller-id batch mate; a batch clip is rejected when it
-shares >= VIDEO_SHARED_T distinct frame hashes with either.
+against exactly the state it originally saw (a replayed winner's
+matches lift to itself through keep_id and drop out as self-loops);
+appends anti-join the full index on doc_id, so a replay appends
+nothing; flags land keyed on (doc_id, modality) — last-write-wins
+with identical values. Mutation order is flags -> repoint -> append,
+each step individually idempotent, so a crash between steps replays
+to the same final state.
 """
 
 from __future__ import annotations
@@ -41,12 +71,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from falcon_metrics_etl_spark.functions import multimodal as MM
+from falcon_metrics_etl_spark.operators.keep_best import resolve_keep_best
 from falcon_metrics_etl_spark.plans.media_dedup import (
-    DHASH_BANDS,
     DHASH_HAMMING_T,
     VIDEO_SHARED_T,
+    aligned_runs_of,
+    image_bands_of,
+    image_keep_best_of,
+    video_keep_best_of,
 )
 from falcon_metrics_etl_spark.sinks.merge import _target_exists, merge_upsert
+
+FP_SCHEMA = (
+    "doc_id long, codec string, dhash long, width int, height int, "
+    "detail long, keep_id long, batch_id long"
+)
+BAND_SCHEMA = "doc_id long, band int, byte long, batch_id long"
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_dhash long, n_frames long, "
+    "keep_id long, batch_id long"
+)
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
@@ -55,14 +99,11 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
-def _bands_of(fp: DataFrame) -> DataFrame:
-    return fp.select(
-        "doc_id",
-        "dhash",
-        F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias(
-            "band"
-        ),
-    ).withColumn("byte", F.expr("(dhash >> (band * 8)) & 255"))
+def _status(is_kept_col):
+    return (
+        F.when(is_kept_col, F.lit("kept"))
+        .otherwise(F.lit("dropped:near_dup"))
+    )
 
 
 def stage_media_state(
@@ -70,27 +111,61 @@ def stage_media_state(
     docs: DataFrame,
     state_dir: str,
     batch_id: int = 0,
+    images: DataFrame | None = None,
+    clips: DataFrame | None = None,
 ) -> None:
-    """Tick-0 backfill: persist the perceptual indexes the incremental
-    ingest maintains, from an already-deduplicated base corpus."""
+    """Tick-0 backfill: run the BATCH keep-best closure over the base
+    corpus and persist its full resolution — every processed row with
+    its cluster keeper — as the maintained state. This is the batch
+    pipeline run once; every later tick maintains its result
+    incrementally.
+
+    ``images`` / ``clips`` override the fixture payload corpora with
+    explicit (doc_id, media_type, codec, payload) frames — production
+    passes its real media here; the fixture attach is the default."""
+    if images is None:
+        images = MM.attach_payload_dhash_corpus(docs)
+    if clips is None:
+        clips = MM.attach_payload_video_clips(docs)
     tag = F.lit(int(batch_id)).alias("batch_id")
-    fp = MM.media_dhash(MM.attach_payload_dhash_corpus(docs)).select(
-        "doc_id", "codec", "dhash"
-    ).localCheckpoint(eager=True)
-    fp.select("doc_id", "codec", "dhash", tag).write.mode(
-        "overwrite"
-    ).parquet(f"{state_dir}/fp_index")
-    _bands_of(fp).select("doc_id", "band", "byte", tag).write.mode(
+    fp = MM.media_dhash(images, with_detail=True).localCheckpoint(
+        eager=True
+    )
+    kb = image_keep_best_of(fp).localCheckpoint(eager=True)
+    kb.select(
+        "doc_id", "codec", "dhash", "width", "height", "detail",
+        "keep_id", tag,
+    ).write.mode("overwrite").parquet(f"{state_dir}/fp_index")
+    image_bands_of(kb).select("doc_id", "band", "byte", tag).write.mode(
         "overwrite"
     ).parquet(f"{state_dir}/band_index")
-    vfp = (
-        MM.video_frame_dhash(MM.attach_payload_video_clips(docs))
-        .select("doc_id", "frame_dhash")
-        .distinct()
+
+    vfp = MM.video_frame_dhash(clips).select(
+        "doc_id", "frame_idx", "frame_dhash"
+    ).localCheckpoint(eager=True)
+    vkb = video_keep_best_of(vfp).localCheckpoint(eager=True)
+    vfp.join(
+        vkb.select("doc_id", "n_frames", "keep_id"), "doc_id"
+    ).select(
+        "doc_id", "frame_idx", "frame_dhash", "n_frames", "keep_id", tag
+    ).write.mode("overwrite").parquet(f"{state_dir}/frame_index")
+
+    flags = (
+        kb.select(
+            "doc_id",
+            F.lit("image").alias("modality"),
+            _status(F.col("status") == "kept").alias("status"),
+        )
+        .unionByName(
+            vkb.select(
+                "doc_id",
+                F.lit("video").alias("modality"),
+                _status(F.col("status") == "kept").alias("status"),
+            )
+        )
+        .withColumn("batch_id", F.lit(int(batch_id)))
     )
-    vfp.select("doc_id", "frame_dhash", tag).write.mode(
-        "overwrite"
-    ).parquet(f"{state_dir}/frame_index")
+    flags.write.mode("overwrite").parquet(f"{state_dir}/media_flags")
 
 
 def media_ingest_tick(
@@ -98,30 +173,33 @@ def media_ingest_tick(
     batch_docs: DataFrame,
     state_dir: str,
     batch_id: int,
+    images: DataFrame | None = None,
+    clips: DataFrame | None = None,
 ) -> None:
     """Process ONE delta batch of media docs end to end (decode ->
-    probe -> admit -> index append), idempotent under replay of the
-    same (batch_docs, batch_id)."""
+    probe -> resolve keep-best -> flag/repoint/append), idempotent
+    under replay of the same (batch_docs, batch_id). ``images`` /
+    ``clips`` override the fixture payload corpora (see
+    stage_media_state)."""
     bid = int(batch_id)
+    if images is None:
+        images = MM.attach_payload_dhash_corpus(batch_docs)
+    if clips is None:
+        clips = MM.attach_payload_video_clips(batch_docs)
 
-    # ---- image side: delta decode -> band probe -> Hamming verify --
+    # ---- image side: delta decode -> band probe -> Hamming edges ---
     fp_new = (
-        MM.media_dhash(MM.attach_payload_dhash_corpus(batch_docs))
-        .select("doc_id", "codec", "dhash")
+        MM.media_dhash(images, with_detail=True)
+        .select("doc_id", "codec", "dhash", "width", "height", "detail")
         .localCheckpoint(eager=True)
     )
     fp_idx = _read_or_empty(
-        spark,
-        f"{state_dir}/fp_index",
-        "doc_id long, codec string, dhash long, batch_id long",
+        spark, f"{state_dir}/fp_index", FP_SCHEMA
     ).filter(F.col("batch_id") != bid)
     band_idx = _read_or_empty(
-        spark,
-        f"{state_dir}/band_index",
-        "doc_id long, band int, byte long, batch_id long",
+        spark, f"{state_dir}/band_index", BAND_SCHEMA
     ).filter(F.col("batch_id") != bid)
-    new_bands = _bands_of(fp_new)
-    # probe vs the admitted corpus + smaller-id batch mates
+    new_bands = image_bands_of(fp_new)
     probe_side = band_idx.select("doc_id", "band", "byte").unionByName(
         new_bands.select("doc_id", "band", "byte")
     )
@@ -131,89 +209,152 @@ def media_ingest_tick(
             probe_side.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.byte") == F.col("b.byte"))
-            & (F.col("a.doc_id") > F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("id_new"),
-            F.col("b.doc_id").alias("id_old"),
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
         )
         .distinct()
     )
-    old_hashes = fp_idx.select("doc_id", "dhash").unionByName(
+    hashes = fp_idx.select("doc_id", "dhash").unionByName(
         fp_new.select("doc_id", "dhash")
     )
-    img_dups = (
+    edges = (
         cand.join(
-            fp_new.select(
-                F.col("doc_id").alias("id_new"), F.col("dhash").alias("h_n")
+            hashes.select(
+                F.col("doc_id").alias("id_a"), F.col("dhash").alias("h_a")
             ),
-            "id_new",
+            "id_a",
         )
         .join(
-            old_hashes.select(
-                F.col("doc_id").alias("id_old"), F.col("dhash").alias("h_o")
+            hashes.select(
+                F.col("doc_id").alias("id_b"), F.col("dhash").alias("h_b")
             ),
-            "id_old",
+            "id_b",
         )
-        .filter(F.bit_count(F.expr("h_n ^ h_o")) <= DHASH_HAMMING_T)
-        .select(F.col("id_new").alias("doc_id"))
-        .distinct()
+        .filter(F.bit_count(F.expr("h_a ^ h_b")) <= DHASH_HAMMING_T)
+        .select("id_a", "id_b")
     )
+    wh = (F.col("width").cast("long") * F.col("height")).alias("wh")
+    img_verdicts, img_displaced = resolve_keep_best(
+        fp_new.select("doc_id", wh, "detail"),
+        fp_idx.select("doc_id", "keep_id", wh, "detail"),
+        edges,
+        ["wh", "detail"],
+    )
+    # freeze the decisions BEFORE any state mutation: their lineage
+    # reads the index parquet the repoint/appends are about to rewrite
+    img_verdicts = img_verdicts.localCheckpoint(eager=True)
+    img_displaced = img_displaced.localCheckpoint(eager=True)
 
     # ---- video side: delta frames probe the inverted index ---------
     vfp_new = (
-        MM.video_frame_dhash(MM.attach_payload_video_clips(batch_docs))
-        .select("doc_id", "frame_dhash")
-        .distinct()
+        MM.video_frame_dhash(clips)
+        .select("doc_id", "frame_idx", "frame_dhash")
         .localCheckpoint(eager=True)
     )
-    frame_idx = _read_or_empty(
-        spark,
-        f"{state_dir}/frame_index",
-        "doc_id long, frame_dhash long, batch_id long",
-    ).filter(F.col("batch_id") != bid)
-    vprobe = frame_idx.select("doc_id", "frame_dhash").unionByName(
-        vfp_new.select("doc_id", "frame_dhash")
+    n_new = vfp_new.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
     )
-    vid_dups = (
+    frame_idx_state = _read_or_empty(
+        spark, f"{state_dir}/frame_index", FRAME_SCHEMA
+    ).filter(F.col("batch_id") != bid)
+    vprobe = frame_idx_state.select(
+        "doc_id", "frame_idx", "frame_dhash"
+    ).unionByName(vfp_new)
+    fm = (
         vfp_new.alias("a")
         .join(
             vprobe.alias("b"),
             (F.col("a.frame_dhash") == F.col("b.frame_dhash"))
-            & (F.col("a.doc_id") > F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("b.doc_id").alias("id_old"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= VIDEO_SHARED_T)
-        .select("doc_id")
-        .distinct()
-    )
-
-    # ---- land flags (keyed merge) + append indexes (anti-joined) ---
-    img_flags = (
-        fp_new.select("doc_id")
-        .join(img_dups.withColumn("d", F.lit(1)), "doc_id", "left")
         .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+            F.when(
+                F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.frame_idx")
+            )
+            .otherwise(F.col("b.frame_idx"))
+            .alias("ia"),
+            F.when(
+                F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.frame_idx")
+            )
+            .otherwise(F.col("a.frame_idx"))
+            .alias("ib"),
+            F.col("a.frame_dhash").alias("fd"),
+        )
+        # both orientations appear when both sides are batch docs
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vpairs = (
+        fm.select("id_a", "id_b", "fd")
+        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= VIDEO_SHARED_T)
+    )
+    # temporal-order verification with the batch query's exact algebra
+    vpairs = vpairs.join(
+        aligned_runs_of(fm.select("id_a", "id_b", "ia", "ib")),
+        ["id_a", "id_b"],
+    ).withColumn(
+        "is_aligned", F.col("aligned_run") >= VIDEO_SHARED_T
+    ).localCheckpoint(eager=True)
+    vid_verdicts, vid_displaced = resolve_keep_best(
+        n_new,
+        frame_idx_state.select(
+            "doc_id", "keep_id", "n_frames"
+        ).dropDuplicates(["doc_id"]),
+        vpairs.select("id_a", "id_b"),
+        ["n_frames"],
+    )
+    vid_verdicts = vid_verdicts.localCheckpoint(eager=True)
+    vid_displaced = vid_displaced.localCheckpoint(eager=True)
+
+    # ---- 1) land flags (keyed merge) --------------------------------
+    # a dropped clip NONE of whose candidate pairs is order-aligned is
+    # a re-cut, not a copy — flag the distinction
+    aligned_touch = (
+        vpairs.filter(F.col("is_aligned"))
+        .select(F.col("id_a").alias("doc_id"))
+        .unionByName(
+            vpairs.filter(F.col("is_aligned")).select(
+                F.col("id_b").alias("doc_id")
+            )
+        )
+        .distinct()
+        .withColumn("al", F.lit(1))
+    )
+    img_flags = img_verdicts.select(
+        "doc_id",
+        F.lit("image").alias("modality"),
+        _status(F.col("is_kept")).alias("status"),
+    ).unionByName(
+        img_displaced.select(
             "doc_id",
             F.lit("image").alias("modality"),
-            F.when(F.col("d").isNotNull(), F.lit("dropped:near_dup"))
-            .otherwise(F.lit("kept"))
-            .alias("status"),
+            F.lit("displaced:near_dup").alias("status"),
         )
     )
     vid_flags = (
-        vfp_new.select("doc_id")
-        .distinct()
-        .join(vid_dups.withColumn("d", F.lit(1)), "doc_id", "left")
+        vid_verdicts.join(aligned_touch, "doc_id", "left")
         .select(
             "doc_id",
             F.lit("video").alias("modality"),
-            F.when(F.col("d").isNotNull(), F.lit("dropped:near_dup"))
-            .otherwise(F.lit("kept"))
+            F.when(F.col("is_kept"), F.lit("kept"))
+            .when(F.col("al").isNull(), F.lit("dropped:near_dup:reordered"))
+            .otherwise(F.lit("dropped:near_dup"))
             .alias("status"),
+        )
+        .unionByName(
+            vid_displaced.select(
+                "doc_id",
+                F.lit("video").alias("modality"),
+                F.lit("displaced:near_dup").alias("status"),
+            )
         )
     )
     flags = img_flags.unionByName(vid_flags).withColumn(
@@ -223,37 +364,70 @@ def media_ingest_tick(
         spark, f"{state_dir}/media_flags", flags, ["doc_id", "modality"]
     )
 
+    # ---- 2) repoint displaced keepers (keyed merge) -----------------
+    if not img_displaced.isEmpty():
+        full_fp = _read_or_empty(spark, f"{state_dir}/fp_index", FP_SCHEMA)
+        upd = (
+            full_fp.join(
+                img_displaced.select(
+                    F.col("doc_id").alias("keep_id"), "new_keep"
+                ),
+                "keep_id",
+            )
+            .withColumn("keep_id", F.col("new_keep"))
+            .drop("new_keep")
+        )
+        merge_upsert(spark, f"{state_dir}/fp_index", upd, ["doc_id"])
+    if not vid_displaced.isEmpty():
+        full_fr = _read_or_empty(
+            spark, f"{state_dir}/frame_index", FRAME_SCHEMA
+        )
+        upd = (
+            full_fr.join(
+                vid_displaced.select(
+                    F.col("doc_id").alias("keep_id"), "new_keep"
+                ),
+                "keep_id",
+            )
+            .withColumn("keep_id", F.col("new_keep"))
+            .drop("new_keep")
+        )
+        merge_upsert(
+            spark, f"{state_dir}/frame_index", upd, ["doc_id", "frame_idx"]
+        )
+
+    # ---- 3) append the batch (kept AND dropped; anti-joined) --------
     tag = F.lit(bid).alias("batch_id")
-    full_fp = _read_or_empty(
-        spark,
-        f"{state_dir}/fp_index",
-        "doc_id long, codec string, dhash long, batch_id long",
+    full_fp = _read_or_empty(spark, f"{state_dir}/fp_index", FP_SCHEMA)
+    new_fp = (
+        fp_new.join(img_verdicts.select("doc_id", "keep_id"), "doc_id")
+        .join(full_fp.select("doc_id").distinct(), "doc_id", "left_anti")
+        .select(
+            "doc_id", "codec", "dhash", "width", "height", "detail",
+            "keep_id", tag,
+        )
     )
-    admitted_img = fp_new.join(img_dups, "doc_id", "left_anti")
-    new_fp = admitted_img.join(
-        full_fp.select("doc_id").distinct(), "doc_id", "left_anti"
-    ).select("doc_id", "codec", "dhash", tag)
     new_fp.write.mode("append").parquet(f"{state_dir}/fp_index")
 
     full_bands = _read_or_empty(
-        spark,
-        f"{state_dir}/band_index",
-        "doc_id long, band int, byte long, batch_id long",
+        spark, f"{state_dir}/band_index", BAND_SCHEMA
     )
     new_b = (
-        _bands_of(admitted_img)
+        image_bands_of(fp_new)
         .join(full_bands.select("doc_id").distinct(), "doc_id", "left_anti")
         .select("doc_id", "band", "byte", tag)
     )
     new_b.write.mode("append").parquet(f"{state_dir}/band_index")
 
     full_frames = _read_or_empty(
-        spark,
-        f"{state_dir}/frame_index",
-        "doc_id long, frame_dhash long, batch_id long",
+        spark, f"{state_dir}/frame_index", FRAME_SCHEMA
     )
-    admitted_vid = vfp_new.join(vid_dups, "doc_id", "left_anti")
-    new_fr = admitted_vid.join(
-        full_frames.select("doc_id").distinct(), "doc_id", "left_anti"
-    ).select("doc_id", "frame_dhash", tag)
+    new_fr = (
+        vfp_new.join(n_new, "doc_id")
+        .join(vid_verdicts.select("doc_id", "keep_id"), "doc_id")
+        .join(full_frames.select("doc_id").distinct(), "doc_id", "left_anti")
+        .select(
+            "doc_id", "frame_idx", "frame_dhash", "n_frames", "keep_id", tag
+        )
+    )
     new_fr.write.mode("append").parquet(f"{state_dir}/frame_index")

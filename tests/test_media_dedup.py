@@ -422,3 +422,64 @@ def test_audio_keep_best_prefers_longest_recording(spark):
     assert rows[1] == (20 * MM.AUDIO_SEG_LEN, 1, "kept")
     assert rows[0][1:] == (1, "dropped")
     assert rows[2][2] == "kept"  # 63 meaningful bits -> Hamming > T
+
+
+def test_keyframe_thumbnail_matches_its_clip_frame(spark):
+    """Cross-modal fixture contract (r12): a thumbnail doc's PNG
+    decodes to a dHash IDENTICAL to its own clip's exported frame
+    fingerprint — through two entirely different codec paths (PNG
+    unfilter vs Y4M frame walk)."""
+    from falcon_metrics_etl_spark.functions import multimodal as MM
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(22)], "doc_id long"
+    )
+    thumbs = {
+        r["doc_id"]: r["dhash"]
+        for r in MM.media_dhash(
+            MM.attach_payload_keyframe_thumbs(ids)
+        ).collect()
+    }
+    assert set(thumbs) == {i for i in range(22) if i % MM.CM_THUMB_MOD == 0}
+    frames = {
+        (r["doc_id"], r["frame_idx"]): r["frame_dhash"]
+        for r in MM.video_frame_dhash(
+            MM.attach_payload_video_clips(ids)
+        ).collect()
+    }
+    for d, h in thumbs.items():
+        assert h == frames[(d, MM.thumb_slot(d))]
+
+
+def test_cross_modal_pairs_and_mixed_keep_best(spark, sf_smoke):
+    """cross_modal_near_dup finds every planted thumbnail against its
+    own clip (exact surface => Hamming 0) and cross_modal_keep_best
+    always keeps the footage over its exported still."""
+    from falcon_metrics_etl_spark.functions import multimodal as MM
+    from falcon_metrics_etl_spark.plans.media_dedup import (
+        cross_modal_keep_best,
+        cross_modal_near_dup,
+    )
+    from falcon_metrics_etl_spark.sources import load_table
+
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    pairs = cross_modal_near_dup(spark, sf_smoke).collect()
+    own = {
+        (r["img_id"], r["clip_id"]): r
+        for r in pairs
+        if r["img_kind"] == "thumb" and r["img_id"] == r["clip_id"]
+    }
+    thumb_ids = {i for i in range(n_docs) if i % MM.CM_THUMB_MOD == 0}
+    assert {a for a, _ in own} == thumb_ids
+    for r in own.values():
+        assert r["min_hamming"] == 0 and r["n_frames_matched"] >= 1
+
+    kb = cross_modal_keep_best(spark, sf_smoke).collect()
+    by_node = {(r["doc_id"], r["modality"]): r for r in kb}
+    for t in thumb_ids:
+        row = by_node[(t, "image")]
+        # a still can never beat footage: its keeper is a clip
+        assert row["status"] == "dropped"
+        assert row["keep_modality"] == "video"
+        # and its own clip is in the keeper's cluster
+        assert by_node[(t, "video")]["keep_doc"] == row["keep_doc"]
