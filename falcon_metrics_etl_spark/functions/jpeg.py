@@ -24,6 +24,8 @@ from __future__ import annotations
 import math
 import struct
 
+import numpy as np
+
 # zigzag scan order: index i of the scan -> (row, col) raster position
 ZIGZAG = (
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -312,6 +314,7 @@ def encode_jpeg_gray(pixels, quant=STD_QUANT, restart_interval=0) -> bytes:
     prev_dc = 0
     mcu = 0
     rst = 0
+    zzs = _plane_zz_blocks(pixels, h, w, quant)
     for by in range(bh):
         for bx in range(bw):
             if restart_interval and mcu and mcu % restart_interval == 0:
@@ -319,14 +322,7 @@ def encode_jpeg_gray(pixels, quant=STD_QUANT, restart_interval=0) -> bytes:
                 rst = (rst + 1) & 7
                 prev_dc = 0
             mcu += 1
-            block = [
-                [
-                    pixels[min(by * 8 + x, h - 1)][min(bx * 8 + y, w - 1)]
-                    for y in range(8)
-                ]
-                for x in range(8)
-            ]
-            zz = _fdct_quant(block, quant)
+            zz = zzs[by][bx]
             diff = zz[0] - prev_dc
             prev_dc = zz[0]
             size = _size_cat(diff)
@@ -411,17 +407,20 @@ def _clamp8(x: float) -> int:
 
 
 def _encode_plane_blocks(writer, plane, h, w, quant, dc_codes, ac_codes,
-                         prev_dc, bx, by):
+                         prev_dc, bx, by, zz=None):
     """FDCT + entropy-encode the (bx, by) block of one plane; returns
-    the new DC predictor."""
-    block = [
-        [
-            plane[min(by * 8 + x, h - 1)][min(bx * 8 + y, w - 1)]
-            for y in range(8)
+    the new DC predictor. ``zz`` short-circuits the per-block
+    extraction + FDCT when the caller batched the whole plane through
+    ``_plane_zz_blocks`` (identical coefficients by construction)."""
+    if zz is None:
+        block = [
+            [
+                plane[min(by * 8 + x, h - 1)][min(bx * 8 + y, w - 1)]
+                for y in range(8)
+            ]
+            for x in range(8)
         ]
-        for x in range(8)
-    ]
-    zz = _fdct_quant(block, quant)
+        zz = _fdct_quant(block, quant)
     diff = zz[0] - prev_dc
     size = _size_cat(diff)
     code, length = dc_codes[size]
@@ -468,6 +467,7 @@ def encode_jpeg_ycbcr(
     prev = [0, 0, 0]
     planes = (y_plane, cb_plane, cr_plane)
     quants = (quant_y, quant_c, quant_c)
+    zz_all = [_plane_zz_blocks(planes[c], h, w, quants[c]) for c in range(3)]
     mcu = 0
     rst = 0
     for by in range((h + 7) // 8):
@@ -481,6 +481,7 @@ def encode_jpeg_ycbcr(
                 prev[c] = _encode_plane_blocks(
                     writer, planes[c], h, w, quants[c],
                     dc_codes, ac_codes, prev[c], bx, by,
+                    zz=zz_all[c][by][bx],
                 )
     scan = writer.flush()
 
@@ -524,6 +525,18 @@ def encode_jpeg_ycbcr_420(
     prev = [0, 0, 0]
     mcus_y = (h + 15) // 16
     mcus_x = (w + 15) // 16
+    # luma blocks run to the MCU grid (2*mcus per axis), which may
+    # exceed ceil(dim/8): _plane_zz_blocks edge-replicates the pad
+    # blocks exactly like the old per-block min() clamp
+    zz_y = _plane_zz_blocks(
+        y_plane, h, w, quant_y, bw=2 * mcus_x, bh=2 * mcus_y
+    )
+    zz_cb = _plane_zz_blocks(
+        cb_plane, ch, cw, quant_c, bw=mcus_x, bh=mcus_y
+    )
+    zz_cr = _plane_zz_blocks(
+        cr_plane, ch, cw, quant_c, bw=mcus_x, bh=mcus_y
+    )
     for my in range(mcus_y):
         for mx in range(mcus_x):
             for byi in range(2):
@@ -532,14 +545,17 @@ def encode_jpeg_ycbcr_420(
                         writer, y_plane, h, w, quant_y,
                         dc_codes, ac_codes, prev[0],
                         mx * 2 + bxi, my * 2 + byi,
+                        zz=zz_y[my * 2 + byi][mx * 2 + bxi],
                     )
             prev[1] = _encode_plane_blocks(
                 writer, cb_plane, ch, cw, quant_c,
                 dc_codes, ac_codes, prev[1], mx, my,
+                zz=zz_cb[my][mx],
             )
             prev[2] = _encode_plane_blocks(
                 writer, cr_plane, ch, cw, quant_c,
                 dc_codes, ac_codes, prev[2], mx, my,
+                zz=zz_cr[my][mx],
             )
     scan = writer.flush()
 
@@ -565,20 +581,19 @@ def encode_jpeg_ycbcr_420(
 
 def encode_jpeg_color(rgb) -> bytes:
     """RGB rows of (r, g, b) -> 4:4:4 JPEG via the JFIF forward
-    conversion with half-up rounding."""
-    h = len(rgb)
-    w = len(rgb[0])
-    yp = [[0] * w for _ in range(h)]
-    cbp = [[0] * w for _ in range(h)]
-    crp = [[0] * w for _ in range(h)]
-    for x in range(h):
-        for y in range(w):
-            r, g, b = rgb[x][y]
-            yp[x][y] = _clamp8(0.299 * r + 0.587 * g + 0.114 * b)
-            cbp[x][y] = _clamp8(128 - 0.168736 * r - 0.331264 * g
-                                + 0.5 * b)
-            crp[x][y] = _clamp8(128 + 0.5 * r - 0.418688 * g
-                                - 0.081312 * b)
+    conversion with half-up rounding. Vectorized (r12): numpy float64
+    runs the SAME left-associated IEEE-double expression elementwise
+    as the scalar loop did, and floor(x + 0.5) + clip is _clamp8
+    verbatim — bit-identical planes."""
+    a = np.asarray(rgb, dtype=np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+
+    def clamp8(x):
+        return np.clip(np.floor(x + 0.5), 0, 255).astype(np.int32)
+
+    yp = clamp8(0.299 * r + 0.587 * g + 0.114 * b)
+    cbp = clamp8(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+    crp = clamp8(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
     return encode_jpeg_ycbcr(yp, cbp, crp)
 
 
@@ -730,9 +745,7 @@ def decode_jpeg(payload: bytes) -> dict:
                         ox = my * 8 * vs + byi * 8
                         oy = mx * 8 * hs + bxi * 8
                         for x in range(8):
-                            row = planes[c][ox + x]
-                            for y in range(8):
-                                row[oy + y] = block[x][y]
+                            planes[c][ox + x][oy : oy + 8] = block[x]
     return _assemble_output(components, planes, w, h, hmax, vmax)
 
 
@@ -745,25 +758,34 @@ def _assemble_output(components, planes, w, h, hmax, vmax) -> dict:
             "pixels": [row[:w] for row in planes[0][:h]],
         }
     # upsample subsampled planes by nearest (pixel (x, y) reads
-    # component sample (x * v_i // vmax, y * h_i // hmax))
-    rgb = []
-    for x in range(h):
-        row = []
-        yrow = planes[0][x * components[0][3] // vmax]
-        cbrow = planes[1][x * components[1][3] // vmax]
-        crrow = planes[2][x * components[2][3] // vmax]
-        h0, h1, h2 = (components[0][2], components[1][2],
-                      components[2][2])
-        for y in range(w):
-            Y = yrow[y * h0 // hmax]
-            cb = cbrow[y * h1 // hmax] - 128
-            cr = crrow[y * h2 // hmax] - 128
-            row.append((
-                _clamp8(Y + 1.402 * cr),
-                _clamp8(Y - 0.344136 * cb - 0.714136 * cr),
-                _clamp8(Y + 1.772 * cb),
-            ))
-        rgb.append(row)
+    # component sample (x * v_i // vmax, y * h_i // hmax)).
+    # Vectorized (r12): the nearest-index gather and the JFIF
+    # conversion run elementwise in float64 with the same
+    # left-associated expressions as the scalar loop, and
+    # floor(x + 0.5) + clip is _clamp8 verbatim — bit-identical.
+    xs = np.arange(h)
+    ys = np.arange(w)
+    chans = []
+    for ci in range(3):
+        arr = np.asarray(planes[ci], dtype=np.float64)
+        chans.append(
+            arr[np.ix_(xs * components[ci][3] // vmax,
+                       ys * components[ci][2] // hmax)]
+        )
+    Y, cb, cr = chans[0], chans[1] - 128.0, chans[2] - 128.0
+
+    def clamp8(x):
+        return np.clip(np.floor(x + 0.5), 0, 255).astype(np.int64)
+
+    px = np.stack(
+        [
+            clamp8(Y + 1.402 * cr),
+            clamp8(Y - 0.344136 * cb - 0.714136 * cr),
+            clamp8(Y + 1.772 * cb),
+        ],
+        axis=-1,
+    ).tolist()
+    rgb = [list(map(tuple, row)) for row in px]
     return {"width": w, "height": h, "ncomp": 3, "rgb": rgb}
 
 
@@ -1058,9 +1080,7 @@ def _decode_progressive(payload: bytes) -> dict:
             for bx in range(bw):
                 block = _idct_block(coefs[ci][by][bx], quant[tq])
                 for x in range(8):
-                    row = plane[by * 8 + x]
-                    for y in range(8):
-                        row[bx * 8 + y] = block[x][y]
+                    plane[by * 8 + x][bx * 8 : bx * 8 + 8] = block[x]
         planes.append(plane)
     return _assemble_output(components, planes, w, h, hmax, vmax)
 
@@ -1248,21 +1268,37 @@ def _enc_ac_refine(writer, st: _EncState, zz, ss, se, al, ac_codes) -> None:
 def _plane_zz_blocks(plane, h, w, quant, bw=None, bh=None):
     """FDCT+quantize every 8x8 block of a plane (edge-replicated).
     ``bw``/``bh`` may exceed the ceil(dim/8) grid to cover interleaved
-    -MCU padding blocks (edge replication extends them too)."""
+    -MCU padding blocks (edge replication extends them too).
+
+    Vectorized (r12): the plane is edge-padded once and every block's
+    constant-ness is checked in a single numpy pass — constant blocks
+    (the synthetic corpora's norm) take the same closed-form DC
+    short-circuit ``_fdct_quant`` documents; blocks with AC energy
+    fall back to the scalar float FDCT so the summation ORDER (and
+    thus round-to-integer) stays bit-identical to the direct-form
+    reference loop."""
     bh = bh if bh is not None else (h + 7) // 8
     bw = bw if bw is not None else (w + 7) // 8
+    arr = np.asarray(plane, dtype=np.int32)[:h, :w]
+    arr = np.pad(arr, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    flat = (
+        arr.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(bh * bw, 64)
+    )
+    const = (flat == flat[:, :1]).all(axis=1)
+    q0 = quant[0]
     out = []
     for by in range(bh):
         row = []
         for bx in range(bw):
-            block = [
-                [
-                    plane[min(by * 8 + x, h - 1)][min(bx * 8 + y, w - 1)]
-                    for y in range(8)
-                ]
-                for x in range(8)
-            ]
-            row.append(_fdct_quant(block, quant))
+            i = by * bw + bx
+            if const[i]:
+                zz = [0] * 64
+                zz[0] = int(round((int(flat[i, 0]) - 128) * 8 / q0))
+                row.append(zz)
+            else:
+                row.append(
+                    _fdct_quant(flat[i].reshape(8, 8).tolist(), quant)
+                )
         out.append(row)
     return out
 

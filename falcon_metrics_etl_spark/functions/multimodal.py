@@ -35,6 +35,7 @@ import sys
 import zlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -191,28 +192,46 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def _paeth_np(a, b, c):
+    """Vectorized Paeth predictor — same tie-breaking order as _paeth
+    (a wins ties, then b). int16 inputs (0..255) keep p = a + b - c
+    exact."""
+    p = a + b - c
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    return np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    )
+
+
 def _filter_scanline(ft: int, line: bytes, prev: bytes, bpp: int) -> bytes:
     """FORWARD application of a PNG scanline filter (encoder side) with
     the spec's bpp-aware left/upper-left references — the exact inverse
     of the unfilter loop in decode_png_pixels, so encoders can exercise
-    every filter type on multi-byte pixels."""
-    out = bytearray([ft])
-    for x in range(len(line)):
-        a = line[x - bpp] if x >= bpp else 0
-        b = prev[x]
-        c = prev[x - bpp] if x >= bpp else 0
-        if ft == 0:
-            pred = 0
-        elif ft == 1:
-            pred = a
-        elif ft == 2:
-            pred = b
-        elif ft == 3:
-            pred = (a + b) >> 1
-        else:
-            pred = _paeth(a, b, c)
-        out.append((line[x] - pred) & 0xFF)
-    return bytes(out)
+    every filter type on multi-byte pixels. Vectorized (r12): forward
+    filtering reads only ORIGINAL line/prev bytes (no recurrence), so
+    each predictor is one elementwise int16 pass — identical modular
+    arithmetic to the scalar loop."""
+    cur = np.frombuffer(bytes(line), np.uint8).astype(np.int16)
+    up = np.frombuffer(bytes(prev), np.uint8).astype(np.int16)
+    n = len(cur)
+    a = np.zeros(n, np.int16)
+    a[bpp:] = cur[: n - bpp]
+    if ft == 0:
+        pred = 0
+    elif ft == 1:
+        pred = a
+    elif ft == 2:
+        pred = up
+    elif ft == 3:
+        pred = (a + up) >> 1
+    else:
+        c = np.zeros(n, np.int16)
+        c[bpp:] = up[: n - bpp]
+        pred = _paeth_np(a, up, c)
+    out = ((cur - pred) & 0xFF).astype(np.uint8)
+    return bytes([ft]) + out.tobytes()
 
 
 PAL_SIZE = 16  # palette entries for encode_png_palette
@@ -432,37 +451,74 @@ def _unfilter_scanlines(raw, pos, rw, h, bpp):
     left/upper-left references. Shared by the sequential path (one
     call) and the Adam7 path (one call per non-empty pass, each pass
     being its own independently filtered sub-image). Returns
-    (raster, next_pos)."""
+    (raster, next_pos).
+
+    Vectorized where the recurrence allows (r12): Sub is a per-lane
+    prefix sum mod 256 (uint8 accumulate wraps exactly) and Up is one
+    wrapping uint8 add against the decoded previous row; Average and
+    Paeth genuinely recur on the just-decoded left byte, so they keep
+    the scalar loop (Paeth inlined via the standard p-a = b-c
+    simplification — same selections)."""
     stride = rw + 1
     if pos + stride * h > len(raw):
         raise ValueError("PNG: raster size does not match dimensions")
     out = bytearray(rw * h)
     prev = bytes(rw)
+    prev_np = np.frombuffer(prev, np.uint8)
     for y in range(h):
         ft = raw[pos]
-        line = bytearray(raw[pos + 1 : pos + stride])
-        pos += stride
-        if ft == 0:
-            pass
-        elif ft == 1:  # Sub
-            for x in range(bpp, rw):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
-        elif ft == 2:  # Up
-            for x in range(rw):
-                line[x] = (line[x] + prev[x]) & 0xFF
-        elif ft == 3:  # Average
-            for x in range(rw):
-                left = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for x in range(rw):
-                a = line[x - bpp] if x >= bpp else 0
-                c = prev[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
+        if ft == 1:  # Sub: lane-wise cumulative sum mod 256
+            arr = np.frombuffer(
+                raw, np.uint8, rw, pos + 1
+            ).reshape(-1, bpp)
+            line_np = np.add.accumulate(
+                arr, axis=0, dtype=np.uint8
+            ).reshape(-1)
+            line = line_np.tobytes()
+        elif ft == 2:  # Up: wrapping add against the decoded prev row
+            line_np = (
+                np.frombuffer(raw, np.uint8, rw, pos + 1) + prev_np
+            )
+            line = line_np.tobytes()
         else:
-            raise ValueError(f"PNG: unknown filter type {ft}")
+            ba = bytearray(raw[pos + 1 : pos + stride])
+            if ft == 0:
+                pass
+            elif ft == 3:  # Average
+                for x in range(bpp):
+                    ba[x] = (ba[x] + (prev[x] >> 1)) & 0xFF
+                for x in range(bpp, rw):
+                    ba[x] = (
+                        ba[x] + ((ba[x - bpp] + prev[x]) >> 1)
+                    ) & 0xFF
+            elif ft == 4:  # Paeth
+                for x in range(bpp):
+                    # paeth(0, b, 0) == b for b >= 0
+                    ba[x] = (ba[x] + prev[x]) & 0xFF
+                for x in range(bpp, rw):
+                    a = ba[x - bpp]
+                    b = prev[x]
+                    c = prev[x - bpp]
+                    pa = b - c if b >= c else c - b
+                    pb = a - c if a >= c else c - a
+                    pc = a + b - 2 * c
+                    if pc < 0:
+                        pc = -pc
+                    if pa <= pb and pa <= pc:
+                        pr = a
+                    elif pb <= pc:
+                        pr = b
+                    else:
+                        pr = c
+                    ba[x] = (ba[x] + pr) & 0xFF
+            else:
+                raise ValueError(f"PNG: unknown filter type {ft}")
+            line = bytes(ba)
+            line_np = np.frombuffer(line, np.uint8)
+        pos += stride
         out[y * rw : (y + 1) * rw] = line
         prev = line
+        prev_np = line_np
     return out, pos
 
 
@@ -2736,23 +2792,42 @@ def dhash_block_value(g: int, v: int, bx: int, by: int) -> int:
 
 
 def encode_png_gray_raster(rows) -> bytes:
-    """8-bit grayscale PNG of an arbitrary raster. Scanline filters
-    cycle through all five types (bpp=1 forward filtering via
-    _filter_scanline), IDAT is a real deflate stream — decoding has
-    to genuinely unfilter, same contract as the gradient encoders."""
-    height = len(rows)
-    width = len(rows[0])
-    prev = bytes(width)
-    raw = bytearray()
-    for y, r in enumerate(rows):
-        line = bytes(r)
-        raw += _filter_scanline(y % 5, line, prev, 1)
-        prev = line
+    """8-bit grayscale PNG of an arbitrary raster (list of rows or a
+    2-D uint8 ndarray). Scanline filters cycle through all five types,
+    IDAT is a real deflate stream — decoding has to genuinely
+    unfilter, same contract as the gradient encoders. Vectorized
+    (r12): forward filters read only ORIGINAL pixels, so all five
+    predictor planes compute in one whole-image int16 pass and row y
+    selects plane y % 5 — byte-identical to the per-row
+    _filter_scanline loop it replaces."""
+    img = np.asarray(rows, dtype=np.uint8)
+    height, width = img.shape
+    cur = img.astype(np.int16)
+    up = np.zeros_like(cur)
+    up[1:] = cur[:-1]
+    left = np.zeros_like(cur)
+    left[:, 1:] = cur[:, :-1]
+    ul = np.zeros_like(cur)
+    ul[1:, 1:] = cur[:-1, :-1]
+    preds = np.stack(
+        [
+            np.zeros_like(cur),
+            left,
+            up,
+            (left + up) >> 1,
+            _paeth_np(left, up, ul),
+        ]
+    )
+    fts = (np.arange(height) % 5).astype(np.uint8)
+    sel = preds[fts, np.arange(height)]
+    raw = np.empty((height, width + 1), np.uint8)
+    raw[:, 0] = fts
+    raw[:, 1:] = ((cur - sel) & 0xFF).astype(np.uint8)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -2777,13 +2852,15 @@ def attach_payload_dhash_corpus(docs: DataFrame) -> DataFrame:
                 # one md5 draw PER BLOCK, expanded to pixels — not one
                 # per pixel (r11: the per-pixel form recomputed each
                 # block's md5 64x and dominated the whole media bench
-                # at ~74% of pair-query cost; identical raster)
-                img = []
+                # at ~74% of pair-query cost; identical raster).
+                # r12: the 8x8 expansion is a numpy repeat.
+                bv = np.empty(
+                    (DHASH_GRID_H, DHASH_GRID_W), np.uint8
+                )
                 for by in range(DHASH_GRID_H):
-                    row: list = []
                     for bx in range(DHASH_GRID_W):
-                        row.extend([dhash_block_value(g, v, bx, by)] * 8)
-                    img.extend([row] * 8)
+                        bv[by, bx] = dhash_block_value(g, v, bx, by)
+                img = np.repeat(np.repeat(bv, 8, axis=0), 8, axis=1)
                 if doc_id % 2 == 0:
                     rows_out.append(
                         (doc_id, "image", "png", encode_png_gray_raster(img))
@@ -2813,17 +2890,19 @@ def dhash_cell_sums(px, w: int, h: int) -> list:
     sy = h // DHASH_GRID_H
     if sx == 0 or sy == 0:
         raise ValueError("dhash: image below the 9x8 grid")
-    rows = []
-    for by in range(DHASH_GRID_H):
-        sums = []
-        for bx in range(DHASH_GRID_W):
-            s = 0
-            for y in range(by * sy, (by + 1) * sy):
-                base = y * w + bx * sx
-                s += sum(px[base : base + sx])
-            sums.append(s)
-        rows.append(sums)
-    return rows
+    # vectorized (r12): one reshape + int64 block-sum — exact integer
+    # sums, identical to the nested slice loop it replaces
+    if isinstance(px, (bytes, bytearray, memoryview)):
+        a = np.frombuffer(px, np.uint8)
+    else:
+        a = np.asarray(px)
+    if a.ndim == 1:
+        a = a.reshape(h, w)
+    crop = a[: DHASH_GRID_H * sy, : DHASH_GRID_W * sx]
+    sums = crop.reshape(DHASH_GRID_H, sy, DHASH_GRID_W, sx).sum(
+        axis=(1, 3), dtype=np.int64
+    )
+    return sums.tolist()
 
 
 def dhash64_of_cells(cell_rows) -> int:
@@ -2892,7 +2971,7 @@ def media_dhash(media: DataFrame, with_detail: bool = False) -> DataFrame:
         else:
             d = decode_jpeg_gray(bytes(payload))
             w, h = d["width"], d["height"]
-            px = [val for row in d["pixels"] for val in row]
+            px = d["pixels"]  # 2-D rows; dhash_cell_sums takes both
         try:
             cells = dhash_cell_sums(px, w, h)
         except ValueError as e:
@@ -2973,14 +3052,11 @@ def attach_payload_video_clips(docs: DataFrame) -> DataFrame:
     h = 8 * DHASH_GRID_H
 
     def plane(fkey: str) -> bytes:
-        rows = []
+        bv = np.empty((DHASH_GRID_H, DHASH_GRID_W), np.uint8)
         for by in range(DHASH_GRID_H):
-            row = b"".join(
-                bytes([video_block_value(fkey, bx, by)]) * 8
-                for bx in range(DHASH_GRID_W)
-            )
-            rows.extend([row] * 8)
-        return b"".join(rows)
+            for bx in range(DHASH_GRID_W):
+                bv[by, bx] = video_block_value(fkey, bx, by)
+        return np.repeat(np.repeat(bv, 8, axis=0), 8, axis=1).tobytes()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
