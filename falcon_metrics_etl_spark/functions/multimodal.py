@@ -637,6 +637,18 @@ def _unpack_bits(row: bytes, w: int, depth: int) -> bytearray:
     return out
 
 
+def _unpack_rows(packed, rwb: int, w: int, h: int, depth: int):
+    """Vectorized sub-byte unpack (r12): ``h`` packed scanlines of
+    ``rwb`` bytes -> (h, w) uint8 samples, MSB-first within each byte
+    with per-scanline bit padding dropped — same values as
+    _unpack_bits row by row."""
+    arr = np.frombuffer(bytes(packed), np.uint8).reshape(h, rwb)
+    per = 8 // depth
+    shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
+    vals = (arr[:, :, None] >> shifts) & ((1 << depth) - 1)
+    return vals.reshape(h, rwb * per)[:, :w]
+
+
 def decode_png_pixels(payload: bytes):
     """REAL pixel decode, pure stdlib: chunk walk collecting IDAT (and
     PLTE), zlib inflate, then per-scanline unfiltering implementing ALL
@@ -703,26 +715,22 @@ def decode_png_pixels(payload: bytes):
             packed, end = _unfilter_scanlines(raw, 0, rwb, h, 1)
             if end != len(raw):
                 raise ValueError("PNG: raster size does not match dimensions")
-            out = bytearray(w * h)
-            for y in range(h):
-                out[y * w : (y + 1) * w] = _unpack_bits(
-                    packed[y * rwb : (y + 1) * rwb], w, depth
-                )
+            out = bytearray(_unpack_rows(packed, rwb, w, h, depth).tobytes())
         else:
             out = bytearray(w * h)
+            out_np = np.frombuffer(out, np.uint8).reshape(h, w)
             at = 0
             for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
                 if pw == 0 or ph == 0:
                     continue
                 prwb = (pw * depth + 7) // 8
                 sub, at = _unfilter_scanlines(raw, at, prwb, ph, 1)
-                for j in range(ph):
-                    vals = _unpack_bits(
-                        sub[j * prwb : (j + 1) * prwb], pw, depth
-                    )
-                    dst_row = (y0 + j * dy) * w
-                    for i in range(pw):
-                        out[dst_row + x0 + i * dx] = vals[i]
+                # strided scatter: rows y0 + j*dy, cols x0 + i*dx —
+                # the [start::step] view has exactly (ph, pw) shape
+                # by _adam7_pass_dims' definition
+                out_np[y0::dy, x0::dx] = _unpack_rows(
+                    sub, prwb, pw, ph, depth
+                )
             if at != len(raw):
                 raise ValueError("PNG: raster size does not match dimensions")
     else:
@@ -733,29 +741,26 @@ def decode_png_pixels(payload: bytes):
                 raise ValueError("PNG: raster size does not match dimensions")
         else:
             out = bytearray(rw * h)
+            out_np = np.frombuffer(out, np.uint8).reshape(h, w, bpp)
             at = 0
             for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
                 if pw == 0 or ph == 0:
                     continue
                 sub, at = _unfilter_scanlines(raw, at, pw * bpp, ph, bpp)
-                for j in range(ph):
-                    src = j * pw * bpp
-                    dst_row = (y0 + j * dy) * rw
-                    for i in range(pw):
-                        dst = dst_row + (x0 + i * dx) * bpp
-                        out[dst : dst + bpp] = sub[src + i * bpp : src + (i + 1) * bpp]
+                out_np[y0::dy, x0::dx] = np.frombuffer(
+                    bytes(sub), np.uint8
+                ).reshape(ph, pw, bpp)
             if at != len(raw):
                 raise ValueError("PNG: raster size does not match dimensions")
     if hdr["color_type"] == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("PNG: palette image without a valid PLTE chunk")
         n_pal = len(plte) // 3
-        rgb = bytearray(w * h * 3)
-        for i, idx in enumerate(out):
-            if idx >= n_pal:
-                raise ValueError("PNG: palette index out of range")
-            rgb[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
-        return w, h, 3, rgb
+        idx = np.frombuffer(bytes(out), np.uint8)
+        if idx.size and int(idx.max()) >= n_pal:
+            raise ValueError("PNG: palette index out of range")
+        pal = np.frombuffer(plte, np.uint8).reshape(n_pal, 3)
+        return w, h, 3, bytearray(pal[idx].tobytes())
     if depth == 16:
         import array
 
@@ -1334,17 +1339,12 @@ def encode_wav_ima_adpcm(
     )
 
 
-def decode_wav_samples(payload: bytes) -> dict:
-    """REAL sample decode: chunk walk to the data chunk, then unpack
-    integer PCM (format 1: 8-bit unsigned / 16-bit signed), MS-ADPCM
-    (format 2: coefficient prediction + adaptive delta), IEEE float
-    (format 3: 32-bit little-endian), G.711 A-law/mu-law (formats
-    6/7: CCITT segment arithmetic), or IMA ADPCM (format 17: 4-bit
-    blocks with the fact chunk trimming end-of-stream padding; stereo
-    decodes the 4-byte channel-word interleave). All decode mono or
-    stereo, returned channel-interleaved. Perceptual format tags
-    (mp3-in-wav) raise NotImplementedError — the remaining audio
-    boundary together with compressed video."""
+def _wav_walk(payload: bytes):
+    """Validate the RIFF/fmt headers and walk the chunks to the data
+    chunk. Returns (audio_format, channels, sample_rate, block_align,
+    bits, fact_samples, body) — shared by the list-contract
+    ``decode_wav_samples`` and the vectorized
+    ``decode_wav_samples_np`` (r12)."""
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     if payload[12:16] != b"fmt ":
@@ -1388,66 +1388,151 @@ def decode_wav_samples(payload: bytes) -> dict:
                 "<I", payload[pos + 8 : pos + 12]
             )
         if tag == b"data":
-            body = payload[pos + 8 : pos + 8 + size]
-            if audio_format == 2:
-                samples = []
-                for off in range(0, len(body), block_align):
-                    samples.extend(
-                        _ms_decode_block(
-                            body[off : off + block_align], channels
-                        )
-                    )
-                if fact_samples is not None:
-                    want = fact_samples * channels
-                    if want > len(samples):
-                        raise ValueError(
-                            "MS-ADPCM: fact chunk claims more samples "
-                            "than the data chunk decodes"
-                        )
-                    samples = samples[:want]
-            elif audio_format == 17:
-                decode_block = (
-                    _ima_decode_block_stereo
-                    if channels == 2
-                    else _ima_decode_block
-                )
-                samples = []
-                for off in range(0, len(body), block_align):
-                    samples.extend(
-                        decode_block(body[off : off + block_align])
-                    )
-                if fact_samples is not None:
-                    # fact counts samples PER CHANNEL (frames)
-                    want = fact_samples * channels
-                    if want > len(samples):
-                        raise ValueError(
-                            "IMA-ADPCM: fact chunk claims more samples "
-                            "than the data chunk decodes"
-                        )
-                    samples = samples[:want]
-            elif audio_format == 3:
-                samples = list(
-                    struct.unpack(f"<{len(body) // 4}f", body[: len(body) // 4 * 4])
-                )
-            elif audio_format == 6:
-                samples = [g711_alaw_to_linear(b) for b in body]
-            elif audio_format == 7:
-                samples = [g711_ulaw_to_linear(b) for b in body]
-            elif bits == 8:
-                samples = list(body)
-            else:
-                samples = list(
-                    struct.unpack(f"<{len(body) // 2}h", body[: len(body) // 2 * 2])
-                )
-            return {
-                "sample_rate": sample_rate,
-                "bits": bits,
-                "channels": channels,
-                "format": audio_format,
-                "samples": samples,
-            }
+            return (
+                audio_format, channels, sample_rate, block_align,
+                bits, fact_samples, payload[pos + 8 : pos + 8 + size],
+            )
         pos += 8 + size + (size & 1)
     raise ValueError("WAV: no data chunk")
+
+
+def _adpcm_sample_list(
+    audio_format, channels, block_align, fact_samples, body
+):
+    """Shared MS/IMA-ADPCM block walk + fact-chunk trim (the scalar
+    per-nibble state machines are inherently sequential)."""
+    if audio_format == 2:
+        samples = []
+        for off in range(0, len(body), block_align):
+            samples.extend(
+                _ms_decode_block(body[off : off + block_align], channels)
+            )
+        if fact_samples is not None:
+            want = fact_samples * channels
+            if want > len(samples):
+                raise ValueError(
+                    "MS-ADPCM: fact chunk claims more samples "
+                    "than the data chunk decodes"
+                )
+            samples = samples[:want]
+        return samples
+    decode_block = (
+        _ima_decode_block_stereo if channels == 2 else _ima_decode_block
+    )
+    samples = []
+    for off in range(0, len(body), block_align):
+        samples.extend(decode_block(body[off : off + block_align]))
+    if fact_samples is not None:
+        # fact counts samples PER CHANNEL (frames)
+        want = fact_samples * channels
+        if want > len(samples):
+            raise ValueError(
+                "IMA-ADPCM: fact chunk claims more samples "
+                "than the data chunk decodes"
+            )
+        samples = samples[:want]
+    return samples
+
+
+# G.711 expansion LUTs: the 256-entry segment arithmetic evaluated
+# once at import; per-byte decode is then a single table gather
+_G711_ALAW_NP = None
+_G711_ULAW_NP = None
+
+
+def _g711_luts():
+    global _G711_ALAW_NP, _G711_ULAW_NP
+    if _G711_ALAW_NP is None:
+        _G711_ALAW_NP = np.array(
+            [g711_alaw_to_linear(b) for b in range(256)], np.int64
+        )
+        _G711_ULAW_NP = np.array(
+            [g711_ulaw_to_linear(b) for b in range(256)], np.int64
+        )
+    return _G711_ALAW_NP, _G711_ULAW_NP
+
+
+def decode_wav_samples(payload: bytes) -> dict:
+    """REAL sample decode: chunk walk to the data chunk, then unpack
+    integer PCM (format 1: 8-bit unsigned / 16-bit signed), MS-ADPCM
+    (format 2: coefficient prediction + adaptive delta), IEEE float
+    (format 3: 32-bit little-endian), G.711 A-law/mu-law (formats
+    6/7: CCITT segment arithmetic, r12: via the 256-entry LUT — same
+    integers), or IMA ADPCM (format 17: 4-bit blocks with the fact
+    chunk trimming end-of-stream padding; stereo decodes the 4-byte
+    channel-word interleave). All decode mono or stereo, returned
+    channel-interleaved as a Python list. Perceptual format tags
+    (mp3-in-wav) raise NotImplementedError — the remaining audio
+    boundary together with compressed video."""
+    (
+        audio_format, channels, sample_rate, block_align,
+        bits, fact_samples, body,
+    ) = _wav_walk(payload)
+    if audio_format in (2, 17):
+        samples = _adpcm_sample_list(
+            audio_format, channels, block_align, fact_samples, body
+        )
+    elif audio_format == 3:
+        samples = list(
+            struct.unpack(f"<{len(body) // 4}f", body[: len(body) // 4 * 4])
+        )
+    elif audio_format in (6, 7):
+        alaw, ulaw = _g711_luts()
+        lut = alaw if audio_format == 6 else ulaw
+        samples = np.take(lut, np.frombuffer(body, np.uint8)).tolist()
+    elif bits == 8:
+        samples = list(body)
+    else:
+        samples = list(
+            struct.unpack(f"<{len(body) // 2}h", body[: len(body) // 2 * 2])
+        )
+    return {
+        "sample_rate": sample_rate,
+        "bits": bits,
+        "channels": channels,
+        "format": audio_format,
+        "samples": samples,
+    }
+
+
+def decode_wav_samples_np(payload: bytes) -> dict:
+    """Vectorized twin of ``decode_wav_samples`` (r12): identical walk
+    and values, but ``samples`` is a numpy array — int64 for the
+    integer formats, float64 for IEEE-float WAVs — so aggregating
+    consumers skip the boxed-int list round-trip. ADPCM formats decode
+    through the scalar state machine and convert once."""
+    (
+        audio_format, channels, sample_rate, block_align,
+        bits, fact_samples, body,
+    ) = _wav_walk(payload)
+    if audio_format in (2, 17):
+        samples = np.asarray(
+            _adpcm_sample_list(
+                audio_format, channels, block_align, fact_samples, body
+            ),
+            dtype=np.int64,
+        )
+    elif audio_format == 3:
+        samples = np.frombuffer(
+            body[: len(body) // 4 * 4], "<f4"
+        ).astype(np.float64)
+    elif audio_format in (6, 7):
+        alaw, ulaw = _g711_luts()
+        lut = alaw if audio_format == 6 else ulaw
+        samples = np.take(lut, np.frombuffer(body, np.uint8))
+    elif bits == 8:
+        samples = np.frombuffer(body, np.uint8).astype(np.int64)
+    else:
+        samples = np.frombuffer(
+            body[: len(body) // 2 * 2], "<i2"
+        ).astype(np.int64)
+    return {
+        "sample_rate": sample_rate,
+        "bits": bits,
+        "channels": channels,
+        "format": audio_format,
+        "samples": samples,
+    }
 
 
 def _decode_one(media_type: str, codec: str, payload) -> dict:
@@ -1647,9 +1732,13 @@ def png_pixel_stats(media: DataFrame, box: int | None = None) -> DataFrame:
                     px = resample_nearest(px, w, h, tw, th, ch)
                     w, h = tw, th
                 n = len(px)
-                s = sum(px)
+                a = np.asarray(px)
+                s = int(a.sum(dtype=np.int64))
                 rows.append(
-                    (int(doc_id), w, h, n, min(px), max(px), s, s / n)
+                    (
+                        int(doc_id), w, h, n,
+                        int(a.min()), int(a.max()), s, s / n,
+                    )
                 )
             yield pd.DataFrame(
                 rows,
@@ -1719,16 +1808,12 @@ def attach_payload_jpeg_blocks(docs: DataFrame) -> DataFrame:
                 bw = int(h[0:4], 16) % JPEG_BLOCKS_MOD + 1
                 bh = int(h[4:8], 16) % JPEG_BLOCKS_MOD + 1
                 base = int(h[8:10], 16)
-                img = [
-                    [
-                        128 + 2 * (
-                            ((base + (y // 8) * bw + (x // 8))
-                             % JPEG_DC_RANGE) - 24
-                        )
-                        for x in range(8 * bw)
-                    ]
-                    for y in range(8 * bh)
-                ]
+                block_idx = np.add.outer(
+                    np.arange(8 * bh) // 8 * bw, np.arange(8 * bw) // 8
+                )
+                img = 128 + 2 * (
+                    ((base + block_idx) % JPEG_DC_RANGE) - 24
+                )
                 payloads.append(encode_jpeg_gray(img))
             yield pd.DataFrame(
                 {
@@ -1754,12 +1839,13 @@ def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 d = decode_jpeg_gray(bytes(p))
-                flat = [v for row in d["pixels"] for v in row]
+                a = np.asarray(d["pixels"], dtype=np.int64)
+                n = a.size
+                s = int(a.sum())
                 rows.append(
                     (
-                        int(doc_id), d["width"], d["height"], len(flat),
-                        min(flat), max(flat), sum(flat),
-                        sum(flat) / len(flat),
+                        int(doc_id), d["width"], d["height"], n,
+                        int(a.min()), int(a.max()), s, s / n,
                     )
                 )
             yield pd.DataFrame(
@@ -2057,14 +2143,14 @@ def jpeg_rgb_stats(media: DataFrame) -> DataFrame:
                 d = decode_jpeg(bytes(p))
                 if d["ncomp"] != 3:
                     raise ValueError("expected a color JPEG")
-                flat = [px for row in d["rgb"] for px in row]
-                rs = [px[0] for px in flat]
-                gs = [px[1] for px in flat]
-                bs = [px[2] for px in flat]
+                a = np.asarray(d["rgb"], dtype=np.int64)  # (h, w, 3)
+                sums = a.sum(axis=(0, 1))
                 rows.append(
                     (
-                        int(doc_id), d["width"], d["height"], len(flat),
-                        min(rs), max(rs), sum(rs), sum(gs), sum(bs),
+                        int(doc_id), d["width"], d["height"],
+                        d["width"] * d["height"],
+                        int(a[..., 0].min()), int(a[..., 0].max()),
+                        int(sums[0]), int(sums[1]), int(sums[2]),
                     )
                 )
             yield pd.DataFrame(
@@ -2155,14 +2241,14 @@ def wav_g711_stats(media: DataFrame) -> DataFrame:
             for doc_id, law, p in zip(
                 pdf["doc_id"], pdf["law"], pdf["payload"]
             ):
-                d = decode_wav_samples(bytes(p))
+                d = decode_wav_samples_np(bytes(p))
                 s = d["samples"]
-                if not s:
+                if not len(s):
                     raise ValueError("WAV: empty data chunk")
                 rows.append(
                     (
                         int(doc_id), law, len(s),
-                        min(s), max(s), sum(s),
+                        int(s.min()), int(s.max()), int(s.sum()),
                     )
                 )
             yield pd.DataFrame(
@@ -2229,23 +2315,32 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                d = decode_wav_samples(bytes(p))
+                d = decode_wav_samples_np(bytes(p))
                 s = d["samples"]
-                if not s:
+                if not len(s):
                     # structurally valid WAV, zero-length data chunk:
                     # raise the documented malformed-payload family so
                     # the row is quarantine-able, not a bare
                     # ZeroDivision/ValueError from min([]) below
                     raise ValueError("WAV: empty data chunk")
-                total = sum(s)
+                if s.dtype.kind != "i":
+                    # IEEE-float WAV: keep the scalar left-to-right
+                    # float sum (numpy's pairwise reduction could
+                    # round differently)
+                    s = decode_wav_samples(bytes(p))["samples"]
+                    total = sum(s)
+                    mn, mx = min(s), max(s)
+                else:
+                    total = int(s.sum())
+                    mn, mx = int(s.min()), int(s.max())
                 rows.append(
                     (
                         int(doc_id),
                         d["sample_rate"],
                         len(s),
                         len(s) * 1000 // d["sample_rate"],
-                        min(s),
-                        max(s),
+                        mn,
+                        mx,
                         total,
                         total / len(s),
                     )
@@ -2356,9 +2451,13 @@ def png_color_pixel_stats(media: DataFrame) -> DataFrame:
                 ct = parse_png_header(payload)["color_type"]
                 w, h, ch, px = decode_png_pixels(payload)
                 n = len(px)
-                s = sum(px)
+                a = np.asarray(px)
+                s = int(a.sum(dtype=np.int64))
                 rows.append(
-                    (int(doc_id), ct, ch, w, h, n, min(px), max(px), s, s / n)
+                    (
+                        int(doc_id), ct, ch, w, h, n,
+                        int(a.min()), int(a.max()), s, s / n,
+                    )
                 )
             yield pd.DataFrame(
                 rows,
@@ -2406,11 +2505,13 @@ def encode_y4m_mono(width: int, height: int, n_frames: int, base: int) -> bytes:
     'YUV4MPEG2 W.. H.. F25:1 Ip A1:1 Cmono\\n' then per frame a
     'FRAME\\n' marker + w*h luma bytes."""
     hdr = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 Cmono\n".encode()
+    grid = base + np.add.outer(
+        np.arange(height, dtype=np.int64), np.arange(width, dtype=np.int64)
+    )
     out = bytearray(hdr)
     for k in range(n_frames):
         out += b"FRAME\n"
-        for y in range(height):
-            out += bytes((base + x + y + k) & 0xFF for x in range(width))
+        out += ((grid + k) & 0xFF).astype(np.uint8).tobytes()
     return bytes(out)
 
 
@@ -2433,12 +2534,15 @@ def encode_y4m_chroma(
         f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C{cspace}\n".encode()
     )
     chroma_bytes = _Y4M_FRAME_SIZE[cspace](width, height) - width * height
+    grid = base + np.add.outer(
+        np.arange(height, dtype=np.int64), np.arange(width, dtype=np.int64)
+    )
+    chroma_plane = bytes([chroma & 0xFF]) * chroma_bytes
     out = bytearray(hdr)
     for k in range(n_frames):
         out += b"FRAME\n"
-        for y in range(height):
-            out += bytes((base + x + y + k) & 0xFF for x in range(width))
-        out += bytes([chroma & 0xFF]) * chroma_bytes
+        out += ((grid + k) & 0xFF).astype(np.uint8).tobytes()
+        out += chroma_plane
     return bytes(out)
 
 
@@ -2598,11 +2702,10 @@ def y4m_frame_stats(media: DataFrame) -> DataFrame:
                     # media, never a ZeroDivisionError
                     raise ValueError("Y4M: zero-frame stream")
                 n = d["n_frames"] * d["width"] * d["height"]
-                mn, mx, sm = 255, 0, 0
-                for fr in d["frames"]:
-                    mn = min(mn, min(fr))
-                    mx = max(mx, max(fr))
-                    sm += sum(fr)
+                luma = np.frombuffer(b"".join(d["frames"]), np.uint8)
+                mn = int(luma.min())
+                mx = int(luma.max())
+                sm = int(luma.sum(dtype=np.int64))
                 rows.append(
                     (
                         int(doc_id), d["width"], d["height"], d["n_frames"],
@@ -2643,7 +2746,11 @@ def y4m_sampled_frame_stats(media: DataFrame, every: int = Y4M_SAMPLE_EVERY) -> 
                 d = decode_y4m_frames(bytes(p))
                 n = d["width"] * d["height"]
                 for k in range(0, d["n_frames"], every):
-                    sm = sum(d["frames"][k])
+                    sm = int(
+                        np.frombuffer(d["frames"][k], np.uint8).sum(
+                            dtype=np.int64
+                        )
+                    )
                     rows.append((int(doc_id), k, sm, sm / n))
             yield pd.DataFrame(
                 rows,
@@ -2685,12 +2792,14 @@ def encode_wav_padded(
 def trim_silence(samples, silence: int = WAV_SILENCE) -> tuple[int, int, int]:
     """(lead, signal, tail) sample counts after trimming leading and
     trailing runs of the exact silence level. All-silence clips report
-    (n, 0, 0)."""
+    (n, 0, 0). Accepts a list or a numpy array (r12: vectorized
+    first/last nonzero — same counts)."""
     n = len(samples)
-    first = next((i for i, v in enumerate(samples) if v != silence), None)
-    if first is None:
+    nz = np.flatnonzero(np.asarray(samples) != silence)
+    if nz.size == 0:
         return n, 0, 0
-    last = next(i for i in range(n - 1, -1, -1) if samples[i] != silence)
+    first = int(nz[0])
+    last = int(nz[-1])
     return first, last - first + 1, n - 1 - last
 
 
@@ -2737,7 +2846,7 @@ def wav_silence_trim_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                d = decode_wav_samples(bytes(p))
+                d = decode_wav_samples_np(bytes(p))
                 lead, sig, tail = trim_silence(d["samples"])
                 rows.append(
                     (
@@ -3259,18 +3368,18 @@ def audio_energy_dhash(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                d = decode_wav_samples(bytes(p))
-                xs = d["samples"]
+                d = decode_wav_samples_np(bytes(p))
+                xs = d["samples"].astype(np.int64, copy=False)
                 n_win = min(len(xs) // AUDIO_SEG_LEN, AUDIO_SEGMENTS)
                 if n_win < 2:
                     raise ValueError("audio fingerprint: clip too short")
-                energies = [
-                    sum(
-                        abs(x)
-                        for x in xs[w * AUDIO_SEG_LEN : (w + 1) * AUDIO_SEG_LEN]
-                    )
-                    for w in range(n_win)
-                ]
+                # exact int64 window energies (r12: one reshape+sum,
+                # same integers as the per-sample abs loop)
+                energies = (
+                    np.abs(xs[: n_win * AUDIO_SEG_LEN])
+                    .reshape(n_win, AUDIO_SEG_LEN)
+                    .sum(axis=1)
+                )
                 u = 0
                 for i in range(n_win - 1):
                     if energies[i + 1] > energies[i]:
@@ -3377,8 +3486,8 @@ def audio_spectral_dhash(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                d = decode_wav_samples(bytes(p))
-                xs = np.asarray(d["samples"], dtype=np.int64)
+                d = decode_wav_samples_np(bytes(p))
+                xs = d["samples"].astype(np.int64, copy=False)
                 n_win = len(xs) // AUDIO_FFT_HOP - 1
                 if n_win < 2:
                     raise ValueError("audio spectral: clip too short")
