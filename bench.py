@@ -552,6 +552,50 @@ def corpus_incremental_runner(spark, sf_dir: str):
     return run, cleanup
 
 
+def corpus_incremental_ulm_runner(spark, sf_dir: str):
+    """ULM-vocab twin of corpus_incremental_runner (r12, r11 verdict
+    #6): stage the SAME base slice with a frozen unigram-LM vocabulary
+    instead of byte-BPE merges, then time one delta tick. The tick's
+    tokenize stage becomes the ULM Viterbi encode-join
+    (ulm_token_budgets over the distinct-word dictionary), so this
+    entry witnesses the second production tokenizer's per-batch cost
+    at the corpus-tick boundary; everything else (clean gates, band
+    probes, index appends) is identical to the byte-BPE entry."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from falcon_metrics_etl_spark.plans.dedup_lsh import LSH_DELTA_MOD
+    from falcon_metrics_etl_spark.plans.ulm import _ulm_vocab_df, words_of
+    from falcon_metrics_etl_spark.sources import load_table
+    from falcon_metrics_etl_spark.streaming.corpus_tick import (
+        corpus_ingest_tick,
+        stage_corpus_state,
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="bench_corpus_tick_ulm_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % LSH_DELTA_MOD != 0)
+    delta = docs.filter(F.col("doc_id") % LSH_DELTA_MOD == 0).persist()
+    delta.write.format("noop").mode("overwrite").save()
+    vocab = _ulm_vocab_df(words_of(base))
+    stage_corpus_state(
+        spark, base, None, state_dir, batch_id=0, ulm_vocab=vocab
+    )
+
+    def run() -> float:
+        t0 = time.time()
+        corpus_ingest_tick(spark, delta, state_dir, batch_id=1)
+        return time.time() - t0
+
+    def cleanup() -> None:
+        delta.unpersist()
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+    return run, cleanup
+
+
 def media_incremental_runner(spark, sf_dir: str):
     """Incremental perceptual-media tick, benched (r11): stage the
     image band/hash indexes + the video frame inverted index on the
@@ -983,6 +1027,13 @@ def main() -> None:
         record("corpus_incremental_tick", *draw_runs(ci_run))
     finally:
         ci_cleanup()
+
+    # same tick with the frozen unigram-LM tokenizer (r11 verdict #6)
+    cu_run, cu_cleanup = corpus_incremental_ulm_runner(spark, sf_dir)
+    try:
+        record("corpus_incremental_tick_ulm", *draw_runs(cu_run))
+    finally:
+        cu_cleanup()
 
     # incremental perceptual-media tick (indexes staged once, untimed)
     mi_run, mi_cleanup = media_incremental_runner(spark, sf_dir)
