@@ -552,6 +552,46 @@ def corpus_incremental_runner(spark, sf_dir: str):
     return run, cleanup
 
 
+def cross_modal_incremental_runner(spark, sf_dir: str):
+    """Incremental cross-modal tick, benched (r12): stage the mixed
+    thumb/clip closure's node-tagged indexes on the base slice ONCE
+    untimed, then time one delta tick through
+    streaming/cross_modal_tick.py: delta-only PNG still + Y4M frame
+    decode, band / frame-hash probes into BOTH modality indexes, joint
+    keep-best resolution, index appends. Read AGAINST
+    cross_modal_keep_best: that recomputes the full mixed closure
+    every run; this is the per-batch delta cost."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from falcon_metrics_etl_spark.plans.media_dedup import MEDIA_DELTA_MOD
+    from falcon_metrics_etl_spark.sources import load_table
+    from falcon_metrics_etl_spark.streaming.cross_modal_tick import (
+        cross_modal_ingest_tick,
+        stage_cross_modal_state,
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="bench_cm_tick_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = docs.filter(F.col("doc_id") % MEDIA_DELTA_MOD != 0)
+    delta = docs.filter(F.col("doc_id") % MEDIA_DELTA_MOD == 0).persist()
+    delta.write.format("noop").mode("overwrite").save()
+    stage_cross_modal_state(spark, base, state_dir, batch_id=0)
+
+    def run() -> float:
+        t0 = time.time()
+        cross_modal_ingest_tick(spark, delta, state_dir, batch_id=1)
+        return time.time() - t0
+
+    def cleanup() -> None:
+        delta.unpersist()
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+    return run, cleanup
+
+
 def corpus_incremental_ulm_runner(spark, sf_dir: str):
     """ULM-vocab twin of corpus_incremental_runner (r12, r11 verdict
     #6): stage the SAME base slice with a frozen unigram-LM vocabulary
@@ -1041,6 +1081,13 @@ def main() -> None:
         record("media_incremental_tick", *draw_runs(mi_run))
     finally:
         mi_cleanup()
+
+    # incremental cross-modal tick (node-tagged indexes staged once)
+    cm_run, cm_cleanup = cross_modal_incremental_runner(spark, sf_dir)
+    try:
+        record("cross_modal_incremental_tick", *draw_runs(cm_run))
+    finally:
+        cm_cleanup()
     c_runs = corpus_all[-len(c_totals):]
     corpus_stages = {
         s: round(sorted(r[1][s] for r in c_runs)[len(c_runs) // 2], 3)

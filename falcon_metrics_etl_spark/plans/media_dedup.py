@@ -1663,22 +1663,9 @@ def cross_modal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cross_modal_keep_best",
-    doc="Keep-best over MIXED image/video clusters: thumbnails and "
-    "clips cluster through THREE edge families — thumb<->clip frame "
-    "(banded Hamming, >= 1 matched frame), thumb<->thumb (two stills "
-    "of the same group frame), clip<->clip (>= VIDEO_SHARED_T shared "
-    "frames) — via connected components over modality-tagged nodes "
-    "(node = 2*doc_id + is_video), keeping the node with the MOST "
-    "decoded frames (the source footage always beats its exported "
-    "still; stills count 1), ties to smallest node. The oracle "
-    "recomputes the closure recursively with thumbnail hashes derived "
-    "from the video CTE. Every edge family is a banded or "
-    "inverted-index equi-join — no all-pairs product.",
-    tags=("multimodal", "video", "dedup", "iterative", "cross-modal",
-          "training-data"),
-    oracle=f"""
+# shared by cross_modal_keep_best and its delta twin: the IVM proof
+# is precisely that both hash-match this ONE full-corpus closure
+_CM_KB_ORACLE = f"""
 WITH RECURSIVE {_DUCK_VIDEO},
 {_DUCK_THUMBS},
 vsig AS (SELECT DISTINCT doc_id, frame_dhash FROM vhashes),
@@ -1753,13 +1740,27 @@ SELECT m.doc_id, m.modality, m.n_frames,
        CASE WHEN m.node = b.keep_node THEN 'kept' ELSE 'dropped' END
            AS status
 FROM members m JOIN best b ON b.cluster_id = m.cluster_id
-""",
+"""
+
+
+@register(
+    "cross_modal_keep_best",
+    doc="Keep-best over MIXED image/video clusters: thumbnails and "
+    "clips cluster through THREE edge families — thumb<->clip frame "
+    "(banded Hamming, >= 1 matched frame), thumb<->thumb (two stills "
+    "of the same group frame), clip<->clip (>= VIDEO_SHARED_T shared "
+    "frames) — via connected components over modality-tagged nodes "
+    "(node = 2*doc_id + is_video), keeping the node with the MOST "
+    "decoded frames (the source footage always beats its exported "
+    "still; stills count 1), ties to smallest node. The oracle "
+    "recomputes the closure recursively with thumbnail hashes derived "
+    "from the video CTE. Every edge family is a banded or "
+    "inverted-index equi-join — no all-pairs product.",
+    tags=("multimodal", "video", "dedup", "iterative", "cross-modal",
+          "training-data"),
+    oracle=_CM_KB_ORACLE,
 )
 def cross_modal_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from falcon_metrics_etl_spark.operators.components import (
-        duplicate_clusters,
-    )
-
     thumbs = perf_checkpoint(
         _thumb_fingerprints(spark, sf_dir).select("doc_id", "dhash")
     )
@@ -1768,28 +1769,57 @@ def cross_modal_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "frame_idx", "frame_dhash"
         )
     )
-    vsig = vfp.select("doc_id", "frame_dhash").distinct()
+    return _cm_format(cross_modal_keep_best_of(thumbs, vfp))
+
+
+def cross_modal_nodes_of(thumbs: DataFrame, vfp: DataFrame) -> DataFrame:
+    """Stills (doc_id, dhash) + clip frames (doc_id, frame_idx,
+    frame_dhash) -> the modality-tagged node frame (node, doc_id,
+    modality, n_frames) of the mixed closure: node = 2*doc_id +
+    is_video, stills count one frame, clip quality = decoded frame
+    rows. Factored (r12) so the batch closure, the cross-modal tick's
+    staging and the delta query agree on node identity and quality."""
     nfr = vfp.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_frames")
     )
-    tbands = thumbs.select(
+    return thumbs.select(
+        (F.col("doc_id") * 2).alias("node"),
         "doc_id",
-        "dhash",
-        F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias(
-            "band"
-        ),
-    ).withColumn("byte", F.expr("(dhash >> (band * 8)) & 255"))
-    fbands = vsig.select(
-        "doc_id",
-        "frame_dhash",
-        F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias(
-            "band"
-        ),
-    ).withColumn("byte", F.expr("(frame_dhash >> (band * 8)) & 255"))
-    tc = (
-        tbands.alias("t")
+        F.lit("image").alias("modality"),
+        F.lit(1).cast("long").alias("n_frames"),
+    ).unionByName(
+        nfr.select(
+            (F.col("doc_id") * 2 + 1).alias("node"),
+            "doc_id",
+            F.lit("video").alias("modality"),
+            "n_frames",
+        )
+    )
+
+
+def cross_modal_edges_of(
+    tbands_a: DataFrame,
+    tbands_b: DataFrame,
+    fbands_a: DataFrame,
+    fbands_b: DataFrame,
+    vsig_a: DataFrame,
+    vsig_b: DataFrame,
+    symmetric: bool = False,
+) -> DataFrame:
+    """Node-tagged duplicate edges of the mixed closure from its three
+    families — thumb<->clip frame (banded, Hamming-verified, >= 1
+    matched frame), thumb<->thumb (banded Hamming), clip<->clip
+    (exact frame-hash share >= VIDEO_SHARED_T). The *_a frames are the
+    probing side, *_b the probed side (pass the same frame twice with
+    ``symmetric=True`` for the full closure — the reverse thumb<->clip
+    probe is then redundant and skipped; pass delta vs full for
+    delta-touching edges — every emitted edge touches an *_a doc).
+    Band frames come from image_bands_of; vsig frames are (doc_id,
+    frame_dhash) DISTINCT. Emits (id_a, id_b) NODE pairs."""
+    tc_t = (
+        tbands_a.alias("t")
         .join(
-            fbands.alias("f"),
+            fbands_b.alias("f"),
             (F.col("t.band") == F.col("f.band"))
             & (F.col("t.byte") == F.col("f.byte")),
         )
@@ -1801,64 +1831,93 @@ def cross_modal_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t.doc_id") * 2).alias("id_a"),
             (F.col("f.doc_id") * 2 + 1).alias("id_b"),
         )
-        .distinct()
     )
+    if symmetric:
+        tc = tc_t.distinct()
+    else:
+        tc_f = (
+            fbands_a.alias("f")
+            .join(
+                tbands_b.alias("t"),
+                (F.col("f.band") == F.col("t.band"))
+                & (F.col("f.byte") == F.col("t.byte")),
+            )
+            .filter(
+                F.bit_count(F.expr("t.dhash ^ f.frame_dhash"))
+                <= DHASH_HAMMING_T
+            )
+            .select(
+                (F.col("t.doc_id") * 2).alias("id_a"),
+                (F.col("f.doc_id") * 2 + 1).alias("id_b"),
+            )
+        )
+        tc = tc_t.unionByName(tc_f).distinct()
     tt = (
-        tbands.alias("x")
+        tbands_a.alias("x")
         .join(
-            tbands.alias("y"),
+            tbands_b.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.byte") == F.col("y.byte"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
         )
         .filter(
             F.bit_count(F.expr("x.dhash ^ y.dhash")) <= DHASH_HAMMING_T
         )
         .select(
-            (F.col("x.doc_id") * 2).alias("id_a"),
-            (F.col("y.doc_id") * 2).alias("id_b"),
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("da"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("db"),
+        )
+        .select(
+            (F.col("da") * 2).alias("id_a"), (F.col("db") * 2).alias("id_b")
         )
         .distinct()
     )
     cc = (
-        vsig.alias("x")
+        vsig_a.alias("x")
         .join(
-            vsig.alias("y"),
+            vsig_b.alias("y"),
             (F.col("x.frame_dhash") == F.col("y.frame_dhash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
         )
-        .groupBy(
-            (F.col("x.doc_id") * 2 + 1).alias("id_a"),
-            (F.col("y.doc_id") * 2 + 1).alias("id_b"),
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("da"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("db"),
+            F.col("x.frame_dhash").alias("fd"),
         )
+        .distinct()
+        .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= VIDEO_SHARED_T)
-        .select("id_a", "id_b")
-    )
-    comp = duplicate_clusters(tc.unionByName(tt).unionByName(cc)).select(
-        "node", "cluster_id"
-    )
-    allnodes = (
-        thumbs.select(
-            (F.col("doc_id") * 2).alias("node"),
-            "doc_id",
-            F.lit("image").alias("modality"),
-            F.lit(1).cast("long").alias("n_frames"),
-        )
-        .unionByName(
-            nfr.select(
-                (F.col("doc_id") * 2 + 1).alias("node"),
-                "doc_id",
-                F.lit("video").alias("modality"),
-                "n_frames",
-            )
+        .select(
+            (F.col("da") * 2 + 1).alias("id_a"),
+            (F.col("db") * 2 + 1).alias("id_b"),
         )
     )
-    members = (
-        allnodes.join(comp, "node", "left")
-        .withColumn(
-            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("node"))
-        )
+    return tc.unionByName(tt).unionByName(cc)
+
+
+def cross_modal_keep_best_of(thumbs: DataFrame, vfp: DataFrame) -> DataFrame:
+    """Full mixed-cluster closure -> member rows (node, doc_id,
+    modality, n_frames, cluster_id, keep_node): three banded /
+    inverted-index edge families, connected components over
+    modality-tagged nodes, argmax(n_frames DESC, node ASC). Factored
+    (r12) so the batch query, the cross-modal tick's tick-0 staging
+    and cross_modal_keep_best_delta share ONE closure definition."""
+    from falcon_metrics_etl_spark.operators.components import (
+        duplicate_clusters,
+    )
+
+    vsig = vfp.select("doc_id", "frame_dhash").distinct()
+    tbands = image_bands_of(thumbs)
+    fbands = image_bands_of(vsig, "frame_dhash")
+    # symmetric closure: probing == probed (tc_t and tc_f coincide)
+    edges = cross_modal_edges_of(
+        tbands, tbands, fbands, fbands, vsig, vsig, symmetric=True
+    )
+    comp = duplicate_clusters(edges).select("node", "cluster_id")
+    allnodes = cross_modal_nodes_of(thumbs, vfp)
+    members = allnodes.join(comp, "node", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("node"))
     )
     best = F.max(
         F.struct(
@@ -1866,7 +1925,14 @@ def cross_modal_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("node")).alias("negnode"),
         )
     ).over(Window.partitionBy("cluster_id"))
-    return members.withColumn("keep_node", -best.getField("negnode")).select(
+    return members.withColumn("keep_node", -best.getField("negnode"))
+
+
+def _cm_format(members: DataFrame) -> DataFrame:
+    """(node, doc_id, modality, n_frames, keep_node) member rows ->
+    the registered output shape shared by cross_modal_keep_best and
+    its delta twin (same oracle)."""
+    return members.select(
         "doc_id",
         "modality",
         "n_frames",
@@ -1877,4 +1943,99 @@ def cross_modal_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("node") == F.col("keep_node"), F.lit("kept"))
         .otherwise(F.lit("dropped"))
         .alias("status"),
+    )
+
+
+@register(
+    "cross_modal_keep_best_delta",
+    doc="Incremental CROSS-MODAL keep-best — the IVM twin of "
+    "cross_modal_keep_best (same structure as media_keep_best_delta, "
+    "on modality-tagged nodes 2*doc_id + is_video): the base corpus "
+    f"(doc_id % {MEDIA_DELTA_MOD} != 0) is resolved with the mixed "
+    "batch closure and plays the maintained index; the delta's thumb "
+    "bands and clip frames probe BOTH modality indexes through the "
+    "same three banded/inverted edge families (thumb<->frame, "
+    "thumb<->thumb, clip<->clip), edges lift onto the keeper graph, "
+    "components + argmax(n_frames, node) decide keep/drop/DISPLACE, "
+    "and displaced keepers repoint. The oracle is the full-corpus "
+    "batch closure — a hash match proves the incremental resolution "
+    "reproduces the mixed keep-best exactly (keeper ids and "
+    "modalities included): a still admitted alone is displaced the "
+    "tick its source footage arrives.",
+    tags=("multimodal", "video", "dedup", "incremental", "iterative",
+          "cross-modal", "training-data"),
+    oracle=_CM_KB_ORACLE,
+)
+def cross_modal_keep_best_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.keep_best import (
+        resolve_keep_best,
+    )
+
+    thumbs = perf_checkpoint(
+        _thumb_fingerprints(spark, sf_dir).select("doc_id", "dhash")
+    )
+    vfp = perf_checkpoint(
+        _video_fingerprints(spark, sf_dir).select(
+            "doc_id", "frame_idx", "frame_dhash"
+        )
+    )
+    is_delta = F.col("doc_id") % MEDIA_DELTA_MOD == 0
+    base_kb = perf_checkpoint(
+        cross_modal_keep_best_of(
+            thumbs.filter(~is_delta), vfp.filter(~is_delta)
+        )
+    )
+    vsig = vfp.select("doc_id", "frame_dhash").distinct()
+    tbands = image_bands_of(thumbs)
+    fbands = image_bands_of(vsig, "frame_dhash")
+    edges = cross_modal_edges_of(
+        tbands.filter(is_delta),
+        tbands,
+        fbands.filter(is_delta),
+        fbands,
+        vsig.filter(is_delta),
+        vsig,
+    )
+    allnodes = cross_modal_nodes_of(thumbs, vfp)
+    new_q = allnodes.filter(is_delta).select(
+        F.col("node").alias("doc_id"), "n_frames"
+    )
+    idx_q = base_kb.select(
+        F.col("node").alias("doc_id"),
+        F.col("keep_node").alias("keep_id"),
+        "n_frames",
+    )
+    verdicts, displaced = resolve_keep_best(
+        new_q, idx_q, edges, ["n_frames"]
+    )
+    delta_rows = allnodes.filter(is_delta).join(
+        verdicts.select(
+            F.col("doc_id").alias("node"), F.col("keep_id").alias("keep_node")
+        ),
+        "node",
+    )
+    base_rows = (
+        base_kb.select("node", "doc_id", "modality", "n_frames", "keep_node")
+        .join(
+            displaced.select(
+                F.col("doc_id").alias("keep_node"),
+                F.col("new_keep"),
+            ),
+            "keep_node",
+            "left",
+        )
+        .select(
+            "node",
+            "doc_id",
+            "modality",
+            "n_frames",
+            F.coalesce("new_keep", F.col("keep_node")).alias("keep_node"),
+        )
+    )
+    return _cm_format(
+        base_rows.unionByName(
+            delta_rows.select(
+                "node", "doc_id", "modality", "n_frames", "keep_node"
+            )
+        )
     )

@@ -1,0 +1,356 @@
+"""Incremental CROSS-MODAL ingest tick — the delta shape of the mixed
+image/video keep-best closure (r12; extends the per-modality
+streaming/media_tick.py with the r11 verdict's cross-modal family).
+
+A batch of NEW media docs contributes stills (keyframe thumbnails)
+and clips. Both fingerprint delta-only and probe the maintained
+node-tagged indexes through the SAME three edge families as the batch
+closure (plans/media_dedup.cross_modal_edges_of): thumb<->clip frame
+(banded Hamming), thumb<->thumb (banded Hamming), clip<->clip (exact
+frame-hash share >= VIDEO_SHARED_T). Verified edges lift onto the
+keeper graph and resolve by connected components + argmax(n_frames
+DESC, node ASC) over {batch nodes} u {matched incumbents' keepers}
+(operators/keep_best.resolve_keep_best — the same operator as the
+per-modality tick, on node ids 2*doc_id + is_video), so the tick's
+keep set stays row-identical to cross_modal_keep_best recomputed over
+everything processed so far — the IVM invariant the oracled
+``cross_modal_keep_best_delta`` twin hash-matches against the batch
+closure.
+
+The semantics this buys a training pipeline: a thumbnail admitted
+while alone is DISPLACED the tick its source footage arrives — the
+footage keeps (most frames), the still flags 'displaced:near_dup',
+and every index row pointing at the still repoints to the clip.
+
+State under ``state_dir`` (plain parquet; production lands these
+through sinks/bucketed.py keyed on their join columns):
+
+- ``cm_image_index`` (node, doc_id, dhash, keep_node, batch_id) —
+  every processed still, kept AND dropped (dropped fingerprints make
+  the cluster closure exact across ticks — the media tick's design).
+- ``cm_tband_index`` (doc_id, dhash, band, byte, batch_id) —
+  still-hash band rows CARRYING the hash: at DHASH_HAMMING_T = 12 >
+  7 the banding is part of the edge DEFINITION (a pair at Hamming
+  8..12 sharing no band is NOT an edge), so probes must verify the
+  exact banded hash pairs — carrying the hash makes the stored rows
+  the same frames image_bands_of builds, and the tick feeds them to
+  the factored cross_modal_edges_of unchanged.
+- ``cm_frame_index`` (node, doc_id, frame_dhash, n_frames, keep_node,
+  batch_id) — DISTINCT frame hashes per processed clip; n_frames is
+  the clip's decoded frame count (its quality).
+- ``cm_fband_index`` (doc_id, frame_dhash, band, byte, batch_id) —
+  frame-hash band rows, hash carried for the same reason.
+- ``cm_flags`` (doc_id, modality, status, batch_id) — 'kept',
+  'dropped:near_dup', 'displaced:near_dup' through the keyed MERGE.
+
+Replay safety (the media tick's contract): probes exclude the current
+batch_id's own rows, appends anti-join on node, flags land keyed on
+(doc_id, modality), mutation order flags -> repoint -> append with
+each step idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from falcon_metrics_etl_spark.functions import multimodal as MM
+from falcon_metrics_etl_spark.operators.keep_best import resolve_keep_best
+from falcon_metrics_etl_spark.plans.media_dedup import (
+    DHASH_HAMMING_T,
+    VIDEO_SHARED_T,
+    cross_modal_keep_best_of,
+    image_bands_of,
+)
+from falcon_metrics_etl_spark.sinks.merge import _target_exists, merge_upsert
+
+CM_IMG_SCHEMA = (
+    "node long, doc_id long, dhash long, keep_node long, batch_id long"
+)
+CM_TBAND_SCHEMA = (
+    "doc_id long, dhash long, band int, byte long, batch_id long"
+)
+CM_FBAND_SCHEMA = (
+    "doc_id long, frame_dhash long, band int, byte long, batch_id long"
+)
+CM_FRAME_SCHEMA = (
+    "node long, doc_id long, frame_dhash long, n_frames long, "
+    "keep_node long, batch_id long"
+)
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    if _target_exists(spark, path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def _fingerprint_batch(
+    batch_docs: DataFrame,
+    thumbs: DataFrame | None,
+    clips: DataFrame | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Delta-only decode: (doc_id, dhash) stills and (doc_id,
+    frame_idx, frame_dhash) clip frames of the batch."""
+    if thumbs is None:
+        thumbs = MM.attach_payload_keyframe_thumbs(batch_docs)
+    if clips is None:
+        clips = MM.attach_payload_video_clips(batch_docs)
+    t = MM.media_dhash(thumbs).select("doc_id", "dhash")
+    v = MM.video_frame_dhash(clips).select(
+        "doc_id", "frame_idx", "frame_dhash"
+    )
+    return t, v
+
+
+def stage_cross_modal_state(
+    spark: SparkSession,
+    docs: DataFrame,
+    state_dir: str,
+    batch_id: int = 0,
+    thumbs: DataFrame | None = None,
+    clips: DataFrame | None = None,
+) -> None:
+    """Tick-0 backfill: run the BATCH mixed closure over the base
+    corpus and persist its full resolution as the maintained state."""
+    t, v = _fingerprint_batch(docs, thumbs, clips)
+    t = t.localCheckpoint(eager=True)
+    v = v.localCheckpoint(eager=True)
+    kb = cross_modal_keep_best_of(t, v).localCheckpoint(eager=True)
+    tag = F.lit(int(batch_id)).alias("batch_id")
+    imgs = kb.filter(F.col("modality") == "image").select(
+        "node", "doc_id", "keep_node"
+    )
+    imgs.join(t, "doc_id").select(
+        "node", "doc_id", "dhash", "keep_node", tag
+    ).write.mode("overwrite").parquet(f"{state_dir}/cm_image_index")
+    image_bands_of(t).select(
+        "doc_id", "dhash", "band", "byte", tag
+    ).write.mode("overwrite").parquet(f"{state_dir}/cm_tband_index")
+    vids = kb.filter(F.col("modality") == "video").select(
+        "node", "doc_id", "n_frames", "keep_node"
+    )
+    vsig = v.select("doc_id", "frame_dhash").distinct()
+    vids.join(vsig, "doc_id").select(
+        "node", "doc_id", "frame_dhash", "n_frames", "keep_node", tag
+    ).write.mode("overwrite").parquet(f"{state_dir}/cm_frame_index")
+    image_bands_of(vsig, "frame_dhash").select(
+        "doc_id", "frame_dhash", "band", "byte", tag
+    ).write.mode("overwrite").parquet(f"{state_dir}/cm_fband_index")
+    kb.select(
+        "doc_id",
+        "modality",
+        F.when(F.col("node") == F.col("keep_node"), F.lit("kept"))
+        .otherwise(F.lit("dropped:near_dup"))
+        .alias("status"),
+        F.lit(int(batch_id)).alias("batch_id"),
+    ).write.mode("overwrite").parquet(f"{state_dir}/cm_flags")
+
+
+def cross_modal_ingest_tick(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    thumbs: DataFrame | None = None,
+    clips: DataFrame | None = None,
+) -> None:
+    """Process ONE delta batch end to end (decode -> probe both
+    modality indexes -> joint resolve -> flag/repoint/append),
+    idempotent under replay of the same (batch_docs, batch_id)."""
+    bid = int(batch_id)
+    t_new, v_new = _fingerprint_batch(batch_docs, thumbs, clips)
+    t_new = t_new.localCheckpoint(eager=True)
+    v_new = v_new.localCheckpoint(eager=True)
+    vsig_new = v_new.select("doc_id", "frame_dhash").distinct()
+    n_new = v_new.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
+    )
+
+    img_idx = _read_or_empty(
+        spark, f"{state_dir}/cm_image_index", CM_IMG_SCHEMA
+    ).filter(F.col("batch_id") != bid)
+    tband_idx = _read_or_empty(
+        spark, f"{state_dir}/cm_tband_index", CM_TBAND_SCHEMA
+    ).filter(F.col("batch_id") != bid)
+    frame_idx = _read_or_empty(
+        spark, f"{state_dir}/cm_frame_index", CM_FRAME_SCHEMA
+    ).filter(F.col("batch_id") != bid)
+    fband_idx = _read_or_empty(
+        spark, f"{state_dir}/cm_fband_index", CM_FBAND_SCHEMA
+    ).filter(F.col("batch_id") != bid)
+
+    # probed side = stored band rows (hash carried) + the batch's own
+    # bands (batch-mate edges); these ARE the frames image_bands_of
+    # builds, so the tick feeds the factored edge builder unchanged —
+    # one definition of the three families across batch query, delta
+    # query and tick
+    tb_new = image_bands_of(t_new)
+    fb_new = image_bands_of(vsig_new, "frame_dhash")
+    tb_all = tband_idx.select("doc_id", "dhash", "band", "byte").unionByName(
+        tb_new
+    )
+    fb_all = fband_idx.select(
+        "doc_id", "frame_dhash", "band", "byte"
+    ).unionByName(fb_new)
+    vsig_all = (
+        frame_idx.select("doc_id", "frame_dhash")
+        .unionByName(vsig_new)
+        .distinct()
+    )
+
+    from falcon_metrics_etl_spark.plans.media_dedup import (
+        cross_modal_edges_of,
+    )
+
+    edges = cross_modal_edges_of(
+        tb_new, tb_all, fb_new, fb_all, vsig_new, vsig_all
+    ).localCheckpoint(eager=True)
+
+    # joint resolution over modality-tagged nodes
+    new_q = t_new.select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        F.lit(1).cast("long").alias("n_frames"),
+    ).unionByName(
+        n_new.select(
+            (F.col("doc_id") * 2 + 1).alias("doc_id"), "n_frames"
+        )
+    )
+    idx_q = img_idx.select(
+        F.col("node").alias("doc_id"),
+        F.col("keep_node").alias("keep_id"),
+        F.lit(1).cast("long").alias("n_frames"),
+    ).unionByName(
+        frame_idx.select(
+            F.col("node").alias("doc_id"),
+            F.col("keep_node").alias("keep_id"),
+            "n_frames",
+        ).dropDuplicates(["doc_id"])
+    )
+    verdicts, displaced = resolve_keep_best(
+        new_q, idx_q, edges, ["n_frames"]
+    )
+    verdicts = verdicts.localCheckpoint(eager=True)
+    displaced = displaced.localCheckpoint(eager=True)
+
+    # ---- 1) land flags (keyed merge) --------------------------------
+    def _fmt(node_col):
+        return (
+            F.when(node_col % 2 == 1, F.lit("video"))
+            .otherwise(F.lit("image"))
+            .alias("modality")
+        )
+
+    flags = (
+        verdicts.select(
+            (F.col("doc_id") / 2).cast("long").alias("did"),
+            _fmt(F.col("doc_id")),
+            F.when(F.col("is_kept"), F.lit("kept"))
+            .otherwise(F.lit("dropped:near_dup"))
+            .alias("status"),
+        )
+        .unionByName(
+            displaced.select(
+                (F.col("doc_id") / 2).cast("long").alias("did"),
+                _fmt(F.col("doc_id")),
+                F.lit("displaced:near_dup").alias("status"),
+            )
+        )
+        .select(
+            F.col("did").alias("doc_id"), "modality", "status",
+            F.lit(bid).alias("batch_id"),
+        )
+    )
+    merge_upsert(
+        spark, f"{state_dir}/cm_flags", flags, ["doc_id", "modality"]
+    )
+
+    # ---- 2) repoint displaced keepers across BOTH indexes -----------
+    if not displaced.isEmpty():
+        rp = displaced.select(
+            F.col("doc_id").alias("keep_node"), "new_keep"
+        )
+        full_img = _read_or_empty(
+            spark, f"{state_dir}/cm_image_index", CM_IMG_SCHEMA
+        )
+        upd = (
+            full_img.join(rp, "keep_node")
+            .withColumn("keep_node", F.col("new_keep"))
+            .drop("new_keep")
+        )
+        merge_upsert(spark, f"{state_dir}/cm_image_index", upd, ["node"])
+        full_fr = _read_or_empty(
+            spark, f"{state_dir}/cm_frame_index", CM_FRAME_SCHEMA
+        )
+        upd = (
+            full_fr.join(rp, "keep_node")
+            .withColumn("keep_node", F.col("new_keep"))
+            .drop("new_keep")
+        )
+        merge_upsert(
+            spark,
+            f"{state_dir}/cm_frame_index",
+            upd,
+            ["node", "frame_dhash"],
+        )
+
+    # ---- 3) append the batch (kept AND dropped; anti-joined) --------
+    tag = F.lit(bid).alias("batch_id")
+    full_img = _read_or_empty(
+        spark, f"{state_dir}/cm_image_index", CM_IMG_SCHEMA
+    )
+    new_img = (
+        t_new.select(
+            (F.col("doc_id") * 2).alias("node"), "doc_id", "dhash"
+        )
+        .join(
+            verdicts.select(
+                F.col("doc_id").alias("node"),
+                F.col("keep_id").alias("keep_node"),
+            ),
+            "node",
+        )
+        .join(full_img.select("node").distinct(), "node", "left_anti")
+        .select("node", "doc_id", "dhash", "keep_node", tag)
+    )
+    new_img.write.mode("append").parquet(f"{state_dir}/cm_image_index")
+
+    full_tb = _read_or_empty(
+        spark, f"{state_dir}/cm_tband_index", CM_TBAND_SCHEMA
+    )
+    new_tb = (
+        tb_new.join(full_tb.select("doc_id").distinct(), "doc_id", "left_anti")
+        .select("doc_id", "dhash", "band", "byte", tag)
+    )
+    new_tb.write.mode("append").parquet(f"{state_dir}/cm_tband_index")
+
+    full_fr = _read_or_empty(
+        spark, f"{state_dir}/cm_frame_index", CM_FRAME_SCHEMA
+    )
+    new_fr = (
+        vsig_new.select(
+            (F.col("doc_id") * 2 + 1).alias("node"),
+            "doc_id",
+            "frame_dhash",
+        )
+        .join(n_new, "doc_id")
+        .join(
+            verdicts.select(
+                F.col("doc_id").alias("node"),
+                F.col("keep_id").alias("keep_node"),
+            ),
+            "node",
+        )
+        .join(full_fr.select("node").distinct(), "node", "left_anti")
+        .select("node", "doc_id", "frame_dhash", "n_frames", "keep_node", tag)
+    )
+    new_fr.write.mode("append").parquet(f"{state_dir}/cm_frame_index")
+
+    full_fb = _read_or_empty(
+        spark, f"{state_dir}/cm_fband_index", CM_FBAND_SCHEMA
+    )
+    new_fb = (
+        fb_new.join(full_fb.select("doc_id").distinct(), "doc_id", "left_anti")
+        .select("doc_id", "frame_dhash", "band", "byte", tag)
+    )
+    new_fb.write.mode("append").parquet(f"{state_dir}/cm_fband_index")

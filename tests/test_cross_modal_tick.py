@@ -1,0 +1,190 @@
+"""Incremental CROSS-MODAL ingest tick
+(streaming/cross_modal_tick.py): the tick's keep set must stay
+row-identical to the batch mixed closure (cross_modal_keep_best_of)
+recomputed over everything processed so far — the IVM invariant the
+oracled cross_modal_keep_best_delta query witnesses — admission must
+be batch-composition independent, a still admitted alone must be
+DISPLACED the tick its source footage arrives, and every step must be
+idempotent under replay.
+
+Fixture geometry: every CM_THUMB_MOD-th doc exports one keyframe of
+its own clip as a PNG still (node 2*doc_id), every doc has a 6-frame
+clip in a VIDEO_GROUP of trim-and-extend variants (node 2*doc_id+1);
+the mixed keep rule is most-frames (stills count 1), ties to the
+smallest node."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from falcon_metrics_etl_spark.functions import multimodal as MM
+from falcon_metrics_etl_spark.plans.media_dedup import (
+    cross_modal_keep_best_of,
+)
+from falcon_metrics_etl_spark.streaming.cross_modal_tick import (
+    cross_modal_ingest_tick,
+    stage_cross_modal_state,
+)
+
+MEDIA_SCHEMA = "doc_id long, media_type string, codec string, payload binary"
+
+
+def _docs(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
+def _empty_media(spark):
+    return spark.createDataFrame([], MEDIA_SCHEMA)
+
+
+def _flags(spark, state_dir):
+    return {
+        (r["doc_id"], r["modality"]): r["status"]
+        for r in spark.read.parquet(f"{state_dir}/cm_flags").collect()
+    }
+
+
+def _keeps(spark, state_dir):
+    """node -> keep_node across BOTH indexes."""
+    out = {}
+    for r in (
+        spark.read.parquet(f"{state_dir}/cm_image_index")
+        .select("node", "keep_node")
+        .collect()
+    ):
+        out[r["node"]] = r["keep_node"]
+    for r in (
+        spark.read.parquet(f"{state_dir}/cm_frame_index")
+        .select("node", "keep_node")
+        .distinct()
+        .collect()
+    ):
+        out[r["node"]] = r["keep_node"]
+    return out
+
+
+def _batch_expect(spark, ids):
+    """The batch mixed closure over ``ids`` — node -> (keep_node,
+    kept?)."""
+    d = _docs(spark, ids)
+    t = MM.media_dhash(MM.attach_payload_keyframe_thumbs(d)).select(
+        "doc_id", "dhash"
+    )
+    v = MM.video_frame_dhash(MM.attach_payload_video_clips(d)).select(
+        "doc_id", "frame_idx", "frame_dhash"
+    )
+    return {
+        r["node"]: (r["keep_node"], r["node"] == r["keep_node"])
+        for r in cross_modal_keep_best_of(t, v).collect()
+    }
+
+
+ALL_IDS = list(range(28))
+BASE_IDS = [i for i in ALL_IDS if i % 5 != 0]
+DELTA_IDS = [i for i in ALL_IDS if i % 5 == 0]
+
+
+@pytest.fixture(scope="module")
+def ticked(spark, tmp_path_factory):
+    state = str(tmp_path_factory.mktemp("cm_state"))
+    stage_cross_modal_state(spark, _docs(spark, BASE_IDS), state, batch_id=0)
+    cross_modal_ingest_tick(
+        spark, _docs(spark, DELTA_IDS), state, batch_id=1
+    )
+    return state
+
+
+def test_tick_keep_set_equals_batch_closure(spark, ticked):
+    """THE invariant: after staging base and ticking the delta, every
+    node's keeper equals the batch mixed closure over the union corpus
+    — thumbs and clips jointly, displacements repointed."""
+    exp = _batch_expect(spark, ALL_IDS)
+    assert _keeps(spark, ticked) == {n: k for n, (k, _) in exp.items()}
+    flags = _flags(spark, ticked)
+    kept_nodes = {
+        2 * d + (1 if m == "video" else 0)
+        for (d, m), s in flags.items()
+        if s == "kept"
+    }
+    assert kept_nodes == {n for n, (_, kept) in exp.items() if kept}
+    # the slice must actually exercise displacement (a delta clip with
+    # a smaller node than its staged group keeper)
+    assert any(
+        s == "displaced:near_dup" for (d, _), s in flags.items()
+        if d in BASE_IDS
+    ), "fixture slice planted no displacement"
+
+
+def test_split_ticks_equal_single_tick(spark, tmp_path_factory):
+    one = str(tmp_path_factory.mktemp("cm_one"))
+    two = str(tmp_path_factory.mktemp("cm_two"))
+    stage_cross_modal_state(spark, _docs(spark, BASE_IDS), one, batch_id=0)
+    stage_cross_modal_state(spark, _docs(spark, BASE_IDS), two, batch_id=0)
+    cross_modal_ingest_tick(spark, _docs(spark, DELTA_IDS), one, batch_id=1)
+    cross_modal_ingest_tick(
+        spark, _docs(spark, DELTA_IDS[::2]), two, batch_id=1
+    )
+    cross_modal_ingest_tick(
+        spark, _docs(spark, DELTA_IDS[1::2]), two, batch_id=2
+    )
+    assert _keeps(spark, one) == _keeps(spark, two)
+    f_one, f_two = _flags(spark, one), _flags(spark, two)
+    kept = lambda f: {k for k, s in f.items() if s == "kept"}  # noqa: E731
+    assert kept(f_one) == kept(f_two)
+
+
+def test_footage_displaces_admitted_still(spark, tmp_path_factory):
+    """The cross-modal semantic this tick exists for: a thumbnail
+    admitted while alone is displaced the tick its source footage
+    arrives — the clip keeps (most frames), the still flags
+    displaced, and the image index repoints to the clip's node."""
+    d = 7  # has a thumbnail (7 % CM_THUMB_MOD == 0)
+    assert d % MM.CM_THUMB_MOD == 0
+    state = str(tmp_path_factory.mktemp("cm_displace"))
+    stage_cross_modal_state(
+        spark,
+        _docs(spark, [d]),
+        state,
+        batch_id=0,
+        clips=_empty_media(spark),  # the still arrives FIRST
+    )
+    flags = _flags(spark, state)
+    assert flags[(d, "image")] == "kept"
+
+    cross_modal_ingest_tick(
+        spark,
+        _docs(spark, [d]),
+        state,
+        batch_id=1,
+        thumbs=_empty_media(spark),  # now only the footage arrives
+    )
+    flags = _flags(spark, state)
+    assert flags[(d, "video")] == "kept"
+    assert flags[(d, "image")] == "displaced:near_dup"
+    keeps = _keeps(spark, state)
+    assert keeps[2 * d] == 2 * d + 1  # still repointed to the clip
+    assert keeps[2 * d + 1] == 2 * d + 1
+
+
+def test_replay_is_idempotent(spark, ticked):
+    def snapshot():
+        counts = {
+            name: spark.read.parquet(f"{ticked}/{name}").count()
+            for name in (
+                "cm_image_index", "cm_tband_index", "cm_frame_index",
+                "cm_fband_index", "cm_flags",
+            )
+        }
+        return counts, _flags(spark, ticked), _keeps(spark, ticked)
+
+    before = snapshot()
+    cross_modal_ingest_tick(
+        spark, _docs(spark, DELTA_IDS), ticked, batch_id=1
+    )
+    assert snapshot() == before
