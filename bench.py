@@ -214,6 +214,16 @@ HEADLINE = [
     "ann_ivf_incremental",
     "video_dedup_keep_best",
     "audio_dedup_keep_best",
+    # round-12 additions: cross-modal near-dup (a clip keyframe
+    # exported as a PNG still pairs against the clip through the
+    # shared 64-bit dHash), quality-aware incremental keep-best (IVM
+    # twins hash-matching the batch closure), now including the MIXED
+    # image/video closure
+    "cross_modal_near_dup",
+    "cross_modal_keep_best",
+    "media_keep_best_delta",
+    "video_keep_best_delta",
+    "cross_modal_keep_best_delta",
 ]
 
 
