@@ -1519,3 +1519,75 @@ def test_jpeg_fill_bytes_before_markers():
         d = decode_jpeg(padded)
         assert d["pixels"] == base["pixels"]
         assert (d["width"], d["height"]) == (base["width"], base["height"])
+
+
+def test_png_filter_unfilter_fuzz_roundtrip_all_bpp():
+    """Vectorization regression guard (r12): random rasters forward-
+    filtered row-by-row with a SPEC-LITERAL scalar reference (written
+    here, independent of the vectorized _filter_scanline) must decode
+    back exactly through _unfilter_scanlines at every pixel stride —
+    and _filter_scanline must produce the same filtered bytes as the
+    reference."""
+    import random
+
+    def ref_filter(ft, line, prev, bpp):
+        out = bytearray([ft])
+        for x in range(len(line)):
+            a = line[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((line[x] - pred) & 0xFF)
+        return bytes(out)
+
+    rng = random.Random(42)
+    for trial in range(60):
+        bpp = rng.choice([1, 2, 3, 4, 6, 8])
+        w = rng.randint(1, 24)
+        h = rng.randint(1, 16)
+        rows = [
+            bytes(rng.randrange(256) for _ in range(w * bpp))
+            for _ in range(h)
+        ]
+        raw = bytearray()
+        prev = bytes(w * bpp)
+        for y, r in enumerate(rows):
+            ft = rng.randrange(5)
+            expect = ref_filter(ft, r, prev, bpp)
+            assert MM._filter_scanline(ft, r, prev, bpp) == expect, (
+                trial, y, ft, bpp,
+            )
+            raw += expect
+            prev = r
+        out, end = MM._unfilter_scanlines(bytes(raw), 0, w * bpp, h, bpp)
+        assert end == len(raw)
+        assert bytes(out) == b"".join(rows), (trial, bpp, w, h)
+
+
+def test_png_unpack_rows_matches_scalar_unpack_bits():
+    """The vectorized sub-byte unpack must agree with the in-tree
+    scalar _unpack_bits on every depth, width and padding shape."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(80):
+        depth = rng.choice([1, 2, 4])
+        w = rng.randint(1, 40)
+        h = rng.randint(1, 12)
+        rwb = (w * depth + 7) // 8
+        packed = bytes(rng.randrange(256) for _ in range(rwb * h))
+        vec = MM._unpack_rows(packed, rwb, w, h, depth)
+        for y in range(h):
+            ref = MM._unpack_bits(packed[y * rwb : (y + 1) * rwb], w, depth)
+            assert list(vec[y]) == list(ref), (trial, depth, w, y)
