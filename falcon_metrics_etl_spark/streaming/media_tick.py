@@ -236,18 +236,6 @@ def media_ingest_tick(
         .filter(F.bit_count(F.expr("h_a ^ h_b")) <= DHASH_HAMMING_T)
         .select("id_a", "id_b")
     )
-    wh = (F.col("width").cast("long") * F.col("height")).alias("wh")
-    img_verdicts, img_displaced = resolve_keep_best(
-        fp_new.select("doc_id", wh, "detail"),
-        fp_idx.select("doc_id", "keep_id", wh, "detail"),
-        edges,
-        ["wh", "detail"],
-    )
-    # freeze the decisions BEFORE any state mutation: their lineage
-    # reads the index parquet the repoint/appends are about to rewrite
-    img_verdicts = img_verdicts.localCheckpoint(eager=True)
-    img_displaced = img_displaced.localCheckpoint(eager=True)
-
     # ---- video side: delta frames probe the inverted index ---------
     vfp_new = (
         MM.video_frame_dhash(clips)
@@ -303,16 +291,72 @@ def media_ingest_tick(
     ).withColumn(
         "is_aligned", F.col("aligned_run") >= VIDEO_SHARED_T
     ).localCheckpoint(eager=True)
-    vid_verdicts, vid_displaced = resolve_keep_best(
-        n_new,
-        frame_idx_state.select(
-            "doc_id", "keep_id", "n_frames"
-        ).dropDuplicates(["doc_id"]),
-        vpairs.select("id_a", "id_b"),
-        ["n_frames"],
+
+    # ---- ONE joint resolution on modality-tagged nodes (r12) --------
+    # image and video edges live on disjoint parities (2*doc_id vs
+    # 2*doc_id + 1), so a single resolve_keep_best call — one
+    # component loop, one argmax — reproduces the two per-modality
+    # resolutions exactly: clusters never mix parities, images compare
+    # on (wh, detail), clips on (n_frames, 0), and the -node tiebreak
+    # is -doc_id within each parity class. Halves the iterative
+    # clustering + checkpoint job count per tick (measured on the
+    # sf0.1 runner; the cross_modal_tick uses the same node algebra).
+    node_edges = edges.select(
+        (F.col("id_a") * 2).alias("id_a"), (F.col("id_b") * 2).alias("id_b")
+    ).unionByName(
+        vpairs.select(
+            (F.col("id_a") * 2 + 1).alias("id_a"),
+            (F.col("id_b") * 2 + 1).alias("id_b"),
+        )
     )
-    vid_verdicts = vid_verdicts.localCheckpoint(eager=True)
-    vid_displaced = vid_displaced.localCheckpoint(eager=True)
+    wh_q1 = (F.col("width").cast("long") * F.col("height")).alias("q1")
+    new_q = fp_new.select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        wh_q1,
+        F.col("detail").alias("q2"),
+    ).unionByName(
+        n_new.select(
+            (F.col("doc_id") * 2 + 1).alias("doc_id"),
+            F.col("n_frames").alias("q1"),
+            F.lit(0).cast("long").alias("q2"),
+        )
+    )
+    idx_q = fp_idx.select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        (F.col("keep_id") * 2).alias("keep_id"),
+        wh_q1,
+        F.col("detail").alias("q2"),
+    ).unionByName(
+        frame_idx_state.select("doc_id", "keep_id", "n_frames")
+        .dropDuplicates(["doc_id"])
+        .select(
+            (F.col("doc_id") * 2 + 1).alias("doc_id"),
+            (F.col("keep_id") * 2 + 1).alias("keep_id"),
+            F.col("n_frames").alias("q1"),
+            F.lit(0).cast("long").alias("q2"),
+        )
+    )
+    verdicts, displaced = resolve_keep_best(
+        new_q, idx_q, node_edges, ["q1", "q2"]
+    )
+    # freeze the decisions BEFORE any state mutation: their lineage
+    # reads the index parquet the repoint/appends are about to rewrite
+    verdicts = verdicts.localCheckpoint(eager=True)
+    displaced = displaced.localCheckpoint(eager=True)
+    half = (F.col("doc_id") / 2).cast("long").alias("doc_id")
+    keep_half = (F.col("keep_id") / 2).cast("long").alias("keep_id")
+    img_verdicts = verdicts.filter(F.col("doc_id") % 2 == 0).select(
+        half, keep_half, "is_kept"
+    )
+    vid_verdicts = verdicts.filter(F.col("doc_id") % 2 == 1).select(
+        half, keep_half, "is_kept"
+    )
+    img_displaced = displaced.filter(F.col("doc_id") % 2 == 0).select(
+        half, (F.col("new_keep") / 2).cast("long").alias("new_keep")
+    )
+    vid_displaced = displaced.filter(F.col("doc_id") % 2 == 1).select(
+        half, (F.col("new_keep") / 2).cast("long").alias("new_keep")
+    )
 
     # ---- 1) land flags (keyed merge) --------------------------------
     # a dropped clip NONE of whose candidate pairs is order-aligned is
