@@ -221,6 +221,7 @@ HEADLINE = [
     # image/video closure
     "cross_modal_near_dup",
     "cross_modal_keep_best",
+    "cross_modal_incremental_update",
     "media_keep_best_delta",
     "video_keep_best_delta",
     "cross_modal_keep_best_delta",

@@ -1663,6 +1663,120 @@ def cross_modal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cross_modal_incremental_update",
+    doc="Incremental cross-modal index maintenance — the delta-pairs "
+    "twin completing the incremental family's symmetry (text LSH, "
+    "image bands, video frames, IVF cells each have one): new stills "
+    f"and clips (doc_id % {MEDIA_DELTA_MOD} == 0 plays the arriving "
+    "delta) fingerprint DELTA-ONLY; delta image bands probe the full "
+    "frame-band index AND delta frame bands probe the full image-band "
+    "index, so every matched frame pair of a delta-touching "
+    "(image, clip) pair is covered from whichever side is new. "
+    "Base-base pairs are never recomputed. Same banding + Hamming "
+    "semantics as cross_modal_near_dup (the oracle is its pair set "
+    "filtered to delta-touching pairs).",
+    tags=("multimodal", "video", "dedup", "dhash", "lsh",
+          "incremental", "cross-modal"),
+    oracle=f"""
+WITH {_DUCK_DHASH},
+{_DUCK_VIDEO},
+{_DUCK_THUMBS},
+imgs AS (
+    SELECT doc_id, 'photo' AS img_kind, dhash FROM hashes
+    UNION ALL
+    SELECT doc_id, 'thumb' AS img_kind, dhash FROM thumbs
+),
+ibands AS (
+    SELECT doc_id, img_kind, dhash, t.b AS band,
+           (dhash >> (t.b * 8)) & 255 AS byte
+    FROM imgs CROSS JOIN range({DHASH_BANDS}) t(b)
+),
+vsig AS (SELECT DISTINCT doc_id, frame_dhash FROM vhashes),
+fbands AS (
+    SELECT doc_id, frame_dhash, t.b AS band,
+           (frame_dhash >> (t.b * 8)) & 255 AS byte
+    FROM vsig CROSS JOIN range({DHASH_BANDS}) t(b)
+),
+cm AS (
+    SELECT DISTINCT i.doc_id AS img_id, i.img_kind, f.doc_id AS clip_id,
+           i.dhash AS h_i, f.frame_dhash AS h_f
+    FROM ibands i JOIN fbands f ON i.band = f.band AND i.byte = f.byte
+)
+SELECT img_id, img_kind, clip_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames_matched,
+       CAST(MIN(bit_count(xor(h_i, h_f))) AS INT) AS min_hamming
+FROM cm
+WHERE bit_count(xor(h_i, h_f)) <= {DHASH_HAMMING_T}
+  AND (img_id % {MEDIA_DELTA_MOD} = 0 OR clip_id % {MEDIA_DELTA_MOD} = 0)
+GROUP BY img_id, img_kind, clip_id
+""",
+)
+def cross_modal_incremental_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    photos = _fingerprints(spark, sf_dir).select(
+        "doc_id", F.lit("photo").alias("img_kind"), "dhash"
+    )
+    thumbs = _thumb_fingerprints(spark, sf_dir).select(
+        "doc_id", F.lit("thumb").alias("img_kind"), "dhash"
+    )
+    imgs = perf_checkpoint(photos.unionByName(thumbs))
+    vsig = perf_checkpoint(
+        _video_fingerprints(spark, sf_dir)
+        .select("doc_id", "frame_dhash")
+        .distinct()
+    )
+    is_delta = F.col("doc_id") % MEDIA_DELTA_MOD == 0
+    ibands = imgs.select(
+        "doc_id",
+        "img_kind",
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias(
+            "band"
+        ),
+    ).withColumn("byte", F.expr("(dhash >> (band * 8)) & 255"))
+    fbands = vsig.select(
+        "doc_id",
+        "frame_dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias(
+            "band"
+        ),
+    ).withColumn("byte", F.expr("(frame_dhash >> (band * 8)) & 255"))
+
+    def probe(i_side: DataFrame, f_side: DataFrame) -> DataFrame:
+        return (
+            i_side.alias("i")
+            .join(
+                f_side.alias("f"),
+                (F.col("i.band") == F.col("f.band"))
+                & (F.col("i.byte") == F.col("f.byte")),
+            )
+            .select(
+                F.col("i.doc_id").alias("img_id"),
+                F.col("i.img_kind").alias("img_kind"),
+                F.col("f.doc_id").alias("clip_id"),
+                F.col("i.dhash").alias("h_i"),
+                F.col("f.frame_dhash").alias("h_f"),
+            )
+        )
+
+    cm = (
+        probe(ibands.filter(is_delta), fbands)
+        .unionByName(probe(ibands, fbands.filter(is_delta)))
+        .distinct()
+    )
+    return (
+        cm.withColumn("hamming", F.bit_count(F.expr("h_i ^ h_f")))
+        .filter(F.col("hamming") <= DHASH_HAMMING_T)
+        .groupBy("img_id", "img_kind", "clip_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames_matched"),
+            F.min("hamming").cast("int").alias("min_hamming"),
+        )
+    )
+
+
 # shared by cross_modal_keep_best and its delta twin: the IVM proof
 # is precisely that both hash-match this ONE full-corpus closure
 _CM_KB_ORACLE = f"""
