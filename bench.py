@@ -944,7 +944,12 @@ def ab_main(ref: str, sf_dir: str, full: bool = False) -> None:
         shutil.rmtree(base_dir, ignore_errors=True)
 
 
-COMPACT_BYTES = int(os.environ.get("SPARK_GRAFT_BENCH_COMPACT_BYTES", "2800"))
+# r12 post-mortem: at 2800 bytes the line STILL arrived truncated
+# mid-JSON in the driver's tail buffer (BENCH_r12.json "tail" starts
+# inside the queries map), because a trailing StateStore WARN stack
+# trace (~1.2 KB) shared the buffer. ~1 KB of JSON + zero trailing log
+# output (see the quiesce steps at the end of main()) fits with room.
+COMPACT_BYTES = int(os.environ.get("SPARK_GRAFT_BENCH_COMPACT_BYTES", "1000"))
 
 
 def _compact_summary(payload: dict) -> dict:
@@ -957,11 +962,14 @@ def _compact_summary(payload: dict) -> dict:
     compact = {
         k: payload[k]
         for k in (
-            "metric", "value", "unit", "repeats", "sf", "redrawn", "bands",
+            "metric", "value", "unit", "repeats", "sf", "bands",
             "pipeline_e2e_stages", "corpus_e2e_stages",
         )
         if k in payload
     }
+    # the per-query redraw map is unbounded (one entry per noisy
+    # query); the summary only needs the count — details in the files
+    compact["redrawn_count"] = len(payload.get("redrawn", {}))
     compact["full_payload"] = "BENCH_OUT.json"
     full_q = payload.get("queries", {})
     qmap: dict[str, float] = {}
@@ -997,6 +1005,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _parse_sf(sf_dir)
     spark = get_spark("bench")
+    # The streaming tick benches start stateful queries, which launch
+    # an async StateStore maintenance task on this interval. At the
+    # 60s default it fired mid/post-bench and its WARN trace trailed
+    # the final JSON line (BENCH_r12 "parsed": null). One hour ≫ any
+    # bench wall-clock, so the thread never ticks during the run.
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
 
     registry = all_queries()
     timings: dict[str, float] = {}
@@ -1133,14 +1147,24 @@ def main() -> None:
                 f.write("\n")
         except OSError:
             pass  # a read-only checkout must not break the stdout contract
-    # stdout stays ONE JSON line, but SIZE-CAPPED: the driver parses
-    # the final line from a bounded tail buffer, and the full
-    # per-query map outgrew it in r11 ("parsed": null). The compact
-    # line keeps the contract keys (metric/value/unit/queries/sf) with
-    # the queries map truncated to the slowest entries that fit; the
-    # complete maps live in BENCH_OUT.json / BENCH_MEDIANS.json.
-    print(json.dumps(_compact_summary(payload)))
+    # stdout stays ONE JSON line, SIZE-CAPPED, and printed LAST after
+    # the JVM is quiesced: in r11 the full per-query map overflowed the
+    # driver's bounded tail buffer; in r12 a StateStore maintenance
+    # thread fired AFTER spark.stop() and its WARN stack trace trailed
+    # the JSON line, so the driver's tail held the trace plus a
+    # mid-JSON fragment ("parsed": null both rounds). Three defenses:
+    # (a) raise log4j to ERROR before stop — setLogLevel mutates the
+    #     JVM root logger, which outlives the SparkContext, so even a
+    #     post-stop maintenance tick cannot emit the WARN;
+    # (b) stop the session, then drain ~2s so anything already queued
+    #     on an async appender flushes BEFORE our line, not after;
+    # (c) print the ~1 KB compact summary as the genuinely final write.
+    # The complete maps live in BENCH_OUT.json / BENCH_MEDIANS.json.
+    summary_line = json.dumps(_compact_summary(payload))
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    time.sleep(2.0)
+    print(summary_line, flush=True)
 
 
 if __name__ == "__main__":
