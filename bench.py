@@ -225,6 +225,11 @@ HEADLINE = [
     "media_keep_best_delta",
     "video_keep_best_delta",
     "cross_modal_keep_best_delta",
+    # round-13 additions: cross-modal audio (a clip's soundtrack
+    # ripped to a standalone WAV pairs against recordings through the
+    # shared spectral byte-band index), trimodal mixed keep-best
+    "cross_modal_audio_near_dup",
+    "cross_modal_keep_best_trimodal",
 ]
 
 

@@ -3354,6 +3354,82 @@ def attach_payload_audio_clips(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Cross-modal audio (r13): a clip's soundtrack ripped to a standalone
+# WAV — podcast clips, music rips — the audio analog of the keyframe
+# thumbnails above. The extracted track carries the SAME PCM stream as
+# its doc's fixture recording (attach_payload_audio_clips), but in a
+# re-authored RIFF container (a LIST/INFO metadata chunk between fmt
+# and data, the layout real rip tools emit), so matching it to the
+# recording requires the chunk walk + PCM decode to be faithful — the
+# files are NOT byte-identical, only their decoded streams are.
+# ---------------------------------------------------------------------------
+CM_TRACK_MOD = 9  # every 9th doc's clip ships its soundtrack as a WAV
+
+
+def encode_wav_pcm16_tagged(samples) -> bytes:
+    """Mono 16-bit PCM WAV with a LIST/INFO chunk ahead of the data
+    chunk — same decoded stream as encode_wav_pcm16, different
+    container bytes; exercises the decoder's unknown-chunk skip."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, WAV_SAMPLE_RATE, WAV_SAMPLE_RATE * 2, 2, 16
+    )
+    info = b"INFOISFT" + struct.pack("<I", 8) + b"trackrip"
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"LIST"
+        + struct.pack("<I", len(info))
+        + info
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def attach_payload_soundtrack_wavs(docs: DataFrame) -> DataFrame:
+    """documents -> the cross-modal audio corpus: every CM_TRACK_MOD-th
+    doc exports its clip's soundtrack — the audio surface of the SAME
+    doc_id's fixture recording (group doc_id // AUDIO_GROUP, variant
+    doc_id % AUDIO_GROUP) — as a standalone re-containerized PCM WAV.
+    The track's spectral fingerprint equals the recording's sphash row
+    only if the engine walks the extra LIST chunk and decodes the PCM
+    bit-exactly; the oracle derives track hashes from the audio CTE
+    (the streams are shared by construction), mirroring the keyframe
+    thumbnail oracle (_DUCK_THUMBS)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows_out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % CM_TRACK_MOD != 0:
+                    continue
+                g, v = divmod(doc_id, AUDIO_GROUP)
+                samples = []
+                for s in range(AUDIO_SEGMENTS):
+                    samples.extend(
+                        [audio_segment_value(g, v, s)] * AUDIO_SEG_LEN
+                    )
+                rows_out.append(
+                    (doc_id, "audio", "wav",
+                     encode_wav_pcm16_tagged(samples))
+                )
+            yield pd.DataFrame(
+                rows_out,
+                columns=["doc_id", "media_type", "codec", "payload"],
+            )
+
+    return _fan_out(docs.select("doc_id")).mapInPandas(
+        run,
+        schema="doc_id long, media_type string, codec string, payload binary",
+    )
+
+
 AUDIO_FP_SCHEMA = (
     "doc_id long, n_samples long, sample_rate int, ahash long"
 )

@@ -2153,3 +2153,454 @@ def cross_modal_keep_best_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CROSS-MODAL audio (r13, r12 verdict "what's missing" #2): a clip's
+# soundtrack ripped to a standalone WAV — podcast clips, music rips —
+# is a top duplicate class alongside keyframe thumbnails, and the
+# spectral byte-band index already speaks the same band algebra. The
+# extracted track carries its clip's PCM stream in a re-authored RIFF
+# container (functions/multimodal.attach_payload_soundtrack_wavs);
+# pairing it against standalone recordings goes through the SAME
+# 8x8-bit byte-band equi-join as every other pairing in this module.
+# ---------------------------------------------------------------------------
+
+# track hashes replayed WITHOUT samples: the track's PCM stream IS its
+# doc's recording stream by construction, so its spectral fingerprint
+# equals the sphashes row for the same doc_id — the engine can only
+# match this by walking the track's extra LIST chunk and decoding both
+# PCM streams to identical sample arrays (the audio _DUCK_THUMBS)
+_DUCK_TRACKS = f"""
+tracks AS (
+    SELECT doc_id, sphash FROM sphashes
+    WHERE doc_id % {MM.CM_TRACK_MOD} = 0
+)
+"""
+
+
+def _track_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.audio_spectral_dhash(MM.attach_payload_soundtrack_wavs(docs))
+
+
+@register(
+    "cross_modal_audio_near_dup",
+    doc="Cross-modal audio<->video near-dup: every "
+    f"{MM.CM_TRACK_MOD}-th doc's clip ships its soundtrack as a "
+    "standalone re-containerized PCM WAV "
+    "(attach_payload_soundtrack_wavs — LIST/INFO chunk ahead of "
+    "data, same decoded stream, different bytes), and the extracted "
+    f"tracks probe the full recording index via the {DHASH_BANDS}"
+    "x8-bit byte-band equi-join over the SPECTRAL fingerprint, "
+    f"candidates verified at Hamming <= {AUDIO_SPECTRAL_T}. One row "
+    "per (recording, clip) pair. The oracle derives track hashes "
+    "from the audio CTE (the PCM streams are shared by construction) "
+    "— the engine must walk the track's extra RIFF chunk and land "
+    "both decodes on the identical 64-bit spectral fingerprint. "
+    "Banded equi-join only; no all-pairs product.",
+    tags=("multimodal", "audio", "video", "dedup", "fft", "lsh",
+          "join", "cross-modal"),
+    oracle=f"""
+WITH {_DUCK_SPECTRAL},
+{_DUCK_TRACKS},
+rbands AS (
+    SELECT doc_id, sphash, t.b AS band,
+           (sphash >> (t.b * 8)) & 255 AS byte
+    FROM sphashes CROSS JOIN range({DHASH_BANDS}) t(b)
+),
+trbands AS (
+    SELECT doc_id, sphash, t.b AS band,
+           (sphash >> (t.b * 8)) & 255 AS byte
+    FROM tracks CROSS JOIN range({DHASH_BANDS}) t(b)
+),
+cmcand AS (
+    SELECT DISTINCT r.doc_id AS rec_id, t.doc_id AS clip_id,
+           r.sphash AS h_r, t.sphash AS h_t
+    FROM rbands r JOIN trbands t
+      ON r.band = t.band AND r.byte = t.byte
+)
+SELECT rec_id, clip_id, bit_count(xor(h_r, h_t)) AS hamming
+FROM cmcand WHERE bit_count(xor(h_r, h_t)) <= {AUDIO_SPECTRAL_T}
+""",
+)
+def cross_modal_audio_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # decode + DFT each corpus once: recordings feed their band
+    # explode, tracks feed bands AND the Hamming verify
+    recs = perf_checkpoint(
+        _audio_spectral_fps(spark, sf_dir).select("doc_id", "sphash")
+    )
+    trks = perf_checkpoint(
+        _track_fingerprints(spark, sf_dir).select("doc_id", "sphash")
+    )
+    cand = (
+        image_bands_of(recs, "sphash")
+        .alias("r")
+        .join(
+            image_bands_of(trks, "sphash").alias("t"),
+            (F.col("r.band") == F.col("t.band"))
+            & (F.col("r.byte") == F.col("t.byte")),
+        )
+        .select(
+            F.col("r.doc_id").alias("rec_id"),
+            F.col("t.doc_id").alias("clip_id"),
+            F.col("r.sphash").alias("h_r"),
+            F.col("t.sphash").alias("h_t"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("h_r ^ h_t")))
+        .filter(F.col("hamming") <= AUDIO_SPECTRAL_T)
+        .select("rec_id", "clip_id", "hamming")
+    )
+
+
+# the trimodal mixed-closure oracle: thumbnails + clips + recordings
+# on nodes 3*doc_id + m (0 image, 1 video, 2 audio), FIVE edge
+# families (thumb<->frame, thumb<->thumb, clip<->clip, rec<->rec,
+# rec<->clip via the clip's ripped soundtrack), keeper = argmax
+# (modality rank video > audio > image, then decoded units, then
+# smallest node) — source footage beats BOTH of its exported
+# artifacts: the keyframe still and the soundtrack rip
+_CM3_KB_ORACLE = f"""
+WITH RECURSIVE {_DUCK_VIDEO},
+{_DUCK_THUMBS},
+{_DUCK_SPECTRAL},
+{_DUCK_TRACKS},
+vsig AS (SELECT DISTINCT doc_id, frame_dhash FROM vhashes),
+nfr AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_units
+    FROM vhashes GROUP BY doc_id
+),
+tbands AS (
+    SELECT doc_id, dhash, t.b AS band,
+           (dhash >> (t.b * 8)) & 255 AS byte
+    FROM thumbs CROSS JOIN range({DHASH_BANDS}) t(b)
+),
+fbands AS (
+    SELECT doc_id, frame_dhash, t.b AS band,
+           (frame_dhash >> (t.b * 8)) & 255 AS byte
+    FROM vsig CROSS JOIN range({DHASH_BANDS}) t(b)
+),
+rbands AS (
+    SELECT doc_id, sphash, t.b AS band,
+           (sphash >> (t.b * 8)) & 255 AS byte
+    FROM sphashes CROSS JOIN range({DHASH_BANDS}) t(b)
+),
+trbands AS (
+    SELECT doc_id, sphash, t.b AS band,
+           (sphash >> (t.b * 8)) & 255 AS byte
+    FROM tracks CROSS JOIN range({DHASH_BANDS}) t(b)
+),
+tc AS (
+    SELECT DISTINCT tb.doc_id * 3 AS a, fb.doc_id * 3 + 1 AS b
+    FROM tbands tb JOIN fbands fb
+      ON tb.band = fb.band AND tb.byte = fb.byte
+    WHERE bit_count(xor(tb.dhash, fb.frame_dhash)) <= {DHASH_HAMMING_T}
+),
+tt AS (
+    SELECT DISTINCT x.doc_id * 3 AS a, y.doc_id * 3 AS b
+    FROM tbands x JOIN tbands y
+      ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.dhash, y.dhash)) <= {DHASH_HAMMING_T}
+),
+cc AS (
+    SELECT x.doc_id * 3 + 1 AS a, y.doc_id * 3 + 1 AS b
+    FROM vsig x JOIN vsig y
+      ON x.frame_dhash = y.frame_dhash AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+    HAVING COUNT(*) >= {VIDEO_SHARED_T}
+),
+rr AS (
+    SELECT DISTINCT x.doc_id * 3 + 2 AS a, y.doc_id * 3 + 2 AS b
+    FROM rbands x JOIN rbands y
+      ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.sphash, y.sphash)) <= {AUDIO_SPECTRAL_T}
+),
+rt AS (
+    SELECT DISTINCT r.doc_id * 3 + 2 AS a, t.doc_id * 3 + 1 AS b
+    FROM rbands r JOIN trbands t
+      ON r.band = t.band AND r.byte = t.byte
+    WHERE bit_count(xor(r.sphash, t.sphash)) <= {AUDIO_SPECTRAL_T}
+),
+prs AS (SELECT a, b FROM tc UNION SELECT a, b FROM tt
+        UNION SELECT a, b FROM cc UNION SELECT a, b FROM rr
+        UNION SELECT a, b FROM rt),
+edges AS (SELECT a, b FROM prs UNION SELECT b AS a, a AS b FROM prs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+allnodes AS (
+    SELECT doc_id * 3 AS node, doc_id, 'image' AS modality,
+           0 AS mrank, CAST(1 AS BIGINT) AS n_units
+    FROM thumbs
+    UNION ALL
+    SELECT doc_id * 3 + 1 AS node, doc_id, 'video' AS modality,
+           2 AS mrank, n_units
+    FROM nfr
+    UNION ALL
+    SELECT doc_id * 3 + 2 AS node, doc_id, 'audio' AS modality,
+           1 AS mrank, CAST(64 AS BIGINT) AS n_units
+    FROM sphashes
+),
+members AS (
+    SELECT n.node, n.doc_id, n.modality, n.mrank, n.n_units,
+           COALESCE(c.cluster_id, n.node) AS cluster_id
+    FROM allnodes n LEFT JOIN comp c ON c.node = n.node
+),
+best AS (
+    SELECT cluster_id, node AS keep_node FROM (
+        SELECT cluster_id, node,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY mrank DESC, n_units DESC, node) AS rn
+        FROM members
+    ) WHERE rn = 1
+)
+SELECT m.doc_id, m.modality, m.n_units,
+       b.keep_node // 3 AS keep_doc,
+       CASE b.keep_node % 3 WHEN 1 THEN 'video' WHEN 2 THEN 'audio'
+            ELSE 'image' END AS keep_modality,
+       CASE WHEN m.node = b.keep_node THEN 'kept' ELSE 'dropped' END
+           AS status
+FROM members m JOIN best b ON b.cluster_id = m.cluster_id
+"""
+
+
+def trimodal_nodes_of(
+    thumbs: DataFrame, vfp: DataFrame, afp: DataFrame
+) -> DataFrame:
+    """Stills (doc_id, dhash) + clip frames (doc_id, frame_idx,
+    frame_dhash) + recordings (doc_id, n_windows, sphash) -> the
+    modality-tagged node frame (node, doc_id, modality, mrank,
+    n_units) of the trimodal closure: node = 3*doc_id + m
+    (0 image, 1 video, 2 audio); mrank orders keepers video > audio >
+    image so footage beats both of its exported artifacts; n_units is
+    the decoded evidence (frames / spectral windows / 1)."""
+    nfr = vfp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units")
+    )
+    return (
+        thumbs.select(
+            (F.col("doc_id") * 3).alias("node"),
+            "doc_id",
+            F.lit("image").alias("modality"),
+            F.lit(0).alias("mrank"),
+            F.lit(1).cast("long").alias("n_units"),
+        )
+        .unionByName(
+            nfr.select(
+                (F.col("doc_id") * 3 + 1).alias("node"),
+                "doc_id",
+                F.lit("video").alias("modality"),
+                F.lit(2).alias("mrank"),
+                "n_units",
+            )
+        )
+        .unionByName(
+            afp.select(
+                (F.col("doc_id") * 3 + 2).alias("node"),
+                "doc_id",
+                F.lit("audio").alias("modality"),
+                F.lit(1).alias("mrank"),
+                F.col("n_windows").cast("long").alias("n_units"),
+            )
+        )
+    )
+
+
+def trimodal_edges_of(
+    tbands: DataFrame,
+    fbands: DataFrame,
+    vsig: DataFrame,
+    rbands: DataFrame,
+    trbands: DataFrame,
+) -> DataFrame:
+    """The five duplicate-edge families of the trimodal closure as
+    (id_a, id_b) node pairs on 3*doc_id + m — every family a banded
+    or inverted-index equi-join, no all-pairs product. Image and
+    video families mirror cross_modal_edges_of (symmetric form);
+    audio adds rec<->rec over spectral bands and rec<->clip through
+    the clip's ripped-soundtrack fingerprint."""
+    tc = (
+        tbands.alias("t")
+        .join(
+            fbands.alias("f"),
+            (F.col("t.band") == F.col("f.band"))
+            & (F.col("t.byte") == F.col("f.byte")),
+        )
+        .filter(
+            F.bit_count(F.expr("t.dhash ^ f.frame_dhash"))
+            <= DHASH_HAMMING_T
+        )
+        .select(
+            (F.col("t.doc_id") * 3).alias("id_a"),
+            (F.col("f.doc_id") * 3 + 1).alias("id_b"),
+        )
+        .distinct()
+    )
+    tt = (
+        tbands.alias("x")
+        .join(
+            tbands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.byte") == F.col("y.byte"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .filter(
+            F.bit_count(F.expr("x.dhash ^ y.dhash")) <= DHASH_HAMMING_T
+        )
+        .select(
+            (F.col("x.doc_id") * 3).alias("id_a"),
+            (F.col("y.doc_id") * 3).alias("id_b"),
+        )
+        .distinct()
+    )
+    cc = (
+        vsig.alias("x")
+        .join(
+            vsig.alias("y"),
+            (F.col("x.frame_dhash") == F.col("y.frame_dhash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= VIDEO_SHARED_T)
+        .select(
+            (F.col("da") * 3 + 1).alias("id_a"),
+            (F.col("db") * 3 + 1).alias("id_b"),
+        )
+    )
+    rr = (
+        rbands.alias("x")
+        .join(
+            rbands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.byte") == F.col("y.byte"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .filter(
+            F.bit_count(F.expr("x.sphash ^ y.sphash"))
+            <= AUDIO_SPECTRAL_T
+        )
+        .select(
+            (F.col("x.doc_id") * 3 + 2).alias("id_a"),
+            (F.col("y.doc_id") * 3 + 2).alias("id_b"),
+        )
+        .distinct()
+    )
+    rt = (
+        rbands.alias("r")
+        .join(
+            trbands.alias("t"),
+            (F.col("r.band") == F.col("t.band"))
+            & (F.col("r.byte") == F.col("t.byte")),
+        )
+        .filter(
+            F.bit_count(F.expr("r.sphash ^ t.sphash"))
+            <= AUDIO_SPECTRAL_T
+        )
+        .select(
+            (F.col("r.doc_id") * 3 + 2).alias("id_a"),
+            (F.col("t.doc_id") * 3 + 1).alias("id_b"),
+        )
+        .distinct()
+    )
+    return (
+        tc.unionByName(tt)
+        .unionByName(cc)
+        .unionByName(rr)
+        .unionByName(rt)
+    )
+
+
+@register(
+    "cross_modal_keep_best_trimodal",
+    doc="Keep-best over MIXED image/video/AUDIO clusters (r13): "
+    "thumbnails, clips and recordings cluster through FIVE edge "
+    "families — thumb<->clip frame, thumb<->thumb, clip<->clip "
+    f"(>= {VIDEO_SHARED_T} shared frames), rec<->rec (spectral "
+    f"byte-bands, Hamming <= {AUDIO_SPECTRAL_T}), rec<->clip "
+    "(through the clip's soundtrack ripped to a standalone WAV) — "
+    "via connected components over modality-tagged nodes "
+    "(node = 3*doc_id + m), keeping by modality rank video > audio > "
+    "image then decoded units then smallest node: source footage "
+    "beats BOTH of its exported artifacts, the keyframe still and "
+    "the soundtrack rip. The oracle recomputes the closure "
+    "recursively with thumbnail hashes derived from the video CTE "
+    "and track hashes from the audio CTE. Every edge family is a "
+    "banded or inverted-index equi-join — no all-pairs product.",
+    tags=("multimodal", "audio", "video", "dedup", "iterative",
+          "cross-modal", "training-data"),
+    oracle=_CM3_KB_ORACLE,
+)
+def cross_modal_keep_best_trimodal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.components import (
+        duplicate_clusters,
+    )
+
+    thumbs = perf_checkpoint(
+        _thumb_fingerprints(spark, sf_dir).select("doc_id", "dhash")
+    )
+    vfp = perf_checkpoint(
+        _video_fingerprints(spark, sf_dir).select(
+            "doc_id", "frame_idx", "frame_dhash"
+        )
+    )
+    afp = perf_checkpoint(
+        _audio_spectral_fps(spark, sf_dir).select(
+            "doc_id", "n_windows", "sphash"
+        )
+    )
+    trk = perf_checkpoint(
+        _track_fingerprints(spark, sf_dir).select("doc_id", "sphash")
+    )
+    vsig = vfp.select("doc_id", "frame_dhash").distinct()
+    edges = trimodal_edges_of(
+        image_bands_of(thumbs),
+        image_bands_of(vsig, "frame_dhash"),
+        vsig,
+        image_bands_of(afp.select("doc_id", "sphash"), "sphash"),
+        image_bands_of(trk, "sphash"),
+    )
+    comp = duplicate_clusters(edges).select("node", "cluster_id")
+    members = (
+        trimodal_nodes_of(thumbs, vfp, afp)
+        .join(comp, "node", "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("node"))
+        )
+    )
+    best = F.max(
+        F.struct(
+            F.col("mrank").alias("mr"),
+            F.col("n_units").alias("nu"),
+            (-F.col("node")).alias("negnode"),
+        )
+    ).over(Window.partitionBy("cluster_id"))
+    return (
+        members.withColumn("keep_node", -best.getField("negnode"))
+        .select(
+            "doc_id",
+            "modality",
+            "n_units",
+            F.expr("keep_node div 3").cast("long").alias("keep_doc"),
+            F.when(F.col("keep_node") % 3 == 1, F.lit("video"))
+            .when(F.col("keep_node") % 3 == 2, F.lit("audio"))
+            .otherwise(F.lit("image"))
+            .alias("keep_modality"),
+            F.when(F.col("node") == F.col("keep_node"), F.lit("kept"))
+            .otherwise(F.lit("dropped"))
+            .alias("status"),
+        )
+    )

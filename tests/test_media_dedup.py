@@ -483,3 +483,75 @@ def test_cross_modal_pairs_and_mixed_keep_best(spark, sf_smoke):
         assert row["keep_modality"] == "video"
         # and its own clip is in the keeper's cluster
         assert by_node[(t, "video")]["keep_doc"] == row["keep_doc"]
+
+
+def test_soundtrack_rip_matches_its_recording(spark):
+    """Cross-modal audio fixture contract (r13): a track doc's
+    re-containerized WAV decodes to a spectral fingerprint IDENTICAL
+    to its own recording's — the files differ (LIST/INFO chunk), the
+    streams don't."""
+    from falcon_metrics_etl_spark.functions import multimodal as MM
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(28)], "doc_id long"
+    )
+    track_rows = MM.attach_payload_soundtrack_wavs(ids).collect()
+    rec_rows = {
+        r["doc_id"]: r["payload"]
+        for r in MM.attach_payload_audio_clips(ids).collect()
+    }
+    assert {r["doc_id"] for r in track_rows} == {
+        i for i in range(28) if i % MM.CM_TRACK_MOD == 0
+    }
+    for r in track_rows:
+        # real container difference, identical decoded stream
+        assert bytes(r["payload"]) != bytes(rec_rows[r["doc_id"]])
+    tr_fp = {
+        r["doc_id"]: r["sphash"]
+        for r in MM.audio_spectral_dhash(
+            MM.attach_payload_soundtrack_wavs(ids)
+        ).collect()
+    }
+    rec_fp = {
+        r["doc_id"]: r["sphash"]
+        for r in MM.audio_spectral_dhash(
+            MM.attach_payload_audio_clips(ids)
+        ).collect()
+    }
+    for d, h in tr_fp.items():
+        assert h == rec_fp[d]
+
+
+def test_cross_modal_audio_pairs_and_trimodal_keep_best(spark, sf_smoke):
+    """cross_modal_audio_near_dup finds every planted soundtrack rip
+    against its own recording (identical stream => Hamming 0), and the
+    trimodal keep-best keeps footage over BOTH exported artifacts: the
+    recording that matches a clip's rip is dropped in favor of the
+    clip."""
+    from falcon_metrics_etl_spark.functions import multimodal as MM
+    from falcon_metrics_etl_spark.plans.media_dedup import (
+        cross_modal_audio_near_dup,
+        cross_modal_keep_best_trimodal,
+    )
+    from falcon_metrics_etl_spark.sources import load_table
+
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    track_ids = {i for i in range(n_docs) if i % MM.CM_TRACK_MOD == 0}
+    pairs = cross_modal_audio_near_dup(spark, sf_smoke).collect()
+    own = {r["rec_id"]: r for r in pairs if r["rec_id"] == r["clip_id"]}
+    assert set(own) == track_ids
+    for r in own.values():
+        assert r["hamming"] == 0
+
+    kb = cross_modal_keep_best_trimodal(spark, sf_smoke).collect()
+    by_node = {(r["doc_id"], r["modality"]): r for r in kb}
+    for t in track_ids:
+        row = by_node[(t, "audio")]
+        # a rip-matched recording can never beat footage
+        assert row["status"] == "dropped"
+        assert row["keep_modality"] == "video"
+        assert by_node[(t, "video")]["keep_doc"] == row["keep_doc"]
+    # thumbnails keep losing to footage in the trimodal closure too
+    for t in {i for i in range(n_docs) if i % MM.CM_THUMB_MOD == 0}:
+        assert by_node[(t, "image")]["status"] == "dropped"
+        assert by_node[(t, "image")]["keep_modality"] == "video"
