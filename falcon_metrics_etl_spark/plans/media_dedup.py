@@ -1251,17 +1251,32 @@ def media_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def image_bands_of(fp: DataFrame, hash_col: str = "dhash") -> DataFrame:
-    """64-bit hash column -> the 8x8-bit LSH band rows (doc_id, band,
-    byte [, carried hash]) every byte-band pairing in this module
-    probes with."""
+def image_bands_of(
+    fp: DataFrame,
+    hash_col: str = "dhash",
+    n_bands: int = DHASH_BANDS,
+) -> DataFrame:
+    """64-bit hash column -> the LSH band rows (doc_id, band, byte
+    [, carried hash]) every byte-band pairing in this module probes
+    with. ``n_bands`` is the recall/candidate-volume knob (r13, r12
+    verdict #4): 64 bits split into n_bands equal slices of
+    64/n_bands bits — 8x8-bit (default) guarantees a shared band for
+    Hamming <= 7; at billions of rows a deployment widens to 4x16-bit
+    (guarantee drops to Hamming <= 3, chance-collision volume drops
+    ~N^2/2^8 -> ~N^2/2^16). ``media_band_occupancy_audit`` measures
+    both configurations' bucket occupancy on the live corpus."""
+    assert 64 % n_bands == 0, "band width must divide 64"
+    bits = 64 // n_bands
+    mask = (1 << bits) - 1
     return fp.select(
         "doc_id",
         hash_col,
-        F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias(
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias(
             "band"
         ),
-    ).withColumn("byte", F.expr(f"({hash_col} >> (band * 8)) & 255"))
+    ).withColumn(
+        "byte", F.expr(f"({hash_col} >> (band * {bits})) & {mask}")
+    )
 
 
 def image_keep_best_of(fp: DataFrame) -> DataFrame:
@@ -2603,4 +2618,74 @@ def cross_modal_keep_best_trimodal(
             .otherwise(F.lit("dropped"))
             .alias("status"),
         )
+    )
+
+
+# band configurations the occupancy audit measures: the shipped
+# 8x8-bit default and the documented widen-at-scale 4x16-bit layout
+BAND_CONFIGS = (("8x8", 8), ("4x16", 4))
+
+
+@register(
+    "media_band_occupancy_audit",
+    doc="Band-occupancy audit of the image dHash LSH index — the "
+    "media sibling of dedup_lsh_recall_audit (r13, r12 verdict #4): "
+    "for BOTH band layouts (the shipped 8x8-bit and the documented "
+    "widen-at-billions 4x16-bit), per band: distinct buckets, rows, "
+    "the hottest bucket, and the chance-candidate volume "
+    "sum(c*(c-1)/2) a banded self-join would generate. This turns "
+    "the SCALE.md claim ('widen to 4x16-bit at billions of rows') "
+    "into a measured number on the live corpus and keeps the second "
+    "configuration tested end-to-end. Fingerprints decode once; the "
+    "audit is two groupBys over 12 band rows per image.",
+    tags=("multimodal", "dedup", "lsh", "audit", "training-data"),
+    oracle=f"""
+WITH {_DUCK_DHASH},
+cfgs AS (
+    SELECT '8x8' AS config, 8 AS nb, 8 AS bits
+    UNION ALL SELECT '4x16', 4, 16
+),
+bandrows AS (
+    SELECT c.config, CAST(t.b AS INT) AS band,
+           (h.dhash >> (t.b * c.bits))
+               & ((1::BIGINT << c.bits) - 1) AS bkey
+    FROM hashes h CROSS JOIN cfgs c CROSS JOIN range(8) t(b)
+    WHERE t.b < c.nb
+),
+buckets AS (
+    SELECT config, band, bkey, COUNT(*) AS c
+    FROM bandrows GROUP BY config, band, bkey
+)
+SELECT config, band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MAX(c) AS BIGINT) AS max_bucket,
+       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand_pairs
+FROM buckets GROUP BY config, band
+""",
+)
+def media_band_occupancy_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    fp = perf_checkpoint(
+        _fingerprints(spark, sf_dir).select("doc_id", "dhash")
+    )
+    rows = None
+    for config, nb in BAND_CONFIGS:
+        b = image_bands_of(fp, "dhash", n_bands=nb).select(
+            F.lit(config).alias("config"),
+            "band",
+            F.col("byte").alias("bkey"),
+        )
+        rows = b if rows is None else rows.unionByName(b)
+    buckets = rows.groupBy("config", "band", "bkey").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return buckets.groupBy("config", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_bucket"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias(
+            "cand_pairs"
+        ),
     )

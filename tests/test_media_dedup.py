@@ -555,3 +555,57 @@ def test_cross_modal_audio_pairs_and_trimodal_keep_best(spark, sf_smoke):
     for t in {i for i in range(n_docs) if i % MM.CM_THUMB_MOD == 0}:
         assert by_node[(t, "image")]["status"] == "dropped"
         assert by_node[(t, "image")]["keep_modality"] == "video"
+
+
+def test_wide_band_recall_guarantee_and_subset(spark):
+    """The 4x16-bit layout (r13 knob): pigeonhole guarantees a shared
+    band for Hamming <= 3; and on a real fingerprint frame the wide
+    layout's candidate set is a SUBSET of the 8x8 one restricted to
+    pairs it can still see (fewer, wider bands never invent pairs)."""
+    from pyspark.sql import functions as F
+
+    from falcon_metrics_etl_spark.plans.media_dedup import (
+        image_bands_of,
+    )
+
+    base = 0x0123456789ABCDEF
+
+    def wide(x):
+        return [(x >> (b * 16)) & 0xFFFF for b in range(4)]
+
+    for flips in ((0x7,), (0x1, 0x10000), (1 << 5, 1 << 21, 1 << 37)):
+        other = base
+        for f in flips:
+            other ^= f
+        assert any(a == b for a, b in zip(wide(base), wide(other)))
+    # 4 flips in 4 different 16-bit bands CAN evade the wide layout
+    evade = base
+    for b in range(4):
+        evade ^= 1 << (b * 16 + 3)
+    assert not any(a == b for a, b in zip(wide(base), wide(evade)))
+
+    fp = spark.createDataFrame(
+        [(1, base), (2, base ^ 0x7), (3, base ^ evade ^ base)],
+        "doc_id long, dhash long",
+    )
+
+    def pairs(nb):
+        b = image_bands_of(fp, "dhash", n_bands=nb)
+        return {
+            (r["a"], r["b"])
+            for r in b.alias("x")
+            .join(
+                b.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.byte") == F.col("y.byte"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+
+    assert pairs(4) <= pairs(8)
+    assert (1, 2) in pairs(4)  # Hamming 3: guaranteed in both layouts
