@@ -103,18 +103,49 @@ def _build_codes(bits, values):
     return out
 
 
+class _HuffTable:
+    """Decoder-side canonical Huffman table as a 16-bit-lookahead LUT
+    (r13): ``lut_len[peek16]`` is the code length (0 = no code with
+    that prefix — invalid stream), ``lut_sym[peek16]`` the decoded
+    symbol. The canonical-prefix property makes every entry in a
+    code's 2^(16-len) lookahead range identical, so one peek + two
+    list indexes replace the old bit-at-a-time tree walk (up to 16
+    dict probes per symbol)."""
+
+    __slots__ = ("lut_sym", "lut_len")
+
+    def __init__(self, bits, values):
+        sym = [0] * 65536
+        ln = [0] * 65536
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                start = code << (16 - length)
+                end = (code + 1) << (16 - length)
+                sym[start:end] = [values[k]] * (end - start)
+                ln[start:end] = [length] * (end - start)
+                code += 1
+                k += 1
+            code <<= 1
+        self.lut_sym = sym
+        self.lut_len = ln
+
+
+# DHT specs repeat across payloads (the encoders ship the Annex K
+# tables in every file), so the 64 Ki-entry LUTs build once per
+# process, not once per decode
+_HUFF_LUT_CACHE: dict = {}
+
+
 def _build_decode_table(bits, values):
-    """(length, code) -> symbol for the decoder."""
-    table = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = values[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+    """DHT spec -> cached ``_HuffTable`` for the decoder."""
+    key = (tuple(bits), tuple(values))
+    t = _HUFF_LUT_CACHE.get(key)
+    if t is None:
+        t = _HuffTable(key[0], key[1])
+        _HUFF_LUT_CACHE[key] = t
+    return t
 
 
 class _BitWriter:
@@ -151,71 +182,140 @@ class _BitWriter:
 
 
 class _BitReader:
+    """Restart-segment entropy reader (r13). The scan slice is
+    pre-split at its byte-aligned RSTn markers into INDEPENDENTLY
+    decodable segments — T.81 F.2.1.3.1 resets the DC predictors and
+    EOB runs at every restart, so no decode state crosses a marker.
+    That boundary is the within-payload fan-out point a cluster
+    decode parallelizes on (each segment carries a fixed MCU count:
+    restart_interval, remainder in the last); here the segments
+    decode in sequence, each through a fast path: one C-level
+    ``bytes.replace(b"\\xff\\x00", b"\\xff")`` pass strips the byte
+    stuffing (the left-to-right non-overlapping scan is exactly the
+    unstuff rule), and read_symbol decodes against the table's 16-bit
+    lookahead LUT instead of walking bits. Public contract unchanged:
+    read_bit / read_bits / read_symbol / expect_restart, ValueError
+    on malformed streams."""
+
+    __slots__ = (
+        "segs", "seg_rsts", "si", "clean", "nbytes", "bytepos",
+        "acc", "n", "pad_left", "eoi_pad",
+    )
+
     def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
+        segs: list = []
+        rsts: list = []
+        start = 0
+        end_at = len(data)
+        self.eoi_pad = False
+        p = data.find(b"\xff")
+        while p != -1:
+            if p + 1 >= len(data):
+                break  # dangling 0xFF at the very end: never readable
+            nxt = data[p + 1]
+            if nxt == 0x00:
+                p = data.find(b"\xff", p + 2)  # stuffing: unstuffed below
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segs.append(data[start:p])
+                rsts.append(nxt - 0xD0)
+                start = p + 2
+                p = data.find(b"\xff", p + 2)
+                continue
+            # EOI (pad bits may legally be read past it) or a foreign
+            # marker (strict end) terminates the entropy data
+            end_at = p
+            self.eoi_pad = nxt == 0xD9
+            break
+        segs.append(data[start:end_at])
+        rsts.append(None)
+        self.segs = [s.replace(b"\xff\x00", b"\xff") for s in segs]
+        self.seg_rsts = rsts
+        self.si = 0
+        self._load(0)
+
+    def _load(self, i: int) -> None:
+        self.clean = self.segs[i]
+        self.nbytes = len(self.clean)
+        self.bytepos = 0
         self.acc = 0
         self.n = 0
+        # only the final segment of an EOI-terminated stream may feed
+        # 1-bits past its end (the old reader's FFD9 pad behavior)
+        last = self.seg_rsts[i] is None
+        self.pad_left = 8 if (last and self.eoi_pad) else 0
 
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("JPEG: entropy stream exhausted")
-        byte = self.data[self.pos]
-        self.pos += 1
-        if byte == 0xFF:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG: dangling 0xFF in entropy stream")
-            marker = self.data[self.pos]
-            if marker == 0x00:
-                self.pos += 1  # unstuff
-            elif marker == 0xD9:  # EOI reached mid-read: padding bits
-                byte = 0xFF
+    def _ensure(self, k: int) -> None:
+        # trim consumed high bits so acc stays a machine-word int
+        self.acc &= (1 << self.n) - 1
+        while self.n < k:
+            if self.bytepos < self.nbytes:
+                self.acc = (self.acc << 8) | self.clean[self.bytepos]
+                self.bytepos += 1
+            elif self.pad_left:
+                self.acc = (self.acc << 8) | 0xFF
+                self.pad_left -= 1
             else:
-                raise ValueError(
-                    f"JPEG: unexpected marker 0xFF{marker:02X} inside "
-                    "entropy data (restart markers are consumed at "
-                    "their MCU boundaries, not mid-block)"
-                )
-        self.acc = (self.acc << 8) | byte
-        self.n += 8
+                raise ValueError("JPEG: entropy stream exhausted")
+            self.n += 8
 
     def read_bit(self) -> int:
         if self.n == 0:
-            self._fill()
+            self._ensure(1)
         self.n -= 1
         return (self.acc >> self.n) & 1
 
     def read_bits(self, length: int) -> int:
-        v = 0
-        for _ in range(length):
-            v = (v << 1) | self.read_bit()
-        return v
+        if length == 0:
+            return 0
+        if self.n < length:
+            self._ensure(length)
+        self.n -= length
+        return (self.acc >> self.n) & ((1 << length) - 1)
 
     def read_symbol(self, table) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("JPEG: invalid Huffman code in scan")
+        if self.n < 16:
+            try:
+                self._ensure(16)
+            except ValueError:
+                if self.n == 0:
+                    raise
+        n = self.n
+        if n >= 16:
+            peek = (self.acc >> (n - 16)) & 0xFFFF
+            length = table.lut_len[peek]
+            if length == 0:
+                raise ValueError("JPEG: invalid Huffman code in scan")
+        else:
+            # tail of a strict segment: pad the lookahead with 1s —
+            # canonical-prefix LUTs only depend on the first `length`
+            # bits, so the fill never changes a within-range decode
+            pad = 16 - n
+            peek = ((self.acc & ((1 << n) - 1)) << pad) | ((1 << pad) - 1)
+            length = table.lut_len[peek]
+            if length == 0:
+                raise ValueError("JPEG: invalid Huffman code in scan")
+            if length > n:
+                raise ValueError("JPEG: entropy stream exhausted")
+        self.n -= length
+        return table.lut_sym[peek]
 
     def expect_restart(self, idx: int) -> None:
-        """Discard the pad bits of the current byte and consume the
-        expected RSTn marker (T.81 F.2.1.3.1: restart markers are
-        byte-aligned and cycle D0..D7)."""
-        self.acc = 0
-        self.n = 0
-        if (
-            self.pos + 2 > len(self.data)
-            or self.data[self.pos] != 0xFF
-            or self.data[self.pos + 1] != 0xD0 + (idx & 7)
-        ):
-            got = self.data[self.pos : self.pos + 2].hex()
+        """Discard the pad bits of the current segment and step to the
+        one behind the expected RSTn marker (T.81 F.2.1.3.1: restart
+        markers are byte-aligned and cycle D0..D7)."""
+        got = self.seg_rsts[self.si]
+        if got is None:
             raise ValueError(
-                f"JPEG: expected restart marker RST{idx & 7}, got 0x{got}"
+                f"JPEG: expected restart marker RST{idx & 7}, "
+                "got end of scan"
             )
-        self.pos += 2
+        if got != (idx & 7):
+            raise ValueError(
+                f"JPEG: expected restart marker RST{idx & 7}, got RST{got}"
+            )
+        self.si += 1
+        self._load(self.si)
 
 
 def _extend(v: int, size: int) -> int:

@@ -1591,3 +1591,39 @@ def test_png_unpack_rows_matches_scalar_unpack_bits():
         for y in range(h):
             ref = MM._unpack_bits(packed[y * rwb : (y + 1) * rwb], w, depth)
             assert list(vec[y]) == list(ref), (trial, depth, w, y)
+
+
+def test_jpeg_baseline_restart_segments_decode_identically():
+    """The r13 segment reader: a baseline scan split at RSTn markers
+    decodes to pixels IDENTICAL to the unsegmented encode of the same
+    image, for every restart interval (segments are independently
+    decodable — the within-payload fan-out contract); a corrupted
+    restart marker raises the expected-RSTn ValueError."""
+    import random
+
+    import pytest as _pytest
+
+    from falcon_metrics_etl_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = random.Random(1313)
+    for trial in range(30):
+        w = rng.randint(8, 48)
+        h = rng.randint(8, 48)
+        img = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        ref = decode_jpeg(encode_jpeg_gray(img))["pixels"]
+        for ri in (1, 2, 3, 5):
+            seg = decode_jpeg(encode_jpeg_gray(img, restart_interval=ri))
+            assert seg["pixels"] == ref, (trial, ri)
+
+    img = [[rng.randrange(256) for _ in range(32)] for _ in range(32)]
+    enc = bytearray(encode_jpeg_gray(img, restart_interval=1))
+    # flip the first RST0 marker (FF D0) to RST3 (FF D3): the reader
+    # must reject the out-of-sequence marker
+    i = enc.find(bytes((0xFF, 0xD0)))
+    assert i > 0
+    enc[i + 1] = 0xD3
+    with _pytest.raises(ValueError, match="expected restart marker RST0"):
+        decode_jpeg(bytes(enc))
