@@ -175,16 +175,21 @@ def media_ingest_tick(
     batch_id: int,
     images: DataFrame | None = None,
     clips: DataFrame | None = None,
+    vfp: DataFrame | None = None,
 ) -> None:
     """Process ONE delta batch of media docs end to end (decode ->
     probe -> resolve keep-best -> flag/repoint/append), idempotent
     under replay of the same (batch_docs, batch_id). ``images`` /
     ``clips`` override the fixture payload corpora (see
-    stage_media_state)."""
+    stage_media_state); ``vfp`` injects ALREADY-DECODED clip frames
+    (doc_id, frame_idx, frame_dhash) so a caller running this tick
+    beside the cross-modal tick decodes the batch's Y4M streams ONCE
+    (streaming/cross_modal_tick.unified_media_ingest_tick — r13
+    consolidation)."""
     bid = int(batch_id)
     if images is None:
         images = MM.attach_payload_dhash_corpus(batch_docs)
-    if clips is None:
+    if clips is None and vfp is None:
         clips = MM.attach_payload_video_clips(batch_docs)
 
     # ---- image side: delta decode -> band probe -> Hamming edges ---
@@ -237,11 +242,14 @@ def media_ingest_tick(
         .select("id_a", "id_b")
     )
     # ---- video side: delta frames probe the inverted index ---------
-    vfp_new = (
-        MM.video_frame_dhash(clips)
-        .select("doc_id", "frame_idx", "frame_dhash")
-        .localCheckpoint(eager=True)
-    )
+    if vfp is not None:
+        vfp_new = vfp.select("doc_id", "frame_idx", "frame_dhash")
+    else:
+        vfp_new = (
+            MM.video_frame_dhash(clips)
+            .select("doc_id", "frame_idx", "frame_dhash")
+            .localCheckpoint(eager=True)
+        )
     n_new = vfp_new.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_frames")
     )

@@ -188,3 +188,46 @@ def test_replay_is_idempotent(spark, ticked):
         spark, _docs(spark, DELTA_IDS), ticked, batch_id=1
     )
     assert snapshot() == before
+
+
+def test_unified_tick_equals_separate_ticks(spark, tmp_path_factory):
+    """r13 consolidation: the unified tick (one clip decode feeding
+    BOTH state families) lands state identical to running the
+    per-modality and cross-modal ticks separately."""
+    from falcon_metrics_etl_spark.streaming.cross_modal_tick import (
+        unified_media_ingest_tick,
+    )
+    from falcon_metrics_etl_spark.streaming.media_tick import (
+        media_ingest_tick,
+        stage_media_state,
+    )
+
+    m_sep = str(tmp_path_factory.mktemp("u_media_sep"))
+    c_sep = str(tmp_path_factory.mktemp("u_cm_sep"))
+    m_uni = str(tmp_path_factory.mktemp("u_media_uni"))
+    c_uni = str(tmp_path_factory.mktemp("u_cm_uni"))
+    base = _docs(spark, BASE_IDS)
+    delta = _docs(spark, DELTA_IDS)
+    for m, c in ((m_sep, c_sep), (m_uni, c_uni)):
+        stage_media_state(spark, base, m, batch_id=0)
+        stage_cross_modal_state(spark, base, c, batch_id=0)
+    media_ingest_tick(spark, delta, m_sep, batch_id=1)
+    cross_modal_ingest_tick(spark, delta, c_sep, batch_id=1)
+    unified_media_ingest_tick(spark, delta, m_uni, c_uni, batch_id=1)
+
+    def rows(path):
+        # parquet part files written by different steps can disagree on
+        # column ORDER; compare by name, not position
+        df = spark.read.parquet(path)
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(r[c] for c in cols) for r in df.collect()
+        )
+
+    for sub in ("fp_index", "band_index", "frame_index", "media_flags"):
+        assert rows(f"{m_sep}/{sub}") == rows(f"{m_uni}/{sub}"), sub
+    for sub in (
+        "cm_image_index", "cm_tband_index", "cm_frame_index",
+        "cm_fband_index", "cm_flags",
+    ):
+        assert rows(f"{c_sep}/{sub}") == rows(f"{c_uni}/{sub}"), sub
