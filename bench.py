@@ -230,6 +230,8 @@ HEADLINE = [
     # shared spectral byte-band index), trimodal mixed keep-best
     "cross_modal_audio_near_dup",
     "cross_modal_keep_best_trimodal",
+    "cross_modal_audio_incremental_update",
+    "media_band_occupancy_audit",
 ]
 
 

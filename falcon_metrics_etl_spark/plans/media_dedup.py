@@ -2744,3 +2744,84 @@ def media_band_occupancy_audit(
             "cand_pairs"
         ),
     )
+
+
+@register(
+    "cross_modal_audio_incremental_update",
+    doc="Incremental cross-modal AUDIO maintenance — the delta-pairs "
+    "twin keeping the r13 audio family symmetric with the image one "
+    "(cross_modal_incremental_update): new recordings and new clip "
+    f"soundtracks (doc_id % {MEDIA_DELTA_MOD} == 0 plays the "
+    "arriving delta) fingerprint DELTA-ONLY; delta recording bands "
+    "probe the full track-band index AND delta track bands probe the "
+    "full recording-band index, so every delta-touching "
+    "(recording, clip) pair is covered from whichever side is new. "
+    "Base-base pairs are never recomputed. Same banding + Hamming "
+    "semantics as cross_modal_audio_near_dup (the oracle is its pair "
+    "set filtered to delta-touching pairs).",
+    tags=("multimodal", "audio", "video", "dedup", "fft", "lsh",
+          "incremental", "cross-modal"),
+    oracle=f"""
+WITH {_DUCK_SPECTRAL},
+{_DUCK_TRACKS},
+rbands AS (
+    SELECT doc_id, sphash, t.b AS band,
+           (sphash >> (t.b * 8)) & 255 AS byte
+    FROM sphashes CROSS JOIN range({DHASH_BANDS}) t(b)
+),
+trbands AS (
+    SELECT doc_id, sphash, t.b AS band,
+           (sphash >> (t.b * 8)) & 255 AS byte
+    FROM tracks CROSS JOIN range({DHASH_BANDS}) t(b)
+),
+cmcand AS (
+    SELECT DISTINCT r.doc_id AS rec_id, t.doc_id AS clip_id,
+           r.sphash AS h_r, t.sphash AS h_t
+    FROM rbands r JOIN trbands t
+      ON r.band = t.band AND r.byte = t.byte
+)
+SELECT rec_id, clip_id, bit_count(xor(h_r, h_t)) AS hamming
+FROM cmcand
+WHERE bit_count(xor(h_r, h_t)) <= {AUDIO_SPECTRAL_T}
+  AND (rec_id % {MEDIA_DELTA_MOD} = 0 OR clip_id % {MEDIA_DELTA_MOD} = 0)
+""",
+)
+def cross_modal_audio_incremental_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    recs = perf_checkpoint(
+        _audio_spectral_fps(spark, sf_dir).select("doc_id", "sphash")
+    )
+    trks = perf_checkpoint(
+        _track_fingerprints(spark, sf_dir).select("doc_id", "sphash")
+    )
+    is_delta = F.col("doc_id") % MEDIA_DELTA_MOD == 0
+    rb = image_bands_of(recs, "sphash")
+    tb = image_bands_of(trks, "sphash")
+
+    def probe(r_side: DataFrame, t_side: DataFrame) -> DataFrame:
+        return (
+            r_side.alias("r")
+            .join(
+                t_side.alias("t"),
+                (F.col("r.band") == F.col("t.band"))
+                & (F.col("r.byte") == F.col("t.byte")),
+            )
+            .select(
+                F.col("r.doc_id").alias("rec_id"),
+                F.col("t.doc_id").alias("clip_id"),
+                F.col("r.sphash").alias("h_r"),
+                F.col("t.sphash").alias("h_t"),
+            )
+        )
+
+    cand = (
+        probe(rb.filter(is_delta), tb)
+        .unionByName(probe(rb, tb.filter(is_delta)))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("h_r ^ h_t")))
+        .filter(F.col("hamming") <= AUDIO_SPECTRAL_T)
+        .select("rec_id", "clip_id", "hamming")
+    )
