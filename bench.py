@@ -232,6 +232,7 @@ HEADLINE = [
     "cross_modal_keep_best_trimodal",
     "cross_modal_audio_incremental_update",
     "media_band_occupancy_audit",
+    "cross_modal_trimodal_delta",
 ]
 
 

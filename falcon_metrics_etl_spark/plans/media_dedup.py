@@ -2615,10 +2615,6 @@ def trimodal_edges_of(
 def cross_modal_keep_best_trimodal(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from falcon_metrics_etl_spark.operators.components import (
-        duplicate_clusters,
-    )
-
     thumbs = perf_checkpoint(
         _thumb_fingerprints(spark, sf_dir).select("doc_id", "dhash")
     )
@@ -2635,6 +2631,25 @@ def cross_modal_keep_best_trimodal(
     trk = perf_checkpoint(
         _track_fingerprints(spark, sf_dir).select("doc_id", "sphash")
     )
+    return _cm3_format(trimodal_keep_best_of(thumbs, vfp, afp, trk))
+
+
+def trimodal_keep_best_of(
+    thumbs: DataFrame,
+    vfp: DataFrame,
+    afp: DataFrame,
+    trk: DataFrame,
+) -> DataFrame:
+    """Full trimodal closure -> member rows (node, doc_id, modality,
+    mrank, n_units, cluster_id, keep_node): five banded /
+    inverted-index edge families, connected components over
+    modality-tagged nodes 3*doc_id + m, argmax(mrank DESC, n_units
+    DESC, node ASC). Factored (r13) so the batch query and the
+    trimodal IVM delta twin share ONE closure definition."""
+    from falcon_metrics_etl_spark.operators.components import (
+        duplicate_clusters,
+    )
+
     vsig = vfp.select("doc_id", "frame_dhash").distinct()
     edges = trimodal_edges_of(
         image_bands_of(thumbs),
@@ -2658,21 +2673,25 @@ def cross_modal_keep_best_trimodal(
             (-F.col("node")).alias("negnode"),
         )
     ).over(Window.partitionBy("cluster_id"))
-    return (
-        members.withColumn("keep_node", -best.getField("negnode"))
-        .select(
-            "doc_id",
-            "modality",
-            "n_units",
-            F.expr("keep_node div 3").cast("long").alias("keep_doc"),
-            F.when(F.col("keep_node") % 3 == 1, F.lit("video"))
-            .when(F.col("keep_node") % 3 == 2, F.lit("audio"))
-            .otherwise(F.lit("image"))
-            .alias("keep_modality"),
-            F.when(F.col("node") == F.col("keep_node"), F.lit("kept"))
-            .otherwise(F.lit("dropped"))
-            .alias("status"),
-        )
+    return members.withColumn("keep_node", -best.getField("negnode"))
+
+
+def _cm3_format(members: DataFrame) -> DataFrame:
+    """(node, doc_id, modality, n_units, keep_node) member rows ->
+    the registered output shape shared by cross_modal_keep_best_trimodal
+    and its delta twin (same oracle)."""
+    return members.select(
+        "doc_id",
+        "modality",
+        "n_units",
+        F.expr("keep_node div 3").cast("long").alias("keep_doc"),
+        F.when(F.col("keep_node") % 3 == 1, F.lit("video"))
+        .when(F.col("keep_node") % 3 == 2, F.lit("audio"))
+        .otherwise(F.lit("image"))
+        .alias("keep_modality"),
+        F.when(F.col("node") == F.col("keep_node"), F.lit("kept"))
+        .otherwise(F.lit("dropped"))
+        .alias("status"),
     )
 
 
@@ -2824,4 +2843,265 @@ def cross_modal_audio_incremental_update(
         cand.withColumn("hamming", F.bit_count(F.expr("h_r ^ h_t")))
         .filter(F.col("hamming") <= AUDIO_SPECTRAL_T)
         .select("rec_id", "clip_id", "hamming")
+    )
+
+
+def trimodal_edges_delta(
+    tb_new: DataFrame, tb_all: DataFrame,
+    fb_new: DataFrame, fb_all: DataFrame,
+    vsig_new: DataFrame, vsig_all: DataFrame,
+    rb_new: DataFrame, rb_all: DataFrame,
+    trb_new: DataFrame, trb_all: DataFrame,
+) -> DataFrame:
+    """Delta-touching edges of the trimodal closure: each of the five
+    families probes new-vs-all from BOTH directions, so every edge
+    with at least one delta endpoint is emitted and base-base pairs
+    are never recomputed. Emits (id_a, id_b) node pairs on
+    3*doc_id + m."""
+
+    def banded(a, b, ha, hb, na, nb):
+        return (
+            a.alias("x")
+            .join(
+                b.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.byte") == F.col("y.byte"))
+                & (F.col("x.doc_id") != F.col("y.doc_id")),
+            )
+            .filter(
+                F.bit_count(F.expr(f"x.{ha} ^ y.{hb}"))
+                <= (DHASH_HAMMING_T if ha == "dhash" else AUDIO_SPECTRAL_T)
+            )
+            .select(
+                F.least(
+                    F.col("x.doc_id") * 3 + na, F.col("y.doc_id") * 3 + nb
+                ).alias("id_a"),
+                F.greatest(
+                    F.col("x.doc_id") * 3 + na, F.col("y.doc_id") * 3 + nb
+                ).alias("id_b"),
+            )
+        )
+
+    # thumb<->clip frame: cross-kind, so doc_id equality never aliases
+    def tc_probe(t_side, f_side):
+        return (
+            t_side.alias("t")
+            .join(
+                f_side.alias("f"),
+                (F.col("t.band") == F.col("f.band"))
+                & (F.col("t.byte") == F.col("f.byte")),
+            )
+            .filter(
+                F.bit_count(F.expr("t.dhash ^ f.frame_dhash"))
+                <= DHASH_HAMMING_T
+            )
+            .select(
+                (F.col("t.doc_id") * 3).alias("id_a"),
+                (F.col("f.doc_id") * 3 + 1).alias("id_b"),
+            )
+        )
+
+    tc = tc_probe(tb_new, fb_all).unionByName(
+        tc_probe(tb_all, fb_new)
+    ).distinct()
+    tt = banded(tb_new, tb_all, "dhash", "dhash", 0, 0).distinct()
+    cc = (
+        vsig_new.alias("x")
+        .join(
+            vsig_all.alias("y"),
+            (F.col("x.frame_dhash") == F.col("y.frame_dhash"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("da"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("db"),
+            F.col("x.frame_dhash").alias("fd"),
+        )
+        .distinct()
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= VIDEO_SHARED_T)
+        .select(
+            (F.col("da") * 3 + 1).alias("id_a"),
+            (F.col("db") * 3 + 1).alias("id_b"),
+        )
+    )
+    rr = banded(rb_new, rb_all, "sphash", "sphash", 2, 2).distinct()
+
+    def rt_probe(r_side, t_side):
+        return (
+            r_side.alias("r")
+            .join(
+                t_side.alias("t"),
+                (F.col("r.band") == F.col("t.band"))
+                & (F.col("r.byte") == F.col("t.byte")),
+            )
+            .filter(
+                F.bit_count(F.expr("r.sphash ^ t.sphash"))
+                <= AUDIO_SPECTRAL_T
+            )
+            .select(
+                (F.col("r.doc_id") * 3 + 2).alias("id_a"),
+                (F.col("t.doc_id") * 3 + 1).alias("id_b"),
+            )
+        )
+
+    rt = rt_probe(rb_new, trb_all).unionByName(
+        rt_probe(rb_all, trb_new)
+    ).distinct()
+    return (
+        tc.unionByName(tt)
+        .unionByName(cc)
+        .unionByName(rr)
+        .unionByName(rt)
+    )
+
+
+@register(
+    "cross_modal_trimodal_delta",
+    doc="Incremental TRIMODAL keep-best — the IVM twin of "
+    "cross_modal_keep_best_trimodal (r13): the base corpus "
+    f"(doc_id % {MEDIA_DELTA_MOD} != 0) is resolved with the "
+    "three-modality batch closure and plays the maintained index; "
+    "the delta's thumb bands, clip frames, recording bands AND "
+    "soundtrack-rip bands probe all five edge families from both "
+    "directions, edges lift onto the keeper graph, components + "
+    "argmax(modality rank, units, node) decide keep/drop/DISPLACE, "
+    "and displaced keepers repoint. The oracle is the full-corpus "
+    "trimodal batch closure — a hash match proves the incremental "
+    "resolution reproduces the mixed three-modality keep-best "
+    "exactly: a recording admitted alone is displaced the tick its "
+    "source footage's rip arrives.",
+    tags=("multimodal", "audio", "video", "dedup", "incremental",
+          "iterative", "cross-modal", "training-data"),
+    oracle=_CM3_KB_ORACLE,
+)
+def cross_modal_trimodal_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from falcon_metrics_etl_spark.operators.keep_best import (
+        resolve_keep_best,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % MEDIA_DELTA_MOD == 0
+    thumbs_base = staged_index(
+        spark,
+        f"cm_thumbs_base:{sf_dir}",
+        lambda: MM.media_dhash(
+            MM.attach_payload_keyframe_thumbs(docs.filter(~is_delta))
+        ).select("doc_id", "dhash"),
+    )
+    thumbs_delta = perf_checkpoint(
+        MM.media_dhash(
+            MM.attach_payload_keyframe_thumbs(docs.filter(is_delta))
+        ).select("doc_id", "dhash")
+    )
+    thumbs = thumbs_base.unionByName(thumbs_delta)
+    vfp_base = staged_index(
+        spark,
+        f"video_fp_base:{sf_dir}",
+        lambda: MM.video_frame_dhash(
+            MM.attach_payload_video_clips(docs.filter(~is_delta))
+        ).select("doc_id", "frame_idx", "frame_dhash"),
+    )
+    vfp_delta = perf_checkpoint(
+        MM.video_frame_dhash(
+            MM.attach_payload_video_clips(docs.filter(is_delta))
+        ).select("doc_id", "frame_idx", "frame_dhash")
+    )
+    vfp = vfp_base.unionByName(vfp_delta)
+    afp_base = staged_index(
+        spark,
+        f"cm_audio_base:{sf_dir}",
+        lambda: MM.audio_spectral_dhash(
+            MM.attach_payload_audio_clips(docs.filter(~is_delta))
+        ).select("doc_id", "n_windows", "sphash"),
+    )
+    afp_delta = perf_checkpoint(
+        MM.audio_spectral_dhash(
+            MM.attach_payload_audio_clips(docs.filter(is_delta))
+        ).select("doc_id", "n_windows", "sphash")
+    )
+    afp = afp_base.unionByName(afp_delta)
+    trk_base = staged_index(
+        spark,
+        f"cm_track_base:{sf_dir}",
+        lambda: MM.audio_spectral_dhash(
+            MM.attach_payload_soundtrack_wavs(docs.filter(~is_delta))
+        ).select("doc_id", "sphash"),
+    )
+    trk_delta = perf_checkpoint(
+        MM.audio_spectral_dhash(
+            MM.attach_payload_soundtrack_wavs(docs.filter(is_delta))
+        ).select("doc_id", "sphash")
+    )
+    trk = trk_base.unionByName(trk_delta)
+
+    base_kb = staged_index(
+        spark,
+        f"cm3_base_kb:{sf_dir}",
+        lambda: trimodal_keep_best_of(
+            thumbs_base, vfp_base, afp_base, trk_base
+        ),
+    )
+    vsig = vfp.select("doc_id", "frame_dhash").distinct()
+    vsig_delta = vfp_delta.select("doc_id", "frame_dhash").distinct()
+    tb = image_bands_of(thumbs)
+    fb = image_bands_of(vsig, "frame_dhash")
+    rb = image_bands_of(afp.select("doc_id", "sphash"), "sphash")
+    trb = image_bands_of(trk, "sphash")
+    edges = trimodal_edges_delta(
+        image_bands_of(thumbs_delta), tb,
+        image_bands_of(vsig_delta, "frame_dhash"), fb,
+        vsig_delta, vsig,
+        image_bands_of(afp_delta.select("doc_id", "sphash"), "sphash"), rb,
+        image_bands_of(trk_delta, "sphash"), trb,
+    )
+    allnodes = trimodal_nodes_of(thumbs, vfp, afp)
+    is_delta_node = F.expr("node div 3") % MEDIA_DELTA_MOD == 0
+    new_q = allnodes.filter(is_delta_node).select(
+        F.col("node").alias("doc_id"), "mrank", "n_units"
+    )
+    idx_q = base_kb.select(
+        F.col("node").alias("doc_id"),
+        F.col("keep_node").alias("keep_id"),
+        "mrank",
+        "n_units",
+    )
+    verdicts, displaced = resolve_keep_best(
+        new_q, idx_q, edges, ["mrank", "n_units"]
+    )
+    delta_rows = allnodes.filter(is_delta_node).join(
+        verdicts.select(
+            F.col("doc_id").alias("node"),
+            F.col("keep_id").alias("keep_node"),
+        ),
+        "node",
+    )
+    base_rows = (
+        base_kb.select(
+            "node", "doc_id", "modality", "n_units", "keep_node"
+        )
+        .join(
+            displaced.select(
+                F.col("doc_id").alias("keep_node"), F.col("new_keep")
+            ),
+            "keep_node",
+            "left",
+        )
+        .select(
+            "node",
+            "doc_id",
+            "modality",
+            "n_units",
+            F.coalesce("new_keep", F.col("keep_node")).alias("keep_node"),
+        )
+    )
+    return _cm3_format(
+        base_rows.unionByName(
+            delta_rows.select(
+                "node", "doc_id", "modality", "n_units", "keep_node"
+            )
+        )
     )
