@@ -611,6 +611,47 @@ def cross_modal_incremental_runner(spark, sf_dir: str):
     return run, cleanup
 
 
+def trimodal_incremental_runner(spark, sf_dir: str):
+    """Incremental TRIMODAL tick, benched (r13): stage the
+    three-modality closure's node-tagged indexes (thumbs, clips,
+    recordings, soundtrack rips) on the base slice ONCE untimed, then
+    time one delta tick through trimodal_ingest_tick: delta-only PNG
+    still + Y4M frame + PCM spectral decode, probes into all five
+    banded/inverted indexes, joint (rank, units) keep-best
+    resolution, index appends. Read AGAINST
+    cross_modal_keep_best_trimodal: that recomputes the full mixed
+    closure every run; this is the per-batch delta cost."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from falcon_metrics_etl_spark.plans.media_dedup import MEDIA_DELTA_MOD
+    from falcon_metrics_etl_spark.sources import load_table
+    from falcon_metrics_etl_spark.streaming.cross_modal_tick import (
+        stage_trimodal_state,
+        trimodal_ingest_tick,
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="bench_cm3_tick_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = docs.filter(F.col("doc_id") % MEDIA_DELTA_MOD != 0)
+    delta = docs.filter(F.col("doc_id") % MEDIA_DELTA_MOD == 0).persist()
+    delta.write.format("noop").mode("overwrite").save()
+    stage_trimodal_state(spark, base, state_dir, batch_id=0)
+
+    def run() -> float:
+        t0 = time.time()
+        trimodal_ingest_tick(spark, delta, state_dir, batch_id=1)
+        return time.time() - t0
+
+    def cleanup() -> None:
+        delta.unpersist()
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+    return run, cleanup
+
+
 def corpus_incremental_ulm_runner(spark, sf_dir: str):
     """ULM-vocab twin of corpus_incremental_runner (r12, r11 verdict
     #6): stage the SAME base slice with a frozen unigram-LM vocabulary
@@ -1121,6 +1162,13 @@ def main() -> None:
         record("cross_modal_incremental_tick", *draw_runs(cm_run))
     finally:
         cm_cleanup()
+
+    # incremental TRIMODAL tick (r13: + audio recordings and rips)
+    c3_run, c3_cleanup = trimodal_incremental_runner(spark, sf_dir)
+    try:
+        record("trimodal_incremental_tick", *draw_runs(c3_run))
+    finally:
+        c3_cleanup()
     c_runs = corpus_all[-len(c_totals):]
     corpus_stages = {
         s: round(sorted(r[1][s] for r in c_runs)[len(c_runs) // 2], 3)

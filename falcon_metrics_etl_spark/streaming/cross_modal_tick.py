@@ -47,6 +47,19 @@ Replay safety (the media tick's contract): probes exclude the current
 batch_id's own rows, appends anti-join on node, flags land keyed on
 (doc_id, modality), mutation order flags -> repoint -> append with
 each step idempotent.
+
+r13 additions:
+- ``unified_media_ingest_tick`` — THE production entry for a corpus
+  carrying photos, stills and clips: one Y4M decode of the batch
+  feeds BOTH the per-modality tick and this mixed tick.
+- the TRIMODAL family (``stage_trimodal_state`` /
+  ``trimodal_ingest_tick``) — three-modality state on nodes
+  3*doc_id + m adding standalone audio recordings and each clip's
+  soundtrack rip, resolved with the five edge families and the
+  (modality rank, units, node) argmax of
+  plans/media_dedup.cross_modal_keep_best_trimodal, whose oracled
+  delta twin (``cross_modal_trimodal_delta``) hash-matches the batch
+  closure this tick maintains.
 """
 
 from __future__ import annotations
@@ -414,4 +427,387 @@ def unified_media_ingest_tick(
     cross_modal_ingest_tick(
         spark, batch_docs, cm_state_dir, batch_id,
         thumbs=thumbs, vfp=vfp,
+    )
+
+
+# ---------------------------------------------------------------------------
+# TRIMODAL tick (r13): the three-modality extension — thumbnails,
+# clips AND audio (standalone recordings + each clip's soundtrack rip)
+# maintain one node-tagged state family on 3*doc_id + m, resolved per
+# batch with the SAME five edge families and (modality rank, units,
+# node) argmax as the batch closure; the oracled
+# ``cross_modal_trimodal_delta`` twin hash-matches that closure, which
+# is the invariant this tick maintains per batch. A recording admitted
+# while alone is DISPLACED the tick its source footage (whose rip
+# matches it) arrives.
+# ---------------------------------------------------------------------------
+CM3_IMG_SCHEMA = (
+    "node long, doc_id long, dhash long, keep_node long, batch_id long"
+)
+CM3_FRAME_SCHEMA = (
+    "node long, doc_id long, frame_dhash long, n_frames long, "
+    "keep_node long, batch_id long"
+)
+CM3_AUDIO_SCHEMA = (
+    "node long, doc_id long, sphash long, n_windows int, "
+    "keep_node long, batch_id long"
+)
+CM3_SPBAND_SCHEMA = (
+    "doc_id long, sphash long, band int, byte long, batch_id long"
+)
+
+
+def _fingerprint_batch3(
+    batch_docs: DataFrame,
+    thumbs: DataFrame | None,
+    clips: DataFrame | None,
+    recordings: DataFrame | None,
+    tracks: DataFrame | None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Delta-only decode of all four media roles: (doc_id, dhash)
+    stills, (doc_id, frame_idx, frame_dhash) clip frames, (doc_id,
+    n_windows, sphash) recordings, (doc_id, sphash) soundtrack rips."""
+    if thumbs is None:
+        thumbs = MM.attach_payload_keyframe_thumbs(batch_docs)
+    if clips is None:
+        clips = MM.attach_payload_video_clips(batch_docs)
+    if recordings is None:
+        recordings = MM.attach_payload_audio_clips(batch_docs)
+    if tracks is None:
+        tracks = MM.attach_payload_soundtrack_wavs(batch_docs)
+    t = MM.media_dhash(thumbs).select("doc_id", "dhash")
+    v = MM.video_frame_dhash(clips).select(
+        "doc_id", "frame_idx", "frame_dhash"
+    )
+    a = MM.audio_spectral_dhash(recordings).select(
+        "doc_id", "n_windows", "sphash"
+    )
+    r = MM.audio_spectral_dhash(tracks).select("doc_id", "sphash")
+    return t, v, a, r
+
+
+def stage_trimodal_state(
+    spark: SparkSession,
+    docs: DataFrame,
+    state_dir: str,
+    batch_id: int = 0,
+    thumbs: DataFrame | None = None,
+    clips: DataFrame | None = None,
+    recordings: DataFrame | None = None,
+    tracks: DataFrame | None = None,
+) -> None:
+    """Tick-0 backfill: run the BATCH trimodal closure over the base
+    corpus and persist its full resolution as the maintained state."""
+    from falcon_metrics_etl_spark.plans.media_dedup import (
+        trimodal_keep_best_of,
+    )
+
+    t, v, a, r = _fingerprint_batch3(
+        docs, thumbs, clips, recordings, tracks
+    )
+    t = t.localCheckpoint(eager=True)
+    v = v.localCheckpoint(eager=True)
+    a = a.localCheckpoint(eager=True)
+    r = r.localCheckpoint(eager=True)
+    kb = trimodal_keep_best_of(t, v, a, r).localCheckpoint(eager=True)
+    tag = F.lit(int(batch_id)).alias("batch_id")
+    kb.filter(F.col("modality") == "image").select(
+        "node", "doc_id", "keep_node"
+    ).join(t, "doc_id").select(
+        "node", "doc_id", "dhash", "keep_node", tag
+    ).write.mode("overwrite").parquet(f"{state_dir}/cm3_image_index")
+    image_bands_of(t).select(
+        "doc_id", "dhash", "band", "byte", tag
+    ).write.mode("overwrite").parquet(f"{state_dir}/cm3_tband_index")
+    vsig = v.select("doc_id", "frame_dhash").distinct()
+    kb.filter(F.col("modality") == "video").select(
+        "node", "doc_id", F.col("n_units").alias("n_frames"), "keep_node"
+    ).join(vsig, "doc_id").select(
+        "node", "doc_id", "frame_dhash", "n_frames", "keep_node", tag
+    ).write.mode("overwrite").parquet(f"{state_dir}/cm3_frame_index")
+    image_bands_of(vsig, "frame_dhash").select(
+        "doc_id", "frame_dhash", "band", "byte", tag
+    ).write.mode("overwrite").parquet(f"{state_dir}/cm3_fband_index")
+    kb.filter(F.col("modality") == "audio").select(
+        "node", "doc_id", "keep_node"
+    ).join(a, "doc_id").select(
+        "node", "doc_id", "sphash", "n_windows", "keep_node", tag
+    ).write.mode("overwrite").parquet(f"{state_dir}/cm3_audio_index")
+    image_bands_of(a.select("doc_id", "sphash"), "sphash").select(
+        "doc_id", "sphash", "band", "byte", tag
+    ).write.mode("overwrite").parquet(f"{state_dir}/cm3_aband_index")
+    image_bands_of(r, "sphash").select(
+        "doc_id", "sphash", "band", "byte", tag
+    ).write.mode("overwrite").parquet(f"{state_dir}/cm3_trband_index")
+    kb.select(
+        "doc_id",
+        "modality",
+        F.when(F.col("node") == F.col("keep_node"), F.lit("kept"))
+        .otherwise(F.lit("dropped:near_dup"))
+        .alias("status"),
+        F.lit(int(batch_id)).alias("batch_id"),
+    ).write.mode("overwrite").parquet(f"{state_dir}/cm3_flags")
+
+
+def trimodal_ingest_tick(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    thumbs: DataFrame | None = None,
+    clips: DataFrame | None = None,
+    recordings: DataFrame | None = None,
+    tracks: DataFrame | None = None,
+) -> None:
+    """Process ONE delta batch across all three modalities (decode ->
+    probe every index -> joint resolve -> flag/repoint/append),
+    idempotent under replay of the same (batch_docs, batch_id)."""
+    from falcon_metrics_etl_spark.plans.media_dedup import (
+        trimodal_edges_delta,
+    )
+
+    bid = int(batch_id)
+    t_new, v_new, a_new, r_new = _fingerprint_batch3(
+        batch_docs, thumbs, clips, recordings, tracks
+    )
+    t_new = t_new.localCheckpoint(eager=True)
+    v_new = v_new.localCheckpoint(eager=True)
+    a_new = a_new.localCheckpoint(eager=True)
+    r_new = r_new.localCheckpoint(eager=True)
+    vsig_new = v_new.select("doc_id", "frame_dhash").distinct()
+    n_new = v_new.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
+    )
+
+    img_idx = _read_or_empty(
+        spark, f"{state_dir}/cm3_image_index", CM3_IMG_SCHEMA
+    ).filter(F.col("batch_id") != bid)
+    tband_idx = _read_or_empty(
+        spark, f"{state_dir}/cm3_tband_index", CM_TBAND_SCHEMA
+    ).filter(F.col("batch_id") != bid)
+    frame_idx = _read_or_empty(
+        spark, f"{state_dir}/cm3_frame_index", CM3_FRAME_SCHEMA
+    ).filter(F.col("batch_id") != bid)
+    fband_idx = _read_or_empty(
+        spark, f"{state_dir}/cm3_fband_index", CM_FBAND_SCHEMA
+    ).filter(F.col("batch_id") != bid)
+    audio_idx = _read_or_empty(
+        spark, f"{state_dir}/cm3_audio_index", CM3_AUDIO_SCHEMA
+    ).filter(F.col("batch_id") != bid)
+    aband_idx = _read_or_empty(
+        spark, f"{state_dir}/cm3_aband_index", CM3_SPBAND_SCHEMA
+    ).filter(F.col("batch_id") != bid)
+    trband_idx = _read_or_empty(
+        spark, f"{state_dir}/cm3_trband_index", CM3_SPBAND_SCHEMA
+    ).filter(F.col("batch_id") != bid)
+
+    tb_new = image_bands_of(t_new)
+    fb_new = image_bands_of(vsig_new, "frame_dhash")
+    rb_new = image_bands_of(a_new.select("doc_id", "sphash"), "sphash")
+    trb_new = image_bands_of(r_new, "sphash")
+    tb_all = tband_idx.select("doc_id", "dhash", "band", "byte").unionByName(
+        tb_new
+    )
+    fb_all = fband_idx.select(
+        "doc_id", "frame_dhash", "band", "byte"
+    ).unionByName(fb_new)
+    rb_all = aband_idx.select(
+        "doc_id", "sphash", "band", "byte"
+    ).unionByName(rb_new)
+    trb_all = trband_idx.select(
+        "doc_id", "sphash", "band", "byte"
+    ).unionByName(trb_new)
+    vsig_all = (
+        frame_idx.select("doc_id", "frame_dhash")
+        .unionByName(vsig_new)
+        .distinct()
+    )
+    edges = trimodal_edges_delta(
+        tb_new, tb_all, fb_new, fb_all, vsig_new, vsig_all,
+        rb_new, rb_all, trb_new, trb_all,
+    ).localCheckpoint(eager=True)
+
+    # joint resolution: quality = (modality rank, decoded units)
+    new_q = (
+        t_new.select(
+            (F.col("doc_id") * 3).alias("doc_id"),
+            F.lit(0).alias("mrank"),
+            F.lit(1).cast("long").alias("n_units"),
+        )
+        .unionByName(
+            n_new.select(
+                (F.col("doc_id") * 3 + 1).alias("doc_id"),
+                F.lit(2).alias("mrank"),
+                F.col("n_frames").alias("n_units"),
+            )
+        )
+        .unionByName(
+            a_new.select(
+                (F.col("doc_id") * 3 + 2).alias("doc_id"),
+                F.lit(1).alias("mrank"),
+                F.col("n_windows").cast("long").alias("n_units"),
+            )
+        )
+    )
+    idx_q = (
+        img_idx.select(
+            F.col("node").alias("doc_id"),
+            F.col("keep_node").alias("keep_id"),
+            F.lit(0).alias("mrank"),
+            F.lit(1).cast("long").alias("n_units"),
+        )
+        .unionByName(
+            frame_idx.select(
+                F.col("node").alias("doc_id"),
+                F.col("keep_node").alias("keep_id"),
+                F.lit(2).alias("mrank"),
+                F.col("n_frames").alias("n_units"),
+            ).dropDuplicates(["doc_id"])
+        )
+        .unionByName(
+            audio_idx.select(
+                F.col("node").alias("doc_id"),
+                F.col("keep_node").alias("keep_id"),
+                F.lit(1).alias("mrank"),
+                F.col("n_windows").cast("long").alias("n_units"),
+            )
+        )
+    )
+    verdicts, displaced = resolve_keep_best(
+        new_q, idx_q, edges, ["mrank", "n_units"]
+    )
+    verdicts = verdicts.localCheckpoint(eager=True)
+    displaced = displaced.localCheckpoint(eager=True)
+
+    # ---- 1) land flags (keyed merge) --------------------------------
+    def _fmt3(node_col):
+        return (
+            F.when(node_col % 3 == 1, F.lit("video"))
+            .when(node_col % 3 == 2, F.lit("audio"))
+            .otherwise(F.lit("image"))
+            .alias("modality")
+        )
+
+    flags = (
+        verdicts.select(
+            F.expr("doc_id div 3").cast("long").alias("did"),
+            _fmt3(F.col("doc_id")),
+            F.when(F.col("is_kept"), F.lit("kept"))
+            .otherwise(F.lit("dropped:near_dup"))
+            .alias("status"),
+        )
+        .unionByName(
+            displaced.select(
+                F.expr("doc_id div 3").cast("long").alias("did"),
+                _fmt3(F.col("doc_id")),
+                F.lit("displaced:near_dup").alias("status"),
+            )
+        )
+        .select(
+            F.col("did").alias("doc_id"), "modality", "status",
+            F.lit(bid).alias("batch_id"),
+        )
+    )
+    merge_upsert(
+        spark, f"{state_dir}/cm3_flags", flags, ["doc_id", "modality"]
+    )
+
+    # ---- 2) repoint displaced keepers across ALL indexes ------------
+    if not displaced.isEmpty():
+        rp = displaced.select(
+            F.col("doc_id").alias("keep_node"), "new_keep"
+        )
+        for sub, schema, keys in (
+            ("cm3_image_index", CM3_IMG_SCHEMA, ["node"]),
+            ("cm3_frame_index", CM3_FRAME_SCHEMA, ["node", "frame_dhash"]),
+            ("cm3_audio_index", CM3_AUDIO_SCHEMA, ["node"]),
+        ):
+            full = _read_or_empty(spark, f"{state_dir}/{sub}", schema)
+            upd = (
+                full.join(rp, "keep_node")
+                .withColumn("keep_node", F.col("new_keep"))
+                .drop("new_keep")
+            )
+            merge_upsert(spark, f"{state_dir}/{sub}", upd, keys)
+
+    # ---- 3) append the batch (kept AND dropped; anti-joined) --------
+    tag = F.lit(bid).alias("batch_id")
+    kmap = verdicts.select(
+        F.col("doc_id").alias("node"), F.col("keep_id").alias("keep_node")
+    )
+    full_img = _read_or_empty(
+        spark, f"{state_dir}/cm3_image_index", CM3_IMG_SCHEMA
+    )
+    (
+        t_new.select((F.col("doc_id") * 3).alias("node"), "doc_id", "dhash")
+        .join(kmap, "node")
+        .join(full_img.select("node").distinct(), "node", "left_anti")
+        .select("node", "doc_id", "dhash", "keep_node", tag)
+        .write.mode("append").parquet(f"{state_dir}/cm3_image_index")
+    )
+    full_tb = _read_or_empty(
+        spark, f"{state_dir}/cm3_tband_index", CM_TBAND_SCHEMA
+    )
+    (
+        tb_new.join(
+            full_tb.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        .select("doc_id", "dhash", "band", "byte", tag)
+        .write.mode("append").parquet(f"{state_dir}/cm3_tband_index")
+    )
+    full_fr = _read_or_empty(
+        spark, f"{state_dir}/cm3_frame_index", CM3_FRAME_SCHEMA
+    )
+    (
+        vsig_new.select(
+            (F.col("doc_id") * 3 + 1).alias("node"), "doc_id", "frame_dhash"
+        )
+        .join(n_new.select("doc_id", "n_frames"), "doc_id")
+        .join(kmap, "node")
+        .join(full_fr.select("node").distinct(), "node", "left_anti")
+        .select("node", "doc_id", "frame_dhash", "n_frames", "keep_node", tag)
+        .write.mode("append").parquet(f"{state_dir}/cm3_frame_index")
+    )
+    full_fb = _read_or_empty(
+        spark, f"{state_dir}/cm3_fband_index", CM_FBAND_SCHEMA
+    )
+    (
+        fb_new.join(
+            full_fb.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        .select("doc_id", "frame_dhash", "band", "byte", tag)
+        .write.mode("append").parquet(f"{state_dir}/cm3_fband_index")
+    )
+    full_au = _read_or_empty(
+        spark, f"{state_dir}/cm3_audio_index", CM3_AUDIO_SCHEMA
+    )
+    (
+        a_new.select(
+            (F.col("doc_id") * 3 + 2).alias("node"),
+            "doc_id", "sphash", "n_windows",
+        )
+        .join(kmap, "node")
+        .join(full_au.select("node").distinct(), "node", "left_anti")
+        .select("node", "doc_id", "sphash", "n_windows", "keep_node", tag)
+        .write.mode("append").parquet(f"{state_dir}/cm3_audio_index")
+    )
+    full_ab = _read_or_empty(
+        spark, f"{state_dir}/cm3_aband_index", CM3_SPBAND_SCHEMA
+    )
+    (
+        rb_new.join(
+            full_ab.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        .select("doc_id", "sphash", "band", "byte", tag)
+        .write.mode("append").parquet(f"{state_dir}/cm3_aband_index")
+    )
+    full_trb = _read_or_empty(
+        spark, f"{state_dir}/cm3_trband_index", CM3_SPBAND_SCHEMA
+    )
+    (
+        trb_new.join(
+            full_trb.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        .select("doc_id", "sphash", "band", "byte", tag)
+        .write.mode("append").parquet(f"{state_dir}/cm3_trband_index")
     )

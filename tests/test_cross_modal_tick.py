@@ -231,3 +231,142 @@ def test_unified_tick_equals_separate_ticks(spark, tmp_path_factory):
         "cm_fband_index", "cm_flags",
     ):
         assert rows(f"{c_sep}/{sub}") == rows(f"{c_uni}/{sub}"), sub
+
+
+# ---------------------------------------------------------------------------
+# TRIMODAL tick (r13)
+# ---------------------------------------------------------------------------
+
+
+def _batch_expect3(spark, ids):
+    """The batch trimodal closure over ``ids`` — node -> (keep_node,
+    kept?)."""
+    from falcon_metrics_etl_spark.plans.media_dedup import (
+        trimodal_keep_best_of,
+    )
+
+    d = _docs(spark, ids)
+    t = MM.media_dhash(MM.attach_payload_keyframe_thumbs(d)).select(
+        "doc_id", "dhash"
+    )
+    v = MM.video_frame_dhash(MM.attach_payload_video_clips(d)).select(
+        "doc_id", "frame_idx", "frame_dhash"
+    )
+    a = MM.audio_spectral_dhash(MM.attach_payload_audio_clips(d)).select(
+        "doc_id", "n_windows", "sphash"
+    )
+    r = MM.audio_spectral_dhash(
+        MM.attach_payload_soundtrack_wavs(d)
+    ).select("doc_id", "sphash")
+    return {
+        r2["node"]: (r2["keep_node"], r2["node"] == r2["keep_node"])
+        for r2 in trimodal_keep_best_of(t, v, a, r).collect()
+    }
+
+
+def _flags3(spark, state_dir):
+    return {
+        (r["doc_id"], r["modality"]): r["status"]
+        for r in spark.read.parquet(f"{state_dir}/cm3_flags").collect()
+    }
+
+
+def _keeps3(spark, state_dir):
+    out = {}
+    for sub in ("cm3_image_index", "cm3_frame_index", "cm3_audio_index"):
+        for r in (
+            spark.read.parquet(f"{state_dir}/{sub}")
+            .select("node", "keep_node")
+            .distinct()
+            .collect()
+        ):
+            out[r["node"]] = r["keep_node"]
+    return out
+
+
+def test_trimodal_tick_keep_set_equals_batch_closure(
+    spark, tmp_path_factory
+):
+    """After staging the base and ticking the delta, every node's
+    keeper equals the batch trimodal closure over ALL processed
+    docs — the invariant the oracled cross_modal_trimodal_delta twin
+    hash-matches."""
+    from falcon_metrics_etl_spark.streaming.cross_modal_tick import (
+        stage_trimodal_state,
+        trimodal_ingest_tick,
+    )
+
+    state = str(tmp_path_factory.mktemp("cm3_state"))
+    stage_trimodal_state(spark, _docs(spark, BASE_IDS), state, batch_id=0)
+    trimodal_ingest_tick(spark, _docs(spark, DELTA_IDS), state, batch_id=1)
+    expect = _batch_expect3(spark, ALL_IDS)
+    got = _keeps3(spark, state)
+    assert set(got) == set(expect)
+    for node, keep in got.items():
+        assert keep == expect[node][0], node
+
+
+def test_trimodal_footage_displaces_admitted_recording(
+    spark, tmp_path_factory
+):
+    """A standalone recording admitted while alone is DISPLACED the
+    tick its source footage (whose soundtrack rip matches it)
+    arrives: the clip keeps, the recording flags displaced, and the
+    audio index repoints to the clip node."""
+    from falcon_metrics_etl_spark.streaming.cross_modal_tick import (
+        stage_trimodal_state,
+        trimodal_ingest_tick,
+    )
+
+    doc = 18  # % 9 == 0: its clip ships a soundtrack rip
+    state = str(tmp_path_factory.mktemp("cm3_displace"))
+    d = _docs(spark, [doc])
+    em = _empty_media(spark)
+    # tick 0: ONLY the recording exists
+    stage_trimodal_state(
+        spark, d, state, batch_id=0,
+        thumbs=em, clips=em, tracks=em,
+    )
+    flags = _flags3(spark, state)
+    assert flags[(doc, "audio")] == "kept"
+    # tick 1: the footage + its rip arrive
+    trimodal_ingest_tick(
+        spark, d, state, batch_id=1, thumbs=em, recordings=em,
+    )
+    flags = _flags3(spark, state)
+    assert flags[(doc, "video")] == "kept"
+    assert flags[(doc, "audio")] == "displaced:near_dup"
+    au = spark.read.parquet(f"{state}/cm3_audio_index").collect()
+    assert len(au) == 1
+    assert au[0]["keep_node"] == doc * 3 + 1  # repointed to the clip
+
+
+def test_trimodal_replay_is_idempotent(spark, tmp_path_factory):
+    """Replaying the same (batch, batch_id) leaves every cm3_* table
+    row-identical."""
+    from falcon_metrics_etl_spark.streaming.cross_modal_tick import (
+        stage_trimodal_state,
+        trimodal_ingest_tick,
+    )
+
+    state = str(tmp_path_factory.mktemp("cm3_replay"))
+    stage_trimodal_state(spark, _docs(spark, BASE_IDS), state, batch_id=0)
+    trimodal_ingest_tick(spark, _docs(spark, DELTA_IDS), state, batch_id=1)
+
+    def snap():
+        out = {}
+        for sub in (
+            "cm3_image_index", "cm3_tband_index", "cm3_frame_index",
+            "cm3_fband_index", "cm3_audio_index", "cm3_aband_index",
+            "cm3_trband_index", "cm3_flags",
+        ):
+            df = spark.read.parquet(f"{state}/{sub}")
+            cols = sorted(df.columns)
+            out[sub] = sorted(
+                tuple(r[c] for c in cols) for r in df.collect()
+            )
+        return out
+
+    before = snap()
+    trimodal_ingest_tick(spark, _docs(spark, DELTA_IDS), state, batch_id=1)
+    assert snap() == before
