@@ -386,6 +386,7 @@ def unified_media_ingest_tick(
     images: DataFrame | None = None,
     thumbs: DataFrame | None = None,
     clips: DataFrame | None = None,
+    trimodal_state_dir: str | None = None,
 ) -> None:
     """THE production tick for a corpus carrying photos, exported
     stills and clips (r13 consolidation, r12 verdict #5): ONE decode
@@ -408,7 +409,13 @@ def unified_media_ingest_tick(
 
     Mutation semantics are unchanged — each tick keeps its own
     flags/repoint/append steps and replay contract, so replaying this
-    unified tick replays both families idempotently."""
+    unified tick replays both families idempotently.
+
+    ``trimodal_state_dir`` swaps the bimodal cross-modal tick for the
+    TRIMODAL one (audio recordings + soundtrack rips join the mixed
+    closure) against that state dir, still sharing the one clip
+    decode — the superset configuration for a corpus that also
+    carries audio."""
     if clips is None:
         clips = MM.attach_payload_video_clips(batch_docs)
     vfp = (
@@ -424,10 +431,16 @@ def unified_media_ingest_tick(
         spark, batch_docs, media_state_dir, batch_id,
         images=images, vfp=vfp,
     )
-    cross_modal_ingest_tick(
-        spark, batch_docs, cm_state_dir, batch_id,
-        thumbs=thumbs, vfp=vfp,
-    )
+    if trimodal_state_dir is not None:
+        trimodal_ingest_tick(
+            spark, batch_docs, trimodal_state_dir, batch_id,
+            thumbs=thumbs, vfp=vfp,
+        )
+    else:
+        cross_modal_ingest_tick(
+            spark, batch_docs, cm_state_dir, batch_id,
+            thumbs=thumbs, vfp=vfp,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -463,22 +476,28 @@ def _fingerprint_batch3(
     clips: DataFrame | None,
     recordings: DataFrame | None,
     tracks: DataFrame | None,
+    vfp: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Delta-only decode of all four media roles: (doc_id, dhash)
     stills, (doc_id, frame_idx, frame_dhash) clip frames, (doc_id,
-    n_windows, sphash) recordings, (doc_id, sphash) soundtrack rips."""
+    n_windows, sphash) recordings, (doc_id, sphash) soundtrack rips.
+    ``vfp`` injects already-decoded clip frames (the unified tick's
+    decode-once contract)."""
     if thumbs is None:
         thumbs = MM.attach_payload_keyframe_thumbs(batch_docs)
-    if clips is None:
+    if clips is None and vfp is None:
         clips = MM.attach_payload_video_clips(batch_docs)
     if recordings is None:
         recordings = MM.attach_payload_audio_clips(batch_docs)
     if tracks is None:
         tracks = MM.attach_payload_soundtrack_wavs(batch_docs)
     t = MM.media_dhash(thumbs).select("doc_id", "dhash")
-    v = MM.video_frame_dhash(clips).select(
-        "doc_id", "frame_idx", "frame_dhash"
-    )
+    if vfp is not None:
+        v = vfp.select("doc_id", "frame_idx", "frame_dhash")
+    else:
+        v = MM.video_frame_dhash(clips).select(
+            "doc_id", "frame_idx", "frame_dhash"
+        )
     a = MM.audio_spectral_dhash(recordings).select(
         "doc_id", "n_windows", "sphash"
     )
@@ -558,17 +577,20 @@ def trimodal_ingest_tick(
     clips: DataFrame | None = None,
     recordings: DataFrame | None = None,
     tracks: DataFrame | None = None,
+    vfp: DataFrame | None = None,
 ) -> None:
     """Process ONE delta batch across all three modalities (decode ->
     probe every index -> joint resolve -> flag/repoint/append),
-    idempotent under replay of the same (batch_docs, batch_id)."""
+    idempotent under replay of the same (batch_docs, batch_id).
+    ``vfp`` injects already-decoded clip frames (see
+    unified_media_ingest_tick)."""
     from falcon_metrics_etl_spark.plans.media_dedup import (
         trimodal_edges_delta,
     )
 
     bid = int(batch_id)
     t_new, v_new, a_new, r_new = _fingerprint_batch3(
-        batch_docs, thumbs, clips, recordings, tracks
+        batch_docs, thumbs, clips, recordings, tracks, vfp
     )
     t_new = t_new.localCheckpoint(eager=True)
     v_new = v_new.localCheckpoint(eager=True)

@@ -370,3 +370,42 @@ def test_trimodal_replay_is_idempotent(spark, tmp_path_factory):
     before = snap()
     trimodal_ingest_tick(spark, _docs(spark, DELTA_IDS), state, batch_id=1)
     assert snap() == before
+
+
+def test_unified_tick_trimodal_option(spark, tmp_path_factory):
+    """unified_media_ingest_tick(trimodal_state_dir=...) drives the
+    TRIMODAL tick off the shared clip decode and lands state
+    identical to running trimodal_ingest_tick directly."""
+    from falcon_metrics_etl_spark.streaming.cross_modal_tick import (
+        stage_trimodal_state,
+        trimodal_ingest_tick,
+        unified_media_ingest_tick,
+    )
+    from falcon_metrics_etl_spark.streaming.media_tick import (
+        stage_media_state,
+    )
+
+    m_uni = str(tmp_path_factory.mktemp("u3_media"))
+    t_sep = str(tmp_path_factory.mktemp("u3_tri_sep"))
+    t_uni = str(tmp_path_factory.mktemp("u3_tri_uni"))
+    base = _docs(spark, BASE_IDS)
+    delta = _docs(spark, DELTA_IDS)
+    stage_media_state(spark, base, m_uni, batch_id=0)
+    stage_trimodal_state(spark, base, t_sep, batch_id=0)
+    stage_trimodal_state(spark, base, t_uni, batch_id=0)
+    trimodal_ingest_tick(spark, delta, t_sep, batch_id=1)
+    unified_media_ingest_tick(
+        spark, delta, m_uni, cm_state_dir=None, batch_id=1,
+        trimodal_state_dir=t_uni,
+    )
+
+    def rows(path):
+        df = spark.read.parquet(path)
+        cols = sorted(df.columns)
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    for sub in (
+        "cm3_image_index", "cm3_frame_index", "cm3_audio_index",
+        "cm3_flags",
+    ):
+        assert rows(f"{t_sep}/{sub}") == rows(f"{t_uni}/{sub}"), sub
