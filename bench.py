@@ -1217,10 +1217,15 @@ def main() -> None:
     # (c) print the ~1 KB compact summary as the genuinely final write.
     # The complete maps live in BENCH_OUT.json / BENCH_MEDIANS.json.
     summary_line = json.dumps(_compact_summary(payload))
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.stop()
-    time.sleep(2.0)
-    print(summary_line, flush=True)
+    try:
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.stop()
+        time.sleep(2.0)
+    finally:
+        # the line must reach stdout even if stop() raises (py4j
+        # connection loss after a long run) — losing it reintroduces
+        # the parsed:null failure this ordering exists to fix
+        print(summary_line, flush=True)
 
 
 if __name__ == "__main__":

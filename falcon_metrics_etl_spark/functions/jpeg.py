@@ -134,8 +134,12 @@ class _HuffTable:
 
 # DHT specs repeat across payloads (the encoders ship the Annex K
 # tables in every file), so the 64 Ki-entry LUTs build once per
-# process, not once per decode
+# process, not once per decode. BOUNDED: real-world corpora carry
+# per-image optimized tables (~4 unique DHT specs per file at ~1 MB
+# of LUT each), so an unbounded cache would grow without limit in a
+# long-lived UDF worker — evict oldest-inserted past the cap.
 _HUFF_LUT_CACHE: dict = {}
+_HUFF_LUT_CACHE_MAX = 64
 
 
 def _build_decode_table(bits, values):
@@ -144,6 +148,8 @@ def _build_decode_table(bits, values):
     t = _HUFF_LUT_CACHE.get(key)
     if t is None:
         t = _HuffTable(key[0], key[1])
+        while len(_HUFF_LUT_CACHE) >= _HUFF_LUT_CACHE_MAX:
+            _HUFF_LUT_CACHE.pop(next(iter(_HUFF_LUT_CACHE)))
         _HUFF_LUT_CACHE[key] = t
     return t
 
@@ -211,7 +217,12 @@ class _BitReader:
         p = data.find(b"\xff")
         while p != -1:
             if p + 1 >= len(data):
-                break  # dangling 0xFF at the very end: never readable
+                # dangling 0xFF at the very end: exclude it so a read
+                # that needs those bits raises instead of consuming a
+                # marker prefix as entropy data (the old reader's
+                # "dangling 0xFF" contract)
+                end_at = p
+                break
             nxt = data[p + 1]
             if nxt == 0x00:
                 p = data.find(b"\xff", p + 2)  # stuffing: unstuffed below
@@ -303,7 +314,18 @@ class _BitReader:
     def expect_restart(self, idx: int) -> None:
         """Discard the pad bits of the current segment and step to the
         one behind the expected RSTn marker (T.81 F.2.1.3.1: restart
-        markers are byte-aligned and cycle D0..D7)."""
+        markers are byte-aligned and cycle D0..D7). The decoder must
+        have consumed the segment exactly: at a restart boundary only
+        the final byte's pad bits (< 8) may remain — a whole unread
+        byte means the entropy decode terminated early (corruption),
+        which the pre-split reader must surface, not silently resync
+        past (the old reader's marker-position check)."""
+        left = self.n + 8 * (self.nbytes - self.bytepos)
+        if left >= 8:
+            raise ValueError(
+                f"JPEG: expected restart marker RST{idx & 7}, got "
+                f"{left} bits of unread entropy data before it"
+            )
         got = self.seg_rsts[self.si]
         if got is None:
             raise ValueError(

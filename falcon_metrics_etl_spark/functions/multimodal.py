@@ -3322,6 +3322,20 @@ def encode_wav_pcm16(samples) -> bytes:
     )
 
 
+def recording_samples(doc_id: int) -> list:
+    """The fixture recording's PCM surface for ``doc_id`` — ONE
+    definition shared by attach_payload_audio_clips (the standalone
+    recording) and attach_payload_soundtrack_wavs (the clip's rip):
+    the cross-modal oracle derives track hashes from the audio CTE on
+    the premise that the two streams are identical by construction,
+    so the synthesis must not be duplicated."""
+    g, v = divmod(doc_id, AUDIO_GROUP)
+    samples = []
+    for s in range(AUDIO_SEGMENTS):
+        samples.extend([audio_segment_value(g, v, s)] * AUDIO_SEG_LEN)
+    return samples
+
+
 def attach_payload_audio_clips(docs: DataFrame) -> DataFrame:
     """documents -> the audio near-dup corpus: groups of AUDIO_GROUP
     consecutive doc_ids share one segment-constant 16-bit PCM clip
@@ -3334,14 +3348,9 @@ def attach_payload_audio_clips(docs: DataFrame) -> DataFrame:
             rows_out = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                g, v = divmod(doc_id, AUDIO_GROUP)
-                samples = []
-                for s in range(AUDIO_SEGMENTS):
-                    samples.extend(
-                        [audio_segment_value(g, v, s)] * AUDIO_SEG_LEN
-                    )
                 rows_out.append(
-                    (doc_id, "audio", "wav", encode_wav_pcm16(samples))
+                    (doc_id, "audio", "wav",
+                     encode_wav_pcm16(recording_samples(doc_id)))
                 )
             yield pd.DataFrame(
                 rows_out,
@@ -3409,15 +3418,9 @@ def attach_payload_soundtrack_wavs(docs: DataFrame) -> DataFrame:
                 doc_id = int(doc_id)
                 if doc_id % CM_TRACK_MOD != 0:
                     continue
-                g, v = divmod(doc_id, AUDIO_GROUP)
-                samples = []
-                for s in range(AUDIO_SEGMENTS):
-                    samples.extend(
-                        [audio_segment_value(g, v, s)] * AUDIO_SEG_LEN
-                    )
                 rows_out.append(
                     (doc_id, "audio", "wav",
-                     encode_wav_pcm16_tagged(samples))
+                     encode_wav_pcm16_tagged(recording_samples(doc_id)))
                 )
             yield pd.DataFrame(
                 rows_out,

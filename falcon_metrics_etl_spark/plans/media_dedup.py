@@ -2417,7 +2417,7 @@ allnodes AS (
     FROM nfr
     UNION ALL
     SELECT doc_id * 3 + 2 AS node, doc_id, 'audio' AS modality,
-           1 AS mrank, CAST(64 AS BIGINT) AS n_units
+           1 AS mrank, CAST({MM.AUDIO_SEGMENTS - 1} AS BIGINT) AS n_units
     FROM sphashes
 ),
 members AS (
@@ -2859,7 +2859,7 @@ def trimodal_edges_delta(
     are never recomputed. Emits (id_a, id_b) node pairs on
     3*doc_id + m."""
 
-    def banded(a, b, ha, hb, na, nb):
+    def banded(a, b, ha, hb, na, nb, t):
         return (
             a.alias("x")
             .join(
@@ -2868,10 +2868,7 @@ def trimodal_edges_delta(
                 & (F.col("x.byte") == F.col("y.byte"))
                 & (F.col("x.doc_id") != F.col("y.doc_id")),
             )
-            .filter(
-                F.bit_count(F.expr(f"x.{ha} ^ y.{hb}"))
-                <= (DHASH_HAMMING_T if ha == "dhash" else AUDIO_SPECTRAL_T)
-            )
+            .filter(F.bit_count(F.expr(f"x.{ha} ^ y.{hb}")) <= t)
             .select(
                 F.least(
                     F.col("x.doc_id") * 3 + na, F.col("y.doc_id") * 3 + nb
@@ -2904,7 +2901,9 @@ def trimodal_edges_delta(
     tc = tc_probe(tb_new, fb_all).unionByName(
         tc_probe(tb_all, fb_new)
     ).distinct()
-    tt = banded(tb_new, tb_all, "dhash", "dhash", 0, 0).distinct()
+    tt = banded(
+        tb_new, tb_all, "dhash", "dhash", 0, 0, DHASH_HAMMING_T
+    ).distinct()
     cc = (
         vsig_new.alias("x")
         .join(
@@ -2926,7 +2925,9 @@ def trimodal_edges_delta(
             (F.col("db") * 3 + 1).alias("id_b"),
         )
     )
-    rr = banded(rb_new, rb_all, "sphash", "sphash", 2, 2).distinct()
+    rr = banded(
+        rb_new, rb_all, "sphash", "sphash", 2, 2, AUDIO_SPECTRAL_T
+    ).distinct()
 
     def rt_probe(r_side, t_side):
         return (
