@@ -1087,7 +1087,7 @@ def _audio_spectral_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "audio", "dedup", "fft", "pandas-udf"),
     oracle=f"""
 WITH {_DUCK_SPECTRAL}
-SELECT doc_id, CAST(64 AS INT) AS n_windows, sphash
+SELECT doc_id, CAST({MM.AUDIO_SEGMENTS - 1} AS INT) AS n_windows, sphash
 FROM sphashes
 """,
 )
