@@ -2099,7 +2099,7 @@ def _cm_format(members: DataFrame) -> DataFrame:
         "doc_id",
         "modality",
         "n_frames",
-        (F.col("keep_node") / 2).cast("long").alias("keep_doc"),
+        F.expr("keep_node div 2").cast("long").alias("keep_doc"),
         F.when(F.col("keep_node") % 2 == 1, F.lit("video"))
         .otherwise(F.lit("image"))
         .alias("keep_modality"),

@@ -182,7 +182,8 @@ def cross_modal_ingest_tick(
     bid = int(batch_id)
     t_new, v_new = _fingerprint_batch(batch_docs, thumbs, clips, vfp)
     t_new = t_new.localCheckpoint(eager=True)
-    v_new = v_new.localCheckpoint(eager=True)
+    if vfp is None:  # injected frames are already checkpoint blocks
+        v_new = v_new.localCheckpoint(eager=True)
     vsig_new = v_new.select("doc_id", "frame_dhash").distinct()
     n_new = v_new.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_frames")
@@ -264,7 +265,7 @@ def cross_modal_ingest_tick(
 
     flags = (
         verdicts.select(
-            (F.col("doc_id") / 2).cast("long").alias("did"),
+            F.expr("doc_id div 2").cast("long").alias("did"),
             _fmt(F.col("doc_id")),
             F.when(F.col("is_kept"), F.lit("kept"))
             .otherwise(F.lit("dropped:near_dup"))
@@ -272,7 +273,7 @@ def cross_modal_ingest_tick(
         )
         .unionByName(
             displaced.select(
-                (F.col("doc_id") / 2).cast("long").alias("did"),
+                F.expr("doc_id div 2").cast("long").alias("did"),
                 _fmt(F.col("doc_id")),
                 F.lit("displaced:near_dup").alias("status"),
             )
@@ -381,12 +382,14 @@ def unified_media_ingest_tick(
     spark: SparkSession,
     batch_docs: DataFrame,
     media_state_dir: str,
-    cm_state_dir: str,
+    cm_state_dir: str | None,
     batch_id: int,
     images: DataFrame | None = None,
     thumbs: DataFrame | None = None,
     clips: DataFrame | None = None,
     trimodal_state_dir: str | None = None,
+    recordings: DataFrame | None = None,
+    tracks: DataFrame | None = None,
 ) -> None:
     """THE production tick for a corpus carrying photos, exported
     stills and clips (r13 consolidation, r12 verdict #5): ONE decode
@@ -432,9 +435,14 @@ def unified_media_ingest_tick(
         images=images, vfp=vfp,
     )
     if trimodal_state_dir is not None:
+        # recordings/tracks pass through so production audio reaches
+        # the trimodal family — without them the tick would fall back
+        # to the synthetic fixture attach and silently index
+        # fabricated audio fingerprints
         trimodal_ingest_tick(
             spark, batch_docs, trimodal_state_dir, batch_id,
-            thumbs=thumbs, vfp=vfp,
+            thumbs=thumbs, recordings=recordings, tracks=tracks,
+            vfp=vfp,
         )
     else:
         cross_modal_ingest_tick(
@@ -593,7 +601,8 @@ def trimodal_ingest_tick(
         batch_docs, thumbs, clips, recordings, tracks, vfp
     )
     t_new = t_new.localCheckpoint(eager=True)
-    v_new = v_new.localCheckpoint(eager=True)
+    if vfp is None:  # injected frames are already checkpoint blocks
+        v_new = v_new.localCheckpoint(eager=True)
     a_new = a_new.localCheckpoint(eager=True)
     r_new = r_new.localCheckpoint(eager=True)
     vsig_new = v_new.select("doc_id", "frame_dhash").distinct()
@@ -734,11 +743,19 @@ def trimodal_ingest_tick(
         spark, f"{state_dir}/cm3_flags", flags, ["doc_id", "modality"]
     )
 
-    # ---- 2) repoint displaced keepers across ALL indexes ------------
+    # ---- 2) repoint displaced keepers, per modality -----------------
+    # keep_node references stay WITHIN a modality's index (a row's
+    # keeper can be any modality, so match on keep_node regardless of
+    # parity — but an index only needs rewriting when at least one of
+    # ITS rows points at a displaced keeper). Guarding each
+    # merge_upsert on its own update set keeps a tick that displaces
+    # one audio keeper from read+rewriting the untouched image and
+    # frame tables — tick cost must scale with the delta, not total
+    # state (the media tick's per-modality guards, generalized).
     if not displaced.isEmpty():
         rp = displaced.select(
             F.col("doc_id").alias("keep_node"), "new_keep"
-        )
+        ).localCheckpoint(eager=True)
         for sub, schema, keys in (
             ("cm3_image_index", CM3_IMG_SCHEMA, ["node"]),
             ("cm3_frame_index", CM3_FRAME_SCHEMA, ["node", "frame_dhash"]),
@@ -750,86 +767,65 @@ def trimodal_ingest_tick(
                 .withColumn("keep_node", F.col("new_keep"))
                 .drop("new_keep")
             )
-            merge_upsert(spark, f"{state_dir}/{sub}", upd, keys)
+            if not upd.isEmpty():
+                merge_upsert(spark, f"{state_dir}/{sub}", upd, keys)
 
     # ---- 3) append the batch (kept AND dropped; anti-joined) --------
+    # table-driven so the replay contract (anti-join key + batch tag)
+    # is single-sourced across all seven cm3_* tables
     tag = F.lit(bid).alias("batch_id")
     kmap = verdicts.select(
         F.col("doc_id").alias("node"), F.col("keep_id").alias("keep_node")
     )
-    full_img = _read_or_empty(
-        spark, f"{state_dir}/cm3_image_index", CM3_IMG_SCHEMA
+    node_frames = (
+        (
+            "cm3_image_index", CM3_IMG_SCHEMA,
+            t_new.select(
+                (F.col("doc_id") * 3).alias("node"), "doc_id", "dhash"
+            ),
+            ["node", "doc_id", "dhash", "keep_node"],
+        ),
+        (
+            "cm3_frame_index", CM3_FRAME_SCHEMA,
+            vsig_new.select(
+                (F.col("doc_id") * 3 + 1).alias("node"),
+                "doc_id", "frame_dhash",
+            ).join(n_new.select("doc_id", "n_frames"), "doc_id"),
+            ["node", "doc_id", "frame_dhash", "n_frames", "keep_node"],
+        ),
+        (
+            "cm3_audio_index", CM3_AUDIO_SCHEMA,
+            a_new.select(
+                (F.col("doc_id") * 3 + 2).alias("node"),
+                "doc_id", "sphash", "n_windows",
+            ),
+            ["node", "doc_id", "sphash", "n_windows", "keep_node"],
+        ),
     )
-    (
-        t_new.select((F.col("doc_id") * 3).alias("node"), "doc_id", "dhash")
-        .join(kmap, "node")
-        .join(full_img.select("node").distinct(), "node", "left_anti")
-        .select("node", "doc_id", "dhash", "keep_node", tag)
-        .write.mode("append").parquet(f"{state_dir}/cm3_image_index")
-    )
-    full_tb = _read_or_empty(
-        spark, f"{state_dir}/cm3_tband_index", CM_TBAND_SCHEMA
-    )
-    (
-        tb_new.join(
-            full_tb.select("doc_id").distinct(), "doc_id", "left_anti"
+    for sub, schema, frame, cols in node_frames:
+        full = _read_or_empty(spark, f"{state_dir}/{sub}", schema)
+        (
+            frame.join(kmap, "node")
+            .join(full.select("node").distinct(), "node", "left_anti")
+            .select(*cols, tag)
+            .write.mode("append").parquet(f"{state_dir}/{sub}")
         )
-        .select("doc_id", "dhash", "band", "byte", tag)
-        .write.mode("append").parquet(f"{state_dir}/cm3_tband_index")
+    band_frames = (
+        ("cm3_tband_index", CM_TBAND_SCHEMA, tb_new,
+         ["doc_id", "dhash", "band", "byte"]),
+        ("cm3_fband_index", CM_FBAND_SCHEMA, fb_new,
+         ["doc_id", "frame_dhash", "band", "byte"]),
+        ("cm3_aband_index", CM3_SPBAND_SCHEMA, rb_new,
+         ["doc_id", "sphash", "band", "byte"]),
+        ("cm3_trband_index", CM3_SPBAND_SCHEMA, trb_new,
+         ["doc_id", "sphash", "band", "byte"]),
     )
-    full_fr = _read_or_empty(
-        spark, f"{state_dir}/cm3_frame_index", CM3_FRAME_SCHEMA
-    )
-    (
-        vsig_new.select(
-            (F.col("doc_id") * 3 + 1).alias("node"), "doc_id", "frame_dhash"
+    for sub, schema, frame, cols in band_frames:
+        full = _read_or_empty(spark, f"{state_dir}/{sub}", schema)
+        (
+            frame.join(
+                full.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+            .select(*cols, tag)
+            .write.mode("append").parquet(f"{state_dir}/{sub}")
         )
-        .join(n_new.select("doc_id", "n_frames"), "doc_id")
-        .join(kmap, "node")
-        .join(full_fr.select("node").distinct(), "node", "left_anti")
-        .select("node", "doc_id", "frame_dhash", "n_frames", "keep_node", tag)
-        .write.mode("append").parquet(f"{state_dir}/cm3_frame_index")
-    )
-    full_fb = _read_or_empty(
-        spark, f"{state_dir}/cm3_fband_index", CM_FBAND_SCHEMA
-    )
-    (
-        fb_new.join(
-            full_fb.select("doc_id").distinct(), "doc_id", "left_anti"
-        )
-        .select("doc_id", "frame_dhash", "band", "byte", tag)
-        .write.mode("append").parquet(f"{state_dir}/cm3_fband_index")
-    )
-    full_au = _read_or_empty(
-        spark, f"{state_dir}/cm3_audio_index", CM3_AUDIO_SCHEMA
-    )
-    (
-        a_new.select(
-            (F.col("doc_id") * 3 + 2).alias("node"),
-            "doc_id", "sphash", "n_windows",
-        )
-        .join(kmap, "node")
-        .join(full_au.select("node").distinct(), "node", "left_anti")
-        .select("node", "doc_id", "sphash", "n_windows", "keep_node", tag)
-        .write.mode("append").parquet(f"{state_dir}/cm3_audio_index")
-    )
-    full_ab = _read_or_empty(
-        spark, f"{state_dir}/cm3_aband_index", CM3_SPBAND_SCHEMA
-    )
-    (
-        rb_new.join(
-            full_ab.select("doc_id").distinct(), "doc_id", "left_anti"
-        )
-        .select("doc_id", "sphash", "band", "byte", tag)
-        .write.mode("append").parquet(f"{state_dir}/cm3_aband_index")
-    )
-    full_trb = _read_or_empty(
-        spark, f"{state_dir}/cm3_trband_index", CM3_SPBAND_SCHEMA
-    )
-    (
-        trb_new.join(
-            full_trb.select("doc_id").distinct(), "doc_id", "left_anti"
-        )
-        .select("doc_id", "sphash", "band", "byte", tag)
-        .write.mode("append").parquet(f"{state_dir}/cm3_trband_index")
-    )

@@ -351,8 +351,8 @@ def media_ingest_tick(
     # reads the index parquet the repoint/appends are about to rewrite
     verdicts = verdicts.localCheckpoint(eager=True)
     displaced = displaced.localCheckpoint(eager=True)
-    half = (F.col("doc_id") / 2).cast("long").alias("doc_id")
-    keep_half = (F.col("keep_id") / 2).cast("long").alias("keep_id")
+    half = F.expr("doc_id div 2").cast("long").alias("doc_id")
+    keep_half = F.expr("keep_id div 2").cast("long").alias("keep_id")
     img_verdicts = verdicts.filter(F.col("doc_id") % 2 == 0).select(
         half, keep_half, "is_kept"
     )
@@ -360,10 +360,10 @@ def media_ingest_tick(
         half, keep_half, "is_kept"
     )
     img_displaced = displaced.filter(F.col("doc_id") % 2 == 0).select(
-        half, (F.col("new_keep") / 2).cast("long").alias("new_keep")
+        half, F.expr("new_keep div 2").cast("long").alias("new_keep")
     )
     vid_displaced = displaced.filter(F.col("doc_id") % 2 == 1).select(
-        half, (F.col("new_keep") / 2).cast("long").alias("new_keep")
+        half, F.expr("new_keep div 2").cast("long").alias("new_keep")
     )
 
     # ---- 1) land flags (keyed merge) --------------------------------
