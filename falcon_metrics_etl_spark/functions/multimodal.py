@@ -1400,11 +1400,72 @@ def _wav_walk(payload: bytes):
     raise ValueError("WAV: no data chunk")
 
 
+# below this many full mono blocks the numpy batch path costs more in
+# per-op overhead than it saves (fixture clips run 1-4 blocks; the
+# batch path exists for LONG recordings — an hour of 8 kHz mono IMA is
+# ~57k blocks, where per-nibble Python is the decode floor)
+IMA_BATCH_MIN_BLOCKS = 8
+
+
+def _ima_decode_blocks_np(body: bytes, block_align: int) -> list[int]:
+    """Batch-decode FULL-SIZE mono IMA-ADPCM blocks ACROSS blocks
+    (r13): every block carries its own (predictor, step index) header
+    and no state crosses block boundaries — the same independence the
+    JPEG restart segments exploit — so the per-nibble recursion runs
+    once over a (n_blocks,)-wide numpy vector instead of per block.
+    Within a block the recursion is genuinely serial (each predictor
+    feeds the next), so the loop length stays 2*(block_align-4) steps;
+    the width is where the win is. Bit-identical to _ima_decode_block
+    (fuzz-pinned): same shifts, clamps and table updates in int64.
+    Returns the concatenated per-block sample lists."""
+    n_blocks = len(body) // block_align
+    arr = np.frombuffer(body, np.uint8)[: n_blocks * block_align]
+    blocks = arr.reshape(n_blocks, block_align)
+    pred = (
+        blocks[:, 0].astype(np.int64)
+        | (blocks[:, 1].astype(np.int64) << 8)
+    )
+    pred = np.where(pred >= 32768, pred - 65536, pred)
+    index = blocks[:, 2].astype(np.int64)
+    if (index > 88).any():
+        raise ValueError(
+            f"IMA-ADPCM: step index {int(index.max())} out of range"
+        )
+    data = blocks[:, 4:]
+    n_steps = data.shape[1] * 2
+    # nibble matrix (n_blocks, n_steps): LOW nibble first per byte
+    nibs = np.empty((n_blocks, n_steps), dtype=np.int64)
+    nibs[:, 0::2] = data & 0x0F
+    nibs[:, 1::2] = data >> 4
+    step_tab = np.asarray(_IMA_STEP_TABLE, dtype=np.int64)
+    idx_tab = np.asarray(_IMA_INDEX_TABLE, dtype=np.int64)
+    out = np.empty((n_blocks, n_steps + 1), dtype=np.int64)
+    out[:, 0] = pred
+    for i in range(n_steps):
+        nib = nibs[:, i]
+        step = step_tab[index]
+        diff = (
+            (step >> 3)
+            + np.where(nib & 1, step >> 2, 0)
+            + np.where(nib & 2, step >> 1, 0)
+            + np.where(nib & 4, step, 0)
+        )
+        pred = np.where(nib & 8, pred - diff, pred + diff)
+        np.clip(pred, -32768, 32767, out=pred)
+        index = np.clip(index + idx_tab[nib], 0, 88)
+        out[:, i + 1] = pred
+    return out.reshape(-1).tolist()
+
+
 def _adpcm_sample_list(
     audio_format, channels, block_align, fact_samples, body
 ):
-    """Shared MS/IMA-ADPCM block walk + fact-chunk trim (the scalar
-    per-nibble state machines are inherently sequential)."""
+    """Shared MS/IMA-ADPCM block walk + fact-chunk trim. The per-
+    nibble state machines are sequential WITHIN a block; mono IMA
+    batches the recursion across full-size blocks via numpy
+    (_ima_decode_blocks_np) when the stream is long enough to pay the
+    vector overhead — a trailing short block and the other formats
+    keep the scalar walk."""
     if audio_format == 2:
         samples = []
         for off in range(0, len(body), block_align):
@@ -1424,7 +1485,14 @@ def _adpcm_sample_list(
         _ima_decode_block_stereo if channels == 2 else _ima_decode_block
     )
     samples = []
-    for off in range(0, len(body), block_align):
+    start = 0
+    n_full = len(body) // block_align
+    if channels == 1 and n_full >= IMA_BATCH_MIN_BLOCKS:
+        samples.extend(
+            _ima_decode_blocks_np(body[: n_full * block_align], block_align)
+        )
+        start = n_full * block_align
+    for off in range(start, len(body), block_align):
         samples.extend(decode_block(body[off : off + block_align]))
     if fact_samples is not None:
         # fact counts samples PER CHANNEL (frames)

@@ -1627,3 +1627,31 @@ def test_jpeg_baseline_restart_segments_decode_identically():
     enc[i + 1] = 0xD3
     with _pytest.raises(ValueError, match="expected restart marker RST0"):
         decode_jpeg(bytes(enc))
+
+
+def test_ima_adpcm_batch_decode_matches_scalar():
+    """The r13 block-batch IMA decode (numpy recursion across
+    independent blocks) is bit-identical to the per-block scalar
+    state machine on long random streams, and short streams keep the
+    scalar path."""
+    import random
+
+    from falcon_metrics_etl_spark.functions import multimodal as MM
+
+    rng = random.Random(4321)
+    for trial in range(6):
+        n = rng.randint(MM.ADPCM_BLOCK_ALIGN * 8, 12000)
+        samples = [rng.randint(-32768, 32767) for _ in range(n)]
+        wav = MM.encode_wav_ima_adpcm(samples)
+        (_, _, _, ba, _, fact, body) = MM._wav_walk(wav)
+        scalar = []
+        for off in range(0, len(body), ba):
+            scalar.extend(MM._ima_decode_block(body[off : off + ba]))
+        if fact is not None:
+            scalar = scalar[:fact]
+        assert MM.decode_wav_samples(wav)["samples"] == scalar, trial
+    # short stream (< IMA_BATCH_MIN_BLOCKS full blocks): same values
+    short = [rng.randint(-32768, 32767) for _ in range(1000)]
+    wav = MM.encode_wav_ima_adpcm(short)
+    d = MM.decode_wav_samples(wav)
+    assert len(d["samples"]) == 1000
