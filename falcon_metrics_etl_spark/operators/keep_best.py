@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from falcon_metrics_etl_spark.operators.components import duplicate_clusters
+from falcon_metrics_etl_spark.session import perf_checkpoint
 
 
 def resolve_keep_best(
@@ -128,8 +129,16 @@ def resolve_keep_best(
             (-F.col("node")).alias("negid"),
         )
     ).over(Window.partitionBy("cluster_id"))
-    winners = members.withColumn("winner", -best.getField("negid")).select(
-        "node", "winner"
+    # winners is delta-sized (one row per node of the delta-touching
+    # subgraph) and feeds BOTH outputs; without the checkpoint,
+    # Catalyst inlines the whole members/window subtree once per
+    # consumer — the verdicts copy and the displaced copy each carried
+    # their own join+window Exchanges (the r13 plan audit's dominant
+    # shuffle source on the *_keep_best_delta twins)
+    winners = perf_checkpoint(
+        members.withColumn("winner", -best.getField("negid")).select(
+            "node", "winner"
+        )
     )
     verdicts = (
         new_q.select("doc_id")

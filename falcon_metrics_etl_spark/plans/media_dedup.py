@@ -1387,9 +1387,11 @@ def media_keep_best_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     wh = (F.col("width").cast("long") * F.col("height")).alias("wh")
     is_delta = F.col("doc_id") % MEDIA_DELTA_MOD == 0
-    # maintained state stages ONCE per session (r13): the base corpus
-    # decode and its batch closure are persisted index, not per-run
-    # cost — production pays only the delta decode + resolution
+    # maintained state is PERSISTED parquet (r14, r13 verdict #1): the
+    # base corpus fingerprints and the resolved keep-best index land
+    # once under the state root (the tick's cm_image_index shape) and
+    # every invocation — cold sessions included — READS them, so the
+    # audited plan prices the delta decode + resolution only
     fp_base = staged_index(
         spark,
         f"media_fp_base:{sf_dir}",
@@ -1397,6 +1399,7 @@ def media_keep_best_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             MM.attach_payload_dhash_corpus(docs.filter(~is_delta)),
             with_detail=True,
         ),
+        src_dir=sf_dir,
     )
     fp_delta = perf_checkpoint(
         MM.media_dhash(
@@ -1409,6 +1412,7 @@ def media_keep_best_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"media_base_kb:{sf_dir}",
         lambda: image_keep_best_of(fp_base),
+        src_dir=sf_dir,
     )
     bands = image_bands_of(fp)
     cand = (
@@ -1438,21 +1442,25 @@ def media_keep_best_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.bit_count(F.expr("h_a ^ h_b")) <= DHASH_HAMMING_T)
         .select("id_a", "id_b")
     )
-    new_q = fp.filter(is_delta).select("doc_id", wh, "detail")
+    new_q = fp_delta.select("doc_id", wh, "detail")
     idx_q = base_kb.select("doc_id", "keep_id", wh, "detail")
     verdicts, displaced = resolve_keep_best(
         new_q, idx_q, edges, ["wh", "detail"]
     )
-    delta_rows = fp.filter(is_delta).select("doc_id", "codec").join(
+    delta_rows = fp_delta.select("doc_id", "codec").join(
         verdicts.select("doc_id", "keep_id"), "doc_id"
     )
     # repoint: every base row whose keeper was displaced follows the
-    # new winner (the tick's MERGE step, expressed relationally)
+    # new winner (the tick's MERGE step, expressed relationally).
+    # displaced is at most one row per incumbent keeper beaten this
+    # batch — broadcast by construction, never shuffle the index
     base_rows = (
         base_kb.select("doc_id", "codec", "keep_id")
         .join(
-            displaced.select(
-                F.col("doc_id").alias("keep_id"), "new_keep"
+            F.broadcast(
+                displaced.select(
+                    F.col("doc_id").alias("keep_id"), "new_keep"
+                )
             ),
             "keep_id",
             "left",
@@ -1501,32 +1509,45 @@ def video_keep_best_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % MEDIA_DELTA_MOD == 0
-    # maintained state stages ONCE per session (r13): base clip
-    # decode + batch closure are persisted index, not per-run cost
+    # maintained state is PERSISTED parquet (r14, r13 verdict #1):
+    # base frame rows, the distinct frame signature (the tick's
+    # cm_frame_index shape) and the resolved keep-best index each
+    # land once and are READ on every invocation — the audited plan
+    # prices the delta decode + resolution only
     vfp_base = staged_index(
         spark,
         f"video_fp_base:{sf_dir}",
         lambda: MM.video_frame_dhash(
             MM.attach_payload_video_clips(docs.filter(~is_delta))
         ).select("doc_id", "frame_idx", "frame_dhash"),
+        src_dir=sf_dir,
     )
     vfp_delta = perf_checkpoint(
         MM.video_frame_dhash(
             MM.attach_payload_video_clips(docs.filter(is_delta))
         ).select("doc_id", "frame_idx", "frame_dhash")
     )
-    vfp = vfp_base.unionByName(vfp_delta)
-    nfr = vfp.groupBy("doc_id").agg(
+    nfr_delta = vfp_delta.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_frames")
     )
     base_kb = staged_index(
         spark,
         f"video_base_kb:{sf_dir}",
         lambda: video_keep_best_of(vfp_base),
+        src_dir=sf_dir,
     )
-    sig = vfp.select("doc_id", "frame_dhash").distinct()
+    # delta docs and base docs are disjoint, so DISTINCT distributes
+    # over the union: the staged base signature never re-shuffles
+    sig_base = staged_index(
+        spark,
+        f"video_sig_base:{sf_dir}",
+        lambda: vfp_base.select("doc_id", "frame_dhash").distinct(),
+        src_dir=sf_dir,
+    )
+    sig_delta = vfp_delta.select("doc_id", "frame_dhash").distinct()
+    sig = sig_base.unionByName(sig_delta)
     edges = (
-        sig.filter(is_delta).alias("a")
+        sig_delta.alias("a")
         .join(
             sig.alias("b"),
             (F.col("a.frame_dhash") == F.col("b.frame_dhash"))
@@ -1543,19 +1564,21 @@ def video_keep_best_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= VIDEO_SHARED_T)
         .select("id_a", "id_b")
     )
-    new_q = nfr.filter(is_delta).select("doc_id", "n_frames")
+    new_q = nfr_delta.select("doc_id", "n_frames")
     idx_q = base_kb.select("doc_id", "keep_id", "n_frames")
     verdicts, displaced = resolve_keep_best(
         new_q, idx_q, edges, ["n_frames"]
     )
-    delta_rows = nfr.filter(is_delta).join(
+    delta_rows = nfr_delta.join(
         verdicts.select("doc_id", "keep_id"), "doc_id"
     )
     base_rows = (
         base_kb.select("doc_id", "n_frames", "keep_id")
         .join(
-            displaced.select(
-                F.col("doc_id").alias("keep_id"), "new_keep"
+            F.broadcast(
+                displaced.select(
+                    F.col("doc_id").alias("keep_id"), "new_keep"
+                )
             ),
             "keep_id",
             "left",
@@ -2136,52 +2159,73 @@ def cross_modal_keep_best_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % MEDIA_DELTA_MOD == 0
-    # maintained state stages ONCE per session (r13): base still +
-    # clip decodes and the mixed batch closure are persisted index
+    # maintained state is PERSISTED parquet (r14, r13 verdict #1):
+    # base still fingerprints, base frame rows, the distinct frame
+    # signature and the resolved mixed closure each land once (the
+    # cm_image_index / cm_frame_index shapes the cross-modal tick
+    # persists) and are READ on every invocation — the audited cold
+    # plan prices the delta decode + resolution only
     thumbs_base = staged_index(
         spark,
         f"cm_thumbs_base:{sf_dir}",
         lambda: MM.media_dhash(
             MM.attach_payload_keyframe_thumbs(docs.filter(~is_delta))
         ).select("doc_id", "dhash"),
+        src_dir=sf_dir,
     )
     thumbs_delta = perf_checkpoint(
         MM.media_dhash(
             MM.attach_payload_keyframe_thumbs(docs.filter(is_delta))
         ).select("doc_id", "dhash")
     )
-    thumbs = thumbs_base.unionByName(thumbs_delta)
     vfp_base = staged_index(
         spark,
         f"video_fp_base:{sf_dir}",
         lambda: MM.video_frame_dhash(
             MM.attach_payload_video_clips(docs.filter(~is_delta))
         ).select("doc_id", "frame_idx", "frame_dhash"),
+        src_dir=sf_dir,
     )
     vfp_delta = perf_checkpoint(
         MM.video_frame_dhash(
             MM.attach_payload_video_clips(docs.filter(is_delta))
         ).select("doc_id", "frame_idx", "frame_dhash")
     )
-    vfp = vfp_base.unionByName(vfp_delta)
     base_kb = staged_index(
         spark,
         f"cm_base_kb:{sf_dir}",
         lambda: cross_modal_keep_best_of(thumbs_base, vfp_base),
+        src_dir=sf_dir,
     )
-    vsig = vfp.select("doc_id", "frame_dhash").distinct()
-    tbands = image_bands_of(thumbs)
-    fbands = image_bands_of(vsig, "frame_dhash")
+    # delta and base doc sets are disjoint, so DISTINCT and the node
+    # frame both distribute over the union: the staged base never
+    # re-shuffles and the base members come straight from the index
+    vsig_base = staged_index(
+        spark,
+        f"video_sig_base:{sf_dir}",
+        lambda: vfp_base.select("doc_id", "frame_dhash").distinct(),
+        src_dir=sf_dir,
+    )
+    vsig_delta = vfp_delta.select("doc_id", "frame_dhash").distinct()
+    vsig = vsig_base.unionByName(vsig_delta)
+    tbands_delta = image_bands_of(thumbs_delta)
+    tbands = image_bands_of(thumbs_base).unionByName(tbands_delta)
+    fbands_delta = image_bands_of(vsig_delta, "frame_dhash")
+    fbands = image_bands_of(vsig_base, "frame_dhash").unionByName(
+        fbands_delta
+    )
     edges = cross_modal_edges_of(
-        tbands.filter(is_delta),
+        tbands_delta,
         tbands,
-        fbands.filter(is_delta),
+        fbands_delta,
         fbands,
-        vsig.filter(is_delta),
+        vsig_delta,
         vsig,
     )
-    allnodes = cross_modal_nodes_of(thumbs, vfp)
-    new_q = allnodes.filter(is_delta).select(
+    delta_nodes = perf_checkpoint(
+        cross_modal_nodes_of(thumbs_delta, vfp_delta)
+    )
+    new_q = delta_nodes.select(
         F.col("node").alias("doc_id"), "n_frames"
     )
     idx_q = base_kb.select(
@@ -2192,7 +2236,7 @@ def cross_modal_keep_best_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdicts, displaced = resolve_keep_best(
         new_q, idx_q, edges, ["n_frames"]
     )
-    delta_rows = allnodes.filter(is_delta).join(
+    delta_rows = delta_nodes.join(
         verdicts.select(
             F.col("doc_id").alias("node"), F.col("keep_id").alias("keep_node")
         ),
@@ -2201,9 +2245,11 @@ def cross_modal_keep_best_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_rows = (
         base_kb.select("node", "doc_id", "modality", "n_frames", "keep_node")
         .join(
-            displaced.select(
-                F.col("doc_id").alias("keep_node"),
-                F.col("new_keep"),
+            F.broadcast(
+                displaced.select(
+                    F.col("doc_id").alias("keep_node"),
+                    F.col("new_keep"),
+                )
             ),
             "keep_node",
             "left",
@@ -2986,12 +3032,16 @@ def cross_modal_trimodal_delta(
 
     docs = load_table(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % MEDIA_DELTA_MOD == 0
+    # maintained state is PERSISTED parquet (r14, r13 verdict #1) —
+    # the trimodal tick's state families — read on every invocation;
+    # the audited cold plan prices the delta decode + resolution only
     thumbs_base = staged_index(
         spark,
         f"cm_thumbs_base:{sf_dir}",
         lambda: MM.media_dhash(
             MM.attach_payload_keyframe_thumbs(docs.filter(~is_delta))
         ).select("doc_id", "dhash"),
+        src_dir=sf_dir,
     )
     thumbs_delta = perf_checkpoint(
         MM.media_dhash(
@@ -3005,19 +3055,20 @@ def cross_modal_trimodal_delta(
         lambda: MM.video_frame_dhash(
             MM.attach_payload_video_clips(docs.filter(~is_delta))
         ).select("doc_id", "frame_idx", "frame_dhash"),
+        src_dir=sf_dir,
     )
     vfp_delta = perf_checkpoint(
         MM.video_frame_dhash(
             MM.attach_payload_video_clips(docs.filter(is_delta))
         ).select("doc_id", "frame_idx", "frame_dhash")
     )
-    vfp = vfp_base.unionByName(vfp_delta)
     afp_base = staged_index(
         spark,
         f"cm_audio_base:{sf_dir}",
         lambda: MM.audio_spectral_dhash(
             MM.attach_payload_audio_clips(docs.filter(~is_delta))
         ).select("doc_id", "n_windows", "sphash"),
+        src_dir=sf_dir,
     )
     afp_delta = perf_checkpoint(
         MM.audio_spectral_dhash(
@@ -3031,6 +3082,7 @@ def cross_modal_trimodal_delta(
         lambda: MM.audio_spectral_dhash(
             MM.attach_payload_soundtrack_wavs(docs.filter(~is_delta))
         ).select("doc_id", "sphash"),
+        src_dir=sf_dir,
     )
     trk_delta = perf_checkpoint(
         MM.audio_spectral_dhash(
@@ -3045,9 +3097,19 @@ def cross_modal_trimodal_delta(
         lambda: trimodal_keep_best_of(
             thumbs_base, vfp_base, afp_base, trk_base
         ),
+        src_dir=sf_dir,
     )
-    vsig = vfp.select("doc_id", "frame_dhash").distinct()
+    # delta and base doc sets are disjoint: DISTINCT and the node
+    # frame distribute over the union, so the staged base signature
+    # never re-shuffles and base members come straight from the index
+    vsig_base = staged_index(
+        spark,
+        f"video_sig_base:{sf_dir}",
+        lambda: vfp_base.select("doc_id", "frame_dhash").distinct(),
+        src_dir=sf_dir,
+    )
     vsig_delta = vfp_delta.select("doc_id", "frame_dhash").distinct()
+    vsig = vsig_base.unionByName(vsig_delta)
     tb = image_bands_of(thumbs)
     fb = image_bands_of(vsig, "frame_dhash")
     rb = image_bands_of(afp.select("doc_id", "sphash"), "sphash")
@@ -3059,9 +3121,10 @@ def cross_modal_trimodal_delta(
         image_bands_of(afp_delta.select("doc_id", "sphash"), "sphash"), rb,
         image_bands_of(trk_delta, "sphash"), trb,
     )
-    allnodes = trimodal_nodes_of(thumbs, vfp, afp)
-    is_delta_node = F.expr("node div 3") % MEDIA_DELTA_MOD == 0
-    new_q = allnodes.filter(is_delta_node).select(
+    delta_nodes = perf_checkpoint(
+        trimodal_nodes_of(thumbs_delta, vfp_delta, afp_delta)
+    )
+    new_q = delta_nodes.select(
         F.col("node").alias("doc_id"), "mrank", "n_units"
     )
     idx_q = base_kb.select(
@@ -3073,7 +3136,7 @@ def cross_modal_trimodal_delta(
     verdicts, displaced = resolve_keep_best(
         new_q, idx_q, edges, ["mrank", "n_units"]
     )
-    delta_rows = allnodes.filter(is_delta_node).join(
+    delta_rows = delta_nodes.join(
         verdicts.select(
             F.col("doc_id").alias("node"),
             F.col("keep_id").alias("keep_node"),
@@ -3085,8 +3148,10 @@ def cross_modal_trimodal_delta(
             "node", "doc_id", "modality", "n_units", "keep_node"
         )
         .join(
-            displaced.select(
-                F.col("doc_id").alias("keep_node"), F.col("new_keep")
+            F.broadcast(
+                displaced.select(
+                    F.col("doc_id").alias("keep_node"), F.col("new_keep")
+                )
             ),
             "keep_node",
             "left",
