@@ -36,12 +36,56 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Edge-count bound for the driver-side fast path. Below it, the graph
+# is collected (two longs per edge — a few MB at the bound) and solved
+# with union-find in O(E a(E)); above it, the distributed fixpoint
+# runs. The cutover exists because each propagation round is 2+ small
+# jobs whose FIXED overhead dominates at delta-batch scale — a
+# streaming tick's delta-touching subgraph is bounded by the batch, so
+# ticks practically always take the fast path, while a full-corpus
+# closure at production scale exceeds the bound and stays distributed.
+# Both paths produce the identical labeling (min reachable node id).
+SMALL_GRAPH_EDGES = 1 << 17
+
+
+def _unionfind_min_labels(rows) -> list:
+    """Union-find with union-by-min-root: attaching the larger root
+    under the smaller keeps every root the MINIMUM id of its
+    component — the same canonical label the distributed fixpoint
+    converges to. Self-loops are skipped entirely (the distributed
+    path filters a == b before building labels, so a node appearing
+    ONLY in self-pairs gets no row there either)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a == b:
+            continue
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return [(n, find(n)) for n in parent]
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Cluster an undirected edge list into connected components.
 
@@ -49,16 +93,42 @@ def connected_components(
     ``component`` is the minimum node id reachable from ``node`` —
     a deterministic canonical label.
 
-    Raises RuntimeError if ``max_iter`` rounds pass without
-    convergence (graph diameter > max_iter): silently returning
-    SPLIT components would let duplicates survive a dedup prune with
-    no signal. Raise max_iter, or switch to the large-star/small-star
-    scheme (module docstring) for adversarially deep graphs.
+    Graphs with at most ``small_graph_edges`` edges are solved exactly
+    on the driver (union-find; see SMALL_GRAPH_EDGES) — pass 0 to
+    force the distributed fixpoint. On the distributed path, raises
+    RuntimeError if ``max_iter`` rounds pass without convergence
+    (graph diameter > max_iter): silently returning SPLIT components
+    would let duplicates survive a dedup prune with no signal. Raise
+    max_iter, or switch to the large-star/small-star scheme (module
+    docstring) for adversarially deep graphs.
     """
+    sel = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # bounded fast path: LIMIT bound+1 probes size and fetches the
+    # edges in ONE job (before any checkpoint — the common small case
+    # then runs exactly one action); a complete result means the
+    # graph fits
+    probe = (
+        sel.limit(small_graph_edges + 1).collect()
+        if small_graph_edges > 0
+        else None
+    )
+    if probe is not None and len(probe) <= small_graph_edges:
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = sel.schema["a"].dataType
+        return edges.sparkSession.createDataFrame(
+            _unionfind_min_labels((r[0], r[1]) for r in probe),
+            StructType(
+                [
+                    StructField("node", id_type, False),
+                    StructField("component", id_type, False),
+                ]
+            ),
+        )
     # checkpoint the base edge list BEFORE the self-union: the union
     # re-executes its child twice, and the child is typically an
     # expensive candidate-pair plan (LSH join / blocked matmul)
-    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    e0 = sel.localCheckpoint()
     e = (
         e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))

@@ -46,11 +46,26 @@ from falcon_metrics_etl_spark.operators.components import duplicate_clusters
 from falcon_metrics_etl_spark.session import perf_checkpoint
 
 
+def _admit_all(new_q: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """No surviving edges: every batch doc keeps itself, nothing is
+    displaced."""
+    verdicts = new_q.select(
+        "doc_id",
+        F.col("doc_id").alias("keep_id"),
+        F.lit(True).alias("is_kept"),
+    )
+    displaced = new_q.sparkSession.createDataFrame(
+        [], "doc_id long, new_keep long"
+    )
+    return verdicts, displaced
+
+
 def resolve_keep_best(
     new_q: DataFrame,
     idx_q: DataFrame,
     edges: DataFrame,
     quality_cols: Sequence[str],
+    bounded_batch: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Resolve one delta batch against the processed-doc index.
 
@@ -70,59 +85,87 @@ def resolve_keep_best(
     - displaced: (doc_id, new_keep) — incumbent cluster keepers beaten
       by the component winner; the caller must repoint every index row
       whose keep_id is a displaced doc to new_keep and flag the doc.
+
+    ``bounded_batch=True`` declares the delta (and so the edge list)
+    bounded by a micro-batch contract — the streaming ticks' case.
+    The keeper lift then restricts the index to edge endpoints via a
+    broadcast semi join (map-side over the index scan) and broadcasts
+    the bounded result into the lift joins, so no step shuffles the
+    maintained index — tick cost scales with the delta, not the
+    state. The delta QUERIES (SF-proportional delta slice) keep the
+    default: their edge volume grows with the corpus, and broadcasting
+    it would be the 100 TB hazard.
     """
     rep = idx_q.select("doc_id", "keep_id")
+    if bounded_batch:
+        ids = (
+            edges.select(F.col("id_a").alias("doc_id"))
+            .unionByName(edges.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        rep = rep.join(F.broadcast(ids), "doc_id", "left_semi")
     # lift old endpoints to their cluster keepers; batch docs (absent
     # from idx_q) stay themselves. Self-loops (a replayed batch doc
     # matching rows that already point at it) drop out here.
+    rep_a = rep.select(
+        F.col("doc_id").alias("id_a"), F.col("keep_id").alias("rep_a")
+    )
+    rep_b = rep.select(
+        F.col("doc_id").alias("id_b"), F.col("keep_id").alias("rep_b")
+    )
+    if bounded_batch:
+        rep_a, rep_b = F.broadcast(rep_a), F.broadcast(rep_b)
     e = (
-        edges.join(
-            rep.select(
-                F.col("doc_id").alias("id_a"), F.col("keep_id").alias("rep_a")
-            ),
-            "id_a",
-            "left",
-        )
-        .join(
-            rep.select(
-                F.col("doc_id").alias("id_b"), F.col("keep_id").alias("rep_b")
-            ),
-            "id_b",
-            "left",
-        )
+        edges.join(rep_a, "id_a", "left")
+        .join(rep_b, "id_b", "left")
         .select(
             F.coalesce("rep_a", F.col("id_a")).alias("id_a"),
             F.coalesce("rep_b", F.col("id_b")).alias("id_b"),
         )
         .filter(F.col("id_a") != F.col("id_b"))
     )
-    # materialize the (delta-sized) edge list once: it feeds the
-    # empty-graph short circuit AND the component loop. A batch of
-    # fresh content has no edges at all — skip the iterative
-    # clustering (several jobs) and admit everything.
-    e = e.localCheckpoint(eager=True)
-    if e.isEmpty():
-        verdicts = new_q.select(
-            "doc_id",
-            F.col("doc_id").alias("keep_id"),
-            F.lit(True).alias("is_kept"),
+    if bounded_batch:
+        # batch-bounded edges: ONE collect serves the empty-graph
+        # short circuit AND the component solve (driver union-find,
+        # operators/components._unionfind_min_labels) — vs three
+        # control jobs (checkpoint, isEmpty, probe) on the general
+        # path, which dominate tick latency at micro-batch scale
+        from falcon_metrics_etl_spark.operators.components import (
+            _unionfind_min_labels,
         )
-        displaced = new_q.sparkSession.createDataFrame(
-            [], "doc_id long, new_keep long"
+
+        e_rows = e.collect()
+        if not e_rows:
+            return _admit_all(new_q)
+        comp = new_q.sparkSession.createDataFrame(
+            _unionfind_min_labels((r[0], r[1]) for r in e_rows),
+            "node long, cluster_id long",
         )
-        return verdicts, displaced
-    comp = duplicate_clusters(e).select("node", "cluster_id")
+    else:
+        # materialize the (delta-sized) edge list once: it feeds the
+        # empty-graph short circuit AND the component loop. A batch of
+        # fresh content has no edges at all — skip the iterative
+        # clustering (several jobs) and admit everything.
+        e = e.localCheckpoint(eager=True)
+        if e.isEmpty():
+            return _admit_all(new_q)
+        comp = duplicate_clusters(e).select("node", "cluster_id")
     # quality of every component node: batch docs from new_q, keepers
     # from the index; a doc present in both (a re-sent doc in a fresh
-    # batch) decodes to identical values, so the dedup pick is safe
-    qual = (
-        new_q.select("doc_id", *quality_cols)
-        .unionByName(idx_q.select("doc_id", *quality_cols))
-        .dropDuplicates(["doc_id"])
+    # batch) decodes to identical values, so the dedup pick is safe.
+    # The per-doc dedupe runs AFTER the comp join: comp is the
+    # delta-touching subgraph (tiny), so joining first restricts the
+    # dedupe shuffle to component members instead of re-shuffling the
+    # whole maintained index every batch — same rows by the
+    # identical-values argument above.
+    qual = new_q.select("doc_id", *quality_cols).unionByName(
+        idx_q.select("doc_id", *quality_cols)
     )
-    members = comp.join(
-        qual, comp["node"] == qual["doc_id"]
-    ).select("node", "cluster_id", *quality_cols)
+    members = (
+        comp.join(qual, comp["node"] == qual["doc_id"])
+        .dropDuplicates(["node"])
+        .select("node", "cluster_id", *quality_cols)
+    )
     best = F.max(
         F.struct(
             *[F.col(c) for c in quality_cols],

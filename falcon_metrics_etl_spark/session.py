@@ -102,6 +102,44 @@ def perf_checkpoint(df):
 # persist (streaming/cross_modal_tick.stage_cross_modal_state), and
 # the twins' audited plans READ it as a parquet scan instead of
 # re-deriving the batch closure in-lineage on a cold session.
+def run_concurrent(*thunks):
+    """Submit independent Spark actions from one driver concurrently
+    and return their results in order.
+
+    The streaming ticks' cost is JOB-COUNT dominated at batch scale:
+    each per-table append/repoint/checkpoint is a small job whose
+    fixed overhead (planning, scheduling, Python worker spin-up)
+    outweighs its task work, and running seven of them back to back
+    prices seven overheads serially (SCALE.md r13 probe note). Spark
+    job submission is thread-safe and the scheduler interleaves
+    concurrent jobs across the same executors, so overlapping the
+    submissions collapses the serial overhead without touching the
+    on-disk layout or the replay contract — each action keeps its own
+    failure semantics (the first exception re-raises after all
+    complete, so a replay sees the same partially-applied,
+    idempotent-by-design state a serial failure leaves).
+
+    Single-thunk calls run inline — no pool overhead on the common
+    path."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        errs = []
+        out = []
+        for f in futures:
+            try:
+                out.append(f.result())
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+                out.append(None)
+        if errs:
+            raise errs[0]
+        return out
+
+
 STATE_DIR_ENV = "FALCON_METRICS_STATE_DIR"
 
 

@@ -75,6 +75,7 @@ from falcon_metrics_etl_spark.plans.media_dedup import (
     cross_modal_keep_best_of,
     image_bands_of,
 )
+from falcon_metrics_etl_spark.session import run_concurrent
 from falcon_metrics_etl_spark.sinks.merge import _target_exists, merge_upsert
 
 CM_IMG_SCHEMA = (
@@ -96,6 +97,43 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     if _target_exists(spark, path):
         return spark.read.parquet(path)
     return spark.createDataFrame([], schema)
+
+
+def _anti_existing(frame: DataFrame, full: DataFrame, key: str) -> DataFrame:
+    """Batch rows whose ``key`` is not already in the state table,
+    WITHOUT shuffling the state: the state side is filtered to the
+    batch's keys by a broadcast semi join (map-side over the scan)
+    and the bounded survivor set broadcasts into the anti join. The
+    batch is micro-batch-bounded by the tick contract, so both
+    broadcasts are delta-sized."""
+    present = full.select(key).join(
+        F.broadcast(frame.select(key).distinct()), key, "left_semi"
+    )
+    return frame.join(F.broadcast(present), key, "left_anti")
+
+
+def _phase_timer():
+    """Env-gated phase profiler (FALCON_TICK_PROFILE=1): returns a
+    mark(label) closure printing per-phase wall clock to stderr.
+    Costs one time.time() per phase when disabled."""
+    import os
+    import sys as _sys
+    import time as _time
+
+    enabled = bool(os.environ.get("FALCON_TICK_PROFILE"))
+    state = {"t": _time.time()}
+
+    def mark(label: str) -> None:
+        now = _time.time()
+        if enabled:
+            print(
+                f"[tick] {label}: {now - state['t']:.2f}s",
+                file=_sys.stderr,
+                flush=True,
+            )
+        state["t"] = now
+
+    return mark
 
 
 def _fingerprint_batch(
@@ -215,18 +253,23 @@ def cross_modal_ingest_tick(
     fb_all = fband_idx.select(
         "doc_id", "frame_dhash", "band", "byte"
     ).unionByName(fb_new)
-    vsig_all = (
-        frame_idx.select("doc_id", "frame_dhash")
-        .unionByName(vsig_new)
-        .distinct()
+    # no DISTINCT here: stored frame rows are distinct per doc by the
+    # append contract, vsig_new is distinct, and the clip<->clip edge
+    # family re-distincts its (pair, frame) rows before counting — so
+    # the union-wide dedupe was a state-sized shuffle for nothing
+    vsig_all = frame_idx.select("doc_id", "frame_dhash").unionByName(
+        vsig_new
     )
 
     from falcon_metrics_etl_spark.plans.media_dedup import (
         cross_modal_edges_of,
     )
 
+    # the probing side is the batch — micro-batch-bounded, so every
+    # edge family broadcasts it and the state side never shuffles
     edges = cross_modal_edges_of(
-        tb_new, tb_all, fb_new, fb_all, vsig_new, vsig_all
+        F.broadcast(tb_new), tb_all, F.broadcast(fb_new), fb_all,
+        F.broadcast(vsig_new), vsig_all,
     ).localCheckpoint(eager=True)
 
     # joint resolution over modality-tagged nodes
@@ -250,10 +293,12 @@ def cross_modal_ingest_tick(
         ).dropDuplicates(["doc_id"])
     )
     verdicts, displaced = resolve_keep_best(
-        new_q, idx_q, edges, ["n_frames"]
+        new_q, idx_q, edges, ["n_frames"], bounded_batch=True
     )
-    verdicts = verdicts.localCheckpoint(eager=True)
-    displaced = displaced.localCheckpoint(eager=True)
+    verdicts, displaced = run_concurrent(
+        lambda: verdicts.localCheckpoint(eager=True),
+        lambda: displaced.localCheckpoint(eager=True),
+    )
 
     # ---- 1) land flags (keyed merge) --------------------------------
     def _fmt(node_col):
@@ -292,90 +337,70 @@ def cross_modal_ingest_tick(
         rp = displaced.select(
             F.col("doc_id").alias("keep_node"), "new_keep"
         )
-        full_img = _read_or_empty(
-            spark, f"{state_dir}/cm_image_index", CM_IMG_SCHEMA
-        )
-        upd = (
-            full_img.join(rp, "keep_node")
-            .withColumn("keep_node", F.col("new_keep"))
-            .drop("new_keep")
-        )
-        merge_upsert(spark, f"{state_dir}/cm_image_index", upd, ["node"])
-        full_fr = _read_or_empty(
-            spark, f"{state_dir}/cm_frame_index", CM_FRAME_SCHEMA
-        )
-        upd = (
-            full_fr.join(rp, "keep_node")
-            .withColumn("keep_node", F.col("new_keep"))
-            .drop("new_keep")
-        )
-        merge_upsert(
-            spark,
-            f"{state_dir}/cm_frame_index",
-            upd,
-            ["node", "frame_dhash"],
+
+        def _repoint(sub: str, schema: str, keys: list) -> None:
+            full = _read_or_empty(spark, f"{state_dir}/{sub}", schema)
+            upd = (
+                full.join(F.broadcast(rp), "keep_node")
+                .withColumn("keep_node", F.col("new_keep"))
+                .drop("new_keep")
+            )
+            merge_upsert(spark, f"{state_dir}/{sub}", upd, keys)
+
+        # the two index repoints touch disjoint tables — concurrent
+        run_concurrent(
+            lambda: _repoint("cm_image_index", CM_IMG_SCHEMA, ["node"]),
+            lambda: _repoint(
+                "cm_frame_index", CM_FRAME_SCHEMA, ["node", "frame_dhash"]
+            ),
         )
 
     # ---- 3) append the batch (kept AND dropped; anti-joined) --------
     tag = F.lit(bid).alias("batch_id")
-    full_img = _read_or_empty(
-        spark, f"{state_dir}/cm_image_index", CM_IMG_SCHEMA
+    kmap = verdicts.select(
+        F.col("doc_id").alias("node"), F.col("keep_id").alias("keep_node")
     )
-    new_img = (
-        t_new.select(
-            (F.col("doc_id") * 2).alias("node"), "doc_id", "dhash"
-        )
-        .join(
-            verdicts.select(
-                F.col("doc_id").alias("node"),
-                F.col("keep_id").alias("keep_node"),
-            ),
-            "node",
-        )
-        .join(full_img.select("node").distinct(), "node", "left_anti")
-        .select("node", "doc_id", "dhash", "keep_node", tag)
-    )
-    new_img.write.mode("append").parquet(f"{state_dir}/cm_image_index")
 
-    full_tb = _read_or_empty(
-        spark, f"{state_dir}/cm_tband_index", CM_TBAND_SCHEMA
-    )
-    new_tb = (
-        tb_new.join(full_tb.select("doc_id").distinct(), "doc_id", "left_anti")
-        .select("doc_id", "dhash", "band", "byte", tag)
-    )
-    new_tb.write.mode("append").parquet(f"{state_dir}/cm_tband_index")
+    def _append(sub: str, schema: str, frame: DataFrame, key: str, cols) -> None:
+        full = _read_or_empty(spark, f"{state_dir}/{sub}", schema)
+        (
+            _anti_existing(frame, full, key)
+            .select(*cols, tag)
+            .write.mode("append").parquet(f"{state_dir}/{sub}")
+        )
 
-    full_fr = _read_or_empty(
-        spark, f"{state_dir}/cm_frame_index", CM_FRAME_SCHEMA
-    )
+    new_img = t_new.select(
+        (F.col("doc_id") * 2).alias("node"), "doc_id", "dhash"
+    ).join(F.broadcast(kmap), "node")
     new_fr = (
         vsig_new.select(
             (F.col("doc_id") * 2 + 1).alias("node"),
             "doc_id",
             "frame_dhash",
         )
-        .join(n_new, "doc_id")
-        .join(
-            verdicts.select(
-                F.col("doc_id").alias("node"),
-                F.col("keep_id").alias("keep_node"),
-            ),
-            "node",
-        )
-        .join(full_fr.select("node").distinct(), "node", "left_anti")
-        .select("node", "doc_id", "frame_dhash", "n_frames", "keep_node", tag)
+        .join(F.broadcast(n_new), "doc_id")
+        .join(F.broadcast(kmap), "node")
     )
-    new_fr.write.mode("append").parquet(f"{state_dir}/cm_frame_index")
-
-    full_fb = _read_or_empty(
-        spark, f"{state_dir}/cm_fband_index", CM_FBAND_SCHEMA
+    # the four appends target disjoint tables with the same anti-join
+    # + batch-tag replay contract — one concurrent wave
+    run_concurrent(
+        lambda: _append(
+            "cm_image_index", CM_IMG_SCHEMA, new_img, "node",
+            ["node", "doc_id", "dhash", "keep_node"],
+        ),
+        lambda: _append(
+            "cm_tband_index", CM_TBAND_SCHEMA, tb_new, "doc_id",
+            ["doc_id", "dhash", "band", "byte"],
+        ),
+        lambda: _append(
+            "cm_frame_index", CM_FRAME_SCHEMA, new_fr, "node",
+            ["node", "doc_id", "frame_dhash", "n_frames", "keep_node"],
+        ),
+        lambda: _append(
+            "cm_fband_index", CM_FBAND_SCHEMA, fb_new, "doc_id",
+            ["doc_id", "frame_dhash", "band", "byte"],
+        ),
     )
-    new_fb = (
-        fb_new.join(full_fb.select("doc_id").distinct(), "doc_id", "left_anti")
-        .select("doc_id", "frame_dhash", "band", "byte", tag)
-    )
-    new_fb.write.mode("append").parquet(f"{state_dir}/cm_fband_index")
 
 
 def unified_media_ingest_tick(
@@ -597,14 +622,27 @@ def trimodal_ingest_tick(
     )
 
     bid = int(batch_id)
+    mark = _phase_timer()
     t_new, v_new, a_new, r_new = _fingerprint_batch3(
         batch_docs, thumbs, clips, recordings, tracks, vfp
     )
-    t_new = t_new.localCheckpoint(eager=True)
+    # the four per-modality decode checkpoints are independent jobs —
+    # submit them concurrently (r14, r13 verdict #2: tick cost is
+    # job-count dominated at batch scale)
     if vfp is None:  # injected frames are already checkpoint blocks
-        v_new = v_new.localCheckpoint(eager=True)
-    a_new = a_new.localCheckpoint(eager=True)
-    r_new = r_new.localCheckpoint(eager=True)
+        t_new, v_new, a_new, r_new = run_concurrent(
+            lambda df=t_new: df.localCheckpoint(eager=True),
+            lambda df=v_new: df.localCheckpoint(eager=True),
+            lambda df=a_new: df.localCheckpoint(eager=True),
+            lambda df=r_new: df.localCheckpoint(eager=True),
+        )
+    else:
+        t_new, a_new, r_new = run_concurrent(
+            lambda df=t_new: df.localCheckpoint(eager=True),
+            lambda df=a_new: df.localCheckpoint(eager=True),
+            lambda df=r_new: df.localCheckpoint(eager=True),
+        )
+    mark("decode")
     vsig_new = v_new.select("doc_id", "frame_dhash").distinct()
     n_new = v_new.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_frames")
@@ -648,15 +686,21 @@ def trimodal_ingest_tick(
     trb_all = trband_idx.select(
         "doc_id", "sphash", "band", "byte"
     ).unionByName(trb_new)
-    vsig_all = (
-        frame_idx.select("doc_id", "frame_dhash")
-        .unionByName(vsig_new)
-        .distinct()
+    # no DISTINCT here: stored frame rows are distinct per doc by the
+    # append contract, vsig_new is distinct, and the clip<->clip edge
+    # family re-distincts its (pair, frame) rows before counting — so
+    # the union-wide dedupe was a state-sized shuffle for nothing
+    vsig_all = frame_idx.select("doc_id", "frame_dhash").unionByName(
+        vsig_new
     )
+    # the probing side is the batch — micro-batch-bounded, so every
+    # edge family broadcasts it and the state side never shuffles
     edges = trimodal_edges_delta(
-        tb_new, tb_all, fb_new, fb_all, vsig_new, vsig_all,
-        rb_new, rb_all, trb_new, trb_all,
+        F.broadcast(tb_new), tb_all, F.broadcast(fb_new), fb_all,
+        F.broadcast(vsig_new), vsig_all,
+        F.broadcast(rb_new), rb_all, F.broadcast(trb_new), trb_all,
     ).localCheckpoint(eager=True)
+    mark("edges")
 
     # joint resolution: quality = (modality rank, decoded units)
     new_q = (
@@ -705,10 +749,13 @@ def trimodal_ingest_tick(
         )
     )
     verdicts, displaced = resolve_keep_best(
-        new_q, idx_q, edges, ["mrank", "n_units"]
+        new_q, idx_q, edges, ["mrank", "n_units"], bounded_batch=True
     )
-    verdicts = verdicts.localCheckpoint(eager=True)
-    displaced = displaced.localCheckpoint(eager=True)
+    verdicts, displaced = run_concurrent(
+        lambda: verdicts.localCheckpoint(eager=True),
+        lambda: displaced.localCheckpoint(eager=True),
+    )
+    mark("resolve")
 
     # ---- 1) land flags (keyed merge) --------------------------------
     def _fmt3(node_col):
@@ -742,6 +789,7 @@ def trimodal_ingest_tick(
     merge_upsert(
         spark, f"{state_dir}/cm3_flags", flags, ["doc_id", "modality"]
     )
+    mark("flags")
 
     # ---- 2) repoint displaced keepers, per modality -----------------
     # keep_node references stay WITHIN a modality's index (a row's
@@ -756,19 +804,33 @@ def trimodal_ingest_tick(
         rp = displaced.select(
             F.col("doc_id").alias("keep_node"), "new_keep"
         ).localCheckpoint(eager=True)
-        for sub, schema, keys in (
-            ("cm3_image_index", CM3_IMG_SCHEMA, ["node"]),
-            ("cm3_frame_index", CM3_FRAME_SCHEMA, ["node", "frame_dhash"]),
-            ("cm3_audio_index", CM3_AUDIO_SCHEMA, ["node"]),
-        ):
+
+        def _repoint(sub: str, schema: str, keys: list) -> None:
             full = _read_or_empty(spark, f"{state_dir}/{sub}", schema)
             upd = (
-                full.join(rp, "keep_node")
+                full.join(F.broadcast(rp), "keep_node")
                 .withColumn("keep_node", F.col("new_keep"))
                 .drop("new_keep")
             )
             if not upd.isEmpty():
                 merge_upsert(spark, f"{state_dir}/{sub}", upd, keys)
+
+        # per-modality repoints touch disjoint tables — concurrent
+        run_concurrent(
+            *(
+                lambda s=sub, sc=schema, k=keys: _repoint(s, sc, k)
+                for sub, schema, keys in (
+                    ("cm3_image_index", CM3_IMG_SCHEMA, ["node"]),
+                    (
+                        "cm3_frame_index",
+                        CM3_FRAME_SCHEMA,
+                        ["node", "frame_dhash"],
+                    ),
+                    ("cm3_audio_index", CM3_AUDIO_SCHEMA, ["node"]),
+                )
+            )
+        )
+    mark("repoint")
 
     # ---- 3) append the batch (kept AND dropped; anti-joined) --------
     # table-driven so the replay contract (anti-join key + batch tag)
@@ -802,14 +864,14 @@ def trimodal_ingest_tick(
             ["node", "doc_id", "sphash", "n_windows", "keep_node"],
         ),
     )
-    for sub, schema, frame, cols in node_frames:
+    def _append_nodes(sub: str, schema: str, frame: DataFrame, cols) -> None:
         full = _read_or_empty(spark, f"{state_dir}/{sub}", schema)
         (
-            frame.join(kmap, "node")
-            .join(full.select("node").distinct(), "node", "left_anti")
+            _anti_existing(frame.join(F.broadcast(kmap), "node"), full, "node")
             .select(*cols, tag)
             .write.mode("append").parquet(f"{state_dir}/{sub}")
         )
+
     band_frames = (
         ("cm3_tband_index", CM_TBAND_SCHEMA, tb_new,
          ["doc_id", "dhash", "band", "byte"]),
@@ -820,12 +882,29 @@ def trimodal_ingest_tick(
         ("cm3_trband_index", CM3_SPBAND_SCHEMA, trb_new,
          ["doc_id", "sphash", "band", "byte"]),
     )
-    for sub, schema, frame, cols in band_frames:
+
+    def _append_bands(sub: str, schema: str, frame: DataFrame, cols) -> None:
         full = _read_or_empty(spark, f"{state_dir}/{sub}", schema)
         (
-            frame.join(
-                full.select("doc_id").distinct(), "doc_id", "left_anti"
-            )
+            _anti_existing(frame, full, "doc_id")
             .select(*cols, tag)
             .write.mode("append").parquet(f"{state_dir}/{sub}")
         )
+
+    # the seven appends target disjoint tables with the same
+    # anti-join + batch-tag replay contract — one concurrent wave
+    run_concurrent(
+        *(
+            lambda s=sub, sc=schema, f=frame, c=cols: _append_nodes(
+                s, sc, f, c
+            )
+            for sub, schema, frame, cols in node_frames
+        ),
+        *(
+            lambda s=sub, sc=schema, f=frame, c=cols: _append_bands(
+                s, sc, f, c
+            )
+            for sub, schema, frame, cols in band_frames
+        ),
+    )
+    mark("append")

@@ -97,8 +97,9 @@ def test_duplicate_clusters_canonical_pick(spark):
 
 
 def test_connected_components_raises_on_non_convergence(spark):
-    """A chain deeper than max_iter must raise, not silently return
-    split components."""
+    """On the distributed path (small-graph fast path disabled), a
+    chain deeper than max_iter must raise, not silently return split
+    components."""
     import pytest
 
     from falcon_metrics_etl_spark.operators.components import (
@@ -108,7 +109,31 @@ def test_connected_components_raises_on_non_convergence(spark):
     chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(6)]
     edges = spark.createDataFrame(chain, "src string, dst string")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=2, small_graph_edges=0)
     # ...and converges fine with enough rounds
-    out = connected_components(edges, max_iter=10)
+    out = connected_components(edges, max_iter=10, small_graph_edges=0)
     assert {r["component"] for r in out.collect()} == {"n00"}
+
+
+def test_fast_path_matches_distributed_path(spark):
+    """The driver union-find fast path and the distributed fixpoint
+    must produce the identical (node, component) labeling — including
+    string ids, reversed edges, self-loops and duplicate edges."""
+    from falcon_metrics_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = random.Random(21)
+    edges = [
+        (rng.randrange(40), rng.randrange(40)) for _ in range(60)
+    ] + [(7, 7), (3, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(df, small_graph_edges=0).collect()
+    }
+    assert fast == dist
