@@ -2812,6 +2812,79 @@ def media_band_occupancy_audit(
 
 
 @register(
+    "audio_band_occupancy_audit",
+    doc="Band-occupancy audit of the AUDIO spectral LSH index — the "
+    "sphash sibling of media_band_occupancy_audit (r14, r13 verdict "
+    "#3): the index under audit is what the audio families actually "
+    "probe (every recording fingerprint PLUS every soundtrack-rip "
+    "fingerprint), measured under BOTH band layouts (the shipped "
+    "8x8-bit and the widen-at-billions 4x16-bit): per band, distinct "
+    "buckets, rows, the hottest bucket, and the chance-candidate "
+    "volume sum(c*(c-1)/2) a banded self-join would generate. This "
+    "gives the audio family's widen-at-scale trade a measured number "
+    "instead of prose. PCM decodes once per corpus; the audit is two "
+    "groupBys over 12 band rows per fingerprint.",
+    tags=("multimodal", "audio", "dedup", "fft", "lsh", "audit",
+          "training-data"),
+    oracle=f"""
+WITH {_DUCK_SPECTRAL},
+{_DUCK_TRACKS},
+spidx AS (
+    SELECT sphash FROM sphashes
+    UNION ALL
+    SELECT sphash FROM tracks
+),
+cfgs AS (
+    SELECT '8x8' AS config, 8 AS nb, 8 AS bits
+    UNION ALL SELECT '4x16', 4, 16
+),
+bandrows AS (
+    SELECT c.config, CAST(t.b AS INT) AS band,
+           (i.sphash >> (t.b * c.bits))
+               & ((1::BIGINT << c.bits) - 1) AS bkey
+    FROM spidx i CROSS JOIN cfgs c CROSS JOIN range(8) t(b)
+    WHERE t.b < c.nb
+),
+buckets AS (
+    SELECT config, band, bkey, COUNT(*) AS c
+    FROM bandrows GROUP BY config, band, bkey
+)
+SELECT config, band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MAX(c) AS BIGINT) AS max_bucket,
+       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand_pairs
+FROM buckets GROUP BY config, band
+""",
+)
+def audio_band_occupancy_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    recs = _audio_spectral_fps(spark, sf_dir).select("doc_id", "sphash")
+    trks = _track_fingerprints(spark, sf_dir).select("doc_id", "sphash")
+    fp = perf_checkpoint(recs.unionByName(trks))
+    rows = None
+    for config, nb in BAND_CONFIGS:
+        b = image_bands_of(fp, "sphash", n_bands=nb).select(
+            F.lit(config).alias("config"),
+            "band",
+            F.col("byte").alias("bkey"),
+        )
+        rows = b if rows is None else rows.unionByName(b)
+    buckets = rows.groupBy("config", "band", "bkey").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return buckets.groupBy("config", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_bucket"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias(
+            "cand_pairs"
+        ),
+    )
+
+
+@register(
     "cross_modal_audio_incremental_update",
     doc="Incremental cross-modal AUDIO maintenance — the delta-pairs "
     "twin keeping the r13 audio family symmetric with the image one "

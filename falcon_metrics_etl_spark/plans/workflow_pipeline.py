@@ -209,7 +209,11 @@ def event_dates_expr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "measured whale->pandas routing as a net LOSS (27x vs the expr "
     "path's 1.46x under a 300k-revision hot item), so "
     "transform_work_items defaults the routing OFF; this registration "
-    "verifies the mechanism's correctness, not a perf claim (SCALE.md).",
+    "verifies the mechanism's correctness, not a perf claim (SCALE.md). "
+    "Bench-tagged OUT of HEADLINE in r14 (r13 verdict #7): a "
+    "documented-net-loss mechanism witness whose two-path union read "
+    "4.8x under driver-session contention and distorted the headline "
+    "total; it stays registered and oracled here.",
     tags=("workflow", "window", "pandas-udf"),
     oracle=_EVENT_DATES_FULL_ORACLE,
 )

@@ -557,6 +557,85 @@ def test_cross_modal_audio_pairs_and_trimodal_keep_best(spark, sf_smoke):
         assert by_node[(t, "image")]["keep_modality"] == "video"
 
 
+def test_audio_spectral_band_pigeonhole_and_wide_layout(spark):
+    """The audio spectral index's band-width contract (r14): 8x8-bit
+    banding GUARANTEES a shared band for pairs at Hamming <= 7
+    (pigeonhole), the widened 4x16-bit layout guarantees <= 3, and
+    AUDIO_SPECTRAL_T > 7 means banding is part of the audio edge
+    DEFINITION (a pair at Hamming 8..14 sharing no band is not an
+    edge) — the same contract the image family documents. Also pins
+    the subset property on sphash-named frames: the wide layout never
+    invents candidate pairs."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from falcon_metrics_etl_spark.plans.media_dedup import (
+        AUDIO_SPECTRAL_T,
+        image_bands_of,
+    )
+
+    # documented: threshold exceeds the pigeonhole bound, so banding
+    # participates in the edge definition
+    assert AUDIO_SPECTRAL_T > 7
+
+    rng = _random.Random(14)
+
+    def bands(x, nb):
+        bits = 64 // nb
+        return [(x >> (b * bits)) & ((1 << bits) - 1) for b in range(nb)]
+
+    for _ in range(200):
+        base = rng.getrandbits(63)
+        # any <= 7 flipped bits leave some 8-bit band untouched
+        k = rng.randrange(1, 8)
+        other = base
+        for pos in rng.sample(range(64), k):
+            other ^= 1 << pos
+        assert any(a == b for a, b in zip(bands(base, 8), bands(other, 8)))
+        # any <= 3 flipped bits leave some 16-bit band untouched
+        k = rng.randrange(1, 4)
+        other = base
+        for pos in rng.sample(range(64), k):
+            other ^= 1 << pos
+        assert any(a == b for a, b in zip(bands(base, 4), bands(other, 4)))
+
+    # 8 flips, one per 8-bit band, CAN evade the 8x8 layout — the
+    # bound is tight
+    base = 0x5A5A3C3CF0F01E1E
+    evade = base
+    for b in range(8):
+        evade ^= 1 << (b * 8 + 2)
+    assert not any(a == b for a, b in zip(bands(base, 8), bands(evade, 8)))
+
+    fp = spark.createDataFrame(
+        [(1, base), (2, base ^ 0x7), (3, evade)],
+        "doc_id long, sphash long",
+    )
+
+    def pairs(nb):
+        b = image_bands_of(fp, "sphash", n_bands=nb)
+        return {
+            (r["a"], r["b"])
+            for r in b.alias("x")
+            .join(
+                b.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.byte") == F.col("y.byte"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+
+    assert pairs(4) <= pairs(8)
+    assert (1, 2) in pairs(8)  # Hamming 3: both layouts must see it
+    assert (1, 2) in pairs(4)
+
+
 def test_wide_band_recall_guarantee_and_subset(spark):
     """The 4x16-bit layout (r13 knob): pigeonhole guarantees a shared
     band for Hamming <= 3; and on a real fingerprint frame the wide
