@@ -121,6 +121,16 @@ class _HuffTable:
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
+                if code >= (1 << length):
+                    # over-subscribed DHT: more codes than the length
+                    # can hold. Without this check the slice bounds
+                    # exceed 65536 and the assignment silently EXTENDS
+                    # the LUT lists past index 65535 — hiding the
+                    # corruption and growing memory instead of
+                    # rejecting the table.
+                    raise ValueError(
+                        "JPEG: over-subscribed Huffman table"
+                    )
                 start = code << (16 - length)
                 end = (code + 1) << (16 - length)
                 sym[start:end] = [values[k]] * (end - start)
@@ -201,7 +211,20 @@ class _BitReader:
     unstuff rule), and read_symbol decodes against the table's 16-bit
     lookahead LUT instead of walking bits. Public contract unchanged:
     read_bit / read_bits / read_symbol / expect_restart, ValueError
-    on malformed streams."""
+    on malformed streams.
+
+    Malformed-stream divergence from the pre-r13 bit-at-a-time
+    reader (valid streams are unaffected; every error is still a
+    ValueError, but messages/points differ): (a) an EOI-terminated
+    final segment feeds up to 8 bits of 1-pad past the marker where
+    the old reader fed ~2 — a decode that needs more pad than that
+    still raises, just slightly later; (b) an unexpected in-stream
+    RSTn (one not aligned with the restart interval) surfaces when
+    the current segment EXHAUSTS ('entropy stream exhausted' /
+    expect_restart mismatch) instead of as an immediate
+    unexpected-marker error at the byte position. Callers that match
+    on exact malformed-stream messages should match the class, not
+    the text."""
 
     __slots__ = (
         "segs", "seg_rsts", "si", "clean", "nbytes", "bytepos",

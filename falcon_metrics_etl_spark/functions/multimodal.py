@@ -1406,6 +1406,27 @@ def _wav_walk(payload: bytes):
 # ~57k blocks, where per-nibble Python is the decode floor)
 IMA_BATCH_MIN_BLOCKS = 8
 
+# blocks per numpy batch: caps the peak allocation of the nibble and
+# output matrices at a few MB regardless of stream length (an hour of
+# audio is tens of thousands of blocks — materializing the whole
+# stream's matrices at once cost hundreds of MB per UDF worker row),
+# while keeping the vector width far past where the per-step overhead
+# amortizes. Blocks are independent, so chunking is exact.
+ADPCM_BATCH_CHUNK_BLOCKS = 8192
+
+
+def _in_block_chunks(body: bytes, block_align: int, decode) -> list[int]:
+    """Run a cross-block numpy batch decoder over bounded chunks of
+    full blocks, concatenating the per-chunk sample lists."""
+    n_blocks = len(body) // block_align
+    if n_blocks <= ADPCM_BATCH_CHUNK_BLOCKS:
+        return decode(body)
+    out: list[int] = []
+    step = ADPCM_BATCH_CHUNK_BLOCKS * block_align
+    for off in range(0, n_blocks * block_align, step):
+        out.extend(decode(body[off : off + step]))
+    return out
+
 
 def _ima_decode_blocks_np(body: bytes, block_align: int) -> list[int]:
     """Batch-decode FULL-SIZE mono IMA-ADPCM blocks ACROSS blocks
@@ -1457,6 +1478,72 @@ def _ima_decode_blocks_np(body: bytes, block_align: int) -> list[int]:
     return out.reshape(-1).tolist()
 
 
+def _ms_decode_blocks_np(
+    body: bytes, block_align: int, channels: int
+) -> list[int]:
+    """Batch-decode FULL-SIZE MS-ADPCM blocks ACROSS blocks (r14, the
+    r13 IMA batching applied to format 2): every block carries its own
+    per-channel 7-byte header (predictor index, delta, sample1,
+    sample2) and no state crosses block boundaries, so the per-nibble
+    recursion runs once over a (n_blocks,)-wide numpy vector. Stereo
+    batches too — channels alternate per nibble WITHIN a block, so the
+    step loop just addresses the per-channel state column (the loop
+    length 2*(block_align-7*C) is the serial floor either way).
+    Bit-identical to _ms_decode_block (fuzz-pinned): same C-style
+    truncate-toward-zero /256 prediction, clamps and adaptive-delta
+    floor in int64. Returns the concatenated per-block sample lists."""
+    n_blocks = len(body) // block_align
+    arr = np.frombuffer(body, np.uint8)[: n_blocks * block_align]
+    blocks = arr.reshape(n_blocks, block_align)
+    ch = channels
+    pidx = blocks[:, 0:ch].astype(np.int64)
+    if (pidx >= len(_MS_COEFFS)).any():
+        raise ValueError(
+            f"MS-ADPCM: predictor index {int(pidx.max())} out of range"
+        )
+    coeffs = np.asarray(_MS_COEFFS, dtype=np.int64)
+    c1 = coeffs[pidx, 0]
+    c2 = coeffs[pidx, 1]
+
+    def i16(off: int):
+        lo = blocks[:, off : off + 2 * ch : 2].astype(np.int64)
+        hi = blocks[:, off + 1 : off + 2 * ch : 2].astype(np.int64)
+        v = lo | (hi << 8)
+        return np.where(v >= 32768, v - 65536, v)
+
+    delta = i16(ch)
+    s1 = i16(3 * ch)
+    s2 = i16(5 * ch)
+    data = blocks[:, 7 * ch :]
+    n_steps = data.shape[1] * 2
+    # nibble matrix (n_blocks, n_steps): HIGH nibble first per byte
+    # (the opposite of IMA), channels alternating per nibble
+    nibs = np.empty((n_blocks, n_steps), dtype=np.int64)
+    nibs[:, 0::2] = data >> 4
+    nibs[:, 1::2] = data & 0x0F
+    adapt = np.asarray(_MS_ADAPT, dtype=np.int64)
+    out = np.empty((n_blocks, 2 * ch + n_steps), dtype=np.int64)
+    # output starts with the two header samples per channel, OLDER
+    # (sample2) first, channel-interleaved
+    out[:, 0:ch] = s2
+    out[:, ch : 2 * ch] = s1
+    for i in range(n_steps):
+        c = i % ch
+        nib = nibs[:, i]
+        signed = np.where(nib >= 8, nib - 16, nib)
+        prod = s1[:, c] * c1[:, c] + s2[:, c] * c2[:, c]
+        pred = (
+            np.where(prod >= 0, prod // 256, -((-prod) // 256))
+            + signed * delta[:, c]
+        )
+        np.clip(pred, -32768, 32767, out=pred)
+        delta[:, c] = np.maximum(16, (adapt[nib] * delta[:, c]) >> 8)
+        s2[:, c] = s1[:, c]
+        s1[:, c] = pred
+        out[:, 2 * ch + i] = pred
+    return out.reshape(-1).tolist()
+
+
 def _adpcm_sample_list(
     audio_format, channels, block_align, fact_samples, body
 ):
@@ -1468,7 +1555,20 @@ def _adpcm_sample_list(
     keep the scalar walk."""
     if audio_format == 2:
         samples = []
-        for off in range(0, len(body), block_align):
+        start = 0
+        n_full = len(body) // block_align
+        if n_full >= IMA_BATCH_MIN_BLOCKS:
+            samples.extend(
+                _in_block_chunks(
+                    body[: n_full * block_align],
+                    block_align,
+                    lambda b: _ms_decode_blocks_np(
+                        b, block_align, channels
+                    ),
+                )
+            )
+            start = n_full * block_align
+        for off in range(start, len(body), block_align):
             samples.extend(
                 _ms_decode_block(body[off : off + block_align], channels)
             )
@@ -1489,7 +1589,11 @@ def _adpcm_sample_list(
     n_full = len(body) // block_align
     if channels == 1 and n_full >= IMA_BATCH_MIN_BLOCKS:
         samples.extend(
-            _ima_decode_blocks_np(body[: n_full * block_align], block_align)
+            _in_block_chunks(
+                body[: n_full * block_align],
+                block_align,
+                lambda b: _ima_decode_blocks_np(b, block_align),
+            )
         )
         start = n_full * block_align
     for off in range(start, len(body), block_align):

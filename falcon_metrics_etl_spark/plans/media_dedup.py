@@ -1265,7 +1265,10 @@ def image_bands_of(
     (guarantee drops to Hamming <= 3, chance-collision volume drops
     ~N^2/2^8 -> ~N^2/2^16). ``media_band_occupancy_audit`` measures
     both configurations' bucket occupancy on the live corpus."""
-    assert 64 % n_bands == 0, "band width must divide 64"
+    if n_bands <= 0 or 64 % n_bands != 0:
+        # a real error, not an assert: asserts strip under python -O
+        # and a non-divisor n_bands would silently mask band bits
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
     bits = 64 // n_bands
     mask = (1 << bits) - 1
     return fp.select(

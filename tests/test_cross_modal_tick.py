@@ -409,3 +409,73 @@ def test_unified_tick_trimodal_option(spark, tmp_path_factory):
         "cm3_flags",
     ):
         assert rows(f"{t_sep}/{sub}") == rows(f"{t_uni}/{sub}"), sub
+
+
+def test_node_id_arithmetic_exact_on_huge_doc_ids(spark):
+    """Property-pin the integer-div id class (r14, r13 verdict #6):
+    db49944 fixed float division on node ids — ``(col / k).cast
+    ('long')`` rounds through float64 and corrupts ids >= 2^52 —
+    replacing every site with integer ``div``. This test generates
+    doc_ids up to 2^60 through the node encode/decode arithmetic the
+    cross-modal families use (node = k*doc_id + m; doc = node div k;
+    modality = node % k) and asserts the roundtrip is exact for both
+    the bimodal (k=2) and trimodal (k=3) tagging, so the class cannot
+    recur."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=(1 << 60)),
+            min_size=1,
+            max_size=24,
+            unique=True,
+        )
+    )
+    def check(doc_ids):
+        df = spark.createDataFrame(
+            [(d,) for d in doc_ids], "doc_id long"
+        )
+        for k in (2, 3):
+            got = (
+                df.select(
+                    "doc_id",
+                    F.explode(
+                        F.array(*[F.lit(m) for m in range(k)])
+                    ).alias("m"),
+                )
+                .select(
+                    "doc_id",
+                    "m",
+                    (F.col("doc_id") * k + F.col("m")).alias("node"),
+                )
+                .select(
+                    "doc_id",
+                    "m",
+                    F.expr(f"node div {k}").cast("long").alias("doc_rt"),
+                    (F.col("node") % k).alias("m_rt"),
+                )
+                .collect()
+            )
+            for r in got:
+                assert r["doc_rt"] == r["doc_id"], (k, r)
+                assert r["m_rt"] == r["m"], (k, r)
+
+    check()
+
+    # the counterexample the fix removed: float division corrupts a
+    # doc_id above 2^52 (float64 has 53 significand bits), integer
+    # div does not — pinned so a future refactor cannot swap them back
+    huge = (1 << 60) + 1
+    row = (
+        spark.createDataFrame([(huge * 3,)], "node long")
+        .select(
+            F.expr("node div 3").cast("long").alias("exact"),
+            (F.col("node") / 3).cast("long").alias("via_float"),
+        )
+        .collect()[0]
+    )
+    assert row["exact"] == huge
+    assert row["via_float"] != huge

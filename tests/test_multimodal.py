@@ -1655,3 +1655,49 @@ def test_ima_adpcm_batch_decode_matches_scalar():
     wav = MM.encode_wav_ima_adpcm(short)
     d = MM.decode_wav_samples(wav)
     assert len(d["samples"]) == 1000
+
+
+def test_ms_adpcm_batch_decode_matches_scalar():
+    """The r14 block-batch MS-ADPCM decode (numpy recursion across
+    independent per-header blocks, mono AND stereo) is bit-identical
+    to the per-block scalar state machine on long random streams —
+    including the C-style truncate-toward-zero /256 prediction under
+    the negative-product c2 != 0 predictors — and chunked batching
+    (bounded peak allocation) splits exactly on block boundaries."""
+    import random
+
+    from falcon_metrics_etl_spark.functions import multimodal as MM
+
+    rng = random.Random(1414)
+    for channels in (1, 2):
+        for trial in range(4):
+            n = rng.randint(4000, 12000) * channels
+            if channels == 2 and n % 2:
+                n += 1
+            samples = [rng.randint(-32768, 32767) for _ in range(n)]
+            wav = MM.encode_wav_ms_adpcm(
+                samples, channels=channels, predictor=rng.randrange(7)
+            )
+            (_, ch, _, ba, _, fact, body) = MM._wav_walk(wav)
+            assert ch == channels
+            scalar = []
+            for off in range(0, len(body), ba):
+                scalar.extend(
+                    MM._ms_decode_block(body[off : off + ba], channels)
+                )
+            if fact is not None:
+                scalar = scalar[: fact * channels]
+            assert MM.decode_wav_samples(wav)["samples"] == scalar, (
+                channels,
+                trial,
+            )
+    # chunked batching is exact: force tiny chunks over a long stream
+    samples = [rng.randint(-32768, 32767) for _ in range(9000)]
+    wav = MM.encode_wav_ms_adpcm(samples, channels=1)
+    full = MM.decode_wav_samples(wav)["samples"]
+    orig = MM.ADPCM_BATCH_CHUNK_BLOCKS
+    try:
+        MM.ADPCM_BATCH_CHUNK_BLOCKS = 3
+        assert MM.decode_wav_samples(wav)["samples"] == full
+    finally:
+        MM.ADPCM_BATCH_CHUNK_BLOCKS = orig
