@@ -65,6 +65,22 @@ def _target_exists(spark: SparkSession, path: str) -> bool:
     )
 
 
+def anti_existing(frame: DataFrame, full: DataFrame, key: str) -> DataFrame:
+    """Batch rows whose ``key`` is not already present in the state
+    table ``full``, WITHOUT shuffling the state (r14): the state side
+    is filtered to the batch's keys by a broadcast semi join (map-side
+    over the scan) and the bounded survivor set broadcasts into the
+    anti join. Correct whenever ``frame`` is micro-batch-bounded (the
+    streaming ticks' append contract); a backfill-sized frame should
+    use a plain left_anti join instead."""
+    from pyspark.sql import functions as F
+
+    present = full.select(key).join(
+        F.broadcast(frame.select(key).distinct()), key, "left_semi"
+    )
+    return frame.join(F.broadcast(present), key, "left_anti")
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,

@@ -57,7 +57,12 @@ from falcon_metrics_etl_spark.plans.dedup_lsh import (
     MINHASH_JACCARD_T,
     lsh_frames_of,
 )
-from falcon_metrics_etl_spark.sinks.merge import _target_exists, merge_upsert
+from falcon_metrics_etl_spark.session import run_concurrent
+from falcon_metrics_etl_spark.sinks.merge import (
+    _target_exists,
+    anti_existing,
+    merge_upsert,
+)
 
 
 def _gate_status(docs: DataFrame) -> DataFrame:
@@ -170,17 +175,22 @@ def corpus_ingest_tick(
 
     # --- near-dup gate: delta bands probe the maintained index ------
     toks, sh, bands = lsh_frames_of(survivors)
-    toks = toks.localCheckpoint(eager=True)
-    sh = sh.localCheckpoint(eager=True)
-    bands = bands.localCheckpoint(eager=True)
+    # three independent materializations of the batch's LSH frames —
+    # one concurrent wave (r14: tick cost is job-count dominated)
+    toks, sh, bands = run_concurrent(
+        lambda: toks.localCheckpoint(eager=True),
+        lambda: sh.localCheckpoint(eager=True),
+        lambda: bands.localCheckpoint(eager=True),
+    )
     band_idx = _read_or_empty(
         spark,
         f"{state_dir}/band_index",
         "doc_id long, band int, bkey string, batch_id long",
     ).filter(F.col("batch_id") != bid)
     # candidates vs the admitted corpus + smaller-id batch mates
+    # the probing side is the batch — micro-batch-bounded, broadcast
     cand = (
-        bands.alias("a")
+        F.broadcast(bands).alias("a")
         .join(
             band_idx.select("doc_id", "band", "bkey").unionByName(
                 bands.select("doc_id", "band", "bkey")
@@ -206,14 +216,17 @@ def corpus_ingest_tick(
         toks.select("doc_id", "shs")
     )
     old_toks = old_toks.join(
-        cand.select(F.col("id_old").alias("doc_id")).distinct(),
+        F.broadcast(
+            cand.select(F.col("id_old").alias("doc_id")).distinct()
+        ),
         "doc_id",
         "left_semi",
     )
     old_sh = old_toks.select("doc_id", F.explode("shs").alias("sh"))
     old_sizes = old_toks.select("doc_id", F.size("shs").alias("n"))
     shared = (
-        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("id_new"))
+        F.broadcast(cand)
+        .join(sh.alias("sa"), F.col("sa.doc_id") == F.col("id_new"))
         .join(
             old_sh.alias("sb"),
             (F.col("sb.doc_id") == F.col("id_old"))
@@ -280,43 +293,54 @@ def corpus_ingest_tick(
     ).select("doc_id", "status", "n_tokens", F.lit(bid).alias("batch_id"))
     merge_upsert(spark, f"{state_dir}/flags", flags, ["doc_id"])
 
-    full_fp = _read_or_empty(
-        spark, f"{state_dir}/fp_index", "fp string, canonical_id long, batch_id long"
-    )
     # only ADMITTED docs register their fp (advisor r10: a near-dup-
     # rejected doc must not become canonical_id for future exact
     # copies — those copies now fall through to the near-dup gate and
     # are rejected against the same corpus doc their original was)
-    new_fps = (
-        deduped.filter(F.col("gate_status") == "pass")
-        .join(near_dups, "doc_id", "left_anti")
-        .select("fp", F.col("doc_id").alias("canonical_id"))
-        .join(full_fp.select("fp"), "fp", "left_anti")
-        .withColumn("batch_id", F.lit(bid))
-    )
-    new_fps.write.mode("append").parquet(f"{state_dir}/fp_index")
-
-    full_bands = _read_or_empty(
-        spark,
-        f"{state_dir}/band_index",
-        "doc_id long, band int, bkey string, batch_id long",
-    )
     admitted_ids = admitted.select("doc_id")
-    new_bands = (
-        bands.join(admitted_ids, "doc_id", "left_semi")
-        .join(full_bands.select("doc_id").distinct(), "doc_id", "left_anti")
-        .withColumn("batch_id", F.lit(bid))
-    )
-    new_bands.write.mode("append").parquet(f"{state_dir}/band_index")
+    tag = F.lit(bid).alias("batch_id")
 
-    full_sh = _read_or_empty(
-        spark,
-        f"{state_dir}/shingle_index",
-        "doc_id long, shs array<string>, batch_id long",
+    def _append_fps() -> None:
+        full_fp = _read_or_empty(
+            spark,
+            f"{state_dir}/fp_index",
+            "fp string, canonical_id long, batch_id long",
+        )
+        new_fps = deduped.filter(F.col("gate_status") == "pass").join(
+            near_dups, "doc_id", "left_anti"
+        ).select("fp", F.col("doc_id").alias("canonical_id"))
+        (
+            anti_existing(new_fps, full_fp, "fp")
+            .select("fp", "canonical_id", tag)
+            .write.mode("append").parquet(f"{state_dir}/fp_index")
+        )
+
+    def _append_admitted(sub: str, schema: str, frame, cols: list) -> None:
+        full = _read_or_empty(spark, f"{state_dir}/{sub}", schema)
+        (
+            anti_existing(
+                frame.join(F.broadcast(admitted_ids), "doc_id", "left_semi"),
+                full,
+                "doc_id",
+            )
+            .select(*cols, tag)
+            .write.mode("append").parquet(f"{state_dir}/{sub}")
+        )
+
+    # the three appends target disjoint tables with the same anti-join
+    # + batch-tag replay contract — one concurrent wave
+    run_concurrent(
+        _append_fps,
+        lambda: _append_admitted(
+            "band_index",
+            "doc_id long, band int, bkey string, batch_id long",
+            bands,
+            ["doc_id", "band", "bkey"],
+        ),
+        lambda: _append_admitted(
+            "shingle_index",
+            "doc_id long, shs array<string>, batch_id long",
+            toks,
+            ["doc_id", "shs"],
+        ),
     )
-    new_shs = (
-        toks.join(admitted_ids, "doc_id", "left_semi")
-        .join(full_sh.select("doc_id").distinct(), "doc_id", "left_anti")
-        .withColumn("batch_id", F.lit(bid))
-    )
-    new_shs.write.mode("append").parquet(f"{state_dir}/shingle_index")

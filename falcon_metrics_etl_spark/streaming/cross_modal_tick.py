@@ -76,7 +76,11 @@ from falcon_metrics_etl_spark.plans.media_dedup import (
     image_bands_of,
 )
 from falcon_metrics_etl_spark.session import run_concurrent
-from falcon_metrics_etl_spark.sinks.merge import _target_exists, merge_upsert
+from falcon_metrics_etl_spark.sinks.merge import (
+    _target_exists,
+    anti_existing as _anti_existing,
+    merge_upsert,
+)
 
 CM_IMG_SCHEMA = (
     "node long, doc_id long, dhash long, keep_node long, batch_id long"
@@ -97,19 +101,6 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     if _target_exists(spark, path):
         return spark.read.parquet(path)
     return spark.createDataFrame([], schema)
-
-
-def _anti_existing(frame: DataFrame, full: DataFrame, key: str) -> DataFrame:
-    """Batch rows whose ``key`` is not already in the state table,
-    WITHOUT shuffling the state: the state side is filtered to the
-    batch's keys by a broadcast semi join (map-side over the scan)
-    and the bounded survivor set broadcasts into the anti join. The
-    batch is micro-batch-bounded by the tick contract, so both
-    broadcasts are delta-sized."""
-    present = full.select(key).join(
-        F.broadcast(frame.select(key).distinct()), key, "left_semi"
-    )
-    return frame.join(F.broadcast(present), key, "left_anti")
 
 
 def _phase_timer():

@@ -80,7 +80,12 @@ from falcon_metrics_etl_spark.plans.media_dedup import (
     image_keep_best_of,
     video_keep_best_of,
 )
-from falcon_metrics_etl_spark.sinks.merge import _target_exists, merge_upsert
+from falcon_metrics_etl_spark.session import run_concurrent
+from falcon_metrics_etl_spark.sinks.merge import (
+    _target_exists,
+    anti_existing,
+    merge_upsert,
+)
 
 FP_SCHEMA = (
     "doc_id long, codec string, dhash long, width int, height int, "
@@ -192,12 +197,25 @@ def media_ingest_tick(
     if clips is None and vfp is None:
         clips = MM.attach_payload_video_clips(batch_docs)
 
-    # ---- image side: delta decode -> band probe -> Hamming edges ---
-    fp_new = (
-        MM.media_dhash(images, with_detail=True)
-        .select("doc_id", "codec", "dhash", "width", "height", "detail")
-        .localCheckpoint(eager=True)
+    # ---- delta decode: both modalities checkpoint concurrently -----
+    fp_new = MM.media_dhash(images, with_detail=True).select(
+        "doc_id", "codec", "dhash", "width", "height", "detail"
     )
+    if vfp is not None:
+        vfp_new = vfp.select("doc_id", "frame_idx", "frame_dhash")
+        (fp_new,) = run_concurrent(
+            lambda: fp_new.localCheckpoint(eager=True)
+        )
+    else:
+        vfp_new = MM.video_frame_dhash(clips).select(
+            "doc_id", "frame_idx", "frame_dhash"
+        )
+        fp_new, vfp_new = run_concurrent(
+            lambda: fp_new.localCheckpoint(eager=True),
+            lambda: vfp_new.localCheckpoint(eager=True),
+        )
+
+    # ---- image side: band probe -> Hamming edges --------------------
     fp_idx = _read_or_empty(
         spark, f"{state_dir}/fp_index", FP_SCHEMA
     ).filter(F.col("batch_id") != bid)
@@ -208,8 +226,10 @@ def media_ingest_tick(
     probe_side = band_idx.select("doc_id", "band", "byte").unionByName(
         new_bands.select("doc_id", "band", "byte")
     )
+    # the probing side is the batch — micro-batch-bounded, so the
+    # band probe broadcasts it and the state side never shuffles
     cand = (
-        new_bands.alias("a")
+        F.broadcast(new_bands).alias("a")
         .join(
             probe_side.alias("b"),
             (F.col("a.band") == F.col("b.band"))
@@ -225,13 +245,14 @@ def media_ingest_tick(
     hashes = fp_idx.select("doc_id", "dhash").unionByName(
         fp_new.select("doc_id", "dhash")
     )
+    e1 = F.broadcast(cand).join(
+        hashes.select(
+            F.col("doc_id").alias("id_a"), F.col("dhash").alias("h_a")
+        ),
+        "id_a",
+    )
     edges = (
-        cand.join(
-            hashes.select(
-                F.col("doc_id").alias("id_a"), F.col("dhash").alias("h_a")
-            ),
-            "id_a",
-        )
+        F.broadcast(e1)
         .join(
             hashes.select(
                 F.col("doc_id").alias("id_b"), F.col("dhash").alias("h_b")
@@ -242,14 +263,6 @@ def media_ingest_tick(
         .select("id_a", "id_b")
     )
     # ---- video side: delta frames probe the inverted index ---------
-    if vfp is not None:
-        vfp_new = vfp.select("doc_id", "frame_idx", "frame_dhash")
-    else:
-        vfp_new = (
-            MM.video_frame_dhash(clips)
-            .select("doc_id", "frame_idx", "frame_dhash")
-            .localCheckpoint(eager=True)
-        )
     n_new = vfp_new.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_frames")
     )
@@ -260,7 +273,7 @@ def media_ingest_tick(
         "doc_id", "frame_idx", "frame_dhash"
     ).unionByName(vfp_new)
     fm = (
-        vfp_new.alias("a")
+        F.broadcast(vfp_new).alias("a")
         .join(
             vprobe.alias("b"),
             (F.col("a.frame_dhash") == F.col("b.frame_dhash"))
@@ -345,12 +358,14 @@ def media_ingest_tick(
         )
     )
     verdicts, displaced = resolve_keep_best(
-        new_q, idx_q, node_edges, ["q1", "q2"]
+        new_q, idx_q, node_edges, ["q1", "q2"], bounded_batch=True
     )
     # freeze the decisions BEFORE any state mutation: their lineage
     # reads the index parquet the repoint/appends are about to rewrite
-    verdicts = verdicts.localCheckpoint(eager=True)
-    displaced = displaced.localCheckpoint(eager=True)
+    verdicts, displaced = run_concurrent(
+        lambda: verdicts.localCheckpoint(eager=True),
+        lambda: displaced.localCheckpoint(eager=True),
+    )
     half = F.expr("doc_id div 2").cast("long").alias("doc_id")
     keep_half = F.expr("keep_id div 2").cast("long").alias("keep_id")
     img_verdicts = verdicts.filter(F.col("doc_id") % 2 == 0).select(
@@ -417,69 +432,62 @@ def media_ingest_tick(
     )
 
     # ---- 2) repoint displaced keepers (keyed merge) -----------------
-    if not img_displaced.isEmpty():
-        full_fp = _read_or_empty(spark, f"{state_dir}/fp_index", FP_SCHEMA)
+    def _repoint(sub: str, schema: str, disp, keys: list) -> None:
+        if disp.isEmpty():
+            return
+        full = _read_or_empty(spark, f"{state_dir}/{sub}", schema)
         upd = (
-            full_fp.join(
-                img_displaced.select(
-                    F.col("doc_id").alias("keep_id"), "new_keep"
+            full.join(
+                F.broadcast(
+                    disp.select(F.col("doc_id").alias("keep_id"), "new_keep")
                 ),
                 "keep_id",
             )
             .withColumn("keep_id", F.col("new_keep"))
             .drop("new_keep")
         )
-        merge_upsert(spark, f"{state_dir}/fp_index", upd, ["doc_id"])
-    if not vid_displaced.isEmpty():
-        full_fr = _read_or_empty(
-            spark, f"{state_dir}/frame_index", FRAME_SCHEMA
-        )
-        upd = (
-            full_fr.join(
-                vid_displaced.select(
-                    F.col("doc_id").alias("keep_id"), "new_keep"
-                ),
-                "keep_id",
-            )
-            .withColumn("keep_id", F.col("new_keep"))
-            .drop("new_keep")
-        )
-        merge_upsert(
-            spark, f"{state_dir}/frame_index", upd, ["doc_id", "frame_idx"]
-        )
+        merge_upsert(spark, f"{state_dir}/{sub}", upd, keys)
+
+    # the two index repoints touch disjoint tables — concurrent
+    run_concurrent(
+        lambda: _repoint("fp_index", FP_SCHEMA, img_displaced, ["doc_id"]),
+        lambda: _repoint(
+            "frame_index", FRAME_SCHEMA, vid_displaced,
+            ["doc_id", "frame_idx"],
+        ),
+    )
 
     # ---- 3) append the batch (kept AND dropped; anti-joined) --------
     tag = F.lit(bid).alias("batch_id")
-    full_fp = _read_or_empty(spark, f"{state_dir}/fp_index", FP_SCHEMA)
-    new_fp = (
-        fp_new.join(img_verdicts.select("doc_id", "keep_id"), "doc_id")
-        .join(full_fp.select("doc_id").distinct(), "doc_id", "left_anti")
-        .select(
-            "doc_id", "codec", "dhash", "width", "height", "detail",
-            "keep_id", tag,
-        )
-    )
-    new_fp.write.mode("append").parquet(f"{state_dir}/fp_index")
 
-    full_bands = _read_or_empty(
-        spark, f"{state_dir}/band_index", BAND_SCHEMA
-    )
-    new_b = (
-        image_bands_of(fp_new)
-        .join(full_bands.select("doc_id").distinct(), "doc_id", "left_anti")
-        .select("doc_id", "band", "byte", tag)
-    )
-    new_b.write.mode("append").parquet(f"{state_dir}/band_index")
-
-    full_frames = _read_or_empty(
-        spark, f"{state_dir}/frame_index", FRAME_SCHEMA
-    )
-    new_fr = (
-        vfp_new.join(n_new, "doc_id")
-        .join(vid_verdicts.select("doc_id", "keep_id"), "doc_id")
-        .join(full_frames.select("doc_id").distinct(), "doc_id", "left_anti")
-        .select(
-            "doc_id", "frame_idx", "frame_dhash", "n_frames", "keep_id", tag
+    def _append(sub: str, schema: str, frame, cols: list) -> None:
+        full = _read_or_empty(spark, f"{state_dir}/{sub}", schema)
+        (
+            anti_existing(frame, full, "doc_id")
+            .select(*cols, tag)
+            .write.mode("append").parquet(f"{state_dir}/{sub}")
         )
+
+    new_fp = fp_new.join(
+        F.broadcast(img_verdicts.select("doc_id", "keep_id")), "doc_id"
     )
-    new_fr.write.mode("append").parquet(f"{state_dir}/frame_index")
+    new_fr = vfp_new.join(F.broadcast(n_new), "doc_id").join(
+        F.broadcast(vid_verdicts.select("doc_id", "keep_id")), "doc_id"
+    )
+    # the three appends target disjoint tables with the same anti-join
+    # + batch-tag replay contract — one concurrent wave
+    run_concurrent(
+        lambda: _append(
+            "fp_index", FP_SCHEMA, new_fp,
+            ["doc_id", "codec", "dhash", "width", "height", "detail",
+             "keep_id"],
+        ),
+        lambda: _append(
+            "band_index", BAND_SCHEMA, image_bands_of(fp_new),
+            ["doc_id", "band", "byte"],
+        ),
+        lambda: _append(
+            "frame_index", FRAME_SCHEMA, new_fr,
+            ["doc_id", "frame_idx", "frame_dhash", "n_frames", "keep_id"],
+        ),
+    )
