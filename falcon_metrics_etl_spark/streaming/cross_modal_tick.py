@@ -161,29 +161,53 @@ def stage_cross_modal_state(
     """Tick-0 backfill: run the BATCH mixed closure over the base
     corpus and persist its full resolution as the maintained state."""
     t, v = _fingerprint_batch(docs, thumbs, clips)
-    t = t.localCheckpoint(eager=True)
-    v = v.localCheckpoint(eager=True)
+    # backfill is job-count bound too: concurrent waves (r14)
+    t, v = run_concurrent(
+        lambda: t.localCheckpoint(eager=True),
+        lambda: v.localCheckpoint(eager=True),
+    )
     kb = cross_modal_keep_best_of(t, v).localCheckpoint(eager=True)
     tag = F.lit(int(batch_id)).alias("batch_id")
     imgs = kb.filter(F.col("modality") == "image").select(
         "node", "doc_id", "keep_node"
     )
-    imgs.join(t, "doc_id").select(
-        "node", "doc_id", "dhash", "keep_node", tag
-    ).write.mode("overwrite").parquet(f"{state_dir}/cm_image_index")
-    image_bands_of(t).select(
-        "doc_id", "dhash", "band", "byte", tag
-    ).write.mode("overwrite").parquet(f"{state_dir}/cm_tband_index")
     vids = kb.filter(F.col("modality") == "video").select(
         "node", "doc_id", "n_frames", "keep_node"
     )
     vsig = v.select("doc_id", "frame_dhash").distinct()
-    vids.join(vsig, "doc_id").select(
-        "node", "doc_id", "frame_dhash", "n_frames", "keep_node", tag
-    ).write.mode("overwrite").parquet(f"{state_dir}/cm_frame_index")
-    image_bands_of(vsig, "frame_dhash").select(
-        "doc_id", "frame_dhash", "band", "byte", tag
-    ).write.mode("overwrite").parquet(f"{state_dir}/cm_fband_index")
+
+    def _w(df, sub):
+        return lambda: df.write.mode("overwrite").parquet(
+            f"{state_dir}/{sub}"
+        )
+
+    run_concurrent(
+        _w(
+            imgs.join(t, "doc_id").select(
+                "node", "doc_id", "dhash", "keep_node", tag
+            ),
+            "cm_image_index",
+        ),
+        _w(
+            image_bands_of(t).select(
+                "doc_id", "dhash", "band", "byte", tag
+            ),
+            "cm_tband_index",
+        ),
+        _w(
+            vids.join(vsig, "doc_id").select(
+                "node", "doc_id", "frame_dhash", "n_frames",
+                "keep_node", tag,
+            ),
+            "cm_frame_index",
+        ),
+        _w(
+            image_bands_of(vsig, "frame_dhash").select(
+                "doc_id", "frame_dhash", "band", "byte", tag
+            ),
+            "cm_fband_index",
+        ),
+    )
     kb.select(
         "doc_id",
         "modality",
@@ -548,40 +572,78 @@ def stage_trimodal_state(
     t, v, a, r = _fingerprint_batch3(
         docs, thumbs, clips, recordings, tracks
     )
-    t = t.localCheckpoint(eager=True)
-    v = v.localCheckpoint(eager=True)
-    a = a.localCheckpoint(eager=True)
-    r = r.localCheckpoint(eager=True)
+    # backfill cost is job-count bound too: decode checkpoints and
+    # the eight state writes each run as one concurrent wave (r14)
+    t, v, a, r = run_concurrent(
+        lambda: t.localCheckpoint(eager=True),
+        lambda: v.localCheckpoint(eager=True),
+        lambda: a.localCheckpoint(eager=True),
+        lambda: r.localCheckpoint(eager=True),
+    )
     kb = trimodal_keep_best_of(t, v, a, r).localCheckpoint(eager=True)
     tag = F.lit(int(batch_id)).alias("batch_id")
-    kb.filter(F.col("modality") == "image").select(
-        "node", "doc_id", "keep_node"
-    ).join(t, "doc_id").select(
-        "node", "doc_id", "dhash", "keep_node", tag
-    ).write.mode("overwrite").parquet(f"{state_dir}/cm3_image_index")
-    image_bands_of(t).select(
-        "doc_id", "dhash", "band", "byte", tag
-    ).write.mode("overwrite").parquet(f"{state_dir}/cm3_tband_index")
     vsig = v.select("doc_id", "frame_dhash").distinct()
-    kb.filter(F.col("modality") == "video").select(
-        "node", "doc_id", F.col("n_units").alias("n_frames"), "keep_node"
-    ).join(vsig, "doc_id").select(
-        "node", "doc_id", "frame_dhash", "n_frames", "keep_node", tag
-    ).write.mode("overwrite").parquet(f"{state_dir}/cm3_frame_index")
-    image_bands_of(vsig, "frame_dhash").select(
-        "doc_id", "frame_dhash", "band", "byte", tag
-    ).write.mode("overwrite").parquet(f"{state_dir}/cm3_fband_index")
-    kb.filter(F.col("modality") == "audio").select(
-        "node", "doc_id", "keep_node"
-    ).join(a, "doc_id").select(
-        "node", "doc_id", "sphash", "n_windows", "keep_node", tag
-    ).write.mode("overwrite").parquet(f"{state_dir}/cm3_audio_index")
-    image_bands_of(a.select("doc_id", "sphash"), "sphash").select(
-        "doc_id", "sphash", "band", "byte", tag
-    ).write.mode("overwrite").parquet(f"{state_dir}/cm3_aband_index")
-    image_bands_of(r, "sphash").select(
-        "doc_id", "sphash", "band", "byte", tag
-    ).write.mode("overwrite").parquet(f"{state_dir}/cm3_trband_index")
+
+    def _w(df, sub):
+        return lambda: df.write.mode("overwrite").parquet(
+            f"{state_dir}/{sub}"
+        )
+
+    run_concurrent(
+        _w(
+            kb.filter(F.col("modality") == "image")
+            .select("node", "doc_id", "keep_node")
+            .join(t, "doc_id")
+            .select("node", "doc_id", "dhash", "keep_node", tag),
+            "cm3_image_index",
+        ),
+        _w(
+            image_bands_of(t).select(
+                "doc_id", "dhash", "band", "byte", tag
+            ),
+            "cm3_tband_index",
+        ),
+        _w(
+            kb.filter(F.col("modality") == "video")
+            .select(
+                "node", "doc_id",
+                F.col("n_units").alias("n_frames"), "keep_node",
+            )
+            .join(vsig, "doc_id")
+            .select(
+                "node", "doc_id", "frame_dhash", "n_frames",
+                "keep_node", tag,
+            ),
+            "cm3_frame_index",
+        ),
+        _w(
+            image_bands_of(vsig, "frame_dhash").select(
+                "doc_id", "frame_dhash", "band", "byte", tag
+            ),
+            "cm3_fband_index",
+        ),
+        _w(
+            kb.filter(F.col("modality") == "audio")
+            .select("node", "doc_id", "keep_node")
+            .join(a, "doc_id")
+            .select(
+                "node", "doc_id", "sphash", "n_windows", "keep_node", tag
+            ),
+            "cm3_audio_index",
+        ),
+        _w(
+            image_bands_of(a.select("doc_id", "sphash"), "sphash").select(
+                "doc_id", "sphash", "band", "byte", tag
+            ),
+            "cm3_aband_index",
+        ),
+        _w(
+            image_bands_of(r, "sphash").select(
+                "doc_id", "sphash", "band", "byte", tag
+            ),
+            "cm3_trband_index",
+        ),
+    )
     kb.select(
         "doc_id",
         "modality",

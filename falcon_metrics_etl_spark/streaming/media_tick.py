@@ -133,27 +133,40 @@ def stage_media_state(
     if clips is None:
         clips = MM.attach_payload_video_clips(docs)
     tag = F.lit(int(batch_id)).alias("batch_id")
-    fp = MM.media_dhash(images, with_detail=True).localCheckpoint(
-        eager=True
-    )
-    kb = image_keep_best_of(fp).localCheckpoint(eager=True)
-    kb.select(
-        "doc_id", "codec", "dhash", "width", "height", "detail",
-        "keep_id", tag,
-    ).write.mode("overwrite").parquet(f"{state_dir}/fp_index")
-    image_bands_of(kb).select("doc_id", "band", "byte", tag).write.mode(
-        "overwrite"
-    ).parquet(f"{state_dir}/band_index")
-
+    # backfill is job-count bound too (r14): the two modality decodes,
+    # their independent keep-best closures, and the three state writes
+    # each run as one concurrent wave
+    fp = MM.media_dhash(images, with_detail=True)
     vfp = MM.video_frame_dhash(clips).select(
         "doc_id", "frame_idx", "frame_dhash"
-    ).localCheckpoint(eager=True)
-    vkb = video_keep_best_of(vfp).localCheckpoint(eager=True)
-    vfp.join(
-        vkb.select("doc_id", "n_frames", "keep_id"), "doc_id"
-    ).select(
-        "doc_id", "frame_idx", "frame_dhash", "n_frames", "keep_id", tag
-    ).write.mode("overwrite").parquet(f"{state_dir}/frame_index")
+    )
+    fp, vfp = run_concurrent(
+        lambda: fp.localCheckpoint(eager=True),
+        lambda: vfp.localCheckpoint(eager=True),
+    )
+    kb, vkb = run_concurrent(
+        lambda: image_keep_best_of(fp).localCheckpoint(eager=True),
+        lambda: video_keep_best_of(vfp).localCheckpoint(eager=True),
+    )
+    run_concurrent(
+        lambda: kb.select(
+            "doc_id", "codec", "dhash", "width", "height", "detail",
+            "keep_id", tag,
+        ).write.mode("overwrite").parquet(f"{state_dir}/fp_index"),
+        lambda: image_bands_of(kb)
+        .select("doc_id", "band", "byte", tag)
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/band_index"),
+        lambda: vfp.join(
+            vkb.select("doc_id", "n_frames", "keep_id"), "doc_id"
+        )
+        .select(
+            "doc_id", "frame_idx", "frame_dhash", "n_frames",
+            "keep_id", tag,
+        )
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/frame_index"),
+    )
 
     flags = (
         kb.select(
