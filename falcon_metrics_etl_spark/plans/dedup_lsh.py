@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from falcon_metrics_etl_spark.functions import text as TX
 from falcon_metrics_etl_spark.functions import vectors as VX
 from falcon_metrics_etl_spark.plans.registry import register
+from falcon_metrics_etl_spark.session import perf_checkpoint, staged_index
 from falcon_metrics_etl_spark.sources import load_table
 
 # ---- MinHash+LSH parameters ----
@@ -179,9 +180,17 @@ def lsh_frames_of(
     aggregation; at 100 TB the ``bands`` frame is what a maintained
     dedup index persists between runs (streaming/corpus_tick.py is
     the maintainer)."""
+    toks = shingle_arrays_of(docs)
+    sh = toks.select("doc_id", F.explode("shs").alias("sh"))
+    return toks, sh, bands_of_shingles(sh)
+
+
+def shingle_arrays_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, shs): the distinct shingle arrays —
+    the corpus tick's shingle_index shape."""
     # materialize the token array before shingling: HOF lambdas are
     # interpreted, so an inline split() would re-evaluate per element
-    toks = (
+    return (
         docs.select("doc_id", TX.tokens(F.col("text")).alias("tk"))
         .filter(F.size("tk") >= SHINGLE_N)
         .select(
@@ -191,11 +200,14 @@ def lsh_frames_of(
             ),
         )
     )
-    sh = toks.select("doc_id", F.explode("shs").alias("sh"))
 
-    # one base hash per (doc, shingle); 12 Carter-Wegman mins per doc
-    # (algebraic aggregates — partial aggregation map-side, one
-    # shuffle keyed on doc_id, no seed explode)
+
+def bands_of_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, sh) exploded shingles -> (doc_id, band, bkey) LSH
+    bucket rows — the corpus tick's band_index shape. One base hash
+    per (doc, shingle); 12 Carter-Wegman mins per doc (algebraic
+    aggregates — partial aggregation map-side, one shuffle keyed on
+    doc_id, no seed explode)."""
     hashed = sh.withColumn("h30", TX.portable_hash60(F.col("sh")) % _CW_MOD)
     mins = hashed.groupBy("doc_id").agg(
         *[
@@ -217,10 +229,9 @@ def lsh_frames_of(
         )
         for b in range(LSH_BANDS)
     ]
-    bands = mins.select(
+    return mins.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    return toks, sh, bands
 
 
 def _lsh_frames(
@@ -282,11 +293,35 @@ WHERE id_a % {LSH_DELTA_MOD} = 0 OR id_b % {LSH_DELTA_MOD} = 0
 """,
 )
 def minhash_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks, sh, bands = _lsh_frames(spark, sf_dir)
-    # in production the base side reads the PERSISTED band index; here
-    # both sides derive from the same table, but the plan keeps the
-    # delta-only probe shape: the left side is the ~6% delta slice
-    delta_bands = bands.filter(F.col("doc_id") % LSH_DELTA_MOD == 0)
+    # the base side reads PERSISTED state (r14): the shingle arrays
+    # and band index of the base slice land once under the state root
+    # (the corpus tick's shingle_index / band_index shapes) and every
+    # invocation shingles + signs only the ~6% delta
+    docs = load_table(spark, sf_dir, "documents")
+    is_d = F.col("doc_id") % LSH_DELTA_MOD == 0
+    toks_base = staged_index(
+        spark,
+        f"lsh_toks_base:{sf_dir}",
+        lambda: shingle_arrays_of(docs.filter(~is_d)),
+        src_dir=sf_dir,
+    )
+    bands_base = staged_index(
+        spark,
+        f"lsh_band_base:{sf_dir}",
+        lambda: bands_of_shingles(
+            toks_base.select("doc_id", F.explode("shs").alias("sh"))
+        ),
+        src_dir=sf_dir,
+    )
+    toks_delta = perf_checkpoint(shingle_arrays_of(docs.filter(is_d)))
+    delta_bands = perf_checkpoint(
+        bands_of_shingles(
+            toks_delta.select("doc_id", F.explode("shs").alias("sh"))
+        )
+    )
+    toks = toks_base.unionByName(toks_delta)
+    sh = toks.select("doc_id", F.explode("shs").alias("sh"))
+    bands = bands_base.unionByName(delta_bands)
     cand = (
         delta_bands.alias("a")
         .join(

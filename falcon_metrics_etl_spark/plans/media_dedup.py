@@ -599,6 +599,100 @@ def video_keep_best_of(fp: DataFrame) -> DataFrame:
 # the delta/base ratio is stable across scales
 MEDIA_DELTA_MOD = 17
 
+# ---------------------------------------------------------------------------
+# Staged maintained-index base slices (r14, r13 verdict #1): every
+# incremental query in this module reads the base corpus's decoded
+# fingerprints as PERSISTED parquet state (session.staged_index — the
+# shape the streaming ticks lay out under their state_dir) instead of
+# re-deriving them in-lineage per invocation. The helpers share ONE
+# state key per frame, so the IVM delta twins and the *_incremental_
+# update probes consume the same staged slice — exactly how production
+# shares a maintained index across consumers.
+# ---------------------------------------------------------------------------
+
+
+def _base_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % MEDIA_DELTA_MOD != 0
+    )
+
+
+def staged_media_fp_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-slice image fingerprints (doc_id, codec, width, height,
+    detail, dhash) as staged parquet state."""
+    return staged_index(
+        spark,
+        f"media_fp_base:{sf_dir}",
+        lambda: MM.media_dhash(
+            MM.attach_payload_dhash_corpus(_base_docs(spark, sf_dir)),
+            with_detail=True,
+        ),
+        src_dir=sf_dir,
+    )
+
+
+def staged_video_fp_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-slice clip frame rows (doc_id, frame_idx, frame_dhash)."""
+    return staged_index(
+        spark,
+        f"video_fp_base:{sf_dir}",
+        lambda: MM.video_frame_dhash(
+            MM.attach_payload_video_clips(_base_docs(spark, sf_dir))
+        ).select("doc_id", "frame_idx", "frame_dhash"),
+        src_dir=sf_dir,
+    )
+
+
+def staged_video_sig_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-slice DISTINCT frame signature (the tick's frame-index
+    shape); derives from the staged raw frames, so building both
+    costs one decode."""
+    vfp_base = staged_video_fp_base(spark, sf_dir)
+    return staged_index(
+        spark,
+        f"video_sig_base:{sf_dir}",
+        lambda: vfp_base.select("doc_id", "frame_dhash").distinct(),
+        src_dir=sf_dir,
+    )
+
+
+def staged_thumbs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-slice keyframe-thumbnail fingerprints (doc_id, dhash)."""
+    return staged_index(
+        spark,
+        f"cm_thumbs_base:{sf_dir}",
+        lambda: MM.media_dhash(
+            MM.attach_payload_keyframe_thumbs(_base_docs(spark, sf_dir))
+        ).select("doc_id", "dhash"),
+        src_dir=sf_dir,
+    )
+
+
+def staged_audio_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-slice recording spectral fingerprints (doc_id, n_windows,
+    sphash)."""
+    return staged_index(
+        spark,
+        f"cm_audio_base:{sf_dir}",
+        lambda: MM.audio_spectral_dhash(
+            MM.attach_payload_audio_clips(_base_docs(spark, sf_dir))
+        ).select("doc_id", "n_windows", "sphash"),
+        src_dir=sf_dir,
+    )
+
+
+def staged_track_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-slice soundtrack-rip spectral fingerprints (doc_id,
+    sphash)."""
+    return staged_index(
+        spark,
+        f"cm_track_base:{sf_dir}",
+        lambda: MM.audio_spectral_dhash(
+            MM.attach_payload_soundtrack_wavs(_base_docs(spark, sf_dir))
+        ).select("doc_id", "sphash"),
+        src_dir=sf_dir,
+    )
+
 
 @register(
     "media_incremental_update",
@@ -635,11 +729,21 @@ WHERE bit_count(xor(h_a, h_b)) <= {DHASH_HAMMING_T}
 """,
 )
 def media_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # in production the base side reads the PERSISTED fingerprint/band
-    # index (streaming/media_tick.py); here both sides derive from the
-    # same decode (checkpointed once), but the plan keeps the
-    # delta-only probe shape: the left side is the ~6% delta slice
-    fp = perf_checkpoint(_fingerprints(spark, sf_dir))
+    # the base side reads the PERSISTED fingerprint state (r14,
+    # staged_media_fp_base — the same slice the IVM delta twin and
+    # the media tick maintain); only the ~6% delta slice decodes per
+    # invocation, matching the production economics exactly
+    docs = load_table(spark, sf_dir, "documents")
+    is_d = F.col("doc_id") % MEDIA_DELTA_MOD == 0
+    fp_base = staged_media_fp_base(spark, sf_dir).select(
+        "doc_id", "codec", "dhash"
+    )
+    fp_delta = perf_checkpoint(
+        MM.media_dhash(
+            MM.attach_payload_dhash_corpus(docs.filter(is_d))
+        ).select("doc_id", "codec", "dhash")
+    )
+    fp = fp_base.unionByName(fp_delta)
     bands = fp.select(
         "doc_id",
         "dhash",
@@ -708,12 +812,19 @@ WHERE n_shared_frames >= {VIDEO_SHARED_T}
 """,
 )
 def video_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = perf_checkpoint(
-        _video_fingerprints(spark, sf_dir)
+    # base signature = persisted state (staged_video_sig_base); only
+    # the delta slice decodes per invocation (r14). DISTINCT
+    # distributes over the disjoint base/delta union.
+    docs = load_table(spark, sf_dir, "documents")
+    is_d = F.col("doc_id") % MEDIA_DELTA_MOD == 0
+    delta_sig = perf_checkpoint(
+        MM.video_frame_dhash(
+            MM.attach_payload_video_clips(docs.filter(is_d))
+        )
         .select("doc_id", "frame_dhash")
         .distinct()
     )
-    delta_sig = sig.filter(F.col("doc_id") % MEDIA_DELTA_MOD == 0)
+    sig = staged_video_sig_base(spark, sf_dir).unionByName(delta_sig)
     shared = (
         delta_sig.alias("a")
         .join(
@@ -1395,15 +1506,7 @@ def media_keep_best_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once under the state root (the tick's cm_image_index shape) and
     # every invocation — cold sessions included — READS them, so the
     # audited plan prices the delta decode + resolution only
-    fp_base = staged_index(
-        spark,
-        f"media_fp_base:{sf_dir}",
-        lambda: MM.media_dhash(
-            MM.attach_payload_dhash_corpus(docs.filter(~is_delta)),
-            with_detail=True,
-        ),
-        src_dir=sf_dir,
-    )
+    fp_base = staged_media_fp_base(spark, sf_dir)
     fp_delta = perf_checkpoint(
         MM.media_dhash(
             MM.attach_payload_dhash_corpus(docs.filter(is_delta)),
@@ -1517,14 +1620,7 @@ def video_keep_best_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cm_frame_index shape) and the resolved keep-best index each
     # land once and are READ on every invocation — the audited plan
     # prices the delta decode + resolution only
-    vfp_base = staged_index(
-        spark,
-        f"video_fp_base:{sf_dir}",
-        lambda: MM.video_frame_dhash(
-            MM.attach_payload_video_clips(docs.filter(~is_delta))
-        ).select("doc_id", "frame_idx", "frame_dhash"),
-        src_dir=sf_dir,
-    )
+    vfp_base = staged_video_fp_base(spark, sf_dir)
     vfp_delta = perf_checkpoint(
         MM.video_frame_dhash(
             MM.attach_payload_video_clips(docs.filter(is_delta))
@@ -1541,12 +1637,7 @@ def video_keep_best_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # delta docs and base docs are disjoint, so DISTINCT distributes
     # over the union: the staged base signature never re-shuffles
-    sig_base = staged_index(
-        spark,
-        f"video_sig_base:{sf_dir}",
-        lambda: vfp_base.select("doc_id", "frame_dhash").distinct(),
-        src_dir=sf_dir,
-    )
+    sig_base = staged_video_sig_base(spark, sf_dir)
     sig_delta = vfp_delta.select("doc_id", "frame_dhash").distinct()
     sig = sig_base.unionByName(sig_delta)
     edges = (
@@ -1790,19 +1881,37 @@ GROUP BY img_id, img_kind, clip_id
 def cross_modal_incremental_update(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    photos = _fingerprints(spark, sf_dir).select(
-        "doc_id", F.lit("photo").alias("img_kind"), "dhash"
+    # base fingerprints/signatures read persisted state (r14); only
+    # the delta slice decodes per invocation
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % MEDIA_DELTA_MOD == 0
+    photo = F.lit("photo").alias("img_kind")
+    thumb = F.lit("thumb").alias("img_kind")
+    imgs_base = staged_media_fp_base(spark, sf_dir).select(
+        "doc_id", photo, "dhash"
+    ).unionByName(
+        staged_thumbs_base(spark, sf_dir).select("doc_id", thumb, "dhash")
     )
-    thumbs = _thumb_fingerprints(spark, sf_dir).select(
-        "doc_id", F.lit("thumb").alias("img_kind"), "dhash"
+    imgs_delta = perf_checkpoint(
+        MM.media_dhash(
+            MM.attach_payload_dhash_corpus(docs.filter(is_delta))
+        )
+        .select("doc_id", photo, "dhash")
+        .unionByName(
+            MM.media_dhash(
+                MM.attach_payload_keyframe_thumbs(docs.filter(is_delta))
+            ).select("doc_id", thumb, "dhash")
+        )
     )
-    imgs = perf_checkpoint(photos.unionByName(thumbs))
-    vsig = perf_checkpoint(
-        _video_fingerprints(spark, sf_dir)
+    imgs = imgs_base.unionByName(imgs_delta)
+    vsig_delta = perf_checkpoint(
+        MM.video_frame_dhash(
+            MM.attach_payload_video_clips(docs.filter(is_delta))
+        )
         .select("doc_id", "frame_dhash")
         .distinct()
     )
-    is_delta = F.col("doc_id") % MEDIA_DELTA_MOD == 0
+    vsig = staged_video_sig_base(spark, sf_dir).unionByName(vsig_delta)
     ibands = imgs.select(
         "doc_id",
         "img_kind",
@@ -2168,27 +2277,13 @@ def cross_modal_keep_best_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cm_image_index / cm_frame_index shapes the cross-modal tick
     # persists) and are READ on every invocation — the audited cold
     # plan prices the delta decode + resolution only
-    thumbs_base = staged_index(
-        spark,
-        f"cm_thumbs_base:{sf_dir}",
-        lambda: MM.media_dhash(
-            MM.attach_payload_keyframe_thumbs(docs.filter(~is_delta))
-        ).select("doc_id", "dhash"),
-        src_dir=sf_dir,
-    )
+    thumbs_base = staged_thumbs_base(spark, sf_dir)
     thumbs_delta = perf_checkpoint(
         MM.media_dhash(
             MM.attach_payload_keyframe_thumbs(docs.filter(is_delta))
         ).select("doc_id", "dhash")
     )
-    vfp_base = staged_index(
-        spark,
-        f"video_fp_base:{sf_dir}",
-        lambda: MM.video_frame_dhash(
-            MM.attach_payload_video_clips(docs.filter(~is_delta))
-        ).select("doc_id", "frame_idx", "frame_dhash"),
-        src_dir=sf_dir,
-    )
+    vfp_base = staged_video_fp_base(spark, sf_dir)
     vfp_delta = perf_checkpoint(
         MM.video_frame_dhash(
             MM.attach_payload_video_clips(docs.filter(is_delta))
@@ -2203,12 +2298,7 @@ def cross_modal_keep_best_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # delta and base doc sets are disjoint, so DISTINCT and the node
     # frame both distribute over the union: the staged base never
     # re-shuffles and the base members come straight from the index
-    vsig_base = staged_index(
-        spark,
-        f"video_sig_base:{sf_dir}",
-        lambda: vfp_base.select("doc_id", "frame_dhash").distinct(),
-        src_dir=sf_dir,
-    )
+    vsig_base = staged_video_sig_base(spark, sf_dir)
     vsig_delta = vfp_delta.select("doc_id", "frame_dhash").distinct()
     vsig = vsig_base.unionByName(vsig_delta)
     tbands_delta = image_bands_of(thumbs_delta)
@@ -2930,13 +3020,26 @@ WHERE bit_count(xor(h_r, h_t)) <= {AUDIO_SPECTRAL_T}
 def cross_modal_audio_incremental_update(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    recs = perf_checkpoint(
-        _audio_spectral_fps(spark, sf_dir).select("doc_id", "sphash")
-    )
-    trks = perf_checkpoint(
-        _track_fingerprints(spark, sf_dir).select("doc_id", "sphash")
-    )
+    # base spectral fingerprints read persisted state (r14); only the
+    # delta slice decodes per invocation
+    docs = load_table(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % MEDIA_DELTA_MOD == 0
+    recs = staged_audio_base(spark, sf_dir).select(
+        "doc_id", "sphash"
+    ).unionByName(
+        perf_checkpoint(
+            MM.audio_spectral_dhash(
+                MM.attach_payload_audio_clips(docs.filter(is_delta))
+            ).select("doc_id", "sphash")
+        )
+    )
+    trks = staged_track_base(spark, sf_dir).unionByName(
+        perf_checkpoint(
+            MM.audio_spectral_dhash(
+                MM.attach_payload_soundtrack_wavs(docs.filter(is_delta))
+            ).select("doc_id", "sphash")
+        )
+    )
     rb = image_bands_of(recs, "sphash")
     tb = image_bands_of(trks, "sphash")
 
@@ -3111,55 +3214,27 @@ def cross_modal_trimodal_delta(
     # maintained state is PERSISTED parquet (r14, r13 verdict #1) —
     # the trimodal tick's state families — read on every invocation;
     # the audited cold plan prices the delta decode + resolution only
-    thumbs_base = staged_index(
-        spark,
-        f"cm_thumbs_base:{sf_dir}",
-        lambda: MM.media_dhash(
-            MM.attach_payload_keyframe_thumbs(docs.filter(~is_delta))
-        ).select("doc_id", "dhash"),
-        src_dir=sf_dir,
-    )
+    thumbs_base = staged_thumbs_base(spark, sf_dir)
     thumbs_delta = perf_checkpoint(
         MM.media_dhash(
             MM.attach_payload_keyframe_thumbs(docs.filter(is_delta))
         ).select("doc_id", "dhash")
     )
     thumbs = thumbs_base.unionByName(thumbs_delta)
-    vfp_base = staged_index(
-        spark,
-        f"video_fp_base:{sf_dir}",
-        lambda: MM.video_frame_dhash(
-            MM.attach_payload_video_clips(docs.filter(~is_delta))
-        ).select("doc_id", "frame_idx", "frame_dhash"),
-        src_dir=sf_dir,
-    )
+    vfp_base = staged_video_fp_base(spark, sf_dir)
     vfp_delta = perf_checkpoint(
         MM.video_frame_dhash(
             MM.attach_payload_video_clips(docs.filter(is_delta))
         ).select("doc_id", "frame_idx", "frame_dhash")
     )
-    afp_base = staged_index(
-        spark,
-        f"cm_audio_base:{sf_dir}",
-        lambda: MM.audio_spectral_dhash(
-            MM.attach_payload_audio_clips(docs.filter(~is_delta))
-        ).select("doc_id", "n_windows", "sphash"),
-        src_dir=sf_dir,
-    )
+    afp_base = staged_audio_base(spark, sf_dir)
     afp_delta = perf_checkpoint(
         MM.audio_spectral_dhash(
             MM.attach_payload_audio_clips(docs.filter(is_delta))
         ).select("doc_id", "n_windows", "sphash")
     )
     afp = afp_base.unionByName(afp_delta)
-    trk_base = staged_index(
-        spark,
-        f"cm_track_base:{sf_dir}",
-        lambda: MM.audio_spectral_dhash(
-            MM.attach_payload_soundtrack_wavs(docs.filter(~is_delta))
-        ).select("doc_id", "sphash"),
-        src_dir=sf_dir,
-    )
+    trk_base = staged_track_base(spark, sf_dir)
     trk_delta = perf_checkpoint(
         MM.audio_spectral_dhash(
             MM.attach_payload_soundtrack_wavs(docs.filter(is_delta))
@@ -3178,12 +3253,7 @@ def cross_modal_trimodal_delta(
     # delta and base doc sets are disjoint: DISTINCT and the node
     # frame distribute over the union, so the staged base signature
     # never re-shuffles and base members come straight from the index
-    vsig_base = staged_index(
-        spark,
-        f"video_sig_base:{sf_dir}",
-        lambda: vfp_base.select("doc_id", "frame_dhash").distinct(),
-        src_dir=sf_dir,
-    )
+    vsig_base = staged_video_sig_base(spark, sf_dir)
     vsig_delta = vfp_delta.select("doc_id", "frame_dhash").distinct()
     vsig = vsig_base.unionByName(vsig_delta)
     tb = image_bands_of(thumbs)
