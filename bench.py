@@ -30,6 +30,13 @@ comparisons between rounds are meaningless; medians + spread make the
 round-over-round signal readable. pipeline_e2e additionally reports
 per-stage medians ("stages") so a regression names its stage.
 
+r14 additions: a fixed CANARY map (4 stable queries, always verbatim
+in the stdout summary) plus per-family subtotals from registry tags,
+so a single driver session's uniform drift vs the committed
+BENCH_MEDIANS is readable as such; `dedup_minhash_lsh` and
+`audio_band_occupancy_audit` join HEADLINE; `event_dates_routed`
+leaves it (documented net-loss mechanism witness, stays registered).
+
 r10 additions: `media_fingerprint_dhash` / `media_near_dup_pairs`
 (perceptual image dedup over real PNG/JPEG decodes), `ann_ivf_int8`
 (cells prune, SQ8 codes rank), and `corpus_incremental_tick` — the
