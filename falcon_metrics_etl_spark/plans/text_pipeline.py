@@ -476,12 +476,19 @@ def knn_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    # maintained state: top-k over the base corpus only
-    base_topk = (
-        scores(emb.filter(F.col("vec_id") < KNN_BASE_SPLIT))
+    # maintained state: top-k over the base corpus, PERSISTED (r14 —
+    # the same staged-state read as the media/LSH incremental family;
+    # doubles round-trip parquet exactly, so hashes are untouched)
+    from falcon_metrics_etl_spark.session import staged_index
+
+    base_topk = staged_index(
+        spark,
+        f"knn_base_topk:{sf_dir}",
+        lambda: scores(emb.filter(F.col("vec_id") < KNN_BASE_SPLIT))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
-        .drop("rank")
+        .drop("rank"),
+        src_dir=sf_dir,
     )
     # refresh: score ONLY the delta, merge with retained state, re-rank
     delta_scores = scores(emb.filter(F.col("vec_id") >= KNN_BASE_SPLIT))

@@ -216,19 +216,39 @@ def merge_upsert(
 
 _PTI_CONF = "spark.sql.sources.partitionColumnTypeInference.enabled"
 
+# depth-counted scoping (r14): concurrent merge_upserts (the ticks'
+# repoint/append waves submit independent tables from threads) would
+# race a naive save/restore — thread B could capture thread A's
+# temporary "false" as its old value and leave the session conf stuck
+# off after both exit. The outermost enter saves, the outermost exit
+# restores; every thread inside sees inference OFF, which is what all
+# merge reads want.
+import threading as _threading
+
+_PTI_LOCK = _threading.Lock()
+_PTI_STATE = {"depth": 0, "old": "true"}
+
 
 @contextmanager
 def _verbatim_partition_reads(spark: SparkSession):
     """Scope partition-column-type inference OFF around a read: hive
     dir values come back as their verbatim strings ('0042' stays
-    '0042', never int 42). Save-restore, not a bare set — the conf is
-    session-wide and other code may rely on the default."""
-    old = spark.conf.get(_PTI_CONF, "true")
-    spark.conf.set(_PTI_CONF, "false")
+    '0042', never int 42). Save-restore at the OUTERMOST scope only
+    (see _PTI_STATE) — the conf is session-wide, other code may rely
+    on the default, and concurrent merges must not clobber each
+    other's restore."""
+    with _PTI_LOCK:
+        if _PTI_STATE["depth"] == 0:
+            _PTI_STATE["old"] = spark.conf.get(_PTI_CONF, "true")
+            spark.conf.set(_PTI_CONF, "false")
+        _PTI_STATE["depth"] += 1
     try:
         yield
     finally:
-        spark.conf.set(_PTI_CONF, old)
+        with _PTI_LOCK:
+            _PTI_STATE["depth"] -= 1
+            if _PTI_STATE["depth"] == 0:
+                spark.conf.set(_PTI_CONF, _PTI_STATE["old"])
 
 
 # above this many touched tuples, the exact OR-of-ANDs predicate is

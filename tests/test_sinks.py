@@ -301,3 +301,36 @@ def test_merge_upsert_wide_touched_set_two_level_prune(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 120
     assert got.filter(F.col("v") == "v0").count() == 1  # only (o9, 12)
+
+
+def test_verbatim_partition_reads_concurrent_restore(spark):
+    """Concurrent merge scopes must not clobber each other's conf
+    restore (r14: the ticks submit independent merge_upserts from
+    threads): every thread inside the scope sees inference OFF, and
+    the session conf comes back to its pre-existing value after the
+    LAST scope exits — never stuck at a peer's temporary false."""
+    import threading
+    import time
+
+    from falcon_metrics_etl_spark.sinks.merge import (
+        _PTI_CONF,
+        _verbatim_partition_reads,
+    )
+
+    spark.conf.set(_PTI_CONF, "true")
+    seen = []
+    barrier = threading.Barrier(4)
+
+    def worker():
+        with _verbatim_partition_reads(spark):
+            barrier.wait()
+            seen.append(spark.conf.get(_PTI_CONF))
+            time.sleep(0.05)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert seen == ["false"] * 4
+    assert spark.conf.get(_PTI_CONF) == "true"
