@@ -142,6 +142,13 @@ def run_concurrent(*thunks):
 
 STATE_DIR_ENV = "FALCON_METRICS_STATE_DIR"
 
+# per-state-path build locks: same-process concurrent builders of one
+# key serialize (see staged_index); guarded dict creation
+import threading as _threading
+
+_BUILD_LOCKS: dict = {}
+_BUILD_LOCKS_GUARD = _threading.Lock()
+
 
 def _state_root() -> str:
     import tempfile
@@ -208,6 +215,8 @@ def staged_index(spark, key: str, build, src_dir: str | None = None):
     get the raw builder (full lineage, no state dependency)."""
     import re
     import shutil
+    import threading
+    import uuid
 
     conf = spark.conf.get(PERF_CHECKPOINT_CONF, "true")
     if (conf or "").strip().lower() in ("false", "0", "no", "off"):
@@ -217,19 +226,30 @@ def staged_index(spark, key: str, build, src_dir: str | None = None):
     root = _state_root()
     path = os.path.join(root, f"{slug}-{version}")
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-        os.makedirs(root, exist_ok=True)
-        tmp = f"{path}.tmp-{os.getpid()}"
-        build().write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            # lost the build race: a complete copy exists — use it
-            shutil.rmtree(tmp, ignore_errors=True)
-        for entry in os.listdir(root):
-            if (
-                entry.startswith(slug + "-")
-                and entry != f"{slug}-{version}"
-                and ".tmp-" not in entry
-            ):
-                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+        # same-process builders serialize per key (the second waits,
+        # then finds the state); cross-process builders race benignly
+        # through a UNIQUE tmp dir + atomic rename (a shared tmp name
+        # would let two Spark writes clobber each other's _temporary)
+        with _BUILD_LOCKS_GUARD:
+            lock = _BUILD_LOCKS.setdefault(path, threading.Lock())
+        with lock:
+            if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+                os.makedirs(root, exist_ok=True)
+                tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+                build().write.mode("overwrite").parquet(tmp)
+                try:
+                    os.rename(tmp, path)
+                except OSError:
+                    # lost a cross-process race: a complete copy
+                    # exists — use it
+                    shutil.rmtree(tmp, ignore_errors=True)
+                for entry in os.listdir(root):
+                    if (
+                        entry.startswith(slug + "-")
+                        and entry != f"{slug}-{version}"
+                        and ".tmp-" not in entry
+                    ):
+                        shutil.rmtree(
+                            os.path.join(root, entry), ignore_errors=True
+                        )
     return spark.read.parquet(path)
