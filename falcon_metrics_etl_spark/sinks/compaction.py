@@ -200,3 +200,43 @@ def _compact_unpartitioned(
         "files_before": len(files),
         "files_after_target": ideal_n,
     }
+
+
+def compact_state_dir(
+    spark: SparkSession,
+    state_dir: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    min_files: int = 8,
+) -> dict:
+    """Sweep every parquet state table under a streaming tick's
+    ``state_dir`` (r14): each tick APPENDS one task-wave of files per
+    index table, so at a 5-minute cadence the band/frame/fp indexes
+    accrete hundreds of small files and the probe scans become
+    file-count-bound. Each table compacts independently through the
+    unpartitioned rewrite (crash-safe swap); the row multiset —
+    including every ``batch_id`` tag — is unchanged, so the replay
+    contract (probes exclude own-batch rows, appends anti-join) is
+    intact and a tick can run immediately after. ``min_files``
+    defaults higher than table compaction so a freshly-staged
+    two-file state is never churned.
+
+    Local-FS sweep (os.listdir); a cloud deployment enumerates its
+    state tables from the catalog and calls ``compact`` per table.
+    Schedule in the tick's maintenance window — the local swap is not
+    concurrent-reader-safe (see _compact_unpartitioned).
+    """
+    import os
+
+    report: dict = {}
+    if not os.path.isdir(state_dir):
+        return report
+    for entry in sorted(os.listdir(state_dir)):
+        p = os.path.join(state_dir, entry)
+        if os.path.isdir(p) and _target_exists(spark, p):
+            report[entry] = compact(
+                spark,
+                p,
+                target_file_bytes=target_file_bytes,
+                min_files=min_files,
+            )
+    return report
