@@ -66,7 +66,11 @@ def _unionfind_min_labels(rows) -> list:
         return r
 
     for a, b in rows:
-        if a == b:
+        # skip self-loops AND null endpoints: the distributed path's
+        # filter(a != b) drops null-endpoint rows via SQL null
+        # comparison semantics, so the fast path must not register
+        # them either (and None is unorderable against ids)
+        if a is None or b is None or a == b:
             continue
         if a not in parent:
             parent[a] = a
@@ -102,20 +106,24 @@ def connected_components(
     max_iter, or switch to the large-star/small-star scheme (module
     docstring) for adversarially deep graphs.
     """
-    sel = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # bounded fast path: LIMIT bound+1 probes size and fetches the
-    # edges in ONE job (before any checkpoint — the common small case
-    # then runs exactly one action); a complete result means the
-    # graph fits
+    # checkpoint the base edge list FIRST: the size probe and (on the
+    # distributed path) the self-union would otherwise each re-execute
+    # the child, which is typically an expensive candidate-pair plan
+    # (LSH join / blocked matmul) whose shuffle map stages run fully
+    # even under a LIMIT — a small graph pays one extra cheap job for
+    # the checkpoint, a large graph avoids a near-full double execution
+    e0 = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
     probe = (
-        sel.limit(small_graph_edges + 1).collect()
+        e0.limit(small_graph_edges + 1).collect()
         if small_graph_edges > 0
         else None
     )
     if probe is not None and len(probe) <= small_graph_edges:
         from pyspark.sql.types import StructField, StructType
 
-        id_type = sel.schema["a"].dataType
+        id_type = e0.schema["a"].dataType
         return edges.sparkSession.createDataFrame(
             _unionfind_min_labels((r[0], r[1]) for r in probe),
             StructType(
@@ -125,10 +133,6 @@ def connected_components(
                 ]
             ),
         )
-    # checkpoint the base edge list BEFORE the self-union: the union
-    # re-executes its child twice, and the child is typically an
-    # expensive candidate-pair plan (LSH join / blocked matmul)
-    e0 = sel.localCheckpoint()
     e = (
         e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))

@@ -42,7 +42,11 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from falcon_metrics_etl_spark.operators.components import duplicate_clusters
+from falcon_metrics_etl_spark.operators.components import (
+    SMALL_GRAPH_EDGES,
+    _unionfind_min_labels,
+    duplicate_clusters,
+)
 from falcon_metrics_etl_spark.session import perf_checkpoint
 
 
@@ -86,24 +90,38 @@ def resolve_keep_best(
       by the component winner; the caller must repoint every index row
       whose keep_id is a displaced doc to new_keep and flag the doc.
 
-    ``bounded_batch=True`` declares the delta (and so the edge list)
-    bounded by a micro-batch contract — the streaming ticks' case.
-    The keeper lift then restricts the index to edge endpoints via a
-    broadcast semi join (map-side over the index scan) and broadcasts
-    the bounded result into the lift joins, so no step shuffles the
-    maintained index — tick cost scales with the delta, not the
-    state. The delta QUERIES (SF-proportional delta slice) keep the
-    default: their edge volume grows with the corpus, and broadcasting
-    it would be the 100 TB hazard.
+    ``bounded_batch=True`` declares the delta bounded by a micro-batch
+    contract — the streaming ticks' case. The edge plan materializes
+    once, the keeper lift restricts the index to edge ENDPOINTS (a
+    semi join AQE broadcasts when the endpoint set measures small —
+    the common case — and degrades to a shuffle join under hot-bucket
+    skew, where the endpoint set is occupancy-bounded rather than
+    batch-bounded), and the component solve runs from ONE size-capped
+    collect with a distributed-fixpoint fallback past
+    SMALL_GRAPH_EDGES lifted edges. Tick cost scales with the delta
+    in the common case and stays safe under adversarial skew. The
+    delta QUERIES (SF-proportional delta slice) keep the default
+    path: their edge volume grows with the corpus.
     """
     rep = idx_q.select("doc_id", "keep_id")
     if bounded_batch:
+        # materialize the caller's edge plan ONCE: the endpoint
+        # harvest below scans it twice and the component collect once
+        # more — without the checkpoint each scan re-executes the
+        # (possibly expensive) candidate-pair lineage
+        edges = edges.localCheckpoint(eager=True)
+        # no broadcast HINT on ids/rep: the endpoint set is bounded
+        # by batch x bucket-occupancy, not by the batch alone (a hot
+        # LSH bucket can make it state-proportional), so the join
+        # strategy is left to AQE — it broadcasts the post-shuffle
+        # stage when it measures small and degrades to a shuffle join
+        # when it does not
         ids = (
             edges.select(F.col("id_a").alias("doc_id"))
             .unionByName(edges.select(F.col("id_b").alias("doc_id")))
             .distinct()
         )
-        rep = rep.join(F.broadcast(ids), "doc_id", "left_semi")
+        rep = rep.join(ids, "doc_id", "left_semi")
     # lift old endpoints to their cluster keepers; batch docs (absent
     # from idx_q) stay themselves. Self-loops (a replayed batch doc
     # matching rows that already point at it) drop out here.
@@ -113,8 +131,6 @@ def resolve_keep_best(
     rep_b = rep.select(
         F.col("doc_id").alias("id_b"), F.col("keep_id").alias("rep_b")
     )
-    if bounded_batch:
-        rep_a, rep_b = F.broadcast(rep_a), F.broadcast(rep_b)
     e = (
         edges.join(rep_a, "id_a", "left")
         .join(rep_b, "id_b", "left")
@@ -125,22 +141,23 @@ def resolve_keep_best(
         .filter(F.col("id_a") != F.col("id_b"))
     )
     if bounded_batch:
-        # batch-bounded edges: ONE collect serves the empty-graph
-        # short circuit AND the component solve (driver union-find,
-        # operators/components._unionfind_min_labels) — vs three
-        # control jobs (checkpoint, isEmpty, probe) on the general
-        # path, which dominate tick latency at micro-batch scale
-        from falcon_metrics_etl_spark.operators.components import (
-            _unionfind_min_labels,
-        )
-
-        e_rows = e.collect()
-        if not e_rows:
+        # ONE size-capped collect serves the empty-graph short
+        # circuit AND the component solve (driver union-find) — vs
+        # three control jobs (checkpoint, isEmpty, probe) on the
+        # general path, which dominate tick latency at micro-batch
+        # scale. The cap keeps the path safe under adversarial bucket
+        # skew: past SMALL_GRAPH_EDGES lifted edges, the distributed
+        # fixpoint takes over instead of an unbounded driver collect.
+        probe = e.limit(SMALL_GRAPH_EDGES + 1).collect()
+        if not probe:
             return _admit_all(new_q)
-        comp = new_q.sparkSession.createDataFrame(
-            _unionfind_min_labels((r[0], r[1]) for r in e_rows),
-            "node long, cluster_id long",
-        )
+        if len(probe) <= SMALL_GRAPH_EDGES:
+            comp = new_q.sparkSession.createDataFrame(
+                _unionfind_min_labels((r[0], r[1]) for r in probe),
+                "node long, cluster_id long",
+            )
+        else:
+            comp = duplicate_clusters(e).select("node", "cluster_id")
     else:
         # materialize the (delta-sized) edge list once: it feeds the
         # empty-graph short circuit AND the component loop. A batch of

@@ -142,6 +142,13 @@ def run_concurrent(*thunks):
 
 STATE_DIR_ENV = "FALCON_METRICS_STATE_DIR"
 
+# Mixed into every staged-state fingerprint: bump when ANY staged
+# builder's OUTPUT changes (a fingerprint/codec/signature fix), so
+# persisted state from older code can never silently serve under new
+# code — the state root outlives the process, unlike the r13
+# session-scoped cache, so code upgrades are a real staleness vector.
+STATE_FORMAT_VERSION = "r14.1"
+
 # per-state-path build locks: same-process concurrent builders of one
 # key serialize (see staged_index); guarded dict creation
 import threading as _threading
@@ -153,8 +160,11 @@ _BUILD_LOCKS_GUARD = _threading.Lock()
 def _state_root() -> str:
     import tempfile
 
+    # per-user default: a fixed world-writable path would let another
+    # local user pre-create (poison) or own (DoS) the state dirs
+    uid = getattr(os, "getuid", lambda: "na")()
     return os.environ.get(STATE_DIR_ENV) or os.path.join(
-        tempfile.gettempdir(), "falcon-metrics-state"
+        tempfile.gettempdir(), f"falcon-metrics-state-{uid}"
     )
 
 
@@ -167,6 +177,7 @@ def _data_version(src_dir: str) -> str:
     import hashlib
 
     h = hashlib.sha256()
+    h.update(f"fmt={STATE_FORMAT_VERSION};".encode())
     for root, _dirs, files in sorted(os.walk(src_dir)):
         for fn in sorted(files):
             p = os.path.join(root, fn)
@@ -236,20 +247,46 @@ def staged_index(spark, key: str, build, src_dir: str | None = None):
             if not os.path.isfile(os.path.join(path, "_SUCCESS")):
                 os.makedirs(root, exist_ok=True)
                 tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-                build().write.mode("overwrite").parquet(tmp)
+                try:
+                    build().write.mode("overwrite").parquet(tmp)
+                except BaseException:
+                    # a failed build must not leak its partial tmp dir
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    raise
                 try:
                     os.rename(tmp, path)
                 except OSError:
                     # lost a cross-process race: a complete copy
                     # exists — use it
                     shutil.rmtree(tmp, ignore_errors=True)
+                # evict EXACT stale versions of this key only — a
+                # prefix match would delete live state of a DIFFERENT
+                # key whose slug extends this one past a '-'
+                # ("...sf1" vs "...sf1-regen"); versions are always 16
+                # hex chars. Orphaned tmp dirs of DEAD builder
+                # processes (a kill mid-write) are swept too.
+                stale = re.compile(
+                    re.escape(slug) + r"-[0-9a-f]{16}$"
+                )
+                orphan = re.compile(
+                    re.escape(slug)
+                    + r"-[0-9a-f]{16}\.tmp-(\d+)-[0-9a-f]+$"
+                )
                 for entry in os.listdir(root):
-                    if (
-                        entry.startswith(slug + "-")
-                        and entry != f"{slug}-{version}"
-                        and ".tmp-" not in entry
-                    ):
+                    if stale.fullmatch(entry) and entry != f"{slug}-{version}":
                         shutil.rmtree(
                             os.path.join(root, entry), ignore_errors=True
                         )
+                        continue
+                    m = orphan.fullmatch(entry)
+                    if m:
+                        try:
+                            os.kill(int(m.group(1)), 0)
+                        except ProcessLookupError:
+                            shutil.rmtree(
+                                os.path.join(root, entry),
+                                ignore_errors=True,
+                            )
+                        except OSError:
+                            pass  # alive under another uid: leave it
     return spark.read.parquet(path)

@@ -220,35 +220,41 @@ _PTI_CONF = "spark.sql.sources.partitionColumnTypeInference.enabled"
 # repoint/append waves submit independent tables from threads) would
 # race a naive save/restore — thread B could capture thread A's
 # temporary "false" as its old value and leave the session conf stuck
-# off after both exit. The outermost enter saves, the outermost exit
-# restores; every thread inside sees inference OFF, which is what all
-# merge reads want.
+# off after both exit. Depth and saved value are tracked PER
+# SparkSession (confs are session-scoped: two sessions in one process
+# must each get their own conf set off and their own value restored).
+# The outermost enter of a session saves, its outermost exit restores;
+# every thread inside sees inference OFF, which all merge reads want.
 import threading as _threading
 
 _PTI_LOCK = _threading.Lock()
-_PTI_STATE = {"depth": 0, "old": "true"}
+_PTI_STATE: dict = {}  # id(session) -> {"depth": int, "old": str}
 
 
 @contextmanager
 def _verbatim_partition_reads(spark: SparkSession):
     """Scope partition-column-type inference OFF around a read: hive
     dir values come back as their verbatim strings ('0042' stays
-    '0042', never int 42). Save-restore at the OUTERMOST scope only
-    (see _PTI_STATE) — the conf is session-wide, other code may rely
-    on the default, and concurrent merges must not clobber each
-    other's restore."""
+    '0042', never int 42). Save-restore at the OUTERMOST scope of
+    EACH session (see _PTI_STATE) — the conf is session-wide, other
+    code may rely on the default, and concurrent merges must not
+    clobber each other's restore."""
+    key = id(spark)
     with _PTI_LOCK:
-        if _PTI_STATE["depth"] == 0:
-            _PTI_STATE["old"] = spark.conf.get(_PTI_CONF, "true")
+        st = _PTI_STATE.setdefault(key, {"depth": 0, "old": "true"})
+        if st["depth"] == 0:
+            st["old"] = spark.conf.get(_PTI_CONF, "true")
             spark.conf.set(_PTI_CONF, "false")
-        _PTI_STATE["depth"] += 1
+        st["depth"] += 1
     try:
         yield
     finally:
         with _PTI_LOCK:
-            _PTI_STATE["depth"] -= 1
-            if _PTI_STATE["depth"] == 0:
-                spark.conf.set(_PTI_CONF, _PTI_STATE["old"])
+            st = _PTI_STATE[key]
+            st["depth"] -= 1
+            if st["depth"] == 0:
+                spark.conf.set(_PTI_CONF, st["old"])
+                del _PTI_STATE[key]
 
 
 # above this many touched tuples, the exact OR-of-ANDs predicate is

@@ -215,18 +215,17 @@ def corpus_ingest_tick(
     old_toks = sh_idx.select("doc_id", "shs").unionByName(
         toks.select("doc_id", "shs")
     )
+    # no broadcast HINT: candidate ids are occupancy-bounded, not
+    # batch-bounded — AQE decides (broadcasts when measured small)
     old_toks = old_toks.join(
-        F.broadcast(
-            cand.select(F.col("id_old").alias("doc_id")).distinct()
-        ),
+        cand.select(F.col("id_old").alias("doc_id")).distinct(),
         "doc_id",
         "left_semi",
     )
     old_sh = old_toks.select("doc_id", F.explode("shs").alias("sh"))
     old_sizes = old_toks.select("doc_id", F.size("shs").alias("n"))
     shared = (
-        F.broadcast(cand)
-        .join(sh.alias("sa"), F.col("sa.doc_id") == F.col("id_new"))
+        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("id_new"))
         .join(
             old_sh.alias("sb"),
             (F.col("sb.doc_id") == F.col("id_old"))

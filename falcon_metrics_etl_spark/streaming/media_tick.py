@@ -258,14 +258,18 @@ def media_ingest_tick(
     hashes = fp_idx.select("doc_id", "dhash").unionByName(
         fp_new.select("doc_id", "dhash")
     )
-    e1 = F.broadcast(cand).join(
+    # no broadcast HINT on the candidate side: cand is bounded by
+    # batch x bucket occupancy, not by the batch (a hot band bucket
+    # makes it state-proportional) — AQE broadcasts the post-shuffle
+    # stage when it measures small and degrades gracefully otherwise
+    e1 = cand.join(
         hashes.select(
             F.col("doc_id").alias("id_a"), F.col("dhash").alias("h_a")
         ),
         "id_a",
     )
     edges = (
-        F.broadcast(e1)
+        e1
         .join(
             hashes.select(
                 F.col("doc_id").alias("id_b"), F.col("dhash").alias("h_b")

@@ -137,3 +137,28 @@ def test_fast_path_matches_distributed_path(spark):
         for r in connected_components(df, small_graph_edges=0).collect()
     }
     assert fast == dist
+
+
+def test_null_edge_endpoints_match_distributed_semantics(spark):
+    """A null endpoint must vanish on BOTH paths (the distributed
+    filter(a != b) drops it via SQL null semantics; the fast path must
+    not crash or register it)."""
+    from falcon_metrics_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(None, 5), (5, None), (1, 2), (None, None), (2, 3)],
+        "src long, dst long",
+    )
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            edges, small_graph_edges=0
+        ).collect()
+    }
+    assert fast == dist == {(1, 1), (2, 1), (3, 1)}

@@ -334,3 +334,26 @@ def test_verbatim_partition_reads_concurrent_restore(spark):
         t.join()
     assert seen == ["false"] * 4
     assert spark.conf.get(_PTI_CONF) == "true"
+
+
+def test_verbatim_partition_reads_is_per_session(spark):
+    """Two sessions in one process, overlapping scopes: each session's
+    conf is set off inside ITS scope and each gets its own prior value
+    restored (r14: the depth counter is per-session, not global)."""
+    from falcon_metrics_etl_spark.sinks.merge import (
+        _PTI_CONF,
+        _verbatim_partition_reads,
+    )
+
+    other = spark.newSession()
+    spark.conf.set(_PTI_CONF, "true")
+    other.conf.set(_PTI_CONF, "true")
+    with _verbatim_partition_reads(spark):
+        assert spark.conf.get(_PTI_CONF) == "false"
+        # the second session's scope must set ITS conf off too, even
+        # while the first session's scope is open
+        with _verbatim_partition_reads(other):
+            assert other.conf.get(_PTI_CONF) == "false"
+        assert other.conf.get(_PTI_CONF) == "true"
+        assert spark.conf.get(_PTI_CONF) == "false"
+    assert spark.conf.get(_PTI_CONF) == "true"
