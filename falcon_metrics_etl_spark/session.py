@@ -147,7 +147,9 @@ STATE_DIR_ENV = "FALCON_METRICS_STATE_DIR"
 # persisted state from older code can never silently serve under new
 # code — the state root outlives the process, unlike the r13
 # session-scoped cache, so code upgrades are a real staleness vector.
-STATE_FORMAT_VERSION = "r14.1"
+# (r15.1: key-hashed slugs + deferred eviction changed the path
+# layout, so r14 state dirs are invisible to r15 code by design.)
+STATE_FORMAT_VERSION = "r15.1"
 
 # per-state-path build locks: same-process concurrent builders of one
 # key serialize (see staged_index); guarded dict creation
@@ -168,18 +170,47 @@ def _state_root() -> str:
     )
 
 
-def _data_version(src_dir: str) -> str:
-    """Fingerprint of the source directory's file inventory
-    (relpath, size, mtime): staged state is keyed on it, so
-    regenerating the data under ``src_dir`` — even mid-session —
-    routes every consumer to a fresh state dir instead of silently
-    serving stale fingerprints."""
+# Version manifest (r15, verdict #3): a staging job that regenerates
+# the data under ``src_dir`` writes this file last; _data_version then
+# resolves the version from ONE stat+read instead of walking the whole
+# source tree — the walk stays as the local-FS fallback for dirs no
+# staging job owns (the driver-generated testdata). On a 100 TB object
+# store the walk is a full LIST per query; the manifest is the only
+# shape that scales, and it is also the natural carrier for an
+# upstream catalog's snapshot/version token.
+VERSION_MANIFEST_NAME = "_VERSION_MANIFEST.json"
+
+
+def write_version_manifest(src_dir: str, version: str | None = None) -> str:
+    """Stamp ``src_dir`` with a version manifest (atomic replace).
+
+    ``version`` defaults to the walk fingerprint of the CURRENT file
+    inventory, so a staging job can call this with no arguments right
+    after landing data; a catalog-driven deployment passes its own
+    snapshot token. Returns the token written."""
+    import json
+    import uuid
+
+    token = version if version is not None else _walk_fingerprint(src_dir)
+    tmp = os.path.join(
+        src_dir, f".manifest-tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    )
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"version": token}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(src_dir, VERSION_MANIFEST_NAME))
+    return token
+
+
+def _walk_fingerprint(src_dir: str) -> str:
     import hashlib
 
     h = hashlib.sha256()
-    h.update(f"fmt={STATE_FORMAT_VERSION};".encode())
     for root, _dirs, files in sorted(os.walk(src_dir)):
         for fn in sorted(files):
+            if fn == VERSION_MANIFEST_NAME or fn.startswith(".manifest-tmp-"):
+                continue
             p = os.path.join(root, fn)
             try:
                 st = os.stat(p)
@@ -187,10 +218,130 @@ def _data_version(src_dir: str) -> str:
                 continue
             rel = os.path.relpath(p, src_dir)
             h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()
+
+
+def _data_version(src_dir: str) -> str:
+    """Version token of the source directory: the manifest's token
+    when ``_VERSION_MANIFEST.json`` exists (one read — staging jobs
+    regenerate data AND manifest together, so a new manifest routes
+    every consumer to fresh state), else a fingerprint of the file
+    inventory (relpath, size, mtime — the local-FS fallback).
+    ``STATE_FORMAT_VERSION`` is mixed in either way so persisted
+    state from older code never serves under new code."""
+    import hashlib
+    import json
+
+    manifest = os.path.join(src_dir, VERSION_MANIFEST_NAME)
+    try:
+        with open(manifest, encoding="utf-8") as f:
+            token = str(json.load(f)["version"])
+        src = f"manifest={token}"
+    except (OSError, ValueError, KeyError, TypeError):
+        src = f"walk={_walk_fingerprint(src_dir)}"
+    h = hashlib.sha256(f"fmt={STATE_FORMAT_VERSION};{src}".encode())
     return h.hexdigest()[:16]
 
 
-def staged_index(spark, key: str, build, src_dir: str | None = None):
+def _staged_slug(key: str) -> str:
+    """Filesystem slug for a staged-state key: sanitized prefix for
+    human debuggability + a short hash of the RAW key, so two distinct
+    keys can never share an eviction namespace (r14 advisor: the
+    sanitizer collapses runs of disallowed chars, so 'k:/a_b' and
+    'k:/a/b' collided and mutually evicted)."""
+    import hashlib
+    import re
+
+    pretty = re.sub(r"[^A-Za-z0-9_.-]+", "_", key)[:64]
+    return f"{pretty}.{hashlib.sha256(key.encode()).hexdigest()[:8]}"
+
+
+_STAGED_VERSION_RE = r"-[0-9a-f]{16}"
+
+
+def gc_staged_state(
+    root: str | None = None, grace_seconds: float | None = None
+) -> int:
+    """Age-based sweep of the staged-index root (r15, verdict #1):
+    physically deletes version dirs whose ``_RETIRED`` stamp is older
+    than the grace period, retires resurrected corpses (a version dir
+    that is not its key's most recent publish — the slow-builder race
+    the r14 advisor flagged), and removes orphaned tmp dirs of dead
+    builder pids. ``staged_index`` itself never rmtrees — eviction is
+    deferred here, out of the read hot path, so a reader mid-scan of
+    a superseded version keeps its files through the grace period.
+    Called from ``sinks.compaction.compact_state_dir`` (the ticks'
+    maintenance window) and safe to call any time. Returns dirs
+    removed."""
+    import re
+
+    from falcon_metrics_etl_spark.state import (
+        RETIRED_MARKER,
+        gc_grace_seconds,
+        mark_retired,
+    )
+
+    root = root or _state_root()
+    if not os.path.isdir(root):
+        return 0
+    grace = (
+        gc_grace_seconds() if grace_seconds is None else grace_seconds
+    )
+    import shutil
+    import time
+
+    version_re = re.compile(rf"(?P<slug>.+){_STAGED_VERSION_RE}$")
+    orphan_re = re.compile(
+        rf".+{_STAGED_VERSION_RE}\.tmp-(?P<pid>\d+)-[0-9a-f]+$"
+    )
+    now = time.time()
+    # group live versions by slug; the newest _SUCCESS per slug is the
+    # presumed-current version, every other one gets retired (covers
+    # corpses a slow builder renamed in after its version went stale)
+    by_slug: dict[str, list[tuple[float, str]]] = {}
+    removed = 0
+    for entry in os.listdir(root):
+        p = os.path.join(root, entry)
+        m = orphan_re.fullmatch(entry)
+        if m:
+            try:
+                os.kill(int(m.group("pid")), 0)
+            except ProcessLookupError:
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+            except OSError:
+                pass  # alive under another uid: leave it
+            continue
+        m = version_re.fullmatch(entry)
+        if m and os.path.isdir(p):
+            try:
+                pub = os.stat(os.path.join(p, "_SUCCESS")).st_mtime
+            except OSError:
+                pub = 0.0
+            by_slug.setdefault(m.group("slug"), []).append((pub, p))
+    for versions in by_slug.values():
+        versions.sort()
+        for _pub, p in versions[:-1]:
+            mark_retired(p)
+        for _pub, p in versions:
+            marker = os.path.join(p, RETIRED_MARKER)
+            try:
+                age = now - os.stat(marker).st_mtime
+            except OSError:
+                continue
+            if age >= grace:
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+    return removed
+
+
+def staged_index(
+    spark,
+    key: str,
+    build,
+    src_dir: str | None = None,
+    data_version: str | None = None,
+):
     """Persist a maintained-index slice as parquet state ONCE and
     read it back on every invocation.
 
@@ -209,13 +360,18 @@ def staged_index(spark, key: str, build, src_dir: str | None = None):
     (long/double/string columns round-trip parquet exactly), so
     result hashes are untouched.
 
-    Staleness: state is keyed on ``_data_version(src_dir)`` — a
-    fingerprint of the source files — and stale versions of the same
-    key are evicted on rebuild, so regenerated source data can never
-    serve old fingerprints (and the state root does not accumulate
-    dead versions). Concurrent builders race benignly: both write a
-    private tmp dir, one atomic-renames it into place, the loser
-    deletes its copy and reads the winner's.
+    Staleness: state is keyed on ``_data_version(src_dir)`` — the
+    source's manifest token when ``_VERSION_MANIFEST.json`` exists,
+    else a fingerprint of the source files (``data_version`` passes
+    an explicit token instead, for catalog-driven deployments) — so
+    regenerated source data can never serve old fingerprints.
+    Concurrent builders race benignly: both write a private tmp dir,
+    one atomic-renames it into place, the loser deletes its copy and
+    reads the winner's. Eviction is DEFERRED (r15, verdict #1): a
+    rebuild only MARKS stale versions of its key retired; physical
+    deletion happens in ``gc_staged_state`` after a grace period —
+    in the maintenance window, never here — so a concurrent reader
+    mid-scan of the superseded version keeps its files.
 
     At 100 TB the same contract holds with the state root on shared
     storage and the hot indexes written through sinks/bucketed.py
@@ -224,19 +380,43 @@ def staged_index(spark, key: str, build, src_dir: str | None = None):
 
     Deployments that disable ``spark.falconMetricsEtl.perfCheckpoints``
     get the raw builder (full lineage, no state dependency)."""
+    import hashlib
     import re
     import shutil
     import threading
     import uuid
 
+    from falcon_metrics_etl_spark.state import RETIRED_MARKER, mark_retired
+
     conf = spark.conf.get(PERF_CHECKPOINT_CONF, "true")
     if (conf or "").strip().lower() in ("false", "0", "no", "off"):
         return build()
-    slug = re.sub(r"[^A-Za-z0-9_.-]+", "_", key)
-    version = _data_version(src_dir) if src_dir else "v0"
+    slug = _staged_slug(key)
+
+    def _resolve_version() -> str:
+        if data_version is not None:
+            return hashlib.sha256(
+                f"fmt={STATE_FORMAT_VERSION};token={data_version}".encode()
+            ).hexdigest()[:16]
+        return _data_version(src_dir) if src_dir else "0" * 16
+
+    version = _resolve_version()
     root = _state_root()
     path = os.path.join(root, f"{slug}-{version}")
-    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+    success = os.path.join(path, "_SUCCESS")
+    if os.path.isfile(success):
+        # re-activation (a source reverted to an old fingerprint, or a
+        # mid-build staleness stamp proved premature): this version is
+        # current again — clear its retirement and refresh its publish
+        # time so gc_staged_state's newest-publish heuristic keeps it.
+        marker = os.path.join(path, RETIRED_MARKER)
+        if os.path.isfile(marker):
+            try:
+                os.remove(marker)
+                os.utime(success)
+            except OSError:
+                pass
+    else:
         # same-process builders serialize per key (the second waits,
         # then finds the state); cross-process builders race benignly
         # through a UNIQUE tmp dir + atomic rename (a shared tmp name
@@ -259,34 +439,21 @@ def staged_index(spark, key: str, build, src_dir: str | None = None):
                     # lost a cross-process race: a complete copy
                     # exists — use it
                     shutil.rmtree(tmp, ignore_errors=True)
-                # evict EXACT stale versions of this key only — a
-                # prefix match would delete live state of a DIFFERENT
-                # key whose slug extends this one past a '-'
-                # ("...sf1" vs "...sf1-regen"); versions are always 16
-                # hex chars. Orphaned tmp dirs of DEAD builder
-                # processes (a kill mid-write) are swept too.
-                stale = re.compile(
-                    re.escape(slug) + r"-[0-9a-f]{16}$"
-                )
-                orphan = re.compile(
-                    re.escape(slug)
-                    + r"-[0-9a-f]{16}\.tmp-(\d+)-[0-9a-f]+$"
-                )
+                # slow-builder guard (r14 advisor): if the source was
+                # regenerated DURING the build, this version is
+                # already stale — still serve it (value-correct for
+                # the inventory this call observed) but stamp it
+                # retired now so it never outlives the grace period.
+                if _resolve_version() != version:
+                    mark_retired(path)
+                # DEFERRED eviction (r15): stale versions of this key
+                # are only STAMPED retired — gc_staged_state deletes
+                # them after the grace period, so a reader mid-scan
+                # of the old version never loses its files. Versions
+                # are always 16 hex chars; the key-hashed slug makes
+                # cross-key stamping impossible.
+                stale = re.compile(re.escape(slug) + r"-[0-9a-f]{16}$")
                 for entry in os.listdir(root):
                     if stale.fullmatch(entry) and entry != f"{slug}-{version}":
-                        shutil.rmtree(
-                            os.path.join(root, entry), ignore_errors=True
-                        )
-                        continue
-                    m = orphan.fullmatch(entry)
-                    if m:
-                        try:
-                            os.kill(int(m.group(1)), 0)
-                        except ProcessLookupError:
-                            shutil.rmtree(
-                                os.path.join(root, entry),
-                                ignore_errors=True,
-                            )
-                        except OSError:
-                            pass  # alive under another uid: leave it
+                        mark_retired(os.path.join(root, entry))
     return spark.read.parquet(path)

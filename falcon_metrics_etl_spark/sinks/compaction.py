@@ -207,36 +207,53 @@ def compact_state_dir(
     state_dir: str,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     min_files: int = 8,
+    grace_seconds: float | None = None,
 ) -> dict:
     """Sweep every parquet state table under a streaming tick's
     ``state_dir`` (r14): each tick APPENDS one task-wave of files per
     index table, so at a 5-minute cadence the band/frame/fp indexes
     accrete hundreds of small files and the probe scans become
-    file-count-bound. Each table compacts independently through the
-    unpartitioned rewrite (crash-safe swap); the row multiset —
-    including every ``batch_id`` tag — is unchanged, so the replay
-    contract (probes exclude own-batch rows, appends anti-join) is
-    intact and a tick can run immediately after. ``min_files``
-    defaults higher than table compaction so a freshly-staged
-    two-file state is never churned.
+    file-count-bound. Each table compacts independently; the row
+    multiset — including every ``batch_id`` tag — is unchanged, so
+    the replay contract (probes exclude own-batch rows, appends
+    anti-join) is intact and a tick can run immediately after.
+    ``min_files`` defaults higher than table compaction so a
+    freshly-staged two-file state is never churned.
+
+    r15: each table compacts through the VERSIONED protocol
+    (state.compact_state_table — new snapshot dir + atomic
+    ``_CURRENT`` repoint + grace-period GC), so the sweep is
+    concurrent-reader-safe: a reader that planned against the old
+    snapshot keeps scanning files that persist through the grace
+    period, replacing r14's rename swap whose no-table window raced
+    readers. The sweep also age-GCs the ``staged_index`` root
+    (session.py) — stale fingerprint versions retired by rebuilds are
+    physically deleted here, in the maintenance window, never in the
+    read hot path.
 
     Local-FS sweep (os.listdir); a cloud deployment enumerates its
-    state tables from the catalog and calls ``compact`` per table.
-    Schedule in the tick's maintenance window — the local swap is not
-    concurrent-reader-safe (see _compact_unpartitioned).
+    state tables from the catalog and calls ``compact`` per table
+    (or a table format's OPTIMIZE).
     """
     import os
 
+    from falcon_metrics_etl_spark.session import gc_staged_state
+    from falcon_metrics_etl_spark.state import compact_state_table
+
     report: dict = {}
+    gc_staged_state(grace_seconds=grace_seconds)
     if not os.path.isdir(state_dir):
         return report
     for entry in sorted(os.listdir(state_dir)):
+        if entry.startswith(("_", ".")):
+            continue
         p = os.path.join(state_dir, entry)
-        if os.path.isdir(p) and _target_exists(spark, p):
-            report[entry] = compact(
+        if os.path.isdir(p):
+            report[entry] = compact_state_table(
                 spark,
                 p,
                 target_file_bytes=target_file_bytes,
                 min_files=min_files,
+                grace_seconds=grace_seconds,
             )
     return report

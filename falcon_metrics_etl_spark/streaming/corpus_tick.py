@@ -58,6 +58,8 @@ from falcon_metrics_etl_spark.plans.dedup_lsh import (
     lsh_frames_of,
 )
 from falcon_metrics_etl_spark.session import run_concurrent
+from falcon_metrics_etl_spark.state import maintain_state_dir
+from falcon_metrics_etl_spark.state import resolve_state_path as _rsp
 from falcon_metrics_etl_spark.sinks.merge import (
     _target_exists,
     anti_existing,
@@ -118,18 +120,18 @@ def stage_corpus_state(
     tag = F.lit(int(batch_id)).alias("batch_id")
     canon.select("fp", "canonical_id").distinct().select(
         "fp", "canonical_id", tag
-    ).write.mode("overwrite").parquet(f"{state_dir}/fp_index")
+    ).write.mode("overwrite").parquet(_rsp(f"{state_dir}/fp_index"))
     toks, _sh, bands = lsh_frames_of(admitted)
     bands.select("doc_id", "band", "bkey", tag).write.mode(
         "overwrite"
-    ).parquet(f"{state_dir}/band_index")
+    ).parquet(_rsp(f"{state_dir}/band_index"))
     toks.select("doc_id", "shs", tag).write.mode("overwrite").parquet(
-        f"{state_dir}/shingle_index"
+        _rsp(f"{state_dir}/shingle_index")
     )
     if merges is not None:
-        merges.write.mode("overwrite").parquet(f"{state_dir}/merges")
+        merges.write.mode("overwrite").parquet(_rsp(f"{state_dir}/merges"))
     else:
-        ulm_vocab.write.mode("overwrite").parquet(f"{state_dir}/ulm_vocab")
+        ulm_vocab.write.mode("overwrite").parquet(_rsp(f"{state_dir}/ulm_vocab"))
 
 
 def corpus_ingest_tick(
@@ -137,16 +139,24 @@ def corpus_ingest_tick(
     batch_df: DataFrame,
     state_dir: str,
     batch_id: int,
+    maintenance_file_threshold: int | None = 64,
 ) -> None:
     """Process ONE delta batch end to end (clean -> near-dup admit ->
     tokenize -> index append), idempotent under replay of the same
-    (batch_df, batch_id)."""
+    (batch_df, batch_id).
+
+    ``maintenance_file_threshold`` (r15): after the appends, GC
+    retired state snapshots and compact any state table whose live
+    file count crossed the threshold (state.maintain_state_dir), so
+    a 5-minute-cadence deployment keeps probe scans file-count-
+    bounded without manual sweeps. None disables (a deployment that
+    schedules compaction in its own window)."""
     bid = int(batch_id)
     gated = _gate_status(batch_df).localCheckpoint(eager=True)
 
     # --- exact-dup gate: probe the fp index (excluding own batch) ---
     fp_idx = _read_or_empty(
-        spark, f"{state_dir}/fp_index", "fp string, canonical_id long, batch_id long"
+        spark, _rsp(f"{state_dir}/fp_index"), "fp string, canonical_id long, batch_id long"
     ).filter(F.col("batch_id") != bid)
     batch_canon = F.min(
         F.when(F.col("gate_status") == "pass", F.col("doc_id"))
@@ -184,7 +194,7 @@ def corpus_ingest_tick(
     )
     band_idx = _read_or_empty(
         spark,
-        f"{state_dir}/band_index",
+        _rsp(f"{state_dir}/band_index"),
         "doc_id long, band int, bkey string, batch_id long",
     ).filter(F.col("batch_id") != bid)
     # candidates vs the admitted corpus + smaller-id batch mates
@@ -209,7 +219,7 @@ def corpus_ingest_tick(
     # fetched ONLY for candidate ids
     sh_idx = _read_or_empty(
         spark,
-        f"{state_dir}/shingle_index",
+        _rsp(f"{state_dir}/shingle_index"),
         "doc_id long, shs array<string>, batch_id long",
     ).filter(F.col("batch_id") != bid)
     old_toks = sh_idx.select("doc_id", "shs").unionByName(
@@ -254,16 +264,16 @@ def corpus_ingest_tick(
     # --- tokenize admitted docs with the FROZEN tokenizer -----------
     # whichever the corpus was trained with: byte-BPE merge table or
     # unigram-LM vocabulary (r11 — never retrain inside a tick)
-    if _target_exists(spark, f"{state_dir}/ulm_vocab"):
+    if _target_exists(spark, _rsp(f"{state_dir}/ulm_vocab")):
         from falcon_metrics_etl_spark.plans.ulm import (
             ulm_token_budgets,
             words_of,
         )
 
-        vocab = spark.read.parquet(f"{state_dir}/ulm_vocab")
+        vocab = spark.read.parquet(_rsp(f"{state_dir}/ulm_vocab"))
         budgets = ulm_token_budgets(words_of(admitted), vocab=vocab)
     else:
-        merges = spark.read.parquet(f"{state_dir}/merges")
+        merges = spark.read.parquet(_rsp(f"{state_dir}/merges"))
         budgets = byte_token_budgets(
             byte_words_of(admitted), merges=merges
         )
@@ -290,7 +300,7 @@ def corpus_ingest_tick(
     flags = status.join(
         budgets.select("doc_id", "n_tokens"), "doc_id", "left"
     ).select("doc_id", "status", "n_tokens", F.lit(bid).alias("batch_id"))
-    merge_upsert(spark, f"{state_dir}/flags", flags, ["doc_id"])
+    merge_upsert(spark, _rsp(f"{state_dir}/flags"), flags, ["doc_id"])
 
     # only ADMITTED docs register their fp (advisor r10: a near-dup-
     # rejected doc must not become canonical_id for future exact
@@ -302,7 +312,7 @@ def corpus_ingest_tick(
     def _append_fps() -> None:
         full_fp = _read_or_empty(
             spark,
-            f"{state_dir}/fp_index",
+            _rsp(f"{state_dir}/fp_index"),
             "fp string, canonical_id long, batch_id long",
         )
         new_fps = deduped.filter(F.col("gate_status") == "pass").join(
@@ -311,11 +321,11 @@ def corpus_ingest_tick(
         (
             anti_existing(new_fps, full_fp, "fp")
             .select("fp", "canonical_id", tag)
-            .write.mode("append").parquet(f"{state_dir}/fp_index")
+            .write.mode("append").parquet(_rsp(f"{state_dir}/fp_index"))
         )
 
     def _append_admitted(sub: str, schema: str, frame, cols: list) -> None:
-        full = _read_or_empty(spark, f"{state_dir}/{sub}", schema)
+        full = _read_or_empty(spark, _rsp(f"{state_dir}/{sub}"), schema)
         (
             anti_existing(
                 frame.join(F.broadcast(admitted_ids), "doc_id", "left_semi"),
@@ -323,7 +333,7 @@ def corpus_ingest_tick(
                 "doc_id",
             )
             .select(*cols, tag)
-            .write.mode("append").parquet(f"{state_dir}/{sub}")
+            .write.mode("append").parquet(_rsp(f"{state_dir}/{sub}"))
         )
 
     # the three appends target disjoint tables with the same anti-join
@@ -343,3 +353,9 @@ def corpus_ingest_tick(
             ["doc_id", "shs"],
         ),
     )
+
+    # ---- in-cadence maintenance (r15, verdict #1) -------------------
+    if maintenance_file_threshold is not None:
+        maintain_state_dir(
+            spark, state_dir, file_threshold=maintenance_file_threshold
+        )

@@ -76,6 +76,8 @@ from falcon_metrics_etl_spark.plans.media_dedup import (
     image_bands_of,
 )
 from falcon_metrics_etl_spark.session import run_concurrent
+from falcon_metrics_etl_spark.state import maintain_state_dir
+from falcon_metrics_etl_spark.state import resolve_state_path as _rsp
 from falcon_metrics_etl_spark.sinks.merge import (
     _target_exists,
     anti_existing as _anti_existing,
@@ -178,7 +180,7 @@ def stage_cross_modal_state(
 
     def _w(df, sub):
         return lambda: df.write.mode("overwrite").parquet(
-            f"{state_dir}/{sub}"
+            _rsp(f"{state_dir}/{sub}")
         )
 
     run_concurrent(
@@ -215,7 +217,7 @@ def stage_cross_modal_state(
         .otherwise(F.lit("dropped:near_dup"))
         .alias("status"),
         F.lit(int(batch_id)).alias("batch_id"),
-    ).write.mode("overwrite").parquet(f"{state_dir}/cm_flags")
+    ).write.mode("overwrite").parquet(_rsp(f"{state_dir}/cm_flags"))
 
 
 def cross_modal_ingest_tick(
@@ -226,6 +228,7 @@ def cross_modal_ingest_tick(
     thumbs: DataFrame | None = None,
     clips: DataFrame | None = None,
     vfp: DataFrame | None = None,
+    maintenance_file_threshold: int | None = 64,
 ) -> None:
     """Process ONE delta batch end to end (decode -> probe both
     modality indexes -> joint resolve -> flag/repoint/append),
@@ -243,16 +246,16 @@ def cross_modal_ingest_tick(
     )
 
     img_idx = _read_or_empty(
-        spark, f"{state_dir}/cm_image_index", CM_IMG_SCHEMA
+        spark, _rsp(f"{state_dir}/cm_image_index"), CM_IMG_SCHEMA
     ).filter(F.col("batch_id") != bid)
     tband_idx = _read_or_empty(
-        spark, f"{state_dir}/cm_tband_index", CM_TBAND_SCHEMA
+        spark, _rsp(f"{state_dir}/cm_tband_index"), CM_TBAND_SCHEMA
     ).filter(F.col("batch_id") != bid)
     frame_idx = _read_or_empty(
-        spark, f"{state_dir}/cm_frame_index", CM_FRAME_SCHEMA
+        spark, _rsp(f"{state_dir}/cm_frame_index"), CM_FRAME_SCHEMA
     ).filter(F.col("batch_id") != bid)
     fband_idx = _read_or_empty(
-        spark, f"{state_dir}/cm_fband_index", CM_FBAND_SCHEMA
+        spark, _rsp(f"{state_dir}/cm_fband_index"), CM_FBAND_SCHEMA
     ).filter(F.col("batch_id") != bid)
 
     # probed side = stored band rows (hash carried) + the batch's own
@@ -344,7 +347,7 @@ def cross_modal_ingest_tick(
         )
     )
     merge_upsert(
-        spark, f"{state_dir}/cm_flags", flags, ["doc_id", "modality"]
+        spark, _rsp(f"{state_dir}/cm_flags"), flags, ["doc_id", "modality"]
     )
 
     # ---- 2) repoint displaced keepers across BOTH indexes -----------
@@ -354,13 +357,13 @@ def cross_modal_ingest_tick(
         )
 
         def _repoint(sub: str, schema: str, keys: list) -> None:
-            full = _read_or_empty(spark, f"{state_dir}/{sub}", schema)
+            full = _read_or_empty(spark, _rsp(f"{state_dir}/{sub}"), schema)
             upd = (
                 full.join(F.broadcast(rp), "keep_node")
                 .withColumn("keep_node", F.col("new_keep"))
                 .drop("new_keep")
             )
-            merge_upsert(spark, f"{state_dir}/{sub}", upd, keys)
+            merge_upsert(spark, _rsp(f"{state_dir}/{sub}"), upd, keys)
 
         # the two index repoints touch disjoint tables — concurrent
         run_concurrent(
@@ -377,11 +380,11 @@ def cross_modal_ingest_tick(
     )
 
     def _append(sub: str, schema: str, frame: DataFrame, key: str, cols) -> None:
-        full = _read_or_empty(spark, f"{state_dir}/{sub}", schema)
+        full = _read_or_empty(spark, _rsp(f"{state_dir}/{sub}"), schema)
         (
             _anti_existing(frame, full, key)
             .select(*cols, tag)
-            .write.mode("append").parquet(f"{state_dir}/{sub}")
+            .write.mode("append").parquet(_rsp(f"{state_dir}/{sub}"))
         )
 
     new_img = t_new.select(
@@ -416,6 +419,13 @@ def cross_modal_ingest_tick(
             ["doc_id", "frame_dhash", "band", "byte"],
         ),
     )
+
+    # ---- in-cadence maintenance (r15, verdict #1): GC retired state
+    # snapshots, compact tables past the live-file threshold
+    if maintenance_file_threshold is not None:
+        maintain_state_dir(
+            spark, state_dir, file_threshold=maintenance_file_threshold
+        )
 
 
 def unified_media_ingest_tick(
@@ -586,7 +596,7 @@ def stage_trimodal_state(
 
     def _w(df, sub):
         return lambda: df.write.mode("overwrite").parquet(
-            f"{state_dir}/{sub}"
+            _rsp(f"{state_dir}/{sub}")
         )
 
     run_concurrent(
@@ -651,7 +661,7 @@ def stage_trimodal_state(
         .otherwise(F.lit("dropped:near_dup"))
         .alias("status"),
         F.lit(int(batch_id)).alias("batch_id"),
-    ).write.mode("overwrite").parquet(f"{state_dir}/cm3_flags")
+    ).write.mode("overwrite").parquet(_rsp(f"{state_dir}/cm3_flags"))
 
 
 def trimodal_ingest_tick(
@@ -664,6 +674,7 @@ def trimodal_ingest_tick(
     recordings: DataFrame | None = None,
     tracks: DataFrame | None = None,
     vfp: DataFrame | None = None,
+    maintenance_file_threshold: int | None = 64,
 ) -> None:
     """Process ONE delta batch across all three modalities (decode ->
     probe every index -> joint resolve -> flag/repoint/append),
@@ -702,25 +713,25 @@ def trimodal_ingest_tick(
     )
 
     img_idx = _read_or_empty(
-        spark, f"{state_dir}/cm3_image_index", CM3_IMG_SCHEMA
+        spark, _rsp(f"{state_dir}/cm3_image_index"), CM3_IMG_SCHEMA
     ).filter(F.col("batch_id") != bid)
     tband_idx = _read_or_empty(
-        spark, f"{state_dir}/cm3_tband_index", CM_TBAND_SCHEMA
+        spark, _rsp(f"{state_dir}/cm3_tband_index"), CM_TBAND_SCHEMA
     ).filter(F.col("batch_id") != bid)
     frame_idx = _read_or_empty(
-        spark, f"{state_dir}/cm3_frame_index", CM3_FRAME_SCHEMA
+        spark, _rsp(f"{state_dir}/cm3_frame_index"), CM3_FRAME_SCHEMA
     ).filter(F.col("batch_id") != bid)
     fband_idx = _read_or_empty(
-        spark, f"{state_dir}/cm3_fband_index", CM_FBAND_SCHEMA
+        spark, _rsp(f"{state_dir}/cm3_fband_index"), CM_FBAND_SCHEMA
     ).filter(F.col("batch_id") != bid)
     audio_idx = _read_or_empty(
-        spark, f"{state_dir}/cm3_audio_index", CM3_AUDIO_SCHEMA
+        spark, _rsp(f"{state_dir}/cm3_audio_index"), CM3_AUDIO_SCHEMA
     ).filter(F.col("batch_id") != bid)
     aband_idx = _read_or_empty(
-        spark, f"{state_dir}/cm3_aband_index", CM3_SPBAND_SCHEMA
+        spark, _rsp(f"{state_dir}/cm3_aband_index"), CM3_SPBAND_SCHEMA
     ).filter(F.col("batch_id") != bid)
     trband_idx = _read_or_empty(
-        spark, f"{state_dir}/cm3_trband_index", CM3_SPBAND_SCHEMA
+        spark, _rsp(f"{state_dir}/cm3_trband_index"), CM3_SPBAND_SCHEMA
     ).filter(F.col("batch_id") != bid)
 
     tb_new = image_bands_of(t_new)
@@ -840,7 +851,7 @@ def trimodal_ingest_tick(
         )
     )
     merge_upsert(
-        spark, f"{state_dir}/cm3_flags", flags, ["doc_id", "modality"]
+        spark, _rsp(f"{state_dir}/cm3_flags"), flags, ["doc_id", "modality"]
     )
     mark("flags")
 
@@ -859,14 +870,14 @@ def trimodal_ingest_tick(
         ).localCheckpoint(eager=True)
 
         def _repoint(sub: str, schema: str, keys: list) -> None:
-            full = _read_or_empty(spark, f"{state_dir}/{sub}", schema)
+            full = _read_or_empty(spark, _rsp(f"{state_dir}/{sub}"), schema)
             upd = (
                 full.join(F.broadcast(rp), "keep_node")
                 .withColumn("keep_node", F.col("new_keep"))
                 .drop("new_keep")
             )
             if not upd.isEmpty():
-                merge_upsert(spark, f"{state_dir}/{sub}", upd, keys)
+                merge_upsert(spark, _rsp(f"{state_dir}/{sub}"), upd, keys)
 
         # per-modality repoints touch disjoint tables — concurrent
         run_concurrent(
@@ -918,11 +929,11 @@ def trimodal_ingest_tick(
         ),
     )
     def _append_nodes(sub: str, schema: str, frame: DataFrame, cols) -> None:
-        full = _read_or_empty(spark, f"{state_dir}/{sub}", schema)
+        full = _read_or_empty(spark, _rsp(f"{state_dir}/{sub}"), schema)
         (
             _anti_existing(frame.join(F.broadcast(kmap), "node"), full, "node")
             .select(*cols, tag)
-            .write.mode("append").parquet(f"{state_dir}/{sub}")
+            .write.mode("append").parquet(_rsp(f"{state_dir}/{sub}"))
         )
 
     band_frames = (
@@ -937,11 +948,11 @@ def trimodal_ingest_tick(
     )
 
     def _append_bands(sub: str, schema: str, frame: DataFrame, cols) -> None:
-        full = _read_or_empty(spark, f"{state_dir}/{sub}", schema)
+        full = _read_or_empty(spark, _rsp(f"{state_dir}/{sub}"), schema)
         (
             _anti_existing(frame, full, "doc_id")
             .select(*cols, tag)
-            .write.mode("append").parquet(f"{state_dir}/{sub}")
+            .write.mode("append").parquet(_rsp(f"{state_dir}/{sub}"))
         )
 
     # the seven appends target disjoint tables with the same
@@ -961,3 +972,11 @@ def trimodal_ingest_tick(
         ),
     )
     mark("append")
+
+    # ---- in-cadence maintenance (r15, verdict #1): GC retired state
+    # snapshots, compact tables past the live-file threshold
+    if maintenance_file_threshold is not None:
+        maintain_state_dir(
+            spark, state_dir, file_threshold=maintenance_file_threshold
+        )
+        mark("maintenance")

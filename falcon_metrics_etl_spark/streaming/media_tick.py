@@ -81,6 +81,8 @@ from falcon_metrics_etl_spark.plans.media_dedup import (
     video_keep_best_of,
 )
 from falcon_metrics_etl_spark.session import run_concurrent
+from falcon_metrics_etl_spark.state import maintain_state_dir
+from falcon_metrics_etl_spark.state import resolve_state_path as _rsp
 from falcon_metrics_etl_spark.sinks.merge import (
     _target_exists,
     anti_existing,
@@ -152,11 +154,11 @@ def stage_media_state(
         lambda: kb.select(
             "doc_id", "codec", "dhash", "width", "height", "detail",
             "keep_id", tag,
-        ).write.mode("overwrite").parquet(f"{state_dir}/fp_index"),
+        ).write.mode("overwrite").parquet(_rsp(f"{state_dir}/fp_index")),
         lambda: image_bands_of(kb)
         .select("doc_id", "band", "byte", tag)
         .write.mode("overwrite")
-        .parquet(f"{state_dir}/band_index"),
+        .parquet(_rsp(f"{state_dir}/band_index")),
         lambda: vfp.join(
             vkb.select("doc_id", "n_frames", "keep_id"), "doc_id"
         )
@@ -165,7 +167,7 @@ def stage_media_state(
             "keep_id", tag,
         )
         .write.mode("overwrite")
-        .parquet(f"{state_dir}/frame_index"),
+        .parquet(_rsp(f"{state_dir}/frame_index")),
     )
 
     flags = (
@@ -183,7 +185,7 @@ def stage_media_state(
         )
         .withColumn("batch_id", F.lit(int(batch_id)))
     )
-    flags.write.mode("overwrite").parquet(f"{state_dir}/media_flags")
+    flags.write.mode("overwrite").parquet(_rsp(f"{state_dir}/media_flags"))
 
 
 def media_ingest_tick(
@@ -194,6 +196,7 @@ def media_ingest_tick(
     images: DataFrame | None = None,
     clips: DataFrame | None = None,
     vfp: DataFrame | None = None,
+    maintenance_file_threshold: int | None = 64,
 ) -> None:
     """Process ONE delta batch of media docs end to end (decode ->
     probe -> resolve keep-best -> flag/repoint/append), idempotent
@@ -230,10 +233,10 @@ def media_ingest_tick(
 
     # ---- image side: band probe -> Hamming edges --------------------
     fp_idx = _read_or_empty(
-        spark, f"{state_dir}/fp_index", FP_SCHEMA
+        spark, _rsp(f"{state_dir}/fp_index"), FP_SCHEMA
     ).filter(F.col("batch_id") != bid)
     band_idx = _read_or_empty(
-        spark, f"{state_dir}/band_index", BAND_SCHEMA
+        spark, _rsp(f"{state_dir}/band_index"), BAND_SCHEMA
     ).filter(F.col("batch_id") != bid)
     new_bands = image_bands_of(fp_new)
     probe_side = band_idx.select("doc_id", "band", "byte").unionByName(
@@ -284,7 +287,7 @@ def media_ingest_tick(
         F.count(F.lit(1)).cast("long").alias("n_frames")
     )
     frame_idx_state = _read_or_empty(
-        spark, f"{state_dir}/frame_index", FRAME_SCHEMA
+        spark, _rsp(f"{state_dir}/frame_index"), FRAME_SCHEMA
     ).filter(F.col("batch_id") != bid)
     vprobe = frame_idx_state.select(
         "doc_id", "frame_idx", "frame_dhash"
@@ -445,14 +448,14 @@ def media_ingest_tick(
         "batch_id", F.lit(bid)
     )
     merge_upsert(
-        spark, f"{state_dir}/media_flags", flags, ["doc_id", "modality"]
+        spark, _rsp(f"{state_dir}/media_flags"), flags, ["doc_id", "modality"]
     )
 
     # ---- 2) repoint displaced keepers (keyed merge) -----------------
     def _repoint(sub: str, schema: str, disp, keys: list) -> None:
         if disp.isEmpty():
             return
-        full = _read_or_empty(spark, f"{state_dir}/{sub}", schema)
+        full = _read_or_empty(spark, _rsp(f"{state_dir}/{sub}"), schema)
         upd = (
             full.join(
                 F.broadcast(
@@ -463,7 +466,7 @@ def media_ingest_tick(
             .withColumn("keep_id", F.col("new_keep"))
             .drop("new_keep")
         )
-        merge_upsert(spark, f"{state_dir}/{sub}", upd, keys)
+        merge_upsert(spark, _rsp(f"{state_dir}/{sub}"), upd, keys)
 
     # the two index repoints touch disjoint tables — concurrent
     run_concurrent(
@@ -478,11 +481,11 @@ def media_ingest_tick(
     tag = F.lit(bid).alias("batch_id")
 
     def _append(sub: str, schema: str, frame, cols: list) -> None:
-        full = _read_or_empty(spark, f"{state_dir}/{sub}", schema)
+        full = _read_or_empty(spark, _rsp(f"{state_dir}/{sub}"), schema)
         (
             anti_existing(frame, full, "doc_id")
             .select(*cols, tag)
-            .write.mode("append").parquet(f"{state_dir}/{sub}")
+            .write.mode("append").parquet(_rsp(f"{state_dir}/{sub}"))
         )
 
     new_fp = fp_new.join(
@@ -508,3 +511,10 @@ def media_ingest_tick(
             ["doc_id", "frame_idx", "frame_dhash", "n_frames", "keep_id"],
         ),
     )
+
+    # ---- in-cadence maintenance (r15, verdict #1): GC retired state
+    # snapshots, compact tables past the live-file threshold
+    if maintenance_file_threshold is not None:
+        maintain_state_dir(
+            spark, state_dir, file_threshold=maintenance_file_threshold
+        )

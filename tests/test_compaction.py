@@ -148,6 +148,7 @@ def test_compact_state_dir_preserves_tick_state_and_replay(spark, tmp_path):
 
     from falcon_metrics_etl_spark.plans.bpe import _byte_merges_df, byte_words_of
     from falcon_metrics_etl_spark.sinks.compaction import compact_state_dir
+    from falcon_metrics_etl_spark.state import live_file_count, read_state
     from falcon_metrics_etl_spark.streaming.corpus_tick import (
         corpus_ingest_tick,
         stage_corpus_state,
@@ -176,7 +177,7 @@ def test_compact_state_dir_preserves_tick_state_and_replay(spark, tmp_path):
             p = os.path.join(state, t)
             if not os.path.isdir(p):
                 continue
-            df = spark.read.parquet(p)
+            df = read_state(spark, p)
             out[t] = sorted(
                 tuple(str(x) for x in r) for r in df.collect()
             )
@@ -184,11 +185,7 @@ def test_compact_state_dir_preserves_tick_state_and_replay(spark, tmp_path):
 
     def file_counts():
         return {
-            t: sum(
-                1
-                for f in os.listdir(os.path.join(state, t))
-                if f.endswith(".parquet")
-            )
+            t: live_file_count(os.path.join(state, t))
             for t in sorted(os.listdir(state))
             if os.path.isdir(os.path.join(state, t))
         }
@@ -219,10 +216,10 @@ def test_compact_state_dir_preserves_tick_state_and_replay(spark, tmp_path):
     corpus_ingest_tick(spark, batch, replica, batch_id=9)
     flags_a = sorted(
         tuple(str(x) for x in r)
-        for r in spark.read.parquet(f"{state}/flags").collect()
+        for r in read_state(spark, f"{state}/flags").collect()
     )
     flags_b = sorted(
         tuple(str(x) for x in r)
-        for r in spark.read.parquet(f"{replica}/flags").collect()
+        for r in read_state(spark, f"{replica}/flags").collect()
     )
     assert flags_a == flags_b
