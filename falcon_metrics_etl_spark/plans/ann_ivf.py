@@ -228,14 +228,28 @@ WHERE rank <= {IVF_TOPK}
 """,
 )
 def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.session import staged_index
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", VX.quantize(F.col("embedding")).alias("q")
     )
     n = emb.withColumn("nsq", VX.int_norm_sq(F.col("q")))
-    cents = n.filter(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("q").alias("cq"),
-        F.col("nsq").alias("cnsq"),
+
+    def _cents() -> DataFrame:
+        return n.filter(F.col("vec_id") < IVF_K).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("q").alias("cq"),
+            F.col("nsq").alias("cnsq"),
+        )
+
+    # base state reads PERSISTED parquet (r15, verdict #4 — the same
+    # staged protocol as every other *_incremental* entry): the
+    # centroid table and each standing query's probe routing are
+    # maintained state in production (queries re-route only when
+    # centroids move), so the cold plan prices the delta assignment,
+    # not the routing rebuild. int arrays round-trip parquet exactly.
+    cents = staged_index(
+        spark, f"ivf_cents:{sf_dir}", _cents, src_dir=sf_dir
     )
     score = VX.int_dot(F.col("q"), F.col("cq")).cast("double") / F.sqrt(
         F.col("cnsq").cast("double")
@@ -254,18 +268,23 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crank") == 1)
         .select("vec_id", "q", "nsq", F.col("cent_id").alias("cell"))
     )
-    probes = (
-        n.filter(F.col("vec_id") < IVF_N_QUERIES)
-        .join(F.broadcast(cents))
-        .withColumn("score", score)
-        .withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") <= IVF_PROBE)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("q").alias("qv"),
-            F.col("nsq").alias("qn"),
-            F.col("cent_id").alias("cell"),
-        )
+    probes = staged_index(
+        spark,
+        f"ivf_probes:{sf_dir}",
+        lambda: (
+            n.filter(F.col("vec_id") < IVF_N_QUERIES)
+            .join(F.broadcast(cents))
+            .withColumn("score", score)
+            .withColumn("crank", F.row_number().over(wc))
+            .filter(F.col("crank") <= IVF_PROBE)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("q").alias("qv"),
+                F.col("nsq").alias("qn"),
+                F.col("cent_id").alias("cell"),
+            )
+        ),
+        src_dir=sf_dir,
     )
     scored = (
         assign.join(F.broadcast(probes), "cell")
