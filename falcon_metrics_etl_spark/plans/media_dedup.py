@@ -1124,6 +1124,20 @@ def audio_keep_best_of(fp: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 AUDIO_SPECTRAL_T = 14
 
+# r15 (verdict #5): the spectral audio families run on the AUDITED-
+# better band layout. audio_band_occupancy_audit at sf0.1 measured the
+# 8x8-bit index nearly saturated (223-235 of 256 buckets per band,
+# hottest bucket 161 rows) generating 951,619 chance-candidate pairs,
+# vs 25,734 at 4x16-bit — a 37x candidate-volume reduction for a
+# measured 6-9% approximate-recall trade (pairs at Hamming 4..T that
+# no longer share a 16-bit band: 478 of 7,444 at T=12, 692 of 7,681
+# at T=14; Hamming <= 3 recall stays guaranteed). At corpus scale the
+# 8-bit layout's per-band occupancy grows ~N^2/2^8 — the 16-bit slice
+# is the shape that survives. The audit keeps measuring BOTH layouts.
+AUDIO_SPHASH_BANDS = 4
+AUDIO_SPHASH_BITS = 64 // AUDIO_SPHASH_BANDS
+AUDIO_SPHASH_MASK = (1 << AUDIO_SPHASH_BITS) - 1
+
 
 def _duck_spectral_energy(a: str, b: str) -> str:
     """Exact window band energy as SQL: the window's two constant
@@ -1209,17 +1223,20 @@ def audio_fingerprint_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "audio_spectral_pairs",
     doc=f"Audio near-dup pairs over the SPECTRAL fingerprint: the "
-    f"same {DHASH_BANDS}x8-bit byte-band Hamming index as the image, "
-    f"SimHash and energy-hash pairings (one index design, now four "
-    f"fingerprint families), candidates verified at Hamming <= "
+    f"same byte-band Hamming index DESIGN as the image, SimHash and "
+    f"energy-hash pairings, at the audited {AUDIO_SPHASH_BANDS}x"
+    f"{AUDIO_SPHASH_BITS}-bit operating point (r15: 37x fewer chance "
+    "candidates at sf0.1 occupancy — see audio_band_occupancy_audit; "
+    "one index design, now four fingerprint families), candidates "
+    f"verified at Hamming <= "
     f"{AUDIO_SPECTRAL_T}. Banded equi-join only; no all-pairs product.",
     tags=("multimodal", "audio", "dedup", "fft", "lsh", "join"),
     oracle=f"""
 WITH {_DUCK_SPECTRAL},
 spbands AS (
     SELECT doc_id, sphash, t.b AS band,
-           (sphash >> (t.b * 8)) & 255 AS byte
-    FROM sphashes CROSS JOIN range({DHASH_BANDS}) t(b)
+           (sphash >> (t.b * {AUDIO_SPHASH_BITS})) & {AUDIO_SPHASH_MASK} AS byte
+    FROM sphashes CROSS JOIN range({AUDIO_SPHASH_BANDS}) t(b)
 ),
 spcand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1234,13 +1251,11 @@ FROM spcand WHERE bit_count(xor(h_a, h_b)) <= {AUDIO_SPECTRAL_T}
 def audio_spectral_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy checkpoint: decode + DFT the PCM corpus once, not twice
     fp = perf_checkpoint(_audio_spectral_fps(spark, sf_dir))
-    bands = fp.select(
-        "doc_id",
+    bands = image_bands_of(
+        fp.select("doc_id", "sphash"),
         "sphash",
-        F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias(
-            "band"
-        ),
-    ).withColumn("byte", F.expr("(sphash >> (band * 8)) & 255"))
+        n_bands=AUDIO_SPHASH_BANDS,
+    )
     cand = (
         bands.alias("a")
         .join(
@@ -2372,7 +2387,7 @@ def cross_modal_keep_best_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extracted track carries its clip's PCM stream in a re-authored RIFF
 # container (functions/multimodal.attach_payload_soundtrack_wavs);
 # pairing it against standalone recordings goes through the SAME
-# 8x8-bit byte-band equi-join as every other pairing in this module.
+# audited 4x16-bit byte-band equi-join (r15 spectral operating point).
 # ---------------------------------------------------------------------------
 
 # track hashes replayed WITHOUT samples: the track's PCM stream IS its
@@ -2400,8 +2415,10 @@ def _track_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "standalone re-containerized PCM WAV "
     "(attach_payload_soundtrack_wavs — LIST/INFO chunk ahead of "
     "data, same decoded stream, different bytes), and the extracted "
-    f"tracks probe the full recording index via the {DHASH_BANDS}"
-    "x8-bit byte-band equi-join over the SPECTRAL fingerprint, "
+    f"tracks probe the full recording index via the "
+    f"{AUDIO_SPHASH_BANDS}x{AUDIO_SPHASH_BITS}-bit byte-band "
+    "equi-join over the SPECTRAL fingerprint (the r15 audited "
+    "operating point), "
     f"candidates verified at Hamming <= {AUDIO_SPECTRAL_T}. One row "
     "per (recording, clip) pair. The oracle derives track hashes "
     "from the audio CTE (the PCM streams are shared by construction) "
@@ -2415,13 +2432,13 @@ WITH {_DUCK_SPECTRAL},
 {_DUCK_TRACKS},
 rbands AS (
     SELECT doc_id, sphash, t.b AS band,
-           (sphash >> (t.b * 8)) & 255 AS byte
-    FROM sphashes CROSS JOIN range({DHASH_BANDS}) t(b)
+           (sphash >> (t.b * {AUDIO_SPHASH_BITS})) & {AUDIO_SPHASH_MASK} AS byte
+    FROM sphashes CROSS JOIN range({AUDIO_SPHASH_BANDS}) t(b)
 ),
 trbands AS (
     SELECT doc_id, sphash, t.b AS band,
-           (sphash >> (t.b * 8)) & 255 AS byte
-    FROM tracks CROSS JOIN range({DHASH_BANDS}) t(b)
+           (sphash >> (t.b * {AUDIO_SPHASH_BITS})) & {AUDIO_SPHASH_MASK} AS byte
+    FROM tracks CROSS JOIN range({AUDIO_SPHASH_BANDS}) t(b)
 ),
 cmcand AS (
     SELECT DISTINCT r.doc_id AS rec_id, t.doc_id AS clip_id,
@@ -2445,10 +2462,10 @@ def cross_modal_audio_near_dup(
         _track_fingerprints(spark, sf_dir).select("doc_id", "sphash")
     )
     cand = (
-        image_bands_of(recs, "sphash")
+        image_bands_of(recs, "sphash", n_bands=AUDIO_SPHASH_BANDS)
         .alias("r")
         .join(
-            image_bands_of(trks, "sphash").alias("t"),
+            image_bands_of(trks, "sphash", n_bands=AUDIO_SPHASH_BANDS).alias("t"),
             (F.col("r.band") == F.col("t.band"))
             & (F.col("r.byte") == F.col("t.byte")),
         )
@@ -2496,13 +2513,13 @@ fbands AS (
 ),
 rbands AS (
     SELECT doc_id, sphash, t.b AS band,
-           (sphash >> (t.b * 8)) & 255 AS byte
-    FROM sphashes CROSS JOIN range({DHASH_BANDS}) t(b)
+           (sphash >> (t.b * {AUDIO_SPHASH_BITS})) & {AUDIO_SPHASH_MASK} AS byte
+    FROM sphashes CROSS JOIN range({AUDIO_SPHASH_BANDS}) t(b)
 ),
 trbands AS (
     SELECT doc_id, sphash, t.b AS band,
-           (sphash >> (t.b * 8)) & 255 AS byte
-    FROM tracks CROSS JOIN range({DHASH_BANDS}) t(b)
+           (sphash >> (t.b * {AUDIO_SPHASH_BITS})) & {AUDIO_SPHASH_MASK} AS byte
+    FROM tracks CROSS JOIN range({AUDIO_SPHASH_BANDS}) t(b)
 ),
 tc AS (
     SELECT DISTINCT tb.doc_id * 3 AS a, fb.doc_id * 3 + 1 AS b
@@ -2794,8 +2811,8 @@ def trimodal_keep_best_of(
         image_bands_of(thumbs),
         image_bands_of(vsig, "frame_dhash"),
         vsig,
-        image_bands_of(afp.select("doc_id", "sphash"), "sphash"),
-        image_bands_of(trk, "sphash"),
+        image_bands_of(afp.select("doc_id", "sphash"), "sphash", n_bands=AUDIO_SPHASH_BANDS),
+        image_bands_of(trk, "sphash", n_bands=AUDIO_SPHASH_BANDS),
     )
     comp = duplicate_clusters(edges).select("node", "cluster_id")
     members = (
@@ -2910,8 +2927,11 @@ def media_band_occupancy_audit(
     "sphash sibling of media_band_occupancy_audit (r14, r13 verdict "
     "#3): the index under audit is what the audio families actually "
     "probe (every recording fingerprint PLUS every soundtrack-rip "
-    "fingerprint), measured under BOTH band layouts (the shipped "
-    "8x8-bit and the widen-at-billions 4x16-bit): per band, distinct "
+    "fingerprint), measured under BOTH band layouts (the 4x16-bit "
+    "the spectral families ship on since r15 — picked FROM this "
+    "audit's sf0.1 numbers: 37x fewer chance candidates, 6-9% "
+    "approximate-recall trade — and the formerly-shipped 8x8-bit): "
+    "per band, distinct "
     "buckets, rows, the hottest bucket, and the chance-candidate "
     "volume sum(c*(c-1)/2) a banded self-join would generate. This "
     "gives the audio family's widen-at-scale trade a measured number "
@@ -2997,13 +3017,13 @@ WITH {_DUCK_SPECTRAL},
 {_DUCK_TRACKS},
 rbands AS (
     SELECT doc_id, sphash, t.b AS band,
-           (sphash >> (t.b * 8)) & 255 AS byte
-    FROM sphashes CROSS JOIN range({DHASH_BANDS}) t(b)
+           (sphash >> (t.b * {AUDIO_SPHASH_BITS})) & {AUDIO_SPHASH_MASK} AS byte
+    FROM sphashes CROSS JOIN range({AUDIO_SPHASH_BANDS}) t(b)
 ),
 trbands AS (
     SELECT doc_id, sphash, t.b AS band,
-           (sphash >> (t.b * 8)) & 255 AS byte
-    FROM tracks CROSS JOIN range({DHASH_BANDS}) t(b)
+           (sphash >> (t.b * {AUDIO_SPHASH_BITS})) & {AUDIO_SPHASH_MASK} AS byte
+    FROM tracks CROSS JOIN range({AUDIO_SPHASH_BANDS}) t(b)
 ),
 cmcand AS (
     SELECT DISTINCT r.doc_id AS rec_id, t.doc_id AS clip_id,
@@ -3040,8 +3060,8 @@ def cross_modal_audio_incremental_update(
             ).select("doc_id", "sphash")
         )
     )
-    rb = image_bands_of(recs, "sphash")
-    tb = image_bands_of(trks, "sphash")
+    rb = image_bands_of(recs, "sphash", n_bands=AUDIO_SPHASH_BANDS)
+    tb = image_bands_of(trks, "sphash", n_bands=AUDIO_SPHASH_BANDS)
 
     def probe(r_side: DataFrame, t_side: DataFrame) -> DataFrame:
         return (
@@ -3258,14 +3278,14 @@ def cross_modal_trimodal_delta(
     vsig = vsig_base.unionByName(vsig_delta)
     tb = image_bands_of(thumbs)
     fb = image_bands_of(vsig, "frame_dhash")
-    rb = image_bands_of(afp.select("doc_id", "sphash"), "sphash")
-    trb = image_bands_of(trk, "sphash")
+    rb = image_bands_of(afp.select("doc_id", "sphash"), "sphash", n_bands=AUDIO_SPHASH_BANDS)
+    trb = image_bands_of(trk, "sphash", n_bands=AUDIO_SPHASH_BANDS)
     edges = trimodal_edges_delta(
         image_bands_of(thumbs_delta), tb,
         image_bands_of(vsig_delta, "frame_dhash"), fb,
         vsig_delta, vsig,
-        image_bands_of(afp_delta.select("doc_id", "sphash"), "sphash"), rb,
-        image_bands_of(trk_delta, "sphash"), trb,
+        image_bands_of(afp_delta.select("doc_id", "sphash"), "sphash", n_bands=AUDIO_SPHASH_BANDS), rb,
+        image_bands_of(trk_delta, "sphash", n_bands=AUDIO_SPHASH_BANDS), trb,
     )
     delta_nodes = perf_checkpoint(
         trimodal_nodes_of(thumbs_delta, vfp_delta, afp_delta)

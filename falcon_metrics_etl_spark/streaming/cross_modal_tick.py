@@ -70,6 +70,7 @@ from pyspark.sql import functions as F
 from falcon_metrics_etl_spark.functions import multimodal as MM
 from falcon_metrics_etl_spark.operators.keep_best import resolve_keep_best
 from falcon_metrics_etl_spark.plans.media_dedup import (
+    AUDIO_SPHASH_BANDS,
     DHASH_HAMMING_T,
     VIDEO_SHARED_T,
     cross_modal_keep_best_of,
@@ -642,13 +643,13 @@ def stage_trimodal_state(
             "cm3_audio_index",
         ),
         _w(
-            image_bands_of(a.select("doc_id", "sphash"), "sphash").select(
+            image_bands_of(a.select("doc_id", "sphash"), "sphash", n_bands=AUDIO_SPHASH_BANDS).select(
                 "doc_id", "sphash", "band", "byte", tag
             ),
             "cm3_aband_index",
         ),
         _w(
-            image_bands_of(r, "sphash").select(
+            image_bands_of(r, "sphash", n_bands=AUDIO_SPHASH_BANDS).select(
                 "doc_id", "sphash", "band", "byte", tag
             ),
             "cm3_trband_index",
@@ -736,8 +737,8 @@ def trimodal_ingest_tick(
 
     tb_new = image_bands_of(t_new)
     fb_new = image_bands_of(vsig_new, "frame_dhash")
-    rb_new = image_bands_of(a_new.select("doc_id", "sphash"), "sphash")
-    trb_new = image_bands_of(r_new, "sphash")
+    rb_new = image_bands_of(a_new.select("doc_id", "sphash"), "sphash", n_bands=AUDIO_SPHASH_BANDS)
+    trb_new = image_bands_of(r_new, "sphash", n_bands=AUDIO_SPHASH_BANDS)
     tb_all = tband_idx.select("doc_id", "dhash", "band", "byte").unionByName(
         tb_new
     )
