@@ -30,6 +30,16 @@ comparisons between rounds are meaningless; medians + spread make the
 round-over-round signal readable. pipeline_e2e additionally reports
 per-stage medians ("stages") so a regression names its stage.
 
+r15 additions (verdict #2 + r14 advisor): the interleaved --ab
+session now serves the runner-staged entries too (both workers stage
+state untimed, then time the maintained op), so `--ab <ref>
+--commit-medians` publishes BENCH_MEDIANS.json from the SAME session
+as BENCH_AB.json — medians-vs-medians across rounds reads without a
+cross-session-noise asterisk (provenance recorded in the file). Every
+payload now carries "headline_version", an 8-hex fingerprint of the
+full entry set, so cross-round total comparisons can detect set
+changes mechanically.
+
 r14 additions: a fixed CANARY map (4 stable queries, always verbatim
 in the stdout summary) plus per-family subtotals from registry tags,
 so a single driver session's uniform drift vs the committed
@@ -261,6 +271,83 @@ CANARIES = [
     "event_dates_full",
     "dedup_minhash_lsh",
 ]
+
+# runner-staged bench entries (state built once untimed, then the
+# maintained operation timed) — main() records them after HEADLINE,
+# and the A/B workers serve them too (r15), so the full committed-
+# medians set can come from one interleaved session.
+STAGED_BENCH_ENTRIES = [
+    "kanbanize_card_states_bucketed",
+    "stream_windowed_daily",
+    "pipeline_e2e",
+    "corpus_e2e",
+    "corpus_incremental_tick",
+    "corpus_incremental_tick_ulm",
+    "media_incremental_tick",
+    "cross_modal_incremental_tick",
+    "trimodal_incremental_tick",
+]
+
+
+def _headline_version() -> str:
+    """8-hex fingerprint of the full bench entry set (r14 advisor):
+    cross-round consumers diffing totals get a machine-readable
+    signal when the set itself changed — a total is only comparable
+    between payloads sharing this version."""
+    import hashlib
+
+    return hashlib.sha256(
+        ",".join(HEADLINE + STAGED_BENCH_ENTRIES).encode()
+    ).hexdigest()[:8]
+
+
+def _family_totals(timings: dict, registry: dict) -> dict:
+    """Per-family subtotals: first registry tag, collapsed through
+    FAMILY_OF_TAG; runner-staged entries (no registry row) fall into
+    'pipeline' so the rollup always sums to the total."""
+    fams: dict[str, float] = {}
+    for name, sec in timings.items():
+        q = registry.get(name)
+        tag = q.tags[0] if q is not None and q.tags else "pipeline"
+        fam = FAMILY_OF_TAG.get(tag, tag)
+        fams[fam] = round(fams.get(fam, 0.0) + sec, 3)
+    return fams
+
+
+def _write_medians_from_ab(
+    repo: str,
+    ref: str,
+    sf: float,
+    medians: dict,
+    spread: dict,
+    stage_maps: dict,
+) -> None:
+    """Publish BENCH_MEDIANS.json from the A/B session's cur side
+    (r15, verdict #2): the committed medians and the committed A/B
+    now come from the SAME interleaved run, so the next round can
+    read medians-vs-medians without a cross-session-noise asterisk.
+    The provenance block records the session identity."""
+    registry = all_queries()
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(medians.values()), 3),
+        "unit": "sec",
+        "canaries": {n: medians[n] for n in CANARIES if n in medians},
+        "family_totals": _family_totals(medians, registry),
+        "queries": medians,
+        "spread": spread,
+        "redrawn": [],
+        "pipeline_e2e_stages": stage_maps.get("pipeline_e2e", {}),
+        "corpus_e2e_stages": stage_maps.get("corpus_e2e", {}),
+        "repeats": REPEATS,
+        "sf": sf,
+        "bands": {"stream_windowed_daily": [1.0, 4.5]},
+        "headline_version": _headline_version(),
+        "provenance": {"source": "ab_interleaved", "ab_ref": ref},
+    }
+    with open(os.path.join(repo, "BENCH_MEDIANS.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
 
 # per-family rollup keys for the compact summary: first registry tag
 # wins; the handful of tags below collapse into coarser families so
@@ -864,32 +951,86 @@ def kanbanize_bucketed_runner(spark, sf_dir: str):
 # trees; runner-staged entries are out of scope). Writes BENCH_AB.json.
 # ---------------------------------------------------------------------------
 _AB_WORKER_SRC = r"""
-import os, sys, time
+import json, os, sys, time
 sys.path.insert(0, os.getcwd())
 from falcon_metrics_etl_spark.plans.registry import all_queries
 from falcon_metrics_etl_spark.session import get_spark
 from falcon_metrics_etl_spark.sources import load_table
+import bench as _bench
 sf_dir = os.environ["SPARK_GRAFT_AB_SF_DIR"]
 spark = get_spark("bench_ab")
+spark.conf.set(
+    "spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
 for t in ("lineitem", "orders", "events", "documents", "embeddings"):
     load_table(spark, sf_dir, t).limit(1000).write.format("noop").mode(
         "overwrite").save()
 reg = all_queries()
-sys.stdout.write("QUERIES " + ",".join(sorted(reg)) + "\n")
+# runner-staged bench entries (r15, verdict #2): the A/B session now
+# covers the full committed-medians entry set, so BENCH_MEDIANS can be
+# derived from the interleaved run. State stages lazily on first
+# request (untimed), exactly like main(); cleanups run at EXIT.
+_STAGED_FACTORIES = {
+    "kanbanize_card_states_bucketed": "kanbanize_bucketed_runner",
+    "corpus_incremental_tick": "corpus_incremental_runner",
+    "corpus_incremental_tick_ulm": "corpus_incremental_ulm_runner",
+    "media_incremental_tick": "media_incremental_runner",
+    "cross_modal_incremental_tick": "cross_modal_incremental_runner",
+    "trimodal_incremental_tick": "trimodal_incremental_runner",
+}
+_SPECIAL_FN = {
+    "stream_windowed_daily": "time_streaming",
+    "pipeline_e2e": "time_pipeline_e2e",
+    "corpus_e2e": "time_corpus_e2e",
+}
+staged_avail = [n for n, f in _STAGED_FACTORIES.items()
+                if hasattr(_bench, f)]
+staged_avail += [n for n, f in _SPECIAL_FN.items()
+                 if hasattr(_bench, f)]
+_runners = {}
+_cleanups = []
+def _run_staged(name):
+    if name == "stream_windowed_daily":
+        return _bench.time_streaming(spark, sf_dir), None
+    if name == "pipeline_e2e":
+        sec, stages = _bench.time_pipeline_e2e(spark, sf_dir)
+        return sec, stages
+    if name == "corpus_e2e":
+        sec, stages = _bench.time_corpus_e2e(spark, sf_dir)
+        return sec, stages
+    if name not in _runners:
+        run, cleanup = getattr(_bench, _STAGED_FACTORIES[name])(
+            spark, sf_dir)
+        _runners[name] = run
+        _cleanups.append(cleanup)
+    return _runners[name](), None
+sys.stdout.write(
+    "QUERIES " + ",".join(sorted(set(reg) | set(staged_avail))) + "\n")
 sys.stdout.flush()
 for line in sys.stdin:
     name = line.strip()
     if not name or name == "EXIT":
         break
     try:
-        q = reg[name]
-        t0 = time.time()
-        q.spark(spark, sf_dir).write.format("noop").mode(
-            "overwrite").save()
-        sys.stdout.write("OK %.4f\n" % (time.time() - t0))
+        if name in reg:
+            t0 = time.time()
+            reg[name].spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            sys.stdout.write("OK %.4f\n" % (time.time() - t0))
+        else:
+            sec, stages = _run_staged(name)
+            if stages:
+                sys.stdout.write(
+                    "OK %.4f %s\n" % (sec, json.dumps(stages)))
+            else:
+                sys.stdout.write("OK %.4f\n" % sec)
     except Exception as e:
         sys.stdout.write("ERR %s\n" % str(e).replace("\n", " ")[:200])
     sys.stdout.flush()
+for c in _cleanups:
+    try:
+        c()
+    except Exception:
+        pass
 spark.stop()
 """
 
@@ -918,12 +1059,14 @@ class _AbWorker:
         assert line.startswith("QUERIES "), f"{tag}: bad handshake: {line!r}"
         self.names = set(line.split(" ", 1)[1].split(","))
 
-    def run(self, name: str) -> float | None:
+    def run(self, name: str) -> "tuple[float, dict | None] | None":
         self.proc.stdin.write(name + "\n")
         self.proc.stdin.flush()
         line = self.proc.stdout.readline().strip()
         if line.startswith("OK "):
-            return float(line.split()[1])
+            parts = line.split(" ", 2)
+            stages = json.loads(parts[2]) if len(parts) > 2 else None
+            return float(parts[1]), stages
         print(f"[ab] {self.tag} {name}: {line}", file=sys.stderr)
         return None
 
@@ -982,27 +1125,65 @@ def ab_main(ref: str, sf_dir: str, full: bool = False) -> None:
         cur = _AbWorker(repo, sf_dir, "cur")
         base = _AbWorker(base_dir, sf_dir, "base")
         pool = cur.names & base.names
-        names = sorted(pool) if full else [n for n in HEADLINE if n in pool]
+        # the committed-medians entry order: registry HEADLINE, then
+        # the runner-staged entries, exactly like main()
+        entry_order = HEADLINE + STAGED_BENCH_ENTRIES
+        names = (
+            sorted(pool) if full else [n for n in entry_order if n in pool]
+        )
         only = os.environ.get("SPARK_GRAFT_AB_ONLY")
         if only:
             want = set(only.split(","))
             names = [n for n in sorted(pool) if n in want]
+        commit_medians = (
+            "--commit-medians" in sys.argv
+            or os.environ.get("SPARK_GRAFT_BENCH_COMMIT") == "1"
+        )
+        # entries present in the current tree but not the base (new
+        # registrations) still need cur-side medians when the run is
+        # publishing BENCH_MEDIANS — timed cur-only, no ratio
+        cur_only = (
+            [n for n in entry_order if n in cur.names and n not in pool]
+            if commit_medians and not only
+            else []
+        )
         queries: dict[str, dict] = {}
+        cur_medians: dict[str, float] = {}
+        cur_spread: dict[str, float] = {}
+        stage_maps: dict[str, dict] = {}
         tot_c = tot_b = 0.0
+
+        def _record_cur(name: str, runs: list, stages: list) -> float:
+            runs = sorted(runs)
+            mc = runs[len(runs) // 2]
+            cur_medians[name] = round(mc, 3)
+            cur_spread[name] = round(runs[-1] - runs[0], 3)
+            if stages:
+                stage_maps[name] = {
+                    s: round(
+                        sorted(st[s] for st in stages)[len(stages) // 2], 3
+                    )
+                    for s in stages[0]
+                }
+            return mc
+
         try:
             for name in names:
                 runs_c: list[float] = []
                 runs_b: list[float] = []
+                stages_c: list[dict] = []
                 for _ in range(REPEATS):
                     tc = cur.run(name)
                     tb = base.run(name)
                     if tc is not None:
-                        runs_c.append(tc)
+                        runs_c.append(tc[0])
+                        if tc[1]:
+                            stages_c.append(tc[1])
                     if tb is not None:
-                        runs_b.append(tb)
+                        runs_b.append(tb[0])
                 if not runs_c or not runs_b:
                     continue
-                mc = sorted(runs_c)[len(runs_c) // 2]
+                mc = _record_cur(name, runs_c, stages_c)
                 mb = sorted(runs_b)[len(runs_b) // 2]
                 queries[name] = {
                     "cur": round(mc, 3),
@@ -1011,6 +1192,17 @@ def ab_main(ref: str, sf_dir: str, full: bool = False) -> None:
                 }
                 tot_c += mc
                 tot_b += mb
+            for name in cur_only:
+                runs_c = []
+                stages_c = []
+                for _ in range(REPEATS):
+                    tc = cur.run(name)
+                    if tc is not None:
+                        runs_c.append(tc[0])
+                        if tc[1]:
+                            stages_c.append(tc[1])
+                if runs_c:
+                    _record_cur(name, runs_c, stages_c)
         finally:
             cur.close()
             base.close()
@@ -1023,12 +1215,16 @@ def ab_main(ref: str, sf_dir: str, full: bool = False) -> None:
             "total_base": round(tot_b, 3),
             "repeats": REPEATS,
             "sf": sf,
+            "headline_version": _headline_version(),
             "queries": queries,
         }
         out = os.path.join(repo, "BENCH_AB.json")
         with open(out, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
             f.write("\n")
+        if commit_medians and not only and not full:
+            _write_medians_from_ab(repo, ref, sf, cur_medians,
+                                   cur_spread, stage_maps)
         print(json.dumps(payload))
     finally:
         subprocess.run(
@@ -1060,7 +1256,7 @@ def _compact_summary(payload: dict) -> dict:
         k: payload[k]
         for k in (
             "metric", "value", "unit", "repeats", "sf", "bands",
-            "canaries", "family_totals",
+            "headline_version", "canaries", "family_totals",
             "pipeline_e2e_stages", "corpus_e2e_stages",
         )
         if k in payload
@@ -1225,21 +1421,13 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
-    # per-family subtotals (r14): first registry tag, collapsed
-    # through FAMILY_OF_TAG; runner-staged entries (no registry row)
-    # fall into their own bucket so the rollup always sums to total
-    family_totals: dict[str, float] = {}
-    for name, sec in timings.items():
-        q = registry.get(name)
-        tag = q.tags[0] if q is not None and q.tags else "pipeline"
-        fam = FAMILY_OF_TAG.get(tag, tag)
-        family_totals[fam] = round(family_totals.get(fam, 0.0) + sec, 3)
     payload = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
+        "headline_version": _headline_version(),
         "canaries": {n: timings[n] for n in CANARIES if n in timings},
-        "family_totals": family_totals,
+        "family_totals": _family_totals(timings, registry),
         "queries": timings,
         "spread": spreads,
         "redrawn": redrawn,
