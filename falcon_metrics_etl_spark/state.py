@@ -188,6 +188,13 @@ def overwrite_state(df: DataFrame, path: str) -> str:
         shutil.rmtree(vdir, ignore_errors=True)
         raise
     _publish_pointer(path, vname)
+    # a stray retirement stamp on the NEW current (a cross-process GC
+    # racing the publish window) would start its grace clock early —
+    # the current snapshot is by definition not retired
+    try:
+        os.remove(os.path.join(vdir, RETIRED_MARKER))
+    except OSError:
+        pass
     if prev != path:
         mark_retired(prev)
     elif _flat_entries(path):
@@ -284,7 +291,14 @@ def gc_state_table(
         try:
             age = now - os.stat(marker).st_mtime
         except OSError:
-            continue  # not retired: a concurrent publish owns it
+            # non-current and unmarked: either a publish in flight
+            # (transient) or a snapshot whose retirement stamp was
+            # lost (a crash between repoint and mark — would leak
+            # forever otherwise). Stamp it NOW so its grace clock
+            # starts; a racing publish that makes it current clears
+            # the stamp (overwrite_state).
+            mark_retired(os.path.join(path, entry))
+            continue
         if age >= grace:
             shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
             removed += 1
