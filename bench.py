@@ -289,15 +289,19 @@ STAGED_BENCH_ENTRIES = [
 ]
 
 
-def _headline_version() -> str:
-    """8-hex fingerprint of the full bench entry set (r14 advisor):
-    cross-round consumers diffing totals get a machine-readable
-    signal when the set itself changed — a total is only comparable
-    between payloads sharing this version."""
+def _headline_version(names=None) -> str:
+    """8-hex fingerprint of the bench entry set ACTUALLY timed (r14
+    advisor): cross-round consumers diffing totals get a machine-
+    readable signal when the set changed — a total is only comparable
+    between payloads sharing this version. Defaults to the standard
+    HEADLINE + staged set; --ab-full / SPARK_GRAFT_AB_ONLY payloads
+    pass their real name list so their fingerprint differs."""
     import hashlib
 
+    if names is None:
+        names = HEADLINE + STAGED_BENCH_ENTRIES
     return hashlib.sha256(
-        ",".join(HEADLINE + STAGED_BENCH_ENTRIES).encode()
+        ",".join(sorted(names)).encode()
     ).hexdigest()[:8]
 
 
@@ -693,7 +697,12 @@ def corpus_incremental_runner(spark, sf_dir: str):
 
     def run() -> float:
         t0 = time.time()
-        corpus_ingest_tick(spark, delta, state_dir, batch_id=1)
+        corpus_ingest_tick(
+            spark, delta, state_dir, batch_id=1,
+            # draws must measure identical work: in-cadence
+            # maintenance would fire on one repeat only
+            maintenance_file_threshold=None,
+        )
         return time.time() - t0
 
     def cleanup() -> None:
@@ -733,7 +742,12 @@ def cross_modal_incremental_runner(spark, sf_dir: str):
 
     def run() -> float:
         t0 = time.time()
-        cross_modal_ingest_tick(spark, delta, state_dir, batch_id=1)
+        cross_modal_ingest_tick(
+            spark, delta, state_dir, batch_id=1,
+            # draws must measure identical work: in-cadence
+            # maintenance would fire on one repeat only
+            maintenance_file_threshold=None,
+        )
         return time.time() - t0
 
     def cleanup() -> None:
@@ -774,7 +788,12 @@ def trimodal_incremental_runner(spark, sf_dir: str):
 
     def run() -> float:
         t0 = time.time()
-        trimodal_ingest_tick(spark, delta, state_dir, batch_id=1)
+        trimodal_ingest_tick(
+            spark, delta, state_dir, batch_id=1,
+            # draws must measure identical work: in-cadence
+            # maintenance would fire on one repeat only
+            maintenance_file_threshold=None,
+        )
         return time.time() - t0
 
     def cleanup() -> None:
@@ -818,7 +837,12 @@ def corpus_incremental_ulm_runner(spark, sf_dir: str):
 
     def run() -> float:
         t0 = time.time()
-        corpus_ingest_tick(spark, delta, state_dir, batch_id=1)
+        corpus_ingest_tick(
+            spark, delta, state_dir, batch_id=1,
+            # draws must measure identical work: in-cadence
+            # maintenance would fire on one repeat only
+            maintenance_file_threshold=None,
+        )
         return time.time() - t0
 
     def cleanup() -> None:
@@ -861,7 +885,12 @@ def media_incremental_runner(spark, sf_dir: str):
 
     def run() -> float:
         t0 = time.time()
-        media_ingest_tick(spark, delta, state_dir, batch_id=1)
+        media_ingest_tick(
+            spark, delta, state_dir, batch_id=1,
+            # draws must measure identical work: in-cadence
+            # maintenance would fire on one repeat only
+            maintenance_file_threshold=None,
+        )
         return time.time() - t0
 
     def cleanup() -> None:
@@ -1215,7 +1244,11 @@ def ab_main(ref: str, sf_dir: str, full: bool = False) -> None:
             "total_base": round(tot_b, 3),
             "repeats": REPEATS,
             "sf": sf,
-            "headline_version": _headline_version(),
+            "headline_version": (
+                _headline_version()
+                if not (full or only)
+                else _headline_version(names)
+            ),
             "queries": queries,
         }
         out = os.path.join(repo, "BENCH_AB.json")

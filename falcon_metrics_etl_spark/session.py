@@ -321,8 +321,13 @@ def gc_staged_state(
             by_slug.setdefault(m.group("slug"), []).append((pub, p))
     for versions in by_slug.values():
         versions.sort()
-        for _pub, p in versions[:-1]:
-            mark_retired(p)
+        # strictly-older only: an mtime TIE with the newest publish
+        # (coarse-mtime filesystems) must not retire what may be the
+        # genuinely-current version (r15 self-review #6)
+        maxpub = versions[-1][0]
+        for pub, p in versions:
+            if pub < maxpub:
+                mark_retired(p)
         for _pub, p in versions:
             marker = os.path.join(p, RETIRED_MARKER)
             try:
@@ -456,4 +461,13 @@ def staged_index(
                 for entry in os.listdir(root):
                     if stale.fullmatch(entry) and entry != f"{slug}-{version}":
                         mark_retired(os.path.join(root, entry))
+                # sweep the whole root while we are already on the
+                # (rare, expensive) build path: pure staged_index
+                # consumers never enter a maintenance window, and
+                # without this the root would accrete retired
+                # versions and dead-pid tmp dirs unboundedly (r15
+                # self-review #2). Grace still applies — this only
+                # DELETES what an earlier rebuild/sweep retired more
+                # than a grace period ago.
+                gc_staged_state(root)
     return spark.read.parquet(path)

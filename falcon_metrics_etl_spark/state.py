@@ -29,11 +29,14 @@ s3_client.ts:42-61) transplanted to the local state layer:
   old snapshot before the repoint keeps scanning files that still
   exist; a reader that resolves after gets the new snapshot. Both
   succeed — no window where neither layout is readable.
-* writers (tick appends, ``merge_upsert``) operate on the RESOLVED
-  path, so a compacted table keeps accepting the same append/merge
-  protocol inside its current snapshot dir. Compaction runs in the
-  tick's maintenance window (single writer per state dir — the ticks'
-  existing contract), so an append never races a repoint.
+* appends operate on the RESOLVED path (new files inside the current
+  snapshot dir — additive, reader-safe by construction); keyed merges
+  go through ``merge_state`` (survivors + updates land as a NEW
+  snapshot + repoint — never an in-place overwrite a reader could
+  race); full rewrites go through ``overwrite_state``. Compaction
+  runs in the tick's maintenance window (single writer per state dir
+  — the ticks' existing contract), so an append never races a
+  repoint.
 
 The grace period defaults to ``DEFAULT_GC_GRACE_SECONDS`` and is
 tunable via ``FALCON_METRICS_STATE_GC_GRACE_SECONDS``; it bounds how
@@ -69,14 +72,14 @@ _VERSION_DIR_RE = re.compile(r"_v-(\d{6})-[0-9a-f]{8}$")
 _REMOTE_SCHEMES = ("s3://", "s3a://", "hdfs://", "abfss://")
 
 
-def gc_grace_seconds(default: float | None = None) -> float:
+def gc_grace_seconds() -> float:
     raw = os.environ.get(GC_GRACE_ENV)
     if raw is not None:
         try:
             return float(raw)
         except ValueError:
             pass
-    return DEFAULT_GC_GRACE_SECONDS if default is None else default
+    return DEFAULT_GC_GRACE_SECONDS
 
 
 def _is_remote(path: str) -> bool:
@@ -91,6 +94,13 @@ def resolve_state_path(path: str) -> str:
     snapshot dir. Resolution is plan-time: the returned dir is an
     immutable snapshot that outlives a concurrent rewrite for at
     least the GC grace period.
+
+    A pointer whose target dir is MISSING raises: falling back to the
+    flat layout there would silently serve an empty (or stale) table
+    for a state that demonstrably existed — corruption must be loud
+    (r15 self-review #5). The only writers that remove a pointed-to
+    snapshot are grace-period GC (never the current target) and a
+    mid-publish crash window; both deserve an error, not zero rows.
     """
     if _is_remote(path):
         return path
@@ -101,9 +111,15 @@ def resolve_state_path(path: str) -> str:
     except OSError:
         return path
     cand = os.path.join(path, name)
-    if name and os.path.isdir(cand):
+    if not name:
+        return path
+    if os.path.isdir(cand):
         return cand
-    return path
+    raise FileNotFoundError(
+        f"state table {path}: _CURRENT points at missing snapshot "
+        f"{name!r} — the version dir was removed outside the GC "
+        "protocol (or a publish crashed mid-swap); restage the table"
+    )
 
 
 def _table_exists(spark: SparkSession, path: str) -> bool:
@@ -148,17 +164,25 @@ def _publish_pointer(path: str, version_name: str) -> None:
     os.replace(tmp, os.path.join(path, CURRENT_POINTER))
 
 
-def mark_retired(dir_path: str, marker: str = RETIRED_MARKER) -> None:
-    """First-touch retirement stamp: the marker's mtime records WHEN
-    the snapshot was superseded, so the grace clock starts at the
-    repoint, not at whichever later sweep notices it."""
+def mark_retired(
+    dir_path: str, marker: str = RETIRED_MARKER, refresh: bool = False
+) -> None:
+    """Retirement stamp. Default is FIRST-TOUCH (repeated sweeps must
+    not extend a retired dir's life); ``refresh=True`` resets the
+    stamp to now — used by the publisher at the actual supersede
+    moment, so a stray earlier stamp (a cross-process GC that raced a
+    publish) can never make the grace clock start before the snapshot
+    stopped being current (r15 self-review #3)."""
     p = os.path.join(dir_path, marker)
-    if not os.path.exists(p):
-        try:
-            with open(p, "w", encoding="utf-8") as f:
-                f.write(str(time.time()))
-        except OSError:
-            pass
+    try:
+        if os.path.exists(p):
+            if refresh:
+                os.utime(p)
+            return
+        with open(p, "w", encoding="utf-8") as f:
+            f.write(str(time.time()))
+    except OSError:
+        pass
 
 
 def _flat_entries(path: str) -> list[str]:
@@ -179,7 +203,12 @@ def overwrite_state(df: DataFrame, path: str) -> str:
         df.write.mode("overwrite").parquet(path)
         return path
     os.makedirs(path, exist_ok=True)
-    prev = resolve_state_path(path)
+    try:
+        prev = resolve_state_path(path)
+    except FileNotFoundError:
+        # dangling pointer: overwrite_state IS the repair tool — the
+        # publish below installs a valid pointer again
+        prev = path
     vname = _next_version_name(path)
     vdir = os.path.join(path, vname)
     try:
@@ -196,10 +225,113 @@ def overwrite_state(df: DataFrame, path: str) -> str:
     except OSError:
         pass
     if prev != path:
-        mark_retired(prev)
+        # refresh: the supersede moment IS the retirement moment —
+        # never inherit a stray earlier stamp's clock
+        mark_retired(prev, refresh=True)
     elif _flat_entries(path):
-        mark_retired(path, FLAT_RETIRED_MARKER)
+        mark_retired(path, FLAT_RETIRED_MARKER, refresh=True)
     return vdir
+
+
+LAYOUT_FILE = "_LAYOUT"
+
+
+def claim_state_layout(
+    state_dir: str, token: str, guard_tables=()
+) -> None:
+    """Record or verify the fingerprint LAYOUT a state dir was built
+    with (r15 self-review #1: the audio sphash bands changed 8x8 ->
+    4x16 between rounds, and probing an old-layout index with
+    new-layout bands silently re-admits duplicates — layout changes
+    must be loud).
+
+    First caller stamps ``_LAYOUT``; later callers verify and raise
+    on mismatch (restage the state dir). A dir with NO stamp but
+    existing data in any ``guard_tables`` predates layout stamping —
+    that is also a mismatch we cannot verify, so it raises too."""
+    if _is_remote(state_dir):
+        return
+    os.makedirs(state_dir, exist_ok=True)
+    p = os.path.join(state_dir, LAYOUT_FILE)
+    try:
+        with open(p, encoding="utf-8") as f:
+            found = f.read().strip()
+    except OSError:
+        for t in guard_tables:
+            tp = os.path.join(state_dir, t)
+            try:
+                if _flat_entries(tp) or os.path.isfile(
+                    os.path.join(tp, CURRENT_POINTER)
+                ):
+                    raise ValueError(
+                        f"state dir {state_dir} holds data in {t!r} but "
+                        f"carries no {LAYOUT_FILE} stamp — it was built "
+                        "by a version that predates layout stamping and "
+                        f"cannot be verified against {token!r}; restage "
+                        "it (or stamp it manually after confirming the "
+                        "fingerprint layout matches)"
+                    )
+            except OSError:
+                pass
+        tmp = os.path.join(
+            state_dir, f".layout-tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(token)
+        os.replace(tmp, p)
+        return
+    if found != token:
+        raise ValueError(
+            f"state dir {state_dir} was built with fingerprint layout "
+            f"{found!r} but this code produces {token!r} — probing a "
+            "mismatched index silently re-admits duplicates; restage "
+            "the state dir"
+        )
+
+
+def merge_state(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys,
+    schema: Optional[str] = None,
+) -> None:
+    """Keyed MERGE into a state table through the versioned protocol
+    (r15 self-review #5): survivors (target anti-join updates on
+    ``keys``) union updates land as a NEW snapshot + atomic repoint.
+    Unlike ``merge_upsert``'s in-place static overwrite this never
+    deletes files a concurrent reader resolved — and because the read
+    side (old snapshot) and write side (new snapshot dir) are
+    different directories, there is no read-write cycle to break with
+    checkpoints. Last-write-wins on ``keys`` like merge_upsert.
+
+    For the ticks' small unpartitioned state tables this is also
+    CHEAPER than merge_upsert's stage-then-rewrite (one full write
+    instead of two). Remote paths fall through to merge_upsert
+    (snapshot isolation comes from a table format there)."""
+    keys = list(keys)
+    updates = updates.dropDuplicates(keys)
+    if _is_remote(path):
+        from falcon_metrics_etl_spark.sinks.merge import merge_upsert
+
+        merge_upsert(spark, path, updates, keys)
+        return
+    rp = resolve_state_path(path)
+    if not _table_exists(spark, rp):
+        if schema is not None:
+            target = spark.createDataFrame([], schema)
+            merged = target.join(
+                updates.select(keys), on=keys, how="left_anti"
+            ).unionByName(updates, allowMissingColumns=True)
+        else:
+            merged = updates
+        overwrite_state(merged, path)
+        return
+    target = spark.read.parquet(rp)
+    survivors = target.join(updates.select(keys), on=keys, how="left_anti")
+    overwrite_state(
+        survivors.unionByName(updates, allowMissingColumns=True), path
+    )
 
 
 def _local_file_stats(path: str) -> tuple[int, int]:
@@ -282,7 +414,12 @@ def gc_state_table(
         return 0
     grace = gc_grace_seconds() if grace_seconds is None else grace_seconds
     now = time.time()
-    current = os.path.basename(resolve_state_path(path))
+    try:
+        current = os.path.basename(resolve_state_path(path))
+    except FileNotFoundError:
+        # dangling pointer: the table is corrupted — readers raise
+        # loudly; GC must not destroy the surviving evidence
+        return 0
     removed = 0
     for entry in os.listdir(path):
         if not _VERSION_DIR_RE.fullmatch(entry) or entry == current:
@@ -300,6 +437,14 @@ def gc_state_table(
             mark_retired(os.path.join(path, entry))
             continue
         if age >= grace:
+            # re-resolve at deletion time: a publish may have made
+            # this entry current AFTER the loop's snapshot of the
+            # pointer — never delete the live target
+            try:
+                if entry == os.path.basename(resolve_state_path(path)):
+                    continue
+            except FileNotFoundError:
+                continue
             shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
             removed += 1
     flat_marker = os.path.join(path, FLAT_RETIRED_MARKER)
@@ -307,6 +452,14 @@ def gc_state_table(
         flat_age = now - os.stat(flat_marker).st_mtime
     except OSError:
         flat_age = None
+    if flat_age is None and current != os.path.basename(path) and \
+            _flat_entries(path):
+        # versioned table with live flat data and NO flat stamp: the
+        # publish that superseded the flat layout crashed before
+        # marking it (r15 self-review #4) — stamp now so the grace
+        # clock starts instead of leaking the full pre-compaction
+        # copy forever
+        mark_retired(path, FLAT_RETIRED_MARKER)
     if flat_age is not None and flat_age >= grace:
         for entry in _flat_entries(path):
             p = os.path.join(path, entry)
@@ -343,6 +496,12 @@ def maintain_state_dir(
     report: dict = {}
     if _is_remote(state_dir) or not os.path.isdir(state_dir):
         return report
+    # the staged-index root (session.staged_index) shares the same
+    # deferred-eviction discipline and has no window of its own —
+    # sweep it whenever a tick sweeps its state dir
+    from falcon_metrics_etl_spark.session import gc_staged_state
+
+    gc_staged_state(grace_seconds=grace_seconds)
     for entry in sorted(os.listdir(state_dir)):
         p = os.path.join(state_dir, entry)
         if not os.path.isdir(p) or entry.startswith(("_", ".")):

@@ -58,12 +58,15 @@ from falcon_metrics_etl_spark.plans.dedup_lsh import (
     lsh_frames_of,
 )
 from falcon_metrics_etl_spark.session import run_concurrent
-from falcon_metrics_etl_spark.state import maintain_state_dir
+from falcon_metrics_etl_spark.state import (
+    maintain_state_dir,
+    merge_state,
+    overwrite_state,
+)
 from falcon_metrics_etl_spark.state import resolve_state_path as _rsp
 from falcon_metrics_etl_spark.sinks.merge import (
     _target_exists,
     anti_existing,
-    merge_upsert,
 )
 
 
@@ -118,20 +121,24 @@ def stage_corpus_state(
         "doc_id", "text"
     )
     tag = F.lit(int(batch_id)).alias("batch_id")
-    canon.select("fp", "canonical_id").distinct().select(
-        "fp", "canonical_id", tag
-    ).write.mode("overwrite").parquet(_rsp(f"{state_dir}/fp_index"))
+    overwrite_state(
+        canon.select("fp", "canonical_id").distinct().select(
+            "fp", "canonical_id", tag
+        ),
+        f"{state_dir}/fp_index",
+    )
     toks, _sh, bands = lsh_frames_of(admitted)
-    bands.select("doc_id", "band", "bkey", tag).write.mode(
-        "overwrite"
-    ).parquet(_rsp(f"{state_dir}/band_index"))
-    toks.select("doc_id", "shs", tag).write.mode("overwrite").parquet(
-        _rsp(f"{state_dir}/shingle_index")
+    overwrite_state(
+        bands.select("doc_id", "band", "bkey", tag),
+        f"{state_dir}/band_index",
+    )
+    overwrite_state(
+        toks.select("doc_id", "shs", tag), f"{state_dir}/shingle_index"
     )
     if merges is not None:
-        merges.write.mode("overwrite").parquet(_rsp(f"{state_dir}/merges"))
+        overwrite_state(merges, f"{state_dir}/merges")
     else:
-        ulm_vocab.write.mode("overwrite").parquet(_rsp(f"{state_dir}/ulm_vocab"))
+        overwrite_state(ulm_vocab, f"{state_dir}/ulm_vocab")
 
 
 def corpus_ingest_tick(
@@ -300,7 +307,7 @@ def corpus_ingest_tick(
     flags = status.join(
         budgets.select("doc_id", "n_tokens"), "doc_id", "left"
     ).select("doc_id", "status", "n_tokens", F.lit(bid).alias("batch_id"))
-    merge_upsert(spark, _rsp(f"{state_dir}/flags"), flags, ["doc_id"])
+    merge_state(spark, f"{state_dir}/flags", flags, ["doc_id"])
 
     # only ADMITTED docs register their fp (advisor r10: a near-dup-
     # rejected doc must not become canonical_id for future exact

@@ -77,12 +77,16 @@ from falcon_metrics_etl_spark.plans.media_dedup import (
     image_bands_of,
 )
 from falcon_metrics_etl_spark.session import run_concurrent
-from falcon_metrics_etl_spark.state import maintain_state_dir
+from falcon_metrics_etl_spark.state import (
+    claim_state_layout,
+    maintain_state_dir,
+    merge_state,
+    overwrite_state,
+)
 from falcon_metrics_etl_spark.state import resolve_state_path as _rsp
 from falcon_metrics_etl_spark.sinks.merge import (
     _target_exists,
     anti_existing as _anti_existing,
-    merge_upsert,
 )
 
 CM_IMG_SCHEMA = (
@@ -180,9 +184,7 @@ def stage_cross_modal_state(
     vsig = v.select("doc_id", "frame_dhash").distinct()
 
     def _w(df, sub):
-        return lambda: df.write.mode("overwrite").parquet(
-            _rsp(f"{state_dir}/{sub}")
-        )
+        return lambda: overwrite_state(df, f"{state_dir}/{sub}")
 
     run_concurrent(
         _w(
@@ -211,14 +213,15 @@ def stage_cross_modal_state(
             "cm_fband_index",
         ),
     )
-    kb.select(
+    _stage_flags = kb.select(
         "doc_id",
         "modality",
         F.when(F.col("node") == F.col("keep_node"), F.lit("kept"))
         .otherwise(F.lit("dropped:near_dup"))
         .alias("status"),
         F.lit(int(batch_id)).alias("batch_id"),
-    ).write.mode("overwrite").parquet(_rsp(f"{state_dir}/cm_flags"))
+    )
+    overwrite_state(_stage_flags, f"{state_dir}/cm_flags")
 
 
 def cross_modal_ingest_tick(
@@ -347,8 +350,8 @@ def cross_modal_ingest_tick(
             F.lit(bid).alias("batch_id"),
         )
     )
-    merge_upsert(
-        spark, _rsp(f"{state_dir}/cm_flags"), flags, ["doc_id", "modality"]
+    merge_state(
+        spark, f"{state_dir}/cm_flags", flags, ["doc_id", "modality"]
     )
 
     # ---- 2) repoint displaced keepers across BOTH indexes -----------
@@ -364,7 +367,7 @@ def cross_modal_ingest_tick(
                 .withColumn("keep_node", F.col("new_keep"))
                 .drop("new_keep")
             )
-            merge_upsert(spark, _rsp(f"{state_dir}/{sub}"), upd, keys)
+            merge_state(spark, f"{state_dir}/{sub}", upd, keys)
 
         # the two index repoints touch disjoint tables — concurrent
         run_concurrent(
@@ -528,6 +531,24 @@ CM3_SPBAND_SCHEMA = (
     "doc_id long, sphash long, band int, byte long, batch_id long"
 )
 
+# the trimodal state's spectral band tables are layout-sensitive: the
+# r15 4x16-bit operating point slices sphash differently from r14's
+# 8x8, so stage AND tick stamp/verify the layout before touching state
+# (state.claim_state_layout — probing an old-layout index silently
+# re-admits duplicates otherwise)
+CM3_LAYOUT_TOKEN = (
+    f"sphash={AUDIO_SPHASH_BANDS}x{64 // AUDIO_SPHASH_BANDS}"
+)
+_CM3_LAYOUT_GUARDS = (
+    "cm3_aband_index", "cm3_trband_index", "cm3_audio_index"
+)
+
+
+def _claim_cm3_layout(state_dir: str) -> None:
+    claim_state_layout(
+        state_dir, CM3_LAYOUT_TOKEN, guard_tables=_CM3_LAYOUT_GUARDS
+    )
+
 
 def _fingerprint_batch3(
     batch_docs: DataFrame,
@@ -576,6 +597,7 @@ def stage_trimodal_state(
 ) -> None:
     """Tick-0 backfill: run the BATCH trimodal closure over the base
     corpus and persist its full resolution as the maintained state."""
+    _claim_cm3_layout(state_dir)
     from falcon_metrics_etl_spark.plans.media_dedup import (
         trimodal_keep_best_of,
     )
@@ -596,9 +618,7 @@ def stage_trimodal_state(
     vsig = v.select("doc_id", "frame_dhash").distinct()
 
     def _w(df, sub):
-        return lambda: df.write.mode("overwrite").parquet(
-            _rsp(f"{state_dir}/{sub}")
-        )
+        return lambda: overwrite_state(df, f"{state_dir}/{sub}")
 
     run_concurrent(
         _w(
@@ -655,14 +675,15 @@ def stage_trimodal_state(
             "cm3_trband_index",
         ),
     )
-    kb.select(
+    _stage_flags = kb.select(
         "doc_id",
         "modality",
         F.when(F.col("node") == F.col("keep_node"), F.lit("kept"))
         .otherwise(F.lit("dropped:near_dup"))
         .alias("status"),
         F.lit(int(batch_id)).alias("batch_id"),
-    ).write.mode("overwrite").parquet(_rsp(f"{state_dir}/cm3_flags"))
+    )
+    overwrite_state(_stage_flags, f"{state_dir}/cm3_flags")
 
 
 def trimodal_ingest_tick(
@@ -682,6 +703,7 @@ def trimodal_ingest_tick(
     idempotent under replay of the same (batch_docs, batch_id).
     ``vfp`` injects already-decoded clip frames (see
     unified_media_ingest_tick)."""
+    _claim_cm3_layout(state_dir)
     from falcon_metrics_etl_spark.plans.media_dedup import (
         trimodal_edges_delta,
     )
@@ -851,8 +873,8 @@ def trimodal_ingest_tick(
             F.lit(bid).alias("batch_id"),
         )
     )
-    merge_upsert(
-        spark, _rsp(f"{state_dir}/cm3_flags"), flags, ["doc_id", "modality"]
+    merge_state(
+        spark, f"{state_dir}/cm3_flags", flags, ["doc_id", "modality"]
     )
     mark("flags")
 
@@ -861,7 +883,7 @@ def trimodal_ingest_tick(
     # keeper can be any modality, so match on keep_node regardless of
     # parity — but an index only needs rewriting when at least one of
     # ITS rows points at a displaced keeper). Guarding each
-    # merge_upsert on its own update set keeps a tick that displaces
+    # merge_state on its own update set keeps a tick that displaces
     # one audio keeper from read+rewriting the untouched image and
     # frame tables — tick cost must scale with the delta, not total
     # state (the media tick's per-modality guards, generalized).
@@ -878,7 +900,7 @@ def trimodal_ingest_tick(
                 .drop("new_keep")
             )
             if not upd.isEmpty():
-                merge_upsert(spark, _rsp(f"{state_dir}/{sub}"), upd, keys)
+                merge_state(spark, f"{state_dir}/{sub}", upd, keys)
 
         # per-modality repoints touch disjoint tables — concurrent
         run_concurrent(

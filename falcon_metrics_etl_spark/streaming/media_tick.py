@@ -81,12 +81,15 @@ from falcon_metrics_etl_spark.plans.media_dedup import (
     video_keep_best_of,
 )
 from falcon_metrics_etl_spark.session import run_concurrent
-from falcon_metrics_etl_spark.state import maintain_state_dir
+from falcon_metrics_etl_spark.state import (
+    maintain_state_dir,
+    merge_state,
+    overwrite_state,
+)
 from falcon_metrics_etl_spark.state import resolve_state_path as _rsp
 from falcon_metrics_etl_spark.sinks.merge import (
     _target_exists,
     anti_existing,
-    merge_upsert,
 )
 
 FP_SCHEMA = (
@@ -151,23 +154,26 @@ def stage_media_state(
         lambda: video_keep_best_of(vfp).localCheckpoint(eager=True),
     )
     run_concurrent(
-        lambda: kb.select(
-            "doc_id", "codec", "dhash", "width", "height", "detail",
-            "keep_id", tag,
-        ).write.mode("overwrite").parquet(_rsp(f"{state_dir}/fp_index")),
-        lambda: image_bands_of(kb)
-        .select("doc_id", "band", "byte", tag)
-        .write.mode("overwrite")
-        .parquet(_rsp(f"{state_dir}/band_index")),
-        lambda: vfp.join(
-            vkb.select("doc_id", "n_frames", "keep_id"), "doc_id"
-        )
-        .select(
-            "doc_id", "frame_idx", "frame_dhash", "n_frames",
-            "keep_id", tag,
-        )
-        .write.mode("overwrite")
-        .parquet(_rsp(f"{state_dir}/frame_index")),
+        lambda: overwrite_state(
+            kb.select(
+                "doc_id", "codec", "dhash", "width", "height",
+                "detail", "keep_id", tag,
+            ),
+            f"{state_dir}/fp_index",
+        ),
+        lambda: overwrite_state(
+            image_bands_of(kb).select("doc_id", "band", "byte", tag),
+            f"{state_dir}/band_index",
+        ),
+        lambda: overwrite_state(
+            vfp.join(
+                vkb.select("doc_id", "n_frames", "keep_id"), "doc_id"
+            ).select(
+                "doc_id", "frame_idx", "frame_dhash", "n_frames",
+                "keep_id", tag,
+            ),
+            f"{state_dir}/frame_index",
+        ),
     )
 
     flags = (
@@ -185,7 +191,7 @@ def stage_media_state(
         )
         .withColumn("batch_id", F.lit(int(batch_id)))
     )
-    flags.write.mode("overwrite").parquet(_rsp(f"{state_dir}/media_flags"))
+    overwrite_state(flags, f"{state_dir}/media_flags")
 
 
 def media_ingest_tick(
@@ -447,8 +453,8 @@ def media_ingest_tick(
     flags = img_flags.unionByName(vid_flags).withColumn(
         "batch_id", F.lit(bid)
     )
-    merge_upsert(
-        spark, _rsp(f"{state_dir}/media_flags"), flags, ["doc_id", "modality"]
+    merge_state(
+        spark, f"{state_dir}/media_flags", flags, ["doc_id", "modality"]
     )
 
     # ---- 2) repoint displaced keepers (keyed merge) -----------------
@@ -466,7 +472,7 @@ def media_ingest_tick(
             .withColumn("keep_id", F.col("new_keep"))
             .drop("new_keep")
         )
-        merge_upsert(spark, _rsp(f"{state_dir}/{sub}"), upd, keys)
+        merge_state(spark, f"{state_dir}/{sub}", upd, keys)
 
     # the two index repoints touch disjoint tables — concurrent
     run_concurrent(

@@ -29,6 +29,7 @@ from falcon_metrics_etl_spark.plans.bpe import (
 )
 from falcon_metrics_etl_spark.plans.registry import all_queries
 from falcon_metrics_etl_spark.sources import load_table
+from falcon_metrics_etl_spark.state import read_state
 from falcon_metrics_etl_spark.streaming.corpus_tick import (
     _gate_status,
     corpus_ingest_tick,
@@ -99,7 +100,7 @@ def state(spark, tmp_path_factory):
 def _flags(spark, state_dir):
     return {
         r.doc_id: (r.status, r.n_tokens)
-        for r in spark.read.parquet(f"{state_dir}/flags").collect()
+        for r in read_state(spark, f"{state_dir}/flags").collect()
     }
 
 
@@ -138,7 +139,7 @@ def test_admitted_docs_join_the_indexes(spark, state):
     assert kept  # the planted passers
     b1 = {
         r.doc_id
-        for r in spark.read.parquet(f"{state_dir}/band_index")
+        for r in read_state(spark, f"{state_dir}/band_index")
         .filter(F.col("batch_id") == 1)
         .select("doc_id")
         .distinct()
@@ -147,7 +148,7 @@ def test_admitted_docs_join_the_indexes(spark, state):
     assert b1 == kept
     s1 = {
         r.doc_id
-        for r in spark.read.parquet(f"{state_dir}/shingle_index")
+        for r in read_state(spark, f"{state_dir}/shingle_index")
         .filter(F.col("batch_id") == 1)
         .select("doc_id")
         .collect()
@@ -178,13 +179,13 @@ def test_replay_is_idempotent(spark, state):
     state_dir, base, delta = state
     before_flags = _flags(spark, state_dir)
     counts_before = {
-        t: spark.read.parquet(f"{state_dir}/{t}").count()
+        t: read_state(spark, f"{state_dir}/{t}").count()
         for t in ("fp_index", "band_index", "shingle_index", "flags")
     }
     corpus_ingest_tick(spark, delta, state_dir, batch_id=1)
     assert _flags(spark, state_dir) == before_flags
     counts_after = {
-        t: spark.read.parquet(f"{state_dir}/{t}").count()
+        t: read_state(spark, f"{state_dir}/{t}").count()
         for t in ("fp_index", "band_index", "shingle_index", "flags")
     }
     assert counts_after == counts_before
@@ -195,7 +196,7 @@ def test_tokenizer_stays_frozen(spark, state):
     retrains it."""
     state_dir, base, delta = state
     staged = sorted(
-        tuple(r) for r in spark.read.parquet(f"{state_dir}/merges").collect()
+        tuple(r) for r in read_state(spark, f"{state_dir}/merges").collect()
     )
     fresh = sorted(
         tuple(r) for r in _byte_merges_df(byte_words_of(base)).collect()
@@ -244,7 +245,7 @@ def test_tick_with_frozen_ulm_vocab(spark, tmp_path):
     corpus_ingest_tick(spark, delta, state_dir, batch_id=1)
     flags = {
         r.doc_id: (r.status, r.n_tokens)
-        for r in spark.read.parquet(f"{state_dir}/flags").collect()
+        for r in read_state(spark, f"{state_dir}/flags").collect()
     }
     assert flags[910001][0] == "kept" and flags[910002][0] == "kept"
     # n_tokens must equal the direct frozen-vocab batch encode
@@ -255,9 +256,9 @@ def test_tick_with_frozen_ulm_vocab(spark, tmp_path):
     assert flags[910001][1] == expected[910001]
     assert flags[910002][1] == expected[910002]
     # replay idempotence holds on the ULM path too
-    before = spark.read.parquet(f"{state_dir}/band_index").count()
+    before = read_state(spark, f"{state_dir}/band_index").count()
     corpus_ingest_tick(spark, delta, state_dir, batch_id=1)
-    assert spark.read.parquet(f"{state_dir}/band_index").count() == before
+    assert read_state(spark, f"{state_dir}/band_index").count() == before
 
 
 def test_stage_requires_exactly_one_tokenizer(spark, tmp_path):

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from falcon_metrics_etl_spark.functions import multimodal as MM
+from falcon_metrics_etl_spark.state import read_state
 from falcon_metrics_etl_spark.plans.media_dedup import (
     cross_modal_keep_best_of,
 )
@@ -46,7 +47,7 @@ def _empty_media(spark):
 def _flags(spark, state_dir):
     return {
         (r["doc_id"], r["modality"]): r["status"]
-        for r in spark.read.parquet(f"{state_dir}/cm_flags").collect()
+        for r in read_state(spark, f"{state_dir}/cm_flags").collect()
     }
 
 
@@ -54,13 +55,13 @@ def _keeps(spark, state_dir):
     """node -> keep_node across BOTH indexes."""
     out = {}
     for r in (
-        spark.read.parquet(f"{state_dir}/cm_image_index")
+        read_state(spark, f"{state_dir}/cm_image_index")
         .select("node", "keep_node")
         .collect()
     ):
         out[r["node"]] = r["keep_node"]
     for r in (
-        spark.read.parquet(f"{state_dir}/cm_frame_index")
+        read_state(spark, f"{state_dir}/cm_frame_index")
         .select("node", "keep_node")
         .distinct()
         .collect()
@@ -175,7 +176,7 @@ def test_footage_displaces_admitted_still(spark, tmp_path_factory):
 def test_replay_is_idempotent(spark, ticked):
     def snapshot():
         counts = {
-            name: spark.read.parquet(f"{ticked}/{name}").count()
+            name: read_state(spark, f"{ticked}/{name}").count()
             for name in (
                 "cm_image_index", "cm_tband_index", "cm_frame_index",
                 "cm_fband_index", "cm_flags",
@@ -218,7 +219,7 @@ def test_unified_tick_equals_separate_ticks(spark, tmp_path_factory):
     def rows(path):
         # parquet part files written by different steps can disagree on
         # column ORDER; compare by name, not position
-        df = spark.read.parquet(path)
+        df = read_state(spark, path)
         cols = sorted(df.columns)
         return sorted(
             tuple(r[c] for c in cols) for r in df.collect()
@@ -267,7 +268,7 @@ def _batch_expect3(spark, ids):
 def _flags3(spark, state_dir):
     return {
         (r["doc_id"], r["modality"]): r["status"]
-        for r in spark.read.parquet(f"{state_dir}/cm3_flags").collect()
+        for r in read_state(spark, f"{state_dir}/cm3_flags").collect()
     }
 
 
@@ -275,7 +276,7 @@ def _keeps3(spark, state_dir):
     out = {}
     for sub in ("cm3_image_index", "cm3_frame_index", "cm3_audio_index"):
         for r in (
-            spark.read.parquet(f"{state_dir}/{sub}")
+            read_state(spark, f"{state_dir}/{sub}")
             .select("node", "keep_node")
             .distinct()
             .collect()
@@ -336,7 +337,7 @@ def test_trimodal_footage_displaces_admitted_recording(
     flags = _flags3(spark, state)
     assert flags[(doc, "video")] == "kept"
     assert flags[(doc, "audio")] == "displaced:near_dup"
-    au = spark.read.parquet(f"{state}/cm3_audio_index").collect()
+    au = read_state(spark, f"{state}/cm3_audio_index").collect()
     assert len(au) == 1
     assert au[0]["keep_node"] == doc * 3 + 1  # repointed to the clip
 
@@ -360,7 +361,7 @@ def test_trimodal_replay_is_idempotent(spark, tmp_path_factory):
             "cm3_fband_index", "cm3_audio_index", "cm3_aband_index",
             "cm3_trband_index", "cm3_flags",
         ):
-            df = spark.read.parquet(f"{state}/{sub}")
+            df = read_state(spark, f"{state}/{sub}")
             cols = sorted(df.columns)
             out[sub] = sorted(
                 tuple(r[c] for c in cols) for r in df.collect()
@@ -400,7 +401,7 @@ def test_unified_tick_trimodal_option(spark, tmp_path_factory):
     )
 
     def rows(path):
-        df = spark.read.parquet(path)
+        df = read_state(spark, path)
         cols = sorted(df.columns)
         return sorted(tuple(r[c] for c in cols) for r in df.collect())
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from falcon_metrics_etl_spark.functions import multimodal as MM
+from falcon_metrics_etl_spark.state import read_state
 from falcon_metrics_etl_spark.plans.media_dedup import (
     VIDEO_SHARED_T,
     image_keep_best_of,
@@ -42,21 +43,21 @@ def _docs(spark, ids):
 def _flags(spark, state_dir):
     return {
         (r["doc_id"], r["modality"]): r["status"]
-        for r in spark.read.parquet(f"{state_dir}/media_flags").collect()
+        for r in read_state(spark, f"{state_dir}/media_flags").collect()
     }
 
 
 def _fp_keep_ids(spark, state_dir):
     return {
         r["doc_id"]: r["keep_id"]
-        for r in spark.read.parquet(f"{state_dir}/fp_index").collect()
+        for r in read_state(spark, f"{state_dir}/fp_index").collect()
     }
 
 
 def _frame_keep_ids(spark, state_dir):
     return {
         r["doc_id"]: r["keep_id"]
-        for r in spark.read.parquet(f"{state_dir}/frame_index")
+        for r in read_state(spark, f"{state_dir}/frame_index")
         .select("doc_id", "keep_id")
         .distinct()
         .collect()
@@ -258,7 +259,7 @@ def test_replay_is_idempotent(spark, ticked):
     def snapshot():
         counts = {}
         for name in ("fp_index", "band_index", "frame_index", "media_flags"):
-            counts[name] = spark.read.parquet(f"{ticked}/{name}").count()
+            counts[name] = read_state(spark, f"{ticked}/{name}").count()
         return (
             counts,
             _flags(spark, ticked),

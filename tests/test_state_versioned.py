@@ -285,3 +285,121 @@ def test_gc_heals_lost_retirement_stamp(spark, tmp_path):
     assert _rows(read_state(spark, path)) == before
     v3 = overwrite_state(read_state(spark, path), path)
     assert not os.path.isfile(os.path.join(v3, RETIRED_MARKER))
+
+
+def test_merge_state_is_reader_safe_and_last_write_wins(spark, tmp_path):
+    """merge_state lands survivors+updates as a NEW snapshot: a
+    reader holding the old snapshot completes, the new read shows
+    last-write-wins on the keys, and no in-place overwrite window
+    exists (r15 self-review #5)."""
+    from falcon_metrics_etl_spark.state import merge_state
+
+    path = str(tmp_path / "t")
+    merge_state(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        ["id"],
+    )
+    old_reader = read_state(spark, path)
+    before = _rows(old_reader)
+    merge_state(
+        spark,
+        path,
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"),
+        ["id"],
+    )
+    assert _rows(old_reader) == before  # old snapshot intact
+    assert _rows(read_state(spark, path)) == [
+        ("1", "a"), ("2", "B"), ("3", "c"),
+    ]
+    # within-batch duplicates collapse (dropDuplicates on keys)
+    merge_state(
+        spark,
+        path,
+        spark.createDataFrame([(4, "x"), (4, "x")], "id long, v string"),
+        ["id"],
+    )
+    assert read_state(spark, path).filter("id = 4").count() == 1
+
+
+def test_dangling_pointer_raises_loudly(spark, tmp_path):
+    """A _CURRENT pointing at a missing snapshot must raise, never
+    silently fall back to an empty flat read (r15 self-review #5)."""
+    import shutil
+
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    _fragment(spark, path, n_batches=2)
+    vdir = overwrite_state(read_state(spark, path), path)
+    shutil.rmtree(vdir)  # simulate out-of-protocol removal
+    with _pytest.raises(FileNotFoundError, match="missing snapshot"):
+        resolve_state_path(path)
+    # GC refuses to destroy the surviving evidence of a corrupt table
+    assert gc_state_table(path, grace_seconds=0) == 0
+
+
+def test_layout_guard_blocks_mismatched_state(spark, tmp_path):
+    """r15 self-review #1: a trimodal state dir built under a
+    different sphash band layout (or one predating layout stamps with
+    data present) refuses to serve; fresh dirs stamp and proceed."""
+    import pytest as _pytest
+
+    from falcon_metrics_etl_spark.state import claim_state_layout
+
+    # fresh dir: stamps, idempotent re-claim
+    d1 = str(tmp_path / "fresh")
+    claim_state_layout(d1, "sphash=4x16", guard_tables=("aband",))
+    claim_state_layout(d1, "sphash=4x16", guard_tables=("aband",))
+    # mismatched stamp: loud
+    with _pytest.raises(ValueError, match="fingerprint layout"):
+        claim_state_layout(d1, "sphash=8x8", guard_tables=("aband",))
+    # unstamped dir WITH data in a guard table (an r14 corpse): loud
+    d2 = str(tmp_path / "legacy")
+    os.makedirs(os.path.join(d2, "aband"))
+    open(os.path.join(d2, "aband", "part-0.parquet"), "w").write("x")
+    with _pytest.raises(ValueError, match="predates layout stamping"):
+        claim_state_layout(d2, "sphash=4x16", guard_tables=("aband",))
+    # unstamped dir with EMPTY guard tables: claimable
+    d3 = str(tmp_path / "emptyish")
+    os.makedirs(os.path.join(d3, "aband"))
+    claim_state_layout(d3, "sphash=4x16", guard_tables=("aband",))
+
+
+def test_trimodal_tick_refuses_unstamped_populated_state(spark, tmp_path):
+    """End-to-end: trimodal_ingest_tick against a populated dir that
+    carries no layout stamp raises instead of probing a possibly
+    mismatched index."""
+    import pytest as _pytest
+
+    from falcon_metrics_etl_spark.streaming.cross_modal_tick import (
+        trimodal_ingest_tick,
+    )
+
+    state = str(tmp_path / "cm3")
+    os.makedirs(os.path.join(state, "cm3_aband_index"))
+    open(
+        os.path.join(state, "cm3_aband_index", "part-0.parquet"), "w"
+    ).write("x")
+    with _pytest.raises(ValueError, match="predates layout stamping"):
+        trimodal_ingest_tick(
+            spark,
+            spark.createDataFrame([(1, "t")], "doc_id long, text string"),
+            state,
+            batch_id=1,
+        )
+
+
+def test_overwrite_state_repairs_dangling_pointer(spark, tmp_path):
+    """A restage over a corrupted table (dangling _CURRENT) installs
+    a fresh valid snapshot + pointer instead of refusing."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    _fragment(spark, path, n_batches=2)
+    vdir = overwrite_state(read_state(spark, path), path)
+    shutil.rmtree(vdir)
+    fixed = spark.createDataFrame([(9, "ok")], "id long, v string")
+    overwrite_state(fixed, path)
+    assert _rows(read_state(spark, path)) == [("9", "ok")]
