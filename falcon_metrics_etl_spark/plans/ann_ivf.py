@@ -248,8 +248,12 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # maintained state in production (queries re-route only when
     # centroids move), so the cold plan prices the delta assignment,
     # not the routing rebuild. int arrays round-trip parquet exactly.
+    # staged keys embed their governing constants (r15 advisor, low
+    # #3): changing IVF_K/IVF_PROBE/IVF_N_QUERIES re-keys the state
+    # instead of silently serving centroid routing built under the
+    # old constants — the _LAYOUT-guard hazard class, solved by keying
     cents = staged_index(
-        spark, f"ivf_cents:{sf_dir}", _cents, src_dir=sf_dir
+        spark, f"ivf_cents:k={IVF_K}:{sf_dir}", _cents, src_dir=sf_dir
     )
     score = VX.int_dot(F.col("q"), F.col("cq")).cast("double") / F.sqrt(
         F.col("cnsq").cast("double")
@@ -270,7 +274,7 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = staged_index(
         spark,
-        f"ivf_probes:{sf_dir}",
+        f"ivf_probes:k={IVF_K}:p={IVF_PROBE}:q={IVF_N_QUERIES}:{sf_dir}",
         lambda: (
             n.filter(F.col("vec_id") < IVF_N_QUERIES)
             .join(F.broadcast(cents))

@@ -299,15 +299,18 @@ def minhash_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invocation shingles + signs only the ~6% delta
     docs = load_table(spark, sf_dir, "documents")
     is_d = F.col("doc_id") % LSH_DELTA_MOD == 0
+    # keys embed the governing constants (r15 advisor, low #3): a
+    # shingle-width or banding change re-keys the staged state instead
+    # of silently probing signatures built under the old layout
     toks_base = staged_index(
         spark,
-        f"lsh_toks_base:{sf_dir}",
+        f"lsh_toks_base:n={SHINGLE_N}:{sf_dir}",
         lambda: shingle_arrays_of(docs.filter(~is_d)),
         src_dir=sf_dir,
     )
     bands_base = staged_index(
         spark,
-        f"lsh_band_base:{sf_dir}",
+        f"lsh_band_base:n={SHINGLE_N}:b={LSH_BANDS}x{LSH_ROWS}:{sf_dir}",
         lambda: bands_of_shingles(
             toks_base.select("doc_id", F.explode("shs").alias("sh"))
         ),

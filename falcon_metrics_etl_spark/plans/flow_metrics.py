@@ -610,9 +610,11 @@ def cfd_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashes untouched.
     from falcon_metrics_etl_spark.session import staged_index
 
+    # key embeds the cutoff (r15 advisor, low #3): moving CFD_CUTOFF
+    # re-keys the staged rollup instead of serving the old period split
     gold = staged_index(
         spark,
-        f"cfd_gold:{sf_dir}",
+        f"cfd_gold:cutoff={CFD_CUTOFF}:{sf_dir}",
         lambda: cumulative_flow(
             base,
             completed_value="F",

@@ -481,9 +481,10 @@ def knn_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doubles round-trip parquet exactly, so hashes are untouched)
     from falcon_metrics_etl_spark.session import staged_index
 
+    # key embeds the governing constants (r15 advisor, low #3)
     base_topk = staged_index(
         spark,
-        f"knn_base_topk:{sf_dir}",
+        f"knn_base_topk:k={KNN_K}:split={KNN_BASE_SPLIT}:{sf_dir}",
         lambda: scores(emb.filter(F.col("vec_id") < KNN_BASE_SPLIT))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)

@@ -319,6 +319,17 @@ def gc_staged_state(
             except OSError:
                 pub = 0.0
             by_slug.setdefault(m.group("slug"), []).append((pub, p))
+    # one-time upgrade sweep (r15 advisor, low #4): r15 keying appends
+    # an 8-hex key hash to every slug, so a version dir whose slug
+    # LACKS that suffix was written by pre-r15 code and is unreachable
+    # by construction — but it forms a singleton slug group here, so
+    # the newest-publish heuristic alone would keep it forever. Retire
+    # such groups outright; grace still applies before deletion.
+    legacy_slug = re.compile(r".*\.[0-9a-f]{8}$")
+    for slug, versions in by_slug.items():
+        if not legacy_slug.fullmatch(slug):
+            for _pub, p in versions:
+                mark_retired(p)
     for versions in by_slug.values():
         versions.sort()
         # strictly-older only: an mtime TIE with the newest publish

