@@ -288,6 +288,62 @@ STAGED_BENCH_ENTRIES = [
     "trimodal_incremental_tick",
 ]
 
+# registry entries whose audited plans READ persisted staged_index
+# state (the IVM proof twins). r16, r15 verdict #1a: their one-time
+# base staging is priced SEPARATELY — prewarm_staged_state() builds
+# every base UNTIMED before the timed repeats, exactly as the runner-
+# staged entries above already stage their tick state untimed — so
+# the timed number is the maintained per-batch operation, the way the
+# reference prices index build vs steady-state upsert. In r15 the
+# first-touch staging landed inside the driver's timed repeats and
+# read as a 2x regression (cross_modal_trimodal_delta 15.0 s driver
+# vs 7.6 s warm median). Disclosed in every payload via
+# provenance.staged_semantics (r15 advisor #5).
+STAGED_IVM_ENTRIES = [
+    "minhash_incremental_update",
+    "ann_ivf_incremental",
+    "cfd_incremental_update",
+    "media_incremental_update",
+    "video_incremental_update",
+    "media_keep_best_delta",
+    "video_keep_best_delta",
+    "cross_modal_incremental_update",
+    "cross_modal_keep_best_delta",
+    "cross_modal_audio_incremental_update",
+    "cross_modal_trimodal_delta",
+]
+
+
+def prewarm_staged_state(spark, sf_dir: str, registry) -> float:
+    """Build every staged-IVM entry's persisted base state UNTIMED
+    (one noop-materialized run per entry; ``staged_index`` makes every
+    later invocation a parquet scan of the same state). Returns the
+    wall seconds spent staging, recorded in the payload so the
+    one-time cost stays visible rather than hidden."""
+    t0 = time.time()
+    for name in STAGED_IVM_ENTRIES:
+        q = registry.get(name)
+        if q is None:
+            continue
+        q.spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    return round(time.time() - t0, 3)
+
+
+def _staged_semantics_provenance() -> dict:
+    """Machine-readable disclosure (r15 advisor #5): the entries whose
+    timed value measures the MAINTAINED operation against pre-staged
+    state, not a from-scratch recompute — cross-round consumers can
+    mechanically discount them when comparing against payloads that
+    timed the staging inline."""
+    return {
+        "staged_semantics": sorted(
+            set(STAGED_IVM_ENTRIES + STAGED_BENCH_ENTRIES)
+        ),
+        "stream_windowed_daily_semantics": "sum(durationMs.triggerExecution)",
+    }
+
 
 def _headline_version(names=None) -> str:
     """8-hex fingerprint of the bench entry set ACTUALLY timed (r14
@@ -345,9 +401,13 @@ def _write_medians_from_ab(
         "corpus_e2e_stages": stage_maps.get("corpus_e2e", {}),
         "repeats": REPEATS,
         "sf": sf,
-        "bands": {"stream_windowed_daily": [1.0, 4.5]},
+        "bands": {"stream_windowed_daily": [1.0, 4.0]},
         "headline_version": _headline_version(),
-        "provenance": {"source": "ab_interleaved", "ab_ref": ref},
+        "provenance": dict(
+            _staged_semantics_provenance(),
+            source="ab_interleaved",
+            ab_ref=ref,
+        ),
     }
     with open(os.path.join(repo, "BENCH_MEDIANS.json"), "w") as f:
         json.dump(payload, f, indent=1)
@@ -376,8 +436,18 @@ def time_streaming(spark, sf_dir: str) -> float:
     """ST7 end-to-end: availableNow drain of the events table through a
     watermarked tumbling-window aggregation into the noop sink — the
     scheduled-micro-batch shape of the reference's 5-minute tick.
-    Fresh checkpoint per run (the cost being measured includes state
-    store + commit-log overhead)."""
+    Fresh checkpoint per run.
+
+    r16 (r15 verdict #6): the reported value is the SUM of the
+    triggers' own ``durationMs.triggerExecution`` — batch planning,
+    state-store work, addBatch, offset/commit logs — instead of the
+    driver-side wall clock around start()/awaitTermination(). The wall
+    clock also counted query-thread scheduling and checkpoint-dir
+    scaffolding, which drifted ~2x across sessions with byte-identical
+    code and finally pushed the r15 driver artifact (5.67 s) outside
+    its own documented 1.0-4.5 s environmental band. The micro-batch
+    work IS the per-tick cost a deployment pays; the scaffolding is
+    per-query-start and amortizes to zero on a long-running stream."""
     import shutil
     import tempfile
 
@@ -390,7 +460,6 @@ def time_streaming(spark, sf_dir: str) -> float:
     agg = stream_windowed_counts(
         spark, "", "", source=stream_events(spark, sf_dir)
     )
-    t0 = time.time()
     q = (
         agg.writeStream.format("noop")
         .outputMode("update")
@@ -399,7 +468,11 @@ def time_streaming(spark, sf_dir: str) -> float:
         .start()
     )
     q.awaitTermination()
-    elapsed = time.time() - t0
+    elapsed = (
+        sum(p["durationMs"].get("triggerExecution", 0)
+            for p in q.recentProgress)
+        / 1000.0
+    )
     shutil.rmtree(ckpt, ignore_errors=True)
     return elapsed
 
@@ -994,6 +1067,14 @@ for t in ("lineitem", "orders", "events", "documents", "embeddings"):
     load_table(spark, sf_dir, t).limit(1000).write.format("noop").mode(
         "overwrite").save()
 reg = all_queries()
+# r16: stage the IVM twins' persisted bases UNTIMED before any timed
+# run (both workers do this when their tree supports it, so the
+# interleaved ratios compare warm maintained operations; a base tree
+# predating the helper pays its cold build inside its first repeat —
+# the median of 3 absorbs it, and provenance.staged_semantics flags
+# the entries either way)
+if hasattr(_bench, "prewarm_staged_state"):
+    _bench.prewarm_staged_state(spark, sf_dir, reg)
 # runner-staged bench entries (r15, verdict #2): the A/B session now
 # covers the full committed-medians entry set, so BENCH_MEDIANS can be
 # derived from the interleaved run. State stages lazily on first
@@ -1249,6 +1330,7 @@ def ab_main(ref: str, sf_dir: str, full: bool = False) -> None:
                 if not (full or only)
                 else _headline_version(names)
             ),
+            "provenance": _staged_semantics_provenance(),
             "queries": queries,
         }
         out = os.path.join(repo, "BENCH_AB.json")
@@ -1354,6 +1436,11 @@ def main() -> None:
         load_table(spark, sf_dir, t).limit(1000).write.format("noop").mode(
             "overwrite"
         ).save()
+
+    # one-time staged-state build, UNTIMED (r16, r15 verdict #1a) —
+    # the IVM twins' timed repeats then measure the maintained
+    # operation, like every runner-staged entry already does
+    staging_sec = prewarm_staged_state(spark, sf_dir, registry)
 
     redrawn: list[str] = []
 
@@ -1475,7 +1562,13 @@ def main() -> None:
         # with byte-identical code (r10 verdict adjudication). Its
         # structure — 1 micro-batch, state rows == groups, sink rows
         # == groups — is pytest-pinned (test_streaming.py r11).
-        "bands": {"stream_windowed_daily": [1.0, 4.5]},
+        # r16: the entry now reports sum(triggerExecution) — the
+        # micro-batch work — so the band tightens (see SCALE.md).
+        "bands": {"stream_windowed_daily": [1.0, 4.0]},
+        "provenance": dict(
+            _staged_semantics_provenance(),
+            staging_untimed_sec=staging_sec,
+        ),
     }
     for path in _output_targets(sys.argv, os.environ):
         try:
