@@ -1296,6 +1296,163 @@ def audio_spectral_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# continuous recall accounting for the 4x16 operating point (r16, r15
+# verdict #5): ground truth comes from a FINE 16x4-bit banding, which
+# is COMPLETE for the verification thresholds by pigeonhole (a pair
+# with Hamming <= 15 must agree on at least one of 16 bands; both
+# audited thresholds are below that), restricted to a sampled query
+# slice — an equi-join, never an all-pairs product, with the same
+# sampled-ground-truth economics as dedup_lsh_recall_audit.
+AUDIO_AUDIT_FINE_BANDS = 16
+AUDIO_AUDIT_MOD = 3  # every 3rd recording plays the audited query side
+AUDIO_SPECTRAL_T_STRICT = 12  # the r15 trade was measured at 12 and 14
+
+
+@register(
+    "audio_lsh_recall_audit",
+    doc=f"Measured recall of the {AUDIO_SPHASH_BANDS}x"
+    f"{AUDIO_SPHASH_BITS}-bit spectral band index, per audited "
+    f"recording: every {AUDIO_AUDIT_MOD}rd recording plays a query; "
+    f"its TRUE neighbors (Hamming <= {AUDIO_SPECTRAL_T} / <= "
+    f"{AUDIO_SPECTRAL_T_STRICT}) come from a complete "
+    f"{AUDIO_AUDIT_FINE_BANDS}x4-bit banding (pigeonhole-complete "
+    f"for Hamming <= {AUDIO_AUDIT_FINE_BANDS - 1}); the production "
+    "band index's candidate set is scored against them. The r15 "
+    "4x16 switch traded 6-9% above-pigeonhole recall for 37x fewer "
+    "chance candidates (SCALE.md) — this query keeps that trade "
+    "MEASURED on the live corpus at both thresholds instead of "
+    "frozen in a one-time audit, the audio sibling of "
+    "dedup_lsh_recall_audit. Docs with no true neighbor at the "
+    "loose threshold are excluded (recall undefined).",
+    tags=("multimodal", "audio", "dedup", "fft", "lsh", "audit"),
+    oracle=f"""
+WITH {_DUCK_SPECTRAL},
+fine AS (
+    SELECT doc_id, sphash, t.b AS band,
+           (sphash >> (t.b * 4)) & 15 AS byte
+    FROM sphashes CROSS JOIN range({AUDIO_AUDIT_FINE_BANDS}) t(b)
+),
+truep AS (
+    SELECT DISTINCT a.doc_id AS qid, b.doc_id AS oid,
+           bit_count(xor(a.sphash, b.sphash)) AS hamming
+    FROM fine a JOIN fine b
+      ON a.band = b.band AND a.byte = b.byte AND a.doc_id <> b.doc_id
+    WHERE a.doc_id % {AUDIO_AUDIT_MOD} = 0
+      AND bit_count(xor(a.sphash, b.sphash)) <= {AUDIO_SPECTRAL_T}
+),
+prod AS (
+    SELECT doc_id, sphash, t.b AS band,
+           (sphash >> (t.b * {AUDIO_SPHASH_BITS})) & {AUDIO_SPHASH_MASK}
+               AS byte
+    FROM sphashes CROSS JOIN range({AUDIO_SPHASH_BANDS}) t(b)
+),
+caught AS (
+    SELECT DISTINCT a.doc_id AS qid, b.doc_id AS oid
+    FROM prod a JOIN prod b
+      ON a.band = b.band AND a.byte = b.byte AND a.doc_id <> b.doc_id
+    WHERE a.doc_id % {AUDIO_AUDIT_MOD} = 0
+)
+SELECT t.qid AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN c.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_caught,
+       ROUND(CAST(SUM(CASE WHEN c.qid IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS recall,
+       CAST(SUM(CASE WHEN t.hamming <= {AUDIO_SPECTRAL_T_STRICT}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_true_strict,
+       CAST(SUM(CASE WHEN t.hamming <= {AUDIO_SPECTRAL_T_STRICT}
+                      AND c.qid IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_caught_strict,
+       CASE WHEN SUM(CASE WHEN t.hamming <= {AUDIO_SPECTRAL_T_STRICT}
+                          THEN 1 ELSE 0 END) = 0 THEN NULL
+            ELSE ROUND(
+                CAST(SUM(CASE WHEN t.hamming <= {AUDIO_SPECTRAL_T_STRICT}
+                              AND c.qid IS NOT NULL THEN 1 ELSE 0 END)
+                     AS DOUBLE)
+                / SUM(CASE WHEN t.hamming <= {AUDIO_SPECTRAL_T_STRICT}
+                           THEN 1 ELSE 0 END), 4)
+       END AS recall_strict
+FROM truep t
+LEFT JOIN caught c ON c.qid = t.qid AND c.oid = t.oid
+GROUP BY t.qid
+""",
+)
+def audio_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = perf_checkpoint(
+        _audio_spectral_fps(spark, sf_dir).select("doc_id", "sphash")
+    )
+    is_q = F.col("a.doc_id") % AUDIO_AUDIT_MOD == 0
+    fine = image_bands_of(fp, "sphash", n_bands=AUDIO_AUDIT_FINE_BANDS)
+    truep = (
+        fine.alias("a")
+        .join(
+            fine.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .filter(is_q)
+        .select(
+            F.col("a.doc_id").alias("qid"),
+            F.col("b.doc_id").alias("oid"),
+            F.bit_count(F.expr("a.sphash ^ b.sphash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= AUDIO_SPECTRAL_T)
+        .distinct()
+    )
+    prod = image_bands_of(fp, "sphash", n_bands=AUDIO_SPHASH_BANDS)
+    caught = (
+        prod.alias("a")
+        .join(
+            prod.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .filter(is_q)
+        .select(
+            F.col("a.doc_id").alias("qid"),
+            F.col("b.doc_id").alias("oid"),
+            F.lit(1).alias("hit"),
+        )
+        .distinct()
+    )
+    strict = F.col("hamming") <= AUDIO_SPECTRAL_T_STRICT
+    hit = F.col("hit").isNotNull()
+    agg = (
+        truep.join(caught, ["qid", "oid"], "left")
+        .groupBy(F.col("qid").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(
+                "n_caught"
+            ),
+            F.sum(F.when(strict, 1).otherwise(0)).cast("long").alias(
+                "n_true_strict"
+            ),
+            F.sum(F.when(strict & hit, 1).otherwise(0)).cast("long").alias(
+                "n_caught_strict"
+            ),
+        )
+    )
+    return agg.select(
+        "doc_id", "n_true", "n_caught",
+        F.round(
+            F.col("n_caught").cast("double") / F.col("n_true"), 4
+        ).alias("recall"),
+        "n_true_strict", "n_caught_strict",
+        F.when(
+            F.col("n_true_strict") == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.round(
+                F.col("n_caught_strict").cast("double")
+                / F.col("n_true_strict"),
+                4,
+            )
+        ).alias("recall_strict"),
+    )
+
+
 # the image keep-best closure, shared by the batch query and the
 # incremental delta twin (r12): components via recursive transitive
 # closure over the banded Hamming pairs, keeper = argmax(detail DESC,
