@@ -258,6 +258,12 @@ HEADLINE = [
     # of the band audit
     "dedup_minhash_lsh",
     "audio_band_occupancy_audit",
+    # round-16 additions: trained-artifact scoring (fastText .vec
+    # linear weights, ARPA Katz-backoff LM) and the continuous audio
+    # band-index recall audit
+    "quality_classifier_scores_trained",
+    "arpa_surprisal_scores",
+    "audio_lsh_recall_audit",
 ]
 
 # fixed CANARY set (r14, r13 verdict #4): always present verbatim in
