@@ -259,11 +259,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "audio_band_occupancy_audit",
     # round-16 additions: trained-artifact scoring (fastText .vec
-    # linear weights, ARPA Katz-backoff LM) and the continuous audio
-    # band-index recall audit
+    # linear weights, ARPA Katz-backoff LM). audio_lsh_recall_audit
+    # stays un-benched like dedup_lsh_recall_audit — a recall audit's
+    # pigeonhole-complete ground truth is deliberately the expensive
+    # side and is not a production per-tick cost.
     "quality_classifier_scores_trained",
     "arpa_surprisal_scores",
-    "audio_lsh_recall_audit",
 ]
 
 # fixed CANARY set (r14, r13 verdict #4): always present verbatim in

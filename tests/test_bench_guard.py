@@ -73,3 +73,21 @@ def test_output_targets_protect_tracked_medians():
         ["bench.py"], {"SPARK_GRAFT_BENCH_OUT": "/tmp/x.json"}
     )
     assert redirected == ["/tmp/x.json"]
+
+
+def test_staged_ivm_entries_are_registered_headline_queries():
+    """r16: the untimed pre-warm list must track the registry — a
+    renamed IVM twin that silently drops out of the list would move
+    its one-time staging back inside the timed repeats (the r15
+    driver artifact's 2x cold-staging distortion)."""
+    from falcon_metrics_etl_spark.plans.registry import all_queries
+
+    reg = all_queries()
+    for name in bench.STAGED_IVM_ENTRIES:
+        assert name in reg, name
+        assert name in bench.HEADLINE, name
+    # and the disclosure block carries exactly the staged-timing set
+    prov = bench._staged_semantics_provenance()
+    assert prov["staged_semantics"] == sorted(
+        set(bench.STAGED_IVM_ENTRIES + bench.STAGED_BENCH_ENTRIES)
+    )
