@@ -124,14 +124,28 @@ def connected_components(
         from pyspark.sql.types import StructField, StructType
 
         id_type = e0.schema["a"].dataType
-        return edges.sparkSession.createDataFrame(
-            _unionfind_min_labels((r[0], r[1]) for r in probe),
-            StructType(
-                [
-                    StructField("node", id_type, False),
-                    StructField("component", id_type, False),
-                ]
-            ),
+        # broadcast HINT on the fast-path labels (r16 optimization):
+        # the frame is driver-built and provably bounded — at most
+        # 2 * small_graph_edges (node, component) pairs, a few MB at
+        # the default bound — but it is RDD-backed, so the planner has
+        # no size estimate and every consumer join planned a
+        # SortMergeJoin with an Exchange+Sort on BOTH sides (the r16
+        # baseline plans of the whole *_keep_best family carried
+        # exactly that shape). The hint turns those into broadcast
+        # hash joins: the corpus side is no longer shuffled at all.
+        # Scale-safe by construction: the bound is enforced at runtime
+        # by the collect probe — a graph past the bound takes the
+        # distributed fixpoint below and gets NO hint.
+        return F.broadcast(
+            edges.sparkSession.createDataFrame(
+                _unionfind_min_labels((r[0], r[1]) for r in probe),
+                StructType(
+                    [
+                        StructField("node", id_type, False),
+                        StructField("component", id_type, False),
+                    ]
+                ),
+            )
         )
     e = (
         e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))

@@ -103,6 +103,7 @@ def resolve_keep_best(
     delta QUERIES (SF-proportional delta slice) keep the default
     path: their edge volume grows with the corpus.
     """
+    comp_bounded = False
     rep = idx_q.select("doc_id", "keep_id")
     if bounded_batch:
         # materialize the caller's edge plan ONCE: the endpoint
@@ -152,10 +153,21 @@ def resolve_keep_best(
         if not probe:
             return _admit_all(new_q)
         if len(probe) <= SMALL_GRAPH_EDGES:
-            comp = new_q.sparkSession.createDataFrame(
-                _unionfind_min_labels((r[0], r[1]) for r in probe),
-                "node long, cluster_id long",
+            # broadcast HINT (r16 optimization): driver-built and
+            # bounded by the collect cap (<= 2 * SMALL_GRAPH_EDGES
+            # label pairs, a few MB) but RDD-backed, so without the
+            # hint the members join below shuffled the UNION of batch
+            # and index quality rows — an index-proportional exchange
+            # per tick. Broadcasting comp makes that join map-side;
+            # the index side is scanned once, never shuffled. A graph
+            # past the cap takes the distributed path and no hint.
+            comp = F.broadcast(
+                new_q.sparkSession.createDataFrame(
+                    _unionfind_min_labels((r[0], r[1]) for r in probe),
+                    "node long, cluster_id long",
+                )
             )
+            comp_bounded = True
         else:
             comp = duplicate_clusters(e).select("node", "cluster_id")
     else:
@@ -200,6 +212,11 @@ def resolve_keep_best(
             "node", "winner"
         )
     )
+    if comp_bounded:
+        # winners has one row per comp node, so the fast-path bound
+        # carries over — hint the verdict/displaced joins broadcast
+        # too (the checkpointed frame is RDD-backed: no size estimate)
+        winners = F.broadcast(winners)
     verdicts = (
         new_q.select("doc_id")
         .join(
