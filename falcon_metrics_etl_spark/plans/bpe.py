@@ -278,36 +278,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _words_df(spark, sf_dir)
     merges = _merges_df(words)
-    marr = merges.agg(
-        F.sort_array(
-            F.collect_list(F.struct("merge_rank", "lhs", "rhs"))
-        ).alias("ml")
-    )
-    dw = words.select("word").distinct()
-
-    def encode(batches):
-        from falcon_metrics_etl_spark.functions.bpe import encode_word
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({"word": [], "n_toks": []})
-                continue
-            ml = pdf["ml"].iloc[0]
-            merge_list = [(m["lhs"], m["rhs"]) for m in ml]
-            ranks = {p: i for i, p in enumerate(merge_list)}
-            yield pd.DataFrame(
-                {
-                    "word": pdf["word"],
-                    "n_toks": [
-                        len(encode_word(w, merge_list, ranks))
-                        for w in pdf["word"]
-                    ],
-                }
-            )
-
-    enc = dw.crossJoin(F.broadcast(marr)).mapInPandas(
-        encode, "word string, n_toks int"
-    )
+    enc = _dict_encode(words.select("word").distinct(), merges)
     return (
         words.join(enc, "word")
         .groupBy("doc_id")
@@ -376,36 +347,7 @@ def bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     words = _words_df(spark, sf_dir)
     merges = _merges_df(words)
-    marr = merges.agg(
-        F.sort_array(
-            F.collect_list(F.struct("merge_rank", "lhs", "rhs"))
-        ).alias("ml")
-    )
-    dw = words.select("word").distinct()
-
-    def encode(batches):
-        from falcon_metrics_etl_spark.functions.bpe import encode_word
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({"word": [], "n_toks": []})
-                continue
-            ml = pdf["ml"].iloc[0]
-            merge_list = [(m["lhs"], m["rhs"]) for m in ml]
-            ranks = {p: i for i, p in enumerate(merge_list)}
-            yield pd.DataFrame(
-                {
-                    "word": pdf["word"],
-                    "n_toks": [
-                        len(encode_word(w, merge_list, ranks))
-                        for w in pdf["word"]
-                    ],
-                }
-            )
-
-    enc = dw.crossJoin(F.broadcast(marr)).mapInPandas(
-        encode, "word string, n_toks int"
-    )
+    enc = _dict_encode(words.select("word").distinct(), merges)
     doc_toks = (
         words.join(enc, "word")
         .groupBy("doc_id")
@@ -614,35 +556,8 @@ def byte_token_budgets(
     feeds a survivor-filtered stream), and streaming/corpus_tick.py."""
     if merges is None:
         merges = _byte_merges_df(words)
-    marr = merges.agg(
-        F.sort_array(
-            F.collect_list(F.struct("merge_rank", "lhs", "rhs"))
-        ).alias("ml")
-    )
-    dw = words.select("word").distinct()
-
-    def encode(batches):
-        from falcon_metrics_etl_spark.functions.bpe import encode_byte_word
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({"word": [], "n_toks": []})
-                continue
-            ml = pdf["ml"].iloc[0]
-            merge_list = [(m["lhs"], m["rhs"]) for m in ml]
-            ranks = {p: i for i, p in enumerate(merge_list)}
-            yield pd.DataFrame(
-                {
-                    "word": pdf["word"],
-                    "n_toks": [
-                        len(encode_byte_word(w, merge_list, ranks))
-                        for w in pdf["word"]
-                    ],
-                }
-            )
-
-    enc = dw.crossJoin(F.broadcast(marr)).mapInPandas(
-        encode, "word string, n_toks int"
+    enc = _dict_encode(
+        words.select("word").distinct(), merges, byte_level=True
     )
     return (
         words.join(enc, "word")
@@ -653,3 +568,51 @@ def byte_token_budgets(
             F.sum(F.octet_length("word")).cast("long").alias("n_bytes"),
         )
     )
+
+
+def _dict_encode(
+    dw: DataFrame, merges: DataFrame, byte_level: bool = False
+) -> DataFrame:
+    """DISTINCT words -> (word, n_toks) encoded with the merge table.
+
+    The merge table crosses the Python boundary as ONE ``sc.broadcast``
+    value (r16 optimization, guide §4.1/§4.5): the previous
+    ``crossJoin(broadcast(1-row array))`` attached the FULL rank-sorted
+    merge array to every dictionary row, so the Arrow transfer carried
+    |dict words| x |merges| structs and the rank dict was rebuilt per
+    batch. Now the words ship bare, the merge list/ranks build once
+    per task, and the plan loses the BroadcastNestedLoopJoin. The
+    driver-side collect is control-plane bounded — the merge table is
+    N_MERGES / BYTE_N_MERGES rows, a training constant, never
+    corpus-sized (the same bounded-read class as the cursor probes)."""
+    mb = dw.sparkSession.sparkContext.broadcast(
+        [
+            (r[0], r[1])
+            for r in merges.select("lhs", "rhs", "merge_rank")
+            .orderBy("merge_rank", "lhs", "rhs")
+            .collect()
+        ]
+    )
+    fn_name = "encode_byte_word" if byte_level else "encode_word"
+
+    def encode(batches):
+        import falcon_metrics_etl_spark.functions.bpe as _bpe
+
+        encode_fn = getattr(_bpe, fn_name)
+        merge_list = list(mb.value)  # once per task, not per batch
+        ranks = {p: i for i, p in enumerate(merge_list)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"word": [], "n_toks": []})
+                continue
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_toks": [
+                        len(encode_fn(w, merge_list, ranks))
+                        for w in pdf["word"]
+                    ],
+                }
+            )
+
+    return dw.mapInPandas(encode, "word string, n_toks int")

@@ -423,23 +423,23 @@ def aligned_video_pairs(fp: DataFrame) -> DataFrame:
     """(doc_id, frame_idx, frame_dhash) -> near-dup pairs with their
     longest consecutive same-offset aligned run. Frame-based so the
     incremental media tick can verify delta pairs with the same
-    algebra."""
+    algebra.
+
+    r16 optimization (guide §2.4): ONE frame-level self-join feeds
+    both outputs. The previous shape ran a SECOND self-join of the
+    distinct (doc, hash) signatures just to count shared hashes, then
+    sort-merge-joined the two pair aggregates back together — three
+    extra Exchanges over the same matched-pair data. Carrying the
+    frame hash through the match rows makes the shared count a
+    size(collect_set(fd)) over the pair window; an explicit
+    repartition on (id_a, id_b) is the single exchange every window
+    rides (partitionBy(id_a, id_b[, off, isl]) is satisfied by
+    (id_a, id_b) hash partitioning — subset rule), and the one-row-
+    per-pair projection reuses it too. Plan: 14 -> 8 Exchanges,
+    SortMergeJoin at the top removed (plans/r16/). Value-identical:
+    distinct shared hashes per pair == collect_set size; (ia, ib)
+    rows and island algebra are untouched."""
     fp = perf_checkpoint(fp)
-    hsig = fp.select("doc_id", "frame_dhash").distinct()
-    shared = (
-        hsig.alias("a")
-        .join(
-            hsig.alias("b"),
-            (F.col("a.frame_dhash") == F.col("b.frame_dhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_frames"))
-        .filter(F.col("n_shared_frames") >= VIDEO_SHARED_T)
-    )
     fm = (
         fp.alias("a")
         .join(
@@ -452,14 +452,30 @@ def aligned_video_pairs(fp: DataFrame) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
             F.col("a.frame_idx").alias("ia"),
             F.col("b.frame_idx").alias("ib"),
+            F.col("a.frame_dhash").alias("fd"),
         )
         # no distinct: (ia, ib) is already unique per pair — a frame
         # index carries exactly one hash (saves a full shuffle+dedup
         # over the biggest intermediate; r11 plan-audit trim 6 -> 5)
     )
-    aligned = aligned_runs_of(fm)
-    return shared.join(aligned, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "n_shared_frames", "aligned_run"
+    w_pair = Window.partitionBy("id_a", "id_b")
+    w_off = Window.partitionBy("id_a", "id_b", "off").orderBy("ia")
+    w_isl = Window.partitionBy("id_a", "id_b", "off", "isl")
+    return (
+        fm.repartition("id_a", "id_b")
+        .withColumn("off", F.col("ib") - F.col("ia"))
+        .withColumn("isl", F.col("ia") - F.row_number().over(w_off))
+        .withColumn("run_len", F.count(F.lit(1)).over(w_isl))
+        .withColumn(
+            "aligned_run", F.max("run_len").over(w_pair)
+        )
+        .withColumn(
+            "n_shared_frames",
+            F.size(F.collect_set("fd").over(w_pair)).cast("long"),
+        )
+        .filter(F.col("n_shared_frames") >= VIDEO_SHARED_T)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "n_shared_frames", "aligned_run")
     )
 
 

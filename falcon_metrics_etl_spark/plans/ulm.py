@@ -14,10 +14,12 @@ DISTINCT-word dictionary, no backtrace needed.
 Spark-first scale shape (the same split as plans/bpe.py): the
 distributed work is the word count, the per-document aggregation and
 the dictionary join; the EM loop runs inside ONE executor task over
-the capped vocabulary (``applyInPandas`` on a literal group — the
-plan stays lazy, nothing collects to the driver); DISTINCT words
-encode once and documents join the word -> (token, unk) map back —
-at 100 TB the dictionary is vocabulary-sized, not corpus-sized.
+the capped vocabulary (``applyInPandas`` on a literal group);
+DISTINCT words encode once against the trained vocab — shipped to
+the Python workers as one ``sc.broadcast`` of the capped (piece,
+cost) list, a bounded control-plane read — and documents join the
+word -> (token, unk) map back — at 100 TB the dictionary is
+vocabulary-sized, not corpus-sized.
 """
 
 from __future__ import annotations
@@ -317,36 +319,7 @@ def ulm_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ulm_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _words_df(spark, sf_dir)
     vocab = _ulm_vocab_df(words)
-    varr = vocab.agg(
-        F.sort_array(
-            F.collect_list(F.struct("piece", "cost"))
-        ).alias("vl")
-    )
-    dw = words.select("word").distinct()
-
-    def encode(batches):
-        from falcon_metrics_etl_spark.functions.ulm import encode_stats
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame(
-                    {"word": [], "n_toks": [], "n_unk": []}
-                )
-                continue
-            vl = pdf["vl"].iloc[0]
-            costs = {v["piece"]: int(v["cost"]) for v in vl}
-            stats = [encode_stats(w, costs) for w in pdf["word"]]
-            yield pd.DataFrame(
-                {
-                    "word": pdf["word"],
-                    "n_toks": [s[0] for s in stats],
-                    "n_unk": [s[1] for s in stats],
-                }
-            )
-
-    enc = dw.crossJoin(F.broadcast(varr)).mapInPandas(
-        encode, "word string, n_toks int, n_unk int"
-    )
+    enc = _encode_dictionary(words.select("word").distinct(), vocab)
     return (
         words.join(enc, "word")
         .groupBy("doc_id")
@@ -421,32 +394,7 @@ def ulm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     words = _words_df(spark, sf_dir)
     vocab = _ulm_vocab_df(words)
-    varr = vocab.agg(
-        F.sort_array(F.collect_list(F.struct("piece", "cost"))).alias("vl")
-    )
-    dw = words.select("word").distinct()
-
-    def encode(batches):
-        from falcon_metrics_etl_spark.functions.ulm import encode_stats
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({"word": [], "n_toks": []})
-                continue
-            vl = pdf["vl"].iloc[0]
-            costs = {v["piece"]: int(v["cost"]) for v in vl}
-            yield pd.DataFrame(
-                {
-                    "word": pdf["word"],
-                    "n_toks": [
-                        encode_stats(w, costs)[0] for w in pdf["word"]
-                    ],
-                }
-            )
-
-    enc = dw.crossJoin(F.broadcast(varr)).mapInPandas(
-        encode, "word string, n_toks int"
-    )
+    enc = _encode_dictionary(words.select("word").distinct(), vocab)
     doc_toks = (
         words.join(enc, "word")
         .groupBy("doc_id")
@@ -493,34 +441,7 @@ def ulm_token_budgets(
     by the registered queries and streaming/corpus_tick.py."""
     if vocab is None:
         vocab = _ulm_vocab_df(words)
-    varr = vocab.agg(
-        F.sort_array(F.collect_list(F.struct("piece", "cost"))).alias("vl")
-    )
-    dw = words.select("word").distinct()
-
-    def encode(batches):
-        from falcon_metrics_etl_spark.functions.ulm import encode_stats
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame(
-                    {"word": [], "n_toks": [], "n_unk": []}
-                )
-                continue
-            vl = pdf["vl"].iloc[0]
-            costs = {v["piece"]: int(v["cost"]) for v in vl}
-            stats = [encode_stats(w, costs) for w in pdf["word"]]
-            yield pd.DataFrame(
-                {
-                    "word": pdf["word"],
-                    "n_toks": [s[0] for s in stats],
-                    "n_unk": [s[1] for s in stats],
-                }
-            )
-
-    enc = dw.crossJoin(F.broadcast(varr)).mapInPandas(
-        encode, "word string, n_toks int, n_unk int"
-    )
+    enc = _encode_dictionary(words.select("word").distinct(), vocab)
     return (
         words.join(enc, "word")
         .groupBy("doc_id")
@@ -530,6 +451,49 @@ def ulm_token_budgets(
             F.sum("n_unk").cast("long").alias("n_unk"),
         )
     )
+
+
+def _encode_dictionary(dw: DataFrame, vocab: DataFrame) -> DataFrame:
+    """DISTINCT words -> (word, n_toks, n_unk) Viterbi-encoded against
+    the piece->cost vocabulary.
+
+    The vocabulary crosses the Python boundary as ONE ``sc.broadcast``
+    value (r16 optimization, guide §4.1/§4.5): the previous
+    ``crossJoin(broadcast(1-row array))`` attached the FULL vocab
+    array to every dictionary row, so the Arrow transfer carried
+    |dict words| x |vocab| structs and the cost dict was rebuilt per
+    batch. Now the words ship bare, the dict builds once per task,
+    and the plan loses the BroadcastNestedLoopJoin. The driver-side
+    collect is control-plane bounded — the vocab is capped by
+    ULM_SEED_CAP (2048) plus the alphabet, a training constant, never
+    corpus-sized (the same bounded-read class as the cursor probes)."""
+    vb = dw.sparkSession.sparkContext.broadcast(
+        [
+            (r[0], int(r[1]))
+            for r in vocab.select("piece", "cost").collect()
+        ]
+    )
+
+    def encode(batches):
+        from falcon_metrics_etl_spark.functions.ulm import encode_stats
+
+        costs = dict(vb.value)  # once per task, not per batch
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"word": [], "n_toks": [], "n_unk": []}
+                )
+                continue
+            stats = [encode_stats(w, costs) for w in pdf["word"]]
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_toks": [s[0] for s in stats],
+                    "n_unk": [s[1] for s in stats],
+                }
+            )
+
+    return dw.mapInPandas(encode, "word string, n_toks int, n_unk int")
 
 
 # keep the sentinel import referenced (the encoder embeds chr(1) via
