@@ -71,16 +71,25 @@ def pagerank_int(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             "n_nodes",
         )
     )
-    outdeg = outdeg.localCheckpoint(eager=False)
+    # r16 optimization (guide §2.4): outdeg is static across
+    # iterations, so attach it to the edge list ONCE instead of
+    # joining ranks ⨝ outdeg inside every round — one join per
+    # iteration removed (3 joins for the registered query), message
+    # math unchanged (floor(rank/outdeg) still computed per edge-src
+    # after the single ranks ⨝ edges join).
+    edges_deg = (
+        edges.join(outdeg, edges["src"] == outdeg["node"])
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=False)
+    )
     for _ in range(iters):
         ranks = ranks.localCheckpoint(eager=False)
         contrib = (
-            ranks.join(outdeg, "node")
+            ranks.join(edges_deg, ranks["node"] == edges_deg["src"])
             .withColumn(
                 "msg",
                 F.floor(F.col("rank_scaled") / F.col("outdeg")).cast("long"),
             )
-            .join(edges, F.col("node") == F.col("src"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("msg").alias("inflow"))
         )
