@@ -76,7 +76,12 @@ def resolve_keep_best(
     new_q:  (doc_id, *quality_cols) — the batch docs' quality tuples.
     idx_q:  (doc_id, keep_id, *quality_cols) — ALL processed rows
             (kept and dropped; the current batch's own replayed rows
-            excluded by the caller), keep_id = cluster keeper.
+            excluded by the caller), keep_id = cluster keeper. On the
+            ``bounded_batch`` path a doc MAY appear on several
+            value-identical rows (per-frame index rows) — the bounded
+            path dedupes after its endpoint semi-join, so callers
+            need not (and should not) pre-shuffle the state to
+            dedupe. The default path requires unique doc_id rows.
     edges:  (id_a, id_b) verified duplicate pairs, each touching at
             least one batch doc; either side may be a batch mate or an
             index doc, in either orientation.
@@ -122,7 +127,18 @@ def resolve_keep_best(
             .unionByName(edges.select(F.col("id_b").alias("doc_id")))
             .distinct()
         )
-        rep = rep.join(ids, "doc_id", "left_semi")
+        # dedupe AFTER the endpoint restriction (r16, guide §2.3):
+        # bounded callers may pass idx_q with many value-identical
+        # rows per doc (the ticks' frame indexes carry one row per
+        # (doc, frame_dhash)) — deduping here keeps the shuffle
+        # endpoint-sized instead of a state-wide Exchange+HashAgg per
+        # tick. Values are identical across a doc's rows by the index
+        # append/repoint contract, so the arbitrary pick is
+        # value-deterministic; without the dedupe the keeper lift
+        # below would multiply edge rows per duplicate.
+        rep = rep.join(ids, "doc_id", "left_semi").dropDuplicates(
+            ["doc_id"]
+        )
     # lift old endpoints to their cluster keepers; batch docs (absent
     # from idx_q) stay themselves. Self-loops (a replayed batch doc
     # matching rows that already point at it) drop out here.

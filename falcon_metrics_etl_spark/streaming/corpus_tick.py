@@ -168,10 +168,28 @@ def corpus_ingest_tick(
     batch_canon = F.min(
         F.when(F.col("gate_status") == "pass", F.col("doc_id"))
     ).over(Window.partitionBy("fp"))
-    in_index = fp_idx.select("fp").distinct().withColumn("fp_hit", F.lit(1))
+    # r16 (guide §3.2/§2.4): the batch's fps probe the index through a
+    # broadcast semi-join, so the fp index is SCANNED, never shuffled —
+    # the old shape (index-wide distinct + shuffle join) paid a
+    # state-proportional Exchange+HashAgg every tick. The hit set is
+    # batch-bounded, so the outer join broadcasts too; the distinct
+    # after the semi keeps the old duplicate-fp armor at hit-set size.
+    in_index = (
+        fp_idx.select("fp")
+        .join(
+            F.broadcast(gated.select("fp").distinct()), "fp", "left_semi"
+        )
+        .distinct()
+        .withColumn("fp_hit", F.lit(1))
+        # lazy checkpoint: ``deduped`` is consumed by the flag, append
+        # and admission branches — without it each consumer re-inlines
+        # (and re-runs) the index probe; the hit set is batch-bounded,
+        # so the checkpointed blocks are tiny
+        .localCheckpoint(eager=False)
+    )
     deduped = (
         gated.withColumn("batch_canonical", batch_canon)
-        .join(in_index, "fp", "left")
+        .join(F.broadcast(in_index), "fp", "left")
         .select(
             "doc_id",
             "text",

@@ -308,11 +308,14 @@ def cross_modal_ingest_tick(
         F.col("keep_node").alias("keep_id"),
         F.lit(1).cast("long").alias("n_frames"),
     ).unionByName(
+        # one row per (doc, frame_dhash): resolve_keep_best's bounded
+        # path dedupes per doc AFTER its endpoint semi-join (r16) —
+        # deduping here cost a state-wide shuffle every tick
         frame_idx.select(
             F.col("node").alias("doc_id"),
             F.col("keep_node").alias("keep_id"),
             "n_frames",
-        ).dropDuplicates(["doc_id"])
+        )
     )
     verdicts, displaced = resolve_keep_best(
         new_q, idx_q, edges, ["n_frames"], bounded_batch=True
@@ -819,12 +822,14 @@ def trimodal_ingest_tick(
             F.lit(1).cast("long").alias("n_units"),
         )
         .unionByName(
+            # per-frame rows: bounded resolve dedupes per doc after
+            # its endpoint semi-join (r16) — no state-wide shuffle
             frame_idx.select(
                 F.col("node").alias("doc_id"),
                 F.col("keep_node").alias("keep_id"),
                 F.lit(2).alias("mrank"),
                 F.col("n_frames").alias("n_units"),
-            ).dropDuplicates(["doc_id"])
+            )
         )
         .unionByName(
             audio_idx.select(

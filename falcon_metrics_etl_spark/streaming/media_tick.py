@@ -374,8 +374,9 @@ def media_ingest_tick(
         wh_q1,
         F.col("detail").alias("q2"),
     ).unionByName(
+        # per-frame rows: bounded resolve dedupes per doc after its
+        # endpoint semi-join (r16) — no state-wide shuffle per tick
         frame_idx_state.select("doc_id", "keep_id", "n_frames")
-        .dropDuplicates(["doc_id"])
         .select(
             (F.col("doc_id") * 2 + 1).alias("doc_id"),
             (F.col("keep_id") * 2 + 1).alias("keep_id"),
