@@ -54,19 +54,41 @@ def hypertable_rollup(
     return out
 
 
+# parallel min-K prune buckets (r16, guide §2.5): the per-group rank
+# first runs per (hash % buckets) slice, so no group's full
+# distinct-hash set ever sorts in ONE window task — a hot key (one
+# giant event type) is spread over the buckets; the final per-group
+# rank then sees <= buckets*K rows, a constant.
+_KMV_PRUNE_BUCKETS = 32
+
+
 def _kmv_sketch(
     df: DataFrame, key_cols: Sequence[str], value_col: str, k: int
 ) -> DataFrame:
     """The K smallest distinct portable hashes of ``value_col`` per key
     group — the sketch both the single-group estimator and the merged
-    set-ops build on. One shuffle; the rank window prunes to K rows per
-    group."""
+    set-ops build on. The dedup shuffle partial-aggregates map-side;
+    the rank prunes per (group, hash-bucket) in parallel (each
+    bucket's bottom-K contains every global-bottom-K member that
+    hashes into it), then a bounded per-group rank over the <=
+    buckets*K survivors takes the final K rows."""
     hashed = df.select(
         *key_cols, portable_hash60(F.col(value_col).cast("string")).alias("__h")
     ).dropDuplicates([*key_cols, "__h"])
+    # NULL hashes get their own bucket: default ascending order puts
+    # NULLS FIRST, and the (single, post-dedup) null row survives both
+    # ranks exactly as it did the old one-pass global rank.
+    bucketed = hashed.withColumn(
+        "__b", F.coalesce(F.col("__h") % _KMV_PRUNE_BUCKETS, F.lit(-1))
+    )
+    wb = Window.partitionBy(*key_cols, "__b").orderBy("__h")
+    pruned = (
+        bucketed.withColumn("__r1", F.row_number().over(wb))
+        .filter(F.col("__r1") <= k)
+    )
     w = Window.partitionBy(*key_cols).orderBy("__h")
     return (
-        hashed.withColumn("__rank", F.row_number().over(w))
+        pruned.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= k)
         .select(*key_cols, "__h")
     )

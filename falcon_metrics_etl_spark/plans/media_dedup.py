@@ -176,7 +176,13 @@ def media_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band"
         ),
     ).withColumn("byte", F.expr("(dhash >> (band * 8)) & 255"))
-    cand = (
+    # r16 (guide §2.3): the Hamming verify moves BELOW the band-dedup
+    # Exchange — candidates failing the threshold never shuffle — and
+    # the distinct key carries the 4-byte hamming instead of the two
+    # 8-byte raw hashes (id_a/id_b determine h_a/h_b, so the dedup
+    # multiset is unchanged; the predicate depends only on dedup-key
+    # columns, so filter-then-distinct ≡ distinct-then-filter).
+    return (
         bands.alias("a")
         .join(
             bands.alias("b"),
@@ -189,16 +195,12 @@ def media_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
             F.col("a.codec").alias("codec_a"),
             F.col("b.codec").alias("codec_b"),
-            F.col("a.dhash").alias("h_a"),
-            F.col("b.dhash").alias("h_b"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.expr("h_a ^ h_b"))
-    return (
-        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= DHASH_HAMMING_T)
-        .select("id_a", "id_b", "codec_a", "codec_b", "hamming")
+        .distinct()
     )
 
 
@@ -997,7 +999,10 @@ def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band"
         ),
     ).withColumn("byte", F.expr("(ahash >> (band * 8)) & 255"))
-    cand = (
+    # r16 (guide §2.3): Hamming verify below the band-dedup Exchange;
+    # the distinct key carries the 4-byte hamming, not the raw hashes
+    # (id_a/id_b determine h_a/h_b — dedup multiset unchanged).
+    return (
         bands.alias("a")
         .join(
             bands.alias("b"),
@@ -1008,16 +1013,12 @@ def audio_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.ahash").alias("h_a"),
-            F.col("b.ahash").alias("h_b"),
+            F.bit_count(
+                F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+            ).alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.expr("h_a ^ h_b"))
-    return (
-        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= AUDIO_HAMMING_T)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
@@ -1289,7 +1290,10 @@ def audio_spectral_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sphash",
         n_bands=AUDIO_SPHASH_BANDS,
     )
-    cand = (
+    # r16 (guide §2.3): Hamming verify below the band-dedup Exchange;
+    # the distinct key carries the 4-byte hamming, not the raw hashes
+    # (id_a/id_b determine h_a/h_b — dedup multiset unchanged).
+    return (
         bands.alias("a")
         .join(
             bands.alias("b"),
@@ -1300,15 +1304,12 @@ def audio_spectral_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.sphash").alias("h_a"),
-            F.col("b.sphash").alias("h_b"),
+            F.bit_count(
+                F.col("a.sphash").bitwiseXOR(F.col("b.sphash"))
+            ).alias("hamming"),
         )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.expr("h_a ^ h_b")))
         .filter(F.col("hamming") <= AUDIO_SPECTRAL_T)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
@@ -2007,6 +2008,11 @@ def cross_modal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band"
         ),
     ).withColumn("byte", F.expr("(frame_dhash >> (band * 8)) & 255"))
+    # r16 (guide §2.3): Hamming verify below the dedup Exchange —
+    # failing candidates never shuffle — and the dedup key swaps the
+    # 8-byte h_i for the 4-byte hamming ((img_id, img_kind) determine
+    # h_i, so distinct (… h_i, h_f) ≡ distinct (… h_f, hamming); h_f
+    # must stay: the count is per distinct matched FRAME hash).
     cm = (
         ibands.alias("i")
         .join(
@@ -2018,15 +2024,16 @@ def cross_modal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i.doc_id").alias("img_id"),
             F.col("i.img_kind").alias("img_kind"),
             F.col("f.doc_id").alias("clip_id"),
-            F.col("i.dhash").alias("h_i"),
             F.col("f.frame_dhash").alias("h_f"),
+            F.bit_count(
+                F.col("i.dhash").bitwiseXOR(F.col("f.frame_dhash"))
+            ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= DHASH_HAMMING_T)
         .distinct()
     )
     return (
-        cm.withColumn("hamming", F.bit_count(F.expr("h_i ^ h_f")))
-        .filter(F.col("hamming") <= DHASH_HAMMING_T)
-        .groupBy("img_id", "img_kind", "clip_id")
+        cm.groupBy("img_id", "img_kind", "clip_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_frames_matched"),
             F.min("hamming").cast("int").alias("min_hamming"),
@@ -2136,6 +2143,11 @@ def cross_modal_incremental_update(
         ),
     ).withColumn("byte", F.expr("(frame_dhash >> (band * 8)) & 255"))
 
+    # r16 (guide §2.3): Hamming verify below the dedup Exchange (the
+    # distinct here ALSO collapses the delta-img×all / all×delta-frame
+    # probe overlap — the predicate depends only on dedup-key columns,
+    # so the collapse is unchanged); dedup key swaps the 8-byte h_i
+    # for the 4-byte hamming ((img_id, img_kind) determine h_i).
     def probe(i_side: DataFrame, f_side: DataFrame) -> DataFrame:
         return (
             i_side.alias("i")
@@ -2148,9 +2160,12 @@ def cross_modal_incremental_update(
                 F.col("i.doc_id").alias("img_id"),
                 F.col("i.img_kind").alias("img_kind"),
                 F.col("f.doc_id").alias("clip_id"),
-                F.col("i.dhash").alias("h_i"),
                 F.col("f.frame_dhash").alias("h_f"),
+                F.bit_count(
+                    F.col("i.dhash").bitwiseXOR(F.col("f.frame_dhash"))
+                ).alias("hamming"),
             )
+            .filter(F.col("hamming") <= DHASH_HAMMING_T)
         )
 
     cm = (
@@ -2159,9 +2174,7 @@ def cross_modal_incremental_update(
         .distinct()
     )
     return (
-        cm.withColumn("hamming", F.bit_count(F.expr("h_i ^ h_f")))
-        .filter(F.col("hamming") <= DHASH_HAMMING_T)
-        .groupBy("img_id", "img_kind", "clip_id")
+        cm.groupBy("img_id", "img_kind", "clip_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_frames_matched"),
             F.min("hamming").cast("int").alias("min_hamming"),
@@ -2656,7 +2669,10 @@ def cross_modal_audio_near_dup(
     trks = perf_checkpoint(
         _track_fingerprints(spark, sf_dir).select("doc_id", "sphash")
     )
-    cand = (
+    # r16 (guide §2.3): Hamming verify below the band-dedup Exchange;
+    # the distinct key carries the 4-byte hamming, not the raw hashes
+    # ((rec_id, clip_id) determine h_r/h_t — dedup multiset unchanged).
+    return (
         image_bands_of(recs, "sphash", n_bands=AUDIO_SPHASH_BANDS)
         .alias("r")
         .join(
@@ -2667,15 +2683,12 @@ def cross_modal_audio_near_dup(
         .select(
             F.col("r.doc_id").alias("rec_id"),
             F.col("t.doc_id").alias("clip_id"),
-            F.col("r.sphash").alias("h_r"),
-            F.col("t.sphash").alias("h_t"),
+            F.bit_count(
+                F.col("r.sphash").bitwiseXOR(F.col("t.sphash"))
+            ).alias("hamming"),
         )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.expr("h_r ^ h_t")))
         .filter(F.col("hamming") <= AUDIO_SPECTRAL_T)
-        .select("rec_id", "clip_id", "hamming")
+        .distinct()
     )
 
 
@@ -3260,6 +3273,11 @@ def cross_modal_audio_incremental_update(
     rb = image_bands_of(recs, "sphash", n_bands=AUDIO_SPHASH_BANDS)
     tb = image_bands_of(trks, "sphash", n_bands=AUDIO_SPHASH_BANDS)
 
+    # r16 (guide §2.3): Hamming verify below the dedup Exchange (which
+    # also collapses the two probe directions' delta×delta overlap —
+    # the predicate depends only on dedup-key columns); the distinct
+    # key carries the 4-byte hamming, not the raw hashes ((rec_id,
+    # clip_id) determine h_r/h_t — dedup multiset unchanged).
     def probe(r_side: DataFrame, t_side: DataFrame) -> DataFrame:
         return (
             r_side.alias("r")
@@ -3271,20 +3289,17 @@ def cross_modal_audio_incremental_update(
             .select(
                 F.col("r.doc_id").alias("rec_id"),
                 F.col("t.doc_id").alias("clip_id"),
-                F.col("r.sphash").alias("h_r"),
-                F.col("t.sphash").alias("h_t"),
+                F.bit_count(
+                    F.col("r.sphash").bitwiseXOR(F.col("t.sphash"))
+                ).alias("hamming"),
             )
+            .filter(F.col("hamming") <= AUDIO_SPECTRAL_T)
         )
 
-    cand = (
+    return (
         probe(rb.filter(is_delta), tb)
         .unionByName(probe(rb, tb.filter(is_delta)))
         .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.expr("h_r ^ h_t")))
-        .filter(F.col("hamming") <= AUDIO_SPECTRAL_T)
-        .select("rec_id", "clip_id", "hamming")
     )
 
 

@@ -203,11 +203,25 @@ SELECT class_of_service, work_item_id, total_price, rn FROM (
 )
 def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # r16 (guide §2.5): five priority values means five window tasks,
+    # each sorting its whole priority's rows — a straggler at scale.
+    # Two-phase top-k: rank per (priority, orderkey % 32) bucket first
+    # (each bucket's top-3 contains every global-top-3 member that
+    # lands in it), then the global rank sees <= 32*3 rows per
+    # priority. Same ordering key both passes — results identical.
+    wb = Window.partitionBy("o_orderpriority", "__b").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    pruned = (
+        orders.withColumn("__b", F.pmod(F.col("o_orderkey"), F.lit(32)))
+        .withColumn("__r1", F.row_number().over(wb))
+        .filter(F.col("__r1") <= 3)
+    )
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        pruned.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select(
             F.col("o_orderpriority").alias("class_of_service"),
@@ -1144,6 +1158,11 @@ def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PROFILE_KMV_K = 64
+# parallel min-K prune buckets (r16, guide §2.5): the bottom-K of a
+# column's distinct hashes is computed per (hash % buckets) slice
+# first, so the per-column merge sees <= buckets*K rows instead of
+# the column's whole distinct-hash set in ONE window task
+_PROFILE_SKETCH_BUCKETS = 32
 
 
 def _duck_profile_kmv_union() -> str:
@@ -1174,19 +1193,20 @@ FROM (
     "table_profile_kmv",
     doc="The 100 TB scale path of table_profile_stats: per-column "
     f"distinct counts via the K={_PROFILE_KMV_K} KMV portable-hash "
-    "sketch instead of exact COUNT(DISTINCT). r7 fused plan, TWO "
-    "shuffles total (was 9 as per-table counts⨝sketch joins): all "
-    "tables unpivot+union plan-side, shuffle 1 is the (table, "
-    "column, hash) rollup whose map-side partial agg collapses "
-    "repeated values (mergeable: per-partition sketches union and "
-    "re-take K, so profiling rolls up a sharded corpus without "
-    "re-touching raw data), shuffle 2 the per-column rank window — "
-    "and the finishing agg reuses that window's partitioning, so "
-    "exact row/null totals ride the SAME window pass as the sketch "
-    "(no join; an all-NULL column keeps its totals row with "
-    "distinct_est=0 instead of being dropped by an inner join). "
-    "Estimates are engine-reproducible (the oracle computes the "
-    "identical number); exact below K distinct.",
+    "sketch instead of exact COUNT(DISTINCT). r7 fused plan; r16 "
+    "two-phase prune (guide §2.5): shuffle 1 is the (table, column, "
+    "hash) rollup whose map-side partial agg collapses repeated "
+    "values (mergeable: per-partition sketches union and re-take K, "
+    "so profiling rolls up a sharded corpus without re-touching raw "
+    f"data), shuffle 2 ranks per (column, hash%{_PROFILE_SKETCH_BUCKETS}) "
+    "BUCKET — parallel min-K prune, so no column's full distinct-hash "
+    "set ever sorts in one window task (the r15 shape was a global "
+    "per-column rank: one straggler task per high-cardinality column) "
+    "— and shuffle 3 folds the <= buckets*K survivors plus per-bucket "
+    "row/null totals into one bounded array expression per column (an "
+    "all-NULL column keeps its totals row with distinct_est=0; no "
+    "join). Estimates are engine-reproducible (the oracle computes "
+    "the identical number); exact below K distinct.",
     tags=("relational", "sketch", "approx", "audit", "training-data"),
     oracle=_duck_profile_kmv_union(),
 )
@@ -1206,27 +1226,47 @@ def table_profile_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_hash = hashed.groupBy("table_name", "column_name", "__h").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    # shuffle 2: rank + totals in ONE window pass (same partitioning)
+    # shuffle 2 (r16, guide §2.5): rank per (column, hash-bucket), not
+    # per column — each bucket's bottom-K prunes in parallel, and the
+    # union of per-bucket bottom-Ks provably contains the global
+    # bottom-K (a global bottom-K member is within its own bucket's K
+    # smallest). The NULL-hash row gets its own out-of-range bucket,
+    # so per-bucket totals still cover every row exactly once.
     keys = ("table_name", "column_name")
-    w_rank = Window.partitionBy(*keys).orderBy(F.col("__h").asc_nulls_last())
-    w_all = Window.partitionBy(*keys)
-    ranked = per_hash.select(
+    nb = _PROFILE_SKETCH_BUCKETS
+    bucketed = per_hash.withColumn(
+        "__b", F.coalesce(F.col("__h") % nb, F.lit(nb))
+    )
+    w_rank = Window.partitionBy(*keys, "__b").orderBy(
+        F.col("__h").asc_nulls_last()
+    )
+    w_bucket = Window.partitionBy(*keys, "__b")
+    ranked = bucketed.select(
         *keys, "__h", "cnt",
         F.row_number().over(w_rank).alias("__rn"),
-        F.sum("cnt").over(w_all).alias("__total"),
-        F.sum(
-            F.when(F.col("__h").isNull(), F.col("cnt")).otherwise(F.lit(0))
-        ).over(w_all).alias("__nulls"),
+        F.sum("cnt").over(w_bucket).alias("__btotal"),
     ).filter(F.col("__rn") <= k)
-    # finisher groupBy on the window's keys: Catalyst reuses the
-    # shuffle-2 partitioning — no third Exchange. count(__h)/max(__h)
-    # ignore the NULL-hash row, so it never pollutes the sketch.
+    # shuffle 3: <= buckets*(K+1) rows per column fold into the global
+    # bottom-K via one bounded array expression (collect_list skips
+    # the NULL-hash row); exact row/null totals sum each bucket's
+    # __btotal exactly once — its __rn = 1 row. element_at(__hs, k)
+    # sits inside _kmv_estimate's n >= k branch, so a short column
+    # never evaluates the out-of-range index.
+    bucket_once = F.col("__rn") == 1
     return ranked.groupBy(*keys).agg(
-        F.first("__total").alias("n_rows"),
-        F.first("__nulls").alias("n_nulls"),
-        F.count("__h").alias("__n"),
-        F.max("__h").alias("__hk"),
+        F.sum(F.when(bucket_once, F.col("__btotal"))).alias("n_rows"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    bucket_once & F.col("__h").isNull(), F.col("__btotal")
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("n_nulls"),
+        F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("__hs"),
     ).select(
         *keys, "n_rows", "n_nulls",
-        _kmv_estimate(F.col("__n"), F.col("__hk"), k).alias("distinct_est"),
+        _kmv_estimate(
+            F.size("__hs").cast("long"), F.element_at("__hs", k), k
+        ).alias("distinct_est"),
     )

@@ -19,6 +19,7 @@ from falcon_metrics_etl_spark.operators.sampling import (
     sample_stratified_exact,
 )
 from falcon_metrics_etl_spark.plans.registry import register
+from falcon_metrics_etl_spark.session import perf_checkpoint
 from falcon_metrics_etl_spark.sources import load_table
 
 _DUCK_HASH = "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
@@ -171,18 +172,120 @@ def sampled_lead_time_p85(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MIX_TOKEN_BUDGET = 40000
 
+# r16 (guide §2.5): range buckets on the 60-bit hash for the greedy-
+# prefix selection — the old shape ran ONE cumsum window task per
+# source over the source's ENTIRE doc set; bucketing by the hash's
+# top 8 bits classifies all but one bucket per source with bucket
+# AGGREGATES, and only the single budget-straddling bucket's rows
+# (~1/256 of the source) pay the row-level cumsum.
+_MIX_PREFIX_BUCKETS_SHIFT = 52  # 60-bit hash >> 52 -> 256 buckets
+
+
+def _greedy_prefix_stats(c: DataFrame) -> DataFrame:
+    """Per-source greedy hash-prefix selection aggregates, two-phase.
+
+    Input: (doc_id, source, n_tokens, h, budget) with ``budget``
+    constant per source. Replaces the per-source corpus-wide running
+    cumsum window (``SUM(n_tokens) OVER (PARTITION BY source ORDER BY
+    h, doc_id)``) with: (1) per-(source, h-range-bucket) token/doc
+    totals — one map-side-combined shuffle of <=256 rows per source;
+    (2) a tiny per-source window over those bucket rows classifies
+    each bucket as fully-selected (prefix + total <= budget), fully
+    rejected (prefix > budget), or THE budget-straddling boundary
+    bucket; (3) only boundary-bucket rows (one bucket per source)
+    re-scan into the exact row-level cumsum, offset by the bucket
+    prefix. Global cumsum = bucket prefix + within-bucket cumsum
+    (range buckets preserve the (h, doc_id) order; pure long
+    arithmetic), so every row's selected/rejected verdict is
+    bit-identical to the one-window form. Costs one extra corpus
+    scan (the boundary re-read) — the 100 TB trade is one straggler
+    task per source versus a parallel scan.
+
+    Output: (source, token_budget, n_selected, tokens_selected,
+    n_docs, tokens_available)."""
+    from pyspark.sql import Window
+
+    cb = c.withColumn(
+        "__b", F.shiftright(F.col("h"), _MIX_PREFIX_BUCKETS_SHIFT)
+    )
+    bstats = cb.groupBy("source", "__b").agg(
+        F.sum("n_tokens").alias("__bt"),
+        F.count(F.lit(1)).alias("__nd"),
+        F.any_value(F.col("budget")).alias("budget"),
+    )
+    wpre = (
+        Window.partitionBy("source")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # lazy checkpoint: the bucket frame (<= 256 rows per source) is
+    # consumed by the coarse rollup AND the boundary probe — without
+    # it each consumer re-derives the corpus aggregation
+    bpre = perf_checkpoint(
+        bstats.withColumn(
+            "__pre",
+            F.coalesce(F.sum("__bt").over(wpre), F.lit(0).cast("long")),
+        )
+    )
+    full = (F.col("__pre") + F.col("__bt")) <= F.col("budget")
+    none = F.col("__pre") > F.col("budget")
+    coarse = bpre.groupBy("source").agg(
+        F.any_value(F.col("budget")).alias("token_budget"),
+        F.sum(F.when(full, F.col("__nd")).otherwise(F.lit(0)))
+        .alias("__sel_docs_full"),
+        F.sum(F.when(full, F.col("__bt")).otherwise(F.lit(0)))
+        .alias("__sel_tok_full"),
+        F.sum("__nd").alias("n_docs"),
+        F.sum("__bt").alias("tokens_available"),
+    )
+    boundary = bpre.filter(~full & ~none).select("source", "__b", "__pre")
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fine = (
+        cb.join(F.broadcast(boundary), ["source", "__b"])
+        .withColumn(
+            "__cum", F.col("__pre") + F.sum("n_tokens").over(wcum)
+        )
+    )
+    fsel = F.col("__cum") <= F.col("budget")
+    fine_agg = fine.groupBy("source").agg(
+        F.sum(fsel.cast("int")).alias("__sel_docs_fine"),
+        F.sum(F.when(fsel, F.col("n_tokens")).otherwise(F.lit(0)))
+        .alias("__sel_tok_fine"),
+    )
+    return coarse.join(fine_agg, "source", "left").select(
+        "source",
+        "token_budget",
+        (
+            F.col("__sel_docs_full")
+            + F.coalesce(F.col("__sel_docs_fine"), F.lit(0))
+        ).cast("long").alias("n_selected"),
+        (
+            F.col("__sel_tok_full")
+            + F.coalesce(F.col("__sel_tok_fine"), F.lit(0))
+        ).cast("long").alias("tokens_selected"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("tokens_available").cast("long").alias("tokens_available"),
+    )
+
 
 @register(
     "domain_mix_token_budget",
     doc=f"Data-mixing sampler: every source (domain) gets a token "
     f"budget proportional to its mix weight out of a global "
     f"{MIX_TOKEN_BUDGET}-token target, then a deterministic greedy "
-    "prefix (docs ordered by portable hash, running-token cumsum "
-    "window) fills each budget — the corpus-reweighting shape used to "
-    "hit a target domain mixture for a training run. One shuffle on "
-    "source for the cumsum; the weight table is a broadcast scalar; "
-    "membership is a pure function of the keys (stable under reruns "
-    "and appends of other sources).",
+    "prefix (docs ordered by portable hash) fills each budget — the "
+    "corpus-reweighting shape used to hit a target domain mixture "
+    "for a training run. r16 two-phase selection (guide §2.5): "
+    "hash-range bucket totals classify all but ONE bucket per source "
+    "with aggregates, and only the budget-straddling bucket's rows "
+    "pay the row-level cumsum — no per-source corpus-wide window "
+    "task. The weight table is a broadcast scalar; membership is a "
+    "pure function of the keys (stable under reruns and appends of "
+    "other sources).",
     tags=("sampling", "mixing", "window", "training-data"),
     oracle=f"""
 WITH d AS (
@@ -217,8 +320,6 @@ GROUP BY source
 """,
 )
 def domain_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from falcon_metrics_etl_spark.functions.text import (
         portable_hash60,
         token_count,
@@ -239,30 +340,22 @@ def domain_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["source"])
         .agg(F.sum("w").alias("sum_w"))
     )
-    wcum = (
-        Window.partitionBy("source")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = d.join(F.broadcast(sum_w)).withColumn(
+        "budget",
+        F.floor(
+            F.lit(float(MIX_TOKEN_BUDGET)) * F.col("w") / F.col("sum_w")
+        ).cast("long"),
     )
-    c = (
-        d.join(F.broadcast(sum_w))
-        .withColumn(
-            "budget",
-            F.floor(
-                F.lit(float(MIX_TOKEN_BUDGET)) * F.col("w") / F.col("sum_w")
-            ).cast("long"),
-        )
-        .withColumn("cum", F.sum("n_tokens").over(wcum))
-    )
-    sel = F.col("cum") <= F.col("budget")
-    return c.groupBy("source").agg(
-        F.any_value(F.col("budget")).alias("token_budget"),
-        F.sum(sel.cast("int")).cast("long").alias("n_selected"),
-        F.sum(F.when(sel, F.col("n_tokens")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("tokens_selected"),
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("tokens_available"),
+    # r16: two-phase greedy prefix (guide §2.5) — see
+    # _greedy_prefix_stats; replaces the per-source corpus-wide
+    # cumsum window task.
+    return _greedy_prefix_stats(c).select(
+        "source",
+        "token_budget",
+        "n_selected",
+        "tokens_selected",
+        "n_docs",
+        "tokens_available",
     )
 
 
@@ -281,8 +374,9 @@ TEMP_MIX_BUDGET = 40000
     "sqrt is IEEE-correctly-rounded in every engine and the share is "
     "quantized to integer micro-units BEFORE the sum, so budgets are "
     "exact integer arithmetic end to end; selection reuses the "
-    "deterministic hash-ordered greedy cumsum. One shuffle on source; "
-    "per-source stats are a broadcast scalar table.",
+    "deterministic hash-ordered greedy prefix (r16 two-phase bucket "
+    "selection — see domain_mix_token_budget); per-source stats are "
+    "a broadcast scalar table.",
     tags=("sampling", "mixing", "window", "training-data"),
     oracle=f"""
 WITH d AS (
@@ -321,8 +415,6 @@ GROUP BY source
 """,
 )
 def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from falcon_metrics_etl_spark.functions.text import (
         portable_hash60,
         token_count,
@@ -343,11 +435,6 @@ def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("tok_s").cast("double")) * 1e6).cast("long"),
     )
     sum_q = q.agg(F.sum("qs").cast("long").alias("sum_q"))
-    wcum = (
-        Window.partitionBy("source")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     c = (
         d.join(F.broadcast(q.select("source", "qs")), "source")
         .join(F.broadcast(sum_q))
@@ -356,16 +443,16 @@ def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "budget",
             F.expr(f"({TEMP_MIX_BUDGET}L * qs) div sum_q"),
         )
-        .withColumn("cum", F.sum("n_tokens").over(wcum))
     )
-    sel = F.col("cum") <= F.col("budget")
-    return c.groupBy("source").agg(
-        F.any_value(F.col("budget")).alias("token_budget"),
-        F.sum(sel.cast("int")).cast("long").alias("n_selected"),
-        F.sum(F.when(sel, F.col("n_tokens")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("tokens_selected"),
-        F.sum("n_tokens").cast("long").alias("tokens_available"),
+    # r16: two-phase greedy prefix (guide §2.5) — see
+    # _greedy_prefix_stats; replaces the per-source corpus-wide
+    # cumsum window task.
+    return _greedy_prefix_stats(c).select(
+        "source",
+        "token_budget",
+        "n_selected",
+        "tokens_selected",
+        "tokens_available",
     )
 
 
