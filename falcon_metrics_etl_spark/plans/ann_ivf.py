@@ -44,99 +44,6 @@ _DUCK_QUANT = (
 )
 
 
-# ---------------------------------------------------------------------------
-# Centroid assignment without the per-vector window (r16, guide §2.4):
-# the K coarse centroids are a TRAINING CONSTANT, never corpus-sized,
-# so they ride into the plan as a literal array (one bounded driver
-# read — the same control-plane class as the tokenizer-vocab collect)
-# and each vector picks its cell with a higher-order argmax/argsort
-# over that array. The old shape broadcast-joined the K centroids onto
-# every vector (xK row multiplication) and then ROW_NUMBERed the
-# affinity frame per vec_id — an Exchange+Sort+Window over K*N rows
-# carrying the full quantized vectors. The HOF form is map-only.
-# ---------------------------------------------------------------------------
-
-
-def _collect_cent_rows(cents: DataFrame) -> list:
-    """Bounded driver read of the coarse-centroid table (K rows, a
-    constant of the index layout), sorted by cent_id so the fold /
-    comparator tie-breaks identically to the window's ORDER BY
-    (score DESC, cent_id ASC)."""
-    return sorted(
-        (int(r[0]), [int(x) for x in r[1]], int(r[2]))
-        for r in cents.select("cent_id", "cq", "cnsq").collect()
-    )
-
-
-def _cent_array_lit(rows: list):
-    return F.array(
-        *[
-            F.struct(
-                F.lit(cid).cast("long").alias("cent_id"),
-                F.array(
-                    *[F.lit(x).cast("long") for x in cq]
-                ).alias("cq"),
-                F.lit(cnsq).cast("long").alias("cnsq"),
-            )
-            for cid, cq, cnsq in rows
-        ]
-    )
-
-
-def _cell_scores(cents_arr, qcol):
-    """array<struct(score, cent_id)> of centroid affinities for one
-    vector — the exact double expression the window form ordered by,
-    folded into a TOTAL ordering key: NaN maps to +inf (Spark sorts
-    NaN above every double in DESC order; a genuine +inf affinity is
-    unreachable because a zero-norm centroid forces the dot product
-    to 0) and NULL to -inf (the window's implicit NULLS LAST under
-    DESC). Only the ORDER ever consumes this value, never the output,
-    so the key substitution cannot change any result column."""
-
-    def _entry(c):
-        s = VX.int_dot(qcol, c["cq"]).cast("double") / F.sqrt(
-            c["cnsq"].cast("double")
-        )
-        return F.struct(
-            F.coalesce(
-                F.nanvl(s, F.lit(float("inf"))), F.lit(float("-inf"))
-            ).alias("score"),
-            c["cent_id"].alias("cent_id"),
-        )
-
-    return F.transform(cents_arr, _entry)
-
-
-def _best_cell(scores):
-    """argmax by (score DESC, cent_id ASC): a strictly-greater fold
-    seeded with the first (lowest cent_id) entry — a later tie never
-    replaces the incumbent, which is exactly row_number()=1 under
-    (DESC, ASC)."""
-    return F.aggregate(
-        F.slice(
-            scores, F.lit(2), F.greatest(F.size(scores) - 1, F.lit(0))
-        ),
-        F.element_at(scores, 1),
-        lambda acc, x: F.when(
-            x["score"] > acc["score"], x
-        ).otherwise(acc),
-    )
-
-
-def _probe_cells(scores, p: int):
-    """Top-``p`` cells by (score DESC, cent_id ASC) — the crank <= p
-    probe set — via a comparator array_sort over the K-entry scores
-    array (K is a constant; this sorts a 16-element array per query
-    row, not a corpus-sized window)."""
-    ranked = F.array_sort(
-        scores,
-        lambda a, b: F.when(a["score"] > b["score"], F.lit(-1))
-        .when(a["score"] < b["score"], F.lit(1))
-        .otherwise((a["cent_id"] - b["cent_id"]).cast("int")),
-    )
-    return F.slice(ranked, 1, p)
-
-
 @register(
     "ann_ivf_probed",
     doc=f"IVF ANN: {IVF_K} deterministic coarse centroids, every vector "
@@ -195,37 +102,39 @@ def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", VX.quantize(F.col("embedding")).alias("q")
     )
     n = emb.withColumn("nsq", VX.int_norm_sq(F.col("q")))
-    # K centroids as a plan literal (bounded driver read, pushed-down
-    # vec_id < K scan); assignment and probe routing are then map-only
-    # HOFs — the xK broadcast-join + per-vector Exchange+Sort+Window
-    # (and the checkpoint that amortized it) all disappear (r16)
-    cent_rows = _collect_cent_rows(
-        n.filter(F.col("vec_id") < IVF_K).select(
+    cents = (
+        n.filter(F.col("vec_id") < IVF_K)
+        .select(
             F.col("vec_id").alias("cent_id"),
             F.col("q").alias("cq"),
             F.col("nsq").alias("cnsq"),
         )
     )
-    if not cent_rows:  # empty corpus: the inner probe join is empty
-        return spark.createDataFrame(
-            [],
-            "query_id long, neighbor_id long, cosine double, rank int",
-        )
-    cells = _cell_scores(_cent_array_lit(cent_rows), F.col("q"))
-    assign = n.select(
-        "vec_id", "q", "nsq", _best_cell(cells)["cent_id"].alias("cell")
+    # centroid affinity: broadcast the K centroids, score every vector
+    aff = n.join(F.broadcast(cents)).withColumn(
+        "score",
+        VX.int_dot(F.col("q"), F.col("cq")).cast("double")
+        / F.sqrt(F.col("cnsq").cast("double")),
     )
-    probes = (
-        n.filter(F.col("vec_id") < IVF_N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("q").alias("qv"),
-            F.col("nsq").alias("qn"),
-            F.explode(_probe_cells(cells, IVF_PROBE)).alias("pc"),
-        )
-        .select(
-            "query_id", "qv", "qn", F.col("pc")["cent_id"].alias("cell")
-        )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cent_id")
+    )
+    # the ranked affinity feeds BOTH assign and probes — lazy
+    # checkpoint computes the broadcast join + per-vector window once
+    # (same discipline as semdedup_prune / pagerank_int)
+    aff = aff.withColumn("crank", F.row_number().over(wc)).localCheckpoint(
+        eager=False
+    )
+    assign = aff.filter(F.col("crank") == 1).select(
+        "vec_id", "q", "nsq", F.col("cent_id").alias("cell")
+    )
+    probes = aff.filter(
+        (F.col("vec_id") < IVF_N_QUERIES) & (F.col("crank") <= IVF_PROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("nsq").alias("qn"),
+        F.col("cent_id").alias("cell"),
     )
     scored = (
         assign.join(F.broadcast(probes), "cell")
@@ -346,39 +255,37 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = staged_index(
         spark, f"ivf_cents:k={IVF_K}:{sf_dir}", _cents, src_dir=sf_dir
     )
-    # the staged centroid table is K rows — read it once into a plan
-    # literal and assign the delta with a map-only HOF argmax instead
-    # of the xK broadcast join + per-vector window (r16; value-
-    # identical ordering, see _cell_scores)
-    cent_rows = _collect_cent_rows(cents)
-    if not cent_rows:  # empty corpus: the inner probe join is empty
-        return spark.createDataFrame(
-            [],
-            "query_id long, neighbor_id long, cosine double, rank int",
-        )
-    cells = _cell_scores(_cent_array_lit(cent_rows), F.col("q"))
-    # DELTA-ONLY assignment: the argmax runs over the ~6% slice, never
-    # the base (whose assignments a production tick reads from the
-    # persisted inverted file)
-    assign = n.filter(F.col("vec_id") % IVF_DELTA_MOD == 0).select(
-        "vec_id", "q", "nsq", _best_cell(cells)["cent_id"].alias("cell")
+    score = VX.int_dot(F.col("q"), F.col("cq")).cast("double") / F.sqrt(
+        F.col("cnsq").cast("double")
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cent_id")
+    )
+    # DELTA-ONLY assignment: the broadcast-affinity window runs over
+    # the ~6% slice, never the base (whose assignments a production
+    # tick reads from the persisted inverted file)
+    assign = (
+        n.filter(F.col("vec_id") % IVF_DELTA_MOD == 0)
+        .join(F.broadcast(cents))
+        .withColumn("score", score)
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "q", "nsq", F.col("cent_id").alias("cell"))
     )
     probes = staged_index(
         spark,
         f"ivf_probes:k={IVF_K}:p={IVF_PROBE}:q={IVF_N_QUERIES}:{sf_dir}",
         lambda: (
             n.filter(F.col("vec_id") < IVF_N_QUERIES)
+            .join(F.broadcast(cents))
+            .withColumn("score", score)
+            .withColumn("crank", F.row_number().over(wc))
+            .filter(F.col("crank") <= IVF_PROBE)
             .select(
                 F.col("vec_id").alias("query_id"),
                 F.col("q").alias("qv"),
                 F.col("nsq").alias("qn"),
-                F.explode(_probe_cells(cells, IVF_PROBE)).alias("pc"),
-            )
-            .select(
-                "query_id",
-                "qv",
-                "qn",
-                F.col("pc")["cent_id"].alias("cell"),
+                F.col("cent_id").alias("cell"),
             )
         ),
         src_dir=sf_dir,
@@ -465,26 +372,26 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", VX.quantize(F.col("embedding")).alias("q")
     )
     n = emb.withColumn("nsq", VX.int_norm_sq(F.col("q")))
-    # K centroids as a plan literal + HOF argmax (r16): assignment is
-    # now a map-only projection of the scan, so the three consumers
-    # (both pair sides, the status join) re-derive it for the cost of
-    # a scan each instead of sharing an RDD checkpoint — which also
-    # hands the planner real size stats for the joins below (the
-    # checkpointed form planned blind SortMergeJoins)
-    cent_rows = _collect_cent_rows(
-        n.filter(F.col("vec_id") < SEMDEDUP_K).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("q").alias("cq"),
-            F.col("nsq").alias("cnsq"),
-        )
+    cents = n.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("q").alias("cq"),
+        F.col("nsq").alias("cnsq"),
     )
-    if not cent_rows:  # empty corpus: nothing to assign or prune
-        return spark.createDataFrame(
-            [], "vec_id long, cell long, status string, n_smaller_dups long"
-        )
-    cells = _cell_scores(_cent_array_lit(cent_rows), F.col("q"))
-    assign = n.select(
-        "vec_id", "q", "nsq", _best_cell(cells)["cent_id"].alias("cell")
+    aff = n.join(F.broadcast(cents)).withColumn(
+        "score",
+        VX.int_dot(F.col("q"), F.col("cq")).cast("double")
+        / F.sqrt(F.col("cnsq").cast("double")),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cent_id")
+    )
+    # the assignment feeds both pair sides AND the final status join —
+    # lazy checkpoint computes the window once instead of three times
+    assign = (
+        aff.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "q", "nsq", F.col("cent_id").alias("cell"))
+        .localCheckpoint(eager=False)
     )
     a = assign.alias("a")
     b = assign.alias("b")
@@ -573,23 +480,23 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", VX.quantize(F.col("embedding")).alias("q")
     )
     n = emb.withColumn("nsq", VX.int_norm_sq(F.col("q")))
-    # literal centroids + HOF argmax (r16): the assignment half of the
-    # Lloyd step is map-only, leaving the long-form mean reduce as the
-    # step's ONLY shuffle
-    cent_rows = _collect_cent_rows(
-        n.filter(F.col("vec_id") < KMEANS_K).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("q").alias("cq"),
-            F.col("nsq").alias("cnsq"),
-        )
+    cents = n.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("q").alias("cq"),
+        F.col("nsq").alias("cnsq"),
     )
-    if not cent_rows:  # empty corpus: no members, no cells
-        return spark.createDataFrame(
-            [], "cell long, pos int, mean_q double, n_members long"
-        )
-    cells = _cell_scores(_cent_array_lit(cent_rows), F.col("q"))
-    assign = n.select(
-        _best_cell(cells)["cent_id"].alias("cell"), "q"
+    aff = n.join(F.broadcast(cents)).withColumn(
+        "score",
+        VX.int_dot(F.col("q"), F.col("cq")).cast("double")
+        / F.sqrt(F.col("cnsq").cast("double")),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cent_id")
+    )
+    assign = (
+        aff.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") == 1)
+        .select(F.col("cent_id").alias("cell"), "q")
     )
     longf = assign.select(
         "cell", F.posexplode("q").alias("pos0", "val")
@@ -869,35 +776,24 @@ def _code_times_m(q, m):
 def _int8_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared SQ8 frame: (vec_id, q fixed-point, cm dequantized-code,
     nsq, nsa) with zero-norm vectors dropped (0/0 = NaN cosines rank
-    engine-dependently; mirrored by every consumer's oracle).
-
-    The per-dimension absmax scale vector is ONE row — r16 collects it
-    (a bounded 1-row aggregate read, the cursor-max class) and inlines
-    it as an array literal, so the frame itself is a map-only
-    projection of the scan instead of a crossJoin against a broadcast
-    aggregate that every consumer re-plans."""
+    engine-dependently; mirrored by every consumer's oracle)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", VX.quantize(F.col("embedding")).alias("q")
     )
-    m = emb.agg(
+    absmax = emb.agg(
         F.array(
             *[
                 F.max(F.abs(F.element_at("q", d + 1)))
                 for d in range(SQ8_DIM)
             ]
         ).alias("m")
-    ).collect()[0][0]
-    m_lit = F.array(
-        *[
-            F.lit(None).cast("long") if x is None else F.lit(int(x)).cast("long")
-            for x in (m or [None] * SQ8_DIM)
-        ]
     )
     return (
-        emb.select(
+        emb.crossJoin(F.broadcast(absmax))
+        .select(
             "vec_id",
             "q",
-            F.zip_with("q", m_lit, _code_times_m).alias("cm"),
+            F.zip_with("q", "m", _code_times_m).alias("cm"),
         )
         .withColumn("nsq", VX.int_norm_sq(F.col("q")))
         .withColumn("nsa", VX.int_norm_sq(F.col("cm")))
@@ -1118,38 +1014,36 @@ WHERE rank <= {IVF_TOPK}
 )
 def ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _int8_base(spark, sf_dir)
+    cents = base.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("q").alias("cq"),
+        F.col("nsq").alias("cnsq"),
+    )
     # assignment scores on the EXACT vectors (the coarse quantizer is
-    # full-precision in a real IVF-SQ index); only cm/nsa ride past
-    # it. Literal centroids + HOF argmax/argsort (r16) make both the
-    # assignment and the probe routing map-only — the xK broadcast
-    # join, the per-vector window and the checkpoint are gone.
-    cent_rows = _collect_cent_rows(
-        base.filter(F.col("vec_id") < IVF_K).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("q").alias("cq"),
-            F.col("nsq").alias("cnsq"),
-        )
+    # full-precision in a real IVF-SQ index); only cm/nsa ride past it
+    aff = base.join(F.broadcast(cents)).withColumn(
+        "score",
+        VX.int_dot(F.col("q"), F.col("cq")).cast("double")
+        / F.sqrt(F.col("cnsq").cast("double")),
     )
-    if not cent_rows:  # empty corpus: the inner probe join is empty
-        return spark.createDataFrame(
-            [],
-            "query_id long, neighbor_id long, cosine_int8 double, rank int",
-        )
-    cells = _cell_scores(_cent_array_lit(cent_rows), F.col("q"))
-    assign = base.select(
-        "vec_id", "cm", "nsa", _best_cell(cells)["cent_id"].alias("cell")
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cent_id")
     )
-    probes = (
-        base.filter(F.col("vec_id") < IVF_N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("cm").alias("qcm"),
-            F.col("nsa").alias("qnsa"),
-            F.explode(_probe_cells(cells, IVF_PROBE)).alias("pc"),
-        )
-        .select(
-            "query_id", "qcm", "qnsa", F.col("pc")["cent_id"].alias("cell")
-        )
+    aff = (
+        aff.withColumn("crank", F.row_number().over(wc))
+        .select("vec_id", "cm", "nsa", "cent_id", "crank")
+        .localCheckpoint(eager=False)
+    )
+    assign = aff.filter(F.col("crank") == 1).select(
+        "vec_id", "cm", "nsa", F.col("cent_id").alias("cell")
+    )
+    probes = aff.filter(
+        (F.col("vec_id") < IVF_N_QUERIES) & (F.col("crank") <= IVF_PROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cm").alias("qcm"),
+        F.col("nsa").alias("qnsa"),
+        F.col("cent_id").alias("cell"),
     )
     scored = (
         assign.join(F.broadcast(probes), "cell")

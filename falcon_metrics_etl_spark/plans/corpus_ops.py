@@ -922,19 +922,13 @@ FROM h0 LEFT JOIN h1 ON h0.doc_id = h1.doc_id
 """,
 )
 def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     # ONE explode + ONE histogram: counting at (c1, next-char) grain
     # with the doc's LAST position keeping a NULL next-char makes the
     # order-0 histogram a marginal of the same aggregate —
     # c(c1) = sum_c2 c12 — so both entropies ride one pass (the
-    # two-explode form cost ~1.5x, A/B'd in-session at sf0.1).
-    # r16 (guide §2.4): the per-doc totals the old plan derived with
-    # two window passes are now plain aggregation levels — ``tot`` is
-    # just length(text) carried through the explode as a grouping key
-    # (functionally dependent on doc_id, so the grouping is unchanged),
-    # and the bigram->(doc,c1)->(doc) rollup stacks three hash
-    # aggregates. That drops every Sort and Window from the plan; the
-    # quantize-before-sum micro-nat arithmetic is untouched, term for
-    # term, so results are bit-identical.
+    # two-explode form cost ~1.5x, A/B'd in-session at sf0.1)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = (
         docs.filter(F.length("text") >= 1)
@@ -952,7 +946,6 @@ def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.length("text").cast("long").alias("tot"),
             F.expr("substring(text, i, 1)").alias("c1"),
             F.expr(
                 "CASE WHEN i < length(text) "
@@ -960,45 +953,40 @@ def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c2"),
         )
     )
-    cb = pairs.groupBy("doc_id", "tot", "c1", "c2").agg(
+    cb = pairs.groupBy("doc_id", "c1", "c2").agg(
         F.count(F.lit(1)).alias("c12")
     )
-    # (doc, c1) grain: order-0 count c1tot = sum over c2 (the final
-    # position's NULL c2 row included), pair-grain count c1pairs
-    # excludes it; hq1's per-(c1,c2) terms quantize BEFORE this sum,
-    # so they fold here via a 2-arg aggregate once c1pairs is known —
-    # collect the (c2-null?, c12) pairs (bounded by the alphabet, not
-    # the corpus) and run the same quantized expression per entry.
-    g1 = cb.groupBy("doc_id", "tot", "c1").agg(
-        F.sum("c12").alias("c1tot"),
-        F.sum(
-            F.when(F.col("c2").isNotNull(), F.col("c12")).otherwise(0)
-        ).alias("c1pairs"),
-        F.collect_list(
-            F.when(F.col("c2").isNotNull(), F.col("c12"))
-        ).alias("pair_counts"),
-    )
-    q1 = lambda c12: F.round(  # noqa: E731 — mirrors the oracle term
-        F.log(F.col("c1pairs").cast("double") / c12.cast("double")) * 1e6
-    ).cast("long")
-    g1 = g1.withColumn(
-        "hq1_part",
-        F.aggregate(
-            F.col("pair_counts"),
-            F.lit(0).cast("long"),
-            lambda acc, c: acc + c * q1(c),
-        ),
+    w_c1 = Window.partitionBy("doc_id", "c1")
+    w_doc = Window.partitionBy("doc_id")
+    wb = (
+        cb.withColumn("c1tot", F.sum("c12").over(w_c1))  # order-0 count
+        .withColumn(
+            # pair-grain c1 occurrences exclude the doc-final position
+            "c1pairs",
+            F.sum(
+                F.when(F.col("c2").isNotNull(), F.col("c12")).otherwise(0)
+            ).over(w_c1),
+        )
+        .withColumn(
+            "rn1", F.row_number().over(w_c1.orderBy(F.col("c2")))
+        )
+        .withColumn("tot", F.sum("c12").over(w_doc))
     )
     q0 = F.round(
         F.log(F.col("tot").cast("double") / F.col("c1tot")) * 1e6
     ).cast("long")
-    h = g1.groupBy("doc_id").agg(
-        F.sum(F.col("c1tot") * q0).alias("hq"),
+    q1 = F.round(
+        F.log(F.col("c1pairs").cast("double") / F.col("c12")) * 1e6
+    ).cast("long")
+    h = wb.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("rn1") == 1, F.col("c1tot") * q0)).alias("hq"),
         F.sum(
-            F.when(F.col("c1pairs") > 0, F.col("hq1_part"))
+            F.when(F.col("c2").isNotNull(), F.col("c12") * q1)
         ).alias("hq1"),
         F.max("tot").alias("tot"),
-        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("rn1") == 1, 1).otherwise(0)).alias(
+            "n_distinct"
+        ),
     )
     ent0 = F.col("hq").cast("double") / F.col("tot") / F.lit(1e6)
     ent1 = F.coalesce(
