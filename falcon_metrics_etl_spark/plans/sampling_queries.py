@@ -181,11 +181,14 @@ MIX_TOKEN_BUDGET = 40000
 _MIX_PREFIX_BUCKETS_SHIFT = 52  # 60-bit hash >> 52 -> 256 buckets
 
 
-def _greedy_prefix_stats(c: DataFrame) -> DataFrame:
+def _greedy_prefix_stats(base: DataFrame, n_tokens_col) -> DataFrame:
     """Per-source greedy hash-prefix selection aggregates, two-phase.
 
-    Input: (doc_id, source, n_tokens, h, budget) with ``budget``
-    constant per source. Replaces the per-source corpus-wide running
+    Input: ``base`` carries (doc_id, source, h, budget, + whatever
+    ``n_tokens_col`` reads, e.g. text) with ``budget`` constant per
+    source; ``n_tokens_col`` is the token-count EXPRESSION, attached
+    separately per pass so the boundary re-read only tokenizes the
+    rows it keeps. Replaces the per-source corpus-wide running
     cumsum window (``SUM(n_tokens) OVER (PARTITION BY source ORDER BY
     h, doc_id)``) with: (1) per-(source, h-range-bucket) token/doc
     totals — one map-side-combined shuffle of <=256 rows per source;
@@ -194,20 +197,22 @@ def _greedy_prefix_stats(c: DataFrame) -> DataFrame:
     rejected (prefix > budget), or THE budget-straddling boundary
     bucket; (3) only boundary-bucket rows (one bucket per source)
     re-scan into the exact row-level cumsum, offset by the bucket
-    prefix. Global cumsum = bucket prefix + within-bucket cumsum
-    (range buckets preserve the (h, doc_id) order; pure long
-    arithmetic), so every row's selected/rejected verdict is
-    bit-identical to the one-window form. Costs one extra corpus
-    scan (the boundary re-read) — the 100 TB trade is one straggler
-    task per source versus a parallel scan.
+    prefix — the broadcast bucket join runs BEFORE the token count,
+    so the second pass tokenizes ~1/256 of the corpus. Global cumsum
+    = bucket prefix + within-bucket cumsum (range buckets preserve
+    the (h, doc_id) order; pure long arithmetic), so every row's
+    selected/rejected verdict is bit-identical to the one-window
+    form. Costs one extra corpus read — the 100 TB trade is one
+    straggler task per source versus a parallel scan.
 
     Output: (source, token_budget, n_selected, tokens_selected,
     n_docs, tokens_available)."""
     from pyspark.sql import Window
 
-    cb = c.withColumn(
+    bb = base.withColumn(
         "__b", F.shiftright(F.col("h"), _MIX_PREFIX_BUCKETS_SHIFT)
     )
+    cb = bb.withColumn("n_tokens", n_tokens_col)
     bstats = cb.groupBy("source", "__b").agg(
         F.sum("n_tokens").alias("__bt"),
         F.count(F.lit(1)).alias("__nd"),
@@ -244,8 +249,12 @@ def _greedy_prefix_stats(c: DataFrame) -> DataFrame:
         .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the broadcast bucket join prunes to ~1/256 of the rows BEFORE
+    # the token count attaches — the boundary re-read pays I/O, not
+    # a second full tokenize
     fine = (
-        cb.join(F.broadcast(boundary), ["source", "__b"])
+        bb.join(F.broadcast(boundary), ["source", "__b"])
+        .withColumn("n_tokens", n_tokens_col)
         .withColumn(
             "__cum", F.col("__pre") + F.sum("n_tokens").over(wcum)
         )
@@ -329,7 +338,7 @@ def domain_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id",
         "source",
-        token_count(F.col("text")).alias("n_tokens"),
+        "text",
         portable_hash60(F.col("doc_id").cast("string")).alias("h"),
         (
             (F.substring(F.col("source"), 4, 8).cast("int") % 3) + 1
@@ -349,7 +358,7 @@ def domain_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16: two-phase greedy prefix (guide §2.5) — see
     # _greedy_prefix_stats; replaces the per-source corpus-wide
     # cumsum window task.
-    return _greedy_prefix_stats(c).select(
+    return _greedy_prefix_stats(c, token_count(F.col("text"))).select(
         "source",
         "token_budget",
         "n_selected",
@@ -424,11 +433,11 @@ def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id",
         "source",
-        token_count(F.col("text")).alias("n_tokens"),
+        "text",
         portable_hash60(F.col("doc_id").cast("string")).alias("h"),
     )
     per_src = d.groupBy("source").agg(
-        F.sum("n_tokens").cast("long").alias("tok_s")
+        F.sum(token_count(F.col("text"))).cast("long").alias("tok_s")
     )
     q = per_src.withColumn(
         "qs",
@@ -447,7 +456,7 @@ def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16: two-phase greedy prefix (guide §2.5) — see
     # _greedy_prefix_stats; replaces the per-source corpus-wide
     # cumsum window task.
-    return _greedy_prefix_stats(c).select(
+    return _greedy_prefix_stats(c, token_count(F.col("text"))).select(
         "source",
         "token_budget",
         "n_selected",
