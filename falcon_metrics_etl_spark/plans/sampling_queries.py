@@ -180,6 +180,18 @@ MIX_TOKEN_BUDGET = 40000
 # (~1/256 of the source) pay the row-level cumsum.
 _MIX_PREFIX_BUCKETS_SHIFT = 52  # 60-bit hash >> 52 -> 256 buckets
 
+# The two-phase form reads the corpus twice, so below this estimated
+# input size (plan statistics — no job) the one-window form is
+# strictly cheaper: the per-source sort fits one task comfortably and
+# the second read is pure cost (quiet A/B at sf0.1: two-phase 2.2x on
+# a 0.4 s scan-dominated entry). Parameterised per the optimization
+# guide's scale-adaptive rule; the 256 MiB local default keeps the
+# bench comparable while any real corpus shard flips to two-phase.
+# tests/test_sampling.py pins both paths row-identical by forcing the
+# threshold to 0.
+_MIX_TWO_PHASE_MIN_BYTES_CONF = "spark.falconMetricsEtl.mixTwoPhaseMinBytes"
+_MIX_TWO_PHASE_MIN_BYTES_DEFAULT = str(256 * 1024 * 1024)
+
 
 def _greedy_prefix_stats(base: DataFrame, n_tokens_col) -> DataFrame:
     """Per-source greedy hash-prefix selection aggregates, two-phase.
@@ -205,9 +217,41 @@ def _greedy_prefix_stats(base: DataFrame, n_tokens_col) -> DataFrame:
     form. Costs one extra corpus read — the 100 TB trade is one
     straggler task per source versus a parallel scan.
 
+    Below the configured input-size threshold the exact one-window
+    form runs instead (identical output — pinned by pytest forcing
+    the threshold to 0): at bench scale the window's per-source sort
+    is comfortably one task and the boundary re-read is pure cost.
+
     Output: (source, token_budget, n_selected, tokens_selected,
     n_docs, tokens_available)."""
     from pyspark.sql import Window
+
+    threshold = int(
+        base.sparkSession.conf.get(
+            _MIX_TWO_PHASE_MIN_BYTES_CONF, _MIX_TWO_PHASE_MIN_BYTES_DEFAULT
+        )
+    )
+    est_bytes = int(
+        base._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if est_bytes < threshold:
+        cw = base.withColumn("n_tokens", n_tokens_col)
+        wcum = (
+            Window.partitionBy("source")
+            .orderBy("h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        c = cw.withColumn("cum", F.sum("n_tokens").over(wcum))
+        sel = F.col("cum") <= F.col("budget")
+        return c.groupBy("source").agg(
+            F.any_value(F.col("budget")).alias("token_budget"),
+            F.sum(sel.cast("int")).cast("long").alias("n_selected"),
+            F.sum(F.when(sel, F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("tokens_selected"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_available"),
+        )
 
     bb = base.withColumn(
         "__b", F.shiftright(F.col("h"), _MIX_PREFIX_BUCKETS_SHIFT)

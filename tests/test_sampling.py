@@ -145,3 +145,35 @@ def test_weighted_sample_wor_properties(spark):
         reverse=True,
     )[:25]
     assert winners2 == [d for _, d in ref2]
+
+
+def test_greedy_prefix_two_phase_matches_one_window(spark, sf_smoke):
+    """The size-gated two-phase greedy-prefix selection (r16) must be
+    row-identical to the exact one-window form on the same input —
+    force each path via the threshold conf and compare."""
+    from falcon_metrics_etl_spark.plans.sampling_queries import (
+        _MIX_TWO_PHASE_MIN_BYTES_CONF,
+        domain_mix_token_budget,
+        domain_temperature_mix,
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    conf = spark.conf
+    old = conf.get(_MIX_TWO_PHASE_MIN_BYTES_CONF, None)
+    try:
+        conf.set(_MIX_TWO_PHASE_MIN_BYTES_CONF, str(1 << 60))  # 1-window
+        a1 = rows(domain_mix_token_budget(spark, sf_smoke))
+        b1 = rows(domain_temperature_mix(spark, sf_smoke))
+        conf.set(_MIX_TWO_PHASE_MIN_BYTES_CONF, "0")  # two-phase
+        a2 = rows(domain_mix_token_budget(spark, sf_smoke))
+        b2 = rows(domain_temperature_mix(spark, sf_smoke))
+    finally:
+        if old is None:
+            conf.unset(_MIX_TWO_PHASE_MIN_BYTES_CONF)
+        else:
+            conf.set(_MIX_TWO_PHASE_MIN_BYTES_CONF, old)
+    assert a1 == a2
+    assert b1 == b2
+    assert len(a1) > 0 and len(b1) > 0
