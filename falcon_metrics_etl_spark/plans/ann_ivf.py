@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from falcon_metrics_etl_spark.functions import vectors as VX
 from falcon_metrics_etl_spark.plans.registry import register
+from falcon_metrics_etl_spark.session import perf_checkpoint
 from falcon_metrics_etl_spark.sources import load_table
 
 IVF_K = 16          # coarse centroids (cells)
@@ -111,30 +112,41 @@ def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # centroid affinity: broadcast the K centroids, score every vector
-    aff = n.join(F.broadcast(cents)).withColumn(
-        "score",
-        VX.int_dot(F.col("q"), F.col("cq")).cast("double")
-        / F.sqrt(F.col("cnsq").cast("double")),
+    score = VX.int_dot(F.col("q"), F.col("cq")).cast("double") / F.sqrt(
+        F.col("cnsq").cast("double")
     )
     wc = Window.partitionBy("vec_id").orderBy(
         F.col("score").desc(), F.col("cent_id")
     )
-    # the ranked affinity feeds BOTH assign and probes — lazy
-    # checkpoint computes the broadcast join + per-vector window once
-    # (same discipline as semdedup_prune / pagerank_int)
-    aff = aff.withColumn("crank", F.row_number().over(wc)).localCheckpoint(
-        eager=False
+    # r17: the rank filter sits ADJACENT to its window so Spark's
+    # WindowGroupLimit pushdown prunes each partition to the rank-1
+    # row per vector BEFORE the exchange (the r16 shape checkpointed
+    # the full xK ranked frame — the filters lived beyond the
+    # checkpoint, so 16N wide rows paid the exchange, the sort AND
+    # the checkpoint materialization)
+    assign = (
+        n.join(F.broadcast(cents))
+        .withColumn("score", score)
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "q", "nsq", F.col("cent_id").alias("cell"))
     )
-    assign = aff.filter(F.col("crank") == 1).select(
-        "vec_id", "q", "nsq", F.col("cent_id").alias("cell")
-    )
-    probes = aff.filter(
-        (F.col("vec_id") < IVF_N_QUERIES) & (F.col("crank") <= IVF_PROBE)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qv"),
-        F.col("nsq").alias("qn"),
-        F.col("cent_id").alias("cell"),
+    # probes touch only the IVF_N_QUERIES standing queries: a
+    # pushed-down re-scan (PushedFilters: vec_id < N_QUERIES) of the
+    # bounded query slice is far cheaper than sharing the N-sized
+    # ranked frame through a checkpoint
+    probes = (
+        n.filter(F.col("vec_id") < IVF_N_QUERIES)
+        .join(F.broadcast(cents))
+        .withColumn("score", score)
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= IVF_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qv"),
+            F.col("nsq").alias("qn"),
+            F.col("cent_id").alias("cell"),
+        )
     )
     scored = (
         assign.join(F.broadcast(probes), "cell")
@@ -387,11 +399,12 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the assignment feeds both pair sides AND the final status join —
     # lazy checkpoint computes the window once instead of three times
-    assign = (
+    # (routed through perf_checkpoint so the documented spot/preemptible
+    # opt-out conf is honored — r16 advisor)
+    assign = perf_checkpoint(
         aff.withColumn("crank", F.row_number().over(wc))
         .filter(F.col("crank") == 1)
         .select("vec_id", "q", "nsq", F.col("cent_id").alias("cell"))
-        .localCheckpoint(eager=False)
     )
     a = assign.alias("a")
     b = assign.alias("b")
@@ -780,13 +793,20 @@ def _int8_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", VX.quantize(F.col("embedding")).alias("q")
     )
-    absmax = emb.agg(
-        F.array(
-            *[
-                F.max(F.abs(F.element_at("q", d + 1)))
-                for d in range(SQ8_DIM)
-            ]
-        ).alias("m")
+    # the 1-row scale vector is a full-scan aggregate; every consumer
+    # of the base frame (queries slice + candidate side, cents +
+    # assign + probes) would otherwise re-run that scan — lazy
+    # checkpoint computes it once (r17; conf-gated like every other
+    # shared-subtree checkpoint)
+    absmax = perf_checkpoint(
+        emb.agg(
+            F.array(
+                *[
+                    F.max(F.abs(F.element_at("q", d + 1)))
+                    for d in range(SQ8_DIM)
+                ]
+            ).alias("m")
+        )
     )
     return (
         emb.crossJoin(F.broadcast(absmax))
@@ -910,22 +930,49 @@ def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ac"),
     )
+    # r17: the old shape ranked BOTH orderings as full windows over
+    # the 8N candidate frame (two complete sorts of N rows per query —
+    # at scale, one straggler sort per query and ranking work for rows
+    # that can never be in either top-k). Splitting each ranking into
+    # its own filter-adjacent window lets WindowGroupLimit prune to
+    # the per-partition top-K before the exchange; the shared scored
+    # frame (2 exact-integer HOF dots per candidate, the dominant
+    # per-row cost) is computed once behind a lazy checkpoint. The
+    # overlap count is then a bounded (<= K per query) self-join.
+    # Every query keeps a row: a query with zero overlap falls out of
+    # the inner join and is re-attached with 0 via the bounded query
+    # list (same group set as the old groupBy — every query has
+    # candidates whenever N > SQ8_NQ).
+    scored = perf_checkpoint(scored)
     we = Window.partitionBy("query_id").orderBy(
         F.col("ec").desc(), "neighbor_id"
     )
     wa = Window.partitionBy("query_id").orderBy(
         F.col("ac").desc(), "neighbor_id"
     )
-    hit = (
-        (F.col("re") <= SQ8_K) & (F.col("ra") <= SQ8_K)
-    ).cast("int")
-    return (
+    top_e = (
         scored.withColumn("re", F.row_number().over(we))
-        .withColumn("ra", F.row_number().over(wa))
-        .groupBy("query_id")
-        .agg(
-            F.sum(hit).cast("long").alias("n_overlap"),
-            F.round(F.sum(hit).cast("double") / SQ8_K, 4).alias(
+        .filter(F.col("re") <= SQ8_K)
+        .select("query_id", "neighbor_id")
+    )
+    top_a = (
+        scored.withColumn("ra", F.row_number().over(wa))
+        .filter(F.col("ra") <= SQ8_K)
+        .select("query_id", "neighbor_id")
+    )
+    # explicit hints: both top sets are bounded (<= K rows per query)
+    # but sit above a checkpoint, so the planner has no size stats
+    overlap = top_e.join(
+        F.broadcast(top_a), ["query_id", "neighbor_id"]
+    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("__n"))
+    n_overlap = F.coalesce(F.col("__n"), F.lit(0)).cast("long")
+    return (
+        queries.select("query_id")
+        .join(F.broadcast(overlap), "query_id", "left")
+        .select(
+            "query_id",
+            n_overlap.alias("n_overlap"),
+            F.round(n_overlap.cast("double") / SQ8_K, 4).alias(
                 "recall_at_k"
             ),
         )
@@ -1021,29 +1068,35 @@ def ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # assignment scores on the EXACT vectors (the coarse quantizer is
     # full-precision in a real IVF-SQ index); only cm/nsa ride past it
-    aff = base.join(F.broadcast(cents)).withColumn(
-        "score",
-        VX.int_dot(F.col("q"), F.col("cq")).cast("double")
-        / F.sqrt(F.col("cnsq").cast("double")),
+    score = VX.int_dot(F.col("q"), F.col("cq")).cast("double") / F.sqrt(
+        F.col("cnsq").cast("double")
     )
     wc = Window.partitionBy("vec_id").orderBy(
         F.col("score").desc(), F.col("cent_id")
     )
-    aff = (
-        aff.withColumn("crank", F.row_number().over(wc))
-        .select("vec_id", "cm", "nsa", "cent_id", "crank")
-        .localCheckpoint(eager=False)
+    # r17: filter-adjacent windows (WindowGroupLimit prunes to the
+    # rank-1 row per vector before the exchange) + a pushed-down
+    # bounded re-scan for the probe slice — replaces the checkpointed
+    # full xK ranked frame (see ann_ivf_probed)
+    assign = (
+        base.join(F.broadcast(cents))
+        .withColumn("score", score)
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "cm", "nsa", F.col("cent_id").alias("cell"))
     )
-    assign = aff.filter(F.col("crank") == 1).select(
-        "vec_id", "cm", "nsa", F.col("cent_id").alias("cell")
-    )
-    probes = aff.filter(
-        (F.col("vec_id") < IVF_N_QUERIES) & (F.col("crank") <= IVF_PROBE)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("cm").alias("qcm"),
-        F.col("nsa").alias("qnsa"),
-        F.col("cent_id").alias("cell"),
+    probes = (
+        base.filter(F.col("vec_id") < IVF_N_QUERIES)
+        .join(F.broadcast(cents))
+        .withColumn("score", score)
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= IVF_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cm").alias("qcm"),
+            F.col("nsa").alias("qnsa"),
+            F.col("cent_id").alias("cell"),
+        )
     )
     scored = (
         assign.join(F.broadcast(probes), "cell")
