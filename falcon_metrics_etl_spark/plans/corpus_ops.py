@@ -935,8 +935,16 @@ def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fan out BEFORE the position explode: the docs table arrives
         # in few input splits, and a 300x row-multiplying Generate on
         # one split serializes the whole histogram on a single core —
-        # the repartition shuffles only the small pre-explode rows
-        .repartition(spark.sparkContext.defaultParallelism)
+        # the repartition shuffles only the small pre-explode rows.
+        # r17: keyed on doc_id (not round-robin) so the histogram
+        # aggregate, all three windows and the final per-doc aggregate
+        # reuse THIS exchange via the subset rule — hash(doc_id)
+        # satisfies ClusteredDistribution for (doc_id, c1, c2),
+        # (doc_id, c1) and (doc_id) alike: the plan's 4 exchanges of
+        # histogram-sized rows collapse to this one pre-explode
+        # exchange (doc_id is as dense a key as the row count, so the
+        # spread matches the round-robin form)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             "doc_id",
             "text",
