@@ -161,9 +161,18 @@ def transform_cards(
     # re-joining the raw stream (measured A/B/C at sf0.1: live+dim
     # checkpoints 5.6s < no checkpoints 6.2s < dim-only 7.6s — and at
     # scale it is the variant that touches the raw stream exactly once)
+    # r17: the STRING card key is derived BEFORE the compression
+    # window and used as its partition key. Downstream, every wide
+    # operator keys on work_item_id (event-date windows, the per-item
+    # aggregate, the states join): compressing on card_id and casting
+    # after cost a SECOND full shuffle of the transition stream,
+    # because hash(bigint) != hash(cast as string) and Catalyst does
+    # not track partitioning through the cast. One key, one Exchange.
+    # (In bucketed_facts mode card_id is already the string bucket key,
+    # so SimplifyCasts keeps the layout's partitioning intact.)
     live = transitions.join(
         cfg.select("card_id", "workflow_id"), "card_id", "inner"
-    )
+    ).withColumn("work_item_id", F.col("card_id").cast("string"))
     if bucketed_facts:
         # persist, not localCheckpoint: a checkpoint under AQE reports
         # UnknownPartitioning and the compression window would re-insert
@@ -180,9 +189,9 @@ def transform_cards(
             persist_handles.append(live)
     else:
         live = perf_checkpoint(live)
-    comp = compress_transitions(live)
+    comp = compress_transitions(live, card_col="work_item_id")
     history = comp.select(
-        F.col("card_id").cast("string").alias("work_item_id"),
+        "work_item_id",
         "workflow_id",
         F.col("column_id").cast("string").alias("status_id"),
         F.col("column_name").alias("status_name"),
