@@ -60,6 +60,11 @@ def hypertable_rollup(
 # giant event type) is spread over the buckets; the final per-group
 # rank then sees <= buckets*K rows, a constant.
 _KMV_PRUNE_BUCKETS = 32
+# r17: the prune engages only above this estimated input size (the
+# r16 mix gate pattern); the local default keeps the bench on the
+# exact single-rank shape.
+_KMV_BUCKET_PRUNE_CONF = "spark.falconMetricsEtl.kmvBucketPruneMinBytes"
+_KMV_BUCKET_PRUNE_DEFAULT = 256 * 1024 * 1024
 
 
 def _kmv_sketch(
@@ -72,20 +77,29 @@ def _kmv_sketch(
     bucket's bottom-K contains every global-bottom-K member that
     hashes into it), then a bounded per-group rank over the <=
     buckets*K survivors takes the final K rows."""
+    from falcon_metrics_etl_spark.session import scale_gate
+
     hashed = df.select(
         *key_cols, portable_hash60(F.col(value_col).cast("string")).alias("__h")
     ).dropDuplicates([*key_cols, "__h"])
-    # NULL hashes get their own bucket: default ascending order puts
-    # NULLS FIRST, and the (single, post-dedup) null row survives both
-    # ranks exactly as it did the old one-pass global rank.
-    bucketed = hashed.withColumn(
-        "__b", F.coalesce(F.col("__h") % _KMV_PRUNE_BUCKETS, F.lit(-1))
-    )
-    wb = Window.partitionBy(*key_cols, "__b").orderBy("__h")
-    pruned = (
-        bucketed.withColumn("__r1", F.row_number().over(wb))
-        .filter(F.col("__r1") <= k)
-    )
+    pruned = hashed
+    # r17 (verdict #6): the bucket prune engages only past the size
+    # gate — below it the single rank is strictly cheaper (the extra
+    # bounded exchange was the r16 A/B's named sub-second cost); both
+    # paths are pinned row-identical by tests/test_relational_gates.py
+    # forcing the threshold.
+    if scale_gate(df, _KMV_BUCKET_PRUNE_CONF, _KMV_BUCKET_PRUNE_DEFAULT):
+        # NULL hashes get their own bucket: default ascending order puts
+        # NULLS FIRST, and the (single, post-dedup) null row survives both
+        # ranks exactly as it did the old one-pass global rank.
+        bucketed = hashed.withColumn(
+            "__b", F.coalesce(F.col("__h") % _KMV_PRUNE_BUCKETS, F.lit(-1))
+        )
+        wb = Window.partitionBy(*key_cols, "__b").orderBy("__h")
+        pruned = (
+            bucketed.withColumn("__r1", F.row_number().over(wb))
+            .filter(F.col("__r1") <= k)
+        )
     w = Window.partitionBy(*key_cols).orderBy("__h")
     return (
         pruned.withColumn("__rank", F.row_number().over(w))

@@ -185,6 +185,11 @@ def bridge_stale_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # W13 — top-k per group
 # --------------------------------------------------------------------------
+# r17: the §2.5 bucket prune engages only above this estimated input
+# size (same scale-adaptive pattern as the r16 mix two-phase gate);
+# the local default keeps the bench on the exact single-rank shape.
+_TOPK_BUCKET_PRUNE_CONF = "spark.falconMetricsEtl.topkBucketPruneMinBytes"
+_BUCKET_PRUNE_MIN_BYTES_DEFAULT = 256 * 1024 * 1024
 @register(
     "top_orders_per_priority",
     doc="W13 top-k per group: 3 highest-value orders per priority, "
@@ -202,6 +207,8 @@ SELECT class_of_service, work_item_id, total_price, rn FROM (
 """,
 )
 def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from falcon_metrics_etl_spark.session import scale_gate
+
     orders = load_table(spark, sf_dir, "orders")
     # r16 (guide §2.5): five priority values means five window tasks,
     # each sorting its whole priority's rows — a straggler at scale.
@@ -209,14 +216,23 @@ def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (each bucket's top-3 contains every global-top-3 member that
     # lands in it), then the global rank sees <= 32*3 rows per
     # priority. Same ordering key both passes — results identical.
-    wb = Window.partitionBy("o_orderpriority", "__b").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    pruned = (
-        orders.withColumn("__b", F.pmod(F.col("o_orderkey"), F.lit(32)))
-        .withColumn("__r1", F.row_number().over(wb))
-        .filter(F.col("__r1") <= 3)
-    )
+    # r17 (verdict #6): the prune engages only past the size gate —
+    # below it the single rank is strictly cheaper (the extra bounded
+    # exchange cost +~0.1 s at bench scale); both paths are pinned
+    # row-identical by tests/test_relational_gates.py forcing the
+    # threshold.
+    pruned = orders
+    if scale_gate(
+        orders, _TOPK_BUCKET_PRUNE_CONF, _BUCKET_PRUNE_MIN_BYTES_DEFAULT
+    ):
+        wb = Window.partitionBy("o_orderpriority", "__b").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey")
+        )
+        pruned = (
+            orders.withColumn("__b", F.pmod(F.col("o_orderkey"), F.lit(32)))
+            .withColumn("__r1", F.row_number().over(wb))
+            .filter(F.col("__r1") <= 3)
+        )
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )

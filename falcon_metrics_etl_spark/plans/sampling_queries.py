@@ -222,19 +222,32 @@ def _greedy_prefix_stats(base: DataFrame, n_tokens_col) -> DataFrame:
     the threshold to 0): at bench scale the window's per-source sort
     is comfortably one task and the boundary re-read is pure cost.
 
+    INVARIANT: the bucket-total decomposition equals the one-window
+    cumsum only for NON-NEGATIVE, NON-NULL token counts (a negative
+    count breaks cumsum monotonicity, and an all-NULL bucket total
+    would silently vanish from both the full and boundary sets) —
+    so the token expression is clamped to ``greatest(0, coalesce(n,
+    0))`` on BOTH paths (r16 advisor: ``size(tokens(NULL))`` is NULL
+    or -1 depending on the legacy sizeOfNull setting).
+
     Output: (source, token_budget, n_selected, tokens_selected,
     n_docs, tokens_available)."""
     from pyspark.sql import Window
 
-    threshold = int(
-        base.sparkSession.conf.get(
-            _MIX_TWO_PHASE_MIN_BYTES_CONF, _MIX_TWO_PHASE_MIN_BYTES_DEFAULT
-        )
+    from falcon_metrics_etl_spark.session import scale_gate
+
+    n_tokens_col = F.greatest(
+        F.lit(0).cast("long"),
+        F.coalesce(n_tokens_col.cast("long"), F.lit(0).cast("long")),
     )
-    est_bytes = int(
-        base._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
-    if est_bytes < threshold:
+    # gate centralised in session.scale_gate (r16 advisor: the stats
+    # probe is a private API — an unavailable estimate must degrade to
+    # the scale-safe two-phase path, not raise)
+    if not scale_gate(
+        base,
+        _MIX_TWO_PHASE_MIN_BYTES_CONF,
+        int(_MIX_TWO_PHASE_MIN_BYTES_DEFAULT),
+    ):
         cw = base.withColumn("n_tokens", n_tokens_col)
         wcum = (
             Window.partitionBy("source")

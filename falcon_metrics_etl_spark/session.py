@@ -95,6 +95,34 @@ def perf_checkpoint(df):
     return df.localCheckpoint(eager=False)
 
 
+def estimated_plan_bytes(df) -> int | None:
+    """Optimizer-estimated input size of ``df`` in bytes, or None when
+    the estimate is unavailable (r16 advisor: the raw
+    ``_jdf.queryExecution().optimizedPlan().stats()`` probe is a
+    private classic-PySpark API that is absent under Spark Connect —
+    a size-gated operator must DEGRADE to its scale-safe shape there,
+    not raise). Runs the analyzer/optimizer eagerly on the driver but
+    never a job."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
+
+def scale_gate(df, conf_key: str, default_bytes: int) -> bool:
+    """True when ``df``'s estimated size clears the configured
+    threshold — i.e. the SCALE-CLASS plan shape (two-phase / bucketed
+    decomposition) should run; False selects the small-input exact
+    shape. Unknown estimates choose the scale-safe True branch. Both
+    branches of every gated operator are pinned row-identical by
+    pytest forcing the threshold."""
+    threshold = int(df.sparkSession.conf.get(conf_key, str(default_bytes)))
+    est = estimated_plan_bytes(df)
+    return est is None or est >= threshold
+
+
 # maintained-index staging for the IVM proof twins (r14; r13 used a
 # session-scoped eager localCheckpoint, r13 verdict #1 asked for the
 # tick-persisted read to be the AUDITED plan): state lands as plain

@@ -1,4 +1,6 @@
-"""Dump .explain("formatted") for named queries to plans/r16/<name>_<suffix>.txt.
+"""Dump .explain("formatted") for named queries to
+plans/<round>/<name>_<suffix>.txt (round via $SPARK_GRAFT_PLAN_ROUND,
+default r17).
 
 Usage: python scripts/dump_plans.py <suffix> <sf_dir> <query> [query ...]
 """
@@ -15,9 +17,16 @@ def main() -> None:
     suffix, sf_dir = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r16")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r17"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump_plans")
+    # optional conf overrides (e.g. forcing a size-gated path):
+    # SPARK_GRAFT_DUMP_CONF="k=v,k=v"
+    for kv in filter(None, os.environ.get(
+            "SPARK_GRAFT_DUMP_CONF", "").split(",")):
+        k, v = kv.split("=", 1)
+        spark.conf.set(k, v)
     registry = all_queries()
     for name in names:
         df = registry[name].spark(spark, sf_dir)

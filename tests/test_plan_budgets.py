@@ -85,6 +85,12 @@ def test_shuffle_budget(spark, sf_smoke, name, budget):
 # regression would not have tripped the pin). The conf gate makes the
 # FULL lineage plan visible; the committed r8 win was 9 -> this count.
 FULL_PLAN_BUDGETS = {
+    # r16 §8 added the bucketed min-K prune (operators/rollup.py
+    # _kmv_sketch: +1 bounded rank Exchange per sketch, 4 -> 6 with
+    # checkpoints off — the un-updated pin was r16's one red test);
+    # r17 size-gates the prune (verdict #6), so below the threshold
+    # the smoke plan is the original 4. tests/test_relational_gates.py
+    # pins the gated two-phase path row-identical.
     "kmv_set_ops_pairs": 4,
     # checkpoints-off re-derives hist per consumer (4x) + uni (3x);
     # the EXECUTED default-mode total is 4 (hist, uni, stats, doc agg)
