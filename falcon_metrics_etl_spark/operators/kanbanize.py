@@ -51,6 +51,12 @@ from falcon_metrics_etl_spark.operators.event_dates import (
 from falcon_metrics_etl_spark.operators.snapshots import derive_snapshots
 from falcon_metrics_etl_spark.operators.transform import auto_map_unmapped_steps
 
+# r17: the single-exchange card-key fusion engages only above this
+# estimated transition-stream size (the r16 mix-gate pattern) — see
+# the fuse_key comment in transform_cards.
+_CARD_FUSE_CONF = "spark.falconMetricsEtl.cardKeyFuseMinBytes"
+_CARD_FUSE_MIN_BYTES_DEFAULT = 256 * 1024 * 1024
+
 
 def card_workflow_id(org: Column, board_id: Column, workflow_name: Column) -> Column:
     """Workflow key for a card (transform_processor.ts:95-97)."""
@@ -161,18 +167,34 @@ def transform_cards(
     # re-joining the raw stream (measured A/B/C at sf0.1: live+dim
     # checkpoints 5.6s < no checkpoints 6.2s < dim-only 7.6s — and at
     # scale it is the variant that touches the raw stream exactly once)
-    # r17: the STRING card key is derived BEFORE the compression
-    # window and used as its partition key. Downstream, every wide
-    # operator keys on work_item_id (event-date windows, the per-item
-    # aggregate, the states join): compressing on card_id and casting
-    # after cost a SECOND full shuffle of the transition stream,
-    # because hash(bigint) != hash(cast as string) and Catalyst does
-    # not track partitioning through the cast. One key, one Exchange.
-    # (In bucketed_facts mode card_id is already the string bucket key,
-    # so SimplifyCasts keeps the layout's partitioning intact.)
+    # r17: past the size gate, the STRING card key is derived BEFORE
+    # the compression window and used as its partition key. Downstream,
+    # every wide operator keys on work_item_id (event-date windows, the
+    # per-item aggregate, the states join): compressing on card_id and
+    # casting after costs a SECOND full shuffle of the COMPRESSED
+    # transition stream, because hash(bigint) != hash(cast as string)
+    # and Catalyst does not track partitioning through the cast. One
+    # key, one Exchange — the shape that wins once shuffle bytes
+    # dominate. BELOW the gate the split shape is kept: a measured
+    # in-session interleaved A/B at sf0.1 read the fused form 1.11x
+    # (string-keyed compression sort +0.13 s of it) — at bench scale
+    # the second exchange is cheaper than the string sort. Both paths
+    # are pinned row-identical by tests/test_kanbanize.py.
+    # In bucketed_facts mode card_id already IS the string bucket key
+    # (SimplifyCasts keeps the layout's partitioning intact), so the
+    # fused key is free and unconditional there.
+    from falcon_metrics_etl_spark.session import scale_gate
+
+    fuse_key = bucketed_facts or scale_gate(
+        transitions, _CARD_FUSE_CONF, _CARD_FUSE_MIN_BYTES_DEFAULT
+    )
     live = transitions.join(
         cfg.select("card_id", "workflow_id"), "card_id", "inner"
-    ).withColumn("work_item_id", F.col("card_id").cast("string"))
+    )
+    if fuse_key:
+        live = live.withColumn(
+            "work_item_id", F.col("card_id").cast("string")
+        )
     if bucketed_facts:
         # persist, not localCheckpoint: a checkpoint under AQE reports
         # UnknownPartitioning and the compression window would re-insert
@@ -189,7 +211,12 @@ def transform_cards(
             persist_handles.append(live)
     else:
         live = perf_checkpoint(live)
-    comp = compress_transitions(live, card_col="work_item_id")
+    if fuse_key:
+        comp = compress_transitions(live, card_col="work_item_id")
+    else:
+        comp = compress_transitions(live).withColumn(
+            "work_item_id", F.col("card_id").cast("string")
+        )
     history = comp.select(
         "work_item_id",
         "workflow_id",

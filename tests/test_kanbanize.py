@@ -482,3 +482,35 @@ def test_bucketed_card_facts_plan_and_parity(spark, tmp_path, sf_smoke):
     finally:
         for t in ("kbt_cards", "kbt_transitions"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_card_key_fuse_gate_row_identical(spark, sf_smoke):
+    """r17: the single-exchange card-key fusion (compression window
+    keyed on the string work_item_id) must be row-identical to the
+    split two-exchange shape — force each path via the threshold conf
+    and compare (the r16 mix-gate pin pattern)."""
+    from falcon_metrics_etl_spark.operators.kanbanize import _CARD_FUSE_CONF
+    from falcon_metrics_etl_spark.plans.registry import all_queries
+
+    reg = all_queries()
+
+    def rows(name):
+        return sorted(tuple(r) for r in reg[name].spark(spark, sf_smoke).collect())
+
+    conf = spark.conf
+    old = conf.get(_CARD_FUSE_CONF, None)
+    try:
+        conf.set(_CARD_FUSE_CONF, str(1 << 60))  # split (long-key) shape
+        s_split = rows("kanbanize_card_states")
+        n_split = rows("kanbanize_card_snapshots")
+        conf.set(_CARD_FUSE_CONF, "0")  # fused single-exchange shape
+        s_fused = rows("kanbanize_card_states")
+        n_fused = rows("kanbanize_card_snapshots")
+    finally:
+        if old is None:
+            conf.unset(_CARD_FUSE_CONF)
+        else:
+            conf.set(_CARD_FUSE_CONF, old)
+    assert s_split == s_fused
+    assert n_split == n_fused
+    assert len(s_split) > 0 and len(n_split) > 0
