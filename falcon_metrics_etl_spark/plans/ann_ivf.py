@@ -768,6 +768,12 @@ def embedding_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQ8_NQ = 8    # query vectors for the recall measurement
 SQ8_K = 10    # top-k depth
 
+# r17: the WindowGroupLimit two-phase recall ranking engages only
+# above this estimated candidate-frame size (the r16 mix-gate
+# pattern); below it the one-pass double window is cheaper.
+_RECALL_SPLIT_CONF = "spark.falconMetricsEtl.recallTopkSplitMinBytes"
+_RECALL_SPLIT_MIN_BYTES_DEFAULT = 256 * 1024 * 1024
+
 
 def _code_times_m(q, m):
     """Dequantized SQ8 code c_d * m_d as one exact-integer expression
@@ -930,49 +936,71 @@ def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ac"),
     )
-    # r17: the old shape ranked BOTH orderings as full windows over
-    # the 8N candidate frame (two complete sorts of N rows per query —
-    # at scale, one straggler sort per query and ranking work for rows
-    # that can never be in either top-k). Splitting each ranking into
-    # its own filter-adjacent window lets WindowGroupLimit prune to
-    # the per-partition top-K before the exchange; the shared scored
-    # frame (2 exact-integer HOF dots per candidate, the dominant
-    # per-row cost) is computed once behind a lazy checkpoint. The
-    # overlap count is then a bounded (<= K per query) self-join.
-    # Every query keeps a row: a query with zero overlap falls out of
-    # the inner join and is re-attached with 0 via the bounded query
-    # list (same group set as the old groupBy — every query has
-    # candidates whenever N > SQ8_NQ).
-    scored = perf_checkpoint(scored)
     we = Window.partitionBy("query_id").orderBy(
         F.col("ec").desc(), "neighbor_id"
     )
     wa = Window.partitionBy("query_id").orderBy(
         F.col("ac").desc(), "neighbor_id"
     )
-    top_e = (
-        scored.withColumn("re", F.row_number().over(we))
-        .filter(F.col("re") <= SQ8_K)
-        .select("query_id", "neighbor_id")
-    )
-    top_a = (
-        scored.withColumn("ra", F.row_number().over(wa))
-        .filter(F.col("ra") <= SQ8_K)
-        .select("query_id", "neighbor_id")
-    )
-    # explicit hints: both top sets are bounded (<= K rows per query)
-    # but sit above a checkpoint, so the planner has no size stats
-    overlap = top_e.join(
-        F.broadcast(top_a), ["query_id", "neighbor_id"]
-    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("__n"))
-    n_overlap = F.coalesce(F.col("__n"), F.lit(0)).cast("long")
+    # r17, past the size gate: the one-pass shape ranks BOTH orderings
+    # as full windows over the 8N candidate frame — two complete sorts
+    # of N rows per query, i.e. one straggler sort per query at scale,
+    # ranking rows that can never be in either top-k. The two-phase
+    # shape splits each ranking into its own filter-adjacent window so
+    # WindowGroupLimit prunes to the per-partition top-K before the
+    # exchange; the shared scored frame (2 exact-integer HOF dots per
+    # candidate, the dominant per-row cost) is computed once behind a
+    # lazy checkpoint, and the overlap count is a bounded broadcast
+    # self-join. Every query keeps a row: a zero-overlap query is
+    # re-attached with 0 via the bounded query list (same group set as
+    # the one-pass groupBy — every query has candidates for
+    # N > SQ8_NQ). BELOW the gate the one-pass form runs: the
+    # checkpoint materialization + extra jobs cost ~10% at bench scale
+    # (interleaved A/B). Both paths pinned row-identical by
+    # tests/test_relational_gates.py.
+    from falcon_metrics_etl_spark.session import scale_gate
+
+    if scale_gate(
+        scored, _RECALL_SPLIT_CONF, _RECALL_SPLIT_MIN_BYTES_DEFAULT
+    ):
+        scored = perf_checkpoint(scored)
+        top_e = (
+            scored.withColumn("re", F.row_number().over(we))
+            .filter(F.col("re") <= SQ8_K)
+            .select("query_id", "neighbor_id")
+        )
+        top_a = (
+            scored.withColumn("ra", F.row_number().over(wa))
+            .filter(F.col("ra") <= SQ8_K)
+            .select("query_id", "neighbor_id")
+        )
+        # explicit hints: both top sets are bounded (<= K rows per
+        # query) but sit above a checkpoint — no planner size stats
+        overlap = top_e.join(
+            F.broadcast(top_a), ["query_id", "neighbor_id"]
+        ).groupBy("query_id").agg(F.count(F.lit(1)).alias("__n"))
+        n_overlap = F.coalesce(F.col("__n"), F.lit(0)).cast("long")
+        return (
+            queries.select("query_id")
+            .join(F.broadcast(overlap), "query_id", "left")
+            .select(
+                "query_id",
+                n_overlap.alias("n_overlap"),
+                F.round(n_overlap.cast("double") / SQ8_K, 4).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+    hit = (
+        (F.col("re") <= SQ8_K) & (F.col("ra") <= SQ8_K)
+    ).cast("int")
     return (
-        queries.select("query_id")
-        .join(F.broadcast(overlap), "query_id", "left")
-        .select(
-            "query_id",
-            n_overlap.alias("n_overlap"),
-            F.round(n_overlap.cast("double") / SQ8_K, 4).alias(
+        scored.withColumn("re", F.row_number().over(we))
+        .withColumn("ra", F.row_number().over(wa))
+        .groupBy("query_id")
+        .agg(
+            F.sum(hit).cast("long").alias("n_overlap"),
+            F.round(F.sum(hit).cast("double") / SQ8_K, 4).alias(
                 "recall_at_k"
             ),
         )

@@ -28,6 +28,10 @@ def _rows(df):
             "spark.falconMetricsEtl.kmvBucketPruneMinBytes",
             ["kmv_distinct_users", "kmv_set_ops_pairs"],
         ),
+        (
+            "spark.falconMetricsEtl.recallTopkSplitMinBytes",
+            ["ann_int8_recall"],
+        ),
     ],
 )
 def test_bucket_prune_gate_row_identical(spark, sf_smoke, conf_key, names):
