@@ -168,6 +168,36 @@ def run_concurrent(*thunks):
         return out
 
 
+def start_concurrent(*thunks):
+    """Non-blocking variant of run_concurrent: submit the actions and
+    return a join() closure that waits, re-raises the first failure,
+    and returns the results in order. Lets a tick overlap independent
+    job waves with intervening driver work (guide §2.6 — e.g. the
+    band-index appends depend only on the decode outputs, so they can
+    run while the edge/resolve jobs compute). Callers must join()
+    before anything that reads or compacts the written tables."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=max(1, len(thunks)))
+    futures = [ex.submit(t) for t in thunks]
+
+    def join():
+        errs = []
+        out = []
+        for f in futures:
+            try:
+                out.append(f.result())
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+                out.append(None)
+        ex.shutdown(wait=False)
+        if errs:
+            raise errs[0]
+        return out
+
+    return join
+
+
 STATE_DIR_ENV = "FALCON_METRICS_STATE_DIR"
 
 # Mixed into every staged-state fingerprint: bump when ANY staged

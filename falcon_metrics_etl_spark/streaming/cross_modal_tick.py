@@ -76,7 +76,7 @@ from falcon_metrics_etl_spark.plans.media_dedup import (
     cross_modal_keep_best_of,
     image_bands_of,
 )
-from falcon_metrics_etl_spark.session import run_concurrent
+from falcon_metrics_etl_spark.session import run_concurrent, start_concurrent
 from falcon_metrics_etl_spark.state import (
     claim_state_layout,
     maintain_state_dir,
@@ -783,6 +783,43 @@ def trimodal_ingest_tick(
     vsig_all = frame_idx.select("doc_id", "frame_dhash").unionByName(
         vsig_new
     )
+    # ---- band appends, overlapped (r17, guide §2.6) -----------------
+    # the four band-index appends depend ONLY on the decode outputs —
+    # not on edges/resolve — so they run WHILE the edge and resolve
+    # jobs compute and are joined before the node appends below. Safe
+    # against the concurrent edge reads: every state-side edge read
+    # filters batch_id != bid (the replay contract already tolerates
+    # this batch's rows being present), and the _read_or_empty frames
+    # above listed their file sets before these writes land.
+    band_frames = (
+        ("cm3_tband_index", CM_TBAND_SCHEMA, tb_new,
+         ["doc_id", "dhash", "band", "byte"]),
+        ("cm3_fband_index", CM_FBAND_SCHEMA, fb_new,
+         ["doc_id", "frame_dhash", "band", "byte"]),
+        ("cm3_aband_index", CM3_SPBAND_SCHEMA, rb_new,
+         ["doc_id", "sphash", "band", "byte"]),
+        ("cm3_trband_index", CM3_SPBAND_SCHEMA, trb_new,
+         ["doc_id", "sphash", "band", "byte"]),
+    )
+    tag = F.lit(bid).alias("batch_id")
+
+    def _append_bands(sub: str, schema: str, frame: DataFrame, cols) -> None:
+        full = _read_or_empty(spark, _rsp(f"{state_dir}/{sub}"), schema)
+        (
+            _anti_existing(frame, full, "doc_id")
+            .select(*cols, tag)
+            .write.mode("append").parquet(_rsp(f"{state_dir}/{sub}"))
+        )
+
+    join_bands = start_concurrent(
+        *(
+            lambda s=sub, sc=schema, f=frame, c=cols: _append_bands(
+                s, sc, f, c
+            )
+            for sub, schema, frame, cols in band_frames
+        )
+    )
+
     # the probing side is the batch — micro-batch-bounded, so every
     # edge family broadcasts it and the state side never shuffles
     edges = trimodal_edges_delta(
@@ -878,8 +915,13 @@ def trimodal_ingest_tick(
             F.lit(bid).alias("batch_id"),
         )
     )
-    merge_state(
-        spark, f"{state_dir}/cm3_flags", flags, ["doc_id", "modality"]
+    # r17: the flags merge touches only cm3_flags — disjoint from the
+    # repoints (node indexes) and every append — so it overlaps them
+    # (joined before maintenance/return)
+    join_flags = start_concurrent(
+        lambda: merge_state(
+            spark, f"{state_dir}/cm3_flags", flags, ["doc_id", "modality"]
+        )
     )
     mark("flags")
 
@@ -926,8 +968,8 @@ def trimodal_ingest_tick(
 
     # ---- 3) append the batch (kept AND dropped; anti-joined) --------
     # table-driven so the replay contract (anti-join key + batch tag)
-    # is single-sourced across all seven cm3_* tables
-    tag = F.lit(bid).alias("batch_id")
+    # is single-sourced across all seven cm3_* tables (the four band
+    # appends were started right after decode and are joined below)
     kmap = verdicts.select(
         F.col("doc_id").alias("node"), F.col("keep_id").alias("keep_node")
     )
@@ -964,41 +1006,20 @@ def trimodal_ingest_tick(
             .write.mode("append").parquet(_rsp(f"{state_dir}/{sub}"))
         )
 
-    band_frames = (
-        ("cm3_tband_index", CM_TBAND_SCHEMA, tb_new,
-         ["doc_id", "dhash", "band", "byte"]),
-        ("cm3_fband_index", CM_FBAND_SCHEMA, fb_new,
-         ["doc_id", "frame_dhash", "band", "byte"]),
-        ("cm3_aband_index", CM3_SPBAND_SCHEMA, rb_new,
-         ["doc_id", "sphash", "band", "byte"]),
-        ("cm3_trband_index", CM3_SPBAND_SCHEMA, trb_new,
-         ["doc_id", "sphash", "band", "byte"]),
-    )
-
-    def _append_bands(sub: str, schema: str, frame: DataFrame, cols) -> None:
-        full = _read_or_empty(spark, _rsp(f"{state_dir}/{sub}"), schema)
-        (
-            _anti_existing(frame, full, "doc_id")
-            .select(*cols, tag)
-            .write.mode("append").parquet(_rsp(f"{state_dir}/{sub}"))
-        )
-
-    # the seven appends target disjoint tables with the same
-    # anti-join + batch-tag replay contract — one concurrent wave
+    # the three node appends run as one concurrent wave; the band
+    # appends (started after decode) and the flags merge (started
+    # after resolve) join here, before maintenance can compact the
+    # tables they write
     run_concurrent(
         *(
             lambda s=sub, sc=schema, f=frame, c=cols: _append_nodes(
                 s, sc, f, c
             )
             for sub, schema, frame, cols in node_frames
-        ),
-        *(
-            lambda s=sub, sc=schema, f=frame, c=cols: _append_bands(
-                s, sc, f, c
-            )
-            for sub, schema, frame, cols in band_frames
-        ),
+        )
     )
+    join_bands()
+    join_flags()
     mark("append")
 
     # ---- in-cadence maintenance (r15, verdict #1): GC retired state
