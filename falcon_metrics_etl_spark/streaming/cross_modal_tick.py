@@ -241,9 +241,15 @@ def cross_modal_ingest_tick(
     unified_media_ingest_tick)."""
     bid = int(batch_id)
     t_new, v_new = _fingerprint_batch(batch_docs, thumbs, clips, vfp)
-    t_new = t_new.localCheckpoint(eager=True)
     if vfp is None:  # injected frames are already checkpoint blocks
-        v_new = v_new.localCheckpoint(eager=True)
+        # the two decode checkpoints are independent jobs — one
+        # concurrent wave (r17, matching the trimodal tick)
+        t_new, v_new = run_concurrent(
+            lambda: t_new.localCheckpoint(eager=True),
+            lambda: v_new.localCheckpoint(eager=True),
+        )
+    else:
+        t_new = t_new.localCheckpoint(eager=True)
     vsig_new = v_new.select("doc_id", "frame_dhash").distinct()
     n_new = v_new.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_frames")
@@ -285,6 +291,35 @@ def cross_modal_ingest_tick(
 
     from falcon_metrics_etl_spark.plans.media_dedup import (
         cross_modal_edges_of,
+    )
+
+    # ---- band appends, overlapped (r17, guide §2.6) -----------------
+    # the two band-index appends depend ONLY on the decode outputs —
+    # they run WHILE the edge/resolve jobs compute and join before the
+    # node appends below. Safe against the concurrent edge reads:
+    # every state-side read filters batch_id != bid (the replay
+    # contract already tolerates this batch's rows), and the
+    # _read_or_empty frames above listed their files before these
+    # writes land.
+    tag = F.lit(bid).alias("batch_id")
+
+    def _append(sub: str, schema: str, frame: DataFrame, key: str, cols) -> None:
+        full = _read_or_empty(spark, _rsp(f"{state_dir}/{sub}"), schema)
+        (
+            _anti_existing(frame, full, key)
+            .select(*cols, tag)
+            .write.mode("append").parquet(_rsp(f"{state_dir}/{sub}"))
+        )
+
+    join_bands = start_concurrent(
+        lambda: _append(
+            "cm_tband_index", CM_TBAND_SCHEMA, tb_new, "doc_id",
+            ["doc_id", "dhash", "band", "byte"],
+        ),
+        lambda: _append(
+            "cm_fband_index", CM_FBAND_SCHEMA, fb_new, "doc_id",
+            ["doc_id", "frame_dhash", "band", "byte"],
+        ),
     )
 
     # the probing side is the batch — micro-batch-bounded, so every
@@ -353,8 +388,12 @@ def cross_modal_ingest_tick(
             F.lit(bid).alias("batch_id"),
         )
     )
-    merge_state(
-        spark, f"{state_dir}/cm_flags", flags, ["doc_id", "modality"]
+    # r17: the flags merge touches only cm_flags — disjoint from the
+    # repoints and appends — so it overlaps them (joined below)
+    join_flags = start_concurrent(
+        lambda: merge_state(
+            spark, f"{state_dir}/cm_flags", flags, ["doc_id", "modality"]
+        )
     )
 
     # ---- 2) repoint displaced keepers across BOTH indexes -----------
@@ -381,18 +420,10 @@ def cross_modal_ingest_tick(
         )
 
     # ---- 3) append the batch (kept AND dropped; anti-joined) --------
-    tag = F.lit(bid).alias("batch_id")
+    # (the two band appends were started after decode; joined below)
     kmap = verdicts.select(
         F.col("doc_id").alias("node"), F.col("keep_id").alias("keep_node")
     )
-
-    def _append(sub: str, schema: str, frame: DataFrame, key: str, cols) -> None:
-        full = _read_or_empty(spark, _rsp(f"{state_dir}/{sub}"), schema)
-        (
-            _anti_existing(frame, full, key)
-            .select(*cols, tag)
-            .write.mode("append").parquet(_rsp(f"{state_dir}/{sub}"))
-        )
 
     new_img = t_new.select(
         (F.col("doc_id") * 2).alias("node"), "doc_id", "dhash"
@@ -406,26 +437,21 @@ def cross_modal_ingest_tick(
         .join(F.broadcast(n_new), "doc_id")
         .join(F.broadcast(kmap), "node")
     )
-    # the four appends target disjoint tables with the same anti-join
-    # + batch-tag replay contract — one concurrent wave
+    # the two node appends run as one concurrent wave; the band
+    # appends and the flags merge join here, before maintenance can
+    # compact the tables they write
     run_concurrent(
         lambda: _append(
             "cm_image_index", CM_IMG_SCHEMA, new_img, "node",
             ["node", "doc_id", "dhash", "keep_node"],
         ),
         lambda: _append(
-            "cm_tband_index", CM_TBAND_SCHEMA, tb_new, "doc_id",
-            ["doc_id", "dhash", "band", "byte"],
-        ),
-        lambda: _append(
             "cm_frame_index", CM_FRAME_SCHEMA, new_fr, "node",
             ["node", "doc_id", "frame_dhash", "n_frames", "keep_node"],
         ),
-        lambda: _append(
-            "cm_fband_index", CM_FBAND_SCHEMA, fb_new, "doc_id",
-            ["doc_id", "frame_dhash", "band", "byte"],
-        ),
     )
+    join_bands()
+    join_flags()
 
     # ---- in-cadence maintenance (r15, verdict #1): GC retired state
     # snapshots, compact tables past the live-file threshold

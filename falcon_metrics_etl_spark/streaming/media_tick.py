@@ -80,7 +80,7 @@ from falcon_metrics_etl_spark.plans.media_dedup import (
     image_keep_best_of,
     video_keep_best_of,
 )
-from falcon_metrics_etl_spark.session import run_concurrent
+from falcon_metrics_etl_spark.session import run_concurrent, start_concurrent
 from falcon_metrics_etl_spark.state import (
     maintain_state_dir,
     merge_state,
@@ -245,6 +245,30 @@ def media_ingest_tick(
         spark, _rsp(f"{state_dir}/band_index"), BAND_SCHEMA
     ).filter(F.col("batch_id") != bid)
     new_bands = image_bands_of(fp_new)
+
+    # ---- band append, overlapped (r17, guide §2.6) ------------------
+    # the band-index append depends ONLY on the decoded batch — it
+    # runs WHILE the edge/resolve jobs compute and joins before the
+    # node appends below. Safe against the concurrent probes: every
+    # state-side read filters batch_id != bid (the replay contract
+    # already tolerates this batch's rows), and band_idx above listed
+    # its file set before this write lands.
+    tag = F.lit(bid).alias("batch_id")
+
+    def _append(sub: str, schema: str, frame, cols: list) -> None:
+        full = _read_or_empty(spark, _rsp(f"{state_dir}/{sub}"), schema)
+        (
+            anti_existing(frame, full, "doc_id")
+            .select(*cols, tag)
+            .write.mode("append").parquet(_rsp(f"{state_dir}/{sub}"))
+        )
+
+    join_bands = start_concurrent(
+        lambda: _append(
+            "band_index", BAND_SCHEMA, new_bands,
+            ["doc_id", "band", "byte"],
+        )
+    )
     probe_side = band_idx.select("doc_id", "band", "byte").unionByName(
         new_bands.select("doc_id", "band", "byte")
     )
@@ -454,8 +478,12 @@ def media_ingest_tick(
     flags = img_flags.unionByName(vid_flags).withColumn(
         "batch_id", F.lit(bid)
     )
-    merge_state(
-        spark, f"{state_dir}/media_flags", flags, ["doc_id", "modality"]
+    # r17: the flags merge touches only media_flags — disjoint from
+    # the repoints and appends — so it overlaps them (joined below)
+    join_flags = start_concurrent(
+        lambda: merge_state(
+            spark, f"{state_dir}/media_flags", flags, ["doc_id", "modality"]
+        )
     )
 
     # ---- 2) repoint displaced keepers (keyed merge) -----------------
@@ -485,24 +513,16 @@ def media_ingest_tick(
     )
 
     # ---- 3) append the batch (kept AND dropped; anti-joined) --------
-    tag = F.lit(bid).alias("batch_id")
-
-    def _append(sub: str, schema: str, frame, cols: list) -> None:
-        full = _read_or_empty(spark, _rsp(f"{state_dir}/{sub}"), schema)
-        (
-            anti_existing(frame, full, "doc_id")
-            .select(*cols, tag)
-            .write.mode("append").parquet(_rsp(f"{state_dir}/{sub}"))
-        )
-
+    # (the band append was started after decode; joined below)
     new_fp = fp_new.join(
         F.broadcast(img_verdicts.select("doc_id", "keep_id")), "doc_id"
     )
     new_fr = vfp_new.join(F.broadcast(n_new), "doc_id").join(
         F.broadcast(vid_verdicts.select("doc_id", "keep_id")), "doc_id"
     )
-    # the three appends target disjoint tables with the same anti-join
-    # + batch-tag replay contract — one concurrent wave
+    # the two node appends run as one concurrent wave; the band append
+    # and the flags merge join here, before maintenance can compact
+    # the tables they write
     run_concurrent(
         lambda: _append(
             "fp_index", FP_SCHEMA, new_fp,
@@ -510,14 +530,12 @@ def media_ingest_tick(
              "keep_id"],
         ),
         lambda: _append(
-            "band_index", BAND_SCHEMA, image_bands_of(fp_new),
-            ["doc_id", "band", "byte"],
-        ),
-        lambda: _append(
             "frame_index", FRAME_SCHEMA, new_fr,
             ["doc_id", "frame_idx", "frame_dhash", "n_frames", "keep_id"],
         ),
     )
+    join_bands()
+    join_flags()
 
     # ---- in-cadence maintenance (r15, verdict #1): GC retired state
     # snapshots, compact tables past the live-file threshold
