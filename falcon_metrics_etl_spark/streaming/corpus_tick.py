@@ -57,7 +57,7 @@ from falcon_metrics_etl_spark.plans.dedup_lsh import (
     MINHASH_JACCARD_T,
     lsh_frames_of,
 )
-from falcon_metrics_etl_spark.session import run_concurrent
+from falcon_metrics_etl_spark.session import run_concurrent, start_concurrent
 from falcon_metrics_etl_spark.state import (
     maintain_state_dir,
     merge_state,
@@ -325,7 +325,13 @@ def corpus_ingest_tick(
     flags = status.join(
         budgets.select("doc_id", "n_tokens"), "doc_id", "left"
     ).select("doc_id", "status", "n_tokens", F.lit(bid).alias("batch_id"))
-    merge_state(spark, f"{state_dir}/flags", flags, ["doc_id"])
+    # r17: the flags merge (which carries the tokenize compute in its
+    # lineage) touches only the flags table — disjoint from the three
+    # index appends — so it overlaps them (joined below, before
+    # maintenance)
+    join_flags = start_concurrent(
+        lambda: merge_state(spark, f"{state_dir}/flags", flags, ["doc_id"])
+    )
 
     # only ADMITTED docs register their fp (advisor r10: a near-dup-
     # rejected doc must not become canonical_id for future exact
@@ -378,6 +384,7 @@ def corpus_ingest_tick(
             ["doc_id", "shs"],
         ),
     )
+    join_flags()
 
     # ---- in-cadence maintenance (r15, verdict #1) -------------------
     if maintenance_file_threshold is not None:
